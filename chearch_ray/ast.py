@@ -1,0 +1,73 @@
+"""Query AST — the engine-level query IR.
+
+The reference's query language is CHASM stack bytecode with opcodes
+HALT/PUSH/AND/OR (chasm.chpl:10-13); postfix encoding of arbitrary
+binary boolean trees.  Our engine plans from this AST; the byte-level
+codec lives in chearch_ray.functions.chasm.
+
+Terms are strings at the engine level (the tokenizer's output space) or
+ints at the conformance level (the reference is integer-based,
+search.chpl:7 `type Term = uint(32)`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Union
+
+TermT = Union[str, int]
+
+
+@dataclass(frozen=True)
+class Term:
+    term: TermT
+
+
+@dataclass(frozen=True)
+class And:
+    #: NOTE argument order: And(a, b) means a is the *A side* — the
+    #: last-pushed operand in CHASM postfix, which emits first on a
+    #: match (FIXTURES.md §1).
+    a: "Node"
+    b: "Node"
+
+
+@dataclass(frozen=True)
+class Or:
+    a: "Node"
+    b: "Node"
+
+
+Node = Union[Term, And, Or]
+
+
+def terms_of(node: Node) -> list[TermT]:
+    """All distinct terms in the tree, left-to-right first-seen order."""
+    out: list[TermT] = []
+    seen = set()
+
+    def walk(n: Node) -> None:
+        if isinstance(n, Term):
+            if n.term not in seen:
+                seen.add(n.term)
+                out.append(n.term)
+        else:
+            walk(n.a)
+            walk(n.b)
+
+    walk(node)
+    return out
+
+
+def is_conjunctive(node: Node) -> bool:
+    """True if the tree is pure AND over terms."""
+    if isinstance(node, Term):
+        return True
+    return isinstance(node, And) and is_conjunctive(node.a) and is_conjunctive(node.b)
+
+
+def is_disjunctive(node: Node) -> bool:
+    """True if the tree is pure OR over terms."""
+    if isinstance(node, Term):
+        return True
+    return isinstance(node, Or) and is_disjunctive(node.a) and is_disjunctive(node.b)

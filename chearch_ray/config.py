@@ -1,0 +1,80 @@
+"""Engine configuration.
+
+Mirrors the reference's compile-time `config const` knobs
+(memorysegment.chpl:5 termHashTableSize, search.chpl:17 partitionLimit,
+synthdataindexer.chpl:6-10 corpus sizing) as a frozen dataclass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # ---- partitioning -------------------------------------------------
+    #: number of doc-hash segments (reference: one partition per locale,
+    #: searchindex.chpl:25-28; docs routed by hash, README.md:17).  Each
+    #: segment caps at ~2^24 docs like the reference (documentid.chpl:24);
+    #: at 10^12 files this becomes ~6e4 segments on a real cluster.
+    num_segments: int = 1
+    #: term shards *within* a segment — the postings for one segment are
+    #: split into this many term-hash files so a query only decodes the
+    #: files containing its terms.  (Reference analogue: the 32768-bucket
+    #: term hash table, memorysegment.chpl:5.)
+    num_term_shards: int = 4
+    #: salt factor for the two-phase posting merge (hot-term skew, north
+    #: rule).  1 = single-phase groupby.  >1: phase 1 groups on
+    #: (partition, salt=hash(doc)%salt) building partial runs, phase 2
+    #: merges runs per term.
+    build_salt: int = 1
+
+    # ---- tokenizer ----------------------------------------------------
+    #: regex that *separates* tokens (code-aware default: keep
+    #: [A-Za-z0-9_] runs).  Chosen to be expressible in DuckDB's
+    #: regexp_split_to_array for the oracle SQL.
+    token_split_regex: str = "[^a-z0-9_]+"
+    lowercase: bool = True
+    #: also split camelCase / snake_case identifiers into sub-tokens
+    #: (SURVEY.md §2.8).  Off by default: the oracle SQL uses the plain
+    #: split mode.
+    split_subtokens: bool = False
+    #: store per-posting position lists in the segment (the reference
+    #: stores an 8-bit textLocation per posting, documentid.chpl:17-18;
+    #: we store full uint32 token indexes, columnar).
+    store_positions: bool = True
+    #: cap on positions stored per (term, doc) pair; 0 = unlimited.
+    max_positions_per_doc: int = 0
+
+    # ---- posting codec ------------------------------------------------
+    #: postings per skip block; each block records (last_doc_id, max_tf)
+    #: for skip + block-max pruning (north star).  Reference analogue:
+    #: graduated pool blocks 2/16/128/2048 (documentidpool.chpl:26-35).
+    block_size: int = 128
+
+    # ---- BM25 ---------------------------------------------------------
+    k1: float = 1.2
+    b: float = 0.75
+
+    # ---- query --------------------------------------------------------
+    #: per-partition result cap in boolean mode (reference partitionLimit,
+    #: search.chpl:17).
+    partition_limit: int = 2048
+    default_k: int = 10
+
+    # ---- execution ----------------------------------------------------
+    #: map_batches batch size for the tokenize stage (rows = documents).
+    tokenize_batch_size: int = 2048
+    #: actor-pool size for query serving; sized at runtime if 0.
+    searcher_concurrency: int = 0
+
+    # ---- misc ---------------------------------------------------------
+    input_columns: tuple = ("repo", "path", "commit", "lang", "content")
+
+    def part_id(self, seg_id: int, term_shard: int) -> int:
+        """Flattened build-partition key: one groupby key per
+        (doc-segment, term-shard) pair."""
+        return seg_id * self.num_term_shards + term_shard
+
+
+DEFAULT_CONFIG = EngineConfig()
