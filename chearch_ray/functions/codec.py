@@ -1,0 +1,168 @@
+"""Posting-list codec: doc-id deltas + varint, fixed-size skip blocks
+with block-max metadata.
+
+North-star requirement: "docID deltas + varint/PForDelta compression,
+skip blocks with block-max scores".  Canonical posting order is
+ASCENDING doc id (SURVEY.md §2.6 O1 — the reference's newest-first
+chain order, memorysegment.chpl:41-55, is an implementation artifact we
+normalize; the conformance layer reverses where reference order
+matters).
+
+Layout per term:
+  doc_blob  — varint stream of doc-id deltas.  Delta base restarts at
+              each block boundary against the PREVIOUS block's last doc
+              id, so any block can be decoded independently given the
+              block_last array (the skip index).
+  tf_blob   — varint stream of term frequencies, same block geometry.
+  block_last    — uint64[] last doc id per block (skip pointers;
+                  reference analogue: graduated pool blocks,
+                  documentidpool.chpl:26-35).
+  block_max_tf  — uint32[] max tf per block → block-max score upper
+                  bounds for WAND/MaxScore pruning.
+  block_doc_off / block_tf_off — byte offset of each block inside the
+              blobs, enabling per-block skip decoding.
+
+All encode/decode paths are numpy-vectorized (no per-value Python in
+the hot path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_MAX_VARINT_BYTES = 10
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """uint64 array -> LEB128 varint stream (vectorized)."""
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return b""
+    # byte i of each value = bits [7i, 7i+7); needed while value >= 2^(7i)
+    groups = np.empty((n, _MAX_VARINT_BYTES), dtype=np.uint8)
+    needed = np.empty((n, _MAX_VARINT_BYTES), dtype=bool)
+    shifted = vals.copy()
+    for i in range(_MAX_VARINT_BYTES):
+        groups[:, i] = (shifted & np.uint64(0x7F)).astype(np.uint8)
+        needed[:, i] = shifted > 0 if i else np.ones(n, dtype=bool)
+        shifted >>= np.uint64(7)
+    # continuation bit on byte i iff byte i+1 is needed
+    cont = np.zeros_like(needed)
+    cont[:, :-1] = needed[:, 1:]
+    groups |= cont.astype(np.uint8) << 7
+    return groups[needed].tobytes()
+
+
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """encoded byte length of each value (for offset computation)."""
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    lengths = np.ones(len(vals), dtype=np.int64)
+    shifted = vals >> np.uint64(7)
+    while shifted.any():
+        lengths += (shifted > 0).astype(np.int64)
+        shifted >>= np.uint64(7)
+    return lengths
+
+
+def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
+    """varint stream -> uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero(b < 0x80)
+    if count is not None:
+        ends = ends[:count]
+    starts = np.empty(len(ends), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    width = ends - starts + 1
+    max_width = int(width.max()) if len(width) else 0
+    for i in range(max_width):
+        active = width > i
+        idx = starts[active] + i
+        vals[active] |= (b[idx] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * i)
+    return vals
+
+
+@dataclass
+class EncodedPostings:
+    count: int
+    doc_blob: bytes
+    tf_blob: bytes
+    block_last: np.ndarray  # uint64, one per block
+    block_max_tf: np.ndarray  # uint32
+    block_doc_off: np.ndarray  # int64 byte offset of block start in doc_blob
+    block_tf_off: np.ndarray  # int64
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = 128) -> EncodedPostings:
+    """doc_ids must be strictly ascending uint64; tfs parallel uint64/32."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    n = len(doc_ids)
+    if n == 0:
+        z64 = np.empty(0, dtype=np.uint64)
+        z32 = np.empty(0, dtype=np.uint32)
+        zi = np.empty(0, dtype=np.int64)
+        return EncodedPostings(0, b"", b"", z64, z32, zi, zi)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    # NB block-boundary deltas need no special restart: the consecutive
+    # delta doc_ids[i]-doc_ids[i-1] at a block start is exactly "vs the
+    # previous block's last doc id", which decode_block re-bases from
+    # block_last[block-1].
+
+    n_blocks = (n + block_size - 1) // block_size
+    block_bounds = np.minimum(np.arange(1, n_blocks + 1) * block_size, n)
+    block_last = doc_ids[block_bounds - 1]
+    # per-block max tf
+    block_max_tf = np.maximum.reduceat(tfs, np.arange(0, n, block_size)).astype(np.uint32)
+
+    doc_lens = varint_byte_lengths(deltas)
+    tf_lens = varint_byte_lengths(tfs)
+    doc_cum = np.concatenate([[0], np.cumsum(doc_lens)])
+    tf_cum = np.concatenate([[0], np.cumsum(tf_lens)])
+    block_starts = np.arange(0, n, block_size)
+    return EncodedPostings(
+        count=n,
+        doc_blob=varint_encode(deltas),
+        tf_blob=varint_encode(tfs),
+        block_last=block_last,
+        block_max_tf=block_max_tf,
+        block_doc_off=doc_cum[block_starts],
+        block_tf_off=tf_cum[block_starts],
+    )
+
+
+def decode_postings(enc: EncodedPostings, block_size: int = 128) -> tuple[np.ndarray, np.ndarray]:
+    """full decode -> (doc_ids ascending uint64, tfs uint64)."""
+    if enc.count == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    deltas = varint_decode(enc.doc_blob, enc.count)
+    tfs = varint_decode(enc.tf_blob, enc.count)
+    doc_ids = np.cumsum(deltas, dtype=np.uint64)
+    return doc_ids, tfs
+
+
+def decode_block(
+    enc: EncodedPostings, block: int, block_size: int = 128
+) -> tuple[np.ndarray, np.ndarray]:
+    """decode one skip block independently -> (doc_ids, tfs)."""
+    n_blocks = len(enc.block_last)
+    if not 0 <= block < n_blocks:
+        raise IndexError(f"block {block} out of range ({n_blocks} blocks)")
+    count = min(block_size, enc.count - block * block_size)
+    doc_start = int(enc.block_doc_off[block])
+    doc_end = int(enc.block_doc_off[block + 1]) if block + 1 < n_blocks else len(enc.doc_blob)
+    tf_start = int(enc.block_tf_off[block])
+    tf_end = int(enc.block_tf_off[block + 1]) if block + 1 < n_blocks else len(enc.tf_blob)
+    deltas = varint_decode(np.frombuffer(enc.doc_blob, np.uint8)[doc_start:doc_end], count)
+    tfs = varint_decode(np.frombuffer(enc.tf_blob, np.uint8)[tf_start:tf_end], count)
+    base = enc.block_last[block - 1] if block > 0 else np.uint64(0)
+    doc_ids = base + np.cumsum(deltas, dtype=np.uint64)
+    return doc_ids, tfs

@@ -1,0 +1,177 @@
+"""Unit tests for the pure kernels: tokenizer, hashing, posting codec."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from chearch_ray.functions import codec
+from chearch_ray.functions.hashing import (
+    TermSharder,
+    doc_id_from_keys,
+    murmur3_finalize32,
+    sha256_hex,
+    term_hash64,
+)
+from chearch_ray.functions.tokenizer import explode, token_counts, tokenize
+
+
+# ------------------------------------------------------------- tokenizer
+def test_tokenize_basic():
+    col = pa.array(["def Foo_bar(x):\n  return x+1", "", None, "a b  c"])
+    lists = tokenize(col)
+    assert lists.to_pylist() == [
+        ["def", "foo_bar", "x", "return", "x", "1"],
+        [],
+        [],
+        ["a", "b", "c"],
+    ]
+
+
+def test_tokenize_subtokens():
+    col = pa.array(["camelCaseVar snake_case_var XMLHttp"])
+    lists = tokenize(col, split_subtokens=True)
+    assert lists.to_pylist() == [
+        ["camel", "case", "var", "snake", "case", "var", "xml", "http"]
+    ]
+
+
+def test_tokenize_matches_duckdb_split():
+    """Default mode must be replicable by DuckDB regexp_split_to_array
+    (this is what the driver oracle SQL uses)."""
+    import duckdb
+
+    texts = ["The quick! brown_fox.jumps", "x=1; y = x*2 // comment", "émoji ☃ text"]
+    lists = tokenize(pa.array(texts)).to_pylist()
+    con = duckdb.connect()
+    for text, ours in zip(texts, lists):
+        sql = con.execute(
+            "select list_filter(regexp_split_to_array(lower(?), '[^a-z0-9_]+'), x -> x <> '')",
+            [text],
+        ).fetchone()[0]
+        assert sql == ours, text
+
+
+def test_token_counts_and_explode():
+    lists = tokenize(pa.array(["a b a", "c", ""]))
+    assert token_counts(lists).tolist() == [3, 1, 0]
+    values, rows, positions = explode(lists)
+    assert values.to_pylist() == ["a", "b", "a", "c"]
+    assert rows.tolist() == [0, 0, 0, 1]
+    assert positions.tolist() == [0, 1, 2, 0]
+
+
+def test_explode_on_sliced_array():
+    lists = tokenize(pa.array(["a b", "c d", "e"])).slice(1, 2)
+    values, rows, positions = explode(lists)
+    assert values.to_pylist() == ["c", "d", "e"]
+    assert rows.tolist() == [0, 0, 1]
+    assert positions.tolist() == [0, 1, 0]
+
+
+# --------------------------------------------------------------- hashing
+def test_murmur3_finalizer_known_values():
+    # finalizer properties: deterministic, 32-bit, avalanche != identity
+    assert murmur3_finalize32(0) == 0
+    assert murmur3_finalize32(1) != 1
+    assert 0 <= murmur3_finalize32(0xDEADBEEF) < 2**32
+
+
+def test_doc_id_stability_and_uniqueness():
+    ids1 = doc_id_from_keys(["r1", "r1", "r2"], ["a", "b", "a"], ["c", "c", "c"])
+    ids2 = doc_id_from_keys(["r1", "r1", "r2"], ["a", "b", "a"], ["c", "c", "c"])
+    assert ids1.dtype == np.uint64
+    assert (ids1 == ids2).all()
+    assert len(set(ids1.tolist())) == 3
+    # separator prevents (repo='a', path='bc') colliding with ('ab','c')
+    a = doc_id_from_keys(["a"], ["bc"], ["x"])
+    b = doc_id_from_keys(["ab"], ["c"], ["x"])
+    assert a[0] != b[0]
+
+
+def test_term_sharder():
+    sh = TermSharder(8)
+    terms = pa.array(["def", "return", "def", "x", "def"])
+    shards = sh.shards(terms)
+    assert shards.tolist()[0] == shards.tolist()[2] == shards.tolist()[4]
+    assert all(0 <= s < 8 for s in shards.tolist())
+    assert sh.shard_of("def") == term_hash64("def") % 8
+
+
+def test_sha256_matches_duckdb():
+    import duckdb
+
+    texts = ["hello", "", "ünïcode"]
+    ours = sha256_hex(pa.array(texts)).to_pylist()
+    con = duckdb.connect()
+    for t, o in zip(texts, ours):
+        assert con.execute("select sha256(?)", [t]).fetchone()[0] == o
+
+
+# ----------------------------------------------------------------- codec
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=100))
+@settings(max_examples=200)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert codec.varint_decode(codec.varint_encode(arr), len(arr)).tolist() == values
+
+
+def test_varint_lengths():
+    arr = np.array([0, 127, 128, 2**14 - 1, 2**14, 2**63], dtype=np.uint64)
+    lens = codec.varint_byte_lengths(arr)
+    assert lens.tolist() == [1, 1, 2, 2, 3, 10]
+    enc = codec.varint_encode(arr)
+    assert len(enc) == lens.sum()
+
+
+@st.composite
+def sorted_unique_u64(draw):
+    vals = draw(
+        st.lists(st.integers(min_value=0, max_value=2**63), unique=True, min_size=0, max_size=600)
+    )
+    return sorted(vals)
+
+
+@given(sorted_unique_u64(), st.sampled_from([4, 128]))
+@settings(max_examples=100)
+def test_postings_roundtrip(doc_ids, block_size):
+    docs = np.array(doc_ids, dtype=np.uint64)
+    tfs = (docs % np.uint64(17)) + np.uint64(1)
+    enc = codec.encode_postings(docs, tfs, block_size=block_size)
+    d, t = codec.decode_postings(enc, block_size=block_size)
+    assert d.tolist() == doc_ids
+    assert t.tolist() == tfs.tolist()
+    # per-block decode agrees with full decode
+    out_d, out_t = [], []
+    for blk in range(len(enc.block_last)):
+        bd, bt = codec.decode_block(enc, blk, block_size=block_size)
+        out_d += bd.tolist()
+        out_t += bt.tolist()
+    assert out_d == doc_ids
+    assert out_t == tfs.tolist()
+
+
+def test_postings_block_metadata():
+    docs = np.arange(0, 1000, 3, dtype=np.uint64)
+    tfs = np.ones(len(docs), dtype=np.uint64)
+    tfs[200] = 99
+    enc = codec.encode_postings(docs, tfs, block_size=128)
+    assert enc.count == len(docs)
+    n_blocks = (len(docs) + 127) // 128
+    assert len(enc.block_last) == n_blocks
+    assert enc.block_last[-1] == docs[-1]
+    assert enc.block_max_tf[200 // 128] == 99
+    assert max(enc.block_max_tf[i] for i in range(n_blocks) if i != 200 // 128) == 1
+
+
+def test_postings_empty():
+    enc = codec.encode_postings(np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64))
+    d, t = codec.decode_postings(enc)
+    assert len(d) == 0 and len(t) == 0
+
+
+def test_decode_block_out_of_range():
+    enc = codec.encode_postings(np.array([1, 2], dtype=np.uint64), np.array([1, 1], dtype=np.uint64))
+    with pytest.raises(IndexError):
+        codec.decode_block(enc, 5)
