@@ -1,0 +1,87 @@
+"""Brute-force reference implementation (the rank-identity oracle).
+
+Dict-of-sets boolean retrieval + pure-Python BM25 (SURVEY.md §5c).
+Shares the tokenizer kernels with the engine (the tokenizer's own
+identity is pinned separately against DuckDB in test_functions.py) but
+indexes and scores with plain Python dict/float arithmetic.
+
+Float contract with state/searcher.py: identical formula text, term
+accumulation in ast.terms_of order, float64 throughout, ordering
+(score desc, doc_id asc) — scores must be bit-identical, not just
+rank-identical.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+
+from chearch_ray import ast
+from chearch_ray.config import DEFAULT_CONFIG, EngineConfig
+from chearch_ray.functions.tokenizer import tokenize
+from chearch_ray.stages.tokenize import _doc_ids_of
+
+
+class OracleIndex:
+    def __init__(self, corpus: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        doc_ids = _doc_ids_of(corpus)
+        lists = tokenize(
+            corpus["content"], lowercase=cfg.lowercase, split_subtokens=cfg.split_subtokens
+        ).to_pylist()
+        #: term -> {doc_id: tf}
+        self.postings: dict[str, dict[int, int]] = {}
+        #: term -> {doc_id: [positions]}
+        self.positions: dict[str, dict[int, list[int]]] = {}
+        self.doc_len: dict[int, int] = {}
+        for doc_id, tokens in zip(doc_ids.tolist(), lists):
+            self.doc_len[doc_id] = len(tokens)
+            for pos, tok in enumerate(tokens):
+                self.postings.setdefault(tok, {}).setdefault(doc_id, 0)
+                self.postings[tok][doc_id] += 1
+                self.positions.setdefault(tok, {}).setdefault(doc_id, []).append(pos)
+        self.n_docs = len(self.doc_len)
+        total = sum(self.doc_len.values())
+        self.avgdl = (total / self.n_docs) if self.n_docs else 0.0
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    def idf(self, term: str) -> float:
+        df = self.df(term)
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    # ------------------------------------------------------------ boolean
+    def _eval(self, node: ast.Node) -> set[int]:
+        if isinstance(node, ast.Term):
+            return set(self.postings.get(str(node.term), ()))
+        a, b = self._eval(node.a), self._eval(node.b)
+        return (a & b) if isinstance(node, ast.And) else (a | b)
+
+    def boolean_search(self, node: ast.Node) -> list[int]:
+        return sorted(self._eval(node))
+
+    # --------------------------------------------------------------- BM25
+    def bm25_scores(self, node: ast.Node) -> dict[int, float]:
+        k1, b = self.cfg.k1, self.cfg.b
+        candidates = self._eval(node)
+        scores: dict[int, float] = {}
+        for doc in candidates:
+            dl = float(self.doc_len[doc])
+            s = 0.0
+            for term in ast.terms_of(node):
+                term = str(term)
+                tf_map = self.postings.get(term)
+                if not tf_map or doc not in tf_map:
+                    continue
+                tf = float(tf_map[doc])
+                idf = self.idf(term)
+                s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+            scores[doc] = s
+        return scores
+
+    def bm25_search(self, node: ast.Node, k: int) -> list[tuple[int, float]]:
+        scores = self.bm25_scores(node)
+        ranked = sorted(scores.items(), key=lambda it: (-it[1], it[0]))
+        return ranked[:k]

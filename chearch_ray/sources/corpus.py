@@ -1,0 +1,172 @@
+"""Deterministic synthetic code corpus + driver-testdata adapters.
+
+Reference mapping (SURVEY.md §2.1 S1): the per-locale synthetic
+generator (synthdataindexer.chpl:8-73 — 1M docs/locale, uniform
+16,384-term vocab, plus "locale-known" terms with exactly predictable
+document frequency) becomes a pure deterministic (seed, row-index) ->
+row function materialized as Parquet, read back via read_parquet.
+
+Differences by design (FIXTURES.md §3): Zipf term skew instead of
+uniform (code corpora are Zipfian — exercises the salted two-phase
+posting merge), mixed-style identifiers to exercise sub-token
+splitting, and per-step sentinel tokens `__known_{step}__` appearing
+in exactly `step` documents (the analogue of the reference's
+locale-known ranges, synthdataindexer.chpl:32-49).  Token
+`__never_present__` is reserved and never emitted (missing-term
+queries must return 0 rows, chearch.chpl:159-178).
+
+Row content depends only on (seed, row index) — stable across corpus
+sizes, so per-row sha256 invariants hold at every scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import string
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB_SIZE = 16384  # synthdataindexer.chpl:10 maxTermsIds
+KNOWN_DF_STEPS = 128
+NEVER_PRESENT = "__never_present__"
+LANGS = ("py", "js", "java", "go", "c", "rs", "rb", "chpl")
+
+_KEYWORDS = (
+    "def return if else for while import class from with try except "
+    "func var let const fn pub struct impl match case end begin"
+).split()
+
+
+def _build_vocab(seed: int = 42) -> list[str]:
+    """16,384 deterministic mixed-style identifiers."""
+    rng = np.random.default_rng(seed)
+    vocab: list[str] = list(_KEYWORDS)
+    syllables = ["".join(c) for c in zip(string.ascii_lowercase, "aeiouaeiouaeiouaeiouaeioua")]
+    while len(vocab) < VOCAB_SIZE:
+        n = len(vocab)
+        parts = [syllables[int(x)] for x in rng.integers(0, len(syllables), size=2 + n % 3)]
+        style = n % 4
+        if style == 0:  # snake_case
+            name = "_".join(parts)
+        elif style == 1:  # camelCase
+            name = parts[0] + "".join(p.capitalize() for p in parts[1:])
+        elif style == 2:  # plain
+            name = "".join(parts)
+        else:  # suffixed
+            name = "".join(parts) + str(n % 10)
+        vocab.append(f"{name}_{n:x}" if name in _KEYWORDS else name)
+    return vocab[:VOCAB_SIZE]
+
+
+_VOCAB_CACHE: dict[int, list[str]] = {}
+
+
+def vocab(seed: int = 42) -> list[str]:
+    if seed not in _VOCAB_CACHE:
+        _VOCAB_CACHE[seed] = _build_vocab(seed)
+    return _VOCAB_CACHE[seed]
+
+
+def _known_df_docs(n_files: int) -> dict[int, list[str]]:
+    """row index -> sentinel tokens; token __known_{step}__ appears in
+    exactly `step` docs (consecutive rows starting at a step-dependent
+    offset), giving queries with exactly predictable df."""
+    out: dict[int, list[str]] = {}
+    for step in range(1, min(KNOWN_DF_STEPS, n_files) + 1):
+        start = (step * step * 2654435761) % max(1, n_files - step)
+        for j in range(step):
+            out.setdefault(start + j, []).append(f"__known_{step}__")
+    return out
+
+
+def synth_row(i: int, seed: int = 42, min_lines: int = 1, max_lines: int = 10) -> dict:
+    """Row `i` of the corpus — pure function of (seed, i)."""
+    voc = vocab(seed)
+    rng = np.random.default_rng((seed, i))
+    n_lines = min_lines + int(rng.integers(0, max_lines - min_lines + 1))
+    lines = []
+    for _ in range(n_lines):
+        n_tok = 3 + int(rng.integers(0, 8))
+        idx = (rng.zipf(1.3, size=n_tok) - 1) % VOCAB_SIZE
+        toks = [voc[int(t)] for t in idx]
+        lines.append(" ".join(toks) + ";")
+    repo = f"org{i % 97}/repo{i % 13}"
+    path = f"src/pkg{i % 29}/mod_{i}.{LANGS[i % len(LANGS)]}"
+    commit = hashlib.sha1(f"{repo}/{path}@{seed}".encode()).hexdigest()
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": LANGS[i % len(LANGS)],
+        "content": "\n".join(lines),
+    }
+
+
+def synthetic_corpus(
+    n_files: int, seed: int = 42, min_lines: int = 1, max_lines: int = 10
+) -> pa.Table:
+    known = _known_df_docs(n_files)
+    rows = []
+    for i in range(n_files):
+        row = synth_row(i, seed, min_lines, max_lines)
+        extra = known.get(i)
+        if extra:
+            row["content"] = row["content"] + "\n" + " ".join(extra) + ";"
+        rows.append(row)
+    return pa.Table.from_pylist(rows)
+
+
+def write_corpus_parquet(
+    out_dir: str,
+    n_files: int,
+    seed: int = 42,
+    num_shards: int = 8,
+    min_lines: int = 1,
+    max_lines: int = 10,
+) -> list[str]:
+    """Materialize the corpus as `num_shards` parquet files (so
+    read_parquet parallelizes); idempotent per (dir, params)."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, f"_done-{n_files}-{seed}-{num_shards}-{min_lines}-{max_lines}")
+    paths = [os.path.join(out_dir, f"corpus-{s:04d}.parquet") for s in range(num_shards)]
+    if os.path.exists(marker):
+        return paths
+    table = synthetic_corpus(n_files, seed, min_lines, max_lines)
+    per = (n_files + num_shards - 1) // num_shards
+    for s, path in enumerate(paths):
+        pq.write_table(table.slice(s * per, per), path, compression="zstd")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
+# ------------------------------------------------- driver testdata shim
+def documents_batch_to_corpus(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text, lang, source, n_chars) -> engine corpus
+    shape, keeping the original doc_id (FIXTURES.md §5 mapping)."""
+    import pyarrow.compute as pc
+
+    doc_id = batch["doc_id"]
+    return pa.table(
+        {
+            "doc_id": doc_id.cast(pa.uint64()),
+            "repo": batch["source"],
+            "path": pc.binary_join_element_wise(
+                pa.array(["doc"] * len(batch)), doc_id.cast(pa.string()), "/"
+            ),
+            "commit": doc_id.cast(pa.string()),
+            "lang": batch["lang"],
+            "content": batch["text"],
+        }
+    )
+
+
+def read_documents_corpus(sf_dir: str):
+    """ray Dataset over the driver `documents` table, in corpus shape."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ds.map_batches(documents_batch_to_corpus, batch_format="pyarrow")

@@ -1,0 +1,288 @@
+"""Posting-list construction stages (the central shuffle).
+
+Reference mapping (SURVEY.md §2.5 A3): the mutate-in-place posting
+chains of memorysegment.chpl:178-252 invert into a groupby-build —
+posting rows shuffle once on the flattened (doc-segment, term-shard)
+partition key, and each group materializes as one immutable Parquet
+file.  Zipf-hot terms (north rule) use the salted two-phase path:
+phase 1 groups on (part, salt=doc_id%S) building sorted partial runs,
+phase 2 merges runs per term before encoding — bounding any single
+task's input to 1/S of a hot partition.
+
+All writers emit per-partition lineage records (state/segment.py) so a
+killed build resumes by skipping verified partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from chearch_ray.config import EngineConfig
+from chearch_ray.functions.codec import encode_postings, varint_encode
+from chearch_ray.state import segment as seg_io
+
+# map_groups requires plain functions (it reads fn.__name__); these
+# wrappers let build.py pass the writer classes via functools.partial.
+def write_posting_part(group: pa.Table, cfg: EngineConfig, index_dir: str) -> pa.Table:
+    return PostingPartWriter(cfg, index_dir)(group)
+
+
+def build_partial_runs(group: pa.Table, cfg: EngineConfig) -> pa.Table:
+    return PartialRunBuilder(cfg)(group)
+
+
+def merge_runs_write(group: pa.Table, cfg: EngineConfig, index_dir: str) -> pa.Table:
+    return RunMergeWriter(cfg, index_dir)(group)
+
+
+def write_docmap_part(group: pa.Table, cfg: EngineConfig, index_dir: str) -> pa.Table:
+    return DocmapWriter(cfg, index_dir)(group)
+
+
+_SUMMARY_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("part", pa.int32()),
+        ("path", pa.string()),
+        ("rows", pa.int64()),
+        ("n_postings", pa.int64()),
+        ("sha", pa.string()),
+    ]
+)
+
+
+def _empty_summary() -> pa.Table:
+    return _SUMMARY_SCHEMA.empty_table()
+
+
+def _summary_row(kind: str, part: int, path: str, rows: int, n_postings: int, sha: str) -> pa.Table:
+    return pa.table(
+        {
+            "kind": [kind],
+            "part": pa.array([part], type=pa.int32()),
+            "path": [path],
+            "rows": [rows],
+            "n_postings": [n_postings],
+            "sha": [sha],
+        },
+        schema=_SUMMARY_SCHEMA,
+    )
+
+
+def _maybe_fail_injection(index_dir: str) -> None:
+    """Test hook (FIXTURES.md §6): a `_control/fail_after_parts` file
+    (or env CHEARCH_RAY_FAIL_AFTER_PARTS, when set before ray.init)
+    kills the build once N postings partitions have committed.  File
+    based because Ray workers don't see driver env mutations."""
+    n = os.environ.get("CHEARCH_RAY_FAIL_AFTER_PARTS")
+    ctrl = os.path.join(index_dir, "_control", "fail_after_parts")
+    if n is None and os.path.exists(ctrl):
+        with open(ctrl) as f:
+            n = f.read().strip()
+    if n is None:
+        return
+    done = seg_io.completed_parts(index_dir, "postings")
+    if len(done) >= int(n):
+        raise RuntimeError(f"fail injection: {len(done)} postings parts committed")
+
+
+def _combine(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+class PostingPartWriter:
+    """map_groups callable over groupby('part'): sort the partition's
+    (term, doc_id, tf, positions) rows, encode each term's posting
+    list, write the partition file atomically, commit lineage."""
+
+    def __init__(self, cfg: EngineConfig, index_dir: str):
+        self.cfg = cfg
+        self.index_dir = index_dir
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _empty_summary()
+        _maybe_fail_injection(self.index_dir)
+        order = pc.sort_indices(
+            group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order)
+        part = int(g["part"][0].as_py())
+        return _finalize_part(self.cfg, self.index_dir, part, g)
+
+
+def _finalize_part(cfg: EngineConfig, index_dir: str, part: int, g: pa.Table) -> pa.Table:
+    """g: rows of one partition, sorted by (term, doc_id)."""
+    terms = _combine(g["term"])
+    doc = g["doc_id"].to_numpy().astype(np.uint64)
+    tf = g["tf"].to_numpy().astype(np.uint64)
+    has_pos = cfg.store_positions and "positions" in g.column_names
+    pos_col = _combine(g["positions"]) if has_pos else None
+
+    codes_arr = terms.dictionary_encode()
+    codes = np.asarray(codes_arr.indices)
+    starts = np.flatnonzero(np.diff(codes, prepend=-1))
+    bounds = np.append(starts, len(g))
+    uniq_terms = codes_arr.dictionary  # encounter order == sorted order here
+
+    rows = {name: [] for name in ("count", "doc_blob", "tf_blob")}
+    lists = {name: [] for name in ("block_last", "block_max_tf", "block_doc_off", "block_tf_off")}
+    fingerprint = hashlib.sha256()
+    n_postings = 0
+    for i in range(len(starts)):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        enc = encode_postings(doc[s:e], tf[s:e], block_size=cfg.block_size)
+        rows["count"].append(enc.count)
+        rows["doc_blob"].append(enc.doc_blob)
+        rows["tf_blob"].append(enc.tf_blob)
+        lists["block_last"].append(enc.block_last)
+        lists["block_max_tf"].append(enc.block_max_tf)
+        lists["block_doc_off"].append(enc.block_doc_off)
+        lists["block_tf_off"].append(enc.block_tf_off)
+        n_postings += enc.count
+    fingerprint.update(varint_encode(doc))
+    fingerprint.update(varint_encode(tf))
+
+    cols = {
+        "term": uniq_terms,
+        "count": pa.array(rows["count"], type=pa.uint64()),
+        "doc_blob": pa.array(rows["doc_blob"], type=pa.binary()),
+        "tf_blob": pa.array(rows["tf_blob"], type=pa.binary()),
+        "block_last": pa.array(lists["block_last"], type=pa.list_(pa.uint64())),
+        "block_max_tf": pa.array(lists["block_max_tf"], type=pa.list_(pa.uint32())),
+        "block_doc_off": pa.array(lists["block_doc_off"], type=pa.list_(pa.int64())),
+        "block_tf_off": pa.array(lists["block_tf_off"], type=pa.list_(pa.int64())),
+    }
+    if pos_col is not None:
+        # outer list over term boundaries, zero-copy over the sorted
+        # per-posting position lists
+        outer_offsets = pa.array(bounds.astype(np.int32), type=pa.int32())
+        cols["positions"] = pa.ListArray.from_arrays(outer_offsets, pos_col).cast(
+            pa.list_(pa.list_(pa.uint32()))
+        )
+    table = pa.table(cols)
+
+    rel = seg_io.postings_rel_path(part)
+    full = os.path.join(index_dir, rel)
+    seg_io.atomic_write_table(table, full)
+    sha = seg_io.file_sha256(full)
+    seg_io.LineageRecord(
+        kind="postings",
+        part=part,
+        path=rel,
+        rows=len(table),
+        n_postings=int(n_postings),
+        content_sha=sha,
+        input_fingerprint=fingerprint.hexdigest(),
+    ).save(index_dir)
+    return _summary_row("postings", part, rel, len(table), int(n_postings), sha)
+
+
+class PartialRunBuilder:
+    """Phase 1 of the salted build: group (part, salt) -> one sorted
+    partial run per term: (part, term, doc_ids, tfs, positions)."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.schema(
+                [
+                    ("part", pa.int32()),
+                    ("term", pa.string()),
+                    ("doc_ids", pa.list_(pa.uint64())),
+                    ("tfs", pa.list_(pa.uint32())),
+                    ("positions", pa.list_(pa.list_(pa.uint32()))),
+                ]
+            ).empty_table()
+        order = pc.sort_indices(
+            group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order)
+        part = int(g["part"][0].as_py())
+        terms = _combine(g["term"])
+        codes_arr = terms.dictionary_encode()
+        codes = np.asarray(codes_arr.indices)
+        starts = np.flatnonzero(np.diff(codes, prepend=-1))
+        bounds = pa.array(np.append(starts, len(g)).astype(np.int32), type=pa.int32())
+        doc_lists = pa.ListArray.from_arrays(bounds, _combine(g["doc_id"]))
+        tf_lists = pa.ListArray.from_arrays(bounds, _combine(g["tf"]))
+        pos_lists = pa.ListArray.from_arrays(bounds, _combine(g["positions"]))
+        return pa.table(
+            {
+                "part": pa.array([part] * len(starts), type=pa.int32()),
+                "term": codes_arr.dictionary,
+                "doc_ids": doc_lists.cast(pa.list_(pa.uint64())),
+                "tfs": tf_lists.cast(pa.list_(pa.uint32())),
+                "positions": pos_lists.cast(pa.list_(pa.list_(pa.uint32()))),
+            }
+        )
+
+
+class RunMergeWriter:
+    """Phase 2 of the salted build: group part -> flatten the runs back
+    to posting rows, merge-sort per term, encode + write (same final
+    path as PostingPartWriter).  Salts partition doc space, so runs for
+    one term are disjoint sorted sequences; concat+sort merges them."""
+
+    def __init__(self, cfg: EngineConfig, index_dir: str):
+        self.cfg = cfg
+        self.index_dir = index_dir
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _empty_summary()
+        _maybe_fail_injection(self.index_dir)
+        part = int(group["part"][0].as_py())
+        doc_lists = _combine(group["doc_ids"])
+        lengths = np.asarray(pc.list_value_length(doc_lists)).astype(np.int64)
+        term_rep = pc.list_parent_indices(doc_lists)
+        terms_flat = _combine(group["term"]).take(term_rep)
+        flat = pa.table(
+            {
+                "part": pa.array(np.full(int(lengths.sum()), part, dtype=np.int32)),
+                "term": terms_flat,
+                "doc_id": doc_lists.flatten(),
+                "tf": _combine(group["tfs"]).flatten(),
+                "positions": _combine(group["positions"]).flatten(),
+            }
+        )
+        order = pc.sort_indices(flat, sort_keys=[("term", "ascending"), ("doc_id", "ascending")])
+        return _finalize_part(self.cfg, self.index_dir, part, flat.take(order))
+
+
+class DocmapWriter:
+    """map_groups callable over groupby('seg'): write one doc-segment's
+    docmap sorted by doc_id, with lineage."""
+
+    def __init__(self, cfg: EngineConfig, index_dir: str):
+        self.cfg = cfg
+        self.index_dir = index_dir
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _empty_summary()
+        seg = int(group["seg"][0].as_py())
+        g = group.sort_by("doc_id").drop_columns(["seg"])
+        g = g.cast(seg_io.DOCMAP_SCHEMA)
+        rel = seg_io.docmap_rel_path(seg)
+        full = os.path.join(self.index_dir, rel)
+        seg_io.atomic_write_table(g, full)
+        sha = seg_io.file_sha256(full)
+        fp = hashlib.sha256(g["doc_id"].to_numpy().astype(np.uint64).tobytes()).hexdigest()
+        seg_io.LineageRecord(
+            kind="docmap",
+            part=seg,
+            path=rel,
+            rows=len(g),
+            n_postings=int(g["doc_len"].to_numpy().astype(np.int64).sum()),
+            content_sha=sha,
+            input_fingerprint=fp,
+        ).save(self.index_dir)
+        return _summary_row("docmap", seg, rel, len(g), 0, sha)

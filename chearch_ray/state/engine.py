@@ -1,0 +1,126 @@
+"""QueryEngine — scatter-gather facade over SegmentSearcher actors.
+
+Reference mapping: the driver-side query() iterator that copies the
+query to every locale and merges per-locale results
+(searchindex.chpl:86-168) becomes: fan the query out to one
+SegmentSearcher actor per doc-segment (`ray.get` on remote calls),
+then a driver-side merge of <= num_segments * k rows — tiny.
+
+Global BM25 consistency: idf is computed HERE from the global term
+stats (df summed across segments at build time) and shipped with the
+query, so segment scores are globally comparable — the "global
+document count" the reference lists as TODO (docs/TODO.txt:9-10).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from chearch_ray import ast
+from chearch_ray.state.searcher import SegmentSearcher, bm25_idf, topk_order
+from chearch_ray.state.segment import Manifest
+
+
+def parse_query(query: str | ast.Node, default_op: str = "or") -> ast.Node:
+    """whitespace-separated terms -> left-deep Or/And tree (terms are
+    lowercased to match the tokenizer)."""
+    if not isinstance(query, str):
+        return query
+    terms = [t for t in query.lower().split() if t]
+    if not terms:
+        raise ValueError("empty query")
+    node: ast.Node = ast.Term(terms[0])
+    cls = ast.Or if default_op == "or" else ast.And
+    for t in terms[1:]:
+        node = cls(node, ast.Term(t))
+    return node
+
+
+class QueryEngine:
+    def __init__(
+        self,
+        index_dir: str,
+        use_actors: bool = True,
+        num_cpus_per_actor: float = 1.0,
+    ):
+        self.index_dir = index_dir
+        self.manifest = Manifest.load(index_dir)
+        self.cfg = self.manifest.engine_config
+        stats = pq.read_table(
+            os.path.join(index_dir, self.manifest.term_stats_path), columns=["term", "df"]
+        )
+        # vocabulary-sized dict (sandbox scale).  At 10^12-doc scale this
+        # becomes a sharded lookup (the stats table is term-sorted
+        # parquet; a per-query predicate read suffices) — only the
+        # query's own terms are ever needed.
+        self._df = dict(zip(stats["term"].to_pylist(), stats["df"].to_pylist()))
+        self.n_docs = self.manifest.num_docs
+        self.avgdl = float(self.manifest.avgdl)
+        self.segments = sorted({p["part"] // self.cfg.num_term_shards for p in self.manifest.postings_parts})
+        if not self.segments:
+            self.segments = list(range(self.cfg.num_segments))
+        self.use_actors = use_actors
+        if use_actors:
+            import ray
+
+            cls = ray.remote(num_cpus=num_cpus_per_actor)(SegmentSearcher)
+            self._actors = [cls.remote(index_dir, seg, self.cfg) for seg in self.segments]
+        else:
+            self._local = [SegmentSearcher(index_dir, seg, self.cfg) for seg in self.segments]
+
+    # ------------------------------------------------------------ stats
+    def df(self, term: str) -> int:
+        return int(self._df.get(term, 0))
+
+    def idfs_for(self, node: ast.Node) -> dict[str, float]:
+        return {str(t): bm25_idf(self.n_docs, self.df(str(t))) for t in ast.terms_of(node)}
+
+    # ----------------------------------------------------------- search
+    def search(self, query: str | ast.Node, k: int | None = None, default_op: str = "or") -> pa.Table:
+        """BM25 top-k, globally merged, ordered (score desc, doc_id asc)."""
+        node = parse_query(query, default_op)
+        k = k or self.cfg.default_k
+        idfs = self.idfs_for(node)
+        if self.use_actors:
+            import ray
+
+            tables = ray.get(
+                [a.search_bm25.remote(node, k, idfs, self.avgdl) for a in self._actors]
+            )
+        else:
+            tables = [s.search_bm25(node, k, idfs, self.avgdl) for s in self._local]
+        merged = pa.concat_tables(tables)
+        if len(merged) == 0:
+            return merged
+        scores = merged["score"].to_numpy()
+        doc_ids = merged["doc_id"].to_numpy()
+        order = topk_order(scores, doc_ids, k)
+        return merged.take(pa.array(order, type=pa.int64()))
+
+    def search_boolean(self, query: str | ast.Node, default_op: str = "or") -> pa.Table:
+        """Doc-level boolean retrieval, ascending doc_id (per-segment
+        partition_limit cap applies, as in the reference)."""
+        node = parse_query(query, default_op)
+        if self.use_actors:
+            import ray
+
+            tables = ray.get([a.search_boolean.remote(node, None) for a in self._actors])
+        else:
+            tables = [s.search_boolean(node) for s in self._local]
+        merged = pa.concat_tables(tables)
+        if len(merged) == 0:
+            return merged
+        order = np.argsort(merged["doc_id"].to_numpy(), kind="stable")
+        return merged.take(pa.array(order, type=pa.int64()))
+
+    def close(self) -> None:
+        if self.use_actors:
+            import ray
+
+            for a in self._actors:
+                ray.kill(a)
+            self._actors = []

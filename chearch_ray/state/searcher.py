@@ -1,0 +1,195 @@
+"""Per-segment searcher: boolean set algebra + BM25 top-k scoring.
+
+Reference mapping: one PartitionManager per locale with a resident
+segment (searchindex.chpl:5-28) becomes a SegmentSearcher — a plain
+class designed to be wrapped in a Ray actor (state is loaded once in
+__init__, queries are method calls).  Queries scatter-gather across
+segments exactly like the reference's serial query iterator
+(searchindex.chpl:86-119); scoring is new capability the reference
+declares as TODO (docs/TODO.txt:9-10 "TF-IDF", "global document
+count").
+
+Scoring semantics (shared with oracle.py — rank identity requires
+bit-identical float64 ops):
+
+    candidates(d)  = boolean set algebra over the query tree
+    score(d)       = sum over unique query terms t (first-seen order)
+                     with d in postings(t) of
+                       idf_t * (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl))
+    idf_t          = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    global order   = (score desc, doc_id asc)
+
+The segment format records block-max tf per skip block for pruning;
+the scorer here is the exact vectorized baseline (full decode + numpy
+kernels) — at code-corpus posting densities the matmul-style kernel
+beats per-posting pruning until lists get very long.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from chearch_ray import ast
+from chearch_ray.config import EngineConfig
+from chearch_ray.functions.codec import decode_postings
+from chearch_ray.state.segment import DocmapReader, PostingsPartReader, docmap_rel_path, postings_rel_path
+
+_EMPTY_U64 = np.empty(0, dtype=np.uint64)
+
+RESULT_META_COLUMNS = ("repo", "path", "commit", "lang")
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    """ln(1 + (N - df + 0.5)/(df + 0.5)) — the Lucene/standard variant;
+    keep in sync with oracle.py and the driver oracle SQL."""
+    import math
+
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_component(
+    tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float, k1: float, b: float
+) -> np.ndarray:
+    """Vectorized per-term score contribution; operation order is part
+    of the rank-identity contract (oracle.py mirrors it exactly)."""
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def topk_order(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
+    """indices of the top-k by (score desc, doc_id asc), deterministic."""
+    if len(scores) > 4 * k > 0:
+        # cheap pre-cut: argpartition keeps every possible top-k row
+        # (ties included because we take extra slack before exact sort)
+        cut = np.argpartition(-scores, min(k, len(scores) - 1))[: max(4 * k, 64)]
+        order = cut[np.lexsort((doc_ids[cut], -scores[cut]))]
+    else:
+        order = np.lexsort((doc_ids, -scores))
+    return order[:k]
+
+
+class SegmentSearcher:
+    """Holds one doc-segment: all its term-shard postings files + its
+    docmap.  Designed for `ray.remote(SegmentSearcher)` — everything
+    loads once per actor (reference: locale-resident index,
+    searchindex.chpl:30-53)."""
+
+    def __init__(self, index_dir: str, seg: int, cfg: EngineConfig):
+        self.cfg = cfg
+        self.seg = seg
+        self.shards: dict[int, PostingsPartReader] = {}
+        for shard in range(cfg.num_term_shards):
+            part = cfg.part_id(seg, shard)
+            path = os.path.join(index_dir, postings_rel_path(part))
+            if os.path.exists(path):
+                self.shards[shard] = PostingsPartReader(path, cfg.block_size)
+        docmap_path = os.path.join(index_dir, docmap_rel_path(seg))
+        self.docmap = DocmapReader(docmap_path) if os.path.exists(docmap_path) else None
+        self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        from chearch_ray.functions.hashing import TermSharder
+
+        self._sharder = TermSharder(cfg.num_term_shards)
+
+    # ----------------------------------------------------------- postings
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids ascending, tfs) for a term; empty arrays when the
+        term is unknown (NullOperand analogue, memorysegment.chpl:314-317)."""
+        hit = self._decoded.get(term)
+        if hit is not None:
+            return hit
+        reader = self.shards.get(self._sharder.shard_of(term))
+        if reader is None:
+            out = (_EMPTY_U64, _EMPTY_U64)
+        else:
+            enc = reader.encoded(term)
+            out = (_EMPTY_U64, _EMPTY_U64) if enc is None else decode_postings(enc, self.cfg.block_size)
+        if len(self._decoded) > 4096:  # bound the decode cache
+            self._decoded.clear()
+        self._decoded[term] = out
+        return out
+
+    def df(self, term: str) -> int:
+        reader = self.shards.get(self._sharder.shard_of(term))
+        return 0 if reader is None else reader.df(term)
+
+    # ------------------------------------------------------ boolean mode
+    def _eval_sets(self, node: ast.Node) -> np.ndarray:
+        if isinstance(node, ast.Term):
+            return self.postings(str(node.term))[0]
+        a = self._eval_sets(node.a)
+        b = self._eval_sets(node.b)
+        if isinstance(node, ast.And):
+            return np.intersect1d(a, b, assume_unique=True)
+        return np.union1d(a, b)
+
+    def search_boolean(self, node: ast.Node, limit: int | None = None) -> pa.Table:
+        """Doc-level boolean retrieval, ascending doc_id, capped at
+        partition_limit per segment (reference search.chpl:17)."""
+        docs = self._eval_sets(node)
+        cap = limit if limit is not None else self.cfg.partition_limit
+        docs = docs[:cap]
+        return self._project(docs, scores=None)
+
+    # --------------------------------------------------------- BM25 mode
+    def search_bm25(
+        self,
+        node: ast.Node,
+        k: int,
+        idfs: dict[str, float],
+        avgdl: float,
+    ) -> pa.Table:
+        if self.docmap is None:
+            return self._project(_EMPTY_U64, scores=np.empty(0))
+        candidates = self._eval_sets(node)
+        if len(candidates) == 0:
+            return self._project(candidates, scores=np.empty(0))
+        cfg = self.cfg
+        dl_all = self.docmap.lengths_for(candidates)
+        scores = np.zeros(len(candidates), dtype=np.float64)
+        for term in ast.terms_of(node):
+            term = str(term)
+            docs, tfs = self.postings(term)
+            if len(docs) == 0:
+                continue
+            pos = np.searchsorted(docs, candidates)
+            pos_c = np.minimum(pos, len(docs) - 1)
+            mask = docs[pos_c] == candidates
+            if not mask.any():
+                continue
+            tf = tfs[pos_c[mask]].astype(np.float64)
+            dl = dl_all[mask]
+            scores[mask] += bm25_component(tf, dl, idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b)
+        order = topk_order(scores, candidates, k)
+        return self._project(candidates[order], scores=scores[order])
+
+    # -------------------------------------------------------- projection
+    def _project(self, doc_ids: np.ndarray, scores: np.ndarray | None) -> pa.Table:
+        cols: dict = {"doc_id": pa.array(doc_ids.astype(np.uint64), type=pa.uint64())}
+        if scores is not None:
+            cols["score"] = pa.array(scores.astype(np.float64), type=pa.float64())
+        if self.docmap is not None and len(doc_ids):
+            meta = self.docmap.meta_for(doc_ids)
+            for name in RESULT_META_COLUMNS:
+                cols[name] = meta[name]
+        else:
+            for name in RESULT_META_COLUMNS:
+                cols[name] = pa.array([""] * len(doc_ids), type=pa.string())
+        return pa.table(cols)
+
+    # --------------------------------------------------------- positions
+    def positions(self, term: str, doc_id: int) -> list[int]:
+        """Per-occurrence token positions (reference textLocation
+        analogue) for conformance checks."""
+        reader = self.shards.get(self._sharder.shard_of(term))
+        if reader is None:
+            return []
+        pos = reader.positions(term)
+        if pos is None:
+            return []
+        docs, _ = self.postings(term)
+        idx = int(np.searchsorted(docs, np.uint64(doc_id)))
+        if idx >= len(docs) or docs[idx] != doc_id:
+            return []
+        return pos[idx]

@@ -1,0 +1,286 @@
+"""Segment persistence: postings/docmap Parquet files, per-partition
+lineage records, manifest commit.
+
+The reference has NO persistence (flush/read is TODO,
+docs/TODO.txt:5; README.md:18-22) — this module builds the layer it
+declares as future work, and doubles as the checkpoint/resume substrate
+the north rule requires.
+
+Layout under an index directory (all writes atomic: tmp + rename):
+
+    segments/part-{part:05d}.parquet   postings for one
+                                       (doc-segment, term-shard) pair;
+                                       one row per term
+    docmap/seg-{seg:05d}.parquet       doc metadata for one doc-segment,
+                                       sorted by doc_id
+    stats/term_stats.parquet           term -> global df
+    stats/global.json                  N, total_tokens, avgdl, config
+    _lineage/postings-{part:05d}.json  per-partition lineage
+    _lineage/docmap-{seg:05d}.json
+    manifest.json                      committed LAST — the atomic
+                                       publish barrier (reference
+                                       analogue: documentCount bump
+                                       after postings are written,
+                                       memorysegment.chpl:280-289)
+
+A failed build leaves verified lineage records behind; the re-run
+skips their partitions before the shuffle (see pipelines/build.py).
+At multi-node scale the index dir must live on shared storage
+(NFS/S3); in this sandbox it is a local path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from chearch_ray.config import EngineConfig
+from chearch_ray.functions.codec import EncodedPostings
+
+MANIFEST_VERSION = 1
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("count", pa.uint64()),  # df of the term within this partition
+        ("doc_blob", pa.binary()),
+        ("tf_blob", pa.binary()),
+        ("block_last", pa.list_(pa.uint64())),
+        ("block_max_tf", pa.list_(pa.uint32())),
+        ("block_doc_off", pa.list_(pa.int64())),
+        ("block_tf_off", pa.list_(pa.int64())),
+        # outer list aligns with the term's postings; absent when
+        # store_positions=False
+        ("positions", pa.list_(pa.list_(pa.uint32()))),
+    ]
+)
+
+DOCMAP_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.uint64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("doc_len", pa.uint32()),
+        ("content_sha", pa.string()),
+    ]
+)
+
+
+# ------------------------------------------------------------ atomic IO
+def atomic_write_table(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
+def atomic_write_json(obj: dict, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def file_sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+# -------------------------------------------------------------- lineage
+@dataclass
+class LineageRecord:
+    """Per-partition build provenance.  `content_sha` hashes the
+    emitted file (not just row counts — resume must detect torn
+    output, SURVEY.md §7 hard-part 4)."""
+
+    kind: str  # "postings" | "docmap"
+    part: int
+    path: str  # relative to index dir
+    rows: int
+    n_postings: int
+    content_sha: str
+    input_fingerprint: str  # hash over the partition's input row keys
+
+    def save(self, index_dir: str) -> None:
+        atomic_write_json(dataclasses.asdict(self), lineage_path(index_dir, self.kind, self.part))
+
+    @classmethod
+    def load(cls, index_dir: str, kind: str, part: int) -> "LineageRecord | None":
+        p = lineage_path(index_dir, kind, part)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return cls(**json.load(f))
+
+    def verify(self, index_dir: str) -> bool:
+        """True iff the output file exists and hashes to the recorded
+        sha — the partition can be skipped on resume."""
+        full = os.path.join(index_dir, self.path)
+        return os.path.exists(full) and file_sha256(full) == self.content_sha
+
+
+def lineage_path(index_dir: str, kind: str, part: int) -> str:
+    return os.path.join(index_dir, "_lineage", f"{kind}-{part:05d}.json")
+
+
+def completed_parts(index_dir: str, kind: str) -> set[int]:
+    """Partitions whose lineage record verifies (resume set)."""
+    lineage_dir = os.path.join(index_dir, "_lineage")
+    done: set[int] = set()
+    if not os.path.isdir(lineage_dir):
+        return done
+    for name in os.listdir(lineage_dir):
+        if not name.startswith(f"{kind}-") or not name.endswith(".json"):
+            continue
+        part = int(name[len(kind) + 1 : -5])
+        rec = LineageRecord.load(index_dir, kind, part)
+        if rec is not None and rec.verify(index_dir):
+            done.add(part)
+    return done
+
+
+# ------------------------------------------------------------- manifest
+@dataclass
+class Manifest:
+    version: int
+    config: dict
+    num_docs: int
+    total_tokens: int
+    avgdl: float
+    postings_parts: list[dict]  # [{part, path, rows, n_postings, sha}]
+    docmap_parts: list[dict]
+    term_stats_path: str = "stats/term_stats.parquet"
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def engine_config(self) -> EngineConfig:
+        cfg = dict(self.config)
+        cfg["input_columns"] = tuple(cfg.get("input_columns", ()))
+        return EngineConfig(**cfg)
+
+    def save(self, index_dir: str) -> None:
+        atomic_write_json(dataclasses.asdict(self), os.path.join(index_dir, "manifest.json"))
+
+    @classmethod
+    def load(cls, index_dir: str) -> "Manifest":
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            return cls(**json.load(f))
+
+
+def manifest_exists(index_dir: str) -> bool:
+    return os.path.exists(os.path.join(index_dir, "manifest.json"))
+
+
+# ---------------------------------------------------- postings file IO
+def postings_rel_path(part: int) -> str:
+    return os.path.join("segments", f"part-{part:05d}.parquet")
+
+
+def docmap_rel_path(seg: int) -> str:
+    return os.path.join("docmap", f"seg-{seg:05d}.parquet")
+
+
+def postings_rows_to_table(rows: list[dict], store_positions: bool) -> pa.Table:
+    """rows: dicts with term + EncodedPostings fields (+positions)."""
+    schema = POSTINGS_SCHEMA if store_positions else POSTINGS_SCHEMA.remove(
+        POSTINGS_SCHEMA.get_field_index("positions")
+    )
+    arrays = {name: [] for name in schema.names}
+    for r in rows:
+        enc: EncodedPostings = r["enc"]
+        arrays["term"].append(r["term"])
+        arrays["count"].append(enc.count)
+        arrays["doc_blob"].append(enc.doc_blob)
+        arrays["tf_blob"].append(enc.tf_blob)
+        arrays["block_last"].append(enc.block_last)
+        arrays["block_max_tf"].append(enc.block_max_tf)
+        arrays["block_doc_off"].append(enc.block_doc_off)
+        arrays["block_tf_off"].append(enc.block_tf_off)
+        if store_positions:
+            arrays["positions"].append(r.get("positions"))
+    cols = [pa.array(arrays[f.name], type=f.type) for f in schema]
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+class PostingsPartReader:
+    """Loads one postings partition file into memory once (actor-side;
+    reference analogue: the locale-resident term hash table,
+    searchindex.chpl:25-53) and serves per-term EncodedPostings."""
+
+    def __init__(self, path: str, block_size: int):
+        table = pq.read_table(path)
+        self.block_size = block_size
+        self._terms = {t: i for i, t in enumerate(table["term"].to_pylist())}
+        self._count = table["count"].to_numpy()
+        self._doc_blob = table["doc_blob"]
+        self._tf_blob = table["tf_blob"]
+        self._block_last = table["block_last"]
+        self._block_max_tf = table["block_max_tf"]
+        self._block_doc_off = table["block_doc_off"]
+        self._block_tf_off = table["block_tf_off"]
+        self._positions = table["positions"] if "positions" in table.column_names else None
+
+    def __contains__(self, term: str) -> bool:
+        return term in self._terms
+
+    @property
+    def terms(self) -> dict:
+        return self._terms
+
+    def df(self, term: str) -> int:
+        i = self._terms.get(term)
+        return 0 if i is None else int(self._count[i])
+
+    def encoded(self, term: str) -> EncodedPostings | None:
+        i = self._terms.get(term)
+        if i is None:
+            return None
+        return EncodedPostings(
+            count=int(self._count[i]),
+            doc_blob=self._doc_blob[i].as_py(),
+            tf_blob=self._tf_blob[i].as_py(),
+            block_last=np.asarray(self._block_last[i].values, dtype=np.uint64),
+            block_max_tf=np.asarray(self._block_max_tf[i].values, dtype=np.uint32),
+            block_doc_off=np.asarray(self._block_doc_off[i].values, dtype=np.int64),
+            block_tf_off=np.asarray(self._block_tf_off[i].values, dtype=np.int64),
+        )
+
+    def positions(self, term: str) -> list | None:
+        if self._positions is None:
+            return None
+        i = self._terms.get(term)
+        return None if i is None else self._positions[i].as_py()
+
+
+class DocmapReader:
+    """One doc-segment's docmap, held as sorted numpy arrays for O(log n)
+    doc_id -> (doc_len, metadata row) lookup."""
+
+    def __init__(self, path: str):
+        table = pq.read_table(path)
+        self.table = table
+        self.doc_ids = table["doc_id"].to_numpy()  # sorted ascending
+        self.doc_len = table["doc_len"].to_numpy().astype(np.float64)
+
+    def lengths_for(self, doc_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.doc_ids, doc_ids)
+        return self.doc_len[idx]
+
+    def meta_for(self, doc_ids: np.ndarray) -> pa.Table:
+        idx = np.searchsorted(self.doc_ids, doc_ids)
+        return self.table.take(pa.array(idx, type=pa.int64()))

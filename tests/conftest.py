@@ -19,10 +19,13 @@ def ray_session():
         logging_level="ERROR",
     )
     try:
+        import logging
+
         from ray.data import DataContext
 
         ctx = DataContext.get_current()
         ctx.enable_progress_bars = False
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
     except Exception:
         pass
     yield

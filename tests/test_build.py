@@ -1,0 +1,221 @@
+"""End-to-end build + search vs the brute-force oracle.
+
+Covers SURVEY.md §5c (synthetic-corpus conformance: identical boolean
+doc-id sets, rank-identical — in fact score-identical — BM25 top-k)
+and §5e (resume: kill after N partitions, re-run, identical manifest).
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from chearch_ray import ast
+from chearch_ray.config import EngineConfig
+from chearch_ray.oracle import OracleIndex
+from chearch_ray.pipelines.build import build_index
+from chearch_ray.sources.corpus import NEVER_PRESENT, synthetic_corpus, vocab
+from chearch_ray.state.engine import QueryEngine, parse_query
+from chearch_ray.state.searcher import SegmentSearcher
+
+CFG = EngineConfig(
+    num_segments=2,
+    num_term_shards=3,
+    block_size=16,
+    tokenize_batch_size=64,
+)
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synthetic_corpus(N_DOCS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex(corpus, CFG)
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, corpus, tmp_path_factory):
+    import ray.data
+
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    build_index(ray.data.from_arrow(corpus), index_dir, CFG)
+    eng = QueryEngine(index_dir, use_actors=False)
+    yield eng
+
+
+def _hot_terms(oracle, n=5):
+    return sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))[:n]
+
+
+def _rare_terms(oracle, n=5):
+    return sorted(oracle.postings, key=lambda t: (len(oracle.postings[t]), t))[:n]
+
+
+# ------------------------------------------------------------ stats
+def test_manifest_stats(engine, oracle):
+    assert engine.n_docs == N_DOCS == oracle.n_docs
+    assert engine.avgdl == oracle.avgdl
+    for t in _hot_terms(oracle) + _rare_terms(oracle):
+        assert engine.df(t) == oracle.df(t), t
+
+
+def test_known_df_sentinels(engine, oracle):
+    for step in (1, 2, 7, 32, 128):
+        term = f"__known_{step}__"
+        assert engine.df(term) == step, term
+        assert oracle.df(term) == step, term
+
+
+# ---------------------------------------------------------- boolean
+def _bool_docs(engine, node):
+    return engine.search_boolean(node)["doc_id"].to_pylist() if True else []
+
+
+def test_boolean_single_term(engine, oracle):
+    for t in _hot_terms(oracle, 3) + _rare_terms(oracle, 2):
+        assert _bool_docs(engine, ast.Term(t)) == oracle.boolean_search(ast.Term(t)), t
+
+
+def test_boolean_and_or_trees(engine, oracle):
+    hot = _hot_terms(oracle, 4)
+    trees = [
+        ast.And(ast.Term(hot[0]), ast.Term(hot[1])),
+        ast.Or(ast.Term(hot[2]), ast.Term(hot[3])),
+        ast.And(ast.Or(ast.Term(hot[0]), ast.Term(hot[2])), ast.Term(hot[1])),
+        ast.Or(ast.And(ast.Term(hot[0]), ast.Term(hot[1])), ast.Term("__known_7__")),
+    ]
+    for tree in trees:
+        assert _bool_docs(engine, tree) == oracle.boolean_search(tree), tree
+
+
+def test_missing_term_zero_rows(engine):
+    assert len(engine.search_boolean(ast.Term(NEVER_PRESENT))) == 0
+    assert len(engine.search(ast.Term(NEVER_PRESENT))) == 0
+    # AND with missing term must also be empty (chearch.chpl:159-178)
+    assert len(engine.search_boolean(ast.And(ast.Term(NEVER_PRESENT), ast.Term("def")))) == 0
+
+
+# -------------------------------------------------------------- BM25
+def _check_bm25(engine, oracle, tree, k=10):
+    got = engine.search(tree, k=k)
+    want = oracle.bm25_search(tree, k)
+    assert got["doc_id"].to_pylist() == [d for d, _ in want], tree
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(), np.array([s for _, s in want]), err_msg=str(tree)
+    )
+
+
+def test_bm25_single_terms(engine, oracle):
+    for t in _hot_terms(oracle, 3) + _rare_terms(oracle, 2) + ["__known_32__"]:
+        _check_bm25(engine, oracle, ast.Term(t))
+
+
+def test_bm25_and_or(engine, oracle):
+    hot = _hot_terms(oracle, 4)
+    _check_bm25(engine, oracle, ast.And(ast.Term(hot[0]), ast.Term(hot[1])))
+    _check_bm25(engine, oracle, ast.Or(ast.Term(hot[2]), ast.Term(hot[3])))
+
+
+def test_bm25_deep_trees(engine, oracle):
+    hot = _hot_terms(engine_oracle := oracle, 6)
+    trees = [
+        ast.Or(ast.And(ast.Term(hot[0]), ast.Term(hot[1])), ast.And(ast.Term(hot[2]), ast.Term(hot[3]))),
+        ast.And(ast.Or(ast.Term(hot[0]), ast.Term(hot[4])), ast.Or(ast.Term(hot[5]), ast.Term(hot[1]))),
+    ]
+    for tree in trees:
+        _check_bm25(engine, oracle, tree, k=20)
+
+
+def test_bm25_rank_identity_query_sweep(engine, oracle):
+    """Frozen-style stratified sweep (FIXTURES.md §4, reduced)."""
+    rng = np.random.default_rng(42)
+    terms = list(oracle.postings)
+    for _ in range(40):
+        a, b = (terms[int(i)] for i in rng.integers(0, len(terms), 2))
+        cls = ast.And if rng.integers(0, 2) else ast.Or
+        _check_bm25(engine, oracle, cls(ast.Term(a), ast.Term(b)))
+
+
+def test_parse_query(engine, oracle):
+    hot = _hot_terms(oracle, 2)
+    assert parse_query(f"{hot[0]} {hot[1]}") == ast.Or(ast.Term(hot[0]), ast.Term(hot[1]))
+    _check_bm25(engine, oracle, parse_query(f"{hot[0]} {hot[1]}", default_op="and"))
+
+
+# --------------------------------------------------------- positions
+def test_positions_roundtrip(engine, oracle):
+    term = _hot_terms(oracle, 1)[0]
+    doc = next(iter(oracle.positions[term]))
+    seg = doc % CFG.num_segments
+    searcher = SegmentSearcher(engine.index_dir, seg, CFG)
+    assert searcher.positions(term, doc) == oracle.positions[term][doc]
+
+
+# -------------------------------------------------------- actor path
+def test_actor_engine_matches_local(ray_session, engine, oracle):
+    eng = QueryEngine(engine.index_dir, use_actors=True)
+    try:
+        hot = _hot_terms(oracle, 2)
+        tree = ast.Or(ast.Term(hot[0]), ast.Term(hot[1]))
+        got = eng.search(tree, k=10)
+        want = engine.search(tree, k=10)
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+        assert got["score"].to_pylist() == want["score"].to_pylist()
+    finally:
+        eng.close()
+
+
+# ------------------------------------------------------- salted build
+def test_salted_build_identical_output(ray_session, corpus, tmp_path):
+    import ray.data
+
+    cfg_salt = EngineConfig(
+        num_segments=2, num_term_shards=3, block_size=16, tokenize_batch_size=64, build_salt=4
+    )
+    d1, d2 = str(tmp_path / "plain"), str(tmp_path / "salted")
+    m1 = build_index(ray.data.from_arrow(corpus), d1, CFG)
+    m2 = build_index(ray.data.from_arrow(corpus), d2, cfg_salt)
+    shas1 = {p["part"]: p["sha"] for p in m1.postings_parts}
+    shas2 = {p["part"]: p["sha"] for p in m2.postings_parts}
+    assert shas1 == shas2  # same bytes regardless of build path
+
+
+# ------------------------------------------------------------- resume
+def test_resume_after_failure(ray_session, corpus, tmp_path):
+    import ray.data
+
+    d_full = str(tmp_path / "full")
+    d_resume = str(tmp_path / "resumed")
+    build_index(ray.data.from_arrow(corpus), d_full, CFG)
+
+    ctrl = os.path.join(d_resume, "_control", "fail_after_parts")
+    os.makedirs(os.path.dirname(ctrl))
+    with open(ctrl, "w") as f:
+        f.write("2")
+    with pytest.raises(Exception):
+        build_index(ray.data.from_arrow(corpus), d_resume, CFG)
+    os.remove(ctrl)
+
+    done_before = len(glob.glob(os.path.join(d_resume, "_lineage", "postings-*.json")))
+    assert 0 < done_before < CFG.num_segments * CFG.num_term_shards
+    assert not os.path.exists(os.path.join(d_resume, "manifest.json"))
+
+    build_index(ray.data.from_arrow(corpus), d_resume, CFG)  # resume
+
+    with open(os.path.join(d_full, "manifest.json"), "rb") as f:
+        full_manifest = f.read()
+    with open(os.path.join(d_resume, "manifest.json"), "rb") as f:
+        resumed_manifest = f.read()
+    assert full_manifest == resumed_manifest  # byte-identical (FIXTURES.md §6)
+
+    # and no torn partition files remain
+    for p in json.loads(full_manifest)["postings_parts"]:
+        assert os.path.exists(os.path.join(d_resume, p["path"]))
