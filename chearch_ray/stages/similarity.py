@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (`ray.put` once, `ray.get` in each actor's
+__init__ — never re-shipped per batch).  Scale path: LSH-bucketed
+variant (random-hyperplane signatures; candidates only from matching
+buckets) — at 10^12 rows the bucket groupby is the only all-to-all and
+each query touches a constant number of buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _embedding_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, zero-copy-ish."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.values, dtype=np.float64)
+    offsets = np.asarray(col.offsets)
+    d = offsets[1] - offsets[0] if len(offsets) > 1 else 0
+    return flat.reshape(len(col), int(d))
+
+
+def normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+class BruteForceCosine:
+    """Actor-pool stage: per batch, cosine of every row against the
+    broadcast query matrix; emits per-(query, row) best-k candidates.
+
+    `queries_ref` is a ray ObjectRef to a (q, d) float64 matrix (or the
+    matrix itself for local/test use) — resolved ONCE in __init__.
+    """
+
+    def __init__(self, queries_ref, k: int, id_column: str = "vec_id",
+                 embedding_column: str = "embedding"):
+        import ray
+
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q = normalize_rows(np.asarray(q, dtype=np.float64))
+        self.k = k
+        self.id_column = id_column
+        self.embedding_column = embedding_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = normalize_rows(_embedding_matrix(batch[self.embedding_column]))
+        sims = self.q @ mat.T  # (q, n)
+        ids = batch[self.id_column].to_numpy()
+        k = min(self.k, sims.shape[1])
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            if len(row) > k:
+                cut = np.argpartition(-row, k - 1)[:k]
+            else:
+                cut = np.arange(len(row))
+            order = cut[np.lexsort((ids[cut], -row[cut]))]
+            out_q.append(np.full(len(order), qi, dtype=np.int64))
+            out_id.append(ids[order])
+            out_sim.append(row[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                self.id_column: pa.array(np.concatenate(out_id)),
+                "sim": pa.array(np.concatenate(out_sim), type=pa.float64()),
+            }
+        )
+
+
+def merge_topk(partials: pa.Table, k: int, id_column: str = "vec_id") -> pa.Table:
+    """Merge per-batch partial top-k tables -> global top-k per query,
+    ordered (sim desc, id asc).  Input is <= k rows per (query, batch) —
+    driver-side merge is tiny by construction."""
+    out = []
+    qids = partials["query_id"].to_numpy()
+    sims = partials["sim"].to_numpy()
+    ids = partials[id_column].to_numpy()
+    for q in np.unique(qids):
+        m = qids == q
+        order = np.lexsort((ids[m], -sims[m]))[:k]
+        idx = np.flatnonzero(m)[order]
+        out.append(partials.take(pa.array(idx, type=pa.int64())))
+    return pa.concat_tables(out) if out else partials
+
+
+def knn_brute_force(ds, query_matrix: np.ndarray, k: int, id_column: str = "vec_id"):
+    """Dataset-level brute-force k-NN: broadcast queries, partial top-k
+    per batch (streaming), tiny global merge on the driver."""
+    import ray
+
+    ref = ray.put(np.asarray(query_matrix, dtype=np.float64))
+    partials = ds.map_batches(
+        BruteForceCosine,
+        fn_constructor_args=(ref, k, id_column),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if len(t)]
+    if not tables:
+        return pa.table(
+            {"query_id": pa.array([], type=pa.int64()), id_column: pa.array([], type=pa.int64()),
+             "sim": pa.array([], type=pa.float64())}
+        )
+    return merge_topk(pa.concat_tables(tables), k, id_column)
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signature stage: embedding -> `bits`-bit
+    signature + `bands` bucket keys.  Deterministic (seeded) planes are
+    generated in __init__ once per actor."""
+
+    def __init__(self, dim: int, bits: int = 32, bands: int = 4, seed: int = 42,
+                 id_column: str = "vec_id", embedding_column: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((bits, dim))
+        self.bits = bits
+        self.bands = bands
+        self.id_column = id_column
+        self.embedding_column = embedding_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch[self.embedding_column])
+        proj = mat @ self.planes.T > 0  # (n, bits)
+        weights = (np.uint64(1) << np.arange(self.bits, dtype=np.uint64))
+        sig = (proj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        r = self.bits // self.bands
+        band_mask = np.uint64((1 << r) - 1)
+        rows = []
+        n = len(batch)
+        band_ids = np.repeat(np.arange(self.bands, dtype=np.int32), n)
+        band_keys = np.concatenate(
+            [((sig >> np.uint64(b * r)) & band_mask) for b in range(self.bands)]
+        )
+        ids = np.tile(batch[self.id_column].to_numpy(), self.bands)
+        sigs = np.tile(sig, self.bands)
+        return pa.table(
+            {
+                "band": pa.array(band_ids, type=pa.int32()),
+                "bucket": pa.array(band_keys, type=pa.uint64()),
+                self.id_column: pa.array(ids),
+                "signature": pa.array(sigs, type=pa.uint64()),
+            }
+        )

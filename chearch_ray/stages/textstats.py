@@ -1,0 +1,211 @@
+"""Text-analysis stages for training-data pipelines: token metrics,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All per-batch and vectorized (Arrow/numpy); the callables are classes
+so compiled state (stopword tables, hash caches) loads once per actor.
+These operate on the driver `documents` shape (doc_id, text, ...) or
+any table with a text column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from chearch_ray.functions.tokenizer import explode, token_counts, tokenize
+
+#: tiny embedded stopword lists for the language-ID heuristic (n-gram /
+#: stopword-hit scoring; no external models in this container).
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "for", "on", "with", "as", "this"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "del", "se", "por", "con"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "du", "est", "pour", "dans", "que"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "des", "ein", "eine", "für"},
+}
+_CODE_TOKENS = {
+    "def", "return", "import", "class", "func", "var", "let", "const", "fn", "pub",
+    "struct", "impl", "void", "int", "self", "if", "else", "for", "while", "null",
+}
+
+#: English stopword list used by the SQL-checkable stopword counter —
+#: keep literally in sync with oracle_sql in __ray_entry__.py.
+SQL_STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "for", "on", "with")
+
+FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _token_hashes(values: pa.Array) -> np.ndarray:
+    """uint64 hash per token, computed once per *unique* token via
+    dictionary encode + vectorized FNV-1a over the small dictionary."""
+    d = values.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    lut = np.empty(len(uniq), dtype=np.uint64)
+    for i, tok in enumerate(uniq):
+        h = FNV_OFFSET
+        for byte in tok.encode():
+            h = np.uint64((int(h) ^ byte) * int(FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+        lut[i] = h
+    if len(uniq) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return lut[np.asarray(d.indices)]
+
+
+class TokenStats:
+    """doc_id/text -> (doc_id, n_tokens, n_distinct, n_stopwords).
+
+    n_stopwords counts SQL_STOPWORDS hits so the driver oracle can
+    replicate with a CASE WHEN ... IN (...) aggregate."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+        self.stopwords = set(SQL_STOPWORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = tokenize(batch[self.text_column])
+        n_tokens = token_counts(lists)
+        values, rows, _ = explode(lists)
+        n = len(batch)
+        # distinct per doc: arrow hash group over (row, term)
+        pairs = pa.table({"row": pa.array(rows), "term": values})
+        per_term = pairs.group_by(["row", "term"], use_threads=False).aggregate([("term", "count")])
+        g_rows = per_term["row"].to_numpy()
+        n_distinct = np.zeros(n, dtype=np.int64)
+        np.add.at(n_distinct, g_rows, 1)
+        stop_mask = pc.is_in(values, value_set=pa.array(sorted(self.stopwords)))
+        n_stop = np.zeros(n, dtype=np.int64)
+        np.add.at(n_stop, rows, np.asarray(stop_mask).astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "n_distinct": pa.array(n_distinct, type=pa.int64()),
+                "n_stopwords": pa.array(n_stop, type=pa.int64()),
+            }
+        )
+
+
+class QualityScore:
+    """doc_id/text -> heuristic quality features + a composite score in
+    [0, 1]: length band, type-token ratio, alpha ratio, mean token
+    length band.  (Training-data quality filtering baseline; thresholds
+    are config, not learned.)"""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_chars = np.asarray(pc.utf8_length(text)).astype(np.float64)
+        lists = tokenize(text)
+        n_tokens = token_counts(lists).astype(np.float64)
+        values, rows, _ = explode(lists)
+        tok_len = np.asarray(pc.utf8_length(values)).astype(np.float64)
+        sum_tok_len = np.zeros(len(batch))
+        np.add.at(sum_tok_len, rows, tok_len)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_tok_len = np.where(n_tokens > 0, sum_tok_len / n_tokens, 0.0)
+            alpha_ratio = np.where(n_chars > 0, sum_tok_len / n_chars, 0.0)
+        # distinct per doc for TTR
+        pairs = pa.table({"row": pa.array(rows), "term": values})
+        per_term = pairs.group_by(["row", "term"], use_threads=False).aggregate([("term", "count")])
+        n_distinct = np.zeros(len(batch))
+        np.add.at(n_distinct, per_term["row"].to_numpy(), 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ttr = np.where(n_tokens > 0, n_distinct / n_tokens, 0.0)
+        len_band = np.clip(n_tokens / 64.0, 0.0, 1.0)
+        tok_band = np.clip(mean_tok_len / 6.0, 0.0, 1.0)
+        score = 0.25 * len_band + 0.25 * ttr + 0.25 * alpha_ratio + 0.25 * tok_band
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens.astype(np.int64), type=pa.int64()),
+                "ttr": pa.array(ttr, type=pa.float64()),
+                "alpha_ratio": pa.array(alpha_ratio, type=pa.float64()),
+                "mean_token_len": pa.array(mean_tok_len, type=pa.float64()),
+                "quality": pa.array(score, type=pa.float64()),
+            }
+        )
+
+
+class LangId:
+    """doc_id/text -> (doc_id, lang_pred, lang_score): stopword-hit
+    heuristic over {en, es, fr, de} plus a `code` class when
+    code-keyword density dominates.  No external model (rows-only
+    correctness check; not SQL-expressible)."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+        self.tables = {lang: pa.array(sorted(ws)) for lang, ws in _STOPWORDS.items()}
+        self.code_table = pa.array(sorted(_CODE_TOKENS))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = tokenize(batch[self.text_column])
+        values, rows, _ = explode(lists)
+        n = len(batch)
+        n_tokens = np.maximum(token_counts(lists).astype(np.float64), 1.0)
+        scores = {}
+        for lang, table in list(self.tables.items()) + [("code", self.code_table)]:
+            hits = np.zeros(n)
+            np.add.at(hits, rows, np.asarray(pc.is_in(values, value_set=table)).astype(np.float64))
+            scores[lang] = hits / n_tokens
+        langs = list(scores)
+        mat = np.stack([scores[lang] for lang in langs], axis=1)
+        best = np.argmax(mat, axis=1)
+        best_score = mat[np.arange(n), best]
+        pred = np.where(best_score > 0.0, np.array(langs, dtype=object)[best], "unknown")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(pred.tolist(), type=pa.string()),
+                "lang_score": pa.array(best_score, type=pa.float64()),
+            }
+        )
+
+
+class Fingerprint:
+    """doc_id/text -> (doc_id, fingerprint:uint64): min rolling-hash
+    over token-trigram windows (Rabin-Karp over FNV token hashes) —
+    a winnowing-style document fingerprint for shingle-level identity."""
+
+    WINDOW = 3
+    P = np.uint64(1099511628211)
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = tokenize(batch[self.text_column])
+        values, rows, _ = explode(lists)
+        h = _token_hashes(values)
+        n = len(batch)
+        out = np.zeros(n, dtype=np.uint64)
+        if len(h) >= self.WINDOW:
+            p, w = self.P, self.WINDOW
+            win = h[: len(h) - w + 1] * p * p + h[1 : len(h) - w + 2] * p + h[2 : len(h) - w + 3]
+            # window valid only when fully inside one doc
+            same_doc = rows[: len(h) - w + 1] == rows[w - 1 :]
+            valid = np.flatnonzero(same_doc)
+            if len(valid):
+                vrows = rows[valid]
+                vals = win[valid]
+                order = np.argsort(vrows, kind="stable")
+                vrows, vals = vrows[order], vals[order]
+                starts = np.flatnonzero(np.diff(vrows, prepend=-1))
+                mins = np.minimum.reduceat(vals, starts)
+                out[vrows[starts]] = mins
+        # short docs (< WINDOW tokens): fingerprint = xor of token hashes
+        lengths = token_counts(lists)
+        short = np.flatnonzero((lengths > 0) & (lengths < self.WINDOW))
+        for i in short.tolist():
+            mask = rows == i
+            out[i] = np.bitwise_xor.reduce(h[mask])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(out, type=pa.uint64()),
+            }
+        )

@@ -45,8 +45,11 @@ class QueryEngine:
         self,
         index_dir: str,
         use_actors: bool = True,
-        num_cpus_per_actor: float = 1.0,
+        num_cpus_per_actor: float = 0.5,
     ):
+        # fractional CPUs: long-lived searcher actors must not starve
+        # Ray Data read/map tasks on small clusters (a pool that
+        # reserves every CPU serializes the pipeline)
         self.index_dir = index_dir
         self.manifest = Manifest.load(index_dir)
         self.cfg = self.manifest.engine_config

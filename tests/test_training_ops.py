@@ -1,0 +1,172 @@
+"""Training-data pipeline operators: dedup, similarity, text stats."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from chearch_ray.stages.dedup import (
+    MinHashSignatures,
+    SimHash,
+    exact_dedup,
+    hamming64,
+    minhash_dedup_pairs,
+    ngram_jaccard_verify,
+    simhash_pairs,
+)
+from chearch_ray.stages.similarity import (
+    BruteForceCosine,
+    HyperplaneLSH,
+    knn_brute_force,
+    normalize_rows,
+)
+from chearch_ray.stages.textstats import Fingerprint, LangId, QualityScore, TokenStats
+
+
+@pytest.fixture(scope="module")
+def docs():
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # exact dup of 1
+        {"doc_id": 3, "text": base.replace("today", "tomorrow")},  # near dup
+        {"doc_id": 4, "text": "def main(): return compute_result(x, y) + offset_value"},
+        {"doc_id": 5, "text": "el rapido zorro marron salta sobre el perro perezoso y corre"},
+        {"doc_id": 6, "text": "completely different words about databases indexes and queries"},
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+# ------------------------------------------------------------- dedup
+def test_exact_dedup(ray_session, docs):
+    import ray.data
+
+    kept = exact_dedup(ray.data.from_arrow(docs)).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3, 4, 5, 6]  # 2 collapses into 1
+
+
+def test_minhash_pairs(ray_session, docs):
+    import ray.data
+
+    pairs = minhash_dedup_pairs(
+        ray.data.from_arrow(docs), threshold=0.5, num_perm=64, bands=16
+    ).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 2) in found  # exact dup always collides
+    assert (1, 3) in found or (2, 3) in found  # near dup
+    assert (1, 6) not in found and (4, 5) not in found
+    exact = pairs[(pairs["doc_a"] == 1) & (pairs["doc_b"] == 2)]
+    assert float(exact["est_jaccard"].iloc[0]) == 1.0
+
+
+def test_minhash_signature_determinism(docs):
+    s1 = MinHashSignatures(num_perm=64, bands=16)(docs)
+    s2 = MinHashSignatures(num_perm=64, bands=16)(docs)
+    assert s1.equals(s2)
+
+
+def test_simhash_pairs(ray_session, docs):
+    import ray.data
+
+    pairs = simhash_pairs(ray.data.from_arrow(docs), max_hamming=3).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 2) in found
+    ident = pairs[(pairs["doc_a"] == 1) & (pairs["doc_b"] == 2)]
+    assert int(ident["hamming"].iloc[0]) == 0
+
+
+def test_simhash_identical_docs_equal(docs):
+    out = SimHash()(docs)
+    sh = dict(zip(out["doc_id"].to_pylist(), out["simhash"].to_pylist()))
+    assert sh[1] == sh[2]
+    assert sh[1] != sh[6]
+
+
+def test_hamming64():
+    a = np.array([0b1011, 0], dtype=np.uint64)
+    b = np.array([0b0010, np.iinfo(np.uint64).max], dtype=np.uint64)
+    assert hamming64(a, b).tolist() == [2, 64]
+
+
+def test_ngram_jaccard_verify(docs):
+    pairs = pa.table({"doc_a": pa.array([1, 1], type=pa.int64()), "doc_b": pa.array([2, 6], type=pa.int64())})
+    out = ngram_jaccard_verify(docs, pairs)
+    j = out["jaccard"].to_pylist()
+    assert j[0] == 1.0
+    assert j[1] == 0.0
+
+
+# -------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def embeddings():
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((50, 16))
+    mat[10] = mat[3] + 0.001 * rng.standard_normal(16)  # near dup of 3
+    return pa.table(
+        {
+            "vec_id": pa.array(range(50), type=pa.int64()),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+
+
+def test_brute_force_cosine_matches_numpy(embeddings):
+    mat = np.array(embeddings["embedding"].to_pylist(), dtype=np.float64)
+    q = mat[3:4]
+    stage = BruteForceCosine(q, k=5)
+    out = stage(embeddings)
+    ids = out["vec_id"].to_pylist()
+    # numpy oracle
+    nm = normalize_rows(mat)
+    sims = nm @ normalize_rows(q.copy())[0]
+    order = np.lexsort((np.arange(50), -sims))[:5]
+    assert ids == order.tolist()
+    assert ids[0] == 3 and ids[1] == 10  # self then near-dup
+
+
+def test_knn_brute_force_dataset(ray_session, embeddings):
+    import ray.data
+
+    mat = np.array(embeddings["embedding"].to_pylist(), dtype=np.float64)
+    out = knn_brute_force(ray.data.from_arrow(embeddings), mat[3:4], k=5)
+    assert out["vec_id"].to_pylist()[:2] == [3, 10]
+
+
+def test_hyperplane_lsh_buckets(embeddings):
+    stage = HyperplaneLSH(dim=16, bits=32, bands=4)
+    out = stage(embeddings)
+    assert len(out) == 4 * 50
+    df = out.to_pandas()
+    # near-identical vectors share all band buckets
+    b3 = df[df["vec_id"] == 3].sort_values("band")["bucket"].tolist()
+    b10 = df[df["vec_id"] == 10].sort_values("band")["bucket"].tolist()
+    assert b3 == b10
+
+
+# --------------------------------------------------------- textstats
+def test_token_stats(docs):
+    out = TokenStats()(docs).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 14
+    assert out.loc[1, "n_stopwords"] == 3  # the, the, and
+    assert out.loc[1, "n_distinct"] == 13  # 'the' twice
+    assert out.loc[4, "n_stopwords"] == 0
+
+
+def test_quality_score_bounds(docs):
+    out = QualityScore()(docs).to_pandas()
+    assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+    assert ((out["ttr"] > 0) & (out["ttr"] <= 1)).all()
+
+
+def test_langid(docs):
+    out = LangId()(docs).to_pandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[5, "lang_pred"] == "es"
+    assert out.loc[4, "lang_pred"] == "code"
+
+
+def test_fingerprint_deterministic_and_discriminative(docs):
+    f1 = Fingerprint()(docs).to_pandas().set_index("doc_id")["fingerprint"]
+    f2 = Fingerprint()(docs).to_pandas().set_index("doc_id")["fingerprint"]
+    assert (f1 == f2).all()
+    assert f1[1] == f1[2]  # identical docs
+    assert f1[1] != f1[6]
