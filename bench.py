@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Plain run: executes the headline pipelines at RAY_GRAFT_CPUS (default
+32) over $GRAFT_SF_DIR (default /root/testdata/sf0.1) plus the
+deterministic synthetic code corpus (FIXTURES.md §3 bench scale) and
+prints ONE JSON line:
+
+    {"metric": ..., "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+`--scaling`: runs the same job in two fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-warmed)
+input and reports both throughputs + scaling efficiency — the sandbox
+stand-in for the north rule's N vs 4N cluster criterion.
+
+Workload mirror of the reference timing harness (chearch.chpl B/C/D/E
+lines + perf_run.sh locale sweep): ingest build, then single-term /
+AND / OR / missing-term query latencies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+BENCH_DOCS = int(os.environ.get("CHEARCH_BENCH_DOCS", "20000"))
+BENCH_DIR = os.environ.get("CHEARCH_BENCH_DIR", f"/tmp/chearch_bench_corpus_{BENCH_DOCS}")
+QUERY_REPS = 30
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from chearch_ray import ast
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.sources.corpus import write_corpus_parquet
+    from chearch_ray.state.engine import QueryEngine
+
+    timings: dict[str, float] = {}
+
+    # ---- corpus (generated once, cached on disk; gen excluded) ------
+    paths = write_corpus_parquet(BENCH_DIR, BENCH_DOCS, num_shards=32, min_lines=30, max_lines=300)
+    content_bytes = sum(os.path.getsize(p) for p in paths)
+    # warm the page cache so both scaling levels measure compute+shuffle
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    cfg = EngineConfig(num_segments=4, num_term_shards=8, tokenize_batch_size=1024)
+    index_dir = f"/tmp/chearch_bench_index_{num_cpus}_{BENCH_DOCS}_{os.getpid()}"
+
+    t0 = time.perf_counter()
+    manifest = build_index(ray.data.read_parquet(paths), index_dir, cfg, resume=False)
+    build_sec = time.perf_counter() - t0
+    timings["build_sec"] = build_sec
+    timings["build_files_per_sec"] = BENCH_DOCS / build_sec
+    timings["build_mb_per_sec"] = content_bytes / 1e6 / build_sec
+
+    # ---- query latencies (pre-warmed actors, like the reference) ----
+    eng = QueryEngine(index_dir, use_actors=True)
+    q_single = ast.Term("def")
+    q_and = ast.And(ast.Term("return"), ast.Term("if"))
+    q_or = ast.Or(ast.Term("class"), ast.Term("import"))
+    q_missing = ast.Term("__never_present__")
+    q_known = ast.Term("__known_64__")
+
+    def p50(node, reps=QUERY_REPS):
+        eng.search(node, k=10)  # warm
+        samples = []
+        for _ in range(reps):
+            t = time.perf_counter()
+            eng.search(node, k=10)
+            samples.append((time.perf_counter() - t) * 1e3)
+        return statistics.median(samples)
+
+    timings["bm25_single_p50_ms"] = p50(q_single)  # reference 'B' line
+    timings["bm25_and_p50_ms"] = p50(q_and)  # 'C'
+    timings["bm25_or_p50_ms"] = p50(q_or)  # 'D'
+    timings["missing_term_p50_ms"] = p50(q_missing)  # 'E'
+    timings["known_df_p50_ms"] = p50(q_known)  # 'AR' analogue
+    assert len(eng.search(q_missing, k=10)) == 0
+
+    # boolean-mode QPS over a mixed query batch ('AL' analogue)
+    batch = [q_single, q_and, q_or, q_known] * 10
+    t0 = time.perf_counter()
+    for node in batch:
+        eng.search_boolean(node)
+    timings["boolean_qps"] = len(batch) / (time.perf_counter() - t0)
+    eng.close()
+
+    # ---- sf-dir pipelines (driver testdata shapes) ------------------
+    from chearch_ray.pipelines import driver_contract as dc
+
+    t0 = time.perf_counter()
+    dc.q_token_counts(sf_dir)
+    timings["sf_token_counts_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_minhash_pairs(sf_dir)
+    timings["sf_minhash_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_knn_cosine(sf_dir)
+    timings["sf_knn_sec"] = time.perf_counter() - t0
+
+    timings = {k: round(v, 4) for k, v in timings.items()}
+    result = {
+        "metric": "index_build_sec_20k_synth_corpus",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "bench_docs": BENCH_DOCS,
+        "content_mb": round(content_bytes / 1e6, 1),
+        "num_docs_indexed": manifest.num_docs,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, two fresh processes (8 vs 32 CPUs), same warmed input."""
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo = r_lo["queries"]["build_files_per_sec"]
+    tp_hi = r_hi["queries"]["build_files_per_sec"]
+    eff = tp_hi / (tp_lo * (hi / lo))
+    return {
+        "metric": "scaling_efficiency_build",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "files_per_sec_lo": round(tp_lo, 1),
+        "files_per_sec_hi": round(tp_hi, 1),
+        "build_sec_lo": r_lo["queries"]["build_sec"],
+        "build_sec_hi": r_hi["queries"]["build_sec"],
+        "queries_lo": r_lo["queries"],
+        "queries_hi": r_hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

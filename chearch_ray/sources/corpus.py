@@ -106,11 +106,19 @@ def synth_row(i: int, seed: int = 42, min_lines: int = 1, max_lines: int = 10) -
 
 
 def synthetic_corpus(
-    n_files: int, seed: int = 42, min_lines: int = 1, max_lines: int = 10
+    n_files: int,
+    seed: int = 42,
+    min_lines: int = 1,
+    max_lines: int = 10,
+    row_range: tuple[int, int] | None = None,
 ) -> pa.Table:
+    """Rows [lo, hi) of the n_files-row corpus (whole corpus when
+    row_range is None).  Row content is a pure function of (seed, i,
+    n_files), so sharded generation concatenates to the same table."""
+    lo, hi = row_range if row_range is not None else (0, n_files)
     known = _known_df_docs(n_files)
     rows = []
-    for i in range(n_files):
+    for i in range(lo, hi):
         row = synth_row(i, seed, min_lines, max_lines)
         extra = known.get(i)
         if extra:
@@ -134,10 +142,31 @@ def write_corpus_parquet(
     paths = [os.path.join(out_dir, f"corpus-{s:04d}.parquet") for s in range(num_shards)]
     if os.path.exists(marker):
         return paths
-    table = synthetic_corpus(n_files, seed, min_lines, max_lines)
     per = (n_files + num_shards - 1) // num_shards
-    for s, path in enumerate(paths):
-        pq.write_table(table.slice(s * per, per), path, compression="zstd")
+    ranges = [(s * per, min(n_files, (s + 1) * per)) for s in range(num_shards)]
+
+    try:  # parallel generation when a Ray session exists
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        use_ray = False
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def _gen(path: str, rng: tuple[int, int]) -> None:
+            t = synthetic_corpus(n_files, seed, min_lines, max_lines, row_range=rng)
+            pq.write_table(t, path, compression="zstd")
+
+        ray.get([_gen.remote(p, r) for p, r in zip(paths, ranges)])
+    else:
+        for path, rng in zip(paths, ranges):
+            pq.write_table(
+                synthetic_corpus(n_files, seed, min_lines, max_lines, row_range=rng),
+                path,
+                compression="zstd",
+            )
     with open(marker, "w") as f:
         f.write("ok")
     return paths

@@ -131,37 +131,86 @@ class MinHashSignatures:
         )
 
 
-def minhash_candidate_pairs(group: pa.Table) -> pa.Table:
-    """Within one (band, bucket) group: emit unique doc pairs with the
-    Jaccard estimate from full signatures.  Group sizes are bounded by
-    the LSH band width; all-pairs is local and small."""
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], type=pa.int64()),
-            "doc_b": pa.array([], type=pa.int64()),
-            "est_jaccard": pa.array([], type=pa.float64()),
-        }
+#: coarse partition count for bucket-run processing: instead of one
+#: map_groups call per (band, bucket) — millions of tiny groups, all
+#: framework overhead — we group on hash(bucket) % COARSE_PARTITIONS
+#: and process each partition's bucket RUNS vectorized inside one call.
+COARSE_PARTITIONS = 64
+#: buckets larger than this are skipped (a degenerate bucket of B docs
+#: emits B^2/2 pairs; such buckets mean the content is near-identical
+#: boilerplate and would blow up any-pairs work at scale).
+MAX_BUCKET_DOCS = 512
+
+
+def _bucket_runs(group: pa.Table, value_columns: list[str]):
+    """Sort one coarse partition by (band, bucket, doc_id), dedupe
+    (band, bucket, doc) rows, yield (ids, *values) per multi-doc
+    bucket.  Vectorized run detection; Python loop only over the
+    multi-doc buckets."""
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        group,
+        sort_keys=[("band", "ascending"), ("bucket", "ascending"), ("doc_id", "ascending")],
     )
-    if len(group) < 2:
-        return empty
-    doc_ids = group["doc_id"].to_numpy()
-    order = np.argsort(doc_ids, kind="stable")
-    # dedupe docs (same doc can land in a bucket once per band input row)
-    doc_ids = doc_ids[order]
-    keep = np.flatnonzero(np.diff(doc_ids, prepend=-1))
-    if len(keep) < 2:
-        return empty
-    sigs = np.stack(
-        [np.asarray(group["signature"][int(order[i])].as_py(), dtype=np.uint64) for i in keep]
+    g = group.take(order)
+    band = g["band"].to_numpy().astype(np.int64)
+    bucket = g["bucket"].to_numpy().astype(np.uint64)
+    docs = g["doc_id"].to_numpy()
+    key_change = np.empty(len(g), dtype=bool)
+    key_change[0] = True
+    key_change[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+    dup_doc = np.zeros(len(g), dtype=bool)
+    dup_doc[1:] = (~key_change[1:]) & (docs[1:] == docs[:-1])
+    keep = np.flatnonzero(~dup_doc)
+    band, bucket, docs = band[keep], bucket[keep], docs[keep]
+    starts = np.flatnonzero(key_change[keep])
+    bounds = np.append(starts, len(keep))
+    lengths = np.diff(bounds)
+    values = {c: g[c] for c in value_columns}
+    for i in np.flatnonzero(lengths >= 2):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        if e - s > MAX_BUCKET_DOCS:
+            continue  # degenerate boilerplate bucket; see MAX_BUCKET_DOCS
+        yield docs[s:e], {c: values[c].take(pa.array(keep[s:e])) for c in value_columns}
+
+
+def _coarse_partition_column(batch: pa.Table) -> pa.Table:
+    bucket = batch["bucket"].to_numpy().astype(np.uint64)
+    # mix so adjacent buckets spread across partitions
+    mixed = (bucket ^ (bucket >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    return batch.append_column(
+        "pgrp", pa.array((mixed % np.uint64(COARSE_PARTITIONS)).astype(np.int32), type=pa.int32())
     )
-    ids = doc_ids[keep]
-    ia, ib = np.triu_indices(len(ids), k=1)
-    est = (sigs[ia] == sigs[ib]).mean(axis=1)
+
+
+def minhash_pairs_in_partition(group: pa.Table) -> pa.Table:
+    """One coarse partition -> candidate pairs with signature-estimated
+    Jaccard, for every multi-doc (band, bucket) run."""
+    out_a, out_b, out_est = [], [], []
+    for ids, cols in _bucket_runs(group, ["signature"]):
+        sig_col = cols["signature"]
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        num_perm = len(sig_col[0])
+        sigs = np.asarray(sig_col.flatten()).reshape(len(ids), num_perm)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+        out_est.append((sigs[ia] == sigs[ib]).mean(axis=1))
+    if not out_a:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "est_jaccard": pa.array([], type=pa.float64()),
+            }
+        )
     return pa.table(
         {
-            "doc_a": pa.array(ids[ia], type=pa.int64()),
-            "doc_b": pa.array(ids[ib], type=pa.int64()),
-            "est_jaccard": pa.array(est, type=pa.float64()),
+            "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "est_jaccard": pa.array(np.concatenate(out_est), type=pa.float64()),
         }
     )
 
@@ -169,7 +218,11 @@ def minhash_candidate_pairs(group: pa.Table) -> pa.Table:
 def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
                         num_perm: int = 128, bands: int = 32):
     """Dataset -> candidate near-dup pairs (doc_a < doc_b, est_jaccard
-    >= threshold), deduplicated across bands."""
+    >= threshold), deduplicated across bands.  Shuffle shape: one
+    groupby on a 64-way coarse bucket partition, then a pair-dedup
+    groupby over the (small) candidate set."""
+    from functools import partial
+
     sigs = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "text_column": text_column},
@@ -178,17 +231,37 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
         concurrency=2,
         num_cpus=0.5,
     )
-    pairs = sigs.groupby(["band", "bucket"]).map_groups(
-        minhash_candidate_pairs, batch_format="pyarrow"
-    )
-    dedup = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        keep_first_pair, batch_format="pyarrow"
-    )
-    from functools import partial
-
-    return dedup.map_batches(
+    parted = sigs.map_batches(_coarse_partition_column, batch_format="pyarrow")
+    pairs = parted.groupby("pgrp").map_groups(minhash_pairs_in_partition, batch_format="pyarrow")
+    thresholded = pairs.map_batches(
         partial(_filter_ge, column="est_jaccard", threshold=threshold), batch_format="pyarrow"
     )
+    return dedup_pairs(thresholded)
+
+
+def _pair_partition_column(batch: pa.Table) -> pa.Table:
+    a = batch["doc_a"].to_numpy().astype(np.uint64)
+    b = batch["doc_b"].to_numpy().astype(np.uint64)
+    mixed = (a * np.uint64(0x9E3779B97F4A7C15) + b) % np.uint64(COARSE_PARTITIONS)
+    return batch.append_column("pgrp", pa.array(mixed.astype(np.int32), type=pa.int32()))
+
+
+def _dedup_pairs_in_partition(group: pa.Table) -> pa.Table:
+    a = group["doc_a"].to_numpy()
+    b = group["doc_b"].to_numpy()
+    order = np.lexsort((b, a))
+    first = np.empty(len(order), dtype=bool)
+    first[0:1] = True
+    first[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
+    idx = order[first]
+    return group.take(pa.array(np.sort(idx), type=pa.int64())).drop_columns(["pgrp"])
+
+
+def dedup_pairs(pairs_ds):
+    """Distinct (doc_a, doc_b) rows (same pair emitted once per
+    colliding band): one coarse 64-way groupby, vectorized unique."""
+    parted = pairs_ds.map_batches(_pair_partition_column, batch_format="pyarrow")
+    return parted.groupby("pgrp").map_groups(_dedup_pairs_in_partition, batch_format="pyarrow")
 
 
 def _filter_ge(batch: pa.Table, column: str, threshold: float) -> pa.Table:
@@ -260,38 +333,37 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column: str = "text", bands: in
             }
         )
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "hamming": pa.array([], type=pa.int64()),
-            }
-        )
-        if len(group) < 2:
-            return empty
-        ids = group["doc_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        keep = np.flatnonzero(np.diff(ids, prepend=-1))
-        if len(keep) < 2:
-            return empty
-        ids = ids[keep]
-        sh = group["simhash"].to_numpy().astype(np.uint64)[order][keep]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ham = hamming64(sh[ia], sh[ib]).astype(np.int64)
-        ok = ham <= max_hamming
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
+        out_a, out_b, out_h = [], [], []
+        for ids, cols in _bucket_runs(group, ["simhash"]):
+            sh = cols["simhash"].to_numpy().astype(np.uint64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ham = hamming64(sh[ia], sh[ib]).astype(np.int64)
+            ok = ham <= max_hamming
+            out_a.append(ids[ia][ok])
+            out_b.append(ids[ib][ok])
+            out_h.append(ham[ok])
+        if not out_a:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "doc_a": pa.array(ids[ia][ok], type=pa.int64()),
-                "doc_b": pa.array(ids[ib][ok], type=pa.int64()),
-                "hamming": pa.array(ham[ok], type=pa.int64()),
+                "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), type=pa.int64()),
             }
         )
 
-    exploded = sigs.map_batches(band_explode, batch_format="pyarrow")
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(pairs_in_bucket, batch_format="pyarrow")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(keep_first_pair, batch_format="pyarrow")
+    exploded = sigs.map_batches(band_explode, batch_format="pyarrow").map_batches(
+        _coarse_partition_column, batch_format="pyarrow"
+    )
+    pairs = exploded.groupby("pgrp").map_groups(pairs_in_partition, batch_format="pyarrow")
+    return dedup_pairs(pairs)
 
 
 # ----------------------------------------------- exact n-gram Jaccard
