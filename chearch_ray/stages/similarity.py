@@ -118,13 +118,15 @@ class HyperplaneLSH:
     generated in __init__ once per actor."""
 
     def __init__(self, dim: int, bits: int = 32, bands: int = 4, seed: int = 42,
-                 id_column: str = "vec_id", embedding_column: str = "embedding"):
+                 id_column: str = "vec_id", embedding_column: str = "embedding",
+                 carry_embedding: bool = False):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((bits, dim))
         self.bits = bits
         self.bands = bands
         self.id_column = id_column
         self.embedding_column = embedding_column
+        self.carry_embedding = carry_embedding
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _embedding_matrix(batch[self.embedding_column])
@@ -133,7 +135,6 @@ class HyperplaneLSH:
         sig = (proj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
         r = self.bits // self.bands
         band_mask = np.uint64((1 << r) - 1)
-        rows = []
         n = len(batch)
         band_ids = np.repeat(np.arange(self.bands, dtype=np.int32), n)
         band_keys = np.concatenate(
@@ -141,11 +142,83 @@ class HyperplaneLSH:
         )
         ids = np.tile(batch[self.id_column].to_numpy(), self.bands)
         sigs = np.tile(sig, self.bands)
+        cols = {
+            "band": pa.array(band_ids, type=pa.int32()),
+            "bucket": pa.array(band_keys, type=pa.uint64()),
+            self.id_column: pa.array(ids),
+            "signature": pa.array(sigs, type=pa.uint64()),
+        }
+        if self.carry_embedding:
+            emb = batch[self.embedding_column]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            idx = pa.array(np.tile(np.arange(n, dtype=np.int64), self.bands))
+            cols["embedding"] = emb.take(idx)
+        return pa.table(cols)
+
+
+def embedding_neardup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 32,
+                            bands: int = 8, id_column: str = "vec_id",
+                            embedding_column: str = "embedding"):
+    """Embedding-cosine near-dup pairs: hyperplane-LSH buckets ->
+    exact cosine verify inside coarse bucket partitions -> distinct
+    pairs with cosine >= threshold.  Same shuffle shape as the text
+    LSH dedup (one 64-way coarse groupby + a pair-dedup groupby)."""
+    from chearch_ray.stages.dedup import (
+        _bucket_runs,
+        _coarse_partition_column,
+        dedup_pairs,
+    )
+
+    sigs = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={
+            "dim": dim,
+            "bits": bits,
+            "bands": bands,
+            "id_column": id_column,
+            "embedding_column": embedding_column,
+            "carry_embedding": True,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    parted = sigs.map_batches(_coarse_partition_column, batch_format="pyarrow")
+
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
+        # _bucket_runs expects a doc_id column name; alias the id col
+        g = group.rename_columns(
+            [("doc_id" if c == id_column else c) for c in group.column_names]
+        )
+        out_a, out_b, out_cos = [], [], []
+        for ids, cols in _bucket_runs(g, ["embedding"]):
+            emb = cols["embedding"]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            mat = normalize_rows(_embedding_matrix(emb))
+            ia, ib = np.triu_indices(len(ids), k=1)
+            cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+            ok = cos >= threshold
+            out_a.append(ids[ia][ok])
+            out_b.append(ids[ib][ok])
+            out_cos.append(cos[ok])
+        if not out_a:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "band": pa.array(band_ids, type=pa.int32()),
-                "bucket": pa.array(band_keys, type=pa.uint64()),
-                self.id_column: pa.array(ids),
-                "signature": pa.array(sigs, type=pa.uint64()),
+                "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_cos), type=pa.float64()),
             }
         )
+
+    pairs = parted.groupby("pgrp").map_groups(pairs_in_partition, batch_format="pyarrow")
+    return dedup_pairs(pairs)

@@ -127,3 +127,36 @@ class QueryEngine:
             for a in self._actors:
                 ray.kill(a)
             self._actors = []
+
+    def search_many(
+        self, queries: list, k: int | None = None, default_op: str = "or"
+    ) -> pa.Table:
+        """BM25 top-k for a batch of queries; one remote call per
+        segment for the whole batch.  Returns a table with a query_id
+        column (index into `queries`), each query's rows ordered
+        (score desc, doc_id asc)."""
+        nodes = [parse_query(q, default_op) for q in queries]
+        k = k or self.cfg.default_k
+        idfs: dict[str, float] = {}
+        for node in nodes:
+            idfs.update(self.idfs_for(node))
+        if self.use_actors:
+            import ray
+
+            tables = ray.get(
+                [a.search_bm25_batch.remote(nodes, k, idfs, self.avgdl) for a in self._actors]
+            )
+        else:
+            tables = [s.search_bm25_batch(nodes, k, idfs, self.avgdl) for s in self._local]
+        merged = pa.concat_tables(tables)
+        if len(merged) == 0:
+            return merged
+        qids = merged["query_id"].to_numpy()
+        scores = merged["score"].to_numpy()
+        doc_ids = merged["doc_id"].to_numpy()
+        keep: list[int] = []
+        for q in range(len(nodes)):
+            m = np.flatnonzero(qids == q)
+            order = topk_order(scores[m], doc_ids[m], k)
+            keep.extend(m[order].tolist())
+        return merged.take(pa.array(keep, type=pa.int64()))

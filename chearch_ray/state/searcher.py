@@ -193,3 +193,23 @@ class SegmentSearcher:
         if idx >= len(docs) or docs[idx] != doc_id:
             return []
         return pos[idx]
+
+    # -------------------------------------------------------- batch mode
+    def search_bm25_batch(
+        self,
+        nodes: list,
+        k: int,
+        idfs: dict[str, float],
+        avgdl: float,
+    ) -> pa.Table:
+        """Score a BATCH of queries in one call (one task round-trip per
+        segment per batch, not per query) — the scatter-gather analogue
+        of the reference's per-locale query loop amortized over many
+        queries (AL/AR benchmark lines, chearch.chpl:23-91)."""
+        tables = []
+        for qid, node in enumerate(nodes):
+            t = self.search_bm25(node, k, idfs, avgdl)
+            tables.append(
+                t.append_column("query_id", pa.array([qid] * len(t), type=pa.int64()))
+            )
+        return pa.concat_tables(tables)

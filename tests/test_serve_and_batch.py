@@ -1,0 +1,144 @@
+"""Wire protocol facade, batch query path, embedding near-dup,
+multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from chearch_ray import ast
+from chearch_ray.conformance import MemoryIndex
+from chearch_ray.functions import chasm
+from chearch_ray.serve import (
+    MAX_RESPONSE_RECORDS,
+    WIRE_RECORD_BYTES,
+    WireServer,
+    build_request,
+    decode_response,
+)
+
+
+# ----------------------------------------------------------- wire proto
+@pytest.fixture()
+def server():
+    idx = MemoryIndex()
+    idx.add_document([(2, 6), (3, 15)], 10)
+    idx.add_document([(2, 6)], 15)
+    return WireServer(idx)
+
+
+def _program(*ops):
+    buf = chasm.InstructionBuffer(256)
+    w = chasm.InstructionWriter(buf)
+    for op in ops:
+        if isinstance(op, int):
+            w.write_push_term(op)
+        elif op == "and":
+            w.write_and()
+        else:
+            w.write_or()
+    return buf.to_bytes()
+
+
+def test_wire_roundtrip_helloworld(server):
+    req = build_request(_program(2, 3, "and"))
+    assert req[0] == 3  # 2 PUSH + 1 AND
+    resp = server.handle(req)
+    assert len(resp) % WIRE_RECORD_BYTES == 0
+    rows = decode_response(resp)
+    assert [(r.term, r.text_location, r.external_doc_id) for r in rows] == [
+        (3, 15, 10),
+        (2, 6, 10),
+    ]
+
+
+def test_wire_response_cap(server):
+    for i in range(20):
+        server.index.add_document([(7, 0)], 1000 + i)
+    resp = server.handle(build_request(_program(7)))
+    assert len(resp) == MAX_RESPONSE_RECORDS * WIRE_RECORD_BYTES
+
+
+def test_wire_missing_term_empty(server):
+    assert server.handle(build_request(_program(999))) == b""
+
+
+def test_wire_oversized_request_rejected(server):
+    with pytest.raises(ValueError):
+        server.handle(bytes([1]) + b"\x01" * 300)
+
+
+# --------------------------------------------------------- batch search
+def test_search_many_matches_single(ray_session, tmp_path):
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.engine import QueryEngine
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    corpus = synthetic_corpus(150, seed=42)
+    build_index(ray.data.from_arrow(corpus), str(tmp_path / "idx"), cfg)
+    eng = QueryEngine(str(tmp_path / "idx"), use_actors=False)
+    queries = ["def", "return if", ast.And(ast.Term("def"), ast.Term("return"))]
+    batch = eng.search_many(queries, k=5)
+    for qid, q in enumerate(queries):
+        single = eng.search(q, k=5)
+        part = batch.filter(pa.compute.equal(batch["query_id"], qid))
+        assert part["doc_id"].to_pylist() == single["doc_id"].to_pylist(), q
+        assert part["score"].to_pylist() == single["score"].to_pylist(), q
+
+
+# ------------------------------------------------- embedding near-dups
+def test_embedding_neardup_pairs(ray_session):
+    import ray.data
+
+    from chearch_ray.stages.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((80, 32))
+    mat[50] = mat[7] + 1e-3 * rng.standard_normal(32)  # near dup
+    mat[60] = mat[7]  # exact dup
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(80), type=pa.int64()),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    pairs = embedding_neardup_pairs(
+        ray.data.from_arrow(table), dim=32, threshold=0.99
+    ).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (7, 50) in found and (7, 60) in found and (50, 60) in found
+    assert all(c >= 0.99 for c in pairs["cosine"])
+
+
+# ------------------------------------------------------------ multimodal
+def test_media_feature_extract_stub(ray_session):
+    import ray.data
+
+    from chearch_ray.stages.multimodal import (
+        MediaFeatureExtract,
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(32, kind="image", seed=42)
+    out = extract_media_features(ray.data.from_arrow(media), backend="stub").to_pandas()
+    assert len(out) == 32
+    feats = np.stack(out.sort_values("media_id")["features"].to_numpy())
+    assert feats.shape == (32, MediaFeatureExtract.FEATURE_DIM)
+    np.testing.assert_allclose(feats.sum(axis=1), 1.0, rtol=1e-5)
+    # determinism
+    out2 = extract_media_features(ray.data.from_arrow(media), backend="stub").to_pandas()
+    assert sorted(out["payload_sha"]) == sorted(out2["payload_sha"])
+
+
+def test_media_real_backend_raises():
+    from chearch_ray.stages.multimodal import MediaFeatureExtract, synthesize_media_table
+
+    stage = MediaFeatureExtract(backend="pil")
+    with pytest.raises(NotImplementedError):
+        stage(synthesize_media_table(2))
+    with pytest.raises(ValueError):
+        MediaFeatureExtract(backend="nope")
