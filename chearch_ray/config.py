@@ -23,6 +23,16 @@ class EngineConfig:
     #: files containing its terms.  (Reference analogue: the 32768-bucket
     #: term hash table, memorysegment.chpl:5.)
     num_term_shards: int = 4
+    #: shuffle implementation for the posting build:
+    #:   "partitioned" (default) — explicit two-phase shuffle: stage 1
+    #:     writes hive-partitioned parquet runs (part=N/...), stage 2
+    #:     finalizes each partition in its own task.  O(n), no global
+    #:     sort, and the run files double as the mid-shuffle
+    #:     checkpoint (north rule).  On a multi-node cluster the run
+    #:     dir must be on shared storage.
+    #:   "sort" — ray groupby (sort-based all-to-all); kept as the
+    #:     cross-check path in tests (byte-identical output).
+    shuffle_mode: str = "partitioned"
     #: salt factor for the two-phase posting merge (hot-term skew, north
     #: rule).  1 = single-phase groupby.  >1: phase 1 groups on
     #: (partition, salt=hash(doc)%salt) building partial runs, phase 2

@@ -149,6 +149,83 @@ def decode_postings(enc: EncodedPostings, block_size: int = 128) -> tuple[np.nda
     return doc_ids, tfs
 
 
+def encode_postings_bulk(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    term_bounds: np.ndarray,
+    block_size: int = 128,
+):
+    """Encode ALL terms of a partition in one vectorized pass.
+
+    doc_ids/tfs: the partition's postings sorted by (term, doc_id);
+    term_bounds: int64 array of term boundaries (len = n_terms + 1).
+
+    Returns a dict of arrays ready to become Parquet columns:
+      doc_blob_offsets/tf_blob_offsets (int64, n_terms+1) into
+      doc_blob_buf/tf_blob_buf (bytes) — build a zero-copy Arrow
+      binary column via offsets+values; counts (uint64);
+      block_* fields as Arrow list offsets + flat values.
+
+    Semantically identical to per-term encode_postings (delta restart
+    at term starts; per-term block geometry) — pinned by tests — but
+    with no per-term Python loop: one varint pass over every delta,
+    one over every tf, index arithmetic for block metadata.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    term_bounds = np.ascontiguousarray(term_bounds, dtype=np.int64)
+    n = len(doc_ids)
+    n_terms = len(term_bounds) - 1
+    starts = term_bounds[:-1]
+    counts = np.diff(term_bounds)
+
+    # global deltas with reset-to-absolute at each term start
+    deltas = np.empty(n, dtype=np.uint64)
+    if n:
+        deltas[0] = doc_ids[0]
+        deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+        deltas[starts] = doc_ids[starts]
+
+    doc_lens = varint_byte_lengths(deltas)
+    tf_lens = varint_byte_lengths(tfs)
+    doc_cum = np.concatenate([[0], np.cumsum(doc_lens)])
+    tf_cum = np.concatenate([[0], np.cumsum(tf_lens)])
+
+    # ---- per-term block metadata, vectorized -------------------------
+    n_blocks_per_term = (counts + block_size - 1) // block_size
+    total_blocks = int(n_blocks_per_term.sum())
+    block_list_offsets = np.concatenate([[0], np.cumsum(n_blocks_per_term)]).astype(np.int32)
+    # index of each block within its term (0,1,2,... per term)
+    block_term = np.repeat(np.arange(n_terms), n_blocks_per_term)
+    block_idx_in_term = np.arange(total_blocks) - block_list_offsets[:-1][block_term]
+    # posting index where each block starts / ends (global)
+    blk_start = starts[block_term] + block_idx_in_term * block_size
+    blk_end = np.minimum(blk_start + block_size, term_bounds[1:][block_term])
+    block_last = doc_ids[blk_end - 1] if n else np.empty(0, dtype=np.uint64)
+    # per-block max tf: reduceat over blk_start (strictly increasing)
+    block_max_tf = (
+        np.maximum.reduceat(tfs, blk_start).astype(np.uint32)
+        if total_blocks
+        else np.empty(0, dtype=np.uint32)
+    )
+    # byte offsets of each block inside its term's blob
+    block_doc_off = doc_cum[blk_start] - doc_cum[starts[block_term]]
+    block_tf_off = tf_cum[blk_start] - tf_cum[starts[block_term]]
+
+    return {
+        "counts": counts.astype(np.uint64),
+        "doc_blob_buf": varint_encode(deltas),
+        "tf_blob_buf": varint_encode(tfs),
+        "doc_blob_offsets": doc_cum[term_bounds],
+        "tf_blob_offsets": tf_cum[term_bounds],
+        "block_list_offsets": block_list_offsets,
+        "block_last": block_last,
+        "block_max_tf": block_max_tf,
+        "block_doc_off": block_doc_off.astype(np.int64),
+        "block_tf_off": block_tf_off.astype(np.int64),
+    }
+
+
 def decode_block(
     enc: EncodedPostings, block: int, block_size: int = 128
 ) -> tuple[np.ndarray, np.ndarray]:

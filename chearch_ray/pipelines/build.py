@@ -41,9 +41,9 @@ from chearch_ray.stages.postings import (
     build_partial_runs,
     merge_runs_write,
     write_docmap_part,
-    write_posting_part,
+    write_unified_part,
 )
-from chearch_ray.stages.tokenize import DocMeta, TokenizePostings
+from chearch_ray.stages.tokenize import DocMeta, TokenizeCorpus, TokenizePostings
 from chearch_ray.state import segment as seg_io
 from chearch_ray.state.segment import LineageRecord, Manifest
 
@@ -64,37 +64,112 @@ def build_index(
 
     done_postings = frozenset(seg_io.completed_parts(index_dir, "postings")) if resume else frozenset()
     done_docmap = frozenset(seg_io.completed_parts(index_dir, "docmap")) if resume else frozenset()
-
-    # ---- postings branch (the wide shuffle) --------------------------
-    tok = corpus.map_batches(
-        TokenizePostings(cfg, done_postings),
-        batch_format="pyarrow",
-        batch_size=cfg.tokenize_batch_size,
-    )
     n_parts = cfg.num_segments * cfg.num_term_shards
+
     if cfg.build_salt > 1:
+        # ---- salted two-phase path (hot-term skew) -------------------
+        tok = corpus.map_batches(
+            TokenizePostings(cfg, done_postings),
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+        )
         runs = tok.groupby(["part", "salt"]).map_groups(
             partial(build_partial_runs, cfg=cfg), batch_format="pyarrow"
         )
-        summaries = runs.groupby("part").map_groups(
+        runs.groupby("part").map_groups(
             partial(merge_runs_write, cfg=cfg, index_dir=index_dir), batch_format="pyarrow"
+        ).take_all()
+        meta = corpus.map_batches(
+            DocMeta(cfg, done_docmap), batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
         )
+        meta.groupby("seg").map_groups(
+            partial(write_docmap_part, cfg=cfg, index_dir=index_dir), batch_format="pyarrow"
+        ).take_all()
     else:
-        summaries = tok.groupby("part").map_groups(
-            partial(write_posting_part, cfg=cfg, index_dir=index_dir), batch_format="pyarrow"
+        # ---- single-pass path: tokenize once, ONE shuffle routing
+        # both posting partitions and docmap partitions -----------------
+        done_unified = frozenset(done_postings | {n_parts + seg for seg in done_docmap})
+        unified = corpus.map_batches(
+            TokenizeCorpus(cfg, done_unified),
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
         )
-    # one row per partition — tiny; this consumption drives the build
-    summaries.take_all()
-
-    # ---- docmap branch ----------------------------------------------
-    meta = corpus.map_batches(
-        DocMeta(cfg, done_docmap), batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
-    )
-    meta.groupby("seg").map_groups(
-        partial(write_docmap_part, cfg=cfg, index_dir=index_dir), batch_format="pyarrow"
-    ).take_all()
+        if cfg.shuffle_mode == "partitioned":
+            _partitioned_shuffle(unified, index_dir, cfg, done_unified)
+        else:
+            unified.groupby("part").map_groups(
+                partial(write_unified_part, cfg=cfg, index_dir=index_dir),
+                batch_format="pyarrow",
+            ).take_all()
 
     return commit_manifest(index_dir, cfg)
+
+
+def _partitioned_shuffle(unified, index_dir: str, cfg: EngineConfig, done: frozenset) -> None:
+    """Explicit two-phase shuffle (the scale path — see config
+    .shuffle_mode): stage 1 streams the unified rows into
+    hive-partitioned parquet runs under <index>/_shuffle/part=N/
+    (Ray Data's sort-based groupby is a full O(n log n) comparison
+    sort of every posting row; partitioning by the 2-digit part key
+    is O(n) and embarrassingly parallel).  Stage 2 finalizes each
+    partition in its own task: read that partition's runs, sort
+    within the partition, encode, write the segment file + lineage.
+
+    The run directory is itself a checkpoint: it survives a stage-2
+    crash, and completed partitions are skipped via lineage on
+    resume.  It is removed after all partitions commit."""
+    import glob
+    import shutil
+
+    import ray.data
+
+    run_dir = os.path.join(index_dir, "_shuffle")
+    marker = os.path.join(run_dir, "_runs_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        # snappy: the runs are transient (deleted after finalize), so
+        # cheap compression beats ratio
+        unified.write_parquet(run_dir, partition_cols=["part"], compression="snappy")
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    part_dirs = sorted(glob.glob(os.path.join(run_dir, "part=*")))
+    items = []
+    for d in part_dirs:
+        part = int(os.path.basename(d).split("=")[1])
+        if part not in done:
+            items.append({"part": part, "dir": d})
+    if items:
+        (
+            # one block per partition so each finalize runs as its own
+            # task (from_items packs everything into one block otherwise)
+            ray.data.from_items(items, override_num_blocks=len(items))
+            .map_batches(
+                partial(_finalize_from_runs, cfg=cfg, index_dir=index_dir),
+                batch_format="pyarrow",
+                batch_size=1,
+                num_cpus=1,
+            )
+            .take_all()
+        )
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def _finalize_from_runs(batch, cfg: EngineConfig, index_dir: str):
+    """Stage-2 task: one row = one partition to finalize."""
+    import pyarrow.dataset as pads
+
+    outs = []
+    for row in batch.to_pylist():
+        part, d = int(row["part"]), row["dir"]
+        table = pads.dataset(d, format="parquet").to_table()
+        if "part" in table.column_names:
+            table = table.drop_columns(["part"])
+        table = table.add_column(
+            0, "part", pa.array([part] * len(table), type=pa.int32())
+        )
+        outs.append(write_unified_part(table, cfg=cfg, index_dir=index_dir))
+    return pa.concat_tables(outs)
 
 
 def commit_manifest(index_dir: str, cfg: EngineConfig) -> Manifest:

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from chearch_ray.config import EngineConfig
-from chearch_ray.functions.codec import encode_postings, varint_encode
+from chearch_ray.functions.codec import encode_postings_bulk
 from chearch_ray.state import segment as seg_io
 
 # map_groups requires plain functions (it reads fn.__name__); these
@@ -42,6 +42,35 @@ def merge_runs_write(group: pa.Table, cfg: EngineConfig, index_dir: str) -> pa.T
 
 def write_docmap_part(group: pa.Table, cfg: EngineConfig, index_dir: str) -> pa.Table:
     return DocmapWriter(cfg, index_dir)(group)
+
+
+def write_unified_part(group: pa.Table, cfg: EngineConfig, index_dir: str) -> pa.Table:
+    """Single-pass build dispatcher: a group is EITHER a postings
+    partition (part < num_segments*num_term_shards; rows = per-term
+    sorted partial runs from the map-side combine) or a docmap
+    partition (part = n_posting_parts + seg) of the unified schema
+    (stages/tokenize.UNIFIED_SCHEMA)."""
+    if len(group) == 0:
+        return _empty_summary()
+    part = int(group["part"][0].as_py())
+    n_posting_parts = cfg.num_segments * cfg.num_term_shards
+    if part < n_posting_parts:
+        cols = ["part", "term", "doc_ids", "tfs", "positions"]
+        return RunMergeWriter(cfg, index_dir)(group.select(cols))
+    seg_id = part - n_posting_parts
+    meta = pa.table(
+        {
+            "seg": pa.array([seg_id] * len(group), type=pa.int32()),
+            "doc_id": group["doc_id"],
+            "repo": group["repo"],
+            "path": group["path"],
+            "commit": group["commit"],
+            "lang": group["lang"],
+            "doc_len": group["doc_len"],
+            "content_sha": group["content_sha"],
+        }
+    )
+    return DocmapWriter(cfg, index_dir)(meta)
 
 
 _SUMMARY_SCHEMA = pa.schema(
@@ -116,6 +145,16 @@ class PostingPartWriter:
         return _finalize_part(self.cfg, self.index_dir, part, g)
 
 
+def _binary_from_offsets(offsets: np.ndarray, buf: bytes) -> pa.Array:
+    """Zero-copy Arrow binary column from an int64 offsets array into
+    one shared byte buffer (per-part blobs stay < 2 GiB by segment /
+    shard sizing, so int32 offsets suffice)."""
+    if len(buf) >= (1 << 31):
+        raise ValueError("partition blob exceeds 2 GiB — raise num_term_shards")
+    off32 = pa.py_buffer(offsets.astype(np.int32).tobytes())
+    return pa.Array.from_buffers(pa.binary(), len(offsets) - 1, [None, off32, pa.py_buffer(buf)])
+
+
 def _finalize_part(cfg: EngineConfig, index_dir: str, part: int, g: pa.Table) -> pa.Table:
     """g: rows of one partition, sorted by (term, doc_id)."""
     terms = _combine(g["term"])
@@ -130,33 +169,22 @@ def _finalize_part(cfg: EngineConfig, index_dir: str, part: int, g: pa.Table) ->
     bounds = np.append(starts, len(g))
     uniq_terms = codes_arr.dictionary  # encounter order == sorted order here
 
-    rows = {name: [] for name in ("count", "doc_blob", "tf_blob")}
-    lists = {name: [] for name in ("block_last", "block_max_tf", "block_doc_off", "block_tf_off")}
+    bulk = encode_postings_bulk(doc, tf, bounds, block_size=cfg.block_size)
+    n_postings = len(doc)
     fingerprint = hashlib.sha256()
-    n_postings = 0
-    for i in range(len(starts)):
-        s, e = int(bounds[i]), int(bounds[i + 1])
-        enc = encode_postings(doc[s:e], tf[s:e], block_size=cfg.block_size)
-        rows["count"].append(enc.count)
-        rows["doc_blob"].append(enc.doc_blob)
-        rows["tf_blob"].append(enc.tf_blob)
-        lists["block_last"].append(enc.block_last)
-        lists["block_max_tf"].append(enc.block_max_tf)
-        lists["block_doc_off"].append(enc.block_doc_off)
-        lists["block_tf_off"].append(enc.block_tf_off)
-        n_postings += enc.count
-    fingerprint.update(varint_encode(doc))
-    fingerprint.update(varint_encode(tf))
+    fingerprint.update(bulk["doc_blob_buf"])
+    fingerprint.update(bulk["tf_blob_buf"])
 
+    blk_off = pa.array(bulk["block_list_offsets"], type=pa.int32())
     cols = {
         "term": uniq_terms,
-        "count": pa.array(rows["count"], type=pa.uint64()),
-        "doc_blob": pa.array(rows["doc_blob"], type=pa.binary()),
-        "tf_blob": pa.array(rows["tf_blob"], type=pa.binary()),
-        "block_last": pa.array(lists["block_last"], type=pa.list_(pa.uint64())),
-        "block_max_tf": pa.array(lists["block_max_tf"], type=pa.list_(pa.uint32())),
-        "block_doc_off": pa.array(lists["block_doc_off"], type=pa.list_(pa.int64())),
-        "block_tf_off": pa.array(lists["block_tf_off"], type=pa.list_(pa.int64())),
+        "count": pa.array(bulk["counts"], type=pa.uint64()),
+        "doc_blob": _binary_from_offsets(bulk["doc_blob_offsets"], bulk["doc_blob_buf"]),
+        "tf_blob": _binary_from_offsets(bulk["tf_blob_offsets"], bulk["tf_blob_buf"]),
+        "block_last": pa.ListArray.from_arrays(blk_off, pa.array(bulk["block_last"], type=pa.uint64())),
+        "block_max_tf": pa.ListArray.from_arrays(blk_off, pa.array(bulk["block_max_tf"], type=pa.uint32())),
+        "block_doc_off": pa.ListArray.from_arrays(blk_off, pa.array(bulk["block_doc_off"], type=pa.int64())),
+        "block_tf_off": pa.ListArray.from_arrays(blk_off, pa.array(bulk["block_tf_off"], type=pa.int64())),
     }
     if pos_col is not None:
         # outer list over term boundaries, zero-copy over the sorted

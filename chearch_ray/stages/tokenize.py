@@ -53,6 +53,12 @@ class TokenizePostings:
         lists = tokenize(
             batch["content"], lowercase=cfg.lowercase, split_subtokens=cfg.split_subtokens
         )
+        return self.postings_from_tokens(batch, doc_ids, lists)
+
+    def postings_from_tokens(
+        self, batch: pa.Table, doc_ids: np.ndarray, lists: pa.ListArray
+    ) -> pa.Table:
+        cfg = self.cfg
         values, row_idx, positions = explode(lists)
         exploded = pa.table(
             {
@@ -95,6 +101,140 @@ class TokenizePostings:
             mask = np.isin(part, np.fromiter(self.done_parts, dtype=np.int32), invert=True)
             out = out.filter(pa.array(mask))
         return out
+
+
+#: unified RUN schema for the single-pass build: posting rows carry one
+#: sorted partial run per (term, input batch) — list columns, the
+#: map-side combiner of the two-phase posting merge (north rule) —
+#: docmap rows (one per doc, routed to part = num_posting_parts + seg)
+#: carry the scalar meta columns.  Rows-per-batch drops from
+#: one-per-(doc, term) to one-per-distinct-term, which shrinks the
+#: shuffle both in rows and bytes (term strings ride once per run).
+UNIFIED_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("term", pa.string()),
+        ("doc_ids", pa.list_(pa.uint64())),
+        ("tfs", pa.list_(pa.uint32())),
+        ("positions", pa.list_(pa.list_(pa.uint32()))),
+        ("doc_id", pa.uint64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("doc_len", pa.uint32()),
+        ("content_sha", pa.string()),
+    ]
+)
+
+
+class TokenizeCorpus:
+    """Single-pass build stage: tokenize ONCE, emit posting RUNS and
+    docmap rows in one unified table — the corpus is read and
+    tokenized exactly once, one shuffle routes both kinds of
+    partition, and postings leave the batch already combined into
+    per-term sorted runs (map-side combine).
+
+    Used by the default (unsalted) build path; the salted two-phase
+    path keeps the separate TokenizePostings/DocMeta passes."""
+
+    def __init__(self, cfg: EngineConfig, done_parts: frozenset[int] = frozenset()):
+        self.cfg = cfg
+        self.posting = TokenizePostings(cfg, done_parts)
+        self.done_parts = done_parts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n_posting_parts = cfg.num_segments * cfg.num_term_shards
+        doc_ids = _doc_ids_of(batch)
+        lists = tokenize(
+            batch["content"], lowercase=cfg.lowercase, split_subtokens=cfg.split_subtokens
+        )
+        post = self.posting.postings_from_tokens(batch, doc_ids, lists)
+
+        # ---- map-side combine: (part, term, doc_id) rows -> runs -----
+        order = pc.sort_indices(
+            post,
+            sort_keys=[("part", "ascending"), ("term", "ascending"), ("doc_id", "ascending")],
+        )
+        p = post.take(order)
+        part_np = p["part"].to_numpy()
+        term_arr = p["term"]
+        if isinstance(term_arr, pa.ChunkedArray):
+            term_arr = term_arr.combine_chunks()
+        codes = np.asarray(term_arr.dictionary_encode().indices)
+        change = np.empty(len(p), dtype=bool)
+        if len(p):
+            change[0] = True
+            change[1:] = (part_np[1:] != part_np[:-1]) | (codes[1:] != codes[:-1])
+        starts = np.flatnonzero(change)
+        bounds = pa.array(np.append(starts, len(p)).astype(np.int32), type=pa.int32())
+        take_starts = pa.array(starts, type=pa.int64())
+        n_runs = len(starts)
+        nulls_s = pa.nulls(n_runs, type=pa.string())
+        post_tbl = pa.table(
+            {
+                "part": pa.array(part_np[starts], type=pa.int32()),
+                "term": term_arr.take(take_starts),
+                "doc_ids": pa.ListArray.from_arrays(bounds, _chunk(p["doc_id"])).cast(
+                    pa.list_(pa.uint64())
+                ),
+                "tfs": pa.ListArray.from_arrays(bounds, _chunk(p["tf"])).cast(
+                    pa.list_(pa.uint32())
+                ),
+                "positions": pa.ListArray.from_arrays(bounds, _chunk(p["positions"])).cast(
+                    pa.list_(pa.list_(pa.uint32()))
+                ),
+                "doc_id": pa.nulls(n_runs, type=pa.uint64()),
+                "repo": nulls_s,
+                "path": nulls_s,
+                "commit": nulls_s,
+                "lang": nulls_s,
+                "doc_len": pa.nulls(n_runs, type=pa.uint32()),
+                "content_sha": nulls_s,
+            },
+            schema=UNIFIED_SCHEMA,
+        )
+
+        # ---- docmap rows ---------------------------------------------
+        seg = (doc_ids % np.uint64(cfg.num_segments)).astype(np.int64)
+        meta_part = (n_posting_parts + seg).astype(np.int32)
+        doc_len = token_counts(lists).astype(np.uint32)
+        n = len(batch)
+
+        def col(name: str) -> pa.Array:
+            if name in batch.column_names:
+                c = batch[name]
+                return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            return pa.array([""] * n, type=pa.string())
+
+        meta_tbl = pa.table(
+            {
+                "part": pa.array(meta_part, type=pa.int32()),
+                "term": pa.nulls(n, type=pa.string()),
+                "doc_ids": pa.nulls(n, type=pa.list_(pa.uint64())),
+                "tfs": pa.nulls(n, type=pa.list_(pa.uint32())),
+                "positions": pa.nulls(n, type=pa.list_(pa.list_(pa.uint32()))),
+                "doc_id": pa.array(doc_ids, type=pa.uint64()),
+                "repo": col("repo"),
+                "path": col("path"),
+                "commit": col("commit"),
+                "lang": col("lang"),
+                "doc_len": pa.array(doc_len, type=pa.uint32()),
+                "content_sha": sha256_hex(batch["content"]),
+            },
+            schema=UNIFIED_SCHEMA,
+        )
+        if self.done_parts:
+            mask = np.isin(
+                meta_part, np.fromiter(self.done_parts, dtype=np.int32), invert=True
+            )
+            meta_tbl = meta_tbl.filter(pa.array(mask))
+        return pa.concat_tables([post_tbl, meta_tbl]).combine_chunks()
+
+
+def _chunk(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
 class DocMeta:

@@ -175,3 +175,41 @@ def test_decode_block_out_of_range():
     enc = codec.encode_postings(np.array([1, 2], dtype=np.uint64), np.array([1, 1], dtype=np.uint64))
     with pytest.raises(IndexError):
         codec.decode_block(enc, 5)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=2**40)),
+        min_size=0,
+        max_size=300,
+    ),
+    st.sampled_from([4, 128]),
+)
+@settings(max_examples=60)
+def test_bulk_encode_matches_per_term(pairs, block_size):
+    """encode_postings_bulk must produce byte/metadata-identical output
+    to per-term encode_postings."""
+    # build sorted (term, doc) postings with unique doc per term
+    by_term = {}
+    for t, d in pairs:
+        by_term.setdefault(t, set()).add(d)
+    terms = sorted(by_term)
+    doc_list, bounds = [], [0]
+    for t in terms:
+        docs = sorted(by_term[t])
+        doc_list.extend(docs)
+        bounds.append(len(doc_list))
+    doc = np.array(doc_list, dtype=np.uint64)
+    tf = (doc % np.uint64(13)) + np.uint64(1)
+    bulk = codec.encode_postings_bulk(doc, tf, np.array(bounds, dtype=np.int64), block_size)
+    for i, t in enumerate(terms):
+        s, e = bounds[i], bounds[i + 1]
+        enc = codec.encode_postings(doc[s:e], tf[s:e], block_size=block_size)
+        assert bulk["counts"][i] == enc.count
+        assert bulk["doc_blob_buf"][bulk["doc_blob_offsets"][i]:bulk["doc_blob_offsets"][i+1]] == enc.doc_blob
+        assert bulk["tf_blob_buf"][bulk["tf_blob_offsets"][i]:bulk["tf_blob_offsets"][i+1]] == enc.tf_blob
+        ls, le = bulk["block_list_offsets"][i], bulk["block_list_offsets"][i + 1]
+        assert bulk["block_last"][ls:le].tolist() == enc.block_last.tolist()
+        assert bulk["block_max_tf"][ls:le].tolist() == enc.block_max_tf.tolist()
+        assert bulk["block_doc_off"][ls:le].tolist() == enc.block_doc_off.tolist()
+        assert bulk["block_tf_off"][ls:le].tolist() == enc.block_tf_off.tolist()
