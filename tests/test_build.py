@@ -219,3 +219,37 @@ def test_resume_after_failure(ray_session, corpus, tmp_path):
     # and no torn partition files remain
     for p in json.loads(full_manifest)["postings_parts"]:
         assert os.path.exists(os.path.join(d_resume, p["path"]))
+
+
+# ---------------------------------------------------- frozen query set
+def test_frozen_query_set_rank_identity(engine, oracle):
+    """All 200 frozen queries (FIXTURES.md §4): engine vs oracle,
+    score-identical, plus CHASM transport round-trip."""
+    import os
+
+    from chearch_ray.functions import chasm as chasm_mod
+    from chearch_ray.sources import queries as qmod
+
+    df_by_term = {t: len(d) for t, d in oracle.postings.items()}
+    path = os.path.join(os.path.dirname(__file__), "data", "queries.jsonl")
+    entries = qmod.frozen_query_set(df_by_term, seed=42)
+    if not os.path.exists(path):
+        qmod.save_query_set(entries, path)
+    else:
+        # the frozen file must stay frozen: regeneration is identical
+        with open(path) as f:
+            on_disk = [line.strip() for line in f if line.strip()]
+        import json
+
+        assert on_disk == [json.dumps(e, sort_keys=True) for e in entries]
+
+    loaded = qmod.load_query_set(path)
+    assert len(loaded) == qmod.QUERY_SET_SIZE
+    for node, chasm_bytes in loaded:
+        # transport round-trip: hex decodes to the int-term tree
+        assert chasm_mod.parse_chasm(chasm_bytes) == qmod._int_tree(node)
+        _check_bm25(engine, oracle, node, k=10)
+        assert (
+            engine.search_boolean(node)["doc_id"].to_pylist()
+            == oracle.boolean_search(node)
+        )
