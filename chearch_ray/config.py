@@ -66,6 +66,11 @@ class EngineConfig:
     k1: float = 1.2
     b: float = 0.75
 
+    #: exact MaxScore pruning for disjunctive top-k (term score upper
+    #: bounds from the skip blocks' max tf); result-identical to the
+    #: exhaustive scorer.
+    use_maxscore: bool = True
+
     # ---- query --------------------------------------------------------
     #: per-partition result cap in boolean mode (reference partitionLimit,
     #: search.chpl:17).

@@ -83,3 +83,83 @@ class WireServer:
         program = parse_request(request)
         results = self.index.query_chasm(program)
         return encode_response(results)
+
+
+class WireEngine:
+    """Serving adapter over the scale engine (state/engine.QueryEngine):
+    the same request/response byte contract, served from the built
+    Parquet index instead of the in-memory conformance index.
+
+    Adaptation notes (documented divergence from the reference):
+    * CHASM terms are uint32 ids; they resolve to index terms via the
+      stable term-id hash (sources/queries.term_id32) over the index
+      vocabulary.  Unknown ids behave as missing terms (0 rows).
+    * Result rows are posting-level (term id, first position capped at
+      255, doc id) like the reference, but ordered by ASCENDING doc id
+      — the scale engine's canonical order — rather than the
+      reference's newest-first insertion order (SURVEY.md §2.6 O1).
+    """
+
+    def __init__(self, engine):
+        from chearch_ray import ast as ast_mod
+        from chearch_ray.sources.queries import term_id32
+
+        self._ast = ast_mod
+        self.engine = engine
+        self._term_by_id = {term_id32(t): t for t in engine._df}
+
+    def _resolve(self, node):
+        ast_mod = self._ast
+        if isinstance(node, ast_mod.Term):
+            term = self._term_by_id.get(int(node.term))
+            return ast_mod.Term(term if term is not None else f"__unknown_{node.term}__")
+        cls = ast_mod.And if isinstance(node, ast_mod.And) else ast_mod.Or
+        return cls(self._resolve(node.a), self._resolve(node.b))
+
+    def _match_terms(self, node):
+        """Query terms in the merge emit order (A side first — the
+        last-pushed operand, FIXTURES.md §1)."""
+        return [str(t) for t in self._ast.terms_of(node)]
+
+    def handle(self, request: bytes) -> bytes:
+        from chearch_ray.functions import chasm as chasm_mod
+        from chearch_ray.sources.queries import term_id32
+
+        program = parse_request(request)
+        int_tree = chasm_mod.parse_chasm(program)
+        tree = self._resolve(int_tree)
+        docs = self.engine.search_boolean(tree)["doc_id"].to_pylist()
+        terms = self._match_terms(tree)
+        searchers = (
+            self.engine._local if not self.engine.use_actors else None
+        )
+        records: list[QueryResult] = []
+        for doc in docs:
+            for term in terms:
+                first = self._first_position(term, doc, searchers)
+                if first is None:
+                    continue
+                records.append(
+                    QueryResult(
+                        term=term_id32(term),
+                        text_location=min(first, 255),
+                        external_doc_id=int(doc),
+                    )
+                )
+                if len(records) >= MAX_RESPONSE_RECORDS:
+                    return encode_response(records)
+        return encode_response(records)
+
+    def _first_position(self, term: str, doc: int, searchers):
+        seg = int(doc) % self.engine.cfg.num_segments
+        if searchers is not None:
+            for s in searchers:
+                if s.seg == seg:
+                    return s.first_position(term, doc)
+            return None
+        import ray
+
+        for i, actor_seg in enumerate(self.engine.segments):
+            if actor_seg == seg:
+                return ray.get(self.engine._actors[i].first_position.remote(term, doc))
+        return None

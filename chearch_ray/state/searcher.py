@@ -132,6 +132,10 @@ class SegmentSearcher:
         docs = docs[:cap]
         return self._project(docs, scores=None)
 
+    def max_tf(self, term: str) -> int:
+        reader = self.shards.get(self._sharder.shard_of(term))
+        return 0 if reader is None else reader.max_tf(term)
+
     # --------------------------------------------------------- BM25 mode
     def search_bm25(
         self,
@@ -142,6 +146,15 @@ class SegmentSearcher:
     ) -> pa.Table:
         if self.docmap is None:
             return self._project(_EMPTY_U64, scores=np.empty(0))
+        if (
+            self.cfg.use_maxscore
+            and isinstance(node, ast.Or)
+            and ast.is_disjunctive(node)
+        ):
+            terms = [str(t) for t in ast.terms_of(node)]
+            if len(terms) >= 2:
+                docs, scores = self._maxscore_disjunctive(terms, k, idfs, avgdl)
+                return self._project(docs, scores=scores)
         candidates = self._eval_sets(node)
         if len(candidates) == 0:
             return self._project(candidates, scores=np.empty(0))
@@ -163,6 +176,82 @@ class SegmentSearcher:
             scores[mask] += bm25_component(tf, dl, idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b)
         order = topk_order(scores, candidates, k)
         return self._project(candidates[order], scores=scores[order])
+
+    def _score_docs(
+        self, docs: np.ndarray, terms: list[str], idfs: dict[str, float], avgdl: float
+    ) -> np.ndarray:
+        """Full BM25 score of `docs` over every query term — identical
+        float semantics to the candidate-scoring loop in search_bm25."""
+        cfg = self.cfg
+        dl_all = self.docmap.lengths_for(docs)
+        scores = np.zeros(len(docs), dtype=np.float64)
+        for term in terms:
+            p_docs, p_tfs = self.postings(term)
+            if len(p_docs) == 0:
+                continue
+            pos = np.searchsorted(p_docs, docs)
+            pos_c = np.minimum(pos, len(p_docs) - 1)
+            mask = p_docs[pos_c] == docs
+            if not mask.any():
+                continue
+            tf = p_tfs[pos_c[mask]].astype(np.float64)
+            scores[mask] += bm25_component(
+                tf, dl_all[mask], idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b
+            )
+        return scores
+
+    def _maxscore_disjunctive(
+        self, terms: list[str], k: int, idfs: dict[str, float], avgdl: float
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact MaxScore pruning for pure disjunctions (north-star
+        block-max machinery): terms are processed in descending
+        score-upper-bound order (UB from the skip blocks' max tf, with
+        the dl-independent bound 1-b+b*dl/avgdl >= 1-b); once the
+        summed UB of unprocessed terms falls strictly below the k-th
+        best score, no unseen document can enter the top-k, so their
+        postings are never decoded.  Result is IDENTICAL to the
+        exhaustive path (strict < keeps doc_id tie-breaks exact)."""
+        cfg = self.cfg
+        ubs = []
+        for t in terms:
+            mtf = float(self.max_tf(t))
+            ub = (
+                idfs.get(t, 0.0) * (mtf * (cfg.k1 + 1.0)) / (mtf + cfg.k1 * (1.0 - cfg.b))
+                if mtf > 0
+                else 0.0
+            )
+            ubs.append(ub)
+        # expansion order: UB desc.  Scoring ALWAYS runs in the
+        # original query-term order — float accumulation order is part
+        # of the oracle rank-identity contract.
+        score_terms = list(terms)
+        order = sorted(range(len(terms)), key=lambda i: -ubs[i])
+        terms = [terms[i] for i in order]
+        ubs = np.array([ubs[i] for i in order])
+
+        cand = _EMPTY_U64
+        cand_scores = np.empty(0, dtype=np.float64)
+        for e in range(len(terms)):
+            remaining_ub = float(ubs[e:].sum())
+            if len(cand) >= k:
+                kth = cand_scores[topk_order(cand_scores, cand, k)[-1]]
+                if remaining_ub < kth:
+                    break
+            docs_e = self.postings(terms[e])[0]
+            if len(docs_e) == 0:
+                continue
+            if len(cand):
+                new = docs_e[~np.isin(docs_e, cand, assume_unique=True)]
+            else:
+                new = docs_e
+            if len(new):
+                new_scores = self._score_docs(new, score_terms, idfs, avgdl)
+                cand = np.concatenate([cand, new])
+                cand_scores = np.concatenate([cand_scores, new_scores])
+                srt = np.argsort(cand, kind="stable")
+                cand, cand_scores = cand[srt], cand_scores[srt]
+        sel = topk_order(cand_scores, cand, k)
+        return cand[sel], cand_scores[sel]
 
     # -------------------------------------------------------- projection
     def _project(self, doc_ids: np.ndarray, scores: np.ndarray | None) -> pa.Table:
@@ -213,3 +302,14 @@ class SegmentSearcher:
                 t.append_column("query_id", pa.array([qid] * len(t), type=pa.int64()))
             )
         return pa.concat_tables(tables)
+
+    def first_position(self, term: str, doc_id: int):
+        """First token position of `term` in `doc_id`, 0 when the doc
+        matches but positions are not stored, None when the doc does
+        not contain the term (serving-layer helper)."""
+        docs, _ = self.postings(term)
+        i = int(np.searchsorted(docs, np.uint64(doc_id)))
+        if i >= len(docs) or docs[i] != np.uint64(doc_id):
+            return None
+        pos = self.positions(term, doc_id)
+        return int(pos[0]) if pos else 0

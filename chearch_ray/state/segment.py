@@ -246,6 +246,15 @@ class PostingsPartReader:
         i = self._terms.get(term)
         return 0 if i is None else int(self._count[i])
 
+    def max_tf(self, term: str) -> int:
+        """term-level tf upper bound from the skip-block metadata
+        (max over block_max_tf) — no posting decode needed."""
+        i = self._terms.get(term)
+        if i is None:
+            return 0
+        blocks = self._block_max_tf[i].values
+        return int(pa.compute.max(blocks).as_py()) if len(blocks) else 0
+
     def encoded(self, term: str) -> EncodedPostings | None:
         i = self._terms.get(term)
         if i is None:

@@ -253,3 +253,54 @@ def test_frozen_query_set_rank_identity(engine, oracle):
             engine.search_boolean(node)["doc_id"].to_pylist()
             == oracle.boolean_search(node)
         )
+
+
+# ----------------------------------------------------------- MaxScore
+def test_maxscore_identical_to_exhaustive(engine, oracle):
+    """Pruned disjunctive path must return byte-identical results to
+    the exhaustive scorer (and therefore the oracle) — including
+    doc_id tie-breaks at the k-th score."""
+    import dataclasses
+
+    from chearch_ray.state.searcher import SegmentSearcher
+
+    cfg_off = dataclasses.replace(CFG, use_maxscore=False)
+    plain = [SegmentSearcher(engine.index_dir, s, cfg_off) for s in engine.segments]
+    rng = np.random.default_rng(7)
+    terms = sorted(oracle.postings)
+    for _ in range(30):
+        picks = [terms[int(i)] for i in rng.integers(0, len(terms), int(rng.integers(2, 6)))]
+        node = ast.Term(picks[0])
+        for t in picks[1:]:
+            node = ast.Or(node, ast.Term(t))
+        idfs = engine.idfs_for(node)
+        for seg, searcher in enumerate(plain):
+            pruned = engine._local[seg].search_bm25(node, 10, idfs, engine.avgdl)
+            exact = searcher.search_bm25(node, 10, idfs, engine.avgdl)
+            assert pruned["doc_id"].to_pylist() == exact["doc_id"].to_pylist(), node
+            assert pruned["score"].to_pylist() == exact["score"].to_pylist(), node
+        _check_bm25(engine, oracle, node)
+
+
+@pytest.mark.parametrize("depth", [2, 4])
+def test_hypothesis_random_trees(engine, oracle, depth):
+    """Random AND/OR trees vs oracle (SURVEY.md §5d)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    terms = sorted(oracle.postings)
+
+    @st.composite
+    def trees(draw, d=depth):
+        if d == 0 or draw(st.booleans()):
+            return ast.Term(terms[draw(st.integers(0, len(terms) - 1))])
+        cls = draw(st.sampled_from([ast.And, ast.Or]))
+        return cls(draw(trees(d=d - 1)), draw(trees(d=d - 1)))
+
+    @given(trees())
+    @settings(max_examples=25, deadline=None)
+    def run(tree):
+        assert _bool_docs(engine, tree) == oracle.boolean_search(tree)
+        _check_bm25(engine, oracle, tree)
+
+    run()

@@ -142,3 +142,43 @@ def test_media_real_backend_raises():
         stage(synthesize_media_table(2))
     with pytest.raises(ValueError):
         MediaFeatureExtract(backend="nope")
+
+
+def test_wire_engine_over_built_index(ray_session, tmp_path):
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.oracle import OracleIndex
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.serve import WireEngine, build_request, decode_response
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.sources.queries import term_id32
+    from chearch_ray.state.engine import QueryEngine
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    corpus = synthetic_corpus(120, seed=42)
+    build_index(ray.data.from_arrow(corpus), str(tmp_path / "widx"), cfg)
+    eng = QueryEngine(str(tmp_path / "widx"), use_actors=False)
+    oracle = OracleIndex(corpus, cfg)
+    wire = WireEngine(eng)
+
+    term = max(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    tid = term_id32(term)
+    req = build_request(_program(tid))
+    rows = decode_response(wire.handle(req))
+    assert 0 < len(rows) <= 8
+    expect_docs = oracle.boolean_search(ast.Term(term))[: len(rows)]
+    assert [r.external_doc_id for r in rows] == expect_docs
+    for r in rows:
+        assert r.term == tid
+        doc_positions = oracle.positions[term][r.external_doc_id]
+        assert r.text_location == min(doc_positions[0], 255)
+
+    # AND of two hot terms through the wire
+    t2 = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))[1]
+    req2 = build_request(_program(term_id32(t2), tid, "and"))
+    rows2 = decode_response(wire.handle(req2))
+    and_docs = oracle.boolean_search(ast.And(ast.Term(t2), ast.Term(term)))
+    assert {r.external_doc_id for r in rows2} <= set(and_docs)
+    # unknown term id -> empty
+    assert wire.handle(build_request(_program(12345))) == b""
