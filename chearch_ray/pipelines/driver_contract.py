@@ -154,6 +154,36 @@ def q_bm25_or(sf_dir: str) -> pa.Table:
     return _ranked(engine_for(sf_dir).search(ast.Or(ast.Term(a), ast.Term(b)), k=10))
 
 
+#: mixed tree: (merge OR window) AND sort
+BM25_TREE_TERMS = ("merge", "window", "sort")
+
+
+def q_bm25_tree(sf_dir: str) -> pa.Table:
+    a, b, c = BM25_TREE_TERMS
+    tree = ast.And(ast.Or(ast.Term(a), ast.Term(b)), ast.Term(c))
+    return _ranked(engine_for(sf_dir).search(tree, k=10))
+
+
+def q_embedding_neardup(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.similarity import embedding_neardup_pairs
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    dim = len(pq.read_table(emb_path, columns=["embedding"])["embedding"][0])
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = embedding_neardup_pairs(ds, dim=dim, threshold=0.9).to_pandas()
+    if len(out.columns) == 0:  # no pairs -> keep a stable schema
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_missing_term(sf_dir: str) -> pa.Table:
     t = engine_for(sf_dir).search_boolean(ast.Term("__never_present__"))
     return pa.table({"doc_id": t["doc_id"].cast(pa.int64())})
@@ -291,12 +321,14 @@ QUERIES = {
     "bm25_single": q_bm25_single,
     "bm25_and": q_bm25_and,
     "bm25_or": q_bm25_or,
+    "bm25_tree": q_bm25_tree,
     "missing_term": q_missing_term,
     "dedup_exact": q_dedup_exact,
     "content_sha": q_content_sha,
     "lang_counts": q_lang_counts,
     "knn_cosine": q_knn_cosine,
     # rows-only (non-SQL-expressible)
+    "embedding_neardup": q_embedding_neardup,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
@@ -307,15 +339,16 @@ QUERIES = {
 
 
 # ---------------------------------------------------------- oracle SQL
-def _bm25_sql(terms: tuple[str, ...], mode: str, k: int = 10) -> str:
+def _bm25_sql(terms: tuple[str, ...], mode: str, k: int = 10, cand_sql: str | None = None) -> str:
     term_list = ", ".join(f"'{t}'" for t in terms)
-    cand = (
-        " INTERSECT ".join(
+    if cand_sql is not None:
+        cand = cand_sql
+    elif mode == "and":
+        cand = " INTERSECT ".join(
             f"SELECT DISTINCT doc_id FROM tok WHERE term = '{t}'" for t in terms
         )
-        if mode == "and"
-        else f"SELECT DISTINCT doc_id FROM tok WHERE term IN ({term_list})"
-    )
+    else:
+        cand = f"SELECT DISTINCT doc_id FROM tok WHERE term IN ({term_list})"
     return f"""
 WITH {TOK_CTE},
 dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
@@ -386,6 +419,15 @@ SELECT DISTINCT doc_id FROM tok WHERE term IN ('{BOOL_OR_TERMS[0]}', '{BOOL_OR_T
     "bm25_single": _bm25_sql((BM25_TERM,), "or"),
     "bm25_and": _bm25_sql(BM25_AND_TERMS, "and"),
     "bm25_or": _bm25_sql(BM25_OR_TERMS, "or"),
+    "bm25_tree": _bm25_sql(
+        BM25_TREE_TERMS,
+        "tree",
+        cand_sql=(
+            f"SELECT doc_id FROM (SELECT DISTINCT doc_id FROM tok WHERE term IN "
+            f"('{BM25_TREE_TERMS[0]}', '{BM25_TREE_TERMS[1]}') "
+            f"INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TREE_TERMS[2]}')"
+        ),
+    ),
     "missing_term": f"""
 WITH {TOK_CTE}
 SELECT doc_id FROM tok WHERE term = '__never_present__'

@@ -199,3 +199,72 @@ def read_documents_corpus(sf_dir: str):
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     return ds.map_batches(documents_batch_to_corpus, batch_format="pyarrow")
+
+
+# ------------------------------------------------ generic corpus readers
+def read_corpus(path_or_paths, fmt: str = "parquet", text_column: str | None = None):
+    """Read a corpus into the engine's input shape from other source
+    formats (SURVEY.md §2.1 — the reference has only a synthetic
+    source; these are the practical ingestion paths):
+
+    - parquet: columns used as-is (must include `content`, or map via
+      text_column)
+    - json / csv: same column contract
+    - text: one document per line, repo/path synthesized from the file
+      path and line ordinal
+    """
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    readers = {
+        "parquet": ray.data.read_parquet,
+        "json": ray.data.read_json,
+        "csv": ray.data.read_csv,
+    }
+    if fmt == "text":
+        ds = ray.data.read_text(path_or_paths)
+
+        def to_corpus(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "repo": pa.array(["textfile"] * n),
+                    "path": pa.array([f"line/{i}" for i in range(n)]),
+                    "commit": pa.array([""] * n),
+                    "lang": pa.array(["txt"] * n),
+                    "content": batch["text"],
+                }
+            )
+
+        return ds.map_batches(to_corpus, batch_format="pyarrow")
+    if fmt not in readers:
+        raise ValueError(f"unsupported corpus format {fmt!r}")
+    ds = readers[fmt](path_or_paths)
+    if text_column and text_column != "content":
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                ["content" if c == text_column else c for c in batch.column_names]
+            )
+
+        ds = ds.map_batches(rename, batch_format="pyarrow")
+    return ds
+
+
+def plan_partitions(n_docs: int, target_part_mb: int = 512, avg_doc_tokens: int = 300):
+    """Partitioning plan for a corpus size (scale story): doc-hash
+    segments capped at 2^24 docs each (the reference segment cap,
+    documentid.chpl:24) and enough term shards that one partition's
+    postings stay well under `target_part_mb` (keeps the per-partition
+    finalize task memory bounded and the int32 blob offsets safe).
+
+    At 10^12 files this yields ~6e4 segments x O(10) shards — the
+    build's groupby key space — while the sandbox scales get 1-4
+    segments."""
+    max_docs_per_segment = 1 << 24
+    num_segments = max(1, -(-n_docs // max_docs_per_segment))
+    docs_per_segment = -(-n_docs // num_segments)
+    # ~5 bytes per posting (delta varint + tf) at avg_doc_tokens/doc
+    seg_postings_mb = docs_per_segment * avg_doc_tokens * 5 / 1e6
+    num_term_shards = max(4, min(256, -(-int(seg_postings_mb) // target_part_mb) * 4))
+    return num_segments, num_term_shards

@@ -170,3 +170,19 @@ def test_fingerprint_deterministic_and_discriminative(docs):
     assert (f1 == f2).all()
     assert f1[1] == f1[2]  # identical docs
     assert f1[1] != f1[6]
+
+
+def test_read_corpus_text_and_planner(ray_session, tmp_path):
+    from chearch_ray.sources.corpus import plan_partitions, read_corpus
+
+    p = tmp_path / "docs.txt"
+    p.write_text("hello world\nfoo bar baz\n")
+    ds = read_corpus(str(p), fmt="text")
+    out = ds.to_pandas()
+    assert list(out["content"]) == ["hello world", "foo bar baz"]
+    assert set(out.columns) == {"repo", "path", "commit", "lang", "content"}
+
+    assert plan_partitions(500) == (1, 4)
+    segs, shards = plan_partitions(10**12)
+    assert segs * (1 << 24) >= 10**12
+    assert 4 <= shards <= 256
