@@ -115,7 +115,46 @@ def run_bench() -> dict:
     for node in batch:
         eng.search_boolean(node)
     timings["boolean_qps"] = len(batch) / (time.perf_counter() - t0)
+
+    # batched BM25 via search_many: one remote call per segment per
+    # batch instead of per query
+    t0 = time.perf_counter()
+    eng.search_many(batch, k=10)
+    timings["bm25_batch_qps"] = len(batch) / (time.perf_counter() - t0)
     eng.close()
+
+    # in-process (actorless) latency — comparable to the reference's
+    # single-locale "10s of microseconds" claim (README.md:30): no
+    # actor round-trip, postings decode-cached
+    eng_local = QueryEngine(index_dir, use_actors=False)
+
+    def p50_local(node, reps=QUERY_REPS):
+        eng_local.search(node, k=10)
+        samples = []
+        for _ in range(reps):
+            t = time.perf_counter()
+            eng_local.search(node, k=10)
+            samples.append((time.perf_counter() - t) * 1e3)
+        return statistics.median(samples)
+
+    timings["bm25_single_local_p50_ms"] = p50_local(q_single)
+    timings["bm25_and_local_p50_ms"] = p50_local(q_and)
+    timings["missing_local_p50_ms"] = p50_local(q_missing)
+
+    # boolean local p50: the apples-to-apples analogue of the
+    # reference's B lines (boolean retrieval capped at partitionLimit,
+    # no scoring — its "10s of microseconds" claim, README.md:30)
+    def p50_bool(node, reps=QUERY_REPS):
+        eng_local.search_boolean(node)
+        samples = []
+        for _ in range(reps):
+            t = time.perf_counter()
+            eng_local.search_boolean(node)
+            samples.append((time.perf_counter() - t) * 1e3)
+        return statistics.median(samples)
+
+    timings["boolean_single_local_p50_ms"] = p50_bool(q_known)
+    timings["boolean_missing_local_p50_ms"] = p50_bool(q_missing)
 
     # ---- sf-dir pipelines (driver testdata shapes) ------------------
     from chearch_ray.pipelines import driver_contract as dc
