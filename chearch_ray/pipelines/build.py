@@ -53,14 +53,23 @@ def build_index(
     index_dir: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
     resume: bool = True,
+    dedup: str = "none",
 ) -> Manifest:
     """Build (or resume building) an index from a corpus Dataset with
     columns (repo, path, commit, lang, content) — or any subset
     including at least `content`, plus optionally a precomputed uint64
-    `doc_id` column (driver testdata `documents` shape)."""
+    `doc_id` column (driver testdata `documents` shape).
+
+    dedup: "none" (default — row-for-row parity with the input, and
+    the reference is append-only, search.chpl:38-39) or "exact"
+    (sha256(content) dedup before indexing, min doc key wins)."""
     if resume and seg_io.manifest_exists(index_dir):
         return Manifest.load(index_dir)
     os.makedirs(index_dir, exist_ok=True)
+    if dedup == "exact":
+        corpus = exact_dedup_corpus(corpus)
+    elif dedup != "none":
+        raise ValueError(f"unknown dedup mode {dedup!r}")
 
     done_postings = frozenset(seg_io.completed_parts(index_dir, "postings")) if resume else frozenset()
     done_docmap = frozenset(seg_io.completed_parts(index_dir, "docmap")) if resume else frozenset()
@@ -105,6 +114,32 @@ def build_index(
     return commit_manifest(index_dir, cfg)
 
 
+def exact_dedup_corpus(corpus):
+    """sha256(content) dedup over the corpus shape; the winner is the
+    minimum doc key (doc_id if present, else (repo, path, commit)) so
+    the result is deterministic regardless of block order."""
+    from functools import partial
+
+    from chearch_ray.stages.dedup import add_content_sha
+
+    with_sha = corpus.map_batches(
+        partial(add_content_sha, text_column="content"), batch_format="pyarrow"
+    )
+    return with_sha.groupby("content_sha").map_groups(
+        _keep_min_doc_key, batch_format="pyarrow"
+    )
+
+
+def _keep_min_doc_key(group: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    if len(group) <= 1:
+        return group.drop_columns(["content_sha"])
+    keys = [c for c in ("doc_id", "repo", "path", "commit") if c in group.column_names]
+    order = pc.sort_indices(group, sort_keys=[(c, "ascending") for c in keys])
+    return group.take(order[:1]).drop_columns(["content_sha"])
+
+
 def _partitioned_shuffle(unified, index_dir: str, cfg: EngineConfig, done: frozenset) -> None:
     """Explicit two-phase shuffle (the scale path — see config
     .shuffle_mode): stage 1 streams the unified rows into
@@ -130,6 +165,8 @@ def _partitioned_shuffle(unified, index_dir: str, cfg: EngineConfig, done: froze
         # snappy: the runs are transient (deleted after finalize), so
         # cheap compression beats ratio
         unified.write_parquet(run_dir, partition_cols=["part"], compression="snappy")
+        if os.environ.get("CHEARCH_RAY_BUILD_STATS"):
+            print(unified.stats())
         with open(marker, "w") as f:
             f.write("ok")
 
@@ -140,18 +177,17 @@ def _partitioned_shuffle(unified, index_dir: str, cfg: EngineConfig, done: froze
         if part not in done:
             items.append({"part": part, "dir": d})
     if items:
-        (
-            # one block per partition so each finalize runs as its own
-            # task (from_items packs everything into one block otherwise)
-            ray.data.from_items(items, override_num_blocks=len(items))
-            .map_batches(
-                partial(_finalize_from_runs, cfg=cfg, index_dir=index_dir),
-                batch_format="pyarrow",
-                batch_size=1,
-                num_cpus=1,
-            )
-            .take_all()
+        # one block per partition so each finalize runs as its own
+        # task (from_items packs everything into one block otherwise)
+        finalize_ds = ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+            partial(_finalize_from_runs, cfg=cfg, index_dir=index_dir),
+            batch_format="pyarrow",
+            batch_size=1,
+            num_cpus=1,
         )
+        finalize_ds.take_all()
+        if os.environ.get("CHEARCH_RAY_BUILD_STATS"):
+            print(finalize_ds.stats())
     shutil.rmtree(run_dir, ignore_errors=True)
 
 

@@ -58,6 +58,20 @@ def bm25_component(
     return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two sorted unique arrays via binary-search
+    probing of the smaller into the larger — O(min · log max), vs
+    np.intersect1d's O((m+n) log(m+n)) concat-sort.  The asymmetric
+    case (rare AND hot term) is the common conjunctive query."""
+    if len(a) > len(b):
+        a, b = b, a
+    if len(a) == 0:
+        return a
+    idx = np.searchsorted(b, a)
+    idx_c = np.minimum(idx, len(b) - 1)
+    return a[b[idx_c] == a]
+
+
 def topk_order(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
     """indices of the top-k by (score desc, doc_id asc), deterministic."""
     if len(scores) > 4 * k > 0:
@@ -121,7 +135,7 @@ class SegmentSearcher:
         a = self._eval_sets(node.a)
         b = self._eval_sets(node.b)
         if isinstance(node, ast.And):
-            return np.intersect1d(a, b, assume_unique=True)
+            return intersect_sorted(a, b)
         return np.union1d(a, b)
 
     def search_boolean(self, node: ast.Node, limit: int | None = None) -> pa.Table:

@@ -304,3 +304,32 @@ def test_hypothesis_random_trees(engine, oracle, depth):
         _check_bm25(engine, oracle, tree)
 
     run()
+
+
+def test_build_with_exact_dedup(ray_session, tmp_path):
+    """dedup='exact' collapses identical content before indexing."""
+    import ray.data
+
+    base = synthetic_corpus(40, seed=42)
+    dup = base.slice(0, 10)  # duplicate first 10 docs (diff repo keys)
+    dup = dup.set_column(
+        dup.schema.get_field_index("repo"),
+        "repo",
+        pa.array(["dup/" + r for r in dup["repo"].to_pylist()]),
+    )
+    corpus2 = pa.concat_tables([base, dup])
+    m = build_index(ray.data.from_arrow(corpus2), str(tmp_path / "dd"), CFG, dedup="exact")
+    assert m.num_docs == 40  # duplicates collapsed
+    m2 = build_index(ray.data.from_arrow(corpus2), str(tmp_path / "nd"), CFG)
+    assert m2.num_docs == 50  # default keeps row-for-row parity
+
+
+def test_intersect_sorted_matches_numpy():
+    from chearch_ray.state.searcher import intersect_sorted
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        a = np.unique(rng.integers(0, 500, size=int(rng.integers(0, 80)))).astype(np.uint64)
+        b = np.unique(rng.integers(0, 500, size=int(rng.integers(0, 400)))).astype(np.uint64)
+        assert intersect_sorted(a, b).tolist() == np.intersect1d(a, b).tolist()
+        assert intersect_sorted(b, a).tolist() == np.intersect1d(a, b).tolist()
