@@ -1,0 +1,132 @@
+"""CLI — the analogue of the reference's `chearch` / `chearch_srv`
+binaries (chearch.chpl:main, chearch_srv.chpl:main).
+
+    python -m chearch_ray build  --input DIR_OR_FILE --index DIR
+                                 [--format parquet|json|csv|text]
+                                 [--segments N] [--shards N] [--dedup exact]
+    python -m chearch_ray search --index DIR --query "terms..."
+                                 [--k 10] [--op or|and] [--boolean]
+    python -m chearch_ray serve  --index DIR   (reads hex request lines
+                                 on stdin, writes hex responses — the
+                                 TCP byte contract without the socket)
+
+Owns its Ray session (guarded init; the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.sources.corpus import read_corpus
+
+    cfg = EngineConfig(num_segments=args.segments, num_term_shards=args.shards)
+    corpus = read_corpus(args.input, fmt=args.format, text_column=args.text_column)
+    manifest = build_index(corpus, args.index, cfg, dedup=args.dedup)
+    print(
+        f"built {manifest.num_docs} docs, {len(manifest.postings_parts)} posting "
+        f"partitions, avgdl={manifest.avgdl:.2f} -> {args.index}"
+    )
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from chearch_ray.state.engine import QueryEngine
+
+    eng = QueryEngine(args.index, use_actors=not args.local)
+    try:
+        if args.boolean:
+            out = eng.search_boolean(args.query, default_op=args.op)
+        else:
+            out = eng.search(args.query, k=args.k, default_op=args.op)
+        for row in out.to_pylist():
+            print(row)
+    finally:
+        eng.close()
+    return 0
+
+
+def cmd_serve(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from chearch_ray.serve import WireEngine
+    from chearch_ray.state.engine import QueryEngine
+
+    eng = QueryEngine(args.index, use_actors=not args.local)
+    wire = WireEngine(eng)
+    try:
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                print(wire.handle(bytes.fromhex(line)).hex(), flush=True)
+            except ValueError as exc:
+                print(f"ERR {exc}", file=sys.stderr, flush=True)
+    finally:
+        eng.close()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="chearch_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--format", default="parquet", choices=["parquet", "json", "csv", "text"])
+    b.add_argument("--text-column", default=None)
+    b.add_argument("--segments", type=int, default=1)
+    b.add_argument("--shards", type=int, default=4)
+    b.add_argument("--dedup", default="none", choices=["none", "exact"])
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--op", default="or", choices=["or", "and"])
+    s.add_argument("--boolean", action="store_true")
+    s.add_argument("--local", action="store_true", help="in-process searchers (no actors)")
+    s.set_defaults(fn=cmd_search)
+
+    v = sub.add_parser("serve")
+    v.add_argument("--index", required=True)
+    v.add_argument("--local", action="store_true")
+    v.set_defaults(fn=cmd_serve)
+
+    args = ap.parse_args(argv)
+    code = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return code
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

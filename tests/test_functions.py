@@ -213,3 +213,13 @@ def test_bulk_encode_matches_per_term(pairs, block_size):
         assert bulk["block_max_tf"][ls:le].tolist() == enc.block_max_tf.tolist()
         assert bulk["block_doc_off"][ls:le].tolist() == enc.block_doc_off.tolist()
         assert bulk["block_tf_off"][ls:le].tolist() == enc.block_tf_off.tolist()
+
+
+def test_sharded_corpus_generation_identical():
+    """write_corpus_parquet's row_range sharding must concatenate to
+    the same table as whole-corpus generation (bench determinism)."""
+    from chearch_ray.sources.corpus import synthetic_corpus
+
+    whole = synthetic_corpus(30, seed=42)
+    parts = [synthetic_corpus(30, seed=42, row_range=(lo, min(30, lo + 7))) for lo in range(0, 30, 7)]
+    assert pa.concat_tables(parts).equals(whole)
