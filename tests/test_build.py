@@ -333,3 +333,30 @@ def test_intersect_sorted_matches_numpy():
         b = np.unique(rng.integers(0, 500, size=int(rng.integers(0, 400)))).astype(np.uint64)
         assert intersect_sorted(a, b).tolist() == np.intersect1d(a, b).tolist()
         assert intersect_sorted(b, a).tolist() == np.intersect1d(a, b).tolist()
+
+
+def test_medium_scale_multi_partition(ray_session, tmp_path):
+    """2,000-doc corpus across 3x5 partitions: stats + rank identity
+    hold at a partition layout closer to production."""
+    import ray.data
+
+    cfg = EngineConfig(num_segments=3, num_term_shards=5, tokenize_batch_size=256)
+    corpus = synthetic_corpus(2000, seed=42)
+    oracle = OracleIndex(corpus, cfg)
+    build_index(ray.data.from_arrow(corpus), str(tmp_path / "m"), cfg)
+    eng = QueryEngine(str(tmp_path / "m"), use_actors=False)
+    assert eng.n_docs == 2000 and eng.avgdl == oracle.avgdl
+    for step in (1, 13, 128):
+        assert eng.df(f"__known_{step}__") == step
+    rng = np.random.default_rng(5)
+    terms = sorted(oracle.postings)
+    for _ in range(15):
+        a, b = (terms[int(i)] for i in rng.integers(0, len(terms), 2))
+        for tree in (ast.And(ast.Term(a), ast.Term(b)), ast.Or(ast.Term(a), ast.Term(b))):
+            got = eng.search(tree, k=10)
+            want = oracle.bm25_search(tree, 10)
+            assert got["doc_id"].to_pylist() == [d for d, _ in want]
+            assert got["score"].to_pylist() == [s for _, s in want]
+            assert (
+                eng.search_boolean(tree)["doc_id"].to_pylist() == oracle.boolean_search(tree)
+            )
