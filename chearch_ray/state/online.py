@@ -1,0 +1,92 @@
+"""Online ingest: the QueuedIndexer analogue + the flush the reference
+lists as TODO.
+
+Reference mapping (SURVEY.md §2.1 S2, §2.3 ST3): the per-locale MPMC
+ring buffer + consumer task (queuedindexer.chpl:13-117) exists because
+Chapel needs explicit producer/consumer decoupling; for BATCH builds
+Ray Data's streaming executor is that queue.  What remains genuinely
+useful online is an ingest endpoint that accepts documents
+incrementally, serves them immediately (from the in-memory conformance
+index semantics), and can FLUSH the accumulated batch into immutable
+on-disk segments — the "flush/read for in-memory indices" the
+reference declares future work (docs/TODO.txt:5).
+
+`OnlineIndexer` is actor-ready: wrap with `ray.remote(OnlineIndexer)`
+for a serving deployment (one actor per ingest shard), or use in
+process for tests.  Flush runs the normal batch build pipeline over
+the buffered rows, so flushed segments are byte-compatible with batch
+builds and queryable by QueryEngine.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from chearch_ray.config import DEFAULT_CONFIG, EngineConfig
+
+
+class OnlineIndexer:
+    """Buffered online ingest with search-before-flush.
+
+    enqueue() -> buffered + searchable immediately (brute force over
+    the buffer — the buffer is bounded by flush_threshold, so this
+    stays small like the reference's in-memory segment); flush() ->
+    batch-build the buffer into an index directory.
+    """
+
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG, flush_threshold: int = 100_000):
+        self.cfg = cfg
+        self.flush_threshold = flush_threshold
+        self._rows: list[dict] = []
+        self._completed = False
+
+    def enqueue_index_request(self, row: dict) -> bool:
+        """row: corpus-shaped dict (repo, path, commit, lang, content).
+        Returns False when the buffer is full (caller should flush —
+        the analogue of addDocument returning false on a full segment,
+        memorysegment.chpl:267-276)."""
+        if self._completed:
+            raise RuntimeError("indexer marked complete")
+        if len(self._rows) >= self.flush_threshold:
+            return False
+        self._rows.append(dict(row))
+        return True
+
+    def pending(self) -> int:
+        return len(self._rows)
+
+    def search_buffered(self, query, k: int = 10):
+        """Query the unflushed buffer (brute force via the oracle path
+        — exact same scoring semantics as the engine)."""
+        from chearch_ray import ast as ast_mod
+        from chearch_ray.oracle import OracleIndex
+        from chearch_ray.state.engine import parse_query
+
+        if not self._rows:
+            return []
+        node = parse_query(query) if not isinstance(query, (ast_mod.Term, ast_mod.And, ast_mod.Or)) else query
+        oracle = OracleIndex(pa.Table.from_pylist(self._rows), self.cfg)
+        return oracle.bm25_search(node, k)
+
+    def flush(self, index_dir: str):
+        """Batch-build the buffer into `index_dir` (manifest commit is
+        the atomic publish); clears the buffer.  Returns the Manifest."""
+        import ray.data
+
+        from chearch_ray.pipelines.build import build_index
+
+        if not self._rows:
+            raise ValueError("nothing to flush")
+        table = pa.Table.from_pylist(self._rows)
+        manifest = build_index(ray.data.from_arrow(table), index_dir, self.cfg, resume=False)
+        self._rows = []
+        return manifest
+
+    def mark_complete_for_indexer(self) -> None:
+        """Poison-pill analogue (queuedindexer.chpl nil request)."""
+        self._completed = True
+
+    def wait_for_indexer(self) -> bool:
+        """Completion latch analogue (release$ single-var); buffered
+        implementation is synchronous, so this just reports state."""
+        return self._completed

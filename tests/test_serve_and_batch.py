@@ -182,3 +182,48 @@ def test_wire_engine_over_built_index(ray_session, tmp_path):
     assert {r.external_doc_id for r in rows2} <= set(and_docs)
     # unknown term id -> empty
     assert wire.handle(build_request(_program(12345))) == b""
+
+
+def test_online_indexer_ingest_flush_query(ray_session, tmp_path):
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.sources.corpus import synth_row
+    from chearch_ray.state.engine import QueryEngine
+    from chearch_ray.state.online import OnlineIndexer
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    idx = OnlineIndexer(cfg, flush_threshold=50)
+    for i in range(50):
+        assert idx.enqueue_index_request(synth_row(i, seed=42))
+    assert not idx.enqueue_index_request(synth_row(50, seed=42))  # full
+    assert idx.pending() == 50
+
+    pre = idx.search_buffered("def return", k=5)
+    manifest = idx.flush(str(tmp_path / "online"))
+    assert manifest.num_docs == 50 and idx.pending() == 0
+
+    eng = QueryEngine(str(tmp_path / "online"), use_actors=False)
+    post = eng.search("def return", k=5)
+    assert post["doc_id"].to_pylist() == [d for d, _ in pre]
+    assert post["score"].to_pylist() == [s for _, s in pre]
+
+    idx.mark_complete_for_indexer()
+    assert idx.wait_for_indexer()
+    with pytest.raises(RuntimeError):
+        idx.enqueue_index_request(synth_row(0))
+
+
+def test_online_indexer_as_actor(ray_session, tmp_path):
+    import ray
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.sources.corpus import synth_row
+    from chearch_ray.state.online import OnlineIndexer
+
+    actor = ray.remote(num_cpus=0.5)(OnlineIndexer).remote(
+        EngineConfig(num_segments=1, num_term_shards=2), 100
+    )
+    ray.get([actor.enqueue_index_request.remote(synth_row(i)) for i in range(20)])
+    assert ray.get(actor.pending.remote()) == 20
+    # flush inside an actor would need its own Ray context; drain to
+    # the driver instead (serving-shard pattern)
+    ray.kill(actor)
