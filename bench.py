@@ -171,7 +171,7 @@ def run_bench() -> dict:
 
     timings = {k: round(v, 4) for k, v in timings.items()}
     result = {
-        "metric": "index_build_sec_20k_synth_corpus",
+        "metric": f"index_build_sec_{BENCH_DOCS}doc_synth_corpus",
         "value": round(build_sec, 3),
         "unit": "sec",
         "queries": timings,
