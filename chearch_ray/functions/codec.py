@@ -243,3 +243,129 @@ def decode_block(
     base = enc.block_last[block - 1] if block > 0 else np.uint64(0)
     doc_ids = base + np.cumsum(deltas, dtype=np.uint64)
     return doc_ids, tfs
+
+
+# ----------------------------------------------------------- BP128 codec
+# Binary packing (FastPFor-family "BP" variant, the PForDelta axis of
+# the north star): per skip block, all deltas after the first are
+# bit-packed at the block's max bit width.  Block layout:
+#   [width: 1 byte][first delta: varint][remaining n-1 deltas packed
+#    LSB-first at `width` bits]
+# The first delta is kept out of the packed payload because absolute
+# doc ids (64-bit hashes) would force width 64 on the first block.
+
+def _bit_width(values: np.ndarray) -> int:
+    if len(values) == 0:
+        return 0
+    m = int(values.max())
+    return max(1, m.bit_length()) if m else 1
+
+
+def _bp_pack(values: np.ndarray, width: int) -> bytes:
+    """LSB-first bit-pack uint64 values at `width` bits each."""
+    if len(values) == 0 or width == 0:
+        return b""
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((values[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def _bp_unpack(buf: np.ndarray, count: int, width: int) -> np.ndarray:
+    if count == 0 or width == 0:
+        return np.empty(0, dtype=np.uint64)
+    bits = np.unpackbits(buf, bitorder="little", count=count * width)
+    weights = np.uint64(1) << np.arange(width, dtype=np.uint64)
+    return (bits.reshape(count, width).astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
+def bp_encode_stream(values: np.ndarray, block_size: int = 128) -> tuple[bytes, np.ndarray]:
+    """delta/tf stream -> (blob, byte offset per block).  `values` are
+    the per-posting values with block semantics identical to the varint
+    codec (delta restart handled by the caller's delta computation)."""
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    chunks: list[bytes] = []
+    offsets = [0]
+    for s in range(0, len(values), block_size):
+        block = values[s : s + block_size]
+        first = block[:1]
+        rest = block[1:]
+        width = _bit_width(rest)
+        payload = bytes([width]) + varint_encode(first) + _bp_pack(rest, width)
+        chunks.append(payload)
+        offsets.append(offsets[-1] + len(payload))
+    return b"".join(chunks), np.array(offsets[:-1], dtype=np.int64)
+
+
+def bp_decode_block_bytes(buf: np.ndarray, count: int) -> np.ndarray:
+    """one block's bytes -> values (count = postings in block)."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    width = int(buf[0])
+    first = varint_decode(buf[1:], 1)
+    ends = np.flatnonzero(buf[1:] < 0x80)
+    varint_len = int(ends[0]) + 1
+    rest = _bp_unpack(buf[1 + varint_len :], count - 1, width)
+    return np.concatenate([first, rest])
+
+
+def bp_decode_stream(
+    blob: bytes, count: int, block_offsets: np.ndarray, block_size: int = 128
+) -> np.ndarray:
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    out = np.empty(count, dtype=np.uint64)
+    n_blocks = len(block_offsets)
+    for i in range(n_blocks):
+        s = int(block_offsets[i])
+        e = int(block_offsets[i + 1]) if i + 1 < n_blocks else len(buf)
+        n = min(block_size, count - i * block_size)
+        out[i * block_size : i * block_size + n] = bp_decode_block_bytes(buf[s:e], n)
+    return out
+
+
+def encode_postings_bp(doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = 128) -> EncodedPostings:
+    """BP128 per-term encoder (same EncodedPostings shape; blobs use
+    the binary-packed block layout).  Delta semantics identical to the
+    varint codec, so decode is cumsum over the same delta stream."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    n = len(doc_ids)
+    if n == 0:
+        z64 = np.empty(0, dtype=np.uint64)
+        z32 = np.empty(0, dtype=np.uint32)
+        zi = np.empty(0, dtype=np.int64)
+        return EncodedPostings(0, b"", b"", z64, z32, zi, zi)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    n_blocks = (n + block_size - 1) // block_size
+    block_bounds = np.minimum(np.arange(1, n_blocks + 1) * block_size, n)
+    block_last = doc_ids[block_bounds - 1]
+    block_max_tf = np.maximum.reduceat(tfs, np.arange(0, n, block_size)).astype(np.uint32)
+    doc_blob, doc_off = bp_encode_stream(deltas, block_size)
+    tf_blob, tf_off = bp_encode_stream(tfs, block_size)
+    return EncodedPostings(
+        count=n,
+        doc_blob=doc_blob,
+        tf_blob=tf_blob,
+        block_last=block_last,
+        block_max_tf=block_max_tf,
+        block_doc_off=doc_off,
+        block_tf_off=tf_off,
+    )
+
+
+def decode_postings_any(
+    enc: EncodedPostings, block_size: int = 128, codec: str = "varint"
+) -> tuple[np.ndarray, np.ndarray]:
+    """codec-dispatching full decode."""
+    if codec == "varint":
+        return decode_postings(enc, block_size)
+    if codec != "bp128":
+        raise ValueError(f"unknown codec {codec!r}")
+    if enc.count == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    deltas = bp_decode_stream(enc.doc_blob, enc.count, enc.block_doc_off, block_size)
+    tfs = bp_decode_stream(enc.tf_blob, enc.count, enc.block_tf_off, block_size)
+    return np.cumsum(deltas, dtype=np.uint64), tfs

@@ -23,7 +23,45 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from chearch_ray.config import EngineConfig
-from chearch_ray.functions.codec import encode_postings_bulk
+from chearch_ray.functions.codec import encode_postings_bp, encode_postings_bulk
+
+
+def _bp_bulk(doc: np.ndarray, tf: np.ndarray, bounds: np.ndarray, block_size: int) -> dict:
+    """Per-term BP128 encode shaped like encode_postings_bulk's output
+    (python loop over terms — the bp option trades build speed for
+    smaller blobs)."""
+    n_terms = len(bounds) - 1
+    doc_chunks, tf_chunks = [], []
+    doc_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+    tf_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+    counts = np.diff(bounds).astype(np.uint64)
+    blk_counts = np.zeros(n_terms, dtype=np.int64)
+    bl, bm, bdo, bto = [], [], [], []
+    for i in range(n_terms):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        enc = encode_postings_bp(doc[s:e], tf[s:e], block_size)
+        doc_chunks.append(enc.doc_blob)
+        tf_chunks.append(enc.tf_blob)
+        doc_offsets[i + 1] = doc_offsets[i] + len(enc.doc_blob)
+        tf_offsets[i + 1] = tf_offsets[i] + len(enc.tf_blob)
+        blk_counts[i] = len(enc.block_last)
+        bl.append(enc.block_last)
+        bm.append(enc.block_max_tf)
+        bdo.append(enc.block_doc_off)
+        bto.append(enc.block_tf_off)
+    cat = (lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dtype=dt))
+    return {
+        "counts": counts,
+        "doc_blob_buf": b"".join(doc_chunks),
+        "tf_blob_buf": b"".join(tf_chunks),
+        "doc_blob_offsets": doc_offsets,
+        "tf_blob_offsets": tf_offsets,
+        "block_list_offsets": np.concatenate([[0], np.cumsum(blk_counts)]).astype(np.int32),
+        "block_last": cat(bl, np.uint64),
+        "block_max_tf": cat(bm, np.uint32),
+        "block_doc_off": cat(bdo, np.int64),
+        "block_tf_off": cat(bto, np.int64),
+    }
 from chearch_ray.state import segment as seg_io
 
 # map_groups requires plain functions (it reads fn.__name__); these
@@ -169,7 +207,10 @@ def _finalize_part(cfg: EngineConfig, index_dir: str, part: int, g: pa.Table) ->
     bounds = np.append(starts, len(g))
     uniq_terms = codes_arr.dictionary  # encounter order == sorted order here
 
-    bulk = encode_postings_bulk(doc, tf, bounds, block_size=cfg.block_size)
+    if cfg.codec == "bp128":
+        bulk = _bp_bulk(doc, tf, bounds, cfg.block_size)
+    else:
+        bulk = encode_postings_bulk(doc, tf, bounds, block_size=cfg.block_size)
     n_postings = len(doc)
     fingerprint = hashlib.sha256()
     fingerprint.update(bulk["doc_blob_buf"])

@@ -34,7 +34,7 @@ import pyarrow as pa
 
 from chearch_ray import ast
 from chearch_ray.config import EngineConfig
-from chearch_ray.functions.codec import decode_postings
+from chearch_ray.functions.codec import decode_postings_any
 from chearch_ray.state.segment import DocmapReader, PostingsPartReader, docmap_rel_path, postings_rel_path
 
 _EMPTY_U64 = np.empty(0, dtype=np.uint64)
@@ -118,7 +118,11 @@ class SegmentSearcher:
             out = (_EMPTY_U64, _EMPTY_U64)
         else:
             enc = reader.encoded(term)
-            out = (_EMPTY_U64, _EMPTY_U64) if enc is None else decode_postings(enc, self.cfg.block_size)
+            out = (
+                (_EMPTY_U64, _EMPTY_U64)
+                if enc is None
+                else decode_postings_any(enc, self.cfg.block_size, self.cfg.codec)
+            )
         if len(self._decoded) > 4096:  # bound the decode cache
             self._decoded.clear()
         self._decoded[term] = out

@@ -360,3 +360,49 @@ def test_medium_scale_multi_partition(ray_session, tmp_path):
             assert (
                 eng.search_boolean(tree)["doc_id"].to_pylist() == oracle.boolean_search(tree)
             )
+
+
+def test_build_deterministic_across_batch_sizes(ray_session, corpus, tmp_path):
+    """Partition bytes must not depend on batching/parallelism (the
+    in-partition sort canonicalizes) — same shas at different
+    tokenize batch sizes."""
+    import dataclasses
+
+    import ray.data
+
+    m_small = build_index(
+        ray.data.from_arrow(corpus),
+        str(tmp_path / "bs32"),
+        dataclasses.replace(CFG, tokenize_batch_size=32),
+    )
+    m_big = build_index(
+        ray.data.from_arrow(corpus),
+        str(tmp_path / "bs128"),
+        dataclasses.replace(CFG, tokenize_batch_size=128),
+    )
+    assert {p["part"]: p["sha"] for p in m_small.postings_parts} == {
+        p["part"]: p["sha"] for p in m_big.postings_parts
+    }
+    assert {p["part"]: p["sha"] for p in m_small.docmap_parts} == {
+        p["part"]: p["sha"] for p in m_big.docmap_parts
+    }
+
+
+def test_bp128_codec_build_search_identical(ray_session, corpus, oracle, tmp_path):
+    """codec='bp128' index returns identical search results."""
+    import dataclasses
+
+    import ray.data
+
+    cfg_bp = dataclasses.replace(CFG, codec="bp128")
+    build_index(ray.data.from_arrow(corpus), str(tmp_path / "bp"), cfg_bp)
+    eng = QueryEngine(str(tmp_path / "bp"), use_actors=False)
+    assert eng.cfg.codec == "bp128"  # manifest carries the codec
+    hot = _hot_terms(oracle, 3)
+    for tree in (
+        ast.Term(hot[0]),
+        ast.And(ast.Term(hot[0]), ast.Term(hot[1])),
+        ast.Or(ast.Term(hot[1]), ast.Term(hot[2])),
+    ):
+        _check_bm25(eng, oracle, tree)
+        assert eng.search_boolean(tree)["doc_id"].to_pylist() == oracle.boolean_search(tree)

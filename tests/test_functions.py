@@ -223,3 +223,18 @@ def test_sharded_corpus_generation_identical():
     whole = synthetic_corpus(30, seed=42)
     parts = [synthetic_corpus(30, seed=42, row_range=(lo, min(30, lo + 7))) for lo in range(0, 30, 7)]
     assert pa.concat_tables(parts).equals(whole)
+
+
+@given(sorted_unique_u64(), st.sampled_from([4, 128]))
+@settings(max_examples=60)
+def test_bp128_roundtrip(doc_ids, block_size):
+    docs = np.array(doc_ids, dtype=np.uint64)
+    tfs = (docs % np.uint64(31)) + np.uint64(1)
+    enc = codec.encode_postings_bp(docs, tfs, block_size=block_size)
+    d, t = codec.decode_postings_any(enc, block_size, "bp128")
+    assert d.tolist() == doc_ids
+    assert t.tolist() == tfs.tolist()
+    # block metadata identical to the varint codec's
+    ev = codec.encode_postings(docs, tfs, block_size=block_size)
+    assert enc.block_last.tolist() == ev.block_last.tolist()
+    assert enc.block_max_tf.tolist() == ev.block_max_tf.tolist()
