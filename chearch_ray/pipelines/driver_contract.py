@@ -69,7 +69,7 @@ def q_token_counts(sf_dir: str) -> pa.Table:
     from chearch_ray.stages.textstats import TokenStats
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    out = ds.map_batches(TokenStats, batch_format="pyarrow", batch_size=1024, concurrency=2, num_cpus=0.5)
+    out = ds.map_batches(TokenStats(), batch_format="pyarrow", batch_size=1024)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -272,7 +272,7 @@ def q_langid(sf_dir: str) -> pa.Table:
     from chearch_ray.stages.textstats import LangId
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    out = ds.map_batches(LangId, batch_format="pyarrow", batch_size=1024, concurrency=2, num_cpus=0.5)
+    out = ds.map_batches(LangId(), batch_format="pyarrow", batch_size=1024)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -282,7 +282,7 @@ def q_quality(sf_dir: str) -> pa.Table:
     from chearch_ray.stages.textstats import QualityScore
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    out = ds.map_batches(QualityScore, batch_format="pyarrow", batch_size=1024, concurrency=2, num_cpus=0.5)
+    out = ds.map_batches(QualityScore(), batch_format="pyarrow", batch_size=1024)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -292,7 +292,7 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
     from chearch_ray.stages.textstats import Fingerprint
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    out = ds.map_batches(Fingerprint, batch_format="pyarrow", batch_size=1024, concurrency=2, num_cpus=0.5)
+    out = ds.map_batches(Fingerprint(), batch_format="pyarrow", batch_size=1024)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 

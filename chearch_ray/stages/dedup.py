@@ -223,13 +223,13 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
     groupby over the (small) candidate set."""
     from functools import partial
 
+    # instance => stateless tasks: signature init is trivial, and an
+    # actor pool's ~2s startup dominates at small scale.  (For heavy
+    # per-worker state, pass the CLASS with concurrency= instead.)
     sigs = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "text_column": text_column},
+        MinHashSignatures(num_perm=num_perm, bands=bands, text_column=text_column),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
-        num_cpus=0.5,
     )
     parted = sigs.map_batches(_coarse_partition_column, batch_format="pyarrow")
     pairs = parted.groupby("pgrp").map_groups(minhash_pairs_in_partition, batch_format="pyarrow")
@@ -311,8 +311,7 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column: str = "text", bands: in
     """Dataset -> near-dup pairs by simhash banding: docs sharing any
     16-bit band bucket are candidates; exact Hamming check in-group."""
     sigs = ds.map_batches(
-        SimHash, fn_constructor_kwargs={"text_column": text_column},
-        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
+        SimHash(text_column=text_column), batch_format="pyarrow", batch_size=4096
     )
 
     r = 64 // bands
