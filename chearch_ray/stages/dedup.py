@@ -105,13 +105,29 @@ class MinHashSignatures:
             sig[doc_of_start, j] = np.minimum.reduceat(hx, starts)
         return sig
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def signatures_table(self, batch: pa.Table) -> pa.Table:
+        """text -> one row per doc: (doc_id, signature list<uint64>)."""
         shingles, rows = _doc_shingle_hashes(batch, self.text_column, self.shingle_w)
         sig = self._signatures(shingles, rows, len(batch))
-        doc_ids = batch["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "signature": pa.array(sig.tolist(), type=pa.list_(pa.uint64())),
+            }
+        )
+
+    def band_rows(self, sig_batch: pa.Table) -> pa.Table:
+        """(doc_id, signature) -> LIGHT band rows (band, bucket,
+        doc_id) — the shuffle ships ~20 bytes per (doc, band), not the
+        whole signature."""
+        col = sig_batch["signature"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sig = np.asarray(col.values, dtype=np.uint64).reshape(len(sig_batch), self.num_perm)
+        doc_ids = sig_batch["doc_id"].to_numpy()
         r = self.rows_per_band
         p = np.uint64(1099511628211)
-        out_band = np.repeat(np.arange(self.bands, dtype=np.int32), len(batch))
+        out_band = np.repeat(np.arange(self.bands, dtype=np.int32), len(sig_batch))
         buckets = []
         for b in range(self.bands):
             chunk = sig[:, b * r : (b + 1) * r]
@@ -124,11 +140,20 @@ class MinHashSignatures:
                 "band": pa.array(out_band, type=pa.int32()),
                 "bucket": pa.array(np.concatenate(buckets), type=pa.uint64()),
                 "doc_id": pa.array(np.tile(doc_ids, self.bands)),
-                "signature": pa.array(
-                    np.tile(sig, (self.bands, 1)).tolist(), type=pa.list_(pa.uint64())
-                ),
             }
         )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """text -> band rows + signature per row (single-stage form,
+        used by tests; the pipeline uses the lighter two-stage form)."""
+        sigs = self.signatures_table(batch)
+        bands = self.band_rows(sigs)
+        n = len(batch)
+        sig_col = sigs["signature"]
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        rep = pa.array(np.tile(np.arange(n, dtype=np.int64), self.bands))
+        return bands.append_column("signature", sig_col.take(rep))
 
 
 #: coarse partition count for bucket-run processing: instead of one
@@ -184,59 +209,86 @@ def _coarse_partition_column(batch: pa.Table) -> pa.Table:
     )
 
 
-def minhash_pairs_in_partition(group: pa.Table) -> pa.Table:
-    """One coarse partition -> candidate pairs with signature-estimated
-    Jaccard, for every multi-doc (band, bucket) run."""
-    out_a, out_b, out_est = [], [], []
-    for ids, cols in _bucket_runs(group, ["signature"]):
-        sig_col = cols["signature"]
-        if isinstance(sig_col, pa.ChunkedArray):
-            sig_col = sig_col.combine_chunks()
-        num_perm = len(sig_col[0])
-        sigs = np.asarray(sig_col.flatten()).reshape(len(ids), num_perm)
+def candidate_pairs_in_partition(group: pa.Table) -> pa.Table:
+    """One coarse partition of LIGHT band rows -> distinct-in-partition
+    candidate pairs (doc_a, doc_b)."""
+    out_a, out_b = [], []
+    for ids, _cols in _bucket_runs(group, []):
         ia, ib = np.triu_indices(len(ids), k=1)
         out_a.append(ids[ia])
         out_b.append(ids[ib])
-        out_est.append((sigs[ia] == sigs[ib]).mean(axis=1))
     if not out_a:
         return pa.table(
-            {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "est_jaccard": pa.array([], type=pa.float64()),
-            }
+            {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
         )
     return pa.table(
         {
             "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
             "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
-            "est_jaccard": pa.array(np.concatenate(out_est), type=pa.float64()),
         }
     )
+
+
+class _EstimateJaccard:
+    """Pair-verification stage: broadcast signature matrix (ray.put —
+    fetched once per actor/task), est = fraction of equal minhash
+    coordinates.  At sandbox scale the matrix broadcasts whole; at
+    10^12 docs this becomes a hash join of the (far smaller) candidate
+    pair set against the signatures dataset."""
+
+    def __init__(self, sig_ref):
+        import ray
+
+        payload = ray.get(sig_ref) if isinstance(sig_ref, ray.ObjectRef) else sig_ref
+        self.doc_ids, self.matrix = payload  # sorted doc ids, (n, num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        ia = np.searchsorted(self.doc_ids, a)
+        ib = np.searchsorted(self.doc_ids, b)
+        est = (self.matrix[ia] == self.matrix[ib]).mean(axis=1)
+        return batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
 
 
 def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
                         num_perm: int = 128, bands: int = 32):
     """Dataset -> candidate near-dup pairs (doc_a < doc_b, est_jaccard
-    >= threshold), deduplicated across bands.  Shuffle shape: one
-    groupby on a 64-way coarse bucket partition, then a pair-dedup
-    groupby over the (small) candidate set."""
+    >= threshold), deduplicated across bands.
+
+    Shuffle shape: signatures computed ONCE per doc (small dataset,
+    materialized + broadcast at this scale); the bucket groupby ships
+    only (band, bucket, doc_id) rows; pair verification probes the
+    broadcast signature matrix.  The pair-dedup groupby runs over the
+    (small) candidate set."""
     from functools import partial
 
-    # instance => stateless tasks: signature init is trivial, and an
-    # actor pool's ~2s startup dominates at small scale.  (For heavy
-    # per-worker state, pass the CLASS with concurrency= instead.)
-    sigs = ds.map_batches(
-        MinHashSignatures(num_perm=num_perm, bands=bands, text_column=text_column),
-        batch_format="pyarrow",
-        batch_size=4096,
+    import ray
+    import ray.data
+
+    stage = MinHashSignatures(num_perm=num_perm, bands=bands, text_column=text_column)
+    sigs_ds = ds.map_batches(stage.signatures_table, batch_format="pyarrow", batch_size=4096)
+    sig_tables = [ray.get(r) for r in sigs_ds.to_arrow_refs()]
+    sig_all = pa.concat_tables([t for t in sig_tables if len(t)])
+    doc_ids = sig_all["doc_id"].to_numpy()
+    order = np.argsort(doc_ids, kind="stable")
+    sig_col = sig_all["signature"].combine_chunks()
+    matrix = np.asarray(sig_col.values, dtype=np.uint64).reshape(len(sig_all), num_perm)[order]
+    sig_ref = ray.put((doc_ids[order], matrix))
+
+    bands_ds = ray.data.from_arrow(sig_all).map_batches(
+        stage.band_rows, batch_format="pyarrow", batch_size=8192
     )
-    parted = sigs.map_batches(_coarse_partition_column, batch_format="pyarrow")
-    pairs = parted.groupby("pgrp").map_groups(minhash_pairs_in_partition, batch_format="pyarrow")
-    thresholded = pairs.map_batches(
+    parted = bands_ds.map_batches(_coarse_partition_column, batch_format="pyarrow")
+    pairs = parted.groupby("pgrp").map_groups(candidate_pairs_in_partition, batch_format="pyarrow")
+    deduped = dedup_pairs(pairs)
+    verified = deduped.map_batches(
+        _EstimateJaccard, fn_constructor_args=(sig_ref,), batch_format="pyarrow",
+        batch_size=65536, concurrency=2, num_cpus=0.5,
+    )
+    return verified.map_batches(
         partial(_filter_ge, column="est_jaccard", threshold=threshold), batch_format="pyarrow"
     )
-    return dedup_pairs(thresholded)
 
 
 def _pair_partition_column(batch: pa.Table) -> pa.Table:
