@@ -322,10 +322,6 @@ def _filter_ge(batch: pa.Table, column: str, threshold: float) -> pa.Table:
     return batch.filter(pc.greater_equal(batch[column], threshold))
 
 
-def keep_first_pair(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
-
-
 # ------------------------------------------------------------ simhash
 class SimHash:
     """map_batches stage: text -> (doc_id, simhash:uint64) — sign of

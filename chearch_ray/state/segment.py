@@ -195,28 +195,6 @@ def docmap_rel_path(seg: int) -> str:
     return os.path.join("docmap", f"seg-{seg:05d}.parquet")
 
 
-def postings_rows_to_table(rows: list[dict], store_positions: bool) -> pa.Table:
-    """rows: dicts with term + EncodedPostings fields (+positions)."""
-    schema = POSTINGS_SCHEMA if store_positions else POSTINGS_SCHEMA.remove(
-        POSTINGS_SCHEMA.get_field_index("positions")
-    )
-    arrays = {name: [] for name in schema.names}
-    for r in rows:
-        enc: EncodedPostings = r["enc"]
-        arrays["term"].append(r["term"])
-        arrays["count"].append(enc.count)
-        arrays["doc_blob"].append(enc.doc_blob)
-        arrays["tf_blob"].append(enc.tf_blob)
-        arrays["block_last"].append(enc.block_last)
-        arrays["block_max_tf"].append(enc.block_max_tf)
-        arrays["block_doc_off"].append(enc.block_doc_off)
-        arrays["block_tf_off"].append(enc.block_tf_off)
-        if store_positions:
-            arrays["positions"].append(r.get("positions"))
-    cols = [pa.array(arrays[f.name], type=f.type) for f in schema]
-    return pa.Table.from_arrays(cols, schema=schema)
-
-
 class PostingsPartReader:
     """Loads one postings partition file into memory once (actor-side;
     reference analogue: the locale-resident term hash table,
