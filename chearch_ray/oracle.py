@@ -85,3 +85,39 @@ class OracleIndex:
         scores = self.bm25_scores(node)
         ranked = sorted(scores.items(), key=lambda it: (-it[1], it[0]))
         return ranked[:k]
+
+
+    # ------------------------------------------------------------- phrase
+    def phrase_search(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        """Exact phrase match over position lists + BM25 over the
+        phrase terms (same float contract as bm25_search)."""
+        if not terms:
+            return []
+        candidates = None
+        for t in terms:
+            docs = set(self.postings.get(t, ()))
+            candidates = docs if candidates is None else (candidates & docs)
+        survivors = []
+        for doc in candidates or ():
+            starts = None
+            for i, t in enumerate(terms):
+                shifted = {p - i for p in self.positions[t][doc] if p - i >= 0}
+                starts = shifted if starts is None else (starts & shifted)
+                if not starts:
+                    break
+            if starts:
+                survivors.append(doc)
+        k1, b = self.cfg.k1, self.cfg.b
+        scored = []
+        for doc in survivors:
+            dl = float(self.doc_len[doc])
+            s = 0.0
+            for term in dict.fromkeys(terms):
+                tf_map = self.postings.get(term)
+                if not tf_map or doc not in tf_map:
+                    continue
+                tf = float(tf_map[doc])
+                idf = self.idf(term)
+                s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+            scored.append((doc, s))
+        return sorted(scored, key=lambda it: (-it[1], it[0]))[:k]

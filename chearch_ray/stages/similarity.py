@@ -222,3 +222,93 @@ def embedding_neardup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 3
 
     pairs = parted.groupby("pgrp").map_groups(pairs_in_partition, batch_format="pyarrow")
     return dedup_pairs(pairs)
+
+
+# ----------------------------------------------------------------- IVF
+def spherical_kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                     seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means (cosine clustering) over a
+    driver-side sample — the coarse quantizer for IVF."""
+    rng = np.random.default_rng(seed)
+    x = normalize_rows(np.asarray(sample, dtype=np.float64))
+    n = len(x)
+    n_centroids = min(n_centroids, n)
+    centroids = x[rng.choice(n, size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.sum(axis=0)
+        centroids = normalize_rows(centroids)
+    return centroids
+
+
+class IVFAssign:
+    """map_batches stage: embedding -> nearest-centroid id (the IVF
+    coarse assignment).  Centroids broadcast once per actor/task."""
+
+    def __init__(self, centroids_ref, id_column: str = "vec_id",
+                 embedding_column: str = "embedding"):
+        import ray
+
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.centroids = np.asarray(c, dtype=np.float64)
+        self.id_column = id_column
+        self.embedding_column = embedding_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = normalize_rows(_embedding_matrix(batch[self.embedding_column]))
+        assign = np.argmax(mat @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("centroid", pa.array(assign, type=pa.int32()))
+
+
+def ivf_build(ds, n_centroids: int = 16, sample_size: int = 2048, seed: int = 42,
+              id_column: str = "vec_id", embedding_column: str = "embedding"):
+    """-> (centroids, assigned Dataset with a `centroid` column).
+
+    Scale path: the assigned dataset is written partitioned by
+    centroid (like the index build's partitioned shuffle) so a query
+    reads only its probed partitions; at sandbox scale it stays a
+    Dataset."""
+    import ray
+
+    sample = ds.limit(sample_size).to_pandas()[embedding_column]
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    centroids = spherical_kmeans(mat, n_centroids, seed=seed)
+    ref = ray.put(centroids)
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"id_column": id_column, "embedding_column": embedding_column},
+        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
+    )
+    return centroids, assigned
+
+
+def ivf_search(assigned_ds, centroids: np.ndarray, query_matrix: np.ndarray,
+               k: int = 10, nprobe: int = 4, id_column: str = "vec_id"):
+    """Approximate k-NN: probe only the `nprobe` centroids nearest to
+    each query; brute-force cosine within the probed partitions."""
+    import ray
+
+    q = normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+    probes = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probes)
+
+    def in_probed(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch["centroid"].to_numpy(), wanted)
+        return batch.filter(pa.array(mask))
+
+    filtered = assigned_ds.map_batches(in_probed, batch_format="pyarrow")
+    ref = ray.put(q)
+    partials = filtered.map_batches(
+        BruteForceCosine, fn_constructor_args=(ref, k, id_column),
+        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
+    )
+    tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if len(t)]
+    if not tables:
+        return pa.table(
+            {"query_id": pa.array([], type=pa.int64()), id_column: pa.array([], type=pa.int64()),
+             "sim": pa.array([], type=pa.float64())}
+        )
+    return merge_topk(pa.concat_tables(tables), k, id_column)

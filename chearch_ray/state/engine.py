@@ -160,3 +160,26 @@ class QueryEngine:
             order = topk_order(scores[m], doc_ids[m], k)
             keep.extend(m[order].tolist())
         return merged.take(pa.array(keep, type=pa.int64()))
+
+    def search_phrase(self, phrase: str | list, k: int | None = None) -> pa.Table:
+        """Exact phrase query across segments (requires
+        store_positions=True at build time), ordered
+        (score desc, doc_id asc)."""
+        terms = phrase.lower().split() if isinstance(phrase, str) else [str(t) for t in phrase]
+        if not terms:
+            raise ValueError("empty phrase")
+        k = k or self.cfg.default_k
+        idfs = {t: bm25_idf(self.n_docs, self.df(t)) for t in dict.fromkeys(terms)}
+        if self.use_actors:
+            import ray
+
+            tables = ray.get(
+                [a.search_phrase.remote(terms, k, idfs, self.avgdl) for a in self._actors]
+            )
+        else:
+            tables = [s.search_phrase(terms, k, idfs, self.avgdl) for s in self._local]
+        merged = pa.concat_tables(tables)
+        if len(merged) == 0:
+            return merged
+        order = topk_order(merged["score"].to_numpy(), merged["doc_id"].to_numpy(), k)
+        return merged.take(pa.array(order, type=pa.int64()))

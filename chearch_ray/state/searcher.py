@@ -331,3 +331,64 @@ class SegmentSearcher:
             return None
         pos = self.positions(term, doc_id)
         return int(pos[0]) if pos else 0
+
+    # --------------------------------------------------------- phrase mode
+    def search_phrase(
+        self,
+        terms: list[str],
+        k: int,
+        idfs: dict[str, float],
+        avgdl: float,
+    ) -> pa.Table:
+        """Exact phrase match using the stored position lists (the
+        positions are the engine-level generalization of the
+        reference's per-posting textLocation, documentid.chpl:17-18):
+        candidates = conjunction of all terms; a candidate survives if
+        for some start position p, term i appears at p+i for every i.
+        Survivors are BM25-scored over the phrase terms (same float
+        contract as search_bm25)."""
+        if self.docmap is None or not terms:
+            return self._project(_EMPTY_U64, scores=np.empty(0))
+        candidates = self.postings(terms[0])[0]
+        for t in terms[1:]:
+            candidates = intersect_sorted(candidates, self.postings(t)[0])
+            if len(candidates) == 0:
+                break
+        survivors = []
+        for doc in candidates.tolist():
+            starts = None
+            ok = True
+            for i, t in enumerate(terms):
+                pos = self.first_positions_array(t, doc)
+                if pos is None:
+                    ok = False
+                    break
+                shifted = pos.astype(np.int64) - i
+                starts = shifted if starts is None else intersect_sorted(
+                    starts.astype(np.uint64), shifted[shifted >= 0].astype(np.uint64)
+                ).astype(np.int64)
+                if len(starts) == 0:
+                    ok = False
+                    break
+            if ok and starts is not None and len(starts):
+                survivors.append(doc)
+        docs = np.array(sorted(survivors), dtype=np.uint64)
+        if len(docs) == 0:
+            return self._project(docs, scores=np.empty(0))
+        # unique terms, first-seen order (oracle float contract — a
+        # repeated phrase term must not contribute twice)
+        scores = self._score_docs(docs, list(dict.fromkeys(terms)), idfs, avgdl)
+        order = topk_order(scores, docs, k)
+        return self._project(docs[order], scores=scores[order])
+
+    def first_positions_array(self, term: str, doc_id: int):
+        """sorted position array of `term` in `doc_id`, or None when
+        positions are unavailable / doc doesn't contain the term."""
+        docs, _ = self.postings(term)
+        i = int(np.searchsorted(docs, np.uint64(doc_id)))
+        if i >= len(docs) or docs[i] != np.uint64(doc_id):
+            return None
+        pos = self.positions(term, doc_id)
+        if not pos:
+            return None
+        return np.asarray(pos, dtype=np.uint64)

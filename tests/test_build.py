@@ -406,3 +406,52 @@ def test_bp128_codec_build_search_identical(ray_session, corpus, oracle, tmp_pat
     ):
         _check_bm25(eng, oracle, tree)
         assert eng.search_boolean(tree)["doc_id"].to_pylist() == oracle.boolean_search(tree)
+
+
+def test_phrase_search(engine, oracle, corpus):
+    """Exact phrase queries via stored positions vs the oracle."""
+    # harvest real bigrams/trigrams from the corpus text
+    import re
+
+    texts = corpus["content"].to_pylist()
+    phrases = []
+    for t in texts[:20]:
+        toks = re.split(r"[^a-z0-9_]+", t.lower())
+        toks = [x for x in toks if x]
+        if len(toks) >= 3:
+            phrases.append(toks[0:2])
+            phrases.append(toks[1:4])
+    phrases.append(["__never_present__", "def"])
+    for terms in phrases[:12]:
+        got = engine.search_phrase(terms, k=10)
+        want = oracle.phrase_search(terms, 10)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want], terms
+        if len(got):
+            assert got["score"].to_pylist() == [s for _, s in want], terms
+    # a phrase in original order matches; the reversed phrase usually
+    # differs from the AND of its terms
+    sample = phrases[0]
+    and_docs = set(
+        engine.search_boolean(ast.And(ast.Term(sample[0]), ast.Term(sample[1])))["doc_id"].to_pylist()
+    )
+    phrase_docs = set(engine.search_phrase(sample, k=1000)["doc_id"].to_pylist())
+    assert phrase_docs <= and_docs
+
+
+def test_phrase_with_repeated_term(engine, oracle, corpus):
+    """A phrase containing the same term twice (e.g. 'x x') must score
+    each unique term once."""
+    import re
+
+    # find a doc with an immediate repetition
+    for t in corpus["content"].to_pylist():
+        toks = [x for x in re.split(r"[^a-z0-9_]+", t.lower()) if x]
+        for i in range(len(toks) - 1):
+            if toks[i] == toks[i + 1]:
+                terms = [toks[i], toks[i + 1]]
+                got = engine.search_phrase(terms, k=10)
+                want = oracle.phrase_search(terms, 10)
+                assert got["doc_id"].to_pylist() == [d for d, _ in want]
+                assert got["score"].to_pylist() == [s for _, s in want]
+                return
+    pytest.skip("no immediate repetition in corpus")

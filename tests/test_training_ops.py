@@ -186,3 +186,35 @@ def test_read_corpus_text_and_planner(ray_session, tmp_path):
     segs, shards = plan_partitions(10**12)
     assert segs * (1 << 24) >= 10**12
     assert 4 <= shards <= 256
+
+
+def test_ivf_ann_recall(ray_session):
+    import ray.data
+
+    from chearch_ray.stages.similarity import ivf_build, ivf_search, knn_brute_force
+
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((600, 24))
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(600), type=pa.int64()),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    centroids, assigned = ivf_build(ds, n_centroids=8, sample_size=600)
+    assigned_mat = assigned.materialize()
+
+    queries = mat[:5].astype(np.float64)
+    exact = knn_brute_force(ray.data.from_arrow(table), queries, k=5)
+    approx = ivf_search(assigned_mat, centroids, queries, k=5, nprobe=3)
+
+    # recall@5 with nprobe=3/8 should be decent; top-1 (self) must hit
+    hits = total = 0
+    for qid in range(5):
+        e = exact.filter(pa.compute.equal(exact["query_id"], qid))["vec_id"].to_pylist()
+        a = approx.filter(pa.compute.equal(approx["query_id"], qid))["vec_id"].to_pylist()
+        assert a and a[0] == e[0] == qid  # self is always found
+        hits += len(set(e) & set(a))
+        total += len(e)
+    assert hits / total >= 0.5
