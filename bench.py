@@ -156,6 +156,30 @@ def run_bench() -> dict:
     timings["boolean_single_local_p50_ms"] = p50_bool(q_known)
     timings["boolean_missing_local_p50_ms"] = p50_bool(q_missing)
 
+    # ---- reference-workload ingest (synthdataindexer.chpl shape:
+    # 1M tiny docs, 1-10 uniform terms from a 16,384 vocab) -----------
+    from chearch_ray.sources.corpus import reference_shape_corpus
+
+    ref_docs = int(os.environ.get("CHEARCH_BENCH_REF_DOCS", "1000000"))
+    ref_table = reference_shape_corpus(ref_docs)
+    ref_cfg = EngineConfig(
+        num_segments=1, num_term_shards=16, tokenize_batch_size=8192
+    )
+    ref_dir = os.path.join(INDEX_BASE, f"chearch_bench_refshape_{num_cpus}_{os.getpid()}")
+    t0 = time.perf_counter()
+    build_index(
+        ray.data.from_arrow(ref_table).repartition(2 * num_cpus),
+        ref_dir,
+        ref_cfg,
+        resume=False,
+    )
+    ref_sec = time.perf_counter() - t0
+    timings["ref_shape_build_sec"] = ref_sec
+    timings["ref_shape_docs_per_sec"] = ref_docs / ref_sec
+    import shutil as _sh
+
+    _sh.rmtree(ref_dir, ignore_errors=True)
+
     # ---- sf-dir pipelines (driver testdata shapes) ------------------
     from chearch_ray.pipelines import driver_contract as dc
 

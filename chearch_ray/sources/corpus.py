@@ -268,3 +268,32 @@ def plan_partitions(n_docs: int, target_part_mb: int = 512, avg_doc_tokens: int 
     seg_postings_mb = docs_per_segment * avg_doc_tokens * 5 / 1e6
     num_term_shards = max(4, min(256, -(-int(seg_postings_mb) // target_part_mb) * 4))
     return num_segments, num_term_shards
+
+
+def reference_shape_corpus(n_docs: int, seed: int = 17, num_shards: int = 16) -> "pa.Table":
+    """The reference benchmark's corpus SHAPE (synthdataindexer.chpl:
+    6-10): tiny docs with 1-10 terms drawn uniformly from the
+    16,384-term vocab — tweet-sized rows, 1M per locale.  Fully
+    vectorized generation (one rng for the whole table; tiny docs make
+    per-row generators the bottleneck)."""
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(seed)
+    voc = pa.array(vocab(42))
+    lens = rng.integers(1, 11, size=n_docs)
+    total = int(lens.sum())
+    tok_idx = rng.integers(0, VOCAB_SIZE, size=total)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    toks = voc.take(pa.array(tok_idx))
+    lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), toks)
+    content = pc.binary_join(lists, " ")
+    ids = np.arange(n_docs)
+    return pa.table(
+        {
+            "repo": pa.array([f"ref/r{int(i) % 64}" for i in ids]),
+            "path": pa.array([f"t/{int(i)}" for i in ids]),
+            "commit": pa.array([f"{int(i):040d}" for i in ids]),
+            "lang": pa.array(["txt"] * n_docs),
+            "content": content,
+        }
+    )
