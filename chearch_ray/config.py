@@ -84,9 +84,6 @@ class EngineConfig:
     # ---- execution ----------------------------------------------------
     #: map_batches batch size for the tokenize stage (rows = documents).
     tokenize_batch_size: int = 2048
-    #: actor-pool size for query serving; sized at runtime if 0.
-    searcher_concurrency: int = 0
-
     # ---- misc ---------------------------------------------------------
     input_columns: tuple = ("repo", "path", "commit", "lang", "content")
 

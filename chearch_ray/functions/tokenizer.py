@@ -40,12 +40,15 @@ def tokenize(
     col: pa.Array | pa.ChunkedArray,
     lowercase: bool = True,
     split_subtokens: bool = False,
+    split_regex: str | None = None,
 ) -> pa.ListArray:
     """string column -> list<string> of tokens, empties removed.
 
     Fully vectorized: utf8_lower + split_pattern_regex + an offset
     recomputation with numpy to drop the empty strings the split
-    produces at string edges.
+    produces at string edges.  `split_regex` overrides the default
+    separator pattern (EngineConfig.token_split_regex); sub-token mode
+    uses its own separator and ignores it.
     """
     arr = _as_array(col)
     arr = pc.fill_null(arr, "")
@@ -54,7 +57,7 @@ def tokenize(
         arr = pc.replace_substring_regex(arr, pattern=_CAMEL_BOUNDARY, replacement=r"\1 \2")
         split_re = SUBTOKEN_SPLIT_REGEX
     else:
-        split_re = DEFAULT_SPLIT_REGEX
+        split_re = split_regex or DEFAULT_SPLIT_REGEX
     if lowercase:
         arr = pc.utf8_lower(arr)
     lists = pc.split_pattern_regex(arr, pattern=split_re)

@@ -28,7 +28,10 @@ class OracleIndex:
         self.cfg = cfg
         doc_ids = _doc_ids_of(corpus)
         lists = tokenize(
-            corpus["content"], lowercase=cfg.lowercase, split_subtokens=cfg.split_subtokens
+            corpus["content"],
+            lowercase=cfg.lowercase,
+            split_subtokens=cfg.split_subtokens,
+            split_regex=cfg.token_split_regex,
         ).to_pylist()
         #: term -> {doc_id: tf}
         self.postings: dict[str, dict[int, int]] = {}

@@ -65,6 +65,18 @@ def build_index(
     (sha256(content) dedup before indexing, min doc key wins)."""
     if resume and seg_io.manifest_exists(index_dir):
         return Manifest.load(index_dir)
+    if not resume:
+        # purge any previous build's state: stale lineage records would
+        # otherwise verify and be merged into the new manifest by
+        # commit_manifest (mixed-index hazard, e.g. OnlineIndexer.flush
+        # reusing a directory)
+        import shutil
+
+        for sub in ("_lineage", "segments", "docmap", "stats", "_shuffle", "_control"):
+            shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+        manifest_path = os.path.join(index_dir, "manifest.json")
+        if os.path.exists(manifest_path):
+            os.remove(manifest_path)
     os.makedirs(index_dir, exist_ok=True)
     if dedup == "exact":
         corpus = exact_dedup_corpus(corpus)
@@ -167,6 +179,10 @@ def _partitioned_shuffle(unified, index_dir: str, cfg: EngineConfig, done: froze
         unified.write_parquet(run_dir, partition_cols=["part"], compression="snappy")
         if os.environ.get("CHEARCH_RAY_BUILD_STATS"):
             print(unified.stats())
+        # write_parquet of an EMPTY dataset (all partitions already
+        # done on resume) creates no directory — the marker must still
+        # land so the commit path proceeds
+        os.makedirs(run_dir, exist_ok=True)
         with open(marker, "w") as f:
             f.write("ok")
 

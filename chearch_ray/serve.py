@@ -28,16 +28,31 @@ WIRE_RECORD_BYTES = 13
 
 def parse_request(request: bytes) -> bytes:
     """request frame -> CHASM program bytes (validates the count byte
-    the way handle_received_data does)."""
+    the way handle_received_data does: the reference copies exactly
+    `count` instructions, so a frame whose payload encodes a different
+    number is malformed)."""
     if len(request) < 1:
         raise ValueError("empty request")
     count = request[0]
     program = request[1:]
     if len(program) > MAX_REQUEST_BYTES:
         raise ValueError(f"request too large: {len(program)} > {MAX_REQUEST_BYTES}")
-    # `count` is the instruction count; the reference copies exactly
-    # that many opcodes (terms ride along with their PUSH).  We
-    # validate it by decoding and counting.
+    buf = chasm.InstructionBuffer(data=program)
+    buf.rewind()
+    reader = chasm.InstructionReader(buf)
+    n = 0
+    try:
+        while reader.has_more():
+            op = reader.read_op()
+            n += 1
+            if op == chasm.OP_PUSH:
+                reader.read_term()
+            if op == chasm.OP_HALT:
+                break
+    except IndexError as exc:
+        raise ValueError("truncated CHASM program") from exc
+    if n != count:
+        raise ValueError(f"instruction count mismatch: header says {count}, payload has {n}")
     return program
 
 

@@ -119,12 +119,20 @@ class MinHashSignatures:
     def band_rows(self, sig_batch: pa.Table) -> pa.Table:
         """(doc_id, signature) -> LIGHT band rows (band, bucket,
         doc_id) — the shuffle ships ~20 bytes per (doc, band), not the
-        whole signature."""
+        whole signature.
+
+        Docs with no shingles (fewer than shingle_w tokens) carry the
+        all-max sentinel signature and are EXCLUDED here — otherwise
+        every pair of short docs would collide in every band and be
+        reported as est_jaccard=1.0 duplicates."""
         col = sig_batch["signature"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         sig = np.asarray(col.values, dtype=np.uint64).reshape(len(sig_batch), self.num_perm)
         doc_ids = sig_batch["doc_id"].to_numpy()
+        real = sig[:, 0] != np.iinfo(np.uint64).max
+        sig, doc_ids = sig[real], doc_ids[real]
+        sig_batch = sig_batch.filter(pa.array(real))
         r = self.rows_per_band
         p = np.uint64(1099511628211)
         out_band = np.repeat(np.arange(self.bands, dtype=np.int32), len(sig_batch))
@@ -147,12 +155,15 @@ class MinHashSignatures:
         """text -> band rows + signature per row (single-stage form,
         used by tests; the pipeline uses the lighter two-stage form)."""
         sigs = self.signatures_table(batch)
-        bands = self.band_rows(sigs)
-        n = len(batch)
         sig_col = sigs["signature"]
         if isinstance(sig_col, pa.ChunkedArray):
             sig_col = sig_col.combine_chunks()
-        rep = pa.array(np.tile(np.arange(n, dtype=np.int64), self.bands))
+        mat = np.asarray(sig_col.values, dtype=np.uint64).reshape(len(sigs), self.num_perm)
+        real = mat[:, 0] != np.iinfo(np.uint64).max
+        sigs = sigs.filter(pa.array(real))
+        sig_col = sig_col.filter(pa.array(real))
+        bands = self.band_rows(sigs)
+        rep = pa.array(np.tile(np.arange(len(sigs), dtype=np.int64), self.bands))
         return bands.append_column("signature", sig_col.take(rep))
 
 
@@ -219,12 +230,12 @@ def candidate_pairs_in_partition(group: pa.Table) -> pa.Table:
         out_b.append(ids[ib])
     if not out_a:
         return pa.table(
-            {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+            {"doc_a": pa.array([], type=pa.uint64()), "doc_b": pa.array([], type=pa.uint64())}
         )
     return pa.table(
         {
-            "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-            "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "doc_a": pa.array(np.concatenate(out_a).astype(np.uint64), type=pa.uint64()),
+            "doc_b": pa.array(np.concatenate(out_b).astype(np.uint64), type=pa.uint64()),
         }
     )
 
@@ -240,11 +251,14 @@ class _EstimateJaccard:
         import ray
 
         payload = ray.get(sig_ref) if isinstance(sig_ref, ray.ObjectRef) else sig_ref
-        self.doc_ids, self.matrix = payload  # sorted doc ids, (n, num_perm)
+        doc_ids, self.matrix = payload  # sorted doc ids, (n, num_perm)
+        # uint64 throughout: a mixed int64/uint64 searchsorted promotes
+        # to float64 and corrupts ids above 2^53
+        self.doc_ids = doc_ids.astype(np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_numpy()
-        b = batch["doc_b"].to_numpy()
+        a = batch["doc_a"].to_numpy().astype(np.uint64)
+        b = batch["doc_b"].to_numpy().astype(np.uint64)
         ia = np.searchsorted(self.doc_ids, a)
         ib = np.searchsorted(self.doc_ids, b)
         est = (self.matrix[ia] == self.matrix[ib]).mean(axis=1)
@@ -393,15 +407,15 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column: str = "text", bands: in
         if not out_a:
             return pa.table(
                 {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
+                    "doc_a": pa.array([], type=pa.uint64()),
+                    "doc_b": pa.array([], type=pa.uint64()),
                     "hamming": pa.array([], type=pa.int64()),
                 }
             )
         return pa.table(
             {
-                "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "doc_a": pa.array(np.concatenate(out_a).astype(np.uint64), type=pa.uint64()),
+                "doc_b": pa.array(np.concatenate(out_b).astype(np.uint64), type=pa.uint64()),
                 "hamming": pa.array(np.concatenate(out_h), type=pa.int64()),
             }
         )

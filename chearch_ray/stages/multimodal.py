@@ -35,7 +35,11 @@ MEDIA_SCHEMA = pa.schema(
 def synthesize_media_table(n: int, kind: str = "image", seed: int = 42,
                            payload_bytes: int = 4096) -> pa.Table:
     """Deterministic fake media rows for tests/benchmarks."""
-    rng = np.random.default_rng((seed, hash(kind) & 0xFFFF))
+    import zlib
+
+    # stable kind hash: python's hash() is PYTHONHASHSEED-randomized
+    # per process, which would break the "deterministic" promise
+    rng = np.random.default_rng((seed, zlib.crc32(kind.encode())))
     payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
     return pa.table(
         {

@@ -207,15 +207,15 @@ def embedding_neardup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 3
         if not out_a:
             return pa.table(
                 {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
+                    "doc_a": pa.array([], type=pa.uint64()),
+                    "doc_b": pa.array([], type=pa.uint64()),
                     "cosine": pa.array([], type=pa.float64()),
                 }
             )
         return pa.table(
             {
-                "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "doc_a": pa.array(np.concatenate(out_a).astype(np.uint64), type=pa.uint64()),
+                "doc_b": pa.array(np.concatenate(out_b).astype(np.uint64), type=pa.uint64()),
                 "cosine": pa.array(np.concatenate(out_cos), type=pa.float64()),
             }
         )

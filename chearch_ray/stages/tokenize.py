@@ -51,7 +51,10 @@ class TokenizePostings:
         cfg = self.cfg
         doc_ids = _doc_ids_of(batch)
         lists = tokenize(
-            batch["content"], lowercase=cfg.lowercase, split_subtokens=cfg.split_subtokens
+            batch["content"],
+            lowercase=cfg.lowercase,
+            split_subtokens=cfg.split_subtokens,
+            split_regex=cfg.token_split_regex,
         )
         return self.postings_from_tokens(batch, doc_ids, lists)
 
@@ -78,6 +81,10 @@ class TokenizePostings:
         pos_lists = grouped["pos_list"]
         if isinstance(pos_lists, pa.ChunkedArray):
             pos_lists = pos_lists.combine_chunks()
+        if cfg.max_positions_per_doc > 0:
+            pos_lists = pc.list_slice(pos_lists, 0, cfg.max_positions_per_doc)
+            if isinstance(pos_lists, pa.ChunkedArray):
+                pos_lists = pos_lists.combine_chunks()
 
         seg = (g_doc % np.uint64(cfg.num_segments)).astype(np.int64)
         shard = self.sharder.shards(g_term).astype(np.int64)
@@ -148,7 +155,10 @@ class TokenizeCorpus:
         n_posting_parts = cfg.num_segments * cfg.num_term_shards
         doc_ids = _doc_ids_of(batch)
         lists = tokenize(
-            batch["content"], lowercase=cfg.lowercase, split_subtokens=cfg.split_subtokens
+            batch["content"],
+            lowercase=cfg.lowercase,
+            split_subtokens=cfg.split_subtokens,
+            split_regex=cfg.token_split_regex,
         )
         post = self.posting.postings_from_tokens(batch, doc_ids, lists)
 
@@ -255,7 +265,10 @@ class DocMeta:
         cfg = self.cfg
         doc_ids = _doc_ids_of(batch)
         lists = tokenize(
-            batch["content"], lowercase=cfg.lowercase, split_subtokens=cfg.split_subtokens
+            batch["content"],
+            lowercase=cfg.lowercase,
+            split_subtokens=cfg.split_subtokens,
+            split_regex=cfg.token_split_regex,
         )
         doc_len = token_counts(lists).astype(np.uint32)
         seg = (doc_ids % np.uint64(cfg.num_segments)).astype(np.int32)

@@ -73,12 +73,18 @@ def intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def topk_order(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
-    """indices of the top-k by (score desc, doc_id asc), deterministic."""
-    if len(scores) > 4 * k > 0:
-        # cheap pre-cut: argpartition keeps every possible top-k row
-        # (ties included because we take extra slack before exact sort)
-        cut = np.argpartition(-scores, min(k, len(scores) - 1))[: max(4 * k, 64)]
-        order = cut[np.lexsort((doc_ids[cut], -scores[cut]))]
+    """indices of the top-k by (score desc, doc_id asc), deterministic.
+
+    The argpartition pre-cut keeps EVERY candidate scoring >= the k-th
+    largest score (not an arbitrary slack window): ties at the
+    threshold must all reach the exact sort or doc_id tie-breaking
+    would pick arbitrary winners."""
+    if k <= 0 or len(scores) == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(scores) > 4 * k:
+        kth = np.partition(-scores, k - 1)[k - 1]  # negated k-th largest
+        cand = np.flatnonzero(-scores <= kth)  # score >= threshold, ties included
+        order = cand[np.lexsort((doc_ids[cand], -scores[cand]))]
     else:
         order = np.lexsort((doc_ids, -scores))
     return order[:k]

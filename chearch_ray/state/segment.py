@@ -169,7 +169,8 @@ class Manifest:
 
     @property
     def engine_config(self) -> EngineConfig:
-        cfg = dict(self.config)
+        valid = {f.name for f in dataclasses.fields(EngineConfig)}
+        cfg = {k: v for k, v in self.config.items() if k in valid}
         cfg["input_columns"] = tuple(cfg.get("input_columns", ()))
         return EngineConfig(**cfg)
 
@@ -264,10 +265,22 @@ class DocmapReader:
         self.doc_ids = table["doc_id"].to_numpy()  # sorted ascending
         self.doc_len = table["doc_len"].to_numpy().astype(np.float64)
 
-    def lengths_for(self, doc_ids: np.ndarray) -> np.ndarray:
+    def _indices_for(self, doc_ids: np.ndarray) -> np.ndarray:
+        """validated lookup: every id must exist in the docmap — a miss
+        means postings/docmap divergence (e.g. mixed stale segments)
+        and silently returning a neighbor's row would corrupt scores
+        and projections."""
         idx = np.searchsorted(self.doc_ids, doc_ids)
-        return self.doc_len[idx]
+        idx_c = np.minimum(idx, len(self.doc_ids) - 1) if len(self.doc_ids) else idx
+        if len(self.doc_ids) == 0 or not np.array_equal(self.doc_ids[idx_c], doc_ids):
+            missing = doc_ids if len(self.doc_ids) == 0 else doc_ids[self.doc_ids[idx_c] != doc_ids]
+            raise ValueError(
+                f"doc ids missing from docmap (postings/docmap divergence): {missing[:5]}"
+            )
+        return idx_c
+
+    def lengths_for(self, doc_ids: np.ndarray) -> np.ndarray:
+        return self.doc_len[self._indices_for(doc_ids)]
 
     def meta_for(self, doc_ids: np.ndarray) -> pa.Table:
-        idx = np.searchsorted(self.doc_ids, doc_ids)
-        return self.table.take(pa.array(idx, type=pa.int64()))
+        return self.table.take(pa.array(self._indices_for(doc_ids), type=pa.int64()))
