@@ -1,0 +1,169 @@
+"""Index merging: combine several built indexes into one.
+
+The north star calls for "merge segment posting lists into a sharded
+index"; the reference can't do this at all (no persistence,
+docs/TODO.txt:5).  Because doc-segments are keyed by doc_id %
+num_segments and partitions are canonically sorted by (term, doc_id),
+two indexes built with the same structural config have ALIGNED
+partitioning: merging is per-partition — decode each input's postings
+for that partition, concatenate, re-sort, re-encode — with no global
+shuffle.  Output partitions are byte-identical to a from-scratch build
+over the union corpus (pinned by tests), so merged indexes carry the
+same determinism guarantees.
+
+This is the batch companion to state/online.OnlineIndexer: flush
+incremental batches to small indexes, then fold them into the main
+index with merge_indexes.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from chearch_ray.config import EngineConfig
+from chearch_ray.pipelines.build import commit_manifest
+from chearch_ray.stages.postings import DocmapWriter, _finalize_part
+from chearch_ray.state import segment as seg_io
+from chearch_ray.state.segment import Manifest
+
+#: structural fields that must match across merge inputs (they define
+#: partition alignment and on-disk format)
+_STRUCTURAL = (
+    "num_segments",
+    "num_term_shards",
+    "codec",
+    "block_size",
+    "token_split_regex",
+    "lowercase",
+    "split_subtokens",
+    "store_positions",
+    "max_positions_per_doc",
+)
+
+
+def _explode_postings_part(path: str, cfg: EngineConfig) -> pa.Table:
+    """partition file -> flat (part, term, doc_id, tf, positions) rows."""
+    from chearch_ray.functions.codec import decode_postings_any
+    from chearch_ray.state.segment import PostingsPartReader
+
+    reader = PostingsPartReader(path, cfg.block_size)
+    table = pq.read_table(path)
+    terms = table["term"]
+    counts = table["count"].to_numpy().astype(np.int64)
+    out_term, out_doc, out_tf = [], [], []
+    for i, term in enumerate(terms.to_pylist()):
+        enc = reader.encoded(term)
+        docs, tfs = decode_postings_any(enc, cfg.block_size, cfg.codec)
+        out_term.extend([term] * len(docs))
+        out_doc.append(docs)
+        out_tf.append(tfs)
+    doc = np.concatenate(out_doc) if out_doc else np.empty(0, dtype=np.uint64)
+    tf = np.concatenate(out_tf) if out_tf else np.empty(0, dtype=np.uint64)
+    cols = {
+        "term": pa.array(out_term, type=pa.string()),
+        "doc_id": pa.array(doc, type=pa.uint64()),
+        "tf": pa.array(tf.astype(np.uint32), type=pa.uint32()),
+    }
+    if "positions" in table.column_names:
+        pos = table["positions"].combine_chunks()
+        cols["positions"] = pos.flatten()  # per-posting lists, term-major order
+    else:
+        cols["positions"] = pa.nulls(len(doc), type=pa.list_(pa.uint32()))
+    return pa.table(cols)
+
+
+def _merge_one_part(batch: pa.Table, cfg_dict: dict, input_dirs: list[str], out_dir: str) -> pa.Table:
+    """ray task: merge one partition id across all inputs."""
+    import pyarrow.compute as pc
+
+    from chearch_ray.stages.postings import _empty_summary
+
+    cfg = EngineConfig(**cfg_dict)
+    outs = []
+    for row in batch.to_pylist():
+        part = int(row["part"])
+        kind = row["kind"]
+        if kind == "postings":
+            tables = []
+            for d in input_dirs:
+                p = os.path.join(d, seg_io.postings_rel_path(part))
+                if os.path.exists(p):
+                    tables.append(_explode_postings_part(p, cfg))
+            flat = pa.concat_tables(tables)
+            if len(flat) == 0:
+                outs.append(_empty_summary())
+                continue
+            order = pc.sort_indices(
+                flat, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
+            )
+            g = flat.take(order)
+            # duplicate (term, doc) pairs mean the same doc exists in
+            # two inputs — the merge contract requires disjoint corpora
+            t = g["term"].combine_chunks()
+            codes = np.asarray(t.dictionary_encode().indices)
+            docs_np = g["doc_id"].to_numpy()
+            same = np.flatnonzero(
+                (codes[1:] == codes[:-1]) & (docs_np[1:] == docs_np[:-1])
+            )
+            if len(same):
+                raise ValueError(
+                    f"duplicate doc ids across merge inputs in part {part} "
+                    f"(e.g. doc {docs_np[same[0]]})"
+                )
+            outs.append(_finalize_part(cfg, out_dir, part, g))
+        else:  # docmap
+            tables = []
+            for d in input_dirs:
+                p = os.path.join(d, seg_io.docmap_rel_path(part))
+                if os.path.exists(p):
+                    t = pq.read_table(p)
+                    tables.append(t.append_column("seg", pa.array([part] * len(t), type=pa.int32())))
+            cat = pa.concat_tables(tables)
+            ids = cat["doc_id"].to_numpy()
+            if len(ids) != len(np.unique(ids)):
+                raise ValueError(f"duplicate doc ids across merge inputs in docmap seg {part}")
+            outs.append(DocmapWriter(cfg, out_dir)(cat))
+    return pa.concat_tables(outs)
+
+
+def merge_indexes(input_dirs: list[str], out_dir: str) -> Manifest:
+    """Merge built indexes (same structural config, disjoint doc ids)
+    into `out_dir`; per-partition ray tasks, no global shuffle.  Output
+    partitions are byte-identical to a from-scratch build over the
+    union corpus."""
+    import dataclasses
+
+    import ray.data
+
+    manifests = [Manifest.load(d) for d in input_dirs]
+    cfg = manifests[0].engine_config
+    for m in manifests[1:]:
+        other = m.engine_config
+        for f in _STRUCTURAL:
+            if getattr(other, f) != getattr(cfg, f):
+                raise ValueError(f"merge inputs disagree on {f}")
+
+    os.makedirs(out_dir, exist_ok=True)
+    posting_parts = sorted({p["part"] for m in manifests for p in m.postings_parts})
+    doc_segs = sorted({p["part"] for m in manifests for p in m.docmap_parts})
+    items = [{"kind": "postings", "part": p} for p in posting_parts] + [
+        {"kind": "docmap", "part": s} for s in doc_segs
+    ]
+    cfg_dict = dataclasses.asdict(cfg)
+    cfg_dict["input_columns"] = tuple(cfg_dict.get("input_columns", ()))
+    (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(
+            partial(_merge_one_part, cfg_dict=cfg_dict, input_dirs=list(input_dirs), out_dir=out_dir),
+            batch_format="pyarrow",
+            batch_size=1,
+            num_cpus=1,
+        )
+        .take_all()
+    )
+    return commit_manifest(out_dir, cfg)

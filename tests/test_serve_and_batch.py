@@ -227,3 +227,51 @@ def test_online_indexer_as_actor(ray_session, tmp_path):
     # flush inside an actor would need its own Ray context; drain to
     # the driver instead (serving-shard pattern)
     ray.kill(actor)
+
+
+def test_merge_indexes_byte_identical_to_full_build(ray_session, tmp_path):
+    """Split corpus into halves, build each, merge — partition files
+    must be byte-identical to the from-scratch union build."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.pipelines.merge import merge_indexes
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.engine import QueryEngine
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=3, block_size=16)
+    full = synthetic_corpus(120, seed=42)
+    a, b = full.slice(0, 60), full.slice(60, 60)
+    build_index(ray.data.from_arrow(a), str(tmp_path / "a"), cfg)
+    build_index(ray.data.from_arrow(b), str(tmp_path / "b"), cfg)
+    m_full = build_index(ray.data.from_arrow(full), str(tmp_path / "full"), cfg)
+    m_merged = merge_indexes([str(tmp_path / "a"), str(tmp_path / "b")], str(tmp_path / "merged"))
+
+    assert m_merged.num_docs == m_full.num_docs
+    assert m_merged.avgdl == m_full.avgdl
+    assert {p["part"]: p["sha"] for p in m_merged.postings_parts} == {
+        p["part"]: p["sha"] for p in m_full.postings_parts
+    }
+    assert {p["part"]: p["sha"] for p in m_merged.docmap_parts} == {
+        p["part"]: p["sha"] for p in m_full.docmap_parts
+    }
+    # and it searches
+    eng = QueryEngine(str(tmp_path / "merged"), use_actors=False)
+    assert len(eng.search("def return", k=5)) == 5
+
+
+def test_merge_rejects_duplicate_docs(ray_session, tmp_path):
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.pipelines.merge import merge_indexes
+    from chearch_ray.sources.corpus import synthetic_corpus
+
+    cfg = EngineConfig(num_segments=1, num_term_shards=2)
+    c = synthetic_corpus(20, seed=42)
+    build_index(ray.data.from_arrow(c), str(tmp_path / "x"), cfg)
+    build_index(ray.data.from_arrow(c), str(tmp_path / "y"), cfg)  # same docs
+    with pytest.raises(Exception, match="duplicate doc ids"):
+        merge_indexes([str(tmp_path / "x"), str(tmp_path / "y")], str(tmp_path / "z"))
