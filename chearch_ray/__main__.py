@@ -53,6 +53,18 @@ def cmd_build(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_merge(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from chearch_ray.pipelines.merge import merge_indexes
+
+    manifest = merge_indexes(args.inputs, args.output)
+    print(
+        f"merged {len(args.inputs)} indexes -> {args.output}: "
+        f"{manifest.num_docs} docs, {len(manifest.postings_parts)} posting partitions"
+    )
+    return 0
+
+
 def cmd_search(args: argparse.Namespace) -> int:
     _ensure_ray()
     from chearch_ray.state.engine import QueryEngine
@@ -104,6 +116,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--shards", type=int, default=4)
     b.add_argument("--dedup", default="none", choices=["none", "exact"])
     b.set_defaults(fn=cmd_build)
+
+    mg = sub.add_parser("merge")
+    mg.add_argument("--inputs", nargs="+", required=True)
+    mg.add_argument("--output", required=True)
+    mg.set_defaults(fn=cmd_merge)
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
