@@ -238,3 +238,29 @@ def test_bp128_roundtrip(doc_ids, block_size):
     ev = codec.encode_postings(docs, tfs, block_size=block_size)
     assert enc.block_last.tolist() == ev.block_last.tolist()
     assert enc.block_max_tf.tolist() == ev.block_max_tf.tolist()
+
+
+def _regex_tokenize_reference(texts):
+    """pure regex reference for the fast-path equivalence test."""
+    import re
+
+    return [[t for t in re.split(r"[^a-z0-9_]+", s.lower()) if t] for s in texts]
+
+
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60), max_size=20))
+@settings(max_examples=150)
+def test_ascii_fast_path_matches_regex(texts):
+    lists = tokenize(pa.array(texts, type=pa.string()))
+    assert lists.to_pylist() == _regex_tokenize_reference(texts)
+
+
+def test_ascii_fast_path_on_sliced_input():
+    arr = pa.array(["abc def", "Foo-Bar_9", "", "x!y"]).slice(1, 3)
+    assert tokenize(arr).to_pylist() == [["foo", "bar_9"], [], ["x", "y"]]
+
+
+def test_non_ascii_falls_back_to_regex_path():
+    texts = ["Émile zola", "plain ascii"]
+    lists = tokenize(pa.array(texts))
+    # unicode lowering handled by the regex path ('É' -> 'é' separator)
+    assert lists.to_pylist() == [["mile", "zola"], ["plain", "ascii"]]
