@@ -59,10 +59,12 @@ def _is_token_byte(lowered: np.ndarray) -> np.ndarray:
 
 def _tokenize_ascii(arr: pa.Array) -> pa.ListArray:
     """lowercase + default-pattern split via byte LUTs; output is
-    identical to the regex path for ASCII input (pinned by tests)."""
+    identical to the regex path for ASCII input (pinned by tests).
+    Handles both string (int32 offsets) and large_string (int64)."""
     n = len(arr)
     buffers = arr.buffers()
-    raw_offsets = np.frombuffer(buffers[1], dtype=np.int32)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    raw_offsets = np.frombuffer(buffers[1], dtype=off_dtype)
     offsets = raw_offsets[arr.offset : arr.offset + n + 1].astype(np.int64)
     data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
     start, end = int(offsets[0]), int(offsets[-1])
@@ -126,6 +128,7 @@ def tokenize(
             lowercase
             and split_re == DEFAULT_SPLIT_REGEX
             and len(arr) > 0
+            and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type))
             and pc.all(pc.string_is_ascii(arr)).as_py()
         ):
             return _tokenize_ascii(arr)

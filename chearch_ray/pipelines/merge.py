@@ -47,16 +47,13 @@ _STRUCTURAL = (
 
 
 def _explode_postings_part(path: str, cfg: EngineConfig) -> pa.Table:
-    """partition file -> flat (part, term, doc_id, tf, positions) rows."""
+    """partition file -> flat (term, doc_id, tf, positions) rows."""
     from chearch_ray.functions.codec import decode_postings_any
     from chearch_ray.state.segment import PostingsPartReader
 
     reader = PostingsPartReader(path, cfg.block_size)
-    table = pq.read_table(path)
-    terms = table["term"]
-    counts = table["count"].to_numpy().astype(np.int64)
     out_term, out_doc, out_tf = [], [], []
-    for i, term in enumerate(terms.to_pylist()):
+    for term in reader.terms:  # file-row order (term-sorted)
         enc = reader.encoded(term)
         docs, tfs = decode_postings_any(enc, cfg.block_size, cfg.codec)
         out_term.extend([term] * len(docs))
@@ -69,8 +66,8 @@ def _explode_postings_part(path: str, cfg: EngineConfig) -> pa.Table:
         "doc_id": pa.array(doc, type=pa.uint64()),
         "tf": pa.array(tf.astype(np.uint32), type=pa.uint32()),
     }
-    if "positions" in table.column_names:
-        pos = table["positions"].combine_chunks()
+    pos = reader.positions_column()
+    if pos is not None:
         cols["positions"] = pos.flatten()  # per-posting lists, term-major order
     else:
         cols["positions"] = pa.nulls(len(doc), type=pa.list_(pa.uint32()))
@@ -148,6 +145,16 @@ def merge_indexes(input_dirs: list[str], out_dir: str) -> Manifest:
             if getattr(other, f) != getattr(cfg, f):
                 raise ValueError(f"merge inputs disagree on {f}")
 
+    # purge any previous index's state in out_dir — stale lineage
+    # records would verify and be folded into the merged manifest by
+    # commit_manifest (same mixed-index hazard as build resume=False)
+    import shutil
+
+    for sub in ("_lineage", "segments", "docmap", "stats", "_shuffle", "_control"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    stale_manifest = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(stale_manifest):
+        os.remove(stale_manifest)
     os.makedirs(out_dir, exist_ok=True)
     posting_parts = sorted({p["part"] for m in manifests for p in m.postings_parts})
     doc_segs = sorted({p["part"] for m in manifests for p in m.docmap_parts})

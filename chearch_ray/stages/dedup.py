@@ -282,8 +282,18 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
 
     stage = MinHashSignatures(num_perm=num_perm, bands=bands, text_column=text_column)
     sigs_ds = ds.map_batches(stage.signatures_table, batch_format="pyarrow", batch_size=4096)
-    sig_tables = [ray.get(r) for r in sigs_ds.to_arrow_refs()]
-    sig_all = pa.concat_tables([t for t in sig_tables if len(t)])
+    sig_tables = [t for t in (ray.get(r) for r in sigs_ds.to_arrow_refs()) if len(t)]
+    if not sig_tables:  # empty input -> empty, schema-stable pairs
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.uint64()),
+                    "doc_b": pa.array([], type=pa.uint64()),
+                    "est_jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    sig_all = pa.concat_tables(sig_tables)
     doc_ids = sig_all["doc_id"].to_numpy()
     order = np.argsort(doc_ids, kind="stable")
     sig_col = sig_all["signature"].combine_chunks()

@@ -103,6 +103,14 @@ def knn_brute_force(ds, query_matrix: np.ndarray, k: int, id_column: str = "vec_
         concurrency=2,
         num_cpus=0.5,
     )
+    return _gather_topk(partials, k, id_column)
+
+
+def _gather_topk(partials, k: int, id_column: str) -> pa.Table:
+    """shared tail for knn_brute_force / ivf_search: gather the
+    per-batch partial top-k tables and merge (schema-stable empty)."""
+    import ray
+
     tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if len(t)]
     if not tables:
         return pa.table(
@@ -305,10 +313,4 @@ def ivf_search(assigned_ds, centroids: np.ndarray, query_matrix: np.ndarray,
         BruteForceCosine, fn_constructor_args=(ref, k, id_column),
         batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
     )
-    tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if len(t)]
-    if not tables:
-        return pa.table(
-            {"query_id": pa.array([], type=pa.int64()), id_column: pa.array([], type=pa.int64()),
-             "sim": pa.array([], type=pa.float64())}
-        )
-    return merge_topk(pa.concat_tables(tables), k, id_column)
+    return _gather_topk(partials, k, id_column)

@@ -108,6 +108,7 @@ class SegmentSearcher:
         docmap_path = os.path.join(index_dir, docmap_rel_path(seg))
         self.docmap = DocmapReader(docmap_path) if os.path.exists(docmap_path) else None
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._pos_cache: dict[str, list | None] = {}
         from chearch_ray.functions.hashing import TermSharder
 
         self._sharder = TermSharder(cfg.num_term_shards)
@@ -327,6 +328,20 @@ class SegmentSearcher:
             )
         return pa.concat_tables(tables)
 
+    def term_positions(self, term: str) -> list | None:
+        """all position lists of a term (aligned with its posting
+        order), decoded once and cached — phrase queries probe this per
+        candidate doc, so the per-call .as_py() of the whole nested
+        column must not repeat (it made phrases O(C*T*P))."""
+        if term in self._pos_cache:
+            return self._pos_cache[term]
+        reader = self.shards.get(self._sharder.shard_of(term))
+        out = reader.positions(term) if reader is not None else None
+        if len(self._pos_cache) > 1024:
+            self._pos_cache.clear()
+        self._pos_cache[term] = out
+        return out
+
     def first_position(self, term: str, doc_id: int):
         """First token position of `term` in `doc_id`, 0 when the doc
         matches but positions are not stored, None when the doc does
@@ -335,7 +350,10 @@ class SegmentSearcher:
         i = int(np.searchsorted(docs, np.uint64(doc_id)))
         if i >= len(docs) or docs[i] != np.uint64(doc_id):
             return None
-        pos = self.positions(term, doc_id)
+        all_pos = self.term_positions(term)
+        if not all_pos:
+            return 0
+        pos = all_pos[i]
         return int(pos[0]) if pos else 0
 
     # --------------------------------------------------------- phrase mode
@@ -355,6 +373,12 @@ class SegmentSearcher:
         contract as search_bm25)."""
         if self.docmap is None or not terms:
             return self._project(_EMPTY_U64, scores=np.empty(0))
+        if not self.cfg.store_positions:
+            raise ValueError(
+                "phrase queries require an index built with store_positions=True"
+            )
+        # NB max_positions_per_doc truncation can hide matches past the
+        # cap — phrase recall is only exact with the cap disabled.
         candidates = self.postings(terms[0])[0]
         for t in terms[1:]:
             candidates = intersect_sorted(candidates, self.postings(t)[0])
@@ -394,7 +418,10 @@ class SegmentSearcher:
         i = int(np.searchsorted(docs, np.uint64(doc_id)))
         if i >= len(docs) or docs[i] != np.uint64(doc_id):
             return None
-        pos = self.positions(term, doc_id)
+        all_pos = self.term_positions(term)
+        if not all_pos:
+            return None
+        pos = all_pos[i]
         if not pos:
             return None
         return np.asarray(pos, dtype=np.uint64)

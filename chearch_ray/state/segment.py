@@ -254,6 +254,14 @@ class PostingsPartReader:
         i = self._terms.get(term)
         return None if i is None else self._positions[i].as_py()
 
+    def positions_column(self):
+        """raw positions column (list<list<uint32>> aligned with file
+        row order) or None when positions were not stored."""
+        if self._positions is None:
+            return None
+        col = self._positions
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
 
 class DocmapReader:
     """One doc-segment's docmap, held as sorted numpy arrays for O(log n)
@@ -284,3 +292,4 @@ class DocmapReader:
 
     def meta_for(self, doc_ids: np.ndarray) -> pa.Table:
         return self.table.take(pa.array(self._indices_for(doc_ids), type=pa.int64()))
+

@@ -181,3 +181,58 @@ def test_token_split_regex_and_position_cap(ray_session, tmp_path):
     docs, tfs = searcher.postings("a")
     assert tfs.tolist() == [3]  # tf unaffected by the position cap
     assert len(searcher.positions("a", int(docs[0]))) == 2  # capped
+
+
+def test_tokenize_large_string_fast_path():
+    lists = tokenize_col = None
+    from chearch_ray.functions.tokenizer import tokenize
+
+    texts = ["hello world", "Foo_Bar baz42", "", "x"]
+    out = tokenize(pa.array(texts, type=pa.large_string())).to_pylist()
+    assert out == [["hello", "world"], ["foo_bar", "baz42"], [], ["x"]]
+
+
+def test_minhash_empty_dataset(ray_session):
+    import ray.data
+
+    from chearch_ray.stages.dedup import minhash_dedup_pairs
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()), "text": pa.array([], type=pa.string())})
+    out = minhash_dedup_pairs(ray.data.from_arrow(empty), threshold=0.5)
+    # (Dataset.to_pandas drops columns for empty datasets — a Ray
+    # quirk — so assert on the Dataset schema)
+    assert out.schema().names == ["doc_a", "doc_b", "est_jaccard"]
+    assert out.count() == 0
+
+
+def test_merge_purges_stale_output_dir(ray_session, tmp_path):
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.pipelines.merge import merge_indexes
+    from chearch_ray.sources.corpus import synthetic_corpus
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    big = synthetic_corpus(60, seed=42)
+    small = synthetic_corpus(20, seed=9)
+    out = str(tmp_path / "out")
+    build_index(ray.data.from_arrow(big), out, cfg, resume=False)  # stale index in out
+    build_index(ray.data.from_arrow(small), str(tmp_path / "s"), cfg)
+    m = merge_indexes([str(tmp_path / "s")], out)
+    assert m.num_docs == 20  # stale 60-doc index NOT folded in
+
+
+def test_phrase_requires_positions(ray_session, tmp_path):
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.engine import QueryEngine
+
+    cfg = EngineConfig(num_segments=1, num_term_shards=2, store_positions=False)
+    build_index(ray.data.from_arrow(synthetic_corpus(20, seed=42)), str(tmp_path / "np"), cfg)
+    eng = QueryEngine(str(tmp_path / "np"), use_actors=False)
+    with pytest.raises(ValueError, match="store_positions"):
+        eng.search_phrase("def return")
