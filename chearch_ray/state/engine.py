@@ -46,6 +46,7 @@ class QueryEngine:
         index_dir: str,
         use_actors: bool = True,
         num_cpus_per_actor: float = 0.5,
+        stats_mode: str = "eager",
     ):
         # fractional CPUs: long-lived searcher actors must not starve
         # Ray Data read/map tasks on small clusters (a pool that
@@ -53,14 +54,19 @@ class QueryEngine:
         self.index_dir = index_dir
         self.manifest = Manifest.load(index_dir)
         self.cfg = self.manifest.engine_config
-        stats = pq.read_table(
-            os.path.join(index_dir, self.manifest.term_stats_path), columns=["term", "df"]
-        )
-        # vocabulary-sized dict (sandbox scale).  At 10^12-doc scale this
-        # becomes a sharded lookup (the stats table is term-sorted
-        # parquet; a per-query predicate read suffices) — only the
-        # query's own terms are ever needed.
-        self._df = dict(zip(stats["term"].to_pylist(), stats["df"].to_pylist()))
+        self._stats_path = os.path.join(index_dir, self.manifest.term_stats_path)
+        self.stats_mode = stats_mode
+        if stats_mode == "eager":
+            # vocabulary-sized dict (sandbox scale)
+            stats = pq.read_table(self._stats_path, columns=["term", "df"])
+            self._df = dict(zip(stats["term"].to_pylist(), stats["df"].to_pylist()))
+        elif stats_mode == "lazy":
+            # scale path (10^12-doc vocab): the stats table is
+            # term-sorted parquet; read only the query's own terms via
+            # a predicate (row-group pushdown), memoized per engine
+            self._df = {}
+        else:
+            raise ValueError(f"unknown stats_mode {stats_mode!r}")
         self.n_docs = self.manifest.num_docs
         self.avgdl = float(self.manifest.avgdl)
         self.segments = sorted({p["part"] // self.cfg.num_term_shards for p in self.manifest.postings_parts})
@@ -77,6 +83,13 @@ class QueryEngine:
 
     # ------------------------------------------------------------ stats
     def df(self, term: str) -> int:
+        if self.stats_mode == "lazy" and term not in self._df:
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(self._stats_path, format="parquet").to_table(
+                columns=["term", "df"], filter=pads.field("term") == term
+            )
+            self._df[term] = int(t["df"][0].as_py()) if len(t) else 0
         return int(self._df.get(term, 0))
 
     def idfs_for(self, node: ast.Node) -> dict[str, float]:

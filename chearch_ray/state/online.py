@@ -90,3 +90,37 @@ class OnlineIndexer:
         """Completion latch analogue (release$ single-var); buffered
         implementation is synchronous, so this just reports state."""
         return self._completed
+
+
+    def flush_roll(self, main_index_dir: str, scratch_dir: str | None = None):
+        """Segment roll: flush the buffer to a fresh batch index, then
+        fold it into the main index with merge_indexes (byte-identical
+        to having built main+buffer together).  Creates the main index
+        on first roll.  Returns the merged Manifest."""
+        import os
+        import shutil
+        import tempfile
+
+        from chearch_ray.pipelines.merge import merge_indexes
+        from chearch_ray.state.segment import manifest_exists
+
+        scratch = scratch_dir or tempfile.mkdtemp(prefix="chearch_roll_")
+        batch_dir = os.path.join(scratch, "batch")
+        self.flush(batch_dir)
+        if not manifest_exists(main_index_dir):
+            # first roll: the batch IS the main index
+            shutil.rmtree(main_index_dir, ignore_errors=True)
+            shutil.move(batch_dir, main_index_dir)
+            from chearch_ray.state.segment import Manifest
+
+            return Manifest.load(main_index_dir)
+        merged_dir = os.path.join(scratch, "merged")
+        manifest = merge_indexes([main_index_dir, batch_dir], merged_dir)
+        # atomic-ish swap: replace main with merged
+        old = main_index_dir.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(main_index_dir, old)
+        shutil.move(merged_dir, main_index_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
+        return manifest

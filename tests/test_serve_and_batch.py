@@ -275,3 +275,45 @@ def test_merge_rejects_duplicate_docs(ray_session, tmp_path):
     build_index(ray.data.from_arrow(c), str(tmp_path / "y"), cfg)  # same docs
     with pytest.raises(Exception, match="duplicate doc ids"):
         merge_indexes([str(tmp_path / "x"), str(tmp_path / "y")], str(tmp_path / "z"))
+
+
+def test_lazy_stats_mode_matches_eager(ray_session, tmp_path):
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.engine import QueryEngine
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    build_index(ray.data.from_arrow(synthetic_corpus(100, seed=42)), str(tmp_path / "lz"), cfg)
+    eager = QueryEngine(str(tmp_path / "lz"), use_actors=False)
+    lazy = QueryEngine(str(tmp_path / "lz"), use_actors=False, stats_mode="lazy")
+    for t in ("def", "return", "__known_7__", "__never_present__"):
+        assert lazy.df(t) == eager.df(t), t
+    got = lazy.search("def return", k=5)
+    want = eager.search("def return", k=5)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == want["score"].to_pylist()
+
+
+def test_online_flush_roll(ray_session, tmp_path):
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.sources.corpus import synth_row
+    from chearch_ray.state.engine import QueryEngine
+    from chearch_ray.state.online import OnlineIndexer
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    main = str(tmp_path / "main")
+    idx = OnlineIndexer(cfg, flush_threshold=1000)
+    for i in range(30):
+        idx.enqueue_index_request(synth_row(i, seed=42))
+    m1 = idx.flush_roll(main, scratch_dir=str(tmp_path / "s1"))
+    assert m1.num_docs == 30
+    for i in range(30, 50):
+        idx.enqueue_index_request(synth_row(i, seed=42))
+    m2 = idx.flush_roll(main, scratch_dir=str(tmp_path / "s2"))
+    assert m2.num_docs == 50
+    eng = QueryEngine(main, use_actors=False)
+    assert eng.n_docs == 50
+    assert len(eng.search("def", k=5)) > 0
