@@ -57,9 +57,10 @@ class EngineConfig:
     max_positions_per_doc: int = 0
 
     # ---- posting codec ------------------------------------------------
-    #: "varint" (default: LEB128 deltas, fastest bulk encode) or
-    #: "bp128" (binary packing per skip block — the PForDelta-family
-    #: option; smaller blobs for dense/small deltas, per-term encode).
+    #: "varint" (default: LEB128 deltas, fastest bulk encode),
+    #: "bp128" (binary packing per skip block), or "pfor" (binary
+    #: packing + out-of-line exception slots — classic PForDelta;
+    #: smallest blobs when blocks have outlier deltas).
     codec: str = "varint"
     #: postings per skip block; each block records (last_doc_id, max_tf)
     #: for skip + block-max pruning (north star).  Reference analogue:

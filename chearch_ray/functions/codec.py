@@ -324,10 +324,12 @@ def bp_decode_stream(
     return out
 
 
-def encode_postings_bp(doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = 128) -> EncodedPostings:
-    """BP128 per-term encoder (same EncodedPostings shape; blobs use
-    the binary-packed block layout).  Delta semantics identical to the
-    varint codec, so decode is cumsum over the same delta stream."""
+def encode_postings_bp(doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = 128,
+                       stream_encode=None) -> EncodedPostings:
+    """BP128/PFor per-term encoder (same EncodedPostings shape; blobs
+    use the packed block layout; pass stream_encode=pfor_encode_stream
+    for PFor).  Delta semantics identical to the varint codec, so
+    decode is cumsum over the same delta stream."""
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     n = len(doc_ids)
@@ -343,8 +345,9 @@ def encode_postings_bp(doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = 1
     block_bounds = np.minimum(np.arange(1, n_blocks + 1) * block_size, n)
     block_last = doc_ids[block_bounds - 1]
     block_max_tf = np.maximum.reduceat(tfs, np.arange(0, n, block_size)).astype(np.uint32)
-    doc_blob, doc_off = bp_encode_stream(deltas, block_size)
-    tf_blob, tf_off = bp_encode_stream(tfs, block_size)
+    enc_stream = stream_encode or bp_encode_stream
+    doc_blob, doc_off = enc_stream(deltas, block_size)
+    tf_blob, tf_off = enc_stream(tfs, block_size)
     return EncodedPostings(
         count=n,
         doc_blob=doc_blob,
@@ -362,10 +365,103 @@ def decode_postings_any(
     """codec-dispatching full decode."""
     if codec == "varint":
         return decode_postings(enc, block_size)
-    if codec != "bp128":
+    if codec == "bp128":
+        stream = bp_decode_stream
+    elif codec == "pfor":
+        stream = pfor_decode_stream
+    else:
         raise ValueError(f"unknown codec {codec!r}")
     if enc.count == 0:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
-    deltas = bp_decode_stream(enc.doc_blob, enc.count, enc.block_doc_off, block_size)
-    tfs = bp_decode_stream(enc.tf_blob, enc.count, enc.block_tf_off, block_size)
+    deltas = stream(enc.doc_blob, enc.count, enc.block_doc_off, block_size)
+    tfs = stream(enc.tf_blob, enc.count, enc.block_tf_off, block_size)
     return np.cumsum(deltas, dtype=np.uint64), tfs
+
+
+# ------------------------------------------------------------ PFor codec
+# Classic PForDelta: pack each block at a width covering ~90% of its
+# values; outliers ("exceptions") are stored out-of-line so one big
+# delta doesn't widen the whole block.  Block layout:
+#   [width: 1][n_exceptions: 1][varint first delta]
+#   [remaining n-1 deltas packed at `width` (exceptions packed as 0)]
+#   [exception entries: (slot index: 1 byte) (varint true value)]*
+# Blocks are <= 128 postings, so 1-byte slot indexes suffice.
+
+def _pfor_pick_width(rest: np.ndarray) -> int:
+    """width minimizing payload+exception bytes (deterministic)."""
+    if len(rest) == 0:
+        return 0
+    # exact bit width of each value
+    bw = np.ones(len(rest), dtype=np.int64)
+    v = rest.copy()
+    shifted = v >> np.uint64(1)
+    while shifted.any():
+        bw += (shifted > 0).astype(np.int64)
+        shifted >>= np.uint64(1)
+    best_w, best_cost = 64, None
+    for w in sorted(set(bw.tolist())):
+        n_exc = int((bw > w).sum())
+        if n_exc > 255:
+            continue
+        cost = (len(rest) * w + 7) // 8 + n_exc * 3  # ~3B per exception
+        if best_cost is None or cost < best_cost:
+            best_w, best_cost = int(w), cost
+    return best_w
+
+
+def pfor_encode_stream(values: np.ndarray, block_size: int = 128) -> tuple[bytes, np.ndarray]:
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    chunks: list[bytes] = []
+    offsets = [0]
+    for s in range(0, len(values), block_size):
+        block = values[s : s + block_size]
+        first, rest = block[:1], block[1:]
+        width = _pfor_pick_width(rest)
+        if width >= 64:
+            exc_mask = np.zeros(len(rest), dtype=bool)
+        else:
+            exc_mask = rest >= (np.uint64(1) << np.uint64(width))
+        packed_vals = np.where(exc_mask, np.uint64(0), rest)
+        exc_idx = np.flatnonzero(exc_mask)
+        payload = (
+            bytes([width, len(exc_idx)])
+            + varint_encode(first)
+            + _bp_pack(packed_vals, width)
+            + exc_idx.astype(np.uint8).tobytes()
+            + varint_encode(rest[exc_mask])
+        )
+        chunks.append(payload)
+        offsets.append(offsets[-1] + len(payload))
+    return b"".join(chunks), np.array(offsets[:-1], dtype=np.int64)
+
+
+def pfor_decode_block_bytes(buf: np.ndarray, count: int) -> np.ndarray:
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    width, n_exc = int(buf[0]), int(buf[1])
+    body = buf[2:]
+    first = varint_decode(body, 1)
+    ends = np.flatnonzero(body < 0x80)
+    vlen = int(ends[0]) + 1
+    packed_bytes = (max(count - 1, 0) * width + 7) // 8
+    rest = _bp_unpack(body[vlen : vlen + packed_bytes], count - 1, width)
+    if n_exc:
+        tail = body[vlen + packed_bytes :]
+        exc_idx = tail[:n_exc].astype(np.int64)
+        exc_vals = varint_decode(tail[n_exc:], n_exc)
+        rest[exc_idx] = exc_vals
+    return np.concatenate([first, rest])
+
+
+def pfor_decode_stream(
+    blob: bytes, count: int, block_offsets: np.ndarray, block_size: int = 128
+) -> np.ndarray:
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    out = np.empty(count, dtype=np.uint64)
+    n_blocks = len(block_offsets)
+    for i in range(n_blocks):
+        s = int(block_offsets[i])
+        e = int(block_offsets[i + 1]) if i + 1 < n_blocks else len(buf)
+        n = min(block_size, count - i * block_size)
+        out[i * block_size : i * block_size + n] = pfor_decode_block_bytes(buf[s:e], n)
+    return out

@@ -24,12 +24,17 @@ import pyarrow.compute as pc
 
 from chearch_ray.config import EngineConfig
 from chearch_ray.functions.codec import encode_postings_bp, encode_postings_bulk
+from chearch_ray.state import segment as seg_io
 
 
-def _bp_bulk(doc: np.ndarray, tf: np.ndarray, bounds: np.ndarray, block_size: int) -> dict:
-    """Per-term BP128 encode shaped like encode_postings_bulk's output
-    (python loop over terms — the bp option trades build speed for
-    smaller blobs)."""
+def _bp_bulk(doc: np.ndarray, tf: np.ndarray, bounds: np.ndarray, block_size: int,
+             codec: str = "bp128") -> dict:
+    """Per-term BP128/PFor encode shaped like encode_postings_bulk's
+    output (python loop over terms — these options trade build speed
+    for smaller blobs)."""
+    from chearch_ray.functions.codec import pfor_encode_stream
+
+    stream = pfor_encode_stream if codec == "pfor" else None
     n_terms = len(bounds) - 1
     doc_chunks, tf_chunks = [], []
     doc_offsets = np.zeros(n_terms + 1, dtype=np.int64)
@@ -39,7 +44,7 @@ def _bp_bulk(doc: np.ndarray, tf: np.ndarray, bounds: np.ndarray, block_size: in
     bl, bm, bdo, bto = [], [], [], []
     for i in range(n_terms):
         s, e = int(bounds[i]), int(bounds[i + 1])
-        enc = encode_postings_bp(doc[s:e], tf[s:e], block_size)
+        enc = encode_postings_bp(doc[s:e], tf[s:e], block_size, stream_encode=stream)
         doc_chunks.append(enc.doc_blob)
         tf_chunks.append(enc.tf_blob)
         doc_offsets[i + 1] = doc_offsets[i] + len(enc.doc_blob)
@@ -62,7 +67,7 @@ def _bp_bulk(doc: np.ndarray, tf: np.ndarray, bounds: np.ndarray, block_size: in
         "block_doc_off": cat(bdo, np.int64),
         "block_tf_off": cat(bto, np.int64),
     }
-from chearch_ray.state import segment as seg_io
+
 
 # map_groups requires plain functions (it reads fn.__name__); these
 # wrappers let build.py pass the writer classes via functools.partial.
@@ -207,8 +212,8 @@ def _finalize_part(cfg: EngineConfig, index_dir: str, part: int, g: pa.Table) ->
     bounds = np.append(starts, len(g))
     uniq_terms = codes_arr.dictionary  # encounter order == sorted order here
 
-    if cfg.codec == "bp128":
-        bulk = _bp_bulk(doc, tf, bounds, cfg.block_size)
+    if cfg.codec in ("bp128", "pfor"):
+        bulk = _bp_bulk(doc, tf, bounds, cfg.block_size, cfg.codec)
     else:
         bulk = encode_postings_bulk(doc, tf, bounds, block_size=cfg.block_size)
     n_postings = len(doc)

@@ -455,3 +455,21 @@ def test_phrase_with_repeated_term(engine, oracle, corpus):
                 assert got["score"].to_pylist() == [s for _, s in want]
                 return
     pytest.skip("no immediate repetition in corpus")
+
+
+def test_pfor_codec_build_search_identical(ray_session, corpus, oracle, tmp_path):
+    import dataclasses
+
+    import ray.data
+
+    cfg_pf = dataclasses.replace(CFG, codec="pfor")
+    build_index(ray.data.from_arrow(corpus), str(tmp_path / "pf"), cfg_pf)
+    eng = QueryEngine(str(tmp_path / "pf"), use_actors=False)
+    assert eng.cfg.codec == "pfor"
+    hot = _hot_terms(oracle, 3)
+    for tree in (
+        ast.Term(hot[0]),
+        ast.And(ast.Term(hot[0]), ast.Term(hot[1])),
+        ast.Or(ast.Term(hot[1]), ast.Term(hot[2])),
+    ):
+        _check_bm25(eng, oracle, tree)

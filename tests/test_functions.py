@@ -264,3 +264,24 @@ def test_non_ascii_falls_back_to_regex_path():
     lists = tokenize(pa.array(texts))
     # unicode lowering handled by the regex path ('É' -> 'é' separator)
     assert lists.to_pylist() == [["mile", "zola"], ["plain", "ascii"]]
+
+
+@given(sorted_unique_u64(), st.sampled_from([4, 128]))
+@settings(max_examples=60)
+def test_pfor_roundtrip(doc_ids, block_size):
+    docs = np.array(doc_ids, dtype=np.uint64)
+    tfs = (docs % np.uint64(31)) + np.uint64(1)
+    enc = codec.encode_postings_bp(docs, tfs, block_size=block_size,
+                                   stream_encode=codec.pfor_encode_stream)
+    d, t = codec.decode_postings_any(enc, block_size, "pfor")
+    assert d.tolist() == doc_ids
+    assert t.tolist() == tfs.tolist()
+
+
+def test_pfor_beats_bp_on_outliers():
+    rng = np.random.default_rng(5)
+    deltas = rng.integers(1, 50, size=256, dtype=np.uint64)
+    deltas[[10, 100, 200]] = 2**45
+    pf, _ = codec.pfor_encode_stream(deltas, 128)
+    bp, _ = codec.bp_encode_stream(deltas, 128)
+    assert len(pf) < len(bp) // 2
