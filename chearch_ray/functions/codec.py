@@ -245,6 +245,74 @@ def decode_block(
     return doc_ids, tfs
 
 
+def decode_blocks(
+    enc: EncodedPostings,
+    blocks: np.ndarray,
+    block_size: int = 128,
+    codec: str = "varint",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONLY the given skip blocks -> (doc_ids, tfs) concatenated
+    in block order (ascending doc ids when `blocks` is sorted).
+
+    This is the lazy block iteration of the reference's query model
+    (memorysegment.chpl:41-55, documentidpool.chpl:84) — a selective
+    probe against a hot term touches a handful of blocks instead of
+    decoding the whole list.  The varint path is one vectorized pass
+    over the gathered block bytes; bp128/pfor decode per block (already
+    block-framed formats).
+    """
+    blocks = np.ascontiguousarray(blocks, dtype=np.int64)
+    if len(blocks) == 0 or enc.count == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    n_blocks = len(enc.block_last)
+    counts = np.minimum(block_size, enc.count - blocks * block_size).astype(np.int64)
+    total = int(counts.sum())
+    bases = np.where(blocks > 0, enc.block_last[np.maximum(blocks - 1, 0)], np.uint64(0))
+
+    doc_buf = np.frombuffer(enc.doc_blob, dtype=np.uint8)
+    tf_buf = np.frombuffer(enc.tf_blob, dtype=np.uint8)
+
+    def _ends(offs: np.ndarray, blob_len: int) -> np.ndarray:
+        nxt = blocks + 1
+        return np.where(nxt < n_blocks, offs[np.minimum(nxt, n_blocks - 1)], blob_len)
+
+    doc_starts = enc.block_doc_off[blocks]
+    doc_ends = _ends(enc.block_doc_off, len(doc_buf))
+    tf_starts = enc.block_tf_off[blocks]
+    tf_ends = _ends(enc.block_tf_off, len(tf_buf))
+
+    if codec == "varint":
+        doc_bytes = np.concatenate(
+            [doc_buf[int(s) : int(e)] for s, e in zip(doc_starts, doc_ends)]
+        )
+        tf_bytes = np.concatenate(
+            [tf_buf[int(s) : int(e)] for s, e in zip(tf_starts, tf_ends)]
+        )
+        deltas = varint_decode(doc_bytes, total)
+        tfs = varint_decode(tf_bytes, total)
+    elif codec in ("bp128", "pfor"):
+        dec = bp_decode_block_bytes if codec == "bp128" else pfor_decode_block_bytes
+        deltas = np.empty(total, dtype=np.uint64)
+        tfs = np.empty(total, dtype=np.uint64)
+        pos = 0
+        for i in range(len(blocks)):
+            c = int(counts[i])
+            deltas[pos : pos + c] = dec(doc_buf[int(doc_starts[i]) : int(doc_ends[i])], c)
+            tfs[pos : pos + c] = dec(tf_buf[int(tf_starts[i]) : int(tf_ends[i])], c)
+            pos += c
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+
+    # segment-wise cumsum: rebase each block's running sum onto the
+    # previous block's last doc id (uint64 wraparound-safe: values only
+    # grow within a block)
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    base_before = cs[starts] - deltas[starts]
+    doc_ids = cs - np.repeat(base_before, counts) + np.repeat(bases.astype(np.uint64), counts)
+    return doc_ids, tfs
+
+
 # ----------------------------------------------------------- BP128 codec
 # Binary packing (FastPFor-family "BP" variant, the PForDelta axis of
 # the north star): per skip block, all deltas after the first are

@@ -19,10 +19,14 @@ bit-identical float64 ops):
     idf_t          = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
     global order   = (score desc, doc_id asc)
 
-The segment format records block-max tf per skip block for pruning;
-the scorer here is the exact vectorized baseline (full decode + numpy
-kernels) — at code-corpus posting densities the matmul-style kernel
-beats per-posting pruning until lists get very long.
+Skip-block laziness: conjunctive evaluation decodes the smaller AND
+side fully and PROBES every other term through its skip index
+(`probe_tfs` — only blocks straddling a candidate are decoded),
+mirroring the reference's lazy block iteration
+(memorysegment.chpl:41-55, documentidpool.chpl:84).  Pure
+disjunctions additionally get exact MaxScore pruning from the
+block-max tf metadata.  `decode_stats` counts blocks decoded vs
+total so tests can assert the skipping actually happens.
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ import pyarrow as pa
 
 from chearch_ray import ast
 from chearch_ray.config import EngineConfig
-from chearch_ray.functions.codec import decode_postings_any
+from chearch_ray.functions.codec import decode_blocks, decode_postings_any
 from chearch_ray.state.segment import DocmapReader, PostingsPartReader, docmap_rel_path, postings_rel_path
 
 _EMPTY_U64 = np.empty(0, dtype=np.uint64)
@@ -108,7 +112,14 @@ class SegmentSearcher:
         docmap_path = os.path.join(index_dir, docmap_rel_path(seg))
         self.docmap = DocmapReader(docmap_path) if os.path.exists(docmap_path) else None
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._enc_cache: dict[str, object] = {}
+        self._blk_cache: dict[str, dict[int, tuple[np.ndarray, np.ndarray]]] = {}
         self._pos_cache: dict[str, list | None] = {}
+        # decode telemetry: proves skip blocks actually skip (the
+        # reference's whole query model is lazy block iteration,
+        # memorysegment.chpl:41-55) — tests assert blocks_decoded <<
+        # blocks_total on selective ANDs against hot terms.
+        self.decode_stats = {"blocks_decoded": 0, "blocks_total": 0, "full_decodes": 0}
         from chearch_ray.functions.hashing import TermSharder
 
         self._sharder = TermSharder(cfg.num_term_shards)
@@ -120,16 +131,12 @@ class SegmentSearcher:
         hit = self._decoded.get(term)
         if hit is not None:
             return hit
-        reader = self.shards.get(self._sharder.shard_of(term))
-        if reader is None:
+        enc = self._encoded(term)
+        if enc is None:
             out = (_EMPTY_U64, _EMPTY_U64)
         else:
-            enc = reader.encoded(term)
-            out = (
-                (_EMPTY_U64, _EMPTY_U64)
-                if enc is None
-                else decode_postings_any(enc, self.cfg.block_size, self.cfg.codec)
-            )
+            self.decode_stats["full_decodes"] += 1
+            out = decode_postings_any(enc, self.cfg.block_size, self.cfg.codec)
         if len(self._decoded) > 4096:  # bound the decode cache
             self._decoded.clear()
         self._decoded[term] = out
@@ -139,14 +146,121 @@ class SegmentSearcher:
         reader = self.shards.get(self._sharder.shard_of(term))
         return 0 if reader is None else reader.df(term)
 
+    def _encoded(self, term: str):
+        """cached EncodedPostings (metadata + blobs, NO decode)."""
+        if term in self._enc_cache:
+            return self._enc_cache[term]
+        reader = self.shards.get(self._sharder.shard_of(term))
+        enc = reader.encoded(term) if reader is not None else None
+        if len(self._enc_cache) > 4096:
+            self._enc_cache.clear()
+        self._enc_cache[term] = enc
+        return enc
+
+    # ----------------------------------------------------- skip probing
+    def probe_tfs(self, term: str, probes: np.ndarray) -> np.ndarray:
+        """tf of each probe doc in `term`'s postings (0 = absent),
+        decoding ONLY the skip blocks whose [prev block_last, block_last]
+        range straddles a probe — the galloping block iteration of the
+        reference (documentidpool.chpl:84, memorysegment.chpl:41-55).
+        Falls back to one full decode (cached) when the probe set
+        touches most blocks anyway."""
+        out = np.zeros(len(probes), dtype=np.uint64)
+        if len(probes) == 0:
+            return out
+
+        def _probe_into(docs: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+            if len(docs) == 0:
+                return out
+            pos = np.searchsorted(docs, probes)
+            pos_c = np.minimum(pos, len(docs) - 1)
+            mask = docs[pos_c] == probes
+            out[mask] = tfs[pos_c[mask]]
+            return out
+
+        hit = self._decoded.get(term)
+        if hit is not None:
+            return _probe_into(*hit)
+        enc = self._encoded(term)
+        if enc is None or enc.count == 0:
+            return out
+        n_blocks = len(enc.block_last)
+        self.decode_stats["blocks_total"] += n_blocks
+        needed = np.unique(np.searchsorted(enc.block_last, probes, side="left"))
+        needed = needed[needed < n_blocks]
+        if len(needed) == 0:  # every probe is past the last posting
+            return out
+        if len(needed) * 2 >= n_blocks:
+            # probes hit most blocks — a single full decode is cheaper
+            # than per-block bookkeeping, and it warms the list cache
+            self.decode_stats["blocks_decoded"] += n_blocks
+            return _probe_into(*self.postings(term))
+        cache = self._blk_cache.setdefault(term, {})
+        miss = np.array([b for b in needed.tolist() if b not in cache], dtype=np.int64)
+        if len(miss):
+            self.decode_stats["blocks_decoded"] += len(miss)
+            d, t = decode_blocks(enc, miss, self.cfg.block_size, self.cfg.codec)
+            bounds = np.concatenate(
+                [[0], np.cumsum(np.minimum(self.cfg.block_size, enc.count - miss * self.cfg.block_size))]
+            ).astype(np.int64)
+            for i, b in enumerate(miss.tolist()):
+                cache[b] = (d[bounds[i] : bounds[i + 1]], t[bounds[i] : bounds[i + 1]])
+        if sum(len(c) for c in self._blk_cache.values()) > 1 << 16:
+            keep = self._blk_cache.pop(term)
+            self._blk_cache.clear()
+            self._blk_cache[term] = keep
+        parts = [cache[b] for b in needed.tolist()]
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        return _probe_into(docs, tfs)
+
     # ------------------------------------------------------ boolean mode
+    def _node_df_estimate(self, node: ast.Node) -> int:
+        """upper-bound result size, from df metadata only (no decode) —
+        drives which AND side is evaluated vs probed."""
+        if isinstance(node, ast.Term):
+            return self.df(str(node.term))
+        a = self._node_df_estimate(node.a)
+        b = self._node_df_estimate(node.b)
+        return min(a, b) if isinstance(node, ast.And) else a + b
+
+    def _probe_node(self, node: ast.Node, probes: np.ndarray) -> np.ndarray:
+        """membership mask of `probes` (sorted unique doc ids) in the
+        node's result set, fully lazy: Term probes via skip blocks,
+        And/Or combine masks with short-circuit narrowing — no full
+        posting-list decode anywhere on the probe side."""
+        if isinstance(node, ast.Term):
+            return self.probe_tfs(str(node.term), probes) > 0
+        mask_a = self._probe_node(node.a, probes)
+        if isinstance(node, ast.And):
+            if not mask_a.any():
+                return mask_a
+            sub = self._probe_node(node.b, probes[mask_a])
+            result = np.zeros(len(probes), dtype=bool)
+            result[np.flatnonzero(mask_a)[sub]] = True
+            return result
+        rem = ~mask_a
+        if rem.any():
+            sub = self._probe_node(node.b, probes[rem])
+            mask_a = mask_a.copy()
+            mask_a[np.flatnonzero(rem)[sub]] = True
+        return mask_a
+
     def _eval_sets(self, node: ast.Node) -> np.ndarray:
         if isinstance(node, ast.Term):
             return self.postings(str(node.term))[0]
+        if isinstance(node, ast.And):
+            # evaluate the smaller side fully; probe the other side via
+            # skip blocks (rare-AND-hot never decodes the hot list)
+            small, big = node.a, node.b
+            if self._node_df_estimate(big) < self._node_df_estimate(small):
+                small, big = big, small
+            docs = self._eval_sets(small)
+            if len(docs) == 0:
+                return docs
+            return docs[self._probe_node(big, docs)]
         a = self._eval_sets(node.a)
         b = self._eval_sets(node.b)
-        if isinstance(node, ast.And):
-            return intersect_sorted(a, b)
         return np.union1d(a, b)
 
     def search_boolean(self, node: ast.Node, limit: int | None = None) -> pa.Table:
@@ -183,22 +297,7 @@ class SegmentSearcher:
         candidates = self._eval_sets(node)
         if len(candidates) == 0:
             return self._project(candidates, scores=np.empty(0))
-        cfg = self.cfg
-        dl_all = self.docmap.lengths_for(candidates)
-        scores = np.zeros(len(candidates), dtype=np.float64)
-        for term in ast.terms_of(node):
-            term = str(term)
-            docs, tfs = self.postings(term)
-            if len(docs) == 0:
-                continue
-            pos = np.searchsorted(docs, candidates)
-            pos_c = np.minimum(pos, len(docs) - 1)
-            mask = docs[pos_c] == candidates
-            if not mask.any():
-                continue
-            tf = tfs[pos_c[mask]].astype(np.float64)
-            dl = dl_all[mask]
-            scores[mask] += bm25_component(tf, dl, idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b)
+        scores = self._score_docs(candidates, [str(t) for t in ast.terms_of(node)], idfs, avgdl)
         order = topk_order(scores, candidates, k)
         return self._project(candidates[order], scores=scores[order])
 
@@ -211,15 +310,13 @@ class SegmentSearcher:
         dl_all = self.docmap.lengths_for(docs)
         scores = np.zeros(len(docs), dtype=np.float64)
         for term in terms:
-            p_docs, p_tfs = self.postings(term)
-            if len(p_docs) == 0:
-                continue
-            pos = np.searchsorted(p_docs, docs)
-            pos_c = np.minimum(pos, len(p_docs) - 1)
-            mask = p_docs[pos_c] == docs
+            # skip-block probe: a hot term contributes tf for the few
+            # candidate docs without decoding its full posting list
+            tf_all = self.probe_tfs(term, docs)
+            mask = tf_all > 0
             if not mask.any():
                 continue
-            tf = p_tfs[pos_c[mask]].astype(np.float64)
+            tf = tf_all[mask].astype(np.float64)
             scores[mask] += bm25_component(
                 tf, dl_all[mask], idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b
             )

@@ -473,3 +473,59 @@ def test_pfor_codec_build_search_identical(ray_session, corpus, oracle, tmp_path
         ast.Or(ast.Term(hot[1]), ast.Term(hot[2])),
     ):
         _check_bm25(eng, oracle, tree)
+
+
+# ------------------------------------------------- skip-block laziness
+@pytest.mark.parametrize("codec", ["varint", "bp128", "pfor"])
+def test_skip_blocks_actually_skip(ray_session, tmp_path, codec):
+    """A selective AND against a hot term must decode only the skip
+    blocks straddling the rare side's docs — never the hot term's full
+    list (lazy block iteration, memorysegment.chpl:41-55)."""
+    import dataclasses
+
+    import ray.data
+
+    n = 2000
+    rare_rows = {17, 923, 1544}
+    corpus2 = pa.table(
+        {
+            "repo": ["r"] * n,
+            "path": [f"f{i}.py" for i in range(n)],
+            "commit": ["c"] * n,
+            "lang": ["py"] * n,
+            "content": [
+                "hotterm " + ("raregem" if i in rare_rows else f"filler{i % 50}")
+                for i in range(n)
+            ],
+        }
+    )
+    cfg = EngineConfig(
+        num_segments=1, num_term_shards=2, block_size=16, tokenize_batch_size=512, codec=codec
+    )
+    idx = str(tmp_path / f"skip-{codec}")
+    build_index(ray.data.from_arrow(corpus2), idx, cfg)
+    s = SegmentSearcher(idx, 0, cfg)
+    hot_blocks = (n + cfg.block_size - 1) // cfg.block_size  # ~125 across shards
+
+    tree = ast.And(ast.Term("raregem"), ast.Term("hotterm"))
+    res = s.search_boolean(tree)
+    assert len(res) == len(rare_rows)
+    st = s.decode_stats
+    # 3 probe docs can straddle at most 3 blocks of the hot list
+    assert st["blocks_decoded"] <= len(rare_rows), st
+    assert st["blocks_decoded"] * 8 < hot_blocks, st
+    # only the rare term was fully decoded
+    assert st["full_decodes"] == 1, st
+
+    # BM25 over the same AND reuses the block cache — no new decodes
+    before = dict(st)
+    out = s.search_bm25(tree, 10, {"raregem": 1.0, "hotterm": 0.2}, 2.0)
+    assert len(out) == len(rare_rows)
+    assert s.decode_stats["blocks_decoded"] == before["blocks_decoded"]
+    assert s.decode_stats["full_decodes"] == before["full_decodes"]
+
+    # order heuristic is symmetric: hot AND rare also probes
+    s2 = SegmentSearcher(idx, 0, cfg)
+    res2 = s2.search_boolean(ast.And(ast.Term("hotterm"), ast.Term("raregem")))
+    assert res2["doc_id"].to_pylist() == res["doc_id"].to_pylist()
+    assert s2.decode_stats["blocks_decoded"] <= len(rare_rows)
