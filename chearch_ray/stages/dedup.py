@@ -151,6 +151,54 @@ class MinHashSignatures:
             }
         )
 
+    # ------------------------------------------------- packed (binary)
+    def signatures_packed(self, batch: pa.Table) -> pa.Table:
+        """text -> (doc_id, signature fixed_size_binary(num_perm*8)).
+
+        The packed form is the JOIN-able signature representation
+        (Arrow's acero hash join rejects list columns as payload); docs
+        with fewer than shingle_w tokens are dropped here (the all-max
+        sentinel would make every short-doc pair collide in every
+        band)."""
+        shingles, rows = _doc_shingle_hashes(batch, self.text_column, self.shingle_w)
+        sig = self._signatures(shingles, rows, len(batch))
+        real = sig[:, 0] != np.iinfo(np.uint64).max
+        sig = np.ascontiguousarray(sig[real])
+        doc_col = batch["doc_id"]
+        if isinstance(doc_col, pa.ChunkedArray):
+            doc_col = doc_col.combine_chunks()
+        doc_ids = doc_col.to_numpy(zero_copy_only=False)[real]
+        width = self.num_perm * 8
+        sig_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), len(sig), [None, pa.py_buffer(sig.tobytes())]
+        )
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, type=pa.uint64()), "signature": sig_arr}
+        )
+
+    def band_rows_packed(self, sig_batch: pa.Table) -> pa.Table:
+        """packed signatures -> LIGHT band rows (band, bucket, doc_id);
+        bucket keys identical to band_rows (same hash fold)."""
+        sig = unpack_signatures(sig_batch["signature"], self.num_perm)
+        doc_ids = sig_batch["doc_id"].to_numpy()
+        r = self.rows_per_band
+        p = np.uint64(1099511628211)
+        out_band = np.repeat(np.arange(self.bands, dtype=np.int32), len(sig_batch))
+        buckets = []
+        for b in range(self.bands):
+            chunk = sig[:, b * r : (b + 1) * r]
+            key = chunk[:, 0].copy()
+            for j in range(1, r):
+                key = key * p + chunk[:, j]
+            buckets.append(key)
+        return pa.table(
+            {
+                "band": pa.array(out_band, type=pa.int32()),
+                "bucket": pa.array(np.concatenate(buckets), type=pa.uint64()),
+                "doc_id": pa.array(np.tile(doc_ids, self.bands)),
+            }
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """text -> band rows + signature per row (single-stage form,
         used by tests; the pipeline uses the lighter two-stage form)."""
@@ -265,54 +313,120 @@ class _EstimateJaccard:
         return batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
 
 
+def unpack_signatures(col, num_perm: int) -> np.ndarray:
+    """fixed_size_binary signature column -> (n, num_perm) uint64,
+    zero-copy from the Arrow values buffer (offset-aware)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    flat = np.frombuffer(col.buffers()[1], dtype=np.uint64)
+    start = col.offset * num_perm
+    return flat[start : start + len(col) * num_perm].reshape(len(col), num_perm)
+
+
+def _rename_sig_a(batch: pa.Table, num_perm: int) -> pa.Table:
+    # rename via map_batches, not Dataset.rename_columns — the latter
+    # leaves empty join blocks un-renamed (inconsistent block schemas)
+    return batch.rename_columns(
+        ["sig_a" if c == "signature" else c for c in batch.column_names]
+    )
+
+
+def _drop_empty_blocks(materialized_ds):
+    """Hash-join partitions with no rows emit ZERO-COLUMN blocks;
+    map_batches skips empty blocks so they can't be re-schematized by a
+    UDF, and they poison a downstream acero join / to_pandas concat.
+    Rebuild the dataset from the non-empty block refs — the driver
+    touches only block METADATA (row counts), never block data."""
+    import ray.data
+
+    refs = [
+        ref
+        for bundle in materialized_ds.iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+    return ray.data.from_arrow_refs(refs) if refs else None
+
+
+def _est_jaccard_packed(batch: pa.Table, num_perm: int, threshold: float) -> pa.Table:
+    a = unpack_signatures(batch["sig_a"], num_perm)
+    b = unpack_signatures(batch["signature"], num_perm)
+    est = (a == b).mean(axis=1) if len(batch) else np.empty(0)
+    keep = est >= threshold
+    return pa.table(
+        {
+            "doc_a": batch["doc_a"].filter(pa.array(keep)) if len(batch) else pa.array([], type=pa.uint64()),
+            "doc_b": batch["doc_b"].filter(pa.array(keep)) if len(batch) else pa.array([], type=pa.uint64()),
+            "est_jaccard": pa.array(est[keep], type=pa.float64()),
+        }
+    )
+
+
 def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
-                        num_perm: int = 128, bands: int = 32):
+                        num_perm: int = 128, bands: int = 32,
+                        join_partitions: int = 8):
     """Dataset -> candidate near-dup pairs (doc_a < doc_b, est_jaccard
     >= threshold), deduplicated across bands.
 
-    Shuffle shape: signatures computed ONCE per doc (small dataset,
-    materialized + broadcast at this scale); the bucket groupby ships
-    only (band, bucket, doc_id) rows; pair verification probes the
-    broadcast signature matrix.  The pair-dedup groupby runs over the
-    (small) candidate set."""
+    100-TB shuffle shape (nothing ever gathers on the driver):
+      1. signatures computed once per doc, kept DISTRIBUTED (packed
+         fixed-width binary; materialized to the object store — at
+         10^12 docs persist this stage to parquet instead),
+      2. the bucket groupby ships only light (band, bucket, doc_id)
+         rows,
+      3. pair verification hash-JOINS the (small) deduped candidate
+         set against the signatures dataset twice (doc_a, then doc_b)
+         and estimates Jaccard per pair from the two packed columns."""
     from functools import partial
 
-    import ray
     import ray.data
 
     stage = MinHashSignatures(num_perm=num_perm, bands=bands, text_column=text_column)
-    sigs_ds = ds.map_batches(stage.signatures_table, batch_format="pyarrow", batch_size=4096)
-    sig_tables = [t for t in (ray.get(r) for r in sigs_ds.to_arrow_refs()) if len(t)]
-    if not sig_tables:  # empty input -> empty, schema-stable pairs
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([], type=pa.uint64()),
-                    "doc_b": pa.array([], type=pa.uint64()),
-                    "est_jaccard": pa.array([], type=pa.float64()),
-                }
-            )
-        )
-    sig_all = pa.concat_tables(sig_tables)
-    doc_ids = sig_all["doc_id"].to_numpy()
-    order = np.argsort(doc_ids, kind="stable")
-    sig_col = sig_all["signature"].combine_chunks()
-    matrix = np.asarray(sig_col.values, dtype=np.uint64).reshape(len(sig_all), num_perm)[order]
-    sig_ref = ray.put((doc_ids[order], matrix))
+    sigs_ds = ds.map_batches(
+        stage.signatures_packed, batch_format="pyarrow", batch_size=4096
+    ).materialize()
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.uint64()),
+            "doc_b": pa.array([], type=pa.uint64()),
+            "est_jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    if sigs_ds.count() == 0:  # empty input -> empty, schema-stable pairs
+        return ray.data.from_arrow(empty)
 
-    bands_ds = ray.data.from_arrow(sig_all).map_batches(
-        stage.band_rows, batch_format="pyarrow", batch_size=8192
+    bands_ds = sigs_ds.map_batches(
+        stage.band_rows_packed, batch_format="pyarrow", batch_size=8192
     )
     parted = bands_ds.map_batches(_coarse_partition_column, batch_format="pyarrow")
     pairs = parted.groupby("pgrp").map_groups(candidate_pairs_in_partition, batch_format="pyarrow")
-    deduped = dedup_pairs(pairs)
-    verified = deduped.map_batches(
-        _EstimateJaccard, fn_constructor_args=(sig_ref,), batch_format="pyarrow",
-        batch_size=65536, concurrency=2, num_cpus=0.5,
+    deduped = dedup_pairs(pairs).materialize()
+    if deduped.count() == 0:  # join of an empty left side loses schema
+        return ray.data.from_arrow(empty)
+    # fractional-CPU join aggregators: two Join operators run in one
+    # plan; with the default 1-CPU-per-partition reservation they
+    # together exceed small clusters' CPUs and the executor deadlocks
+    ray.data.DataContext.get_current().join_operator_actor_num_cpus_per_partition_override = 0.1
+    j1 = deduped.join(
+        sigs_ds, "inner", join_partitions, on=("doc_a",), right_on=("doc_id",)
+    ).map_batches(partial(_rename_sig_a, num_perm=num_perm), batch_format="pyarrow")
+    # materialize between the two joins: chaining two streaming Join
+    # operators in one plan feeds the second join schema-less empty
+    # pass-through blocks (and double-reserves aggregator CPUs); the
+    # materialized set is candidate-pair-sized, far below corpus scale
+    j1 = _drop_empty_blocks(j1.materialize())
+    if j1 is None:
+        return ray.data.from_arrow(empty)
+    j2 = j1.join(sigs_ds, "inner", join_partitions, on=("doc_b",), right_on=("doc_id",))
+    est = _drop_empty_blocks(
+        j2.map_batches(
+            partial(_est_jaccard_packed, num_perm=num_perm, threshold=threshold),
+            batch_format="pyarrow",
+        ).materialize()
     )
-    return verified.map_batches(
-        partial(_filter_ge, column="est_jaccard", threshold=threshold), batch_format="pyarrow"
-    )
+    return est if est is not None else ray.data.from_arrow(empty)
 
 
 def _pair_partition_column(batch: pa.Table) -> pa.Table:

@@ -218,3 +218,41 @@ def test_ivf_ann_recall(ray_session):
         hits += len(set(e) & set(a))
         total += len(e)
     assert hits / total >= 0.5
+
+
+def test_minhash_pairs_multiblock(ray_session):
+    """Corpus spread across many blocks: the distributed verify path
+    (signature JOIN, no driver gather) must find cross-block dups."""
+    import ray.data
+
+    texts = []
+    for i in range(300):
+        texts.append(
+            {
+                "doc_id": i,
+                "text": f"unique document number {i} talking about subject {i % 7} "
+                f"with extra words {i*13 % 101} {i*29 % 103} {i*31 % 107}",
+            }
+        )
+    # two exact dups far apart (different input blocks)
+    texts[250]["text"] = texts[3]["text"]
+    texts[299]["text"] = texts[120]["text"]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(texts)).repartition(8)
+    pairs = minhash_dedup_pairs(ds, threshold=0.9, num_perm=64, bands=16).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (3, 250) in found
+    assert (120, 299) in found
+    ex = pairs[(pairs["doc_a"] == 3) & (pairs["doc_b"] == 250)]
+    assert float(ex["est_jaccard"].iloc[0]) == 1.0
+
+
+def test_minhash_pairs_empty_input(ray_session):
+    import ray.data
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.uint64()),
+                      "text": pa.array([], type=pa.string())})
+    out = minhash_dedup_pairs(ray.data.from_arrow(empty)).to_pandas()
+    assert len(out) == 0
+    # Ray's from_arrow drops column metadata on 0-row tables; assert
+    # the pipeline completes with an empty result rather than erroring
+    assert list(out.columns) in ([], ["doc_a", "doc_b", "est_jaccard"])
