@@ -325,12 +325,10 @@ def unpack_signatures(col, num_perm: int) -> np.ndarray:
     return flat[start : start + len(col) * num_perm].reshape(len(col), num_perm)
 
 
-def _rename_sig_a(batch: pa.Table, num_perm: int) -> pa.Table:
+def _rename_column(batch: pa.Table, src: str, dst: str) -> pa.Table:
     # rename via map_batches, not Dataset.rename_columns — the latter
     # leaves empty join blocks un-renamed (inconsistent block schemas)
-    return batch.rename_columns(
-        ["sig_a" if c == "signature" else c for c in batch.column_names]
-    )
+    return batch.rename_columns([dst if c == src else c for c in batch.column_names])
 
 
 def _drop_empty_blocks(materialized_ds):
@@ -350,8 +348,45 @@ def _drop_empty_blocks(materialized_ds):
     return ray.data.from_arrow_refs(refs) if refs else None
 
 
+def verify_pairs_by_join(deduped, payload_ds, verify_fn, payload_col: str,
+                         join_partitions: int = 8):
+    """Distributed pair verification: hash-join the (small) candidate
+    pair set against a per-doc payload dataset on doc_a then doc_b, and
+    run `verify_fn` over batches carrying `{payload_col}_a` +
+    `{payload_col}` columns.  Nothing gathers on the driver — this is
+    the 100-TB replacement for broadcasting the payload matrix.
+
+    payload_ds schema: (doc_id uint64, {payload_col} fixed_size_binary).
+    Returns None when no pair survives (callers substitute their empty
+    schema)."""
+    from functools import partial
+
+    import ray.data
+
+    # fractional-CPU join aggregators: with the default 1-CPU-per-
+    # partition reservation two Join ops deadlock small clusters
+    ray.data.DataContext.get_current().join_operator_actor_num_cpus_per_partition_override = 0.1
+    j1 = deduped.join(
+        payload_ds, "inner", join_partitions, on=("doc_a",), right_on=("doc_id",)
+    ).map_batches(
+        partial(_rename_column, src=payload_col, dst=f"{payload_col}_a"),
+        batch_format="pyarrow",
+    )
+    # materialize between the two joins: chaining two streaming Join
+    # operators in one plan feeds the second join schema-less empty
+    # pass-through blocks (and double-reserves aggregator CPUs); the
+    # materialized set is candidate-pair-sized, far below corpus scale
+    j1 = _drop_empty_blocks(j1.materialize())
+    if j1 is None:
+        return None
+    j2 = j1.join(payload_ds, "inner", join_partitions, on=("doc_b",), right_on=("doc_id",))
+    return _drop_empty_blocks(
+        j2.map_batches(verify_fn, batch_format="pyarrow").materialize()
+    )
+
+
 def _est_jaccard_packed(batch: pa.Table, num_perm: int, threshold: float) -> pa.Table:
-    a = unpack_signatures(batch["sig_a"], num_perm)
+    a = unpack_signatures(batch["signature_a"], num_perm)
     b = unpack_signatures(batch["signature"], num_perm)
     est = (a == b).mean(axis=1) if len(batch) else np.empty(0)
     keep = est >= threshold
@@ -405,26 +440,12 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
     deduped = dedup_pairs(pairs).materialize()
     if deduped.count() == 0:  # join of an empty left side loses schema
         return ray.data.from_arrow(empty)
-    # fractional-CPU join aggregators: two Join operators run in one
-    # plan; with the default 1-CPU-per-partition reservation they
-    # together exceed small clusters' CPUs and the executor deadlocks
-    ray.data.DataContext.get_current().join_operator_actor_num_cpus_per_partition_override = 0.1
-    j1 = deduped.join(
-        sigs_ds, "inner", join_partitions, on=("doc_a",), right_on=("doc_id",)
-    ).map_batches(partial(_rename_sig_a, num_perm=num_perm), batch_format="pyarrow")
-    # materialize between the two joins: chaining two streaming Join
-    # operators in one plan feeds the second join schema-less empty
-    # pass-through blocks (and double-reserves aggregator CPUs); the
-    # materialized set is candidate-pair-sized, far below corpus scale
-    j1 = _drop_empty_blocks(j1.materialize())
-    if j1 is None:
-        return ray.data.from_arrow(empty)
-    j2 = j1.join(sigs_ds, "inner", join_partitions, on=("doc_b",), right_on=("doc_id",))
-    est = _drop_empty_blocks(
-        j2.map_batches(
-            partial(_est_jaccard_packed, num_perm=num_perm, threshold=threshold),
-            batch_format="pyarrow",
-        ).materialize()
+    est = verify_pairs_by_join(
+        deduped,
+        sigs_ds,
+        partial(_est_jaccard_packed, num_perm=num_perm, threshold=threshold),
+        payload_col="signature",
+        join_partitions=join_partitions,
     )
     return est if est is not None else ray.data.from_arrow(empty)
 

@@ -111,7 +111,11 @@ def _gather_topk(partials, k: int, id_column: str) -> pa.Table:
     per-batch partial top-k tables and merge (schema-stable empty)."""
     import ray
 
-    tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if len(t)]
+    tables = (
+        []
+        if partials is None
+        else [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if len(t)]
+    )
     if not tables:
         return pa.table(
             {"query_id": pa.array([], type=pa.int64()), id_column: pa.array([], type=pa.int64()),
@@ -165,18 +169,86 @@ class HyperplaneLSH:
         return pa.table(cols)
 
 
+def pack_embeddings(batch: pa.Table, id_column: str = "vec_id",
+                    embedding_column: str = "embedding") -> pa.Table:
+    """embedding list<float> -> (doc_id uint64, emb fixed_size_binary)
+    with rows L2-NORMALIZED float64 — the joinable per-doc payload for
+    distributed pair verification (cosine = dot of unpacked rows)."""
+    mat = np.ascontiguousarray(normalize_rows(_embedding_matrix(batch[embedding_column])))
+    width = mat.shape[1] * 8
+    arr = pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(width), len(mat), [None, pa.py_buffer(mat.tobytes())]
+    )
+    ids = batch[id_column]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {"doc_id": ids.cast(pa.uint64()), "emb": arr}
+    )
+
+
+def _unpack_embeddings(col, dim: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, dim))
+    flat = np.frombuffer(col.buffers()[1], dtype=np.float64)
+    start = col.offset * dim
+    return flat[start : start + len(col) * dim].reshape(len(col), dim)
+
+
+def _cosine_verify_packed(batch: pa.Table, dim: int, threshold: float) -> pa.Table:
+    a = _unpack_embeddings(batch["emb_a"], dim)
+    b = _unpack_embeddings(batch["emb"], dim)
+    cos = np.einsum("ij,ij->i", a, b) if len(batch) else np.empty(0)
+    keep = cos >= threshold
+    mask = pa.array(keep)
+    return pa.table(
+        {
+            "doc_a": batch["doc_a"].filter(mask) if len(batch) else pa.array([], type=pa.uint64()),
+            "doc_b": batch["doc_b"].filter(mask) if len(batch) else pa.array([], type=pa.uint64()),
+            "cosine": pa.array(cos[keep], type=pa.float64()),
+        }
+    )
+
+
 def embedding_neardup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 32,
                             bands: int = 8, id_column: str = "vec_id",
-                            embedding_column: str = "embedding"):
+                            embedding_column: str = "embedding",
+                            join_partitions: int = 8):
     """Embedding-cosine near-dup pairs: hyperplane-LSH buckets ->
-    exact cosine verify inside coarse bucket partitions -> distinct
-    pairs with cosine >= threshold.  Same shuffle shape as the text
-    LSH dedup (one 64-way coarse groupby + a pair-dedup groupby)."""
+    distinct candidate pairs -> exact cosine verify via a hash join
+    against the packed-embedding dataset.
+
+    100-TB shuffle shape: the bucket groupby ships ONLY light
+    (band, bucket, doc_id) rows — the embedding payload never rides
+    the ×bands band explosion; each embedding crosses the wire once
+    per pair side in the (small) verification join."""
+    from functools import partial
+
+    import ray.data
+
     from chearch_ray.stages.dedup import (
-        _bucket_runs,
         _coarse_partition_column,
+        candidate_pairs_in_partition,
         dedup_pairs,
+        verify_pairs_by_join,
     )
+
+    emb_ds = ds.map_batches(
+        partial(pack_embeddings, id_column=id_column, embedding_column=embedding_column),
+        batch_format="pyarrow",
+        batch_size=4096,
+    ).materialize()
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.uint64()),
+            "doc_b": pa.array([], type=pa.uint64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }
+    )
+    if emb_ds.count() == 0:
+        return ray.data.from_arrow(empty)
 
     sigs = ds.map_batches(
         HyperplaneLSH,
@@ -186,50 +258,40 @@ def embedding_neardup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 3
             "bands": bands,
             "id_column": id_column,
             "embedding_column": embedding_column,
-            "carry_embedding": True,
         },
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=2,
         num_cpus=0.5,
     )
-    parted = sigs.map_batches(_coarse_partition_column, batch_format="pyarrow")
 
-    def pairs_in_partition(group: pa.Table) -> pa.Table:
-        # _bucket_runs expects a doc_id column name; alias the id col
-        g = group.rename_columns(
-            [("doc_id" if c == id_column else c) for c in group.column_names]
-        )
-        out_a, out_b, out_cos = [], [], []
-        for ids, cols in _bucket_runs(g, ["embedding"]):
-            emb = cols["embedding"]
-            if isinstance(emb, pa.ChunkedArray):
-                emb = emb.combine_chunks()
-            mat = normalize_rows(_embedding_matrix(emb))
-            ia, ib = np.triu_indices(len(ids), k=1)
-            cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
-            ok = cos >= threshold
-            out_a.append(ids[ia][ok])
-            out_b.append(ids[ib][ok])
-            out_cos.append(cos[ok])
-        if not out_a:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], type=pa.uint64()),
-                    "doc_b": pa.array([], type=pa.uint64()),
-                    "cosine": pa.array([], type=pa.float64()),
-                }
-            )
+    def light_rows(batch: pa.Table) -> pa.Table:
+        # light band rows under the bucket-run column contract (doc_id)
         return pa.table(
             {
-                "doc_a": pa.array(np.concatenate(out_a).astype(np.uint64), type=pa.uint64()),
-                "doc_b": pa.array(np.concatenate(out_b).astype(np.uint64), type=pa.uint64()),
-                "cosine": pa.array(np.concatenate(out_cos), type=pa.float64()),
+                "band": batch["band"],
+                "bucket": batch["bucket"],
+                "doc_id": batch[id_column].cast(pa.uint64()),
             }
         )
 
-    pairs = parted.groupby("pgrp").map_groups(pairs_in_partition, batch_format="pyarrow")
-    return dedup_pairs(pairs)
+    parted = sigs.map_batches(light_rows, batch_format="pyarrow").map_batches(
+        _coarse_partition_column, batch_format="pyarrow"
+    )
+    pairs = parted.groupby("pgrp").map_groups(
+        candidate_pairs_in_partition, batch_format="pyarrow"
+    )
+    deduped = dedup_pairs(pairs).materialize()
+    if deduped.count() == 0:
+        return ray.data.from_arrow(empty)
+    verified = verify_pairs_by_join(
+        deduped,
+        emb_ds,
+        partial(_cosine_verify_packed, dim=dim, threshold=threshold),
+        payload_col="emb",
+        join_partitions=join_partitions,
+    )
+    return verified if verified is not None else ray.data.from_arrow(empty)
 
 
 # ----------------------------------------------------------------- IVF
@@ -272,13 +334,14 @@ class IVFAssign:
 
 
 def ivf_build(ds, n_centroids: int = 16, sample_size: int = 2048, seed: int = 42,
-              id_column: str = "vec_id", embedding_column: str = "embedding"):
+              id_column: str = "vec_id", embedding_column: str = "embedding",
+              index_dir: str | None = None):
     """-> (centroids, assigned Dataset with a `centroid` column).
 
-    Scale path: the assigned dataset is written partitioned by
-    centroid (like the index build's partitioned shuffle) so a query
-    reads only its probed partitions; at sandbox scale it stays a
-    Dataset."""
+    With `index_dir` the assigned dataset is WRITTEN centroid-
+    partitioned (hive layout `vectors/centroid=N/`) and the centroids
+    are persisted next to it — the layout `ivf_search` prunes against.
+    Without it the assignment stays an in-memory Dataset (test path)."""
     import ray
 
     sample = ds.limit(sample_size).to_pandas()[embedding_column]
@@ -290,24 +353,94 @@ def ivf_build(ds, n_centroids: int = 16, sample_size: int = 2048, seed: int = 42
         fn_constructor_kwargs={"id_column": id_column, "embedding_column": embedding_column},
         batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
     )
+    if index_dir is not None:
+        import os
+
+        import pyarrow.parquet  # noqa: F401 — enables pa.parquet below
+
+        assigned.write_parquet(
+            os.path.join(index_dir, "vectors"), partition_cols=["centroid"]
+        )
+        pa.parquet.write_table(
+            pa.table(
+                {
+                    "centroid": pa.array(np.arange(len(centroids), dtype=np.int32)),
+                    "vector": pa.array(centroids.tolist(), type=pa.list_(pa.float64())),
+                }
+            ),
+            os.path.join(index_dir, "centroids.parquet"),
+        )
     return centroids, assigned
 
 
-def ivf_search(assigned_ds, centroids: np.ndarray, query_matrix: np.ndarray,
+def ivf_load_centroids(index_dir: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet  # noqa: F401
+
+    t = pa.parquet.read_table(os.path.join(index_dir, "centroids.parquet"))
+    return _embedding_matrix(t["vector"])
+
+
+def ivf_probed_paths(index_dir: str, wanted: np.ndarray) -> list[str]:
+    """existing hive partition dirs for the probed centroid ids — the
+    ONLY paths a pruned search reads."""
+    import os
+
+    out = []
+    for c in wanted.tolist():
+        p = os.path.join(index_dir, "vectors", f"centroid={c}")
+        if os.path.isdir(p):
+            out.append(p)
+    return out
+
+
+def ivf_search(assigned, centroids_or_queries, query_matrix=None,
                k: int = 10, nprobe: int = 4, id_column: str = "vec_id"):
     """Approximate k-NN: probe only the `nprobe` centroids nearest to
-    each query; brute-force cosine within the probed partitions."""
+    each query; brute-force cosine within the probed data.
+
+    Two forms:
+      ivf_search(index_dir, query_matrix, k=..., nprobe=...) — the
+        scale path: loads centroids from the index dir and READS ONLY
+        the probed `centroid=N` parquet partitions (partition
+        pruning at the read, nothing else leaves storage).
+      ivf_search(assigned_ds, centroids, query_matrix, ...) — legacy
+        in-memory form: filters the assigned Dataset by centroid.
+    """
     import ray
+    import ray.data
 
-    q = normalize_rows(np.asarray(query_matrix, dtype=np.float64))
-    probes = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
-    wanted = np.unique(probes)
+    if isinstance(assigned, str):
+        index_dir = assigned
+        query_matrix = centroids_or_queries
+        centroids = ivf_load_centroids(index_dir)
+        q = normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+        probes = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+        wanted = np.unique(probes)
+        paths = ivf_probed_paths(index_dir, wanted)
+        if not paths:
+            return _gather_topk(None, k, id_column)
+        import os
 
-    def in_probed(batch: pa.Table) -> pa.Table:
-        mask = np.isin(batch["centroid"].to_numpy(), wanted)
-        return batch.filter(pa.array(mask))
+        files = [
+            os.path.join(p, f)
+            for p in paths
+            for f in sorted(os.listdir(p))
+            if f.endswith(".parquet")
+        ]
+        filtered = ray.data.read_parquet(files, columns=[id_column, "embedding"])
+    else:
+        centroids = centroids_or_queries
+        q = normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+        probes = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+        wanted = np.unique(probes)
 
-    filtered = assigned_ds.map_batches(in_probed, batch_format="pyarrow")
+        def in_probed(batch: pa.Table) -> pa.Table:
+            mask = np.isin(batch["centroid"].to_numpy(), wanted)
+            return batch.filter(pa.array(mask))
+
+        filtered = assigned.map_batches(in_probed, batch_format="pyarrow")
     ref = ray.put(q)
     partials = filtered.map_batches(
         BruteForceCosine, fn_constructor_args=(ref, k, id_column),
