@@ -34,9 +34,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for the SQL-expressible queries; the
-    remaining keys (minhash_pairs, simhash_pairs, langid, quality,
-    fingerprint, media_features) are intentionally omitted ->
+    """DuckDB-equivalent SQL for the SQL-expressible queries (incl.
+    phrase via positional tokenization, media_features via
+    sha256(decode(payload)), quality and langid as exact float
+    mirrors); the remaining keys (minhash_pairs, simhash_pairs,
+    fingerprint, embedding_neardup) are intentionally omitted ->
     rows-only checks."""
     from chearch_ray.pipelines.driver_contract import ORACLE_SQL
 

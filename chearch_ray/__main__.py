@@ -84,11 +84,23 @@ def cmd_search(args: argparse.Namespace) -> int:
 
 def cmd_serve(args: argparse.Namespace) -> int:
     _ensure_ray()
-    from chearch_ray.serve import WireEngine
+    from chearch_ray.serve import TcpQueryServer, WireEngine
     from chearch_ray.state.engine import QueryEngine
 
     eng = QueryEngine(args.index, use_actors=not args.local)
     wire = WireEngine(eng)
+    if args.tcp:
+        import asyncio
+
+        server = TcpQueryServer(wire, host=args.host, port=args.port)
+        try:
+            print(f"serving wire protocol on {args.host}:{args.port}", flush=True)
+            asyncio.run(server.serve_forever())
+        except KeyboardInterrupt:
+            pass
+        finally:
+            eng.close()
+        return 0
     try:
         for line in sys.stdin:
             line = line.strip()
@@ -134,6 +146,9 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("serve")
     v.add_argument("--index", required=True)
     v.add_argument("--local", action="store_true")
+    v.add_argument("--tcp", action="store_true", help="real socket server (reference port 3033)")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=3033)  # chearch_srv.chpl:15
     v.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

@@ -164,6 +164,15 @@ def q_bm25_tree(sf_dir: str) -> pa.Table:
     return _ranked(engine_for(sf_dir).search(tree, k=10))
 
 
+#: phrase query terms — "table hash" is a frequent adjacent bigram in
+#: the synthetic documents corpus (present at every sf)
+PHRASE_TERMS = ("table", "hash")
+
+
+def q_phrase(sf_dir: str) -> pa.Table:
+    return _ranked(engine_for(sf_dir).search_phrase(" ".join(PHRASE_TERMS), k=10))
+
+
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -296,18 +305,26 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+#: deterministic on-disk copy of the synthesized media table; the
+#: media_features oracle SQL reads this file, making the row an
+#: EXACT-checked query (payload_sha / payload_bytes via DuckDB sha256)
+MEDIA_TABLE_PATH = "/tmp/chearch_ray_driver_cache/media-64-image-42.parquet"
+
+
 def q_media_features(sf_dir: str) -> pa.Table:
     import ray.data
 
     from chearch_ray.stages.multimodal import extract_media_features, synthesize_media_table
 
     media = synthesize_media_table(64, kind="image", seed=42)
+    if not os.path.exists(MEDIA_TABLE_PATH):
+        os.makedirs(os.path.dirname(MEDIA_TABLE_PATH), exist_ok=True)
+        tmp = MEDIA_TABLE_PATH + ".tmp"
+        pq.write_table(media, tmp)
+        os.replace(tmp, MEDIA_TABLE_PATH)
     out = extract_media_features(ray.data.from_arrow(media), backend="stub")
-    return pa.Table.from_pandas(
-        out.drop_columns(["features"]).to_pandas() if hasattr(out, "drop_columns")
-        else out.to_pandas().drop(columns=["features"]),
-        preserve_index=False,
-    )
+    pdf = out.to_pandas().drop(columns=["features"])
+    return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
 QUERIES = {
@@ -327,6 +344,7 @@ QUERIES = {
     "content_sha": q_content_sha,
     "lang_counts": q_lang_counts,
     "knn_cosine": q_knn_cosine,
+    "phrase": q_phrase,
     # rows-only (non-SQL-expressible)
     "embedding_neardup": q_embedding_neardup,
     "minhash_pairs": q_minhash_pairs,
@@ -339,7 +357,33 @@ QUERIES = {
 
 
 # ---------------------------------------------------------- oracle SQL
-def _bm25_sql(terms: tuple[str, ...], mode: str, k: int = 10, cand_sql: str | None = None) -> str:
+#: positional tokenization CTEs (1-based ord; adjacency b.ord=a.ord+1
+#: matches the engine's 0-based positions exactly)
+POS_TOK_CTE = (
+    "ptoks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9_]+'), x -> x <> '') AS ts FROM documents), "
+    "ptok AS (SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS ord "
+    "FROM ptoks)"
+)
+
+
+def _phrase_cand_sql(terms: tuple[str, ...]) -> str:
+    """docs containing the exact phrase: joins ptok against itself once
+    per phrase position."""
+    joins, conds = [], [f"t0.term = '{terms[0]}'"]
+    for i in range(1, len(terms)):
+        joins.append(
+            f"JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.ord = t0.ord + {i}"
+        )
+        conds.append(f"t{i}.term = '{terms[i]}'")
+    return (
+        f"SELECT DISTINCT t0.doc_id FROM ptok t0 {' '.join(joins)} "
+        f"WHERE {' AND '.join(conds)}"
+    )
+
+
+def _bm25_sql(terms: tuple[str, ...], mode: str, k: int = 10, cand_sql: str | None = None,
+              extra_ctes: str = "") -> str:
     term_list = ", ".join(f"'{t}'" for t in terms)
     if cand_sql is not None:
         cand = cand_sql
@@ -349,8 +393,9 @@ def _bm25_sql(terms: tuple[str, ...], mode: str, k: int = 10, cand_sql: str | No
         )
     else:
         cand = f"SELECT DISTINCT doc_id FROM tok WHERE term IN ({term_list})"
+    extra = f"{extra_ctes}," if extra_ctes else ""
     return f"""
-WITH {TOK_CTE},
+WITH {TOK_CTE}, {extra}
 dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
        FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
 stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
@@ -369,6 +414,76 @@ contrib AS (
 scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
 SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _quality_sql() -> str:
+    """Mirror of stages.textstats.QualityScore, term by term, in the
+    SAME float64 evaluation order (left-assoc additions) for hash
+    identity."""
+    return f"""
+WITH qtoks AS (SELECT doc_id, length(text)::DOUBLE AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+       FROM documents),
+qtok AS (SELECT doc_id, unnest(ts) AS term FROM qtoks),
+agg AS (SELECT doc_id, count(*)::DOUBLE AS n_tokens,
+               count(DISTINCT term)::DOUBLE AS n_distinct,
+               sum(length(term))::DOUBLE AS sum_tok_len
+        FROM qtok GROUP BY doc_id),
+j AS (SELECT t.doc_id, t.n_chars,
+             coalesce(a.n_tokens, 0) AS n_tokens,
+             coalesce(a.n_distinct, 0) AS n_distinct,
+             coalesce(a.sum_tok_len, 0) AS sum_tok_len
+      FROM qtoks t LEFT JOIN agg a ON t.doc_id = a.doc_id),
+m AS (SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens > 0 THEN n_distinct / n_tokens ELSE 0 END AS ttr,
+             CASE WHEN n_chars > 0 THEN sum_tok_len / n_chars ELSE 0 END AS alpha_ratio,
+             CASE WHEN n_tokens > 0 THEN sum_tok_len / n_tokens ELSE 0 END AS mean_token_len
+      FROM j)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, ttr, alpha_ratio, mean_token_len,
+       0.25 * least(greatest(n_tokens / 64.0, 0.0), 1.0)
+         + 0.25 * ttr + 0.25 * alpha_ratio
+         + 0.25 * least(greatest(mean_token_len / 6.0, 0.0), 1.0) AS quality
+FROM m
+"""
+
+
+def _langid_sql() -> str:
+    """Mirror of stages.textstats.LangId: stopword-hit scores per
+    language, argmax with the Python dict's first-wins tie order
+    (en, es, fr, de, code)."""
+    from chearch_ray.stages.textstats import _CODE_TOKENS, _STOPWORDS
+
+    langs = list(_STOPWORDS) + ["code"]
+    tables = dict(_STOPWORDS, code=_CODE_TOKENS)
+    hit_cols = ",\n               ".join(
+        f"sum(CASE WHEN term IN ({', '.join(repr(w) for w in sorted(tables[lang]))}) "
+        f"THEN 1 ELSE 0 END)::DOUBLE AS h_{lang}"
+        for lang in langs
+    )
+    score_cols = ", ".join(f"coalesce(a.h_{lang}, 0) / greatest(coalesce(a.n_tokens, 0), 1) AS s_{lang}" for lang in langs)
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    # first-wins argmax: lang i wins if >= every later lang's score
+    pred_cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{later}" for later in langs[i + 1 :])
+        pred_cases.append(f"WHEN {conds} THEN '{lang}'")
+    return f"""
+WITH ltoks AS (SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+       FROM documents),
+ltok AS (SELECT doc_id, unnest(ts) AS term FROM ltoks),
+agg AS (SELECT doc_id, count(*)::DOUBLE AS n_tokens,
+               {hit_cols}
+        FROM ltok GROUP BY doc_id),
+s AS (SELECT t.doc_id, {score_cols}
+      FROM ltoks t LEFT JOIN agg a ON t.doc_id = a.doc_id)
+SELECT doc_id,
+       CASE WHEN greatest({all_scores}) <= 0 THEN 'unknown'
+            {' '.join(pred_cases)}
+            ELSE '{langs[-1]}' END AS lang_pred,
+       greatest({all_scores}) AS lang_score
+FROM s
 """
 
 
@@ -432,9 +547,22 @@ SELECT DISTINCT doc_id FROM tok WHERE term IN ('{BOOL_OR_TERMS[0]}', '{BOOL_OR_T
 WITH {TOK_CTE}
 SELECT doc_id FROM tok WHERE term = '__never_present__'
 """,
+    "phrase": _bm25_sql(
+        PHRASE_TERMS,
+        "phrase",
+        cand_sql=_phrase_cand_sql(PHRASE_TERMS),
+        extra_ctes=POS_TOK_CTE,
+    ),
+    "media_features": f"""
+SELECT media_id, kind, sha256(decode(payload)) AS payload_sha,
+       octet_length(payload)::BIGINT AS payload_bytes
+FROM read_parquet('{MEDIA_TABLE_PATH}')
+""",
     "dedup_exact": "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY sha256(text)",
     "content_sha": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
     "lang_counts": "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
+    "quality": _quality_sql(),
+    "langid": _langid_sql(),
     "knn_cosine": """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT row_number() OVER (

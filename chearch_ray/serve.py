@@ -8,10 +8,13 @@ Reimplements the TCP server's request handling contract
 * response = up to MAX_RESPONSE_RECORDS (8) records of 13 bytes each:
   term:4 BE + textLocation:1 + externalDocId:8 BE.
 
-The reference serves from forked OS processes sharing a socket; here
-the handler is a plain function over a MemoryIndex (conformance mode)
-or a WireEngine adapter over the scale engine — network transport is
-out of scope in this sandbox, the byte contract is what matters.
+The reference serves from forked OS processes sharing a libev socket
+loop (chearch_srv.chpl:74-103, tcp/tcp_server.c:24); here the same
+byte contract is served by `TcpQueryServer`, an asyncio socket server
+over a handler (conformance `WireServer` or scale-engine
+`WireEngine`).  Request framing mirrors the reference exactly: one
+recv per request frame (<= 257 bytes), one response write per
+request, connection kept open for further requests.
 """
 
 from __future__ import annotations
@@ -178,3 +181,129 @@ class WireEngine:
             if actor_seg == seg:
                 return ray.get(self.engine._actors[i].first_position.remote(term, doc))
         return None
+
+
+# --------------------------------------------------------- TCP transport
+class TcpQueryServer:
+    """Real network transport for the wire protocol: an asyncio socket
+    server mirroring the reference's libev loop (chearch_srv.chpl:
+    74-103, request handling :20-72).
+
+    * one `recv` per request frame (the reference reads a single
+      <= 257-byte buffer and rejects spanning requests);
+    * the handler's response bytes are written back in one send;
+    * the connection stays open for more requests (libev keeps the
+      watcher registered); a malformed frame closes it (the reference
+      just error-logs, but a broken framing state is unrecoverable on
+      a stream socket).
+
+    `handler` is anything with .handle(bytes) -> bytes (WireServer /
+    WireEngine).  Port 0 picks a free port; `self.port` holds the
+    bound port after start().
+    """
+
+    def __init__(self, handler, host: str = "127.0.0.1", port: int = 3033):
+        self.handler = handler
+        self.host = host
+        self.port = port
+        self._server = None
+        self._loop = None
+        self._thread = None
+
+    async def _on_connection(self, reader, writer) -> None:
+        import asyncio
+
+        try:
+            while True:
+                data = await reader.read(MAX_REQUEST_BYTES + 1)
+                if not data:
+                    break
+                try:
+                    response = self.handler.handle(bytes(data))
+                except ValueError:
+                    break  # malformed frame: drop the connection
+                writer.write(response)
+                await writer.drain()
+        except (ConnectionResetError, asyncio.IncompleteReadError):
+            pass
+        finally:
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    async def start_async(self) -> None:
+        import asyncio
+
+        self._server = await asyncio.start_server(
+            self._on_connection, self.host, self.port
+        )
+        self.port = self._server.sockets[0].getsockname()[1]
+
+    async def serve_forever(self) -> None:
+        await self.start_async()
+        async with self._server:
+            await self._server.serve_forever()
+
+    # ------------------------------------------------- threaded control
+    def start_background(self) -> "TcpQueryServer":
+        """Run the server on a daemon thread (tests / embedding into a
+        process that owns the Ray driver); returns self with `port`
+        bound."""
+        import asyncio
+        import threading
+
+        started = threading.Event()
+
+        def _run() -> None:
+            loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(loop)
+            self._loop = loop
+            loop.run_until_complete(self.start_async())
+            started.set()
+            try:
+                loop.run_until_complete(self._server.serve_forever())
+            except Exception:
+                pass
+
+        self._thread = threading.Thread(target=_run, daemon=True, name="chearch-tcp")
+        self._thread.start()
+        if not started.wait(timeout=10):
+            raise RuntimeError("TCP server failed to start")
+        return self
+
+    def stop(self) -> None:
+        if self._loop is not None and self._server is not None:
+            self._loop.call_soon_threadsafe(self._server.close)
+            if self._thread is not None:
+                self._thread.join(timeout=5)
+
+
+def query_over_socket(host: str, port: int, program: bytes,
+                      timeout: float = 10.0) -> list[QueryResult]:
+    """Blocking client for the wire protocol (util/query_client.py:
+    12-45): connect, send one request frame, read the response records
+    until the peer stops sending (<= 8 records x 13 bytes)."""
+    import socket
+
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        sock.sendall(build_request(program))
+        sock.settimeout(timeout)
+        chunks: list[bytes] = []
+        got = 0
+        want = MAX_RESPONSE_RECORDS * WIRE_RECORD_BYTES
+        while got < want:
+            try:
+                data = sock.recv(want - got)
+            except socket.timeout:
+                break
+            if not data:
+                break
+            chunks.append(data)
+            got += len(data)
+            # responses are whole frames; a complete record set smaller
+            # than the cap ends the response
+            if got % WIRE_RECORD_BYTES == 0:
+                break
+        return decode_response(b"".join(chunks))

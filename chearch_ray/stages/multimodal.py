@@ -40,7 +40,11 @@ def synthesize_media_table(n: int, kind: str = "image", seed: int = 42,
     # stable kind hash: python's hash() is PYTHONHASHSEED-randomized
     # per process, which would break the "deterministic" promise
     rng = np.random.default_rng((seed, zlib.crc32(kind.encode())))
-    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
+    # printable-ASCII alphabet: the payload column stays opaque binary
+    # (real media would be raw bytes), but keeping the FAKE payloads
+    # UTF-8-valid lets the driver's DuckDB oracle hash them byte-
+    # faithfully via sha256(decode(payload)) — an exact-checked row
+    payloads = [rng.integers(32, 127, size=payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
     return pa.table(
         {
             "media_id": pa.array(range(n), type=pa.int64()),

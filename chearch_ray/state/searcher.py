@@ -476,30 +476,13 @@ class SegmentSearcher:
             )
         # NB max_positions_per_doc truncation can hide matches past the
         # cap — phrase recall is only exact with the cap disabled.
-        candidates = self.postings(terms[0])[0]
+        # Conjunction uses the skip-probe AND path (smallest-df term
+        # decoded, the rest probed block-wise).
+        node: ast.Node = ast.Term(terms[0])
         for t in terms[1:]:
-            candidates = intersect_sorted(candidates, self.postings(t)[0])
-            if len(candidates) == 0:
-                break
-        survivors = []
-        for doc in candidates.tolist():
-            starts = None
-            ok = True
-            for i, t in enumerate(terms):
-                pos = self.first_positions_array(t, doc)
-                if pos is None:
-                    ok = False
-                    break
-                shifted = pos.astype(np.int64) - i
-                starts = shifted if starts is None else intersect_sorted(
-                    starts.astype(np.uint64), shifted[shifted >= 0].astype(np.uint64)
-                ).astype(np.int64)
-                if len(starts) == 0:
-                    ok = False
-                    break
-            if ok and starts is not None and len(starts):
-                survivors.append(doc)
-        docs = np.array(sorted(survivors), dtype=np.uint64)
+            node = ast.And(node, ast.Term(t))
+        candidates = self._eval_sets(node)
+        docs = self._phrase_survivors(terms, candidates)
         if len(docs) == 0:
             return self._project(docs, scores=np.empty(0))
         # unique terms, first-seen order (oracle float contract — a
@@ -507,6 +490,39 @@ class SegmentSearcher:
         scores = self._score_docs(docs, list(dict.fromkeys(terms)), idfs, avgdl)
         order = topk_order(scores, docs, k)
         return self._project(docs[order], scores=scores[order])
+
+    def _phrase_survivors(self, terms: list[str], candidates: np.ndarray) -> np.ndarray:
+        """Vectorized phrase verification over the WHOLE candidate set:
+        for each term i, flatten all candidate position lists into
+        (candidate_row, position - i) keys packed into uint64, then one
+        sorted-intersection pass per term — no per-candidate Python
+        loop (VERDICT r01 item 7)."""
+        m = len(candidates)
+        if m == 0:
+            return candidates
+        import pyarrow.compute as pc
+
+        keys: np.ndarray | None = None
+        for i, t in enumerate(terms):
+            reader = self.shards.get(self._sharder.shard_of(t))
+            nested = reader.positions_arrow(t) if reader is not None else None
+            if nested is None:
+                return _EMPTY_U64  # positions unavailable -> no exact match
+            docs_t = self.postings(t)[0]
+            idx = np.searchsorted(docs_t, candidates)  # candidates ⊆ postings
+            taken = nested.take(pa.array(idx, type=pa.int64()))
+            lengths = pc.list_value_length(taken).to_numpy().astype(np.int64)
+            vals = taken.flatten().to_numpy().astype(np.int64)
+            rows = np.repeat(np.arange(m, dtype=np.int64), lengths)
+            shifted = vals - i
+            ok = shifted >= 0
+            k = (rows[ok].astype(np.uint64) << np.uint64(32)) | shifted[ok].astype(np.uint64)
+            k.sort()
+            keys = k if keys is None else intersect_sorted(keys, k)
+            if len(keys) == 0:
+                return _EMPTY_U64
+        survivor_rows = np.unique((keys >> np.uint64(32)).astype(np.int64))
+        return candidates[survivor_rows]
 
     def first_positions_array(self, term: str, doc_id: int):
         """sorted position array of `term` in `doc_id`, or None when

@@ -254,6 +254,18 @@ class PostingsPartReader:
         i = self._terms.get(term)
         return None if i is None else self._positions[i].as_py()
 
+    def positions_arrow(self, term: str):
+        """one term's positions as the Arrow child array
+        (list<uint32>, one row per posting) — no Python conversion;
+        the vectorized phrase path flattens this directly."""
+        if self._positions is None:
+            return None
+        i = self._terms.get(term)
+        if i is None:
+            return None
+        scalar = self._positions[i]
+        return scalar.values if scalar.is_valid else None
+
     def positions_column(self):
         """raw positions column (list<list<uint32>> aligned with file
         row order) or None when positions were not stored."""

@@ -317,3 +317,70 @@ def test_online_flush_roll(ray_session, tmp_path):
     eng = QueryEngine(main, use_actors=False)
     assert eng.n_docs == 50
     assert len(eng.search("def", k=5)) > 0
+
+
+# ------------------------------------------------------- TCP transport
+def test_tcp_server_golden_helloworld(server):
+    """Real socket round-trip of the golden helloworld query
+    (chearch_srv.chpl:20-72 + util/query_client.py:12-45)."""
+    from chearch_ray.serve import TcpQueryServer, query_over_socket
+
+    srv = TcpQueryServer(server, port=0).start_background()
+    try:
+        rows = query_over_socket("127.0.0.1", srv.port, _program(2, 3, "and"))
+        assert [(r.term, r.text_location, r.external_doc_id) for r in rows] == [
+            (3, 15, 10),
+            (2, 6, 10),
+        ]
+        # missing term -> empty response on the same server
+        assert query_over_socket("127.0.0.1", srv.port, _program(999), timeout=2.0) == []
+    finally:
+        srv.stop()
+
+
+def test_tcp_server_multiple_requests_one_connection(server):
+    """The connection stays open across requests, like the libev loop."""
+    import socket
+
+    from chearch_ray.serve import TcpQueryServer, build_request
+
+    srv = TcpQueryServer(server, port=0).start_background()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=5) as sock:
+            sock.settimeout(5)
+            for _ in range(3):
+                sock.sendall(build_request(_program(2, 3, "and")))
+                data = sock.recv(4096)
+                rows = decode_response(data)
+                assert [(r.term, r.external_doc_id) for r in rows] == [(3, 10), (2, 10)]
+    finally:
+        srv.stop()
+
+
+def test_tcp_server_over_scale_engine(ray_session, tmp_path):
+    """TCP transport over a built Parquet index via WireEngine: CHASM
+    term-id queries resolve against the real index over a socket."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.serve import TcpQueryServer, WireEngine, query_over_socket
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.sources.queries import term_id32
+    from chearch_ray.state.engine import QueryEngine
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    build_index(ray.data.from_arrow(synthetic_corpus(120, seed=42)), str(tmp_path / "t"), cfg)
+    eng = QueryEngine(str(tmp_path / "t"), use_actors=False)
+    try:
+        srv = TcpQueryServer(WireEngine(eng), port=0).start_background()
+        try:
+            rows = query_over_socket("127.0.0.1", srv.port, _program(term_id32("def")))
+            assert rows  # "def" is everywhere in the synthetic code corpus
+            expected = eng.search_boolean(ast.Term("def"))["doc_id"].to_pylist()
+            assert [r.external_doc_id for r in rows] == expected[: len(rows)]
+            assert all(r.term == term_id32("def") for r in rows)
+        finally:
+            srv.stop()
+    finally:
+        eng.close()
