@@ -18,6 +18,11 @@ class EngineConfig:
     #: segment caps at ~2^24 docs like the reference (documentid.chpl:24);
     #: at 10^12 files this becomes ~6e4 segments on a real cluster.
     num_segments: int = 1
+    #: per-segment doc capacity (reference MaxDocumentIndexCount = 2^24,
+    #: documentid.chpl:24).  Builds that overfill a segment warn and
+    #: record the overfull segments in manifest.extra — the caller
+    #: under-sized num_segments for the corpus.
+    segment_capacity: int = 1 << 24
     #: term shards *within* a segment — the postings for one segment are
     #: split into this many term-hash files so a query only decodes the
     #: files containing its terms.  (Reference analogue: the 32768-bucket

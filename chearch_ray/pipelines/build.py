@@ -281,6 +281,24 @@ def commit_manifest(index_dir: str, cfg: EngineConfig) -> Manifest:
 
     cfg_dict = asdict(cfg)
     cfg_dict["input_columns"] = list(cfg.input_columns)
+    # segment-capacity enforcement (reference MaxDocumentIndexCount =
+    # 2^24, documentid.chpl:24): doc_id % num_segments can overfill a
+    # segment when the caller under-sizes num_segments — surface it
+    overfull = [
+        {"seg": p["part"], "rows": p["rows"]}
+        for p in docmap_parts
+        if p["rows"] > cfg.segment_capacity
+    ]
+    if overfull:
+        import warnings
+
+        warnings.warn(
+            f"{len(overfull)} segment(s) exceed segment_capacity="
+            f"{cfg.segment_capacity} (worst: {max(o['rows'] for o in overfull)} docs); "
+            f"rebuild with more num_segments (jobs/build_job.plan_partitions sizes this)",
+            stacklevel=2,
+        )
+
     manifest = Manifest(
         version=seg_io.MANIFEST_VERSION,
         config=cfg_dict,
@@ -289,6 +307,7 @@ def commit_manifest(index_dir: str, cfg: EngineConfig) -> Manifest:
         avgdl=avgdl,
         postings_parts=postings_parts,
         docmap_parts=docmap_parts,
+        extra={"overfull_segments": overfull} if overfull else {},
     )
     manifest.save(index_dir)
     return manifest

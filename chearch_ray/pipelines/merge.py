@@ -52,17 +52,25 @@ def _explode_postings_part(path: str, cfg: EngineConfig) -> pa.Table:
     from chearch_ray.state.segment import PostingsPartReader
 
     reader = PostingsPartReader(path, cfg.block_size)
-    out_term, out_doc, out_tf = [], [], []
-    for term in reader.terms:  # file-row order (term-sorted)
+    terms = list(reader.terms)  # file-row order (term-sorted)
+    out_doc, out_tf = [], []
+    counts = np.empty(len(terms), dtype=np.int64)
+    for i, term in enumerate(terms):
         enc = reader.encoded(term)
         docs, tfs = decode_postings_any(enc, cfg.block_size, cfg.codec)
-        out_term.extend([term] * len(docs))
+        counts[i] = len(docs)
         out_doc.append(docs)
         out_tf.append(tfs)
     doc = np.concatenate(out_doc) if out_doc else np.empty(0, dtype=np.uint64)
     tf = np.concatenate(out_tf) if out_tf else np.empty(0, dtype=np.uint64)
+    # np.repeat over term indices + one dictionary take — no
+    # per-posting Python string lists (VERDICT r01 item 10)
+    idx = np.repeat(np.arange(len(terms), dtype=np.int32), counts)
+    term_col = pa.DictionaryArray.from_arrays(
+        pa.array(idx, type=pa.int32()), pa.array(terms, type=pa.string())
+    ).cast(pa.string())
     cols = {
-        "term": pa.array(out_term, type=pa.string()),
+        "term": term_col,
         "doc_id": pa.array(doc, type=pa.uint64()),
         "tf": pa.array(tf.astype(np.uint32), type=pa.uint32()),
     }

@@ -177,9 +177,9 @@ class WireEngine:
             return None
         import ray
 
-        for i, actor_seg in enumerate(self.engine.segments):
-            if actor_seg == seg:
-                return ray.get(self.engine._actors[i].first_position.remote(term, doc))
+        for segs, actor in zip(self.engine.actor_segments, self.engine._actors):
+            if seg in segs:
+                return ray.get(actor.first_position.remote(term, doc))
         return None
 
 

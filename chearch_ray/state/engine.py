@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from chearch_ray import ast
-from chearch_ray.state.searcher import SegmentSearcher, bm25_idf, topk_order
+from chearch_ray.state.searcher import SearcherGroup, SegmentSearcher, bm25_idf, topk_order
 from chearch_ray.state.segment import Manifest
 
 
@@ -47,6 +47,7 @@ class QueryEngine:
         use_actors: bool = True,
         num_cpus_per_actor: float = 0.5,
         stats_mode: str = "eager",
+        max_actors: int = 32,
     ):
         # fractional CPUs: long-lived searcher actors must not starve
         # Ray Data read/map tasks on small clusters (a pool that
@@ -76,8 +77,17 @@ class QueryEngine:
         if use_actors:
             import ray
 
-            cls = ray.remote(num_cpus=num_cpus_per_actor)(SegmentSearcher)
-            self._actors = [cls.remote(index_dir, seg, self.cfg) for seg in self.segments]
+            # segment-GROUP actors: actor count is bounded by
+            # max_actors however many segments the index has (at the
+            # 2^24-docs/segment cap, 10^12 docs => ~6e4 segments;
+            # 6e4 actors would be absurd).  Round-robin keeps groups
+            # balanced when segment sizes are hash-uniform.
+            n_groups = max(1, min(max_actors, len(self.segments)))
+            self.actor_segments = [self.segments[i::n_groups] for i in range(n_groups)]
+            cls = ray.remote(num_cpus=num_cpus_per_actor)(SearcherGroup)
+            self._actors = [
+                cls.remote(index_dir, segs, self.cfg) for segs in self.actor_segments
+            ]
         else:
             self._local = [SegmentSearcher(index_dir, seg, self.cfg) for seg in self.segments]
 

@@ -538,3 +538,42 @@ class SegmentSearcher:
         if not pos:
             return None
         return np.asarray(pos, dtype=np.uint64)
+
+
+class SearcherGroup:
+    """N doc-segments resident in ONE actor (VERDICT r01 item 8): at
+    10^12 docs the 2^24-doc segment cap implies ~6e4 segments
+    (config.py scale note) — one actor per segment would mean 6e4
+    actors.  A group holds several SegmentSearchers and serves the
+    same method surface; QueryEngine fans out to groups instead of
+    segments, so actor count is bounded by `max_actors` regardless of
+    num_segments."""
+
+    def __init__(self, index_dir: str, segs: list[int], cfg: EngineConfig):
+        self.cfg = cfg
+        self.segs = list(segs)
+        self.members = [SegmentSearcher(index_dir, s, cfg) for s in segs]
+
+    def _concat(self, tables: list[pa.Table]) -> pa.Table:
+        return pa.concat_tables(tables) if tables else None
+
+    def search_bm25(self, node, k, idfs, avgdl) -> pa.Table:
+        return pa.concat_tables([m.search_bm25(node, k, idfs, avgdl) for m in self.members])
+
+    def search_boolean(self, node, limit=None) -> pa.Table:
+        return pa.concat_tables([m.search_boolean(node, limit) for m in self.members])
+
+    def search_bm25_batch(self, nodes, k, idfs, avgdl) -> pa.Table:
+        return pa.concat_tables(
+            [m.search_bm25_batch(nodes, k, idfs, avgdl) for m in self.members]
+        )
+
+    def search_phrase(self, terms, k, idfs, avgdl) -> pa.Table:
+        return pa.concat_tables([m.search_phrase(terms, k, idfs, avgdl) for m in self.members])
+
+    def first_position(self, term: str, doc_id: int):
+        seg = int(doc_id) % self.cfg.num_segments
+        for m in self.members:
+            if m.seg == seg:
+                return m.first_position(term, doc_id)
+        return None
