@@ -43,6 +43,11 @@ class EngineConfig:
     #: (partition, salt=hash(doc)%salt) building partial runs, phase 2
     #: merges runs per term.
     build_salt: int = 1
+    #: parquet codec for the transient _shuffle run files.  "snappy"
+    #: (default) is fastest when runs live on local/tmpfs storage;
+    #: "zstd" (level 1) writes ~25% fewer bytes — pick it when runs go
+    #: over the network to shared storage (the 100-TB deployment).
+    run_compression: str = "snappy"
 
     # ---- tokenizer ----------------------------------------------------
     #: regex that *separates* tokens (code-aware default: keep

@@ -174,9 +174,15 @@ def _partitioned_shuffle(unified, index_dir: str, cfg: EngineConfig, done: froze
     marker = os.path.join(run_dir, "_runs_complete")
     if not os.path.exists(marker):
         shutil.rmtree(run_dir, ignore_errors=True)
-        # snappy: the runs are transient (deleted after finalize), so
-        # cheap compression beats ratio
-        unified.write_parquet(run_dir, partition_cols=["part"], compression="snappy")
+        # run-file codec (cfg.run_compression): measured on the bench
+        # corpus — zstd-1 writes 25% fewer bytes than snappy but costs
+        # ~20% wall time when runs live on tmpfs (bytes free, CPU not);
+        # on a real cluster with runs on shared storage the byte cut
+        # wins, so pick per deployment.  parquet DELTA_BINARY_PACKED
+        # measured WORSE: hashed doc ids keep full entropy, delta or not.
+        comp = cfg.run_compression
+        kwargs = {"compression_level": 1} if comp == "zstd" else {}
+        unified.write_parquet(run_dir, partition_cols=["part"], compression=comp, **kwargs)
         if os.environ.get("CHEARCH_RAY_BUILD_STATS"):
             print(unified.stats())
         # write_parquet of an EMPTY dataset (all partitions already
@@ -204,7 +210,8 @@ def _partitioned_shuffle(unified, index_dir: str, cfg: EngineConfig, done: froze
         finalize_ds.take_all()
         if os.environ.get("CHEARCH_RAY_BUILD_STATS"):
             print(finalize_ds.stats())
-    shutil.rmtree(run_dir, ignore_errors=True)
+    if not os.environ.get("CHEARCH_RAY_KEEP_RUNS"):  # debugging / byte audits
+        shutil.rmtree(run_dir, ignore_errors=True)
 
 
 def _finalize_from_runs(batch, cfg: EngineConfig, index_dir: str):
