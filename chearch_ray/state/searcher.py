@@ -186,6 +186,12 @@ class SegmentSearcher:
             return out
         n_blocks = len(enc.block_last)
         self.decode_stats["blocks_total"] += n_blocks
+        if len(probes) * 2 >= enc.count:
+            # dense probe set (e.g. scoring a hot term's own postings):
+            # it will touch nearly every block — decode once and skip
+            # the per-probe block mapping entirely
+            self.decode_stats["blocks_decoded"] += n_blocks
+            return _probe_into(*self.postings(term))
         needed = np.unique(np.searchsorted(enc.block_last, probes, side="left"))
         needed = needed[needed < n_blocks]
         if len(needed) == 0:  # every probe is past the last posting
