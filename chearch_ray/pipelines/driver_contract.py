@@ -255,6 +255,41 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     )
 
 
+def q_windowed_agg(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.events import windowed_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+    pdf = windowed_aggregate(ds, window_sec=300).to_pandas()
+    pdf["n_events"] = pdf["n_events"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_sessionize(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.events import sessionize
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return pa.Table.from_pandas(sessionize(ds, gap_sec=1800).to_pandas(), preserve_index=False)
+
+
+def q_bpeish_tokens(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.events import bpeish_token_count
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(bpeish_token_count, batch_format="pyarrow", batch_size=1024)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 # --------------------------- rows-only (not SQL-expressible) queries
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     import ray.data
@@ -345,6 +380,9 @@ QUERIES = {
     "lang_counts": q_lang_counts,
     "knn_cosine": q_knn_cosine,
     "phrase": q_phrase,
+    "windowed_agg": q_windowed_agg,
+    "sessionize": q_sessionize,
+    "bpeish_tokens": q_bpeish_tokens,
     # rows-only (non-SQL-expressible)
     "embedding_neardup": q_embedding_neardup,
     "minhash_pairs": q_minhash_pairs,
@@ -563,6 +601,39 @@ FROM read_parquet('{MEDIA_TABLE_PATH}')
     "lang_counts": "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
     "quality": _quality_sql(),
     "langid": _langid_sql(),
+    "windowed_agg": """
+SELECT (epoch_us(ts) // 300000000) * 300 AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events GROUP BY 1, 2
+""",
+    "sessionize": """
+WITH o AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM o),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, session_id::BIGINT AS session_id,
+       min(us)::BIGINT AS session_start_us,
+       max(us)::BIGINT AS session_end_us,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM sess GROUP BY user_id, session_id
+""",
+    "bpeish_tokens": r"""
+SELECT doc_id,
+       length(regexp_extract_all(text,
+         '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT
+         AS n_bpeish
+FROM documents
+""",
     "knn_cosine": """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT row_number() OVER (

@@ -1,0 +1,143 @@
+"""Event-stream operators: tumbling-window aggregation, gap-based
+sessionization, regex token counting.
+
+The reference engine has no time/stream dimension at all; these are
+the windowed-aggregate / stateful-session operators a training-data
+pipeline needs over event logs (driver `events` table shape:
+event_id, ts, user_id, event_type, value, props).
+
+Scale shape:
+* windowed_aggregate — map-side PARTIAL aggregation per batch (one row
+  per (window, key) per batch), then a small global groupby over the
+  partials: the shuffle carries window-count rows, not event rows.
+* sessionize — one groupby on user_id (the only all-to-all), then
+  vectorized per-user gap detection inside map_groups.  Sessions never
+  span users, so user hash partitioning is the natural key; at 100 TB
+  the same key should be reused by upstream storage layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: default tumbling window (seconds)
+WINDOW_SEC = 300
+#: default session gap (seconds)
+SESSION_GAP_SEC = 1800
+
+
+def _epoch_us(ts_col) -> np.ndarray:
+    if isinstance(ts_col, pa.ChunkedArray):
+        ts_col = ts_col.combine_chunks()
+    return np.asarray(ts_col.cast(pa.int64()))
+
+
+def _window_partial(batch: pa.Table, window_sec: int, key: str) -> pa.Table:
+    """one batch -> one row per (window_start, key): the map-side
+    combiner that keeps the shuffle at window-count rows."""
+    us = _epoch_us(batch["ts"])
+    window_start = (us // (window_sec * 1_000_000)) * window_sec  # epoch seconds
+    # value sums ride as integer CENTS: float addition order differs
+    # between engines (map-side partials here, arbitrary group order in
+    # a SQL oracle), so exact-match aggregation needs integers
+    cents = np.rint(np.asarray(batch["value"].to_numpy(), dtype=np.float64) * 100).astype(np.int64)
+    t = pa.table(
+        {
+            "window_start": pa.array(window_start, type=pa.int64()),
+            key: batch[key],
+            "n_events": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "sum_cents": pa.array(cents, type=pa.int64()),
+        }
+    )
+    agg = t.group_by(["window_start", key], use_threads=False).aggregate(
+        [("n_events", "sum"), ("sum_cents", "sum")]
+    )
+    return pa.table(
+        {
+            "window_start": agg["window_start"],
+            key: agg[key],
+            "n_events": agg["n_events_sum"],
+            "sum_cents": agg["sum_cents_sum"],
+        }
+    )
+
+
+def windowed_aggregate(ds, window_sec: int = WINDOW_SEC, key: str = "event_type"):
+    """Tumbling-window aggregate: (window_start epoch-sec, key) ->
+    n_events, sum_value.  Pre-aggregated per batch before the global
+    groupby (the shuffle ships partials, not events)."""
+    from functools import partial
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        partial(_window_partial, window_sec=window_sec, key=key),
+        batch_format="pyarrow",
+    )
+    return partials.groupby(["window_start", key]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_cents", alias_name="sum_cents")
+    )
+
+
+def _sessionize_group(group: pa.Table, gap_sec: int) -> pa.Table:
+    """one user's events -> session summary rows (vectorized gap
+    detection; deterministic order by (ts, event_id))."""
+    order = pc.sort_indices(
+        group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    g = group.take(order)
+    us = _epoch_us(g["ts"])
+    gap = np.empty(len(g), dtype=bool)
+    gap[0] = True
+    gap[1:] = (us[1:] - us[:-1]) > gap_sec * 1_000_000
+    session_id = np.cumsum(gap)  # 1-based per user
+    starts = np.flatnonzero(gap)
+    bounds = np.append(starts, len(g))
+    n_events = np.diff(bounds)
+    cents = np.rint(g["value"].to_numpy().astype(np.float64) * 100).astype(np.int64)
+    sums = np.add.reduceat(cents, starts)
+    user = g["user_id"][0].as_py()
+    return pa.table(
+        {
+            "user_id": pa.array([user] * len(starts), type=pa.int64()),
+            "session_id": pa.array(session_id[starts], type=pa.int64()),
+            "session_start_us": pa.array(us[starts], type=pa.int64()),
+            "session_end_us": pa.array(us[bounds[1:] - 1], type=pa.int64()),
+            "n_events": pa.array(n_events, type=pa.int64()),
+            "sum_cents": pa.array(sums, type=pa.int64()),
+        }
+    )
+
+
+def sessionize(ds, gap_sec: int = SESSION_GAP_SEC):
+    """Gap-based sessionization: one session row per (user, session).
+    The user_id groupby is the only shuffle; everything else is
+    vectorized per group."""
+    from functools import partial
+
+    return ds.groupby("user_id").map_groups(
+        partial(_sessionize_group, gap_sec=gap_sec), batch_format="pyarrow"
+    )
+
+
+#: RE2-safe GPT-2-ish token pattern (no lookaheads: both Arrow and
+#: DuckDB run RE2, so counts match exactly between engine and oracle)
+BPEISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpeish_token_count(batch: pa.Table, text_column: str = "text",
+                       pattern: str = BPEISH_PATTERN) -> pa.Table:
+    """doc_id/text -> (doc_id, n_bpeish): count of BPE-style pretoken
+    pieces via one vectorized RE2 scan (pc.count_substring_regex)."""
+    text = batch[text_column]
+    n = pc.count_substring_regex(text, pattern)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bpeish": n.cast(pa.int64())
+            if isinstance(n, pa.Array)
+            else n.combine_chunks().cast(pa.int64()),
+        }
+    )

@@ -1,0 +1,101 @@
+"""Event-stream operators: windowed aggregate, sessionization, BPE-ish
+token counting (stages/events.py)."""
+
+import datetime as dt
+
+import pyarrow as pa
+
+from chearch_ray.stages.events import (
+    BPEISH_PATTERN,
+    bpeish_token_count,
+    sessionize,
+    windowed_aggregate,
+)
+
+
+def _events():
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap > 30 min between e2 and e3)
+        {"event_id": 0, "ts": base, "user_id": 1, "event_type": "view", "value": 1.25},
+        {"event_id": 1, "ts": base + dt.timedelta(minutes=10), "user_id": 1, "event_type": "click", "value": 2.50},
+        {"event_id": 2, "ts": base + dt.timedelta(minutes=20), "user_id": 1, "event_type": "view", "value": 0.25},
+        {"event_id": 3, "ts": base + dt.timedelta(minutes=80), "user_id": 1, "event_type": "buy", "value": 9.99},
+        # user 2: one session
+        {"event_id": 4, "ts": base + dt.timedelta(minutes=2), "user_id": 2, "event_type": "view", "value": 4.00},
+        {"event_id": 5, "ts": base + dt.timedelta(minutes=31), "user_id": 2, "event_type": "view", "value": 1.00},
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+def test_windowed_aggregate(ray_session):
+    import ray.data
+
+    out = (
+        windowed_aggregate(ray.data.from_arrow(_events()), window_sec=900)
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    base_s = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    # window 0: view@0 + click@10m + view... wait 10m < 15m window
+    w0 = out[(out["window_start"] == base_s) & (out["event_type"] == "view")]
+    assert int(w0["n_events"].iloc[0]) == 2  # user1@0 and user2@2m
+    assert int(w0["sum_cents"].iloc[0]) == 525
+    # click@10m also in window 0
+    c0 = out[(out["window_start"] == base_s) & (out["event_type"] == "click")]
+    assert int(c0["n_events"].iloc[0]) == 1
+    # buy@80m lands in window starting at 75m
+    b = out[out["event_type"] == "buy"]
+    assert int(b["window_start"].iloc[0]) == base_s + 4500
+    assert int(b["sum_cents"].iloc[0]) == 999
+
+
+def test_sessionize(ray_session):
+    import ray.data
+
+    out = (
+        sessionize(ray.data.from_arrow(_events()), gap_sec=1800)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["session_id"].tolist() == [1, 2, 1]
+    assert out["n_events"].tolist() == [3, 1, 2]
+    assert out["sum_cents"].tolist() == [400, 999, 500]
+    # session boundaries: user1 session1 spans 0..20min
+    base_us = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert out["session_start_us"].tolist()[0] == base_us
+    assert out["session_end_us"].tolist()[0] == base_us + 20 * 60 * 1_000_000
+
+
+def test_bpeish_token_count():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["it's a test", "hello   world 42", ""]),
+        }
+    )
+    out = bpeish_token_count(t).to_pydict()
+    # "it's a test" -> it, 's, ' a', ' test'
+    assert out["n_bpeish"][0] == 4
+    # "hello   world 42" -> hello, '  ' (ws run), ' world'... RE2 scan:
+    # 'hello', '  ' (two spaces, third consumed by ' world'), ' world', ' 42'
+    assert out["n_bpeish"][1] == 4
+    assert out["n_bpeish"][2] == 0
+
+
+def test_bpeish_matches_duckdb():
+    import duckdb
+
+    texts = ["it's a test", "CamelCase42 under_score", "a.b,c!  d", "ünïcode tøkens"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)})
+    got = bpeish_token_count(t).to_pydict()["n_bpeish"]
+    con = duckdb.connect()
+    con.register("d", t)
+    sql_pat = BPEISH_PATTERN.replace("'", "''")
+    want = [r[0] for r in con.execute(
+        f"SELECT length(regexp_extract_all(text, '{sql_pat}')) FROM d ORDER BY doc_id"
+    ).fetchall()]
+    assert got == want
