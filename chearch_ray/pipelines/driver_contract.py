@@ -290,6 +290,18 @@ def q_bpeish_tokens(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def q_asof_join(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.events import asof_join
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return pa.Table.from_pandas(asof_join(ds).to_pandas(), preserve_index=False)
+
+
 # --------------------------- rows-only (not SQL-expressible) queries
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     import ray.data
@@ -383,6 +395,7 @@ QUERIES = {
     "windowed_agg": q_windowed_agg,
     "sessionize": q_sessionize,
     "bpeish_tokens": q_bpeish_tokens,
+    "asof_join": q_asof_join,
     # rows-only (non-SQL-expressible)
     "embedding_neardup": q_embedding_neardup,
     "minhash_pairs": q_minhash_pairs,
@@ -626,6 +639,13 @@ SELECT user_id, session_id::BIGINT AS session_id,
        count(*)::BIGINT AS n_events,
        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
 FROM sess GROUP BY user_id, session_id
+""",
+    "asof_join": """
+SELECT l.event_id, l.user_id, epoch_us(l.ts)::BIGINT AS ts_us, l.value,
+       (SELECT r.value FROM events r
+        WHERE r.user_id = l.user_id AND r.event_type = 'view' AND r.ts < l.ts
+        ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_value
+FROM events l WHERE l.event_type = 'purchase'
 """,
     "bpeish_tokens": r"""
 SELECT doc_id,

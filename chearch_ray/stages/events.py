@@ -141,3 +141,73 @@ def bpeish_token_count(batch: pa.Table, text_column: str = "text",
             else n.combine_chunks().cast(pa.int64()),
         }
     )
+
+
+def _asof_group(group: pa.Table, ts_column: str, type_column: str,
+                left_type: str, right_type: str, value_column: str) -> pa.Table:
+    """one key's rows -> as-of rows for the left type."""
+    order = pc.sort_indices(
+        group, sort_keys=[(ts_column, "ascending"), ("event_id", "ascending")]
+    )
+    g = group.take(order)
+    us = _epoch_us(g[ts_column])
+    types = np.asarray(g[type_column].to_pandas())
+    is_l = types == left_type
+    is_r = types == right_type
+    l_idx = np.flatnonzero(is_l)
+    if len(l_idx) == 0:
+        return pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "ts_us": pa.array([], type=pa.int64()),
+                "value": pa.array([], type=pa.float64()),
+                "asof_value": pa.array([], type=pa.float64()),
+            }
+        )
+    r_ts = us[is_r]
+    r_val = g[value_column].to_numpy()[is_r]
+    # last right row with ts strictly earlier; equal right ts resolves
+    # to the larger event_id (rows sorted by (ts, event_id))
+    pos = np.searchsorted(r_ts, us[l_idx], side="left") - 1
+    asof = np.where(pos >= 0, r_val[np.maximum(pos, 0)], np.nan)
+    out = pa.table(
+        {
+            "event_id": g["event_id"].take(pa.array(l_idx, type=pa.int64())),
+            "user_id": g["user_id"].take(pa.array(l_idx, type=pa.int64())),
+            "ts_us": pa.array(us[l_idx], type=pa.int64()),
+            "value": g[value_column].take(pa.array(l_idx, type=pa.int64())),
+            "asof_value": pa.array(
+                [None if np.isnan(v) else float(v) for v in asof], type=pa.float64()
+            ),
+        }
+    )
+    return out
+
+
+def asof_join(ds, key: str = "user_id", ts_column: str = "ts",
+              type_column: str = "event_type", left_type: str = "purchase",
+              right_type: str = "view", value_column: str = "value"):
+    """Per-key AS-OF join within one event stream: each `left_type`
+    row gets the `value` of the latest `right_type` row with STRICTLY
+    earlier ts (right-side ties broken by larger event_id — fully
+    deterministic, mirrored by the driver oracle SQL).
+
+    Ray Data has no asof-join primitive; this is the prescribed
+    composition — one groupby(key) shuffle, then vectorized
+    searchsorted inside each group.  Partitioning assumption: the join
+    never crosses `key` boundaries, so key-hash partitioning is
+    sufficient and reusable by adjacent stages."""
+    from functools import partial
+
+    return ds.groupby(key).map_groups(
+        partial(
+            _asof_group,
+            ts_column=ts_column,
+            type_column=type_column,
+            left_type=left_type,
+            right_type=right_type,
+            value_column=value_column,
+        ),
+        batch_format="pyarrow",
+    )

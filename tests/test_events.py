@@ -99,3 +99,31 @@ def test_bpeish_matches_duckdb():
         f"SELECT length(regexp_extract_all(text, '{sql_pat}')) FROM d ORDER BY doc_id"
     ).fetchall()]
     assert got == want
+
+
+def test_asof_join(ray_session):
+    import ray.data
+
+    from chearch_ray.stages.events import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"event_id": 0, "ts": base, "user_id": 1, "event_type": "view", "value": 1.0},
+        {"event_id": 1, "ts": base + dt.timedelta(minutes=5), "user_id": 1, "event_type": "view", "value": 2.0},
+        # same-ts tie on the right side: larger event_id (3) wins
+        {"event_id": 2, "ts": base + dt.timedelta(minutes=6), "user_id": 1, "event_type": "view", "value": 3.0},
+        {"event_id": 3, "ts": base + dt.timedelta(minutes=6), "user_id": 1, "event_type": "view", "value": 4.0},
+        {"event_id": 4, "ts": base + dt.timedelta(minutes=10), "user_id": 1, "event_type": "purchase", "value": 9.0},
+        # purchase before any view -> null asof
+        {"event_id": 5, "ts": base, "user_id": 2, "event_type": "purchase", "value": 7.0},
+        {"event_id": 6, "ts": base + dt.timedelta(minutes=1), "user_id": 2, "event_type": "view", "value": 5.0},
+    ]
+    out = (
+        asof_join(ray.data.from_arrow(pa.Table.from_pylist(rows)))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [4, 5]
+    assert out["asof_value"].tolist()[0] == 4.0  # tie broken by event_id
+    assert out["asof_value"].isna().tolist() == [False, True]
