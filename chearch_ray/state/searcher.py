@@ -201,6 +201,14 @@ class SegmentSearcher:
             # than per-block bookkeeping, and it warms the list cache
             self.decode_stats["blocks_decoded"] += n_blocks
             return _probe_into(*self.postings(term))
+        docs, tfs = self._decode_blocks_cached(term, enc, needed)
+        return _probe_into(docs, tfs)
+
+    def _decode_blocks_cached(
+        self, term: str, enc, needed: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """decode the given sorted block ids through the per-term block
+        cache (cache misses counted in decode_stats)."""
         cache = self._blk_cache.setdefault(term, {})
         miss = np.array([b for b in needed.tolist() if b not in cache], dtype=np.int64)
         if len(miss):
@@ -218,7 +226,7 @@ class SegmentSearcher:
         parts = [cache[b] for b in needed.tolist()]
         docs = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
-        return _probe_into(docs, tfs)
+        return docs, tfs
 
     # ------------------------------------------------------ boolean mode
     def _node_df_estimate(self, node: ast.Node) -> int:
@@ -328,6 +336,43 @@ class SegmentSearcher:
             )
         return scores
 
+    def _term_docs_blockmax(
+        self, term: str, idf: float, carry_ub: float, kth: float | None
+    ) -> tuple[np.ndarray, float]:
+        """Docs of `term` from only the skip blocks whose BLOCK-MAX
+        score upper bound (idf * block_max_tf component with the
+        dl-independent 1-b bound) plus `carry_ub` can still reach the
+        current k-th score.  `carry_ub` is the WAND carry for a doc
+        introduced HERE: full UB of every not-yet-expanded term plus,
+        for each already-expanded term, the max UB of the blocks that
+        were SKIPPED there (an unseen doc can only hide in skipped
+        blocks of expanded terms).
+
+        Returns (docs, max skipped-block UB of this term) — the second
+        value feeds later terms' carry.  Exact: a doc living solely in
+        dropped blocks scores strictly below kth, so it can neither
+        enter nor tie into the top-k."""
+        enc = self._encoded(term)
+        if enc is None or enc.count == 0:
+            return _EMPTY_U64, 0.0
+        n_blocks = len(enc.block_last)
+        if kth is None:
+            return self.postings(term)[0], 0.0
+        cfg = self.cfg
+        btf = enc.block_max_tf.astype(np.float64)
+        block_ub = idf * (btf * (cfg.k1 + 1.0)) / (btf + cfg.k1 * (1.0 - cfg.b))
+        keep_mask = block_ub + carry_ub >= kth
+        keep = np.flatnonzero(keep_mask)
+        self.decode_stats["blocks_total"] += n_blocks
+        if len(keep) * 2 >= n_blocks:
+            self.decode_stats["blocks_decoded"] += n_blocks
+            return self.postings(term)[0], 0.0
+        skipped_max = float(block_ub[~keep_mask].max()) if len(keep) < n_blocks else 0.0
+        # decode through the block cache so the scoring probes that
+        # follow reuse these blocks instead of re-decoding them
+        docs, _ = self._decode_blocks_cached(term, enc, keep.astype(np.int64))
+        return docs, skipped_max
+
     def _maxscore_disjunctive(
         self, terms: list[str], k: int, idfs: dict[str, float], avgdl: float
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -359,13 +404,25 @@ class SegmentSearcher:
 
         cand = _EMPTY_U64
         cand_scores = np.empty(0, dtype=np.float64)
+        skipped_carry = 0.0  # Σ over expanded terms of max skipped-block UB
         for e in range(len(terms)):
-            remaining_ub = float(ubs[e:].sum())
+            remaining_ub = float(ubs[e:].sum()) + skipped_carry
+            kth = None
             if len(cand) >= k:
-                kth = cand_scores[topk_order(cand_scores, cand, k)[-1]]
+                kth = float(cand_scores[topk_order(cand_scores, cand, k)[-1]])
                 if remaining_ub < kth:
                     break
-            docs_e = self.postings(terms[e])[0]
+            # block-max refinement: within a term that must still be
+            # expanded, decode only blocks that can beat the current
+            # k-th score (WAND-style, exactness argument in
+            # _term_docs_blockmax)
+            docs_e, skipped_max = self._term_docs_blockmax(
+                terms[e],
+                idfs.get(terms[e], 0.0),
+                float(ubs[e + 1 :].sum()) + skipped_carry,
+                kth,
+            )
+            skipped_carry += skipped_max
             if len(docs_e) == 0:
                 continue
             if len(cand):

@@ -581,3 +581,61 @@ def test_segment_capacity_warning(ray_session, tmp_path, corpus):
         m = build_index(ray.data.from_arrow(corpus), idx, cfg)
     assert any("segment_capacity" in str(x.message) for x in w)
     assert m.extra["overfull_segments"][0]["rows"] == N_DOCS
+
+
+def test_blockmax_disjunctive_skips_blocks(ray_session, tmp_path):
+    """A hot term that MUST be expanded (its UB beats the k-th score)
+    is never fully decoded: scoring probes it block-sparsely and the
+    expansion decodes only the blocks whose block-max UB (+ WAND
+    carry) can reach kth — results identical to the exhaustive
+    scorer."""
+    import dataclasses
+
+    import ray.data
+
+    # bterm: rare (300 docs), tf=1, LONG docs (240 tokens) - high idf,
+    # fills kth~2.5 well under its own dl-independent UB.  aterm: HOT
+    # (8000 docs / ~500 blocks), tf=1 except 12 heavy tf=50 docs - its
+    # UB 2.72 >= kth forces expansion, but only its ~12 heavy-doc
+    # blocks can beat kth.  k1=2 widens the tf-saturation margins.
+    n = 20000
+    rows = []
+    for i in range(n):
+        if i < 12:
+            text = ("aterm " * 50) + ("pad " * 50)
+        elif i < 8000:
+            text = "aterm " + ("pad " * 99)
+        elif i < 8300:
+            text = "bterm " + ("pad " * 239)
+        else:
+            text = "pad " * 100
+        rows.append(
+            {"repo": "r", "path": f"f{i}", "commit": "c", "lang": "py", "content": text}
+        )
+    corpus2 = pa.Table.from_pylist(rows)
+    cfg = EngineConfig(
+        num_segments=1, num_term_shards=2, block_size=16, tokenize_batch_size=4096, k1=2.0
+    )
+    idx = str(tmp_path / "bmw")
+    build_index(ray.data.from_arrow(corpus2), idx, cfg)
+
+    tree = ast.Or(ast.Term("bterm"), ast.Term("aterm"))
+    eng = QueryEngine(idx, use_actors=False)
+    idfs = eng.idfs_for(tree)
+
+    s = SegmentSearcher(idx, 0, cfg)
+    got = s.search_bm25(tree, 10, idfs, eng.avgdl)
+    st = dict(s.decode_stats)
+
+    cfg_off = dataclasses.replace(cfg, use_maxscore=False)
+    s2 = SegmentSearcher(idx, 0, cfg_off)
+    want = s2.search_bm25(tree, 10, idfs, eng.avgdl)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == want["score"].to_pylist()
+
+    # only bterm (the kth-filling term) may fully decode; the hot
+    # aterm is touched via sparse probes + block-max expansion only
+    assert st["full_decodes"] == 1, st
+    hot_blocks = (8000 + cfg.block_size - 1) // cfg.block_size
+    assert st["blocks_total"] >= hot_blocks, st
+    assert st["blocks_decoded"] < hot_blocks * 0.75, st

@@ -15,7 +15,7 @@ import __ray_entry__ as entrymod
 
 def _duck(sf_dir):
     con = duckdb.connect()
-    for name in ("documents", "embeddings"):
+    for name in ("documents", "embeddings", "events"):
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
         )
