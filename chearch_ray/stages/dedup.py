@@ -401,9 +401,15 @@ def _est_jaccard_packed(batch: pa.Table, num_perm: int, threshold: float) -> pa.
 
 def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
                         num_perm: int = 128, bands: int = 32,
-                        join_partitions: int = 8):
+                        join_partitions: int = 8, verify: str = "est",
+                        shingle_w: int = 3):
     """Dataset -> candidate near-dup pairs (doc_a < doc_b, est_jaccard
     >= threshold), deduplicated across bands.
+
+    verify="est" scores pairs by minhash coordinate agreement;
+    verify="exact" computes TRUE n-gram Jaccard per candidate pair via
+    the shingle-payload hash join (`ngram_jaccard_pairs`) — same
+    distributed shape, column `jaccard` instead of `est_jaccard`.
 
     100-TB shuffle shape (nothing ever gathers on the driver):
       1. signatures computed once per doc, kept DISTRIBUTED (packed
@@ -440,6 +446,11 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
     deduped = dedup_pairs(pairs).materialize()
     if deduped.count() == 0:  # join of an empty left side loses schema
         return ray.data.from_arrow(empty)
+    if verify == "exact":
+        return ngram_jaccard_pairs(
+            ds, deduped, threshold=threshold, text_column=text_column,
+            w=shingle_w, join_partitions=join_partitions,
+        )
     est = verify_pairs_by_join(
         deduped,
         sigs_ds,
@@ -573,6 +584,117 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column: str = "text", bands: in
 
 
 # ----------------------------------------------- exact n-gram Jaccard
+def shingle_payload(batch: pa.Table, text_column: str = "text", w: int = 3) -> pa.Table:
+    """text -> (doc_id uint64, shingles binary): each doc's SORTED
+    UNIQUE shingle-hash set packed as raw uint64 bytes — the joinable
+    payload for dataset-scale exact Jaccard verification (acero joins
+    carry binary, not list, columns)."""
+    hashes, rows = _doc_shingle_hashes(batch, text_column, w)
+    doc_col = batch["doc_id"]
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    doc_ids = doc_col.to_numpy(zero_copy_only=False)
+    n = len(batch)
+    order = np.lexsort((hashes, rows))
+    rows_s, h_s = rows[order], hashes[order]
+    # unique within doc (rows_s groups are contiguous)
+    keep = np.ones(len(h_s), dtype=bool)
+    if len(h_s):
+        keep[1:] = (rows_s[1:] != rows_s[:-1]) | (h_s[1:] != h_s[:-1])
+    rows_u, h_u = rows_s[keep], h_s[keep]
+    counts = np.zeros(n, dtype=np.int64)
+    np.add.at(counts, rows_u, 1)
+    offsets = np.concatenate([[0], np.cumsum(counts) * 8]).astype(np.int32)
+    payload = pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(np.ascontiguousarray(h_u).tobytes())],
+    )
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, type=pa.uint64()), "shingles": payload}
+    )
+
+
+def _unpack_shingle_rows(col) -> tuple[np.ndarray, np.ndarray]:
+    """binary column -> (flat uint64 values, int64 row offsets)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    # BinaryArray buffers: [validity, int32 byte offsets, data]
+    off_buf = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    offsets = off_buf[col.offset : col.offset + len(col) + 1].astype(np.int64)
+    data = col.buffers()[2]
+    vals = np.frombuffer(data, dtype=np.uint64, count=len(data) // 8)
+    return vals, offsets // 8
+
+
+def _exact_jaccard_packed(batch: pa.Table, threshold: float) -> pa.Table:
+    a_vals, a_off = _unpack_shingle_rows(batch["shingles_a"])
+    b_vals, b_off = _unpack_shingle_rows(batch["shingles"])
+    n = len(batch)
+    ja = np.empty(n, dtype=np.float64)
+    for i in range(n):  # per-PAIR loop over the small candidate set
+        sa = a_vals[a_off[i] : a_off[i + 1]]
+        sb = b_vals[b_off[i] : b_off[i + 1]]
+        inter = len(intersect_sorted_u64(sa, sb))
+        union = len(sa) + len(sb) - inter
+        ja[i] = inter / union if union else 0.0
+    keep = ja >= threshold
+    mask = pa.array(keep)
+    return pa.table(
+        {
+            "doc_a": batch["doc_a"].filter(mask) if n else pa.array([], type=pa.uint64()),
+            "doc_b": batch["doc_b"].filter(mask) if n else pa.array([], type=pa.uint64()),
+            "jaccard": pa.array(ja[keep], type=pa.float64()),
+        }
+    )
+
+
+def intersect_sorted_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(a) > len(b):
+        a, b = b, a
+    if len(a) == 0:
+        return a
+    idx = np.searchsorted(b, a)
+    idx_c = np.minimum(idx, len(b) - 1)
+    return a[b[idx_c] == a]
+
+
+def ngram_jaccard_pairs(ds, pairs_ds, threshold: float = 0.0,
+                        text_column: str = "text", w: int = 3,
+                        join_partitions: int = 8):
+    """DATASET-scale exact n-gram Jaccard for candidate pairs: the
+    corpus maps to packed shingle-set payloads, candidate pairs
+    hash-join them on doc_a/doc_b (same machinery as the MinHash and
+    embedding verifies), and exact Jaccard is computed per pair —
+    nothing gathers on the driver.  `pairs_ds` needs (doc_a, doc_b)."""
+    from functools import partial
+
+    import ray.data
+
+    payload = ds.map_batches(
+        partial(shingle_payload, text_column=text_column, w=w),
+        batch_format="pyarrow",
+        batch_size=4096,
+    ).materialize()
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.uint64()),
+            "doc_b": pa.array([], type=pa.uint64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    out = verify_pairs_by_join(
+        pairs_ds,
+        payload,
+        partial(_exact_jaccard_packed, threshold=threshold),
+        payload_col="shingles",
+        join_partitions=join_partitions,
+    )
+    return out if out is not None else ray.data.from_arrow(empty)
+
+
 def ngram_jaccard_verify(corpus: pa.Table, pairs: pa.Table, text_column: str = "text",
                          w: int = 3) -> pa.Table:
     """Exact shingle-set Jaccard for given candidate pairs (driver-side

@@ -374,3 +374,45 @@ def test_simhash_pairs_vs_exact_hamming_oracle(ray_session):
     for a, b, h in zip(pairs["doc_a"], pairs["doc_b"], pairs["hamming"]):
         true_h = bin(sigs[int(a)] ^ sigs[int(b)]).count("1")
         assert int(h) == true_h <= 6, (a, b, h, true_h)
+
+
+def test_ngram_jaccard_pairs_dataset_scale(ray_session, docs):
+    """Distributed exact-Jaccard verify (shingle-payload hash join)
+    matches the pure-Python candidates-only helper exactly."""
+    import ray.data
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([1, 1, 1], type=pa.uint64()),
+            "doc_b": pa.array([2, 3, 6], type=pa.uint64()),
+        }
+    )
+    from chearch_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = (
+        ngram_jaccard_pairs(ray.data.from_arrow(docs), ray.data.from_arrow(pairs))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want = ngram_jaccard_verify(docs, pairs).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert out["jaccard"].tolist() == want["jaccard"].tolist()
+    assert out["jaccard"].tolist()[0] == 1.0  # exact dup
+    assert out["jaccard"].tolist()[2] == 0.0  # unrelated
+
+
+def test_minhash_exact_verify_mode(ray_session, docs):
+    """verify='exact' replaces est_jaccard with TRUE Jaccard from the
+    shingle-payload join; values equal the brute-force reference."""
+    import ray.data
+
+    out = minhash_dedup_pairs(
+        ray.data.from_arrow(docs), threshold=0.5, num_perm=64, bands=16, verify="exact"
+    ).to_pandas()
+    found = {tuple(sorted((int(a), int(b)))): j for a, b, j in
+             zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    assert found[(1, 2)] == 1.0
+    sets = _shingle_sets(docs)
+    for (a, b), j in found.items():
+        sa, sb = sets[a], sets[b]
+        assert j == len(sa & sb) / len(sa | sb), (a, b)
