@@ -172,6 +172,25 @@ def run_bench() -> dict:
     timings["boolean_single_local_p50_ms"] = p50_bool(q_known)
     timings["boolean_missing_local_p50_ms"] = p50_bool(q_missing)
 
+    # ---- real TCP wire serving (chearch_srv analogue: socket round
+    # trip of a single-term CHASM query against the resident index) ---
+    from chearch_ray.functions import chasm as _chasm
+    from chearch_ray.serve import TcpQueryServer, WireEngine, query_over_socket
+    from chearch_ray.sources.queries import term_id32
+
+    srv = TcpQueryServer(WireEngine(eng_local), port=0).start_background()
+    _buf = _chasm.InstructionBuffer(256)
+    _chasm.InstructionWriter(_buf).write_push_term(term_id32("__known_64__"))
+    _prog = _buf.to_bytes()
+    query_over_socket("127.0.0.1", srv.port, _prog)  # warm
+    samples = []
+    for _ in range(QUERY_REPS):
+        t = time.perf_counter()
+        query_over_socket("127.0.0.1", srv.port, _prog)
+        samples.append((time.perf_counter() - t) * 1e3)
+    timings["tcp_wire_p50_ms"] = statistics.median(samples)
+    srv.stop()
+
     # ---- reference-workload ingest (synthdataindexer.chpl shape:
     # 1M tiny docs, 1-10 uniform terms from a 16,384 vocab) -----------
     from chearch_ray.sources.corpus import reference_shape_corpus
@@ -208,6 +227,11 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     dc.q_knn_cosine(sf_dir)
     timings["sf_knn_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_windowed_agg(sf_dir)
+    dc.q_sessionize(sf_dir)
+    dc.q_asof_join(sf_dir)
+    timings["sf_event_ops_sec"] = time.perf_counter() - t0
 
     timings = {k: round(v, 4) for k, v in timings.items()}
     result = {
