@@ -215,10 +215,12 @@ class MinHashSignatures:
         return bands.append_column("signature", sig_col.take(rep))
 
 
-#: coarse partition count for bucket-run processing: instead of one
-#: map_groups call per (band, bucket) — millions of tiny groups, all
-#: framework overhead — we group on hash(bucket) % COARSE_PARTITIONS
-#: and process each partition's bucket RUNS vectorized inside one call.
+#: default coarse partition count for bucket-run processing: instead
+#: of one map_groups call per (band, bucket) — millions of tiny groups,
+#: all framework overhead — we group on hash(bucket) % N and process
+#: each partition's bucket RUNS vectorized inside one call.  64 suits
+#: single-node; size ~2-4x total cores on a real cluster (the public
+#: pair functions take coarse_partitions=...).
 COARSE_PARTITIONS = 64
 #: buckets larger than this are skipped (a degenerate bucket of B docs
 #: emits B^2/2 pairs; such buckets mean the content is near-identical
@@ -259,12 +261,12 @@ def _bucket_runs(group: pa.Table, value_columns: list[str]):
         yield docs[s:e], {c: values[c].take(pa.array(keep[s:e])) for c in value_columns}
 
 
-def _coarse_partition_column(batch: pa.Table) -> pa.Table:
+def _coarse_partition_column(batch: pa.Table, n_partitions: int = COARSE_PARTITIONS) -> pa.Table:
     bucket = batch["bucket"].to_numpy().astype(np.uint64)
     # mix so adjacent buckets spread across partitions
     mixed = (bucket ^ (bucket >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
     return batch.append_column(
-        "pgrp", pa.array((mixed % np.uint64(COARSE_PARTITIONS)).astype(np.int32), type=pa.int32())
+        "pgrp", pa.array((mixed % np.uint64(n_partitions)).astype(np.int32), type=pa.int32())
     )
 
 
@@ -402,7 +404,8 @@ def _est_jaccard_packed(batch: pa.Table, num_perm: int, threshold: float) -> pa.
 def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
                         num_perm: int = 128, bands: int = 32,
                         join_partitions: int = 8, verify: str = "est",
-                        shingle_w: int = 3):
+                        shingle_w: int = 3,
+                        coarse_partitions: int = COARSE_PARTITIONS):
     """Dataset -> candidate near-dup pairs (doc_a < doc_b, est_jaccard
     >= threshold), deduplicated across bands.
 
@@ -441,9 +444,12 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
     bands_ds = sigs_ds.map_batches(
         stage.band_rows_packed, batch_format="pyarrow", batch_size=8192
     )
-    parted = bands_ds.map_batches(_coarse_partition_column, batch_format="pyarrow")
+    parted = bands_ds.map_batches(
+        partial(_coarse_partition_column, n_partitions=coarse_partitions),
+        batch_format="pyarrow",
+    )
     pairs = parted.groupby("pgrp").map_groups(candidate_pairs_in_partition, batch_format="pyarrow")
-    deduped = dedup_pairs(pairs).materialize()
+    deduped = dedup_pairs(pairs, coarse_partitions).materialize()
     if deduped.count() == 0:  # join of an empty left side loses schema
         return ray.data.from_arrow(empty)
     if verify == "exact":
@@ -461,10 +467,10 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
     return est if est is not None else ray.data.from_arrow(empty)
 
 
-def _pair_partition_column(batch: pa.Table) -> pa.Table:
+def _pair_partition_column(batch: pa.Table, n_partitions: int = COARSE_PARTITIONS) -> pa.Table:
     a = batch["doc_a"].to_numpy().astype(np.uint64)
     b = batch["doc_b"].to_numpy().astype(np.uint64)
-    mixed = (a * np.uint64(0x9E3779B97F4A7C15) + b) % np.uint64(COARSE_PARTITIONS)
+    mixed = (a * np.uint64(0x9E3779B97F4A7C15) + b) % np.uint64(n_partitions)
     return batch.append_column("pgrp", pa.array(mixed.astype(np.int32), type=pa.int32()))
 
 
@@ -479,10 +485,15 @@ def _dedup_pairs_in_partition(group: pa.Table) -> pa.Table:
     return group.take(pa.array(np.sort(idx), type=pa.int64())).drop_columns(["pgrp"])
 
 
-def dedup_pairs(pairs_ds):
+def dedup_pairs(pairs_ds, coarse_partitions: int = COARSE_PARTITIONS):
     """Distinct (doc_a, doc_b) rows (same pair emitted once per
-    colliding band): one coarse 64-way groupby, vectorized unique."""
-    parted = pairs_ds.map_batches(_pair_partition_column, batch_format="pyarrow")
+    colliding band): one coarse groupby, vectorized unique."""
+    from functools import partial as _partial
+
+    parted = pairs_ds.map_batches(
+        _partial(_pair_partition_column, n_partitions=coarse_partitions),
+        batch_format="pyarrow",
+    )
     return parted.groupby("pgrp").map_groups(_dedup_pairs_in_partition, batch_format="pyarrow")
 
 
@@ -525,7 +536,8 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
-def simhash_pairs(ds, max_hamming: int = 3, text_column: str = "text", bands: int = 4):
+def simhash_pairs(ds, max_hamming: int = 3, text_column: str = "text", bands: int = 4,
+                  coarse_partitions: int = COARSE_PARTITIONS):
     """Dataset -> near-dup pairs by simhash banding: docs sharing any
     16-bit band bucket are candidates; exact Hamming check in-group."""
     sigs = ds.map_batches(
@@ -576,11 +588,14 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column: str = "text", bands: in
             }
         )
 
+    from functools import partial as _partial
+
     exploded = sigs.map_batches(band_explode, batch_format="pyarrow").map_batches(
-        _coarse_partition_column, batch_format="pyarrow"
+        _partial(_coarse_partition_column, n_partitions=coarse_partitions),
+        batch_format="pyarrow",
     )
     pairs = exploded.groupby("pgrp").map_groups(pairs_in_partition, batch_format="pyarrow")
-    return dedup_pairs(pairs)
+    return dedup_pairs(pairs, coarse_partitions)
 
 
 # ----------------------------------------------- exact n-gram Jaccard

@@ -106,11 +106,22 @@ def knn_brute_force(ds, query_matrix: np.ndarray, k: int, id_column: str = "vec_
     return _gather_topk(partials, k, id_column)
 
 
-def _gather_topk(partials, k: int, id_column: str) -> pa.Table:
-    """shared tail for knn_brute_force / ivf_search: gather the
-    per-batch partial top-k tables and merge (schema-stable empty)."""
+def _gather_topk(partials, k: int, id_column: str, combine_blocks: int = 8) -> pa.Table:
+    """shared tail for knn_brute_force / ivf_search: tree-combine the
+    per-batch partial top-k tables INSIDE the dataset (repartition to
+    `combine_blocks` blocks, per-block merge) so the driver gathers at
+    most combine_blocks x queries x k rows however many input batches
+    existed — then one tiny final merge (schema-stable empty)."""
+    from functools import partial as _partial
+
     import ray
 
+    if partials is not None:
+        partials = partials.repartition(combine_blocks).map_batches(
+            _partial(merge_topk, k=k, id_column=id_column),
+            batch_format="pyarrow",
+            batch_size=None,  # whole blocks: one merge per block
+        )
     tables = (
         []
         if partials is None
@@ -215,7 +226,8 @@ def _cosine_verify_packed(batch: pa.Table, dim: int, threshold: float) -> pa.Tab
 def embedding_neardup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 32,
                             bands: int = 8, id_column: str = "vec_id",
                             embedding_column: str = "embedding",
-                            join_partitions: int = 8):
+                            join_partitions: int = 8,
+                            coarse_partitions: int | None = None):
     """Embedding-cosine near-dup pairs: hyperplane-LSH buckets ->
     distinct candidate pairs -> exact cosine verify via a hash join
     against the packed-embedding dataset.
@@ -275,13 +287,17 @@ def embedding_neardup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 3
             }
         )
 
+    from chearch_ray.stages.dedup import COARSE_PARTITIONS
+
+    n_coarse = coarse_partitions or COARSE_PARTITIONS
     parted = sigs.map_batches(light_rows, batch_format="pyarrow").map_batches(
-        _coarse_partition_column, batch_format="pyarrow"
+        partial(_coarse_partition_column, n_partitions=n_coarse),
+        batch_format="pyarrow",
     )
     pairs = parted.groupby("pgrp").map_groups(
         candidate_pairs_in_partition, batch_format="pyarrow"
     )
-    deduped = dedup_pairs(pairs).materialize()
+    deduped = dedup_pairs(pairs, n_coarse).materialize()
     if deduped.count() == 0:
         return ray.data.from_arrow(empty)
     verified = verify_pairs_by_join(

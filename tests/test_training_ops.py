@@ -179,7 +179,8 @@ def test_read_corpus_text_and_planner(ray_session, tmp_path):
     p.write_text("hello world\nfoo bar baz\n")
     ds = read_corpus(str(p), fmt="text")
     out = ds.to_pandas()
-    assert list(out["content"]) == ["hello world", "foo bar baz"]
+    # Ray block completion order is not a row-order contract
+    assert sorted(out["content"]) == ["foo bar baz", "hello world"]
     assert set(out.columns) == {"repo", "path", "commit", "lang", "content"}
 
     assert plan_partitions(500) == (1, 4)
