@@ -364,11 +364,12 @@ def q_media_features(sf_dir: str) -> pa.Table:
     from chearch_ray.stages.multimodal import extract_media_features, synthesize_media_table
 
     media = synthesize_media_table(64, kind="image", seed=42)
-    if not os.path.exists(MEDIA_TABLE_PATH):
-        os.makedirs(os.path.dirname(MEDIA_TABLE_PATH), exist_ok=True)
-        tmp = MEDIA_TABLE_PATH + ".tmp"
-        pq.write_table(media, tmp)
-        os.replace(tmp, MEDIA_TABLE_PATH)
+    # written unconditionally (atomic replace): an exists-check would
+    # serve a stale cached table if the synthesizer ever changes
+    os.makedirs(os.path.dirname(MEDIA_TABLE_PATH), exist_ok=True)
+    tmp = f"{MEDIA_TABLE_PATH}.tmp-{os.getpid()}"
+    pq.write_table(media, tmp)
+    os.replace(tmp, MEDIA_TABLE_PATH)
     out = extract_media_features(ray.data.from_arrow(media), backend="stub")
     pdf = out.to_pandas().drop(columns=["features"])
     return pa.Table.from_pandas(pdf, preserve_index=False)

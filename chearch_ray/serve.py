@@ -264,8 +264,13 @@ class TcpQueryServer:
             started.set()
             try:
                 loop.run_until_complete(self._server.serve_forever())
-            except Exception:
+            except BaseException:
+                # Server.close() cancels serve_forever -> CancelledError,
+                # which is a BaseException — except Exception would kill
+                # the thread with an unhandled-exception traceback
                 pass
+            finally:
+                loop.close()
 
         self._thread = threading.Thread(target=_run, daemon=True, name="chearch-tcp")
         self._thread.start()
@@ -281,10 +286,21 @@ class TcpQueryServer:
 
 
 def query_over_socket(host: str, port: int, program: bytes,
-                      timeout: float = 10.0) -> list[QueryResult]:
+                      timeout: float = 10.0,
+                      settle_timeout: float = 0.2) -> list[QueryResult]:
     """Blocking client for the wire protocol (util/query_client.py:
-    12-45): connect, send one request frame, read the response records
-    until the peer stops sending (<= 8 records x 13 bytes)."""
+    12-45): connect, send one request frame, read response records up
+    to the 8-record cap.
+
+    The protocol has NO length framing (the reference client always
+    reads the full 104-byte cap).  This client waits up to `timeout`
+    for the first chunk, then keeps reading with the short
+    `settle_timeout` until the cap is reached or the stream pauses —
+    so a response split across TCP segments is reassembled rather than
+    truncated, and a sub-cap response costs one settle interval, not
+    the full timeout.  An EMPTY response is indistinguishable from a
+    slow server and costs the full `timeout` — pass a small timeout
+    when empty results are expected."""
     import socket
 
     with socket.create_connection((host, port), timeout=timeout) as sock:
@@ -302,8 +318,5 @@ def query_over_socket(host: str, port: int, program: bytes,
                 break
             chunks.append(data)
             got += len(data)
-            # responses are whole frames; a complete record set smaller
-            # than the cap ends the response
-            if got % WIRE_RECORD_BYTES == 0:
-                break
+            sock.settimeout(settle_timeout)
         return decode_response(b"".join(chunks))

@@ -290,31 +290,6 @@ def candidate_pairs_in_partition(group: pa.Table) -> pa.Table:
     )
 
 
-class _EstimateJaccard:
-    """Pair-verification stage: broadcast signature matrix (ray.put —
-    fetched once per actor/task), est = fraction of equal minhash
-    coordinates.  At sandbox scale the matrix broadcasts whole; at
-    10^12 docs this becomes a hash join of the (far smaller) candidate
-    pair set against the signatures dataset."""
-
-    def __init__(self, sig_ref):
-        import ray
-
-        payload = ray.get(sig_ref) if isinstance(sig_ref, ray.ObjectRef) else sig_ref
-        doc_ids, self.matrix = payload  # sorted doc ids, (n, num_perm)
-        # uint64 throughout: a mixed int64/uint64 searchsorted promotes
-        # to float64 and corrupts ids above 2^53
-        self.doc_ids = doc_ids.astype(np.uint64)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_numpy().astype(np.uint64)
-        b = batch["doc_b"].to_numpy().astype(np.uint64)
-        ia = np.searchsorted(self.doc_ids, a)
-        ib = np.searchsorted(self.doc_ids, b)
-        est = (self.matrix[ia] == self.matrix[ib]).mean(axis=1)
-        return batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
-
-
 def unpack_signatures(col, num_perm: int) -> np.ndarray:
     """fixed_size_binary signature column -> (n, num_perm) uint64,
     zero-copy from the Arrow values buffer (offset-aware)."""
@@ -366,8 +341,24 @@ def verify_pairs_by_join(deduped, payload_ds, verify_fn, payload_col: str,
     import ray.data
 
     # fractional-CPU join aggregators: with the default 1-CPU-per-
-    # partition reservation two Join ops deadlock small clusters
-    ray.data.DataContext.get_current().join_operator_actor_num_cpus_per_partition_override = 0.1
+    # partition reservation two Join ops deadlock small clusters.
+    # Scoped: both joins materialize inside this function, so the
+    # process-wide default is restored before returning.
+    ctx = ray.data.DataContext.get_current()
+    saved_override = ctx.join_operator_actor_num_cpus_per_partition_override
+    ctx.join_operator_actor_num_cpus_per_partition_override = 0.1
+    try:
+        return _verify_pairs_joins(
+            deduped, payload_ds, verify_fn, payload_col, join_partitions
+        )
+    finally:
+        ctx.join_operator_actor_num_cpus_per_partition_override = saved_override
+
+
+def _verify_pairs_joins(deduped, payload_ds, verify_fn, payload_col: str,
+                        join_partitions: int):
+    from functools import partial
+
     j1 = deduped.join(
         payload_ds, "inner", join_partitions, on=("doc_a",), right_on=("doc_id",)
     ).map_batches(
@@ -427,7 +418,8 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
 
     import ray.data
 
-    stage = MinHashSignatures(num_perm=num_perm, bands=bands, text_column=text_column)
+    stage = MinHashSignatures(num_perm=num_perm, bands=bands, text_column=text_column,
+                              shingle_w=shingle_w)
     sigs_ds = ds.map_batches(
         stage.signatures_packed, batch_format="pyarrow", batch_size=4096
     ).materialize()
@@ -496,11 +488,6 @@ def dedup_pairs(pairs_ds, coarse_partitions: int = COARSE_PARTITIONS):
     )
     return parted.groupby("pgrp").map_groups(_dedup_pairs_in_partition, batch_format="pyarrow")
 
-
-def _filter_ge(batch: pa.Table, column: str, threshold: float) -> pa.Table:
-    import pyarrow.compute as pc
-
-    return batch.filter(pc.greater_equal(batch[column], threshold))
 
 
 # ------------------------------------------------------------ simhash

@@ -28,6 +28,13 @@ WINDOW_SEC = 300
 SESSION_GAP_SEC = 1800
 
 
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """round-half-AWAY-from-zero (DuckDB round() semantics) — np.rint
+    rounds half-to-even and would disagree with the SQL oracles on
+    exact midpoints."""
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def _epoch_us(ts_col) -> np.ndarray:
     if isinstance(ts_col, pa.ChunkedArray):
         ts_col = ts_col.combine_chunks()
@@ -42,7 +49,7 @@ def _window_partial(batch: pa.Table, window_sec: int, key: str) -> pa.Table:
     # value sums ride as integer CENTS: float addition order differs
     # between engines (map-side partials here, arbitrary group order in
     # a SQL oracle), so exact-match aggregation needs integers
-    cents = np.rint(np.asarray(batch["value"].to_numpy(), dtype=np.float64) * 100).astype(np.int64)
+    cents = _round_half_away(np.asarray(batch["value"].to_numpy(), dtype=np.float64) * 100)
     t = pa.table(
         {
             "window_start": pa.array(window_start, type=pa.int64()),
@@ -96,7 +103,7 @@ def _sessionize_group(group: pa.Table, gap_sec: int) -> pa.Table:
     starts = np.flatnonzero(gap)
     bounds = np.append(starts, len(g))
     n_events = np.diff(bounds)
-    cents = np.rint(g["value"].to_numpy().astype(np.float64) * 100).astype(np.int64)
+    cents = _round_half_away(g["value"].to_numpy().astype(np.float64) * 100)
     sums = np.add.reduceat(cents, starts)
     user = g["user_id"][0].as_py()
     return pa.table(

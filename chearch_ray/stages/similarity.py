@@ -371,9 +371,17 @@ def ivf_build(ds, n_centroids: int = 16, sample_size: int = 2048, seed: int = 42
     )
     if index_dir is not None:
         import os
+        import shutil
 
         import pyarrow.parquet  # noqa: F401 — enables pa.parquet below
 
+        # clear any previous build: write_parquet appends uniquely-named
+        # files and stale centroid=N dirs would otherwise survive, so a
+        # rebuild would serve duplicated / deleted vectors
+        shutil.rmtree(os.path.join(index_dir, "vectors"), ignore_errors=True)
+        stale = os.path.join(index_dir, "centroids.parquet")
+        if os.path.exists(stale):
+            os.remove(stale)
         assigned.write_parquet(
             os.path.join(index_dir, "vectors"), partition_cols=["centroid"]
         )

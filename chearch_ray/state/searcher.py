@@ -554,6 +554,26 @@ class SegmentSearcher:
         order = topk_order(scores, docs, k)
         return self._project(docs[order], scores=scores[order])
 
+    def _posting_row_indices(self, term: str, docs: np.ndarray) -> np.ndarray:
+        """posting-list row index of each doc (docs must all be present
+        in the term's postings).  Sparse doc sets resolve through the
+        skip index + per-block cached decode — the phrase path never
+        full-decodes a hot term just to find candidate row offsets."""
+        hit = self._decoded.get(term)
+        if hit is not None:
+            return np.searchsorted(hit[0], docs)
+        enc = self._encoded(term)
+        if enc is None or len(docs) * 2 >= enc.count:
+            return np.searchsorted(self.postings(term)[0], docs)
+        blocks = np.searchsorted(enc.block_last, docs, side="left")
+        self.decode_stats["blocks_total"] += len(enc.block_last)
+        out = np.empty(len(docs), dtype=np.int64)
+        for b in np.unique(blocks).tolist():
+            bdocs, _ = self._decode_blocks_cached(term, enc, np.array([b], dtype=np.int64))
+            m = blocks == b
+            out[m] = b * self.cfg.block_size + np.searchsorted(bdocs, docs[m])
+        return out
+
     def _phrase_survivors(self, terms: list[str], candidates: np.ndarray) -> np.ndarray:
         """Vectorized phrase verification over the WHOLE candidate set:
         for each term i, flatten all candidate position lists into
@@ -571,8 +591,7 @@ class SegmentSearcher:
             nested = reader.positions_arrow(t) if reader is not None else None
             if nested is None:
                 return _EMPTY_U64  # positions unavailable -> no exact match
-            docs_t = self.postings(t)[0]
-            idx = np.searchsorted(docs_t, candidates)  # candidates ⊆ postings
+            idx = self._posting_row_indices(t, candidates)  # candidates ⊆ postings
             taken = nested.take(pa.array(idx, type=pa.int64()))
             lengths = pc.list_value_length(taken).to_numpy().astype(np.int64)
             vals = taken.flatten().to_numpy().astype(np.int64)
@@ -616,9 +635,6 @@ class SearcherGroup:
         self.cfg = cfg
         self.segs = list(segs)
         self.members = [SegmentSearcher(index_dir, s, cfg) for s in segs]
-
-    def _concat(self, tables: list[pa.Table]) -> pa.Table:
-        return pa.concat_tables(tables) if tables else None
 
     def search_bm25(self, node, k, idfs, avgdl) -> pa.Table:
         return pa.concat_tables([m.search_bm25(node, k, idfs, avgdl) for m in self.members])

@@ -127,3 +127,25 @@ def test_asof_join(ray_session):
     assert out["event_id"].tolist() == [4, 5]
     assert out["asof_value"].tolist()[0] == 4.0  # tie broken by event_id
     assert out["asof_value"].isna().tolist() == [False, True]
+
+
+def test_cents_rounding_matches_duckdb():
+    """Midpoint values must round like DuckDB round() (half away from
+    zero), not np.rint (half to even)."""
+    import duckdb
+    import numpy as np
+
+    from chearch_ray.stages.events import _round_half_away
+
+    vals = np.array([0.125, 0.135, -0.125, 2.5 / 100, 0.105, 1.005])
+    got = _round_half_away(vals * 100).tolist()
+    want = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            "SELECT CAST(round(v * 100) AS BIGINT) FROM (SELECT unnest(?) AS v)",
+            [vals.tolist()],
+        )
+        .fetchall()
+    ]
+    assert got == want
