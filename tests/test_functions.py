@@ -285,3 +285,56 @@ def test_pfor_beats_bp_on_outliers():
     pf, _ = codec.pfor_encode_stream(deltas, 128)
     bp, _ = codec.bp_encode_stream(deltas, 128)
     assert len(pf) < len(bp) // 2
+
+
+# ----------------------------------------------- decode_blocks property
+def test_decode_blocks_matches_full_decode_property():
+    """any subset of skip blocks decodes to the matching slices of the
+    full decode, for every codec (hypothesis-driven)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chearch_ray.functions.codec import (
+        decode_blocks,
+        decode_postings_any,
+        encode_postings,
+        encode_postings_bp,
+        pfor_encode_stream,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 400),
+        seed=st.integers(0, 2**31 - 1),
+        codec=st.sampled_from(["varint", "bp128", "pfor"]),
+        data=st.data(),
+    )
+    def run(n, seed, codec, data):
+        rng = np.random.default_rng(seed)
+        docs = np.cumsum(rng.integers(1, 1 << 40, size=n, dtype=np.uint64)).astype(np.uint64)
+        tfs = rng.integers(1, 200, size=n, dtype=np.uint64)
+        bs = 16
+        if codec == "varint":
+            enc = encode_postings(docs, tfs, block_size=bs)
+        elif codec == "bp128":
+            enc = encode_postings_bp(docs, tfs, block_size=bs)
+        else:
+            enc = encode_postings_bp(docs, tfs, block_size=bs, stream_encode=pfor_encode_stream)
+        full_docs, full_tfs = decode_postings_any(enc, bs, codec)
+        np.testing.assert_array_equal(full_docs, docs)
+        n_blocks = len(enc.block_last)
+        subset = sorted(
+            data.draw(
+                st.sets(st.integers(0, n_blocks - 1), min_size=1, max_size=n_blocks)
+            )
+        )
+        got_d, got_t = decode_blocks(enc, np.array(subset, dtype=np.int64), bs, codec)
+        want_d = np.concatenate(
+            [docs[b * bs : (b + 1) * bs] for b in subset]
+        )
+        want_t = np.concatenate([tfs[b * bs : (b + 1) * bs] for b in subset])
+        np.testing.assert_array_equal(got_d, want_d)
+        np.testing.assert_array_equal(got_t, want_t)
+
+    run()
