@@ -355,9 +355,43 @@ def verify_pairs_by_join(deduped, payload_ds, verify_fn, payload_col: str,
         ctx.join_operator_actor_num_cpus_per_partition_override = saved_override
 
 
+def _candidate_id_filter(batch: pa.Table, ids_ref) -> pa.Table:
+    """keep only payload rows whose doc_id is a candidate-pair member;
+    ids_ref resolves from the LOCAL object store per task (zero-copy)."""
+    import ray
+
+    ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+    docs = batch["doc_id"].to_numpy().astype(np.uint64)
+    pos = np.searchsorted(ids, docs)
+    pos_c = np.minimum(pos, len(ids) - 1) if len(ids) else pos
+    mask = ids[pos_c] == docs if len(ids) else np.zeros(len(docs), dtype=bool)
+    return batch.filter(pa.array(mask))
+
+
 def _verify_pairs_joins(deduped, payload_ds, verify_fn, payload_col: str,
                         join_partitions: int):
     from functools import partial
+
+    import ray
+
+    # broadcast semi-join: the candidate-pair ID SET (pairs-scale —
+    # tiny by construction) filters the corpus-scale payload dataset
+    # BEFORE the hash joins, so the join shuffles candidate payloads
+    # only, never the whole corpus's payload bytes
+    deduped = deduped.materialize()
+    id_parts = [
+        np.concatenate([t["doc_a"].to_numpy(), t["doc_b"].to_numpy()]).astype(np.uint64)
+        for t in (ray.get(r) for r in deduped.to_arrow_refs())
+        if len(t)
+    ]
+    if not id_parts:
+        return None
+    ids_ref = ray.put(np.unique(np.concatenate(id_parts)))
+    # materialized: both joins consume it, and the filtered set is
+    # candidate-scale
+    payload_ds = payload_ds.map_batches(
+        partial(_candidate_id_filter, ids_ref=ids_ref), batch_format="pyarrow"
+    ).materialize()
 
     j1 = deduped.join(
         payload_ds, "inner", join_partitions, on=("doc_a",), right_on=("doc_id",)
