@@ -39,7 +39,7 @@ class BruteForceCosine:
     """
 
     def __init__(self, queries_ref, k: int, id_column: str = "vec_id",
-                 embedding_column: str = "embedding"):
+                 embedding_column: str = "embedding", query_ids=None):
         import ray
 
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
@@ -47,6 +47,13 @@ class BruteForceCosine:
         self.k = k
         self.id_column = id_column
         self.embedding_column = embedding_column
+        # global query ids for the rows of a SUB-matrix (per-centroid
+        # IVF routing); None -> positional ids
+        self.query_ids = (
+            np.arange(len(self.q), dtype=np.int64)
+            if query_ids is None
+            else np.asarray(query_ids, dtype=np.int64)
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = normalize_rows(_embedding_matrix(batch[self.embedding_column]))
@@ -61,7 +68,7 @@ class BruteForceCosine:
             else:
                 cut = np.arange(len(row))
             order = cut[np.lexsort((ids[cut], -row[cut]))]
-            out_q.append(np.full(len(order), qi, dtype=np.int64))
+            out_q.append(np.full(len(order), self.query_ids[qi], dtype=np.int64))
             out_id.append(ids[order])
             out_sim.append(row[order])
         return pa.table(
@@ -71,6 +78,14 @@ class BruteForceCosine:
                 "sim": pa.array(np.concatenate(out_sim), type=pa.float64()),
             }
         )
+
+
+def _bf_cosine_task(batch: pa.Table, queries_ref, k: int, id_column: str,
+                    query_ids) -> pa.Table:
+    """stateless task form of BruteForceCosine (broadcast ref resolves
+    zero-copy from the local object store per task) — used where a
+    reserved actor pool could starve small clusters."""
+    return BruteForceCosine(queries_ref, k, id_column, query_ids=query_ids)(batch)
 
 
 def merge_topk(partials: pa.Table, k: int, id_column: str = "vec_id") -> pa.Table:
@@ -91,17 +106,20 @@ def merge_topk(partials: pa.Table, k: int, id_column: str = "vec_id") -> pa.Tabl
 
 def knn_brute_force(ds, query_matrix: np.ndarray, k: int, id_column: str = "vec_id"):
     """Dataset-level brute-force k-NN: broadcast queries, partial top-k
-    per batch (streaming), tiny global merge on the driver."""
+    per batch (streaming), tiny global merge on the driver.
+
+    TASK form, not an actor pool: `ray.get` of the broadcast matrix is
+    a zero-copy local plasma read per task, and a reserved pool can
+    starve small clusters that already host searcher actors."""
+    from functools import partial as _p
+
     import ray
 
     ref = ray.put(np.asarray(query_matrix, dtype=np.float64))
     partials = ds.map_batches(
-        BruteForceCosine,
-        fn_constructor_args=(ref, k, id_column),
+        _p(_bf_cosine_task, queries_ref=ref, k=k, id_column=id_column, query_ids=None),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
-        num_cpus=0.5,
     )
     return _gather_topk(partials, k, id_column)
 
@@ -421,17 +439,22 @@ def ivf_probed_paths(index_dir: str, wanted: np.ndarray) -> list[str]:
 
 def ivf_search(assigned, centroids_or_queries, query_matrix=None,
                k: int = 10, nprobe: int = 4, id_column: str = "vec_id"):
-    """Approximate k-NN: probe only the `nprobe` centroids nearest to
-    each query; brute-force cosine within the probed data.
+    """Approximate k-NN with PER-QUERY partition routing: each query
+    probes its `nprobe` nearest centroids, and each probed centroid's
+    vectors are scored ONLY against the queries that probed it (true
+    IVF semantics — a query never sees partitions it did not probe).
 
     Two forms:
       ivf_search(index_dir, query_matrix, k=..., nprobe=...) — the
         scale path: loads centroids from the index dir and READS ONLY
-        the probed `centroid=N` parquet partitions (partition
-        pruning at the read, nothing else leaves storage).
-      ivf_search(assigned_ds, centroids, query_matrix, ...) — legacy
-        in-memory form: filters the assigned Dataset by centroid.
+        the probed `centroid=N` parquet partitions (partition pruning
+        at the read, nothing else leaves storage).
+      ivf_search(assigned_ds, centroids, query_matrix, ...) —
+        in-memory form over an assigned Dataset (same routing, same
+        results).
     """
+    import os
+
     import ray
     import ray.data
 
@@ -439,35 +462,60 @@ def ivf_search(assigned, centroids_or_queries, query_matrix=None,
         index_dir = assigned
         query_matrix = centroids_or_queries
         centroids = ivf_load_centroids(index_dir)
-        q = normalize_rows(np.asarray(query_matrix, dtype=np.float64))
-        probes = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
-        wanted = np.unique(probes)
-        paths = ivf_probed_paths(index_dir, wanted)
-        if not paths:
-            return _gather_topk(None, k, id_column)
-        import os
-
-        files = [
-            os.path.join(p, f)
-            for p in paths
-            for f in sorted(os.listdir(p))
-            if f.endswith(".parquet")
-        ]
-        filtered = ray.data.read_parquet(files, columns=[id_column, "embedding"])
     else:
         centroids = centroids_or_queries
-        q = normalize_rows(np.asarray(query_matrix, dtype=np.float64))
-        probes = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
-        wanted = np.unique(probes)
+    q = normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+    probes = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probes)
 
-        def in_probed(batch: pa.Table) -> pa.Table:
-            mask = np.isin(batch["centroid"].to_numpy(), wanted)
-            return batch.filter(pa.array(mask))
+    per_centroid = []  # (centroid, sub-dataset of its vectors)
+    if isinstance(assigned, str):
+        for c in wanted.tolist():
+            paths = ivf_probed_paths(assigned, np.array([c]))
+            if not paths:
+                continue
+            files = [
+                os.path.join(p, f)
+                for p in paths
+                for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            ]
+            per_centroid.append(
+                (c, ray.data.read_parquet(files, columns=[id_column, "embedding"]))
+            )
+    else:
+        assigned = assigned.materialize()  # scanned once per centroid
 
-        filtered = assigned.map_batches(in_probed, batch_format="pyarrow")
-    ref = ray.put(q)
-    partials = filtered.map_batches(
-        BruteForceCosine, fn_constructor_args=(ref, k, id_column),
-        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
-    )
+        def only(batch: pa.Table, c: int) -> pa.Table:
+            return batch.filter(pa.compute.equal(batch["centroid"], c))
+
+        from functools import partial as _partial
+
+        for c in wanted.tolist():
+            per_centroid.append(
+                (c, assigned.map_batches(_partial(only, c=c), batch_format="pyarrow"))
+            )
+
+    if not per_centroid:
+        return _gather_topk(None, k, id_column)
+
+    from functools import partial as _p
+
+    partial_sets = []
+    for c, sub in per_centroid:
+        qids = np.flatnonzero((probes == c).any(axis=1))
+        ref = ray.put(np.ascontiguousarray(q[qids]))
+        # TASK-based stage: a union of per-centroid actor pools would
+        # reserve CPUs per stage and starve small clusters
+        partial_sets.append(
+            sub.map_batches(
+                _p(_bf_cosine_task, queries_ref=ref, k=k,
+                   id_column=id_column, query_ids=qids),
+                batch_format="pyarrow",
+                batch_size=4096,
+            )
+        )
+    partials = partial_sets[0]
+    for extra in partial_sets[1:]:
+        partials = partials.union(extra)
     return _gather_topk(partials, k, id_column)

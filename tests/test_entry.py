@@ -41,7 +41,18 @@ def _to_pandas(obj) -> pd.DataFrame:
 
 @pytest.fixture(scope="module")
 def con():
-    return _duck(SF_DIR)
+    yield _duck(SF_DIR)
+    # release the driver-contract engine cache: its SearcherGroup
+    # actors (0.5 CPU each) would otherwise outlive this module and
+    # starve later tests' task scheduling at the 4-CPU test session
+    from chearch_ray.pipelines import driver_contract as dc
+
+    for eng in dc._ENGINES.values():
+        try:
+            eng.close()
+        except Exception:
+            pass
+    dc._ENGINES.clear()
 
 
 QUERIES = entrymod.queries()
