@@ -294,13 +294,15 @@ def query_over_socket(host: str, port: int, program: bytes,
 
     The protocol has NO length framing (the reference client always
     reads the full 104-byte cap).  This client waits up to `timeout`
-    for the first chunk, then keeps reading with the short
-    `settle_timeout` until the cap is reached or the stream pauses —
-    so a response split across TCP segments is reassembled rather than
-    truncated, and a sub-cap response costs one settle interval, not
-    the full timeout.  An EMPTY response is indistinguishable from a
-    slow server and costs the full `timeout` — pass a small timeout
-    when empty results are expected."""
+    for the first chunk, then reassembles: while the received byte
+    count is NOT a whole number of 13-byte records, more data is
+    definitely in flight, so it keeps reading with `settle_timeout`;
+    once record-aligned it does one short poll (settle/10) to catch a
+    same-alignment split before concluding.  A complete sub-cap
+    response therefore costs ~settle_timeout/10, not the full timeout.
+    An EMPTY response is indistinguishable from a slow server and
+    costs the full `timeout` — pass a small timeout when empty results
+    are expected."""
     import socket
 
     with socket.create_connection((host, port), timeout=timeout) as sock:
@@ -318,5 +320,9 @@ def query_over_socket(host: str, port: int, program: bytes,
                 break
             chunks.append(data)
             got += len(data)
-            sock.settimeout(settle_timeout)
+            # mid-record: more bytes are in flight for sure; aligned:
+            # short poll for a same-alignment split, then conclude
+            sock.settimeout(
+                settle_timeout if got % WIRE_RECORD_BYTES else settle_timeout / 10
+            )
         return decode_response(b"".join(chunks))

@@ -457,11 +457,12 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
     sigs_ds = ds.map_batches(
         stage.signatures_packed, batch_format="pyarrow", batch_size=4096
     ).materialize()
+    score_col = "jaccard" if verify == "exact" else "est_jaccard"
     empty = pa.table(
         {
             "doc_a": pa.array([], type=pa.uint64()),
             "doc_b": pa.array([], type=pa.uint64()),
-            "est_jaccard": pa.array([], type=pa.float64()),
+            score_col: pa.array([], type=pa.float64()),
         }
     )
     if sigs_ds.count() == 0:  # empty input -> empty, schema-stable pairs
@@ -640,6 +641,12 @@ def shingle_payload(batch: pa.Table, text_column: str = "text", w: int = 3) -> p
     rows_u, h_u = rows_s[keep], h_s[keep]
     counts = np.zeros(n, dtype=np.int64)
     np.add.at(counts, rows_u, 1)
+    total_bytes = int(counts.sum()) * 8
+    if total_bytes >= (1 << 31):
+        raise ValueError(
+            f"shingle payload batch exceeds binary-array int32 offsets "
+            f"({total_bytes} bytes) — lower the stage batch_size"
+        )
     offsets = np.concatenate([[0], np.cumsum(counts) * 8]).astype(np.int32)
     payload = pa.Array.from_buffers(
         pa.binary(),
@@ -669,11 +676,13 @@ def _exact_jaccard_packed(batch: pa.Table, threshold: float) -> pa.Table:
     a_vals, a_off = _unpack_shingle_rows(batch["shingles_a"])
     b_vals, b_off = _unpack_shingle_rows(batch["shingles"])
     n = len(batch)
+    from chearch_ray.state.searcher import intersect_sorted
+
     ja = np.empty(n, dtype=np.float64)
     for i in range(n):  # per-PAIR loop over the small candidate set
         sa = a_vals[a_off[i] : a_off[i + 1]]
         sb = b_vals[b_off[i] : b_off[i + 1]]
-        inter = len(intersect_sorted_u64(sa, sb))
+        inter = len(intersect_sorted(sa, sb))
         union = len(sa) + len(sb) - inter
         ja[i] = inter / union if union else 0.0
     keep = ja >= threshold
@@ -685,16 +694,6 @@ def _exact_jaccard_packed(batch: pa.Table, threshold: float) -> pa.Table:
             "jaccard": pa.array(ja[keep], type=pa.float64()),
         }
     )
-
-
-def intersect_sorted_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    if len(a) > len(b):
-        a, b = b, a
-    if len(a) == 0:
-        return a
-    idx = np.searchsorted(b, a)
-    idx_c = np.minimum(idx, len(b) - 1)
-    return a[b[idx_c] == a]
 
 
 def ngram_jaccard_pairs(ds, pairs_ds, threshold: float = 0.0,
@@ -709,11 +708,15 @@ def ngram_jaccard_pairs(ds, pairs_ds, threshold: float = 0.0,
 
     import ray.data
 
+    # NOT materialized: verify_pairs_by_join immediately semi-joins
+    # this against the (tiny) candidate-id set and materializes the
+    # filtered result — pinning the corpus-scale payload here would
+    # double peak object-store footprint for nothing
     payload = ds.map_batches(
         partial(shingle_payload, text_column=text_column, w=w),
         batch_format="pyarrow",
         batch_size=4096,
-    ).materialize()
+    )
     empty = pa.table(
         {
             "doc_a": pa.array([], type=pa.uint64()),

@@ -29,10 +29,15 @@ SESSION_GAP_SEC = 1800
 
 
 def _round_half_away(x: np.ndarray) -> np.ndarray:
-    """round-half-AWAY-from-zero (DuckDB round() semantics) — np.rint
-    rounds half-to-even and would disagree with the SQL oracles on
-    exact midpoints."""
-    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    """round-half-AWAY-from-zero (DuckDB round() semantics).  np.rint
+    rounds half-to-even; floor(abs+0.5) double-rounds values whose
+    float64 sum with 0.5 lands on the next integer (e.g.
+    0.49999999999999994) — so compare the fraction exactly instead of
+    adding."""
+    a = np.abs(x)
+    f = np.floor(a)
+    y = np.where(a - f >= 0.5, f + 1.0, f)
+    return (np.sign(x) * y).astype(np.int64)
 
 
 def _epoch_us(ts_col) -> np.ndarray:

@@ -484,17 +484,22 @@ def ivf_search(assigned, centroids_or_queries, query_matrix=None,
                 (c, ray.data.read_parquet(files, columns=[id_column, "embedding"]))
             )
     else:
-        assigned = assigned.materialize()  # scanned once per centroid
+        # in-memory path: ONE pass over the assigned dataset; each
+        # batch routes its rows to the centroids present in it and
+        # scores them against only the queries probing that centroid
+        from functools import partial as _p
 
-        def only(batch: pa.Table, c: int) -> pa.Table:
-            return batch.filter(pa.compute.equal(batch["centroid"], c))
-
-        from functools import partial as _partial
-
-        for c in wanted.tolist():
-            per_centroid.append(
-                (c, assigned.map_batches(_partial(only, c=c), batch_format="pyarrow"))
-            )
+        routing = {
+            int(c): np.flatnonzero((probes == c).any(axis=1)) for c in wanted.tolist()
+        }
+        ref_all = ray.put(np.ascontiguousarray(q))
+        partials = assigned.map_batches(
+            _p(_ivf_route_batch, queries_ref=ref_all, routing=routing,
+               k=k, id_column=id_column),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+        return _gather_topk(partials, k, id_column)
 
     if not per_centroid:
         return _gather_topk(None, k, id_column)
@@ -519,3 +524,32 @@ def ivf_search(assigned, centroids_or_queries, query_matrix=None,
     for extra in partial_sets[1:]:
         partials = partials.union(extra)
     return _gather_topk(partials, k, id_column)
+
+
+def _ivf_route_batch(batch: pa.Table, queries_ref, routing: dict, k: int,
+                     id_column: str) -> pa.Table:
+    """one-pass per-batch IVF routing: for each probed centroid with
+    rows in this batch, score those rows against that centroid's
+    queries only (same results as per-centroid sub-datasets)."""
+    import ray
+
+    q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+    cents = batch["centroid"].to_numpy()
+    outs = []
+    for c, qids in routing.items():
+        mask = cents == c
+        if not mask.any() or len(qids) == 0:
+            continue
+        sub = batch.filter(pa.array(mask))
+        outs.append(
+            BruteForceCosine(q[qids], k, id_column, query_ids=qids)(sub)
+        )
+    if not outs:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                id_column: pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.concat_tables(outs)

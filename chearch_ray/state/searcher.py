@@ -567,12 +567,13 @@ class SegmentSearcher:
             return np.searchsorted(self.postings(term)[0], docs)
         blocks = np.searchsorted(enc.block_last, docs, side="left")
         self.decode_stats["blocks_total"] += len(enc.block_last)
-        out = np.empty(len(docs), dtype=np.int64)
-        for b in np.unique(blocks).tolist():
-            bdocs, _ = self._decode_blocks_cached(term, enc, np.array([b], dtype=np.int64))
-            m = blocks == b
-            out[m] = b * self.cfg.block_size + np.searchsorted(bdocs, docs[m])
-        return out
+        needed = np.unique(blocks)
+        concat_docs, _ = self._decode_blocks_cached(term, enc, needed.astype(np.int64))
+        counts = np.minimum(self.cfg.block_size, enc.count - needed * self.cfg.block_size)
+        bounds = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        pos = np.searchsorted(concat_docs, docs)
+        which = np.searchsorted(bounds, pos, side="right") - 1
+        return needed[which] * self.cfg.block_size + (pos - bounds[which])
 
     def _phrase_survivors(self, terms: list[str], candidates: np.ndarray) -> np.ndarray:
         """Vectorized phrase verification over the WHOLE candidate set:
