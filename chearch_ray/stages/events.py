@@ -10,10 +10,15 @@ Scale shape:
 * windowed_aggregate — map-side PARTIAL aggregation per batch (one row
   per (window, key) per batch), then a small global groupby over the
   partials: the shuffle carries window-count rows, not event rows.
-* sessionize — one groupby on user_id (the only all-to-all), then
-  vectorized per-user gap detection inside map_groups.  Sessions never
-  span users, so user hash partitioning is the natural key; at 100 TB
-  the same key should be reused by upstream storage layout.
+* sessionize / asof_join — one groupby on hash(user_id) % N COARSE
+  partitions (the only all-to-all), then vectorized multi-user run
+  detection inside each partition: a per-user map_groups would pay one
+  Python/framework call per user (millions of tiny groups at scale —
+  the overhead stages/dedup._bucket_runs exists to avoid), whereas N
+  partition tasks each process all their users in a handful of numpy
+  passes.  Sessions and as-of lookups never span users, so user hash
+  partitioning is the natural key; at 100 TB the same key should be
+  reused by upstream storage layout.
 """
 
 from __future__ import annotations
@@ -93,28 +98,75 @@ def windowed_aggregate(ds, window_sec: int = WINDOW_SEC, key: str = "event_type"
     )
 
 
-def _sessionize_group(group: pa.Table, gap_sec: int) -> pa.Table:
-    """one user's events -> session summary rows (vectorized gap
-    detection; deterministic order by (ts, event_id))."""
+#: coarse partition count for the user-keyed event operators — ~2x
+#: cores single-node; size ~2-4x total cores on a real cluster
+USER_PARTITIONS = 64
+
+_SESSION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_id", pa.int64()),
+        ("session_start_us", pa.int64()),
+        ("session_end_us", pa.int64()),
+        ("n_events", pa.int64()),
+        ("sum_cents", pa.int64()),
+    ]
+)
+
+
+def _user_partition_column(batch: pa.Table, n_partitions: int,
+                           key: str = "user_id") -> pa.Table:
+    u = batch[key].to_numpy().astype(np.int64).view(np.uint64)
+    # fmix64-style mix so adjacent user ids spread across partitions
+    mixed = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    return batch.append_column(
+        "pgrp", pa.array((mixed % np.uint64(n_partitions)).astype(np.int32), type=pa.int32())
+    )
+
+
+def _run_starts(users: np.ndarray) -> np.ndarray:
+    """boolean mask: True where a new user's run begins (input sorted
+    by user)."""
+    new_user = np.empty(len(users), dtype=bool)
+    new_user[0] = True
+    new_user[1:] = users[1:] != users[:-1]
+    return new_user
+
+
+def _sessionize_partition(group: pa.Table, gap_sec: int) -> pa.Table:
+    """one coarse partition (many users) -> session summary rows.
+    Fully vectorized: one sort by (user_id, ts, event_id), then numpy
+    run detection over all users at once."""
+    if len(group) == 0:
+        return _SESSION_SCHEMA.empty_table()
     order = pc.sort_indices(
-        group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        group,
+        sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
     )
     g = group.take(order)
     us = _epoch_us(g["ts"])
-    gap = np.empty(len(g), dtype=bool)
+    users = g["user_id"].to_numpy()
+    n = len(g)
+    new_user = _run_starts(users)
+    gap = np.empty(n, dtype=bool)
     gap[0] = True
-    gap[1:] = (us[1:] - us[:-1]) > gap_sec * 1_000_000
-    session_id = np.cumsum(gap)  # 1-based per user
+    gap[1:] = new_user[1:] | ((us[1:] - us[:-1]) > gap_sec * 1_000_000)
     starts = np.flatnonzero(gap)
-    bounds = np.append(starts, len(g))
+    bounds = np.append(starts, n)
     n_events = np.diff(bounds)
     cents = _round_half_away(g["value"].to_numpy().astype(np.float64) * 100)
     sums = np.add.reduceat(cents, starts)
-    user = g["user_id"][0].as_py()
+    # 1-based session ordinal per user: start index minus the index of
+    # that user's first session start
+    user_of_start = users[starts]
+    new_u_at_start = _run_starts(user_of_start)
+    idx = np.arange(len(starts), dtype=np.int64)
+    first_of_user = np.maximum.accumulate(np.where(new_u_at_start, idx, 0))
+    session_id = idx - first_of_user + 1
     return pa.table(
         {
-            "user_id": pa.array([user] * len(starts), type=pa.int64()),
-            "session_id": pa.array(session_id[starts], type=pa.int64()),
+            "user_id": pa.array(user_of_start.astype(np.int64), type=pa.int64()),
+            "session_id": pa.array(session_id, type=pa.int64()),
             "session_start_us": pa.array(us[starts], type=pa.int64()),
             "session_end_us": pa.array(us[bounds[1:] - 1], type=pa.int64()),
             "n_events": pa.array(n_events, type=pa.int64()),
@@ -123,15 +175,26 @@ def _sessionize_group(group: pa.Table, gap_sec: int) -> pa.Table:
     )
 
 
-def sessionize(ds, gap_sec: int = SESSION_GAP_SEC):
+def sessionize(ds, gap_sec: int = SESSION_GAP_SEC,
+               coarse_partitions: int = USER_PARTITIONS):
     """Gap-based sessionization: one session row per (user, session).
-    The user_id groupby is the only shuffle; everything else is
-    vectorized per group."""
+    The hash(user_id)%N coarse groupby is the only shuffle; within a
+    partition every user is processed by the same vectorized pass
+    (never one Python call per user)."""
     from functools import partial
 
-    return ds.groupby("user_id").map_groups(
-        partial(_sessionize_group, gap_sec=gap_sec), batch_format="pyarrow"
+    parted = ds.map_batches(
+        partial(_user_partition_column, n_partitions=coarse_partitions),
+        batch_format="pyarrow",
     )
+    return parted.groupby("pgrp").map_groups(
+        partial(_drop_pgrp_then, fn=partial(_sessionize_partition, gap_sec=gap_sec)),
+        batch_format="pyarrow",
+    )
+
+
+def _drop_pgrp_then(group: pa.Table, fn) -> pa.Table:
+    return fn(group.drop_columns(["pgrp"]))
 
 
 #: RE2-safe GPT-2-ish token pattern (no lookaheads: both Arrow and
@@ -155,71 +218,104 @@ def bpeish_token_count(batch: pa.Table, text_column: str = "text",
     )
 
 
-def _asof_group(group: pa.Table, ts_column: str, type_column: str,
-                left_type: str, right_type: str, value_column: str) -> pa.Table:
-    """one key's rows -> as-of rows for the left type."""
+_ASOF_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("value", pa.float64()),
+        ("asof_value", pa.float64()),
+    ]
+)
+
+
+def _asof_partition(group: pa.Table, key: str, ts_column: str, type_column: str,
+                    left_type: str, right_type: str, value_column: str) -> pa.Table:
+    """one coarse partition (many keys) -> as-of rows for the left
+    type.  Fully vectorized over all keys at once: after one sort by
+    (key, ts, event_id), the latest STRICTLY-earlier right row for a
+    left row at position i is the last right row before the first row
+    of i's (key, ts) run — equal-ts right rows are excluded by the run
+    boundary and ties on earlier ts resolve to the larger event_id by
+    sort order."""
+    if len(group) == 0:
+        return _ASOF_SCHEMA.empty_table()
     order = pc.sort_indices(
-        group, sort_keys=[(ts_column, "ascending"), ("event_id", "ascending")]
+        group,
+        sort_keys=[(key, "ascending"), (ts_column, "ascending"), ("event_id", "ascending")],
     )
     g = group.take(order)
     us = _epoch_us(g[ts_column])
-    types = np.asarray(g[type_column].to_pandas())
-    is_l = types == left_type
-    is_r = types == right_type
+    users = g[key].to_numpy()
+    tcol = g[type_column]
+    if isinstance(tcol, pa.ChunkedArray):
+        tcol = tcol.combine_chunks()
+    is_l = np.asarray(pc.equal(tcol, left_type).fill_null(False))
+    is_r = np.asarray(pc.equal(tcol, right_type).fill_null(False))
     l_idx = np.flatnonzero(is_l)
     if len(l_idx) == 0:
-        return pa.table(
-            {
-                "event_id": pa.array([], type=pa.int64()),
-                "user_id": pa.array([], type=pa.int64()),
-                "ts_us": pa.array([], type=pa.int64()),
-                "value": pa.array([], type=pa.float64()),
-                "asof_value": pa.array([], type=pa.float64()),
-            }
-        )
-    r_ts = us[is_r]
-    r_val = g[value_column].to_numpy()[is_r]
-    # last right row with ts strictly earlier; equal right ts resolves
-    # to the larger event_id (rows sorted by (ts, event_id))
-    pos = np.searchsorted(r_ts, us[l_idx], side="left") - 1
-    asof = np.where(pos >= 0, r_val[np.maximum(pos, 0)], np.nan)
-    out = pa.table(
+        return _ASOF_SCHEMA.empty_table()
+    n = len(g)
+    idx = np.arange(n, dtype=np.int64)
+    new_user = _run_starts(users)
+    ts_change = np.empty(n, dtype=bool)
+    ts_change[0] = True
+    ts_change[1:] = new_user[1:] | (us[1:] != us[:-1])
+    first_same = np.maximum.accumulate(np.where(ts_change, idx, 0))
+    user_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+    # cumr[i] = number of right rows at positions < i (exclusive prefix)
+    cumr = np.concatenate([[0], np.cumsum(is_r, dtype=np.int64)])
+    r_pos = np.flatnonzero(is_r)
+    fs = first_same[l_idx]
+    has = cumr[fs] > cumr[user_start[l_idx]]
+    vals = g[value_column].to_numpy()
+    ridx = r_pos[np.maximum(cumr[fs] - 1, 0)] if len(r_pos) else np.zeros(len(l_idx), dtype=np.int64)
+    asof = np.where(has, vals[ridx], 0.0)
+    take = pa.array(l_idx, type=pa.int64())
+    return pa.table(
         {
-            "event_id": g["event_id"].take(pa.array(l_idx, type=pa.int64())),
-            "user_id": g["user_id"].take(pa.array(l_idx, type=pa.int64())),
+            "event_id": g["event_id"].take(take),
+            "user_id": g[key].take(take),
             "ts_us": pa.array(us[l_idx], type=pa.int64()),
-            "value": g[value_column].take(pa.array(l_idx, type=pa.int64())),
-            "asof_value": pa.array(
-                [None if np.isnan(v) else float(v) for v in asof], type=pa.float64()
-            ),
+            "value": g[value_column].take(take),
+            "asof_value": pa.array(asof, type=pa.float64(), mask=~has),
         }
     )
-    return out
 
 
 def asof_join(ds, key: str = "user_id", ts_column: str = "ts",
               type_column: str = "event_type", left_type: str = "purchase",
-              right_type: str = "view", value_column: str = "value"):
+              right_type: str = "view", value_column: str = "value",
+              coarse_partitions: int = USER_PARTITIONS):
     """Per-key AS-OF join within one event stream: each `left_type`
     row gets the `value` of the latest `right_type` row with STRICTLY
     earlier ts (right-side ties broken by larger event_id — fully
     deterministic, mirrored by the driver oracle SQL).
 
     Ray Data has no asof-join primitive; this is the prescribed
-    composition — one groupby(key) shuffle, then vectorized
-    searchsorted inside each group.  Partitioning assumption: the join
-    never crosses `key` boundaries, so key-hash partitioning is
-    sufficient and reusable by adjacent stages."""
+    composition — one hash(key)%N coarse groupby shuffle, then one
+    vectorized pass over each partition covering all its keys (never
+    one Python call per key).  Partitioning assumption: the join never
+    crosses `key` boundaries, so key-hash partitioning is sufficient
+    and reusable by adjacent stages."""
     from functools import partial
 
-    return ds.groupby(key).map_groups(
+    parted = ds.map_batches(
+        partial(_user_partition_column, n_partitions=coarse_partitions, key=key),
+        batch_format="pyarrow",
+    )
+    return parted.groupby("pgrp").map_groups(
         partial(
-            _asof_group,
-            ts_column=ts_column,
-            type_column=type_column,
-            left_type=left_type,
-            right_type=right_type,
-            value_column=value_column,
+            _drop_pgrp_then,
+            fn=partial(
+                _asof_partition,
+                key=key,
+                ts_column=ts_column,
+                type_column=type_column,
+                left_type=left_type,
+                right_type=right_type,
+                value_column=value_column,
+            ),
         ),
         batch_format="pyarrow",
     )
