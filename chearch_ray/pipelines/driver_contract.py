@@ -173,24 +173,86 @@ def q_phrase(sf_dir: str) -> pa.Table:
     return _ranked(engine_for(sf_dir).search_phrase(" ".join(PHRASE_TERMS), k=10))
 
 
+#: exact all-pairs threshold — the embeddings tables are random
+#: vectors (max pairwise cosine ~0.51 at sf0.01, ~0.60 at sf0.1), so a
+#: non-empty, exact-checkable answer needs a low threshold; at low
+#: thresholds the EXACT brute-force join is the honest operator (LSH
+#: recall is fundamentally < 1 there) and it is what the oracle pins.
+EMB_NEARDUP_THRESHOLD = 0.45
+
+
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
     import ray.data
 
-    from chearch_ray.stages.similarity import embedding_neardup_pairs
+    from chearch_ray.stages.similarity import embedding_allpairs_exact
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    dim = len(pq.read_table(emb_path, columns=["embedding"])["embedding"][0])
     ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
-    out = embedding_neardup_pairs(ds, dim=dim, threshold=0.9).to_pandas()
-    if len(out.columns) == 0:  # no pairs -> keep a stable schema
+    out = embedding_allpairs_exact(ds, threshold=EMB_NEARDUP_THRESHOLD).to_pandas()
+    # pair ids only: both engines agree on >= threshold membership
+    # (margins are ~1e-3, float noise ~1e-15) but not on the cosine
+    # DOUBLE bit pattern (different summation orders)
+    out = out[["doc_a", "doc_b"]].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_a": pa.array(out["doc_a"].astype("int64")),
+            "doc_b": pa.array(out["doc_b"].astype("int64")),
+        }
+    )
+
+
+#: exact Jaccard join threshold: the documents corpus plants near-dup
+#: pairs at J >= 0.9 with the next-highest true pair at ~0.07 — 0.5
+#: selects exactly the planted set with wide margins on both sides
+JACCARD_JOIN_THRESHOLD = 0.5
+
+
+def q_jaccard_pairs(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.dedup import jaccard_similarity_join
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = jaccard_similarity_join(ds, threshold=JACCARD_JOIN_THRESHOLD).to_pandas()
+    if len(out.columns) == 0:
         return pa.table(
             {
                 "doc_a": pa.array([], type=pa.int64()),
                 "doc_b": pa.array([], type=pa.int64()),
-                "cosine": pa.array([], type=pa.float64()),
+                "jaccard": pa.array([], type=pa.float64()),
             }
         )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_a": pa.array(out["doc_a"].astype("int64")),
+            "doc_b": pa.array(out["doc_b"].astype("int64")),
+            "jaccard": pa.array(out["jaccard"], type=pa.float64()),
+        }
+    )
+
+
+def q_neardup_keep(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.dedup import neardup_keep
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = neardup_keep(ds, threshold=JACCARD_JOIN_THRESHOLD).to_pandas()
+    if len(out.columns) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "keep_id": pa.array([], type=pa.int64()),
+            }
+        )
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype("int64")),
+            "keep_id": pa.array(out["keep_id"].astype("int64")),
+        }
+    )
 
 
 def q_missing_term(sf_dir: str) -> pa.Table:
@@ -397,8 +459,10 @@ QUERIES = {
     "sessionize": q_sessionize,
     "bpeish_tokens": q_bpeish_tokens,
     "asof_join": q_asof_join,
-    # rows-only (non-SQL-expressible)
     "embedding_neardup": q_embedding_neardup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "neardup_keep": q_neardup_keep,
+    # rows-only (non-SQL-expressible)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
@@ -654,6 +718,45 @@ SELECT doc_id,
          '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT
          AS n_bpeish
 FROM documents
+""",
+    "embedding_neardup": f"""
+SELECT a.vec_id::BIGINT AS doc_a, b.vec_id::BIGINT AS doc_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_NEARDUP_THRESHOLD}
+""",
+    "jaccard_pairs": f"""
+WITH {POS_TOK_CTE},
+sh AS (SELECT DISTINCT t0.doc_id, t0.term || ' ' || t1.term || ' ' || t2.term AS shingle
+       FROM ptok t0 JOIN ptok t1 ON t1.doc_id = t0.doc_id AND t1.ord = t0.ord + 1
+                    JOIN ptok t2 ON t2.doc_id = t0.doc_id AND t2.ord = t0.ord + 2),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b,
+       i::DOUBLE / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= {JACCARD_JOIN_THRESHOLD}
+""",
+    "neardup_keep": f"""
+WITH RECURSIVE {POS_TOK_CTE},
+sh AS (SELECT DISTINCT t0.doc_id, t0.term || ' ' || t1.term || ' ' || t2.term AS shingle
+       FROM ptok t0 JOIN ptok t1 ON t1.doc_id = t0.doc_id AND t1.ord = t0.ord + 1
+                    JOIN ptok t2 ON t2.doc_id = t0.doc_id AND t2.ord = t0.ord + 2),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT da, db FROM inter JOIN sz sa ON sa.doc_id = da
+          JOIN sz sb ON sb.doc_id = db
+          WHERE i::DOUBLE / (sa.n + sb.n - i) >= {JACCARD_JOIN_THRESHOLD}),
+edges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT u::BIGINT AS doc_id, min(v)::BIGINT AS keep_id FROM reach GROUP BY u
 """,
     "knn_cosine": """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

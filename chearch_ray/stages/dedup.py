@@ -228,11 +228,13 @@ COARSE_PARTITIONS = 64
 MAX_BUCKET_DOCS = 512
 
 
-def _bucket_runs(group: pa.Table, value_columns: list[str]):
+def _bucket_runs(group: pa.Table, value_columns: list[str],
+                 max_bucket_docs: int | None = MAX_BUCKET_DOCS):
     """Sort one coarse partition by (band, bucket, doc_id), dedupe
     (band, bucket, doc) rows, yield (ids, *values) per multi-doc
     bucket.  Vectorized run detection; Python loop only over the
-    multi-doc buckets."""
+    multi-doc buckets.  max_bucket_docs=None disables the degenerate-
+    bucket skip (exact joins need every bucket)."""
     import pyarrow.compute as pc
 
     order = pc.sort_indices(
@@ -256,7 +258,7 @@ def _bucket_runs(group: pa.Table, value_columns: list[str]):
     values = {c: g[c] for c in value_columns}
     for i in np.flatnonzero(lengths >= 2):
         s, e = int(bounds[i]), int(bounds[i + 1])
-        if e - s > MAX_BUCKET_DOCS:
+        if max_bucket_docs is not None and e - s > max_bucket_docs:
             continue  # degenerate boilerplate bucket; see MAX_BUCKET_DOCS
         yield docs[s:e], {c: values[c].take(pa.array(keep[s:e])) for c in value_columns}
 
@@ -270,11 +272,12 @@ def _coarse_partition_column(batch: pa.Table, n_partitions: int = COARSE_PARTITI
     )
 
 
-def candidate_pairs_in_partition(group: pa.Table) -> pa.Table:
+def candidate_pairs_in_partition(group: pa.Table,
+                                 max_bucket_docs: int | None = MAX_BUCKET_DOCS) -> pa.Table:
     """One coarse partition of LIGHT band rows -> distinct-in-partition
     candidate pairs (doc_a, doc_b)."""
     out_a, out_b = [], []
-    for ids, _cols in _bucket_runs(group, []):
+    for ids, _cols in _bucket_runs(group, [], max_bucket_docs=max_bucket_docs):
         ia, ib = np.triu_indices(len(ids), k=1)
         out_a.append(ids[ia])
         out_b.append(ids[ib])
@@ -325,31 +328,35 @@ def _drop_empty_blocks(materialized_ds):
     return ray.data.from_arrow_refs(refs) if refs else None
 
 
-#: pair count at or below which verification takes the broadcast fast
-#: path instead of the two-hash-join plan: the join machinery costs 3
-#: materializations + 2 acero joins regardless of candidate count
-#: (measured 3.2x sf0.1 wall on a 25-pair set), while the fast path
-#: gathers at most 2*SMALL_PAIRS * payload_width bytes (~20 MB at 10k
-#: pairs x 1 KB signatures) and verifies in one vectorized call.
-SMALL_PAIRS_FAST_PATH = 10_000
+#: candidate-payload byte cap for the broadcast verify path: below it
+#: the FILTERED (candidate-docs-only) payload is broadcast via ray.put
+#: and pairs verify distributed over the pair dataset — no acero joins,
+#: no extra materializations (the join plan costs ~3 s of fixed
+#: machinery regardless of candidate count).  Above it the two-hash-
+#: join plan runs, which never gathers payload anywhere.
+BROADCAST_PAYLOAD_BYTES = 256 * 1024 * 1024
 
 
 def verify_pairs_by_join(deduped, payload_ds, verify_fn, payload_col: str,
                          join_partitions: int = 8,
-                         small_pairs_threshold: int = SMALL_PAIRS_FAST_PATH):
-    """Distributed pair verification: hash-join the (small) candidate
-    pair set against a per-doc payload dataset on doc_a then doc_b, and
-    run `verify_fn` over batches carrying `{payload_col}_a` +
-    `{payload_col}` columns.  Nothing corpus-scale gathers on the
-    driver — this is the 100-TB replacement for broadcasting the
-    payload matrix.
+                         broadcast_bytes: int = BROADCAST_PAYLOAD_BYTES):
+    """Distributed pair verification: run `verify_fn` over batches
+    carrying `{payload_col}_a` + `{payload_col}` columns for each
+    candidate (doc_a, doc_b) pair.
 
-    Size gate: when the deduped pair count is <= small_pairs_threshold
-    the (candidate-scale, bounded) payloads are assembled directly and
-    verified in one call — identical output, none of the join
-    scaffolding.  The join path handles pair sets above the gate.
+    Both paths first semi-join-filter the corpus-scale payload dataset
+    by the candidate id set, so only candidate docs' payloads move.
+    The filtered payload's byte size (block METADATA, no gather) picks
+    the plan:
+      * <= broadcast_bytes: broadcast the filtered payload (ray.put)
+        and map_batches over the PAIRS dataset — each task assembles
+        its batch's payload columns by searchsorted take and verifies
+        vectorized.  Identical output to the join plan, none of its
+        fixed cost.
+      * larger: hash-join pairs against the payload on doc_a then
+        doc_b (nothing gathers on the driver at any scale).
 
-    payload_ds schema: (doc_id uint64, {payload_col} fixed_size_binary).
+    payload_ds schema: (doc_id uint64, {payload_col} binary).
     Returns None when no pair survives (callers substitute their empty
     schema)."""
     from functools import partial
@@ -361,11 +368,37 @@ def verify_pairs_by_join(deduped, payload_ds, verify_fn, payload_col: str,
     pair_tables = [t for t in (ray.get(r) for r in deduped.to_arrow_refs()) if len(t)]
     if not pair_tables:
         return None
-    n_pairs = sum(len(t) for t in pair_tables)
-    if n_pairs <= small_pairs_threshold:
-        return _verify_pairs_broadcast(
-            pa.concat_tables(pair_tables), payload_ds, verify_fn, payload_col
+    id_parts = [
+        np.concatenate([t["doc_a"].to_numpy(), t["doc_b"].to_numpy()]).astype(np.uint64)
+        for t in pair_tables
+    ]
+    ids_ref = ray.put(np.unique(np.concatenate(id_parts)))
+    filtered = payload_ds.map_batches(
+        partial(_candidate_id_filter, ids_ref=ids_ref), batch_format="pyarrow"
+    ).materialize()
+
+    if filtered.size_bytes() <= broadcast_bytes:
+        tables = [t for t in (ray.get(r) for r in filtered.to_arrow_refs()) if len(t)]
+        if not tables:
+            return None
+        payload = pa.concat_tables(tables).combine_chunks()
+        doc_ids = payload["doc_id"].to_numpy().astype(np.uint64)
+        order = np.argsort(doc_ids, kind="stable")
+        col = payload[payload_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        payload_ref = ray.put((doc_ids[order], col.take(pa.array(order, type=pa.int64()))))
+        out = deduped.map_batches(
+            partial(
+                _verify_batch_broadcast,
+                payload_ref=payload_ref,
+                payload_col=payload_col,
+                verify_fn=verify_fn,
+            ),
+            batch_format="pyarrow",
+            batch_size=8192,
         )
+        return _drop_empty_blocks(out.materialize())
 
     # fractional-CPU join aggregators: with the default 1-CPU-per-
     # partition reservation two Join ops deadlock small clusters.
@@ -376,76 +409,46 @@ def verify_pairs_by_join(deduped, payload_ds, verify_fn, payload_col: str,
     ctx.join_operator_actor_num_cpus_per_partition_override = 0.1
     try:
         return _verify_pairs_joins(
-            deduped, payload_ds, verify_fn, payload_col, join_partitions
+            deduped, filtered, verify_fn, payload_col, join_partitions
         )
     finally:
         ctx.join_operator_actor_num_cpus_per_partition_override = saved_override
 
 
-def _verify_pairs_broadcast(pairs: pa.Table, payload_ds, verify_fn, payload_col: str):
-    """Small-pairs fast path: semi-join-filter the payload dataset by
-    the candidate id set (same first step as the join plan — only
-    candidate payloads leave the workers), STREAM the filtered rows to
-    the driver (bounded by 2 x pairs x payload width), assemble the
-    `{payload_col}_a` / `{payload_col}` columns by searchsorted take,
-    and run verify_fn once.  Returns a one-block Dataset with output
-    identical to the join path (row order aside)."""
-    from functools import partial
-
+def _verify_batch_broadcast(batch: pa.Table, payload_ref, payload_col: str,
+                            verify_fn) -> pa.Table:
+    """broadcast-verify task: one batch of (doc_a, doc_b) pairs +
+    the broadcast (sorted doc ids, payload array) -> verify_fn output.
+    The ref resolves zero-copy from the local object store per task."""
     import ray
-    import ray.data
 
-    ids = np.unique(
-        np.concatenate(
-            [pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()]
-        ).astype(np.uint64)
+    doc_sorted, col = (
+        ray.get(payload_ref) if isinstance(payload_ref, ray.ObjectRef) else payload_ref
     )
-    ids_ref = ray.put(ids)
-    filtered = payload_ds.map_batches(
-        partial(_candidate_id_filter, ids_ref=ids_ref), batch_format="pyarrow"
-    )
-    tables = [
-        t
-        for t in filtered.iter_batches(batch_size=None, batch_format="pyarrow")
-        if len(t)
-    ]
-    if not tables:
-        return None
-    payload = pa.concat_tables(tables).combine_chunks()
-    doc_ids = payload["doc_id"].to_numpy().astype(np.uint64)
-    order = np.argsort(doc_ids, kind="stable")
-    doc_sorted = doc_ids[order]
-    col = payload[payload_col]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    col = col.take(pa.array(order, type=pa.int64()))
 
     def lookup(side: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         pos = np.searchsorted(doc_sorted, side)
-        pos_c = np.minimum(pos, len(doc_sorted) - 1)
-        ok = doc_sorted[pos_c] == side
+        pos_c = np.minimum(pos, len(doc_sorted) - 1) if len(doc_sorted) else pos
+        ok = doc_sorted[pos_c] == side if len(doc_sorted) else np.zeros(len(side), dtype=bool)
         return pos_c, ok
 
-    a = pairs["doc_a"].to_numpy().astype(np.uint64)
-    b = pairs["doc_b"].to_numpy().astype(np.uint64)
+    a = batch["doc_a"].to_numpy().astype(np.uint64)
+    b = batch["doc_b"].to_numpy().astype(np.uint64)
     pos_a, ok_a = lookup(a)
     pos_b, ok_b = lookup(b)
     # pairs whose side has no payload row (e.g. the doc was dropped as
     # too short) are excluded — the inner joins drop them identically
     keep = ok_a & ok_b
-    if not keep.any():
-        return None
     kmask = pa.array(keep)
     assembled = pa.table(
         {
-            "doc_a": pairs["doc_a"].filter(kmask),
-            "doc_b": pairs["doc_b"].filter(kmask),
+            "doc_a": batch["doc_a"].filter(kmask),
+            "doc_b": batch["doc_b"].filter(kmask),
             f"{payload_col}_a": col.take(pa.array(pos_a[keep], type=pa.int64())),
             payload_col: col.take(pa.array(pos_b[keep], type=pa.int64())),
         }
     )
-    out = verify_fn(assembled)
-    return ray.data.from_arrow(out) if len(out) else None
+    return verify_fn(assembled)
 
 
 def _candidate_id_filter(batch: pa.Table, ids_ref) -> pa.Table:
@@ -463,28 +466,10 @@ def _candidate_id_filter(batch: pa.Table, ids_ref) -> pa.Table:
 
 def _verify_pairs_joins(deduped, payload_ds, verify_fn, payload_col: str,
                         join_partitions: int):
+    """join-plan verification: `payload_ds` arrives already semi-join-
+    filtered to candidate docs and materialized (both joins consume
+    it); the filtered set is candidate-scale, never the corpus."""
     from functools import partial
-
-    import ray
-
-    # broadcast semi-join: the candidate-pair ID SET (pairs-scale —
-    # tiny by construction) filters the corpus-scale payload dataset
-    # BEFORE the hash joins, so the join shuffles candidate payloads
-    # only, never the whole corpus's payload bytes
-    deduped = deduped.materialize()
-    id_parts = [
-        np.concatenate([t["doc_a"].to_numpy(), t["doc_b"].to_numpy()]).astype(np.uint64)
-        for t in (ray.get(r) for r in deduped.to_arrow_refs())
-        if len(t)
-    ]
-    if not id_parts:
-        return None
-    ids_ref = ray.put(np.unique(np.concatenate(id_parts)))
-    # materialized: both joins consume it, and the filtered set is
-    # candidate-scale
-    payload_ds = payload_ds.map_batches(
-        partial(_candidate_id_filter, ids_ref=ids_ref), batch_format="pyarrow"
-    ).materialize()
 
     j1 = deduped.join(
         payload_ds, "inner", join_partitions, on=("doc_a",), right_on=("doc_id",)
@@ -825,6 +810,338 @@ def ngram_jaccard_pairs(ds, pairs_ds, threshold: float = 0.0,
         join_partitions=join_partitions,
     )
     return out if out is not None else ray.data.from_arrow(empty)
+
+
+# --------------------------- exact set-similarity join (prefix filter)
+def _prefix_rows(batch: pa.Table, threshold: float, df_ref=None) -> pa.Table:
+    """(doc_id, shingles) payload rows -> LIGHT prefix rows (band=0,
+    bucket=shingle hash, doc_id, nsh=|S|) for the first
+    |S| - ceil(t*|S|) + 1 shingles of each doc under the global order.
+
+    Prefix-filter guarantee (AllPairs/PPJoin family, exact): for any
+    pair with J(A,B) >= t, |A∩B| >= t*|A| and >= t*|B|, so the
+    SMALLEST shared shingle under the global order lies inside both
+    prefixes — every qualifying pair collides on at least one prefix
+    shingle.  Any consistent total order is exact; with `df_ref` (a
+    broadcast (sorted shingle hashes, df) pair) the order is
+    (df ASC, hash ASC) — prefixes then hold each doc's RAREST
+    shingles, so hot-shingle buckets stay out of the candidate
+    explosion (the AllPairs frequency ordering).  Without it the
+    order is plain ascending hash."""
+    import ray
+
+    vals, off = _unpack_shingle_rows(batch["shingles"])
+    counts = np.diff(off)
+    # smaller ceil -> LONGER prefix: the epsilon guards float error in
+    # the safe direction (extra candidates, never missed ones)
+    p = counts - np.ceil(threshold * counts - 1e-9).astype(np.int64) + 1
+    p = np.clip(p, 0, counts)
+    if df_ref is not None:
+        df_keys, df_vals = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
+        dfs = df_vals[np.searchsorted(df_keys, vals)]
+        # reorder each doc's shingles by (df asc, hash asc): stable
+        # sort on hash is given (payload is hash-sorted), sort by df
+        # within doc
+        row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        order = np.lexsort((vals, dfs, row_of))
+        vals = vals[order]
+    pos = np.arange(len(vals), dtype=np.int64) - np.repeat(off[:-1], counts)
+    mask = pos < np.repeat(p, counts)
+    doc_col = batch["doc_id"]
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    doc_np = doc_col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    doc_rep = np.repeat(doc_np, counts)[mask]
+    nsh_rep = np.repeat(counts.astype(np.int32), counts)[mask]
+    return pa.table(
+        {
+            "band": pa.array(np.zeros(int(mask.sum()), dtype=np.int32), type=pa.int32()),
+            "bucket": pa.array(vals[mask], type=pa.uint64()),
+            "doc_id": pa.array(doc_rep, type=pa.uint64()),
+            "nsh": pa.array(nsh_rep, type=pa.int32()),
+        }
+    )
+
+
+def _df_partial(batch: pa.Table) -> pa.Table:
+    """payload batch -> block-local (bucket, n) partial df counts
+    (shingles are unique per doc, so occurrence count == document
+    frequency): the map-side combiner that keeps the driver merge at
+    distinct-shingle scale per block."""
+    vals, _ = _unpack_shingle_rows(batch["shingles"])
+    uniq, cnt = np.unique(vals, return_counts=True)
+    return pa.table(
+        {"bucket": pa.array(uniq, type=pa.uint64()), "n": pa.array(cnt, type=pa.int64())}
+    )
+
+
+def _shingle_df_broadcast(payload, max_distinct: int = 5_000_000):
+    """-> ray ObjectRef of (sorted shingle hashes, df), or None when
+    the vocabulary exceeds `max_distinct` (fall back to hash order; at
+    that scale a join-based reorder would replace the broadcast).
+
+    Per-block partials stream to the driver and merge with one numpy
+    sort — a vocabulary-scale reduce, far below a full groupby's sort
+    shuffle (measured: the Ray sort-groupby form of this pass cost
+    ~4 s of fixed stage overhead at sf0.1 for a 30k-entry result)."""
+    import ray
+
+    partials = payload.map_batches(_df_partial, batch_format="pyarrow")
+    tables = [
+        t for t in partials.iter_batches(batch_size=None, batch_format="pyarrow") if len(t)
+    ]
+    if not tables:
+        return None
+    t = pa.concat_tables(tables).combine_chunks()
+    keys = t["bucket"].to_numpy().astype(np.uint64)
+    ns = t["n"].to_numpy().astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys, ns = keys[order], ns[order]
+    starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+    uniq = keys[starts]
+    if len(uniq) > max_distinct:
+        return None
+    dfs = np.add.reduceat(ns, starts)
+    return ray.put((uniq, dfs))
+
+
+def _jaccard_candidates_partition(group: pa.Table, threshold: float) -> pa.Table:
+    """prefix-bucket runs -> candidate pairs with the SIZE FILTER:
+    J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs with
+    min < ceil(t*max) cannot qualify and are dropped before
+    verification (exact-safe)."""
+    out_a, out_b = [], []
+    for ids, cols in _bucket_runs(group, ["nsh"], max_bucket_docs=None):
+        nsh = cols["nsh"].to_numpy().astype(np.int64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        na, nb = nsh[ia], nsh[ib]
+        lo, hi = np.minimum(na, nb), np.maximum(na, nb)
+        ok = lo >= np.ceil(threshold * hi - 1e-9)
+        out_a.append(ids[ia][ok])
+        out_b.append(ids[ib][ok])
+    if not out_a:
+        return pa.table(
+            {"doc_a": pa.array([], type=pa.uint64()), "doc_b": pa.array([], type=pa.uint64())}
+        )
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(out_a).astype(np.uint64), type=pa.uint64()),
+            "doc_b": pa.array(np.concatenate(out_b).astype(np.uint64), type=pa.uint64()),
+        }
+    )
+
+
+def jaccard_similarity_join(ds, threshold: float = 0.5, text_column: str = "text",
+                            w: int = 3, join_partitions: int = 8,
+                            coarse_partitions: int = COARSE_PARTITIONS):
+    """EXACT n-gram Jaccard self-join: every pair with true shingle
+    Jaccard >= threshold, no LSH recall luck involved.
+
+    Shape: shingle payloads once per doc -> prefix-filtered candidate
+    explosion (each doc ships only its |S|-ceil(t|S|)+1 smallest
+    shingle hashes) -> bucket groupby on the shingle hash (coarse
+    partitions, the only all-to-all) -> distinct pairs -> exact
+    Jaccard verification against the packed payloads
+    (verify_pairs_by_join).  Unlike the LSH path, prefix buckets are
+    never skipped (exactness requires every bucket); at web scale a
+    frequency-ordered prefix keeps hot-shingle buckets small."""
+    from functools import partial
+
+    import ray.data
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.uint64()),
+            "doc_b": pa.array([], type=pa.uint64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    payload = ds.map_batches(
+        partial(shingle_payload, text_column=text_column, w=w),
+        batch_format="pyarrow",
+        batch_size=4096,
+    ).materialize()
+    if payload.count() == 0:
+        return ray.data.from_arrow(empty)
+    # frequency-ordered prefixes (AllPairs): one df pass so each doc's
+    # prefix holds its RAREST shingles — hot shingles stay in suffixes
+    # and never explode a candidate bucket
+    df_ref = _shingle_df_broadcast(payload)
+    prefix = payload.map_batches(
+        partial(_prefix_rows, threshold=threshold, df_ref=df_ref),
+        batch_format="pyarrow",
+    )
+    parted = prefix.map_batches(
+        partial(_coarse_partition_column, n_partitions=coarse_partitions),
+        batch_format="pyarrow",
+    )
+    pairs = parted.groupby("pgrp").map_groups(
+        partial(_jaccard_candidates_partition, threshold=threshold),
+        batch_format="pyarrow",
+    )
+    deduped = dedup_pairs(pairs, coarse_partitions).materialize()
+    if deduped.count() == 0:
+        return ray.data.from_arrow(empty)
+    out = verify_pairs_by_join(
+        deduped,
+        payload,
+        partial(_exact_jaccard_packed, threshold=threshold),
+        payload_col="shingles",
+        join_partitions=join_partitions,
+    )
+    return out if out is not None else ray.data.from_arrow(empty)
+
+
+# --------------------------------- connected components / dedup groups
+def _cc_seed(batch: pa.Table) -> pa.Table:
+    """(doc_a, doc_b) pairs -> directed adjacency rows with self
+    loops: (a,b),(b,a),(a,a),(b,b) — row (u,v) means v ∈ C(u)."""
+    a = batch["doc_a"].to_numpy().astype(np.uint64)
+    b = batch["doc_b"].to_numpy().astype(np.uint64)
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate([a, b, a, b]), type=pa.uint64()),
+            "doc_b": pa.array(np.concatenate([b, a, a, b]), type=pa.uint64()),
+        }
+    )
+
+
+def _cc_partition_u(batch: pa.Table, n_partitions: int = COARSE_PARTITIONS) -> pa.Table:
+    u = batch["doc_a"].to_numpy().astype(np.uint64)
+    mixed = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    return batch.append_column(
+        "pgrp", pa.array((mixed % np.uint64(n_partitions)).astype(np.int32), type=pa.int32())
+    )
+
+
+def _cc_runs(group: pa.Table):
+    """-> (u sorted, v sorted-within-u, run starts) for one coarse
+    partition of adjacency rows."""
+    a = group["doc_a"].to_numpy().astype(np.uint64)
+    v = group["doc_b"].to_numpy().astype(np.uint64)
+    order = np.lexsort((v, a))
+    a, v = a[order], v[order]
+    starts = np.flatnonzero(np.concatenate([[True], a[1:] != a[:-1]]))
+    return a, v, starts
+
+
+def _cc_expand_partition(group: pa.Table) -> pa.Table:
+    """hash-to-min step for the u-runs of one partition: with
+    m = min(C(u)), send C(u) to m and {m} to every member —
+    rows (m, v) and (v, m) for all v ∈ C(u)."""
+    a, v, starts = _cc_runs(group)
+    lengths = np.diff(np.append(starts, len(a)))
+    m_rep = np.repeat(v[starts], lengths)  # v sorted: run head = min
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate([m_rep, v]), type=pa.uint64()),
+            "doc_b": pa.array(np.concatenate([v, m_rep]), type=pa.uint64()),
+        }
+    )
+
+
+def _cc_labels_partition(group: pa.Table) -> pa.Table:
+    """final labels for one partition: label(u) = min(C(u))."""
+    a, v, starts = _cc_runs(group)
+    return pa.table(
+        {
+            "doc_id": pa.array(a[starts], type=pa.uint64()),
+            "keep_id": pa.array(v[starts], type=pa.uint64()),
+        }
+    )
+
+
+def _pairs_checksum(batch: pa.Table) -> pa.Table:
+    """order-independent (count, checksum) partial per batch — the
+    driver sums one row per block to detect the CC fixpoint."""
+    a = batch["doc_a"].to_numpy().astype(np.uint64)
+    b = batch["doc_b"].to_numpy().astype(np.uint64)
+    mixed = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+    chk = np.bitwise_xor.reduce(mixed) if len(mixed) else np.uint64(0)
+    return pa.table(
+        {
+            "n": pa.array([len(batch)], type=pa.int64()),
+            "chk": pa.array([int(chk)], type=pa.uint64()),
+        }
+    )
+
+
+def _state_signature(state) -> tuple[int, int]:
+    rows = state.map_batches(_pairs_checksum, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    chk = 0
+    for r in rows:
+        chk ^= int(r["chk"])
+    return n, chk
+
+
+def connected_components(pairs_ds, coarse_partitions: int = COARSE_PARTITIONS,
+                         max_iters: int = 25):
+    """Distributed connected components over a candidate-pair set via
+    hash-to-min label propagation (Rastogi et al., "Finding Connected
+    Components in Map-Reduce in Logarithmic Rounds"): no driver
+    union-find — each round is one coarse groupby (expand) plus one
+    distinct pass, converging in O(log diameter) rounds to stars
+    centered at each component's minimum doc id.
+
+    -> Dataset (doc_id uint64, keep_id uint64): one row per doc
+    appearing in any pair, keep_id = min doc id of its component."""
+    from functools import partial
+
+    state = pairs_ds.map_batches(_cc_seed, batch_format="pyarrow")
+    state = dedup_pairs(state, coarse_partitions).materialize()
+    prev_sig = _state_signature(state)
+    for _ in range(max_iters):
+        parted = state.map_batches(
+            partial(_cc_partition_u, n_partitions=coarse_partitions),
+            batch_format="pyarrow",
+        )
+        expanded = parted.groupby("pgrp").map_groups(
+            partial(_drop_pgrp_col, fn=_cc_expand_partition), batch_format="pyarrow"
+        )
+        state = dedup_pairs(expanded, coarse_partitions).materialize()
+        sig = _state_signature(state)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    parted = state.map_batches(
+        partial(_cc_partition_u, n_partitions=coarse_partitions),
+        batch_format="pyarrow",
+    )
+    return parted.groupby("pgrp").map_groups(
+        partial(_drop_pgrp_col, fn=_cc_labels_partition), batch_format="pyarrow"
+    )
+
+
+def _drop_pgrp_col(group: pa.Table, fn) -> pa.Table:
+    return fn(group.drop_columns(["pgrp"]))
+
+
+def neardup_keep(ds, threshold: float = 0.5, text_column: str = "text", w: int = 3,
+                 coarse_partitions: int = COARSE_PARTITIONS):
+    """Near-dup RESOLUTION: exact Jaccard pairs -> connected
+    components -> (doc_id, keep_id) with keep_id = the component's
+    minimum doc id (the deterministic survivor, matching exact_dedup's
+    min-doc policy).  Docs in no near-dup pair are absent (they keep
+    themselves).  Composes with minhash_dedup_pairs / simhash_pairs
+    output as well — any (doc_a, doc_b) Dataset feeds
+    connected_components."""
+    import ray.data
+
+    pairs = jaccard_similarity_join(
+        ds, threshold=threshold, text_column=text_column, w=w,
+        coarse_partitions=coarse_partitions,
+    ).materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.uint64()),
+                    "keep_id": pa.array([], type=pa.uint64()),
+                }
+            )
+        )
+    return connected_components(pairs, coarse_partitions)
 
 
 def ngram_jaccard_verify(corpus: pa.Table, pairs: pa.Table, text_column: str = "text",

@@ -328,6 +328,84 @@ def embedding_neardup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 3
     return verified if verified is not None else ray.data.from_arrow(empty)
 
 
+# --------------------------------------- exact all-pairs cosine join
+def _allpairs_task(batch: pa.Table, mat_ref, ids_ref, threshold: float,
+                   id_column: str, embedding_column: str = "embedding") -> pa.Table:
+    """one batch vs the broadcast corpus matrix: emit pairs (a < b,
+    cosine >= threshold).  Each unordered pair is emitted exactly once
+    — by the batch holding its smaller id."""
+    import ray
+
+    full = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
+    all_ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+    mat = normalize_rows(_embedding_matrix(batch[embedding_column]))
+    ids = batch[id_column].to_numpy()
+    sims = mat @ full.T  # (batch, n)
+    keep = (sims >= threshold) & (ids[:, None] < all_ids[None, :])
+    bi, fj = np.nonzero(keep)
+    return pa.table(
+        {
+            "doc_a": pa.array(ids[bi].astype(np.int64), type=pa.int64()),
+            "doc_b": pa.array(all_ids[fj].astype(np.int64), type=pa.int64()),
+            "cosine": pa.array(sims[bi, fj], type=pa.float64()),
+        }
+    )
+
+
+def embedding_allpairs_exact(ds, threshold: float, id_column: str = "vec_id",
+                             embedding_column: str = "embedding",
+                             max_broadcast_rows: int = 2_000_000):
+    """EXACT all-pairs cosine join: every pair with cosine >=
+    threshold, no LSH recall involved — the exact baseline mirror of
+    knn_brute_force (broadcast matrix, per-batch matmul, pair emitted
+    once by its smaller id's batch).
+
+    Applicability gate: the normalized corpus matrix is broadcast via
+    ray.put (n x d float64), so this is the baseline for corpora whose
+    matrix fits the object store (~1 GB at 2M x 64d) — the honest
+    shape for low thresholds, where ANY exact method must consider
+    most pairs.  For high thresholds at web scale use
+    embedding_neardup_pairs (hyperplane LSH buckets, approximate
+    recall) — documented tradeoff, not a silent one."""
+    from functools import partial as _p
+
+    import ray
+    import ray.data
+
+    rows = []
+    for t in (ray.get(r) for r in ds.materialize().to_arrow_refs()):
+        if len(t):
+            rows.append(t.select([id_column, embedding_column]))
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }
+    )
+    if not rows:
+        return ray.data.from_arrow(empty)
+    corpus = pa.concat_tables(rows).combine_chunks()
+    if len(corpus) > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_allpairs_exact is the broadcast baseline; "
+            f"{len(corpus)} rows > max_broadcast_rows={max_broadcast_rows} "
+            f"— use embedding_neardup_pairs (LSH) at this scale"
+        )
+    full = normalize_rows(_embedding_matrix(corpus[embedding_column]))
+    all_ids = corpus[id_column].to_numpy()
+    mat_ref = ray.put(np.ascontiguousarray(full))
+    ids_ref = ray.put(all_ids)
+    out = ds.map_batches(
+        _p(_allpairs_task, mat_ref=mat_ref, ids_ref=ids_ref,
+           threshold=threshold, id_column=id_column,
+           embedding_column=embedding_column),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return out
+
+
 # ----------------------------------------------------------------- IVF
 def spherical_kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10,
                      seed: int = 42) -> np.ndarray:

@@ -417,3 +417,182 @@ def test_minhash_exact_verify_mode(ray_session, docs):
     for (a, b), j in found.items():
         sa, sb = sets[a], sets[b]
         assert j == len(sa & sb) / len(sa | sb), (a, b)
+
+
+# ------------------------------ exact similarity join / neardup keep
+def test_jaccard_similarity_join_exact_vs_bruteforce(ray_session):
+    """jaccard_similarity_join is EXACT: over the sf0.001 documents it
+    must report exactly the brute-force all-pairs set at the threshold,
+    with bit-identical Jaccard values (prefix filter + size filter are
+    candidate pruning only, never result pruning)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from chearch_ray.stages.dedup import jaccard_similarity_join
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    out = jaccard_similarity_join(ray.data.from_arrow(docs), threshold=0.5).to_pandas()
+    got = {
+        tuple(sorted((int(a), int(b)))): float(j)
+        for a, b, j in zip(out["doc_a"], out["doc_b"], out["jaccard"])
+    }
+    sets = _shingle_sets(docs)
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if union and inter / union >= 0.5:
+            want[(a, b)] = inter / union
+    assert got == want
+
+
+def test_jaccard_join_low_threshold_exact(ray_session):
+    """low threshold (0.3) exercises long prefixes and the size
+    filter's boundary: results still exactly match brute force."""
+    import itertools
+
+    import ray.data
+
+    from chearch_ray.stages.dedup import jaccard_similarity_join
+
+    rows = [
+        {"doc_id": 1, "text": "a b c d e f g h i j"},
+        {"doc_id": 2, "text": "a b c d e f x y z w"},  # moderate overlap with 1
+        {"doc_id": 3, "text": "a b c d e f g h i k"},  # high overlap with 1
+        {"doc_id": 4, "text": "p q r s t u v"},
+        {"doc_id": 5, "text": "p q r s t u w"},  # moderate overlap with 4
+    ]
+    docs = pa.Table.from_pylist(rows)
+    out = jaccard_similarity_join(ray.data.from_arrow(docs), threshold=0.3).to_pandas()
+    got = {
+        tuple(sorted((int(a), int(b)))): float(j)
+        for a, b, j in zip(out["doc_a"], out["doc_b"], out["jaccard"])
+    }
+    sets = _shingle_sets(docs)
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        inter, union = len(sa & sb), len(sa | sb)
+        if union and inter / union >= 0.3:
+            want[(a, b)] = inter / union
+    assert got == want and len(want) >= 3
+
+
+def test_verify_broadcast_and_join_paths_identical(ray_session, docs):
+    """the byte-gated broadcast verify and the two-hash-join plan must
+    produce identical pairs (broadcast_bytes=0 forces the join plan)."""
+    from functools import partial
+
+    import ray.data
+
+    from chearch_ray.stages.dedup import (
+        _exact_jaccard_packed,
+        dedup_pairs,
+        shingle_payload,
+        verify_pairs_by_join,
+    )
+
+    ds = ray.data.from_arrow(docs)
+    payload = ds.map_batches(
+        partial(shingle_payload, text_column="text", w=3), batch_format="pyarrow"
+    ).materialize()
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([1, 1, 4], type=pa.uint64()),
+                "doc_b": pa.array([2, 3, 5], type=pa.uint64()),
+            }
+        )
+    )
+    fn = partial(_exact_jaccard_packed, threshold=0.0)
+    fast = verify_pairs_by_join(pairs, payload, fn, payload_col="shingles").to_pandas()
+    slow = verify_pairs_by_join(
+        pairs, payload, fn, payload_col="shingles", broadcast_bytes=0
+    ).to_pandas()
+    key = ["doc_a", "doc_b"]
+    fast = fast.sort_values(key).reset_index(drop=True)
+    slow = slow.sort_values(key).reset_index(drop=True)
+    assert fast[key + ["jaccard"]].equals(slow[key + ["jaccard"]])
+    assert len(fast) == 3
+
+
+def test_connected_components_paths_triangles_isolated(ray_session):
+    """hash-to-min CC: a 3-path, a triangle and an isolated pair all
+    resolve to min-id labels."""
+    import ray.data
+
+    from chearch_ray.stages.dedup import connected_components
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 10, 11, 10, 20], type=pa.uint64()),
+            "doc_b": pa.array([2, 3, 11, 12, 12, 21], type=pa.uint64()),
+        }
+    )
+    labels = connected_components(ray.data.from_arrow(pairs)).to_pandas()
+    got = dict(zip(labels["doc_id"].astype(int), labels["keep_id"].astype(int)))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(ray_session):
+    """a 12-node chain needs several hash-to-min rounds — pins the
+    fixpoint iteration, not just the 1-round case."""
+    import ray.data
+
+    from chearch_ray.stages.dedup import connected_components
+
+    n = 12
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(range(100, 100 + n - 1), type=pa.uint64()),
+            "doc_b": pa.array(range(101, 100 + n), type=pa.uint64()),
+        }
+    )
+    labels = connected_components(ray.data.from_arrow(pairs)).to_pandas()
+    got = dict(zip(labels["doc_id"].astype(int), labels["keep_id"].astype(int)))
+    assert got == {100 + i: 100 for i in range(n)}
+
+
+def test_neardup_keep_resolution(ray_session, docs):
+    """pairs -> components -> keep mapping: docs 1,2,3 form one
+    near-dup component kept by min doc_id 1; singletons are absent."""
+    import ray.data
+
+    from chearch_ray.stages.dedup import neardup_keep
+
+    out = neardup_keep(ray.data.from_arrow(docs), threshold=0.5).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["keep_id"].astype(int)))
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_embedding_allpairs_exact_vs_numpy(ray_session, embeddings):
+    """exact all-pairs cosine join == numpy brute force at any
+    threshold; each unordered pair exactly once."""
+    import ray.data
+
+    from chearch_ray.stages.similarity import embedding_allpairs_exact
+
+    mat = np.array(embeddings["embedding"].to_pylist(), dtype=np.float64)
+    matn = normalize_rows(mat)
+    sims = matn @ matn.T
+    for threshold in (0.9, 0.5):
+        out = embedding_allpairs_exact(
+            ray.data.from_arrow(embeddings), threshold=threshold
+        ).to_pandas()
+        got = {tuple(p) for p in zip(out["doc_a"].astype(int), out["doc_b"].astype(int))}
+        assert len(got) == len(out)  # no pair twice
+        want = {
+            (a, b)
+            for a in range(len(mat))
+            for b in range(a + 1, len(mat))
+            if sims[a, b] >= threshold
+        }
+        assert got == want
+        for a, b, c in zip(out["doc_a"], out["doc_b"], out["cosine"]):
+            assert abs(c - sims[int(a), int(b)]) < 1e-12
+    assert (3, 10) in got or sims[3, 10] < 0.5
