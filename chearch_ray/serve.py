@@ -200,26 +200,43 @@ class TcpQueryServer:
     `handler` is anything with .handle(bytes) -> bytes (WireServer /
     WireEngine).  Port 0 picks a free port; `self.port` holds the
     bound port after start().
+
+    Concurrency: handler calls (which may block in ray.get) dispatch
+    to a `workers`-thread pool, so one slow query never head-of-line-
+    blocks other connections — the asyncio loop only shuttles bytes.
+    `workers=4` mirrors the reference's >= 4 forked children sharing
+    the listen socket (tcp/tcp_server.c:24).  Requests on a SINGLE
+    connection stay serialized (the protocol has no request ids to
+    match interleaved responses).
     """
 
-    def __init__(self, handler, host: str = "127.0.0.1", port: int = 3033):
+    def __init__(self, handler, host: str = "127.0.0.1", port: int = 3033,
+                 workers: int = 4):
         self.handler = handler
         self.host = host
         self.port = port
+        self.workers = workers
         self._server = None
         self._loop = None
         self._thread = None
+        self._pool = None
 
     async def _on_connection(self, reader, writer) -> None:
         import asyncio
 
+        loop = asyncio.get_running_loop()
         try:
             while True:
                 data = await reader.read(MAX_REQUEST_BYTES + 1)
                 if not data:
                     break
                 try:
-                    response = self.handler.handle(bytes(data))
+                    # handler work (parse + query + ray.get) runs on
+                    # the pool: other connections' coroutines keep
+                    # serving while this one waits
+                    response = await loop.run_in_executor(
+                        self._pool, self.handler.handle, bytes(data)
+                    )
                 except ValueError:
                     break  # malformed frame: drop the connection
                 writer.write(response)
@@ -235,7 +252,12 @@ class TcpQueryServer:
 
     async def start_async(self) -> None:
         import asyncio
+        from concurrent.futures import ThreadPoolExecutor
 
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.workers, thread_name_prefix="chearch-wire"
+            )
         self._server = await asyncio.start_server(
             self._on_connection, self.host, self.port
         )
@@ -283,6 +305,9 @@ class TcpQueryServer:
             self._loop.call_soon_threadsafe(self._server.close)
             if self._thread is not None:
                 self._thread.join(timeout=5)
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
 
 def query_over_socket(host: str, port: int, program: bytes,

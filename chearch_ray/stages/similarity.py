@@ -426,6 +426,77 @@ def spherical_kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10,
     return centroids
 
 
+def _sample_partial(batch: pa.Table, sample_size: int, id_column: str,
+                    embedding_column: str) -> pa.Table:
+    """batch-local bottom-k by a mixed id hash: the per-batch half of
+    the deterministic order-statistic sample."""
+    ids = batch[id_column].to_numpy().astype(np.int64).view(np.uint64)
+    mixed = (ids ^ (ids >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    mixed = mixed ^ (mixed >> np.uint64(29))
+    k = min(sample_size, len(batch))
+    cut = np.argpartition(mixed, k - 1)[:k] if len(batch) > k else np.arange(len(batch))
+    take = pa.array(np.sort(cut), type=pa.int64())
+    emb = batch[embedding_column]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    return pa.table(
+        {
+            "skey": pa.array(mixed[np.sort(cut)], type=pa.uint64()),
+            embedding_column: emb.take(take),
+        }
+    )
+
+
+def sample_embeddings(ds, sample_size: int, id_column: str = "vec_id",
+                      embedding_column: str = "embedding") -> np.ndarray:
+    """Deterministic uniform sample of `sample_size` embeddings: the
+    bottom-k rows by a mixed hash of the id column (an order-statistic
+    sample — independent of block order/partitioning, so the result is
+    identical however the dataset is laid out).  Per-batch partial
+    bottom-k keeps the driver gather at k x combine_blocks rows.
+
+    Replaces `ds.limit(n)` for quantizer training: first-N in block
+    order sees one region of a sorted/clustered corpus (the common
+    layout at scale) and collapses partition balance."""
+    from functools import partial as _p
+
+    partials = ds.map_batches(
+        _p(_sample_partial, sample_size=sample_size, id_column=id_column,
+           embedding_column=embedding_column),
+        batch_format="pyarrow",
+        batch_size=4096,
+    ).repartition(8).map_batches(
+        _p(_sample_combine, sample_size=sample_size, embedding_column=embedding_column),
+        batch_format="pyarrow",
+        batch_size=None,  # whole blocks: one combine per block
+    )
+    tables = [
+        t for t in partials.iter_batches(batch_size=None, batch_format="pyarrow") if len(t)
+    ]
+    if not tables:
+        return np.empty((0, 0))
+    merged = _sample_combine(
+        pa.concat_tables(tables).combine_chunks(), sample_size, embedding_column
+    )
+    return _embedding_matrix(merged[embedding_column])
+
+
+def _sample_combine(batch: pa.Table, sample_size: int, embedding_column: str) -> pa.Table:
+    keys = batch["skey"].to_numpy().astype(np.uint64)
+    k = min(sample_size, len(batch))
+    if len(batch) > k:
+        cut = np.sort(np.argpartition(keys, k - 1)[:k])
+    else:
+        cut = np.arange(len(batch))
+    emb = batch[embedding_column]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    take = pa.array(cut, type=pa.int64())
+    return pa.table(
+        {"skey": pa.array(keys[cut], type=pa.uint64()), embedding_column: emb.take(take)}
+    )
+
+
 class IVFAssign:
     """map_batches stage: embedding -> nearest-centroid id (the IVF
     coarse assignment).  Centroids broadcast once per actor/task."""
@@ -456,8 +527,12 @@ def ivf_build(ds, n_centroids: int = 16, sample_size: int = 2048, seed: int = 42
     Without it the assignment stays an in-memory Dataset (test path)."""
     import ray
 
-    sample = ds.limit(sample_size).to_pandas()[embedding_column]
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    # deterministic hash-bottom-k sample, NOT limit(n): first-N in
+    # block order is biased on sorted/clustered corpora (quantizer
+    # would see one region and partition balance collapses)
+    mat = sample_embeddings(
+        ds, sample_size, id_column=id_column, embedding_column=embedding_column
+    )
     centroids = spherical_kmeans(mat, n_centroids, seed=seed)
     ref = ray.put(centroids)
     assigned = ds.map_batches(

@@ -384,3 +384,49 @@ def test_tcp_server_over_scale_engine(ray_session, tmp_path):
             srv.stop()
     finally:
         eng.close()
+
+
+def test_tcp_server_concurrent_connections(server):
+    """A slow query on one connection must not head-of-line-block a
+    fast query on another: handler work dispatches to the worker
+    thread pool (the reference forks >= 4 children sharing the listen
+    socket, tcp/tcp_server.c:24)."""
+    import threading
+    import time
+
+    from chearch_ray.serve import TcpQueryServer, query_over_socket
+
+    class SlowFirstHandler:
+        """delays the FIRST request it sees by 1s; later ones are fast."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self._first = threading.Event()
+
+        def handle(self, request: bytes) -> bytes:
+            if not self._first.is_set():
+                self._first.set()
+                time.sleep(1.0)
+            return self.inner.handle(request)
+
+    srv = TcpQueryServer(SlowFirstHandler(server), port=0).start_background()
+    done: dict[str, float] = {}
+    try:
+        def slow():
+            query_over_socket("127.0.0.1", srv.port, _program(2, 3, "and"), timeout=5.0)
+            done["slow"] = time.perf_counter()
+
+        def fast():
+            time.sleep(0.2)  # let the slow request arrive first
+            query_over_socket("127.0.0.1", srv.port, _program(2, 3, "and"), timeout=5.0)
+            done["fast"] = time.perf_counter()
+
+        ts = threading.Thread(target=slow), threading.Thread(target=fast)
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=10)
+        assert "slow" in done and "fast" in done
+        assert done["fast"] < done["slow"], "fast query waited behind the slow one"
+    finally:
+        srv.stop()

@@ -596,3 +596,60 @@ def test_embedding_allpairs_exact_vs_numpy(ray_session, embeddings):
         for a, b, c in zip(out["doc_a"], out["doc_b"], out["cosine"]):
             assert abs(c - sims[int(a), int(b)]) < 1e-12
     assert (3, 10) in got or sims[3, 10] < 0.5
+
+
+def test_ivf_sample_unbiased_on_sorted_corpus(ray_session):
+    """quantizer training sample must cover a cluster-SORTED corpus:
+    limit(n) (the old path) sees only the first cluster; the hash
+    bottom-k sample sees all of them, so per-cluster queries find
+    their own neighborhoods (recall stays high) and partitions
+    balance."""
+    import ray.data
+
+    from chearch_ray.stages.similarity import (
+        ivf_build,
+        ivf_search,
+        knn_brute_force,
+        sample_embeddings,
+    )
+
+    rng = np.random.default_rng(11)
+    n_clusters, per = 4, 250
+    centers = rng.standard_normal((n_clusters, 16)) * 6
+    mat = np.concatenate(
+        [centers[c] + 0.1 * rng.standard_normal((per, 16)) for c in range(n_clusters)]
+    )  # SORTED by cluster — the adversarial layout for limit(n)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), type=pa.int64()),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(table).repartition(8)
+
+    # the sample itself covers every cluster (limit(200) would see 1)
+    sample = sample_embeddings(ds, 200)
+    sims = (sample / np.linalg.norm(sample, axis=1, keepdims=True)) @ (
+        centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    ).T
+    covered = set(np.argmax(sims, axis=1).tolist())
+    assert covered == set(range(n_clusters))
+
+    centroids, assigned = ivf_build(ds, n_centroids=4, sample_size=200)
+    assigned_mat = assigned.materialize()
+    # one query per true cluster; nprobe=1 must still find its own
+    # neighborhood because every cluster got a centroid
+    queries = np.stack([mat[c * per + 7] for c in range(n_clusters)]).astype(np.float64)
+    exact = knn_brute_force(ray.data.from_arrow(table), queries, k=5)
+    approx = ivf_search(assigned_mat, centroids, queries, k=5, nprobe=1)
+    hits = total = 0
+    for qid in range(n_clusters):
+        e = exact.filter(pa.compute.equal(exact["query_id"], qid))["vec_id"].to_pylist()
+        a = approx.filter(pa.compute.equal(approx["query_id"], qid))["vec_id"].to_pylist()
+        hits += len(set(e) & set(a))
+        total += len(e)
+    assert hits / total >= 0.9
+
+    # partition balance: no centroid swallows the whole corpus
+    counts = assigned_mat.to_pandas()["centroid"].value_counts()
+    assert len(counts) == n_clusters and counts.max() <= 2 * per
