@@ -313,6 +313,64 @@ def decode_blocks(
     return doc_ids, tfs
 
 
+# ------------------------------------------------------- positions codec
+# Positions blob: per-occurrence token positions, delta+varint with a
+# restart at each posting boundary (first position absolute, then
+# in-posting diffs — positions are ascending within a posting).  The
+# packed per-posting form is self-contained, so posting runs can be
+# sliced/concatenated byte-wise through the shuffle and index merge
+# without re-encoding.  (ROADMAP item 5: positions were 14% of
+# shuffle-run bytes as parquet list<list<uint32>>.)
+
+def pack_position_lists(pos_lists) -> "pa.Array":
+    """Arrow list<uint32> (one list per posting) -> binary array (one
+    packed varint-delta cell per posting), zero-copy assembled."""
+    import pyarrow as pa
+
+    if isinstance(pos_lists, pa.ChunkedArray):
+        pos_lists = pos_lists.combine_chunks()
+    n = len(pos_lists)
+    offsets = np.asarray(pos_lists.offsets, dtype=np.int64)
+    flat = np.asarray(pos_lists.values, dtype=np.uint64)
+    # .values is the whole child array; offsets index into it absolutely
+    flat = flat[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    if len(flat) == 0:
+        off32 = pa.py_buffer(np.zeros(n + 1, dtype=np.int32).tobytes())
+        return pa.Array.from_buffers(pa.binary(), n, [None, off32, pa.py_buffer(b"")])
+    counts = np.diff(offsets)
+    starts = offsets[:-1][counts > 0]
+    deltas = np.empty_like(flat)
+    deltas[0] = flat[0]
+    deltas[1:] = flat[1:] - flat[:-1]
+    deltas[starts] = flat[starts]
+    lens = varint_byte_lengths(deltas)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    byte_off = cum[offsets]
+    if byte_off[-1] >= (1 << 31):
+        raise ValueError("positions blob exceeds 2 GiB in one batch")
+    off32 = pa.py_buffer(byte_off.astype(np.int32).tobytes())
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, off32, pa.py_buffer(varint_encode(deltas))]
+    )
+
+
+def unpack_position_blob(blob, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """packed positions blob of one term + per-posting occurrence
+    counts -> (flat absolute positions uint64, int64 list offsets)."""
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    total = int(offsets[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    deltas = varint_decode(blob, total)
+    starts = offsets[:-1][counts > 0]
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    base = cs[starts] - deltas[starts]
+    out = cs - np.repeat(base, counts[counts > 0])
+    return out, offsets
+
+
 # ----------------------------------------------------------- BP128 codec
 # Binary packing (FastPFor-family "BP" variant, the PForDelta axis of
 # the north star): per skip block, all deltas after the first are

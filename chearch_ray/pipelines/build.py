@@ -87,7 +87,7 @@ def build_index(
     done_docmap = frozenset(seg_io.completed_parts(index_dir, "docmap")) if resume else frozenset()
     n_parts = cfg.num_segments * cfg.num_term_shards
 
-    if cfg.build_salt > 1:
+    if cfg.build_salt > 1 and cfg.shuffle_mode != "partitioned":
         # ---- salted two-phase path (hot-term skew) -------------------
         tok = corpus.map_batches(
             TokenizePostings(cfg, done_postings),
@@ -182,7 +182,15 @@ def _partitioned_shuffle(unified, index_dir: str, cfg: EngineConfig, done: froze
         # measured WORSE: hashed doc ids keep full entropy, delta or not.
         comp = cfg.run_compression
         kwargs = {"compression_level": 1} if comp == "zstd" else {}
-        unified.write_parquet(run_dir, partition_cols=["part"], compression=comp, **kwargs)
+        # salted partitioned composition (ROADMAP #7): with
+        # build_salt > 1 the salt becomes a SUB-partition of the hive
+        # layout — a hot partition's runs spread across salt dirs
+        # (parallel writers, smaller files); stage-2 finalize reads the
+        # whole part dir (salt subdirs included) and is unchanged, so
+        # output stays byte-identical to the unsalted build.  The
+        # doc-segment capacity cap remains the primary skew guard.
+        part_cols = ["part", "salt"] if cfg.build_salt > 1 else ["part"]
+        unified.write_parquet(run_dir, partition_cols=part_cols, compression=comp, **kwargs)
         if os.environ.get("CHEARCH_RAY_BUILD_STATS"):
             print(unified.stats())
         # write_parquet of an EMPTY dataset (all partitions already
@@ -231,6 +239,67 @@ def _finalize_from_runs(batch, cfg: EngineConfig, index_dir: str):
     return pa.concat_tables(outs)
 
 
+#: part count above which term-stats aggregation goes through Ray
+#: instead of a sequential driver read loop: at the config's own
+#: segment-cap scale note (~6e4 segments x shards) the loop would be
+#: ~10^6 sequential pq.read_table calls on the driver
+TERM_STATS_PARALLEL_PARTS = 64
+
+
+def _aggregate_term_stats(index_dir: str, postings_parts: list[dict],
+                          parallel_threshold: int = TERM_STATS_PARALLEL_PARTS) -> pa.Table:
+    """(term, df) over the committed partition files — byte-identical
+    output from either path:
+      * <= threshold parts: sequential column-pruned reads + one local
+        Arrow groupby (no Ray round-trips for small indexes);
+      * above it: ray.data.read_parquet over all part files (parallel,
+        column-pruned) -> per-block partial sums -> Ray groupby-sum,
+        so the driver never loops over part files.
+    Both sort by term and emit (term string, df uint64)."""
+    if not postings_parts:
+        return pa.table(
+            {"term": pa.array([], type=pa.string()), "df": pa.array([], type=pa.uint64())}
+        )
+    paths = [os.path.join(index_dir, p["path"]) for p in postings_parts]
+    if len(paths) <= parallel_threshold:
+        all_counts = pa.concat_tables(
+            pq.read_table(p, columns=["term", "count"]) for p in paths
+        )
+        return (
+            all_counts.group_by("term", use_threads=False)
+            .aggregate([("count", "sum")])
+            .rename_columns(["term", "df"])
+            .sort_by("term")
+        )
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(paths, columns=["term", "count"])
+    # map-side combiner: the groupby shuffle carries per-block
+    # vocabulary rows, not raw per-part posting-stat rows
+    partials = ds.map_batches(_term_count_partial, batch_format="pyarrow")
+    agg = partials.groupby("term").aggregate(Sum("count", alias_name="df"))
+    tables = [t for t in agg.iter_batches(batch_size=None, batch_format="pyarrow") if len(t)]
+    if not tables:
+        return pa.table(
+            {"term": pa.array([], type=pa.string()), "df": pa.array([], type=pa.uint64())}
+        )
+    merged = pa.concat_tables(tables).combine_chunks()
+    return pa.table(
+        {
+            "term": merged["term"].cast(pa.string()),
+            "df": merged["df"].cast(pa.uint64()),
+        }
+    ).sort_by("term")
+
+
+def _term_count_partial(batch: pa.Table) -> pa.Table:
+    agg = batch.group_by("term", use_threads=False).aggregate([("count", "sum")])
+    return pa.table(
+        {"term": agg["term"], "count": agg["count_sum"].cast(pa.uint64())}
+    )
+
+
 def commit_manifest(index_dir: str, cfg: EngineConfig) -> Manifest:
     """Derive term_stats + global stats from the committed partition
     files (resume-safe: inputs are the files themselves), then publish
@@ -261,23 +330,7 @@ def commit_manifest(index_dir: str, cfg: EngineConfig) -> Manifest:
 
     # term -> global df (sum of per-partition df).  Column-pruned read
     # of the partition files; vocabulary-sized output.
-    tables = []
-    for p in postings_parts:
-        tables.append(
-            pq.read_table(os.path.join(index_dir, p["path"]), columns=["term", "count"])
-        )
-    if tables:
-        all_counts = pa.concat_tables(tables)
-        term_stats = (
-            all_counts.group_by("term", use_threads=False)
-            .aggregate([("count", "sum")])
-            .rename_columns(["term", "df"])
-            .sort_by("term")
-        )
-    else:
-        term_stats = pa.table(
-            {"term": pa.array([], type=pa.string()), "df": pa.array([], type=pa.uint64())}
-        )
+    term_stats = _aggregate_term_stats(index_dir, postings_parts)
     seg_io.atomic_write_table(term_stats, os.path.join(index_dir, "stats", "term_stats.parquet"))
 
     num_docs = sum(p["rows"] for p in docmap_parts)

@@ -40,9 +40,10 @@ _ENGINES: dict[str, QueryEngine] = {}
 
 def _index_dir_for(sf_dir: str) -> str:
     doc_path = os.path.join(sf_dir, "documents.parquet")
-    # key includes the engine config so cached indexes invalidate when
-    # DRIVER_CFG (or the format it implies) changes between rounds
-    key = f"{os.path.abspath(sf_dir)}:{os.path.getsize(doc_path)}:{DRIVER_CFG}"
+    # key includes the engine config AND the on-disk format version so
+    # cached indexes invalidate when DRIVER_CFG or the segment format
+    # changes between rounds (fmt2 = packed positions blobs)
+    key = f"{os.path.abspath(sf_dir)}:{os.path.getsize(doc_path)}:{DRIVER_CFG}:fmt2"
     tag = hashlib.sha256(key.encode()).hexdigest()[:16]
     return os.path.join("/tmp", "chearch_ray_driver_cache", f"idx-{tag}")
 

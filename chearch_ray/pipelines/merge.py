@@ -51,7 +51,7 @@ def _explode_postings_part(path: str, cfg: EngineConfig) -> pa.Table:
     from chearch_ray.functions.codec import decode_postings_any
     from chearch_ray.state.segment import PostingsPartReader
 
-    reader = PostingsPartReader(path, cfg.block_size)
+    reader = PostingsPartReader(path, cfg)
     terms = list(reader.terms)  # file-row order (term-sorted)
     out_doc, out_tf = [], []
     counts = np.empty(len(terms), dtype=np.int64)
@@ -74,11 +74,11 @@ def _explode_postings_part(path: str, cfg: EngineConfig) -> pa.Table:
         "doc_id": pa.array(doc, type=pa.uint64()),
         "tf": pa.array(tf.astype(np.uint32), type=pa.uint32()),
     }
-    pos = reader.positions_column()
+    pos = reader.positions_packed_column()
     if pos is not None:
-        cols["positions"] = pos.flatten()  # per-posting lists, term-major order
+        cols["positions"] = pos  # per-posting packed cells, term-major order
     else:
-        cols["positions"] = pa.nulls(len(doc), type=pa.list_(pa.uint32()))
+        cols["positions"] = pa.nulls(len(doc), type=pa.binary())
     return pa.table(cols)
 
 

@@ -188,6 +188,44 @@ class PostingPartWriter:
         return _finalize_part(self.cfg, self.index_dir, part, g)
 
 
+def _split_run_positions(run_cells: pa.Array, tfs_flat: np.ndarray,
+                         max_positions_per_doc: int) -> pa.Array:
+    """run-level packed positions (one cell per run) -> per-posting
+    cells: one vectorized varint-end scan over the concatenated run
+    bytes, boundaries at each posting's cumulative occurrence count
+    (= tf capped at max_positions_per_doc).  Zero-copy output over the
+    shared data buffer."""
+    n_runs = len(run_cells)
+    n_postings = len(tfs_flat)
+    if n_postings == 0 or run_cells.buffers()[2] is None:
+        return pa.array([b""] * n_postings, type=pa.binary())
+    roff = np.frombuffer(run_cells.buffers()[1], dtype=np.int32)[
+        run_cells.offset : run_cells.offset + n_runs + 1
+    ].astype(np.int64)
+    data = np.frombuffer(run_cells.buffers()[2], dtype=np.uint8)
+    blob = data[roff[0] : roff[-1]]
+    counts = (
+        np.minimum(tfs_flat, max_positions_per_doc)
+        if max_positions_per_doc > 0
+        else tfs_flat
+    )
+    cum = np.cumsum(counts)
+    if len(cum) == 0 or cum[-1] == 0:
+        byte_off = np.zeros(n_postings + 1, dtype=np.int64)
+    else:
+        ends = np.flatnonzero(blob < 0x80)
+        byte_off = np.concatenate(
+            [[0], np.where(cum > 0, ends[np.maximum(cum - 1, 0)] + 1, 0)]
+        )
+        byte_off = np.maximum.accumulate(byte_off)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n_postings,
+        [None, pa.py_buffer(byte_off.astype(np.int32).tobytes()),
+         pa.py_buffer(blob.tobytes())],
+    )
+
+
 def _binary_from_offsets(offsets: np.ndarray, buf: bytes) -> pa.Array:
     """Zero-copy Arrow binary column from an int64 offsets array into
     one shared byte buffer (per-part blobs stay < 2 GiB by segment /
@@ -233,11 +271,37 @@ def _finalize_part(cfg: EngineConfig, index_dir: str, part: int, g: pa.Table) ->
         "block_tf_off": pa.ListArray.from_arrays(blk_off, pa.array(bulk["block_tf_off"], type=pa.int64())),
     }
     if pos_col is not None:
-        # outer list over term boundaries, zero-copy over the sorted
-        # per-posting position lists
-        outer_offsets = pa.array(bounds.astype(np.int32), type=pa.int32())
-        cols["positions"] = pa.ListArray.from_arrays(outer_offsets, pos_col).cast(
-            pa.list_(pa.list_(pa.uint32()))
+        # per-term positions blob: the per-posting packed varint-delta
+        # cells (tokenize packed them once) concatenate BYTE-WISE into
+        # one blob per term — no re-encoding — plus per-skip-block byte
+        # offsets for lazy block decode (same geometry as block_doc_off)
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        poff = np.frombuffer(pos_col.buffers()[1], dtype=np.int32)[
+            pos_col.offset : pos_col.offset + len(pos_col) + 1
+        ].astype(np.int64)
+        pos_buf = pos_col.buffers()[2]
+        term_pos_off = poff[bounds]  # absolute byte offset at each term start
+        if term_pos_off[-1] >= (1 << 31):
+            raise ValueError("positions blob exceeds 2 GiB — raise num_term_shards")
+        cols["pos_blob"] = pa.Array.from_buffers(
+            pa.binary(),
+            len(bounds) - 1,
+            [None, pa.py_buffer(term_pos_off.astype(np.int32).tobytes()), pos_buf],
+        )
+        # per-block byte offsets relative to the term's blob start,
+        # with the block->posting mapping recomputed exactly as the
+        # bulk encoder derives it
+        n_blocks_per_term = np.diff(np.asarray(blk_off)).astype(np.int64)
+        block_term = np.repeat(np.arange(len(starts)), n_blocks_per_term)
+        block_idx_in_term = (
+            np.arange(int(n_blocks_per_term.sum()))
+            - np.asarray(blk_off)[:-1][block_term]
+        )
+        blk_post = starts[block_term] + block_idx_in_term * cfg.block_size
+        pos_block_off = poff[blk_post] - term_pos_off[block_term]
+        cols["pos_off"] = pa.ListArray.from_arrays(
+            blk_off, pa.array(pos_block_off.astype(np.int64), type=pa.int64())
         )
     table = pa.table(cols)
 
@@ -272,7 +336,7 @@ class PartialRunBuilder:
                     ("term", pa.string()),
                     ("doc_ids", pa.list_(pa.uint64())),
                     ("tfs", pa.list_(pa.uint32())),
-                    ("positions", pa.list_(pa.list_(pa.uint32()))),
+                    ("positions", pa.binary()),
                 ]
             ).empty_table()
         order = pc.sort_indices(
@@ -287,14 +351,15 @@ class PartialRunBuilder:
         bounds = pa.array(np.append(starts, len(g)).astype(np.int32), type=pa.int32())
         doc_lists = pa.ListArray.from_arrays(bounds, _combine(g["doc_id"]))
         tf_lists = pa.ListArray.from_arrays(bounds, _combine(g["tf"]))
-        pos_lists = pa.ListArray.from_arrays(bounds, _combine(g["positions"]))
+        from chearch_ray.stages.tokenize import _runs_binary
+
         return pa.table(
             {
                 "part": pa.array([part] * len(starts), type=pa.int32()),
                 "term": codes_arr.dictionary,
                 "doc_ids": doc_lists.cast(pa.list_(pa.uint64())),
                 "tfs": tf_lists.cast(pa.list_(pa.uint32())),
-                "positions": pos_lists.cast(pa.list_(pa.list_(pa.uint32()))),
+                "positions": _runs_binary(_combine(g["positions"]), starts),
             }
         )
 
@@ -318,13 +383,18 @@ class RunMergeWriter:
         lengths = np.asarray(pc.list_value_length(doc_lists)).astype(np.int64)
         term_rep = pc.list_parent_indices(doc_lists)
         terms_flat = _combine(group["term"]).take(term_rep)
+        tfs_flat = _combine(group["tfs"]).flatten()
         flat = pa.table(
             {
                 "part": pa.array(np.full(int(lengths.sum()), part, dtype=np.int32)),
                 "term": terms_flat,
                 "doc_id": doc_lists.flatten(),
-                "tf": _combine(group["tfs"]).flatten(),
-                "positions": _combine(group["positions"]).flatten(),
+                "tf": tfs_flat,
+                "positions": _split_run_positions(
+                    _combine(group["positions"]),
+                    np.asarray(tfs_flat, dtype=np.int64),
+                    self.cfg.max_positions_per_doc,
+                ),
             }
         )
         order = pc.sort_indices(flat, sort_keys=[("term", "ascending"), ("doc_id", "ascending")])

@@ -34,7 +34,8 @@ def _doc_ids_of(batch: pa.Table) -> np.ndarray:
 class TokenizePostings:
     """content -> exploded posting rows
     (part:int32, salt:int32, term:string, doc_id:uint64, tf:uint32,
-    positions:list<uint32>).
+    positions:binary — per-posting varint-delta pack,
+    functions.codec.pack_position_lists).
 
     Aggregates (doc, term) pairs *within the batch* via Arrow hash
     aggregation, so the shuffle moves one row per (doc, term), not one
@@ -85,6 +86,12 @@ class TokenizePostings:
             pos_lists = pc.list_slice(pos_lists, 0, cfg.max_positions_per_doc)
             if isinstance(pos_lists, pa.ChunkedArray):
                 pos_lists = pos_lists.combine_chunks()
+        # pack positions ONCE at the source: the delta+varint cells ride
+        # the shuffle (~1 byte/occurrence vs 4) and are concatenated
+        # byte-wise into the final per-term blob without re-encoding
+        from chearch_ray.functions.codec import pack_position_lists
+
+        packed = pack_position_lists(pos_lists.cast(pa.list_(pa.uint32())))
 
         seg = (g_doc % np.uint64(cfg.num_segments)).astype(np.int64)
         shard = self.sharder.shards(g_term).astype(np.int64)
@@ -101,7 +108,7 @@ class TokenizePostings:
                 "term": g_term,
                 "doc_id": pa.array(g_doc, type=pa.uint64()),
                 "tf": pa.array(tf, type=pa.uint32()),
-                "positions": pos_lists.cast(pa.list_(pa.uint32())),
+                "positions": packed,
             }
         )
         if self.done_parts:
@@ -120,10 +127,17 @@ class TokenizePostings:
 UNIFIED_SCHEMA = pa.schema(
     [
         ("part", pa.int32()),
+        ("salt", pa.int32()),
         ("term", pa.string()),
         ("doc_ids", pa.list_(pa.uint64())),
         ("tfs", pa.list_(pa.uint32())),
-        ("positions", pa.list_(pa.list_(pa.uint32()))),
+        # ONE packed cell per RUN (per-posting varint-delta cells
+        # concatenated): a per-posting binary column would pay parquet's
+        # 4-byte length prefix per posting — measured 136 MB of pure
+        # framing on the 100k bench corpus.  Per-posting boundaries are
+        # recovered from the tfs column (occurrence counts) by a
+        # vectorized varint-end scan at finalize.
+        ("positions", pa.binary()),
         ("doc_id", pa.uint64()),
         ("repo", pa.string()),
         ("path", pa.string()),
@@ -162,13 +176,21 @@ class TokenizeCorpus:
         )
         post = self.posting.postings_from_tokens(batch, doc_ids, lists)
 
-        # ---- map-side combine: (part, term, doc_id) rows -> runs -----
+        # ---- map-side combine: (part, salt, term, doc_id) rows ->
+        # runs (salt sub-partitions the hive exchange when
+        # cfg.build_salt > 1, spreading a hot partition's run files)
         order = pc.sort_indices(
             post,
-            sort_keys=[("part", "ascending"), ("term", "ascending"), ("doc_id", "ascending")],
+            sort_keys=[
+                ("part", "ascending"),
+                ("salt", "ascending"),
+                ("term", "ascending"),
+                ("doc_id", "ascending"),
+            ],
         )
         p = post.take(order)
         part_np = p["part"].to_numpy()
+        salt_np = p["salt"].to_numpy()
         term_arr = p["term"]
         if isinstance(term_arr, pa.ChunkedArray):
             term_arr = term_arr.combine_chunks()
@@ -176,7 +198,11 @@ class TokenizeCorpus:
         change = np.empty(len(p), dtype=bool)
         if len(p):
             change[0] = True
-            change[1:] = (part_np[1:] != part_np[:-1]) | (codes[1:] != codes[:-1])
+            change[1:] = (
+                (part_np[1:] != part_np[:-1])
+                | (salt_np[1:] != salt_np[:-1])
+                | (codes[1:] != codes[:-1])
+            )
         starts = np.flatnonzero(change)
         bounds = pa.array(np.append(starts, len(p)).astype(np.int32), type=pa.int32())
         take_starts = pa.array(starts, type=pa.int64())
@@ -185,6 +211,7 @@ class TokenizeCorpus:
         post_tbl = pa.table(
             {
                 "part": pa.array(part_np[starts], type=pa.int32()),
+                "salt": pa.array(salt_np[starts], type=pa.int32()),
                 "term": term_arr.take(take_starts),
                 "doc_ids": pa.ListArray.from_arrays(bounds, _chunk(p["doc_id"])).cast(
                     pa.list_(pa.uint64())
@@ -192,9 +219,7 @@ class TokenizeCorpus:
                 "tfs": pa.ListArray.from_arrays(bounds, _chunk(p["tf"])).cast(
                     pa.list_(pa.uint32())
                 ),
-                "positions": pa.ListArray.from_arrays(bounds, _chunk(p["positions"])).cast(
-                    pa.list_(pa.list_(pa.uint32()))
-                ),
+                "positions": _runs_binary(_chunk(p["positions"]), starts),
                 "doc_id": pa.nulls(n_runs, type=pa.uint64()),
                 "repo": nulls_s,
                 "path": nulls_s,
@@ -221,10 +246,11 @@ class TokenizeCorpus:
         meta_tbl = pa.table(
             {
                 "part": pa.array(meta_part, type=pa.int32()),
+                "salt": pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
                 "term": pa.nulls(n, type=pa.string()),
                 "doc_ids": pa.nulls(n, type=pa.list_(pa.uint64())),
                 "tfs": pa.nulls(n, type=pa.list_(pa.uint32())),
-                "positions": pa.nulls(n, type=pa.list_(pa.list_(pa.uint32()))),
+                "positions": pa.nulls(n, type=pa.binary()),
                 "doc_id": pa.array(doc_ids, type=pa.uint64()),
                 "repo": col("repo"),
                 "path": col("path"),
@@ -245,6 +271,24 @@ class TokenizeCorpus:
 
 def _chunk(col):
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _runs_binary(per_posting: pa.Array, starts: np.ndarray) -> pa.Array:
+    """per-posting packed cells (binary, contiguous row order) -> one
+    concatenated cell per run, zero-copy over the shared data buffer
+    (run boundaries given by `starts` posting indices)."""
+    n = len(per_posting)
+    if n == 0 or per_posting.buffers()[2] is None:
+        return pa.array([b""] * len(starts), type=pa.binary())
+    poff = np.frombuffer(per_posting.buffers()[1], dtype=np.int32)[
+        per_posting.offset : per_posting.offset + n + 1
+    ].astype(np.int64)
+    run_off = poff[np.append(starts, n)]
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(starts),
+        [None, pa.py_buffer(run_off.astype(np.int32).tobytes()), per_posting.buffers()[2]],
+    )
 
 
 class DocMeta:

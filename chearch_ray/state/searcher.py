@@ -108,7 +108,7 @@ class SegmentSearcher:
             part = cfg.part_id(seg, shard)
             path = os.path.join(index_dir, postings_rel_path(part))
             if os.path.exists(path):
-                self.shards[shard] = PostingsPartReader(path, cfg.block_size)
+                self.shards[shard] = PostingsPartReader(path, cfg)
         docmap_path = os.path.join(index_dir, docmap_rel_path(seg))
         self.docmap = DocmapReader(docmap_path) if os.path.exists(docmap_path) else None
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}

@@ -58,9 +58,12 @@ POSTINGS_SCHEMA = pa.schema(
         ("block_max_tf", pa.list_(pa.uint32())),
         ("block_doc_off", pa.list_(pa.int64())),
         ("block_tf_off", pa.list_(pa.int64())),
-        # outer list aligns with the term's postings; absent when
-        # store_positions=False
-        ("positions", pa.list_(pa.list_(pa.uint32()))),
+        # packed positions: per-term varint-delta blob + per-skip-block
+        # byte offsets; absent when store_positions=False.  (Older
+        # files carried a nested `positions` list<list<uint32>> column
+        # instead — still readable.)
+        ("pos_blob", pa.binary()),
+        ("pos_off", pa.list_(pa.int64())),
     ]
 )
 
@@ -201,9 +204,17 @@ class PostingsPartReader:
     reference analogue: the locale-resident term hash table,
     searchindex.chpl:25-53) and serves per-term EncodedPostings."""
 
-    def __init__(self, path: str, block_size: int):
+    def __init__(self, path: str, cfg_or_block_size):
         table = pq.read_table(path)
-        self.block_size = block_size
+        if hasattr(cfg_or_block_size, "block_size"):
+            cfg = cfg_or_block_size
+            self.block_size = cfg.block_size
+            self._codec = cfg.codec
+            self._max_pos = cfg.max_positions_per_doc
+        else:  # legacy call shape: bare block_size, varint defaults
+            self.block_size = int(cfg_or_block_size)
+            self._codec = "varint"
+            self._max_pos = 0
         self._terms = {t: i for i, t in enumerate(table["term"].to_pylist())}
         self._count = table["count"].to_numpy()
         self._doc_blob = table["doc_blob"]
@@ -212,7 +223,12 @@ class PostingsPartReader:
         self._block_max_tf = table["block_max_tf"]
         self._block_doc_off = table["block_doc_off"]
         self._block_tf_off = table["block_tf_off"]
+        #: packed positions (pos_blob + per-block pos_off); the legacy
+        #: nested list<list<uint32>> column is still readable
+        self._pos_blob = table["pos_blob"] if "pos_blob" in table.column_names else None
+        self._pos_off = table["pos_off"] if "pos_off" in table.column_names else None
         self._positions = table["positions"] if "positions" in table.column_names else None
+        self._pos_decoded: dict[str, "pa.ListArray"] = {}
 
     def __contains__(self, term: str) -> bool:
         return term in self._terms
@@ -248,31 +264,94 @@ class PostingsPartReader:
             block_tf_off=np.asarray(self._block_tf_off[i].values, dtype=np.int64),
         )
 
-    def positions(self, term: str) -> list | None:
-        if self._positions is None:
-            return None
-        i = self._terms.get(term)
-        return None if i is None else self._positions[i].as_py()
+    def _pos_counts(self, term: str) -> np.ndarray:
+        """per-posting stored position counts = tf capped at
+        max_positions_per_doc (the tokenize-side truncation)."""
+        from chearch_ray.functions.codec import decode_postings_any
+
+        enc = self.encoded(term)
+        _, tfs = decode_postings_any(enc, self.block_size, self._codec)
+        tfs = tfs.astype(np.int64)
+        return np.minimum(tfs, self._max_pos) if self._max_pos > 0 else tfs
 
     def positions_arrow(self, term: str):
-        """one term's positions as the Arrow child array
-        (list<uint32>, one row per posting) — no Python conversion;
-        the vectorized phrase path flattens this directly."""
-        if self._positions is None:
-            return None
+        """one term's positions as an Arrow list<uint32> array (one row
+        per posting).  Packed format: ONE vectorized varint decode of
+        the term's blob (cached); legacy format: zero-copy child."""
         i = self._terms.get(term)
         if i is None:
+            return None
+        if self._pos_blob is not None:
+            hit = self._pos_decoded.get(term)
+            if hit is not None:
+                return hit
+            from chearch_ray.functions.codec import unpack_position_blob
+
+            blob = self._pos_blob[i].as_py()
+            counts = self._pos_counts(term)
+            flat, offsets = unpack_position_blob(blob, counts)
+            out = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32), type=pa.int32()),
+                pa.array(flat.astype(np.uint32), type=pa.uint32()),
+            )
+            if len(self._pos_decoded) > 1024:
+                self._pos_decoded.clear()
+            self._pos_decoded[term] = out
+            return out
+        if self._positions is None:
             return None
         scalar = self._positions[i]
         return scalar.values if scalar.is_valid else None
 
-    def positions_column(self):
-        """raw positions column (list<list<uint32>> aligned with file
-        row order) or None when positions were not stored."""
+    def positions(self, term: str) -> list | None:
+        if self._pos_blob is None and self._positions is None:
+            return None
+        arr = self.positions_arrow(term)
+        return None if arr is None else arr.to_pylist()
+
+    def positions_packed_column(self):
+        """per-POSTING packed position cells (binary array, term-major
+        file row order) — the merge path re-ships these bytes through
+        the rebuild without re-encoding.  None when positions were not
+        stored; legacy nested files re-pack."""
+        if self._pos_blob is not None:
+            from chearch_ray.functions.codec import varint_decode
+
+            parts: list[pa.Array] = []
+            for term in self._terms:
+                i = self._terms[term]
+                blob = np.frombuffer(self._pos_blob[i].as_py(), dtype=np.uint8)
+                counts = self._pos_counts(term)
+                # per-posting byte boundaries: varint value ends, taken
+                # at each posting's cumulative occurrence count
+                ends = np.flatnonzero(blob < 0x80)
+                cum = np.cumsum(counts)
+                if len(cum) == 0 or cum[-1] == 0:
+                    byte_off = np.zeros(len(counts) + 1, dtype=np.int64)
+                else:
+                    byte_off = np.concatenate(
+                        [[0], np.where(cum > 0, ends[np.maximum(cum - 1, 0)] + 1, 0)]
+                    )
+                # zero-count postings must inherit the previous offset
+                byte_off = np.maximum.accumulate(byte_off)
+                parts.append(
+                    pa.Array.from_buffers(
+                        pa.binary(),
+                        len(counts),
+                        [None, pa.py_buffer(byte_off.astype(np.int32).tobytes()),
+                         pa.py_buffer(blob.tobytes())],
+                    )
+                )
+            if not parts:
+                return pa.array([], type=pa.binary())
+            return pa.concat_arrays(parts)
         if self._positions is None:
             return None
+        from chearch_ray.functions.codec import pack_position_lists
+
         col = self._positions
-        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pack_position_lists(col.flatten())
 
 
 class DocmapReader:

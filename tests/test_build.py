@@ -175,17 +175,34 @@ def test_actor_engine_matches_local(ray_session, engine, oracle):
 
 # ------------------------------------------------------- salted build
 def test_salted_build_identical_output(ray_session, corpus, tmp_path):
+    """salt composes with BOTH shuffle paths: the default partitioned
+    exchange (salt = hive sub-partition, ROADMAP #7) and the
+    sort-groupby two-phase merge — output byte-identical to the
+    unsalted build either way."""
+    import glob as _glob
+
     import ray.data
 
-    cfg_salt = EngineConfig(
-        num_segments=2, num_term_shards=3, block_size=16, tokenize_batch_size=64, build_salt=4
-    )
-    d1, d2 = str(tmp_path / "plain"), str(tmp_path / "salted")
+    d1 = str(tmp_path / "plain")
     m1 = build_index(ray.data.from_arrow(corpus), d1, CFG)
-    m2 = build_index(ray.data.from_arrow(corpus), d2, cfg_salt)
     shas1 = {p["part"]: p["sha"] for p in m1.postings_parts}
-    shas2 = {p["part"]: p["sha"] for p in m2.postings_parts}
-    assert shas1 == shas2  # same bytes regardless of build path
+    for mode in ("partitioned", "sort"):
+        cfg_salt = EngineConfig(
+            num_segments=2, num_term_shards=3, block_size=16,
+            tokenize_batch_size=64, build_salt=4, shuffle_mode=mode,
+        )
+        d2 = str(tmp_path / f"salted_{mode}")
+        if mode == "partitioned":
+            os.environ["CHEARCH_RAY_KEEP_RUNS"] = "1"
+        try:
+            m2 = build_index(ray.data.from_arrow(corpus), d2, cfg_salt)
+        finally:
+            os.environ.pop("CHEARCH_RAY_KEEP_RUNS", None)
+        shas2 = {p["part"]: p["sha"] for p in m2.postings_parts}
+        assert shas1 == shas2, mode  # same bytes regardless of build path
+        if mode == "partitioned":
+            # the hive layout actually sub-partitioned by salt
+            assert _glob.glob(os.path.join(d2, "_shuffle", "part=*", "salt=*"))
 
 
 # ------------------------------------------------------------- resume
@@ -639,3 +656,32 @@ def test_blockmax_disjunctive_skips_blocks(ray_session, tmp_path):
     hot_blocks = (8000 + cfg.block_size - 1) // cfg.block_size
     assert st["blocks_total"] >= hot_blocks, st
     assert st["blocks_decoded"] < hot_blocks * 0.75, st
+
+
+def test_term_stats_parallel_path_byte_identical(ray_session, tmp_path):
+    """above the part-count threshold commit_manifest aggregates term
+    stats through Ray; the result must be byte-identical to the local
+    sequential path over the same committed parts."""
+    import ray.data
+
+    from chearch_ray.pipelines.build import _aggregate_term_stats
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.segment import Manifest
+
+    cfg = EngineConfig(num_segments=5, num_term_shards=16, tokenize_batch_size=64)
+    idx = str(tmp_path / "many_parts")
+    build_index(ray.data.from_arrow(synthetic_corpus(300, seed=7)), idx, cfg)
+    manifest = Manifest.load(idx)
+    assert len(manifest.postings_parts) > 64  # exercises the Ray path
+
+    local = _aggregate_term_stats(idx, manifest.postings_parts, parallel_threshold=10**9)
+    parallel = _aggregate_term_stats(idx, manifest.postings_parts, parallel_threshold=0)
+    assert local.schema == parallel.schema
+    assert local.equals(parallel)
+
+    # and the committed stats file (written by build above, which took
+    # the parallel path since parts > threshold) matches the local path
+    import pyarrow.parquet as pq
+
+    committed = pq.read_table(os.path.join(idx, manifest.term_stats_path))
+    assert committed.equals(local)
