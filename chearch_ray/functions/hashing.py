@@ -55,6 +55,36 @@ def doc_id_from_keys(
     return out
 
 
+def doc_id_wide_from_keys(
+    repo: pa.Array | list, path: pa.Array | list, commit: pa.Array | list
+) -> tuple[np.ndarray, np.ndarray]:
+    """(repo, path, commit) -> (hi, lo) uint64 pair per row: the
+    128-bit external id of `EngineConfig.doc_id_bits=128` mode
+    (blake2b-16; birthday collisions ~0 at 10^12 docs, vs ~3e4 for
+    the 64-bit ids — ROADMAP #6)."""
+    hi = np.empty(len(repo), dtype=np.uint64)
+    lo = np.empty(len(repo), dtype=np.uint64)
+    h = hashlib.blake2b
+    for i, (r, p, c) in enumerate(zip(repo, path, commit)):
+        key = f"{r}\x00{p}\x00{c}".encode()
+        d = h(key, digest_size=16).digest()
+        hi[i] = int.from_bytes(d[:8], "big")
+        lo[i] = int.from_bytes(d[8:], "big")
+    return hi, lo
+
+
+def key16(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """(hi, lo) uint64 pairs -> 'S16' big-endian byte keys whose
+    BYTEWISE order equals the numeric (hi, lo) order — numpy sorts and
+    searchsorted work on fixed-width bytes, giving vectorized 128-bit
+    comparisons without a 128-bit integer dtype."""
+    n = len(hi)
+    rec = np.empty(n, dtype=[("h", ">u8"), ("l", ">u8")])
+    rec["h"] = hi
+    rec["l"] = lo
+    return rec.view("S16").reshape(n)
+
+
 def term_hash64(term: str) -> int:
     """Stable 64-bit hash of a term string."""
     return int.from_bytes(hashlib.blake2b(term.encode(), digest_size=8).digest(), "big")

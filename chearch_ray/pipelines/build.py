@@ -63,6 +63,11 @@ def build_index(
     dedup: "none" (default — row-for-row parity with the input, and
     the reference is append-only, search.chpl:38-39) or "exact"
     (sha256(content) dedup before indexing, min doc key wins)."""
+    if cfg.doc_id_bits == 128 and (cfg.shuffle_mode != "partitioned" or cfg.build_salt > 1):
+        raise ValueError(
+            "doc_id_bits=128 requires shuffle_mode='partitioned' with build_salt=1 "
+            "(docmap ordinals are assigned before postings finalize)"
+        )
     if resume and seg_io.manifest_exists(index_dir):
         return Manifest.load(index_dir)
     if not resume:
@@ -206,10 +211,15 @@ def _partitioned_shuffle(unified, index_dir: str, cfg: EngineConfig, done: froze
         part = int(os.path.basename(d).split("=")[1])
         if part not in done:
             items.append({"part": part, "dir": d})
-    if items:
+
+    def _run_wave(wave_items: list[dict]) -> None:
+        if not wave_items:
+            return
         # one block per partition so each finalize runs as its own
         # task (from_items packs everything into one block otherwise)
-        finalize_ds = ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        finalize_ds = ray.data.from_items(
+            wave_items, override_num_blocks=len(wave_items)
+        ).map_batches(
             partial(_finalize_from_runs, cfg=cfg, index_dir=index_dir),
             batch_format="pyarrow",
             batch_size=1,
@@ -218,6 +228,17 @@ def _partitioned_shuffle(unified, index_dir: str, cfg: EngineConfig, done: froze
         finalize_ds.take_all()
         if os.environ.get("CHEARCH_RAY_BUILD_STATS"):
             print(finalize_ds.stats())
+
+    if cfg.doc_id_bits == 128:
+        # wide-id builds finalize the DOCMAPS first: posting finalize
+        # maps (hi, lo) external ids to segment-local ordinals via the
+        # committed docmap (reference internal-docIndex/externalDocId
+        # split, documentid.chpl:17-24)
+        n_posting_parts = cfg.num_segments * cfg.num_term_shards
+        _run_wave([it for it in items if it["part"] >= n_posting_parts])
+        _run_wave([it for it in items if it["part"] < n_posting_parts])
+    else:
+        _run_wave(items)
     if not os.environ.get("CHEARCH_RAY_KEEP_RUNS"):  # debugging / byte audits
         shutil.rmtree(run_dir, ignore_errors=True)
 

@@ -140,7 +140,13 @@ def merge_indexes(input_dirs: list[str], out_dir: str) -> Manifest:
     """Merge built indexes (same structural config, disjoint doc ids)
     into `out_dir`; per-partition ray tasks, no global shuffle.  Output
     partitions are byte-identical to a from-scratch build over the
-    union corpus."""
+    union corpus.
+
+    doc_id_bits=128 indexes are not mergeable yet: their posting
+    values are per-index segment-local ordinals, so a merge must remap
+    ordinals through both docmaps (external-id level) — rebuild over
+    the union corpus instead (explicit error, never a silent
+    ordinal-space mixup)."""
     import dataclasses
 
     import ray.data
@@ -152,6 +158,11 @@ def merge_indexes(input_dirs: list[str], out_dir: str) -> Manifest:
         for f in _STRUCTURAL:
             if getattr(other, f) != getattr(cfg, f):
                 raise ValueError(f"merge inputs disagree on {f}")
+    if cfg.doc_id_bits == 128:
+        raise NotImplementedError(
+            "merge of doc_id_bits=128 indexes: posting values are per-index "
+            "ordinals — rebuild over the union corpus"
+        )
 
     # purge any previous index's state in out_dir — stale lineage
     # records would verify and be folded into the merged manifest by

@@ -146,15 +146,25 @@ class WireEngine:
         program = parse_request(request)
         int_tree = chasm_mod.parse_chasm(program)
         tree = self._resolve(int_tree)
-        docs = self.engine.search_boolean(tree)["doc_id"].to_pylist()
+        t = self.engine.search_boolean(tree)
+        docs = t["doc_id"].to_pylist()
+        # wide-id indexes project the external (hi, lo) pair; the
+        # 13-byte wire record carries the LOW word (the reference's
+        # externalDocId is 8 bytes) but position lookups resolve
+        # through the full pair
+        his = (
+            t["doc_id_hi"].to_pylist()
+            if "doc_id_hi" in t.column_names
+            else [None] * len(docs)
+        )
         terms = self._match_terms(tree)
         searchers = (
             self.engine._local if not self.engine.use_actors else None
         )
         records: list[QueryResult] = []
-        for doc in docs:
+        for doc, hi in zip(docs, his):
             for term in terms:
-                first = self._first_position(term, doc, searchers)
+                first = self._first_position(term, doc, searchers, doc_hi=hi)
                 if first is None:
                     continue
                 records.append(
@@ -168,18 +178,18 @@ class WireEngine:
                     return encode_response(records)
         return encode_response(records)
 
-    def _first_position(self, term: str, doc: int, searchers):
+    def _first_position(self, term: str, doc: int, searchers, doc_hi: int | None = None):
         seg = int(doc) % self.engine.cfg.num_segments
         if searchers is not None:
             for s in searchers:
                 if s.seg == seg:
-                    return s.first_position(term, doc)
+                    return s.first_position(term, doc, doc_hi=doc_hi)
             return None
         import ray
 
         for segs, actor in zip(self.engine.actor_segments, self.engine._actors):
             if seg in segs:
-                return ray.get(actor.first_position.remote(term, doc))
+                return ray.get(actor.first_position.remote(term, doc, doc_hi=doc_hi))
         return None
 
 

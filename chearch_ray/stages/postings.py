@@ -21,6 +21,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from chearch_ray.config import EngineConfig
 from chearch_ray.functions.codec import encode_postings_bp, encode_postings_bulk
@@ -97,23 +98,26 @@ def write_unified_part(group: pa.Table, cfg: EngineConfig, index_dir: str) -> pa
         return _empty_summary()
     part = int(group["part"][0].as_py())
     n_posting_parts = cfg.num_segments * cfg.num_term_shards
+    wide = cfg.doc_id_bits == 128
     if part < n_posting_parts:
         cols = ["part", "term", "doc_ids", "tfs", "positions"]
+        if wide:
+            cols.append("doc_his")
         return RunMergeWriter(cfg, index_dir)(group.select(cols))
     seg_id = part - n_posting_parts
-    meta = pa.table(
-        {
-            "seg": pa.array([seg_id] * len(group), type=pa.int32()),
-            "doc_id": group["doc_id"],
-            "repo": group["repo"],
-            "path": group["path"],
-            "commit": group["commit"],
-            "lang": group["lang"],
-            "doc_len": group["doc_len"],
-            "content_sha": group["content_sha"],
-        }
-    )
-    return DocmapWriter(cfg, index_dir)(meta)
+    meta_cols = {
+        "seg": pa.array([seg_id] * len(group), type=pa.int32()),
+        "doc_id": group["doc_id"],
+        "repo": group["repo"],
+        "path": group["path"],
+        "commit": group["commit"],
+        "lang": group["lang"],
+        "doc_len": group["doc_len"],
+        "content_sha": group["content_sha"],
+    }
+    if wide:
+        meta_cols["doc_id_hi"] = group["doc_id_hi"]
+    return DocmapWriter(cfg, index_dir)(pa.table(meta_cols))
 
 
 _SUMMARY_SCHEMA = pa.schema(
@@ -237,9 +241,35 @@ def _binary_from_offsets(offsets: np.ndarray, buf: bytes) -> pa.Array:
 
 
 def _finalize_part(cfg: EngineConfig, index_dir: str, part: int, g: pa.Table) -> pa.Table:
-    """g: rows of one partition, sorted by (term, doc_id)."""
+    """g: rows of one partition, sorted by (term, doc_id) — or
+    (term, doc_hi, doc_id) in wide mode, where the external (hi, lo)
+    pairs are mapped here to SEGMENT-LOCAL ORDINALS via the segment's
+    committed docmap (sorted by (hi, lo), so ordinal order == external
+    order and the ascending-doc-id codec invariants hold unchanged)."""
     terms = _combine(g["term"])
     doc = g["doc_id"].to_numpy().astype(np.uint64)
+    if "doc_hi" in g.column_names and cfg.doc_id_bits == 128:
+        from chearch_ray.functions.hashing import key16
+
+        seg_id = part // cfg.num_term_shards
+        dm = pq.read_table(
+            os.path.join(index_dir, seg_io.docmap_rel_path(seg_id)),
+            columns=["doc_id_hi", "doc_id"],
+        )
+        dm_keys = key16(
+            dm["doc_id_hi"].to_numpy().astype(np.uint64),
+            dm["doc_id"].to_numpy().astype(np.uint64),
+        )
+        q = key16(g["doc_hi"].to_numpy().astype(np.uint64), doc)
+        pos = np.searchsorted(dm_keys, q)
+        pos_c = np.minimum(pos, max(len(dm_keys) - 1, 0))
+        if len(dm_keys) == 0 or not (dm_keys[pos_c] == q).all():
+            raise ValueError(
+                f"postings/docmap divergence in part {part}: external id "
+                f"missing from segment {seg_id} docmap"
+            )
+        doc = pos_c.astype(np.uint64)
+        g = g.drop_columns(["doc_hi"])
     tf = g["tf"].to_numpy().astype(np.uint64)
     has_pos = cfg.store_positions and "positions" in g.column_names
     pos_col = _combine(g["positions"]) if has_pos else None
@@ -384,20 +414,23 @@ class RunMergeWriter:
         term_rep = pc.list_parent_indices(doc_lists)
         terms_flat = _combine(group["term"]).take(term_rep)
         tfs_flat = _combine(group["tfs"]).flatten()
-        flat = pa.table(
-            {
-                "part": pa.array(np.full(int(lengths.sum()), part, dtype=np.int32)),
-                "term": terms_flat,
-                "doc_id": doc_lists.flatten(),
-                "tf": tfs_flat,
-                "positions": _split_run_positions(
-                    _combine(group["positions"]),
-                    np.asarray(tfs_flat, dtype=np.int64),
-                    self.cfg.max_positions_per_doc,
-                ),
-            }
-        )
-        order = pc.sort_indices(flat, sort_keys=[("term", "ascending"), ("doc_id", "ascending")])
+        flat_cols = {
+            "part": pa.array(np.full(int(lengths.sum()), part, dtype=np.int32)),
+            "term": terms_flat,
+            "doc_id": doc_lists.flatten(),
+            "tf": tfs_flat,
+            "positions": _split_run_positions(
+                _combine(group["positions"]),
+                np.asarray(tfs_flat, dtype=np.int64),
+                self.cfg.max_positions_per_doc,
+            ),
+        }
+        sort_keys = [("term", "ascending"), ("doc_id", "ascending")]
+        if "doc_his" in group.column_names:
+            flat_cols["doc_hi"] = _combine(group["doc_his"]).flatten()
+            sort_keys = [("term", "ascending"), ("doc_hi", "ascending"), ("doc_id", "ascending")]
+        flat = pa.table(flat_cols)
+        order = pc.sort_indices(flat, sort_keys=sort_keys)
         return _finalize_part(self.cfg, self.index_dir, part, flat.take(order))
 
 
@@ -413,8 +446,26 @@ class DocmapWriter:
         if len(group) == 0:
             return _empty_summary()
         seg = int(group["seg"][0].as_py())
-        g = group.sort_by("doc_id").drop_columns(["seg"])
-        g = g.cast(seg_io.DOCMAP_SCHEMA)
+        if self.cfg.doc_id_bits == 128:
+            # wide mode: row order IS the ordinal assignment — sorted
+            # by external (hi, lo), so ordinal order mirrors external
+            # order; duplicate externals would corrupt the mapping
+            g = group.sort_by(
+                [("doc_id_hi", "ascending"), ("doc_id", "ascending")]
+            ).drop_columns(["seg"])
+            g = g.select([f.name for f in seg_io.DOCMAP_SCHEMA_WIDE]).cast(
+                seg_io.DOCMAP_SCHEMA_WIDE
+            )
+            hi = g["doc_id_hi"].to_numpy()
+            lo = g["doc_id"].to_numpy()
+            dup = (hi[1:] == hi[:-1]) & (lo[1:] == lo[:-1])
+            if dup.any():
+                raise ValueError(
+                    f"duplicate external (hi, lo) doc id in segment {seg}"
+                )
+        else:
+            g = group.sort_by("doc_id").drop_columns(["seg"])
+            g = g.cast(seg_io.DOCMAP_SCHEMA)
         rel = seg_io.docmap_rel_path(seg)
         full = os.path.join(self.index_dir, rel)
         seg_io.atomic_write_table(g, full)

@@ -31,6 +31,25 @@ def _doc_ids_of(batch: pa.Table) -> np.ndarray:
     )
 
 
+def _doc_ids_wide_of(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) uint64 external ids for doc_id_bits=128 mode: reuse
+    doc_id_hi/doc_id columns when present (hi defaults to 0 so 64-bit
+    corpora embed naturally), else derive blake2b-128 from keys."""
+    from chearch_ray.functions.hashing import doc_id_wide_from_keys
+
+    if "doc_id" in batch.column_names:
+        lo = batch["doc_id"].to_numpy().astype(np.uint64)
+        hi = (
+            batch["doc_id_hi"].to_numpy().astype(np.uint64)
+            if "doc_id_hi" in batch.column_names
+            else np.zeros(len(lo), dtype=np.uint64)
+        )
+        return hi, lo
+    return doc_id_wide_from_keys(
+        batch["repo"].to_pylist(), batch["path"].to_pylist(), batch["commit"].to_pylist()
+    )
+
+
 class TokenizePostings:
     """content -> exploded posting rows
     (part:int32, salt:int32, term:string, doc_id:uint64, tf:uint32,
@@ -50,28 +69,34 @@ class TokenizePostings:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        doc_ids = _doc_ids_of(batch)
         lists = tokenize(
             batch["content"],
             lowercase=cfg.lowercase,
             split_subtokens=cfg.split_subtokens,
             split_regex=cfg.token_split_regex,
         )
-        return self.postings_from_tokens(batch, doc_ids, lists)
+        if cfg.doc_id_bits == 128:
+            doc_his, doc_ids = _doc_ids_wide_of(batch)
+            return self.postings_from_tokens(batch, doc_ids, lists, doc_his=doc_his)
+        return self.postings_from_tokens(batch, _doc_ids_of(batch), lists)
 
     def postings_from_tokens(
-        self, batch: pa.Table, doc_ids: np.ndarray, lists: pa.ListArray
+        self, batch: pa.Table, doc_ids: np.ndarray, lists: pa.ListArray,
+        doc_his: np.ndarray | None = None,
     ) -> pa.Table:
         cfg = self.cfg
         values, row_idx, positions = explode(lists)
-        exploded = pa.table(
-            {
-                "term": values,
-                "doc_id": pa.array(doc_ids[row_idx], type=pa.uint64()),
-                "pos": pa.array(positions.astype(np.uint32), type=pa.uint32()),
-            }
-        )
-        grouped = exploded.group_by(["doc_id", "term"], use_threads=False).aggregate(
+        cols = {
+            "term": values,
+            "doc_id": pa.array(doc_ids[row_idx], type=pa.uint64()),
+            "pos": pa.array(positions.astype(np.uint32), type=pa.uint32()),
+        }
+        keys = ["doc_id", "term"]
+        if doc_his is not None:
+            cols["doc_hi"] = pa.array(doc_his[row_idx], type=pa.uint64())
+            keys = ["doc_hi", "doc_id", "term"]
+        exploded = pa.table(cols)
+        grouped = exploded.group_by(keys, use_threads=False).aggregate(
             [("pos", "list"), ("pos", "count")]
         )
         g_doc = grouped["doc_id"].to_numpy().astype(np.uint64)
@@ -101,16 +126,17 @@ class TokenizePostings:
             if cfg.build_salt > 1
             else np.zeros(len(g_doc), dtype=np.int32)
         )
-        out = pa.table(
-            {
-                "part": pa.array(part, type=pa.int32()),
-                "salt": pa.array(salt, type=pa.int32()),
-                "term": g_term,
-                "doc_id": pa.array(g_doc, type=pa.uint64()),
-                "tf": pa.array(tf, type=pa.uint32()),
-                "positions": packed,
-            }
-        )
+        out_cols = {
+            "part": pa.array(part, type=pa.int32()),
+            "salt": pa.array(salt, type=pa.int32()),
+            "term": g_term,
+            "doc_id": pa.array(g_doc, type=pa.uint64()),
+            "tf": pa.array(tf, type=pa.uint32()),
+            "positions": packed,
+        }
+        if doc_his is not None:
+            out_cols["doc_hi"] = grouped["doc_hi"].cast(pa.uint64())
+        out = pa.table(out_cols)
         if self.done_parts:
             mask = np.isin(part, np.fromiter(self.done_parts, dtype=np.int32), invert=True)
             out = out.filter(pa.array(mask))
@@ -149,6 +175,17 @@ UNIFIED_SCHEMA = pa.schema(
 )
 
 
+def unified_schema(cfg: EngineConfig) -> pa.Schema:
+    """UNIFIED_SCHEMA, plus the external-id hi columns in
+    doc_id_bits=128 mode (doc_his per posting run, doc_id_hi per
+    docmap row)."""
+    if cfg.doc_id_bits != 128:
+        return UNIFIED_SCHEMA
+    return UNIFIED_SCHEMA.append(pa.field("doc_his", pa.list_(pa.uint64()))).append(
+        pa.field("doc_id_hi", pa.uint64())
+    )
+
+
 class TokenizeCorpus:
     """Single-pass build stage: tokenize ONCE, emit posting RUNS and
     docmap rows in one unified table — the corpus is read and
@@ -166,28 +203,33 @@ class TokenizeCorpus:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
+        wide = cfg.doc_id_bits == 128
         n_posting_parts = cfg.num_segments * cfg.num_term_shards
-        doc_ids = _doc_ids_of(batch)
         lists = tokenize(
             batch["content"],
             lowercase=cfg.lowercase,
             split_subtokens=cfg.split_subtokens,
             split_regex=cfg.token_split_regex,
         )
-        post = self.posting.postings_from_tokens(batch, doc_ids, lists)
+        if wide:
+            doc_his, doc_ids = _doc_ids_wide_of(batch)
+            post = self.posting.postings_from_tokens(batch, doc_ids, lists, doc_his=doc_his)
+        else:
+            doc_his, doc_ids = None, _doc_ids_of(batch)
+            post = self.posting.postings_from_tokens(batch, doc_ids, lists)
 
         # ---- map-side combine: (part, salt, term, doc_id) rows ->
         # runs (salt sub-partitions the hive exchange when
         # cfg.build_salt > 1, spreading a hot partition's run files)
-        order = pc.sort_indices(
-            post,
-            sort_keys=[
-                ("part", "ascending"),
-                ("salt", "ascending"),
-                ("term", "ascending"),
-                ("doc_id", "ascending"),
-            ],
-        )
+        sort_keys = [
+            ("part", "ascending"),
+            ("salt", "ascending"),
+            ("term", "ascending"),
+        ]
+        if wide:
+            sort_keys.append(("doc_hi", "ascending"))
+        sort_keys.append(("doc_id", "ascending"))
+        order = pc.sort_indices(post, sort_keys=sort_keys)
         p = post.take(order)
         part_np = p["part"].to_numpy()
         salt_np = p["salt"].to_numpy()
@@ -208,28 +250,32 @@ class TokenizeCorpus:
         take_starts = pa.array(starts, type=pa.int64())
         n_runs = len(starts)
         nulls_s = pa.nulls(n_runs, type=pa.string())
-        post_tbl = pa.table(
-            {
-                "part": pa.array(part_np[starts], type=pa.int32()),
-                "salt": pa.array(salt_np[starts], type=pa.int32()),
-                "term": term_arr.take(take_starts),
-                "doc_ids": pa.ListArray.from_arrays(bounds, _chunk(p["doc_id"])).cast(
-                    pa.list_(pa.uint64())
-                ),
-                "tfs": pa.ListArray.from_arrays(bounds, _chunk(p["tf"])).cast(
-                    pa.list_(pa.uint32())
-                ),
-                "positions": _runs_binary(_chunk(p["positions"]), starts),
-                "doc_id": pa.nulls(n_runs, type=pa.uint64()),
-                "repo": nulls_s,
-                "path": nulls_s,
-                "commit": nulls_s,
-                "lang": nulls_s,
-                "doc_len": pa.nulls(n_runs, type=pa.uint32()),
-                "content_sha": nulls_s,
-            },
-            schema=UNIFIED_SCHEMA,
-        )
+        schema = unified_schema(cfg)
+        post_cols = {
+            "part": pa.array(part_np[starts], type=pa.int32()),
+            "salt": pa.array(salt_np[starts], type=pa.int32()),
+            "term": term_arr.take(take_starts),
+            "doc_ids": pa.ListArray.from_arrays(bounds, _chunk(p["doc_id"])).cast(
+                pa.list_(pa.uint64())
+            ),
+            "tfs": pa.ListArray.from_arrays(bounds, _chunk(p["tf"])).cast(
+                pa.list_(pa.uint32())
+            ),
+            "positions": _runs_binary(_chunk(p["positions"]), starts),
+            "doc_id": pa.nulls(n_runs, type=pa.uint64()),
+            "repo": nulls_s,
+            "path": nulls_s,
+            "commit": nulls_s,
+            "lang": nulls_s,
+            "doc_len": pa.nulls(n_runs, type=pa.uint32()),
+            "content_sha": nulls_s,
+        }
+        if wide:
+            post_cols["doc_his"] = pa.ListArray.from_arrays(
+                bounds, _chunk(p["doc_hi"])
+            ).cast(pa.list_(pa.uint64()))
+            post_cols["doc_id_hi"] = pa.nulls(n_runs, type=pa.uint64())
+        post_tbl = pa.table(post_cols, schema=schema)
 
         # ---- docmap rows ---------------------------------------------
         seg = (doc_ids % np.uint64(cfg.num_segments)).astype(np.int64)
@@ -243,24 +289,25 @@ class TokenizeCorpus:
                 return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
             return pa.array([""] * n, type=pa.string())
 
-        meta_tbl = pa.table(
-            {
-                "part": pa.array(meta_part, type=pa.int32()),
-                "salt": pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
-                "term": pa.nulls(n, type=pa.string()),
-                "doc_ids": pa.nulls(n, type=pa.list_(pa.uint64())),
-                "tfs": pa.nulls(n, type=pa.list_(pa.uint32())),
-                "positions": pa.nulls(n, type=pa.binary()),
-                "doc_id": pa.array(doc_ids, type=pa.uint64()),
-                "repo": col("repo"),
-                "path": col("path"),
-                "commit": col("commit"),
-                "lang": col("lang"),
-                "doc_len": pa.array(doc_len, type=pa.uint32()),
-                "content_sha": sha256_hex(batch["content"]),
-            },
-            schema=UNIFIED_SCHEMA,
-        )
+        meta_cols = {
+            "part": pa.array(meta_part, type=pa.int32()),
+            "salt": pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
+            "term": pa.nulls(n, type=pa.string()),
+            "doc_ids": pa.nulls(n, type=pa.list_(pa.uint64())),
+            "tfs": pa.nulls(n, type=pa.list_(pa.uint32())),
+            "positions": pa.nulls(n, type=pa.binary()),
+            "doc_id": pa.array(doc_ids, type=pa.uint64()),
+            "repo": col("repo"),
+            "path": col("path"),
+            "commit": col("commit"),
+            "lang": col("lang"),
+            "doc_len": pa.array(doc_len, type=pa.uint32()),
+            "content_sha": sha256_hex(batch["content"]),
+        }
+        if wide:
+            meta_cols["doc_his"] = pa.nulls(n, type=pa.list_(pa.uint64()))
+            meta_cols["doc_id_hi"] = pa.array(doc_his, type=pa.uint64())
+        meta_tbl = pa.table(meta_cols, schema=schema)
         if self.done_parts:
             mask = np.isin(
                 meta_part, np.fromiter(self.done_parts, dtype=np.int32), invert=True

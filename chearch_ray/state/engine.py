@@ -25,6 +25,22 @@ from chearch_ray.state.searcher import SearcherGroup, SegmentSearcher, bm25_idf,
 from chearch_ray.state.segment import Manifest
 
 
+def _merge_tie_key(merged: "pa.Table"):
+    """deterministic cross-segment tie-break key: external (hi, lo)
+    packed bytes in doc_id_bits=128 mode (doc_id alone is only the low
+    word there), plain doc_id otherwise."""
+    import numpy as _np
+
+    if "doc_id_hi" in merged.column_names:
+        from chearch_ray.functions.hashing import key16
+
+        return key16(
+            merged["doc_id_hi"].to_numpy().astype(_np.uint64),
+            merged["doc_id"].to_numpy().astype(_np.uint64),
+        )
+    return merged["doc_id"].to_numpy()
+
+
 def parse_query(query: str | ast.Node, default_op: str = "or") -> ast.Node:
     """whitespace-separated terms -> left-deep Or/And tree (terms are
     lowercased to match the tokenizer)."""
@@ -123,8 +139,7 @@ class QueryEngine:
         if len(merged) == 0:
             return merged
         scores = merged["score"].to_numpy()
-        doc_ids = merged["doc_id"].to_numpy()
-        order = topk_order(scores, doc_ids, k)
+        order = topk_order(scores, _merge_tie_key(merged), k)
         return merged.take(pa.array(order, type=pa.int64()))
 
     def search_boolean(self, query: str | ast.Node, default_op: str = "or") -> pa.Table:
@@ -140,7 +155,7 @@ class QueryEngine:
         merged = pa.concat_tables(tables)
         if len(merged) == 0:
             return merged
-        order = np.argsort(merged["doc_id"].to_numpy(), kind="stable")
+        order = np.argsort(_merge_tie_key(merged), kind="stable")
         return merged.take(pa.array(order, type=pa.int64()))
 
     def close(self) -> None:
@@ -176,7 +191,7 @@ class QueryEngine:
             return merged
         qids = merged["query_id"].to_numpy()
         scores = merged["score"].to_numpy()
-        doc_ids = merged["doc_id"].to_numpy()
+        doc_ids = _merge_tie_key(merged)
         keep: list[int] = []
         for q in range(len(nodes)):
             m = np.flatnonzero(qids == q)
@@ -204,5 +219,5 @@ class QueryEngine:
         merged = pa.concat_tables(tables)
         if len(merged) == 0:
             return merged
-        order = topk_order(merged["score"].to_numpy(), merged["doc_id"].to_numpy(), k)
+        order = topk_order(merged["score"].to_numpy(), _merge_tie_key(merged), k)
         return merged.take(pa.array(order, type=pa.int64()))

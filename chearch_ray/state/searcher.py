@@ -440,7 +440,20 @@ class SegmentSearcher:
 
     # -------------------------------------------------------- projection
     def _project(self, doc_ids: np.ndarray, scores: np.ndarray | None) -> pa.Table:
-        cols: dict = {"doc_id": pa.array(doc_ids.astype(np.uint64), type=pa.uint64())}
+        wide = self.docmap is not None and getattr(self.docmap, "wide", False)
+        if wide:
+            # posting values are segment-local ordinals; results carry
+            # the EXTERNAL (hi, lo) id pair
+            if len(doc_ids):
+                hi, lo = self.docmap.external_ids(doc_ids)
+            else:
+                hi = lo = np.empty(0, dtype=np.uint64)
+            cols: dict = {
+                "doc_id_hi": pa.array(hi, type=pa.uint64()),
+                "doc_id": pa.array(lo, type=pa.uint64()),
+            }
+        else:
+            cols = {"doc_id": pa.array(doc_ids.astype(np.uint64), type=pa.uint64())}
         if scores is not None:
             cols["score"] = pa.array(scores.astype(np.float64), type=pa.float64())
         if self.docmap is not None and len(doc_ids):
@@ -502,10 +515,19 @@ class SegmentSearcher:
         self._pos_cache[term] = out
         return out
 
-    def first_position(self, term: str, doc_id: int):
+    def first_position(self, term: str, doc_id: int, doc_hi: int | None = None):
         """First token position of `term` in `doc_id`, 0 when the doc
         matches but positions are not stored, None when the doc does
-        not contain the term (serving-layer helper)."""
+        not contain the term (serving-layer helper).  In wide-id mode
+        pass the external pair (`doc_hi`, `doc_id`) — it resolves to
+        the posting ordinal through the docmap."""
+        if doc_hi is not None and self.docmap is not None and getattr(self.docmap, "wide", False):
+            ordv = self.docmap.ordinals_for(
+                np.array([doc_hi], dtype=np.uint64), np.array([doc_id], dtype=np.uint64)
+            )[0]
+            if ordv < 0:
+                return None
+            doc_id = int(ordv)
         docs, _ = self.postings(term)
         i = int(np.searchsorted(docs, np.uint64(doc_id)))
         if i >= len(docs) or docs[i] != np.uint64(doc_id):
@@ -651,9 +673,9 @@ class SearcherGroup:
     def search_phrase(self, terms, k, idfs, avgdl) -> pa.Table:
         return pa.concat_tables([m.search_phrase(terms, k, idfs, avgdl) for m in self.members])
 
-    def first_position(self, term: str, doc_id: int):
+    def first_position(self, term: str, doc_id: int, doc_hi: int | None = None):
         seg = int(doc_id) % self.cfg.num_segments
         for m in self.members:
             if m.seg == seg:
-                return m.first_position(term, doc_id)
+                return m.first_position(term, doc_id, doc_hi=doc_hi)
         return None

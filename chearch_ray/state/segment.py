@@ -79,6 +79,13 @@ DOCMAP_SCHEMA = pa.schema(
     ]
 )
 
+#: doc_id_bits=128 docmap: external id = (doc_id_hi, doc_id); rows
+#: sorted by (hi, lo) so the ROW ORDINAL is the segment-local posting
+#: id (reference internal-docIndex/externalDocId split)
+DOCMAP_SCHEMA_WIDE = pa.schema(
+    [("doc_id_hi", pa.uint64())] + list(DOCMAP_SCHEMA)
+)
+
 
 # ------------------------------------------------------------ atomic IO
 def atomic_write_table(table: pa.Table, path: str) -> None:
@@ -356,19 +363,37 @@ class PostingsPartReader:
 
 class DocmapReader:
     """One doc-segment's docmap, held as sorted numpy arrays for O(log n)
-    doc_id -> (doc_len, metadata row) lookup."""
+    doc_id -> (doc_len, metadata row) lookup.
+
+    Wide (doc_id_bits=128) docmaps are ORDINAL-indexed: posting values
+    are the row ordinals, so every lookup is O(1) fancy indexing, and
+    `external_ids` / `ordinals_for` translate between the ordinal space
+    and the external (hi, lo) pairs."""
 
     def __init__(self, path: str):
         table = pq.read_table(path)
         self.table = table
-        self.doc_ids = table["doc_id"].to_numpy()  # sorted ascending
+        self.wide = "doc_id_hi" in table.column_names
+        self.doc_ids = table["doc_id"].to_numpy()  # sorted ascending (64-bit mode)
         self.doc_len = table["doc_len"].to_numpy().astype(np.float64)
+        if self.wide:
+            from chearch_ray.functions.hashing import key16
+
+            self.doc_hi = table["doc_id_hi"].to_numpy()
+            self._keys = key16(
+                self.doc_hi.astype(np.uint64), self.doc_ids.astype(np.uint64)
+            )
 
     def _indices_for(self, doc_ids: np.ndarray) -> np.ndarray:
         """validated lookup: every id must exist in the docmap — a miss
         means postings/docmap divergence (e.g. mixed stale segments)
         and silently returning a neighbor's row would corrupt scores
-        and projections."""
+        and projections.  Wide mode: ids ARE ordinals (bounds-checked)."""
+        if self.wide:
+            ids = doc_ids.astype(np.int64)
+            if len(ids) and (ids.max(initial=-1) >= len(self.doc_ids) or ids.min(initial=0) < 0):
+                raise ValueError("posting ordinal out of docmap range")
+            return ids
         idx = np.searchsorted(self.doc_ids, doc_ids)
         idx_c = np.minimum(idx, len(self.doc_ids) - 1) if len(self.doc_ids) else idx
         if len(self.doc_ids) == 0 or not np.array_equal(self.doc_ids[idx_c], doc_ids):
@@ -377,6 +402,22 @@ class DocmapReader:
                 f"doc ids missing from docmap (postings/docmap divergence): {missing[:5]}"
             )
         return idx_c
+
+    # -------------------------------------------------- wide-id helpers
+    def external_ids(self, ordinals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(hi, lo) external pairs for posting ordinals (wide mode)."""
+        idx = self._indices_for(ordinals)
+        return self.doc_hi[idx].astype(np.uint64), self.doc_ids[idx].astype(np.uint64)
+
+    def ordinals_for(self, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+        """external (hi, lo) -> ordinals; -1 where absent (wide mode)."""
+        from chearch_ray.functions.hashing import key16
+
+        q = key16(hi.astype(np.uint64), lo.astype(np.uint64))
+        pos = np.searchsorted(self._keys, q)
+        pos_c = np.minimum(pos, max(len(self._keys) - 1, 0))
+        ok = self._keys[pos_c] == q if len(self._keys) else np.zeros(len(q), dtype=bool)
+        return np.where(ok, pos_c, -1).astype(np.int64)
 
     def lengths_for(self, doc_ids: np.ndarray) -> np.ndarray:
         return self.doc_len[self._indices_for(doc_ids)]

@@ -1,0 +1,178 @@
+"""doc_id_bits=128 mode: two-column (hi, lo) external ids with
+segment-local posting ordinals (ROADMAP #6 / VERDICT r02 item 10).
+
+The engine's internal posting values become dense per-segment row
+ordinals of the (hi, lo)-sorted docmap — the reference's own
+internal-docIndex / externalDocId split (documentid.chpl:17-24) — so
+the uint64 codec, skip blocks and probe paths run unchanged while the
+external id space is 128-bit (collision-free at 10^12 docs).
+"""
+
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from chearch_ray import ast
+from chearch_ray.config import EngineConfig
+from chearch_ray.pipelines.build import build_index
+from chearch_ray.sources.corpus import synthetic_corpus
+from chearch_ray.state.engine import QueryEngine
+
+CFG64 = EngineConfig(num_segments=2, num_term_shards=3, block_size=16, tokenize_batch_size=64)
+CFG128 = EngineConfig(
+    num_segments=2, num_term_shards=3, block_size=16, tokenize_batch_size=64, doc_id_bits=128
+)
+
+
+@pytest.fixture(scope="module")
+def engines(ray_session, tmp_path_factory):
+    import ray.data
+
+    corpus = synthetic_corpus(200, seed=42).append_column(
+        "doc_id", pa.array(np.arange(1000, 1200, dtype=np.uint64), type=pa.uint64())
+    )
+    base = tmp_path_factory.mktemp("wide")
+    d64, d128 = str(base / "idx64"), str(base / "idx128")
+    build_index(ray.data.from_arrow(corpus), d64, CFG64)
+    build_index(ray.data.from_arrow(corpus), d128, CFG128)
+    return QueryEngine(d64, use_actors=False), QueryEngine(d128, use_actors=False)
+
+
+QUERIES = [
+    ast.Term("def"),
+    ast.And(ast.Term("return"), ast.Term("if")),
+    ast.Or(ast.Term("class"), ast.Term("import")),
+    ast.And(ast.Or(ast.Term("def"), ast.Term("class")), ast.Term("return")),
+    ast.Term("__never_present__"),
+]
+
+
+def test_wide_mode_result_parity(engines):
+    """same corpus (explicit lo-64 ids, hi=0): wide and 64-bit indexes
+    return identical boolean sets, BM25 ranks AND scores."""
+    e64, e128 = engines
+    for q in QUERIES:
+        b64 = e64.search_boolean(q)
+        b128 = e128.search_boolean(q)
+        assert b64["doc_id"].to_pylist() == b128["doc_id"].to_pylist(), q
+        assert set(b128["doc_id_hi"].to_pylist()) <= {0}
+        s64, s128 = e64.search(q, k=10), e128.search(q, k=10)
+        assert s64["doc_id"].to_pylist() == s128["doc_id"].to_pylist(), q
+        assert s64["score"].to_pylist() == s128["score"].to_pylist(), q
+        assert s64["repo"].to_pylist() == s128["repo"].to_pylist(), q
+
+
+def test_wide_mode_phrase_parity(engines):
+    e64, e128 = engines
+    p64 = e64.search_phrase("def main", k=10)
+    p128 = e128.search_phrase("def main", k=10)
+    assert p64["doc_id"].to_pylist() == p128["doc_id"].to_pylist()
+    assert p64["score"].to_pylist() == p128["score"].to_pylist()
+
+
+def _collision_corpus() -> pa.Table:
+    """three docs, two of which share the SAME low-64 id with
+    different hi words — the adversarial input a 64-bit id space
+    cannot represent."""
+    rows = [
+        {"doc_id": 7, "doc_id_hi": 1, "content": "alpha beta gamma delta"},
+        {"doc_id": 7, "doc_id_hi": 2, "content": "epsilon zeta eta theta"},
+        {"doc_id": 8, "doc_id_hi": 0, "content": "alpha zeta"},
+    ]
+    t = pa.Table.from_pylist(rows)
+    for c in ("doc_id", "doc_id_hi"):
+        t = t.set_column(t.schema.get_field_index(c), c, t[c].cast(pa.uint64()))
+    return t
+
+
+def test_wide_mode_colliding_lo64_docs_stay_distinct(ray_session, tmp_path):
+    import ray.data
+
+    cfg = EngineConfig(num_segments=1, num_term_shards=2, doc_id_bits=128,
+                       input_columns=("content",))
+    idx = str(tmp_path / "collide")
+    build_index(ray.data.from_arrow(_collision_corpus()), idx, cfg)
+    eng = QueryEngine(idx, use_actors=False)
+
+    r = eng.search_boolean(ast.Term("alpha"))
+    pairs = set(zip(r["doc_id_hi"].to_pylist(), r["doc_id"].to_pylist()))
+    assert pairs == {(1, 7), (0, 8)}
+    r2 = eng.search_boolean(ast.Term("epsilon"))
+    assert set(zip(r2["doc_id_hi"].to_pylist(), r2["doc_id"].to_pylist())) == {(2, 7)}
+    # BM25 over the colliding pair: both docs scored independently
+    s = eng.search(ast.Or(ast.Term("alpha"), ast.Term("epsilon")), k=10)
+    assert set(zip(s["doc_id_hi"].to_pylist(), s["doc_id"].to_pylist())) == {
+        (1, 7), (2, 7), (0, 8)
+    }
+
+
+def test_wide_mode_duplicate_external_id_rejected(ray_session, tmp_path):
+    """the SAME (hi, lo) pair twice corrupts the ordinal mapping and
+    must fail the build loudly."""
+    import ray.data
+
+    rows = [
+        {"doc_id": 7, "doc_id_hi": 1, "content": "aa bb"},
+        {"doc_id": 7, "doc_id_hi": 1, "content": "cc dd"},
+    ]
+    t = pa.Table.from_pylist(rows)
+    for c in ("doc_id", "doc_id_hi"):
+        t = t.set_column(t.schema.get_field_index(c), c, t[c].cast(pa.uint64()))
+    cfg = EngineConfig(num_segments=1, num_term_shards=1, doc_id_bits=128,
+                       input_columns=("content",))
+    with pytest.raises(Exception, match="duplicate external"):
+        build_index(ray.data.from_arrow(t), str(tmp_path / "dup"), cfg)
+
+
+def test_wide_mode_requires_partitioned_shuffle(ray_session, tmp_path):
+    import ray.data
+
+    cfg = EngineConfig(doc_id_bits=128, shuffle_mode="sort")
+    with pytest.raises(ValueError, match="partitioned"):
+        build_index(
+            ray.data.from_arrow(_collision_corpus()), str(tmp_path / "bad"), cfg
+        )
+
+
+def test_wide_mode_wire_round_trip(ray_session, tmp_path):
+    """TCP serving over a wide index: records carry the low word and
+    position lookups resolve through the full (hi, lo) pair."""
+    import ray.data
+
+    from chearch_ray.functions import chasm
+    from chearch_ray.serve import TcpQueryServer, WireEngine, query_over_socket
+    from chearch_ray.sources.queries import term_id32
+
+    cfg = EngineConfig(num_segments=1, num_term_shards=2, doc_id_bits=128,
+                       input_columns=("content",))
+    idx = str(tmp_path / "wire")
+    build_index(ray.data.from_arrow(_collision_corpus()), idx, cfg)
+    eng = QueryEngine(idx, use_actors=False)
+    srv = TcpQueryServer(WireEngine(eng), port=0).start_background()
+    try:
+        buf = chasm.InstructionBuffer(256)
+        chasm.InstructionWriter(buf).write_push_term(term_id32("alpha"))
+        recs = query_over_socket("127.0.0.1", srv.port, buf.to_bytes())
+        assert {r.external_doc_id for r in recs} == {7, 8}
+        assert all(r.text_location == 0 for r in recs)  # 'alpha' is token 0
+    finally:
+        srv.stop()
+
+
+def test_wide_mode_derived_ids_blake2b128(ray_session, tmp_path):
+    """corpora without id columns derive 128-bit blake2b ids; hi is
+    nonzero and results stay deterministic across rebuilds."""
+    import ray.data
+
+    corpus = synthetic_corpus(60, seed=9)
+    cfg = EngineConfig(num_segments=2, num_term_shards=2, doc_id_bits=128)
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(ray.data.from_arrow(corpus), d1, cfg)
+    build_index(ray.data.from_arrow(corpus), d2, cfg)
+    e1, e2 = QueryEngine(d1, use_actors=False), QueryEngine(d2, use_actors=False)
+    r1, r2 = e1.search(ast.Term("def"), k=10), e2.search(ast.Term("def"), k=10)
+    assert r1["doc_id"].to_pylist() == r2["doc_id"].to_pylist()
+    assert r1["doc_id_hi"].to_pylist() == r2["doc_id_hi"].to_pylist()
+    assert any(h != 0 for h in r1["doc_id_hi"].to_pylist())
