@@ -46,8 +46,13 @@ _STRUCTURAL = (
 )
 
 
-def _explode_postings_part(path: str, cfg: EngineConfig) -> pa.Table:
-    """partition file -> flat (term, doc_id, tf, positions) rows."""
+def _explode_postings_part(path: str, cfg: EngineConfig,
+                           source_docmap: str | None = None) -> pa.Table:
+    """partition file -> flat (term, doc_id, tf, positions) rows.
+    Wide mode: posting values are the SOURCE index's segment-local
+    ordinals — translate them to external (hi, lo) pairs through that
+    index's docmap (`source_docmap`) so inputs merge in a shared id
+    space."""
     from chearch_ray.functions.codec import decode_postings_any
     from chearch_ray.state.segment import PostingsPartReader
 
@@ -74,6 +79,13 @@ def _explode_postings_part(path: str, cfg: EngineConfig) -> pa.Table:
         "doc_id": pa.array(doc, type=pa.uint64()),
         "tf": pa.array(tf.astype(np.uint32), type=pa.uint32()),
     }
+    if cfg.doc_id_bits == 128:
+        from chearch_ray.state.segment import DocmapReader
+
+        dm = DocmapReader(source_docmap)
+        hi, lo = dm.external_ids(doc)
+        cols["doc_hi"] = pa.array(hi, type=pa.uint64())
+        cols["doc_id"] = pa.array(lo, type=pa.uint64())
     pos = reader.positions_packed_column()
     if pos is not None:
         cols["positions"] = pos  # per-posting packed cells, term-major order
@@ -94,27 +106,41 @@ def _merge_one_part(batch: pa.Table, cfg_dict: dict, input_dirs: list[str], out_
         part = int(row["part"])
         kind = row["kind"]
         if kind == "postings":
+            wide = cfg.doc_id_bits == 128
+            seg_id = part // cfg.num_term_shards
             tables = []
             for d in input_dirs:
                 p = os.path.join(d, seg_io.postings_rel_path(part))
                 if os.path.exists(p):
-                    tables.append(_explode_postings_part(p, cfg))
+                    tables.append(
+                        _explode_postings_part(
+                            p, cfg,
+                            source_docmap=os.path.join(d, seg_io.docmap_rel_path(seg_id))
+                            if wide
+                            else None,
+                        )
+                    )
             flat = pa.concat_tables(tables)
             if len(flat) == 0:
                 outs.append(_empty_summary())
                 continue
-            order = pc.sort_indices(
-                flat, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
+            sort_keys = (
+                [("term", "ascending"), ("doc_hi", "ascending"), ("doc_id", "ascending")]
+                if wide
+                else [("term", "ascending"), ("doc_id", "ascending")]
             )
+            order = pc.sort_indices(flat, sort_keys=sort_keys)
             g = flat.take(order)
             # duplicate (term, doc) pairs mean the same doc exists in
             # two inputs — the merge contract requires disjoint corpora
             t = g["term"].combine_chunks()
             codes = np.asarray(t.dictionary_encode().indices)
             docs_np = g["doc_id"].to_numpy()
-            same = np.flatnonzero(
-                (codes[1:] == codes[:-1]) & (docs_np[1:] == docs_np[:-1])
-            )
+            same_doc = docs_np[1:] == docs_np[:-1]
+            if wide:
+                his_np = g["doc_hi"].to_numpy()
+                same_doc &= his_np[1:] == his_np[:-1]
+            same = np.flatnonzero((codes[1:] == codes[:-1]) & same_doc)
             if len(same):
                 raise ValueError(
                     f"duplicate doc ids across merge inputs in part {part} "
@@ -129,9 +155,12 @@ def _merge_one_part(batch: pa.Table, cfg_dict: dict, input_dirs: list[str], out_
                     t = pq.read_table(p)
                     tables.append(t.append_column("seg", pa.array([part] * len(t), type=pa.int32())))
             cat = pa.concat_tables(tables)
-            ids = cat["doc_id"].to_numpy()
-            if len(ids) != len(np.unique(ids)):
-                raise ValueError(f"duplicate doc ids across merge inputs in docmap seg {part}")
+            if cfg.doc_id_bits != 128:
+                # wide mode: low words may legitimately collide; the
+                # writer dup-checks the full (hi, lo) pair after sorting
+                ids = cat["doc_id"].to_numpy()
+                if len(ids) != len(np.unique(ids)):
+                    raise ValueError(f"duplicate doc ids across merge inputs in docmap seg {part}")
             outs.append(DocmapWriter(cfg, out_dir)(cat))
     return pa.concat_tables(outs)
 
@@ -142,11 +171,11 @@ def merge_indexes(input_dirs: list[str], out_dir: str) -> Manifest:
     partitions are byte-identical to a from-scratch build over the
     union corpus.
 
-    doc_id_bits=128 indexes are not mergeable yet: their posting
-    values are per-index segment-local ordinals, so a merge must remap
-    ordinals through both docmaps (external-id level) — rebuild over
-    the union corpus instead (explicit error, never a silent
-    ordinal-space mixup)."""
+    doc_id_bits=128 indexes merge at the EXTERNAL-id level: docmaps
+    merge first, then each posting merge translates its input's
+    segment-local ordinals to (hi, lo) pairs via the source docmap and
+    re-maps them to the merged docmap's ordinals — never a silent
+    ordinal-space mixup."""
     import dataclasses
 
     import ray.data
@@ -158,12 +187,6 @@ def merge_indexes(input_dirs: list[str], out_dir: str) -> Manifest:
         for f in _STRUCTURAL:
             if getattr(other, f) != getattr(cfg, f):
                 raise ValueError(f"merge inputs disagree on {f}")
-    if cfg.doc_id_bits == 128:
-        raise NotImplementedError(
-            "merge of doc_id_bits=128 indexes: posting values are per-index "
-            "ordinals — rebuild over the union corpus"
-        )
-
     # purge any previous index's state in out_dir — stale lineage
     # records would verify and be folded into the merged manifest by
     # commit_manifest (same mixed-index hazard as build resume=False)
@@ -177,19 +200,32 @@ def merge_indexes(input_dirs: list[str], out_dir: str) -> Manifest:
     os.makedirs(out_dir, exist_ok=True)
     posting_parts = sorted({p["part"] for m in manifests for p in m.postings_parts})
     doc_segs = sorted({p["part"] for m in manifests for p in m.docmap_parts})
-    items = [{"kind": "postings", "part": p} for p in posting_parts] + [
-        {"kind": "docmap", "part": s} for s in doc_segs
-    ]
     cfg_dict = dataclasses.asdict(cfg)
     cfg_dict["input_columns"] = tuple(cfg_dict.get("input_columns", ()))
-    (
-        ray.data.from_items(items, override_num_blocks=len(items))
-        .map_batches(
-            partial(_merge_one_part, cfg_dict=cfg_dict, input_dirs=list(input_dirs), out_dir=out_dir),
-            batch_format="pyarrow",
-            batch_size=1,
-            num_cpus=1,
+
+    def _run_items(items: list[dict]) -> None:
+        if not items:
+            return
+        (
+            ray.data.from_items(items, override_num_blocks=len(items))
+            .map_batches(
+                partial(_merge_one_part, cfg_dict=cfg_dict, input_dirs=list(input_dirs), out_dir=out_dir),
+                batch_format="pyarrow",
+                batch_size=1,
+                num_cpus=1,
+            )
+            .take_all()
         )
-        .take_all()
-    )
+
+    post_items = [{"kind": "postings", "part": p} for p in posting_parts]
+    doc_items = [{"kind": "docmap", "part": s} for s in doc_segs]
+    if cfg.doc_id_bits == 128:
+        # wide-id merge: docmaps merge FIRST — posting merges translate
+        # each input's segment-local ordinals to external (hi, lo)
+        # pairs via the SOURCE docmap, and _finalize_part re-maps them
+        # to the MERGED docmap's ordinals (same code path as the build)
+        _run_items(doc_items)
+        _run_items(post_items)
+    else:
+        _run_items(post_items + doc_items)
     return commit_manifest(out_dir, cfg)

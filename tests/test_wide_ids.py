@@ -176,3 +176,37 @@ def test_wide_mode_derived_ids_blake2b128(ray_session, tmp_path):
     assert r1["doc_id"].to_pylist() == r2["doc_id"].to_pylist()
     assert r1["doc_id_hi"].to_pylist() == r2["doc_id_hi"].to_pylist()
     assert any(h != 0 for h in r1["doc_id_hi"].to_pylist())
+
+
+def test_wide_mode_merge_byte_identical(ray_session, tmp_path):
+    """merging two disjoint wide-id indexes == building over the union
+    corpus, byte-for-byte (ordinals remap through both docmaps;
+    colliding low words across inputs survive)."""
+    import ray.data
+
+    from chearch_ray.pipelines.merge import merge_indexes
+    from chearch_ray.sources.corpus import synthetic_corpus
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2, tokenize_batch_size=32,
+                       doc_id_bits=128)
+    c = synthetic_corpus(120, seed=3)
+    # explicit (hi, lo) ids with lo COLLIDING across the two halves
+    lo = np.concatenate([np.arange(60, dtype=np.uint64), np.arange(60, dtype=np.uint64)])
+    hi = np.concatenate([np.ones(60, dtype=np.uint64), np.full(60, 2, dtype=np.uint64)])
+    c = c.append_column("doc_id", pa.array(lo, type=pa.uint64()))
+    c = c.append_column("doc_id_hi", pa.array(hi, type=pa.uint64()))
+    a, b, u = c.slice(0, 60), c.slice(60), c
+    da, db, dm, du = (str(tmp_path / x) for x in ("a", "b", "m", "u"))
+    build_index(ray.data.from_arrow(a), da, cfg)
+    build_index(ray.data.from_arrow(b), db, cfg)
+    m_union = build_index(ray.data.from_arrow(u), du, cfg)
+    m_merged = merge_indexes([da, db], dm)
+    shas_u = {p["part"]: p["sha"] for p in m_union.postings_parts}
+    shas_m = {p["part"]: p["sha"] for p in m_merged.postings_parts}
+    assert shas_u == shas_m
+    dshas_u = {p["part"]: p["sha"] for p in m_union.docmap_parts}
+    dshas_m = {p["part"]: p["sha"] for p in m_merged.docmap_parts}
+    assert dshas_u == dshas_m
+    eng = QueryEngine(dm, use_actors=False)
+    r = eng.search_boolean(ast.Term("def"))
+    assert len(r) > 0 and set(r["doc_id_hi"].to_pylist()) <= {1, 2}
