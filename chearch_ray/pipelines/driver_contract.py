@@ -365,6 +365,42 @@ def q_asof_join(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(asof_join(ds).to_pandas(), preserve_index=False)
 
 
+#: chunking parameters for the driver row (stride = 24 over ~50-130
+#: token docs -> several chunks per doc)
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+#: deterministic-sample keep rate
+SAMPLE_RATE = 0.25
+
+
+def q_chunk_documents(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.textstats import chunk_documents
+    from functools import partial
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        partial(chunk_documents, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP),
+        batch_format="pyarrow",
+        batch_size=1024,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_deterministic_sample(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.textstats import deterministic_sample
+    from functools import partial
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        partial(deterministic_sample, rate=SAMPLE_RATE), batch_format="pyarrow"
+    ).to_pandas()
+    return pa.table({"doc_id": pa.array(out["doc_id"].astype("int64"))})
+
+
 # --------------------------- rows-only (not SQL-expressible) queries
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     import ray.data
@@ -463,6 +499,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "jaccard_pairs": q_jaccard_pairs,
     "neardup_keep": q_neardup_keep,
+    "chunk_documents": q_chunk_documents,
+    "deterministic_sample": q_deterministic_sample,
     # rows-only (non-SQL-expressible)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -759,6 +797,21 @@ reach(u, v) AS (
 )
 SELECT u::BIGINT AS doc_id, min(v)::BIGINT AS keep_id FROM reach GROUP BY u
 """,
+    "chunk_documents": f"""
+WITH dt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                       x -> x <> '') AS ts FROM documents),
+g AS (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 1, {CHUNK_TOKENS - CHUNK_OVERLAP})) AS start
+      FROM dt WHERE len(ts) > 0)
+SELECT doc_id, (start // {CHUNK_TOKENS - CHUNK_OVERLAP})::BIGINT AS chunk_id,
+       start::BIGINT AS start_tok,
+       least({CHUNK_TOKENS}, len(ts) - start)::BIGINT AS n_tokens,
+       array_to_string(ts[start + 1 : least(start + {CHUNK_TOKENS}, len(ts))], ' ') AS chunk_text
+FROM g
+""",
+    "deterministic_sample": (
+        "SELECT doc_id FROM documents WHERE substr(sha256(text), 1, 8) < "
+        f"'{'%08x' % int(SAMPLE_RATE * (1 << 32))}'"
+    ),
     "knn_cosine": """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT row_number() OVER (

@@ -209,3 +209,91 @@ class Fingerprint:
                 "fingerprint": pa.array(out, type=pa.uint64()),
             }
         )
+
+
+# ------------------------------------------------------- doc chunking
+def chunk_documents(batch: pa.Table, chunk_tokens: int = 64, overlap: int = 16,
+                    text_column: str = "text") -> pa.Table:
+    """map_batches stage: split each document into fixed-token-count
+    chunks with `overlap` tokens of context between consecutive chunks
+    (stride = chunk_tokens - overlap) — the RAG/embedding prep
+    operator a training-data pipeline runs over every document.
+
+    -> one row per chunk: (doc_id, chunk_id, start_tok, n_tokens,
+    chunk_text).  chunk_text re-joins the tokenizer's tokens with
+    single spaces, so the DuckDB mirror is
+    array_to_string(ts[start+1 : start+chunk_tokens], ' ').
+    Fully vectorized: one take over the flattened token array builds
+    every (overlapping) chunk, pc.binary_join_element_wise-free via
+    pc.binary_join on a chunk-offset list array."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    lists = tokenize(batch[text_column])
+    values, _, _ = explode(lists)
+    n_tok = token_counts(lists).astype(np.int64)
+    doc_off = np.concatenate([[0], np.cumsum(n_tok)])
+    n_chunks = np.where(n_tok > 0, (n_tok + stride - 1) // stride, 0)
+    total = int(n_chunks.sum())
+    doc_col = batch["doc_id"]
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    if total == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=doc_col.type),
+                "chunk_id": pa.array([], type=pa.int64()),
+                "start_tok": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+            }
+        )
+    chunk_doc = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+    # chunk ordinal within its doc
+    first_chunk_of_doc = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+    chunk_id = np.arange(total, dtype=np.int64) - first_chunk_of_doc[chunk_doc]
+    start = chunk_id * stride
+    length = np.minimum(chunk_tokens, n_tok[chunk_doc] - start)
+    # token indices of every chunk, concatenated (overlaps repeat)
+    tok_off = np.concatenate([[0], np.cumsum(length)])
+    idx = (
+        np.arange(int(tok_off[-1]), dtype=np.int64)
+        - np.repeat(tok_off[:-1], length)
+        + np.repeat(doc_off[chunk_doc] + start, length)
+    )
+    taken = values.take(pa.array(idx, type=pa.int64()))
+    chunks = pa.ListArray.from_arrays(pa.array(tok_off, type=pa.int64()).cast(pa.int32()), taken)
+    text = pc.binary_join(chunks, " ")
+    return pa.table(
+        {
+            "doc_id": doc_col.take(pa.array(chunk_doc, type=pa.int64())),
+            "chunk_id": pa.array(chunk_id, type=pa.int64()),
+            "start_tok": pa.array(start, type=pa.int64()),
+            "n_tokens": pa.array(length, type=pa.int64()),
+            "chunk_text": text,
+        }
+    )
+
+
+# ------------------------------------------------- deterministic sample
+def deterministic_sample(batch: pa.Table, rate: float,
+                         text_column: str = "text") -> pa.Table:
+    """Reproducible corpus subsampling: keep a row iff the first 8 hex
+    chars of sha256(text) are lexicographically below the rate
+    threshold — selection depends only on content, never on
+    partitioning, ordering or process, so reruns and the DuckDB oracle
+    (substr(sha256(text),1,8) < 'threshold') agree exactly.  For
+    fixed-width lowercase hex, string order == numeric order."""
+    from chearch_ray.functions.hashing import sha256_hex
+
+    thr = sample_threshold_hex(rate)
+    sha = sha256_hex(batch[text_column])
+    prefix = pc.utf8_slice_codeunits(sha, 0, 8)
+    return batch.filter(pc.less(prefix, thr))
+
+
+def sample_threshold_hex(rate: float) -> str:
+    """rate in [0, 1] -> 8-hex-digit threshold string (floor(rate *
+    2^32), clamped)."""
+    v = int(max(0.0, min(1.0, rate)) * (1 << 32))
+    return f"{min(v, (1 << 32) - 1):08x}" if rate < 1.0 else "g"  # 'g' > any hex

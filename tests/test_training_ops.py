@@ -653,3 +653,54 @@ def test_ivf_sample_unbiased_on_sorted_corpus(ray_session):
     # partition balance: no centroid swallows the whole corpus
     counts = assigned_mat.to_pandas()["centroid"].value_counts()
     assert len(counts) == n_clusters and counts.max() <= 2 * per
+
+
+def test_chunk_documents_semantics():
+    from chearch_ray.stages.textstats import chunk_documents
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["a b c d e f g", "x y", ""]),
+        }
+    )
+    out = chunk_documents(t, chunk_tokens=4, overlap=2).to_pydict()
+    # doc 1: 7 tokens, stride 2 -> starts 0,2,4,6
+    rows = list(zip(out["doc_id"], out["chunk_id"], out["start_tok"],
+                    out["n_tokens"], out["chunk_text"]))
+    assert rows == [
+        (1, 0, 0, 4, "a b c d"),
+        (1, 1, 2, 4, "c d e f"),
+        (1, 2, 4, 3, "e f g"),
+        (1, 3, 6, 1, "g"),
+        (2, 0, 0, 2, "x y"),
+    ]
+    # overlap invariant: consecutive chunks share `overlap` tokens
+    assert rows[1][4].split()[:2] == rows[0][4].split()[2:]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(t, chunk_tokens=4, overlap=4)
+
+
+def test_deterministic_sample_stable_and_content_keyed():
+    import hashlib
+
+    from chearch_ray.stages.textstats import deterministic_sample, sample_threshold_hex
+
+    texts = [f"document number {i} with words" for i in range(400)]
+    t = pa.table({"doc_id": pa.array(range(400), type=pa.int64()), "text": pa.array(texts)})
+    out1 = deterministic_sample(t, rate=0.3)
+    # permuted input -> same selected SET (content-keyed, order-free)
+    perm = t.take(pa.array(list(reversed(range(400))), type=pa.int64()))
+    out2 = deterministic_sample(perm, rate=0.3)
+    assert sorted(out1["doc_id"].to_pylist()) == sorted(out2["doc_id"].to_pylist())
+    # matches the definition exactly
+    thr = sample_threshold_hex(0.3)
+    want = [i for i, s in enumerate(texts) if hashlib.sha256(s.encode()).hexdigest()[:8] < thr]
+    assert sorted(out1["doc_id"].to_pylist()) == want
+    assert 0.2 < len(want) / 400 < 0.4
+    # rate edges
+    assert len(deterministic_sample(t, rate=0.0)) == 0
+    assert len(deterministic_sample(t, rate=1.0)) == 400
