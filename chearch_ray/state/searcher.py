@@ -611,11 +611,16 @@ class SegmentSearcher:
         keys: np.ndarray | None = None
         for i, t in enumerate(terms):
             reader = self.shards.get(self._sharder.shard_of(t))
-            nested = reader.positions_arrow(t) if reader is not None else None
-            if nested is None:
-                return _EMPTY_U64  # positions unavailable -> no exact match
+            if reader is None:
+                return _EMPTY_U64
             idx = self._posting_row_indices(t, candidates)  # candidates ⊆ postings
-            taken = nested.take(pa.array(idx, type=pa.int64()))
+            # lazy positions: decode only the skip blocks the candidate
+            # rows live in (packed pos_blob + per-block pos_off) — a
+            # hot term's positions never fully decode for a sparse
+            # candidate set
+            taken = reader.positions_for_rows(t, idx)
+            if taken is None:
+                return _EMPTY_U64  # positions unavailable -> no exact match
             lengths = pc.list_value_length(taken).to_numpy().astype(np.int64)
             vals = taken.flatten().to_numpy().astype(np.int64)
             rows = np.repeat(np.arange(m, dtype=np.int64), lengths)

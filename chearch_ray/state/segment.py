@@ -236,6 +236,7 @@ class PostingsPartReader:
         self._pos_off = table["pos_off"] if "pos_off" in table.column_names else None
         self._positions = table["positions"] if "positions" in table.column_names else None
         self._pos_decoded: dict[str, "pa.ListArray"] = {}
+        self._pos_counts_cache: dict[str, np.ndarray] = {}
 
     def __contains__(self, term: str) -> bool:
         return term in self._terms
@@ -273,13 +274,22 @@ class PostingsPartReader:
 
     def _pos_counts(self, term: str) -> np.ndarray:
         """per-posting stored position counts = tf capped at
-        max_positions_per_doc (the tokenize-side truncation)."""
+        max_positions_per_doc (the tokenize-side truncation); memoized
+        per term (tf decode is cheap next to positions, but the lazy
+        block path may call repeatedly)."""
+        hit = self._pos_counts_cache.get(term)
+        if hit is not None:
+            return hit
         from chearch_ray.functions.codec import decode_postings_any
 
         enc = self.encoded(term)
         _, tfs = decode_postings_any(enc, self.block_size, self._codec)
         tfs = tfs.astype(np.int64)
-        return np.minimum(tfs, self._max_pos) if self._max_pos > 0 else tfs
+        out = np.minimum(tfs, self._max_pos) if self._max_pos > 0 else tfs
+        if len(self._pos_counts_cache) > 1024:
+            self._pos_counts_cache.clear()
+        self._pos_counts_cache[term] = out
+        return out
 
     def positions_arrow(self, term: str):
         """one term's positions as an Arrow list<uint32> array (one row
@@ -315,6 +325,56 @@ class PostingsPartReader:
             return None
         arr = self.positions_arrow(term)
         return None if arr is None else arr.to_pylist()
+
+    def positions_for_rows(self, term: str, rows: np.ndarray):
+        """position lists for the given POSTING ROW indices only,
+        decoding just the skip blocks those rows live in (pos_off per-
+        block byte offsets) — the lazy path for phrase candidates
+        against hot terms.  Returns a list<uint32> ListArray aligned
+        with `rows`, or None when positions are unavailable.  Falls
+        back to the cached full decode for legacy files or when the
+        term is already decoded."""
+        i = self._terms.get(term)
+        if i is None:
+            return None
+        full = self._pos_decoded.get(term)
+        if full is None and self._pos_blob is None:
+            full = self.positions_arrow(term)  # legacy nested path
+        if full is not None:
+            return full.take(pa.array(np.asarray(rows, dtype=np.int64), type=pa.int64()))
+        from chearch_ray.functions.codec import unpack_position_blob
+
+        rows = np.asarray(rows, dtype=np.int64)
+        counts = self._pos_counts(term)
+        n_post = len(counts)
+        bs = self.block_size
+        blocks = np.unique(rows // bs)
+        pos_off = np.asarray(self._pos_off[i].values, dtype=np.int64)
+        blob = np.frombuffer(self._pos_blob[i].as_py(), dtype=np.uint8)
+        # decode each needed block's byte slice independently (delta
+        # restarts at every posting, so any block is self-contained)
+        row_map = {}
+        out_vals, out_counts = [], []
+        decoded_rows = []
+        for b in blocks.tolist():
+            lo_post, hi_post = b * bs, min((b + 1) * bs, n_post)
+            byte_lo = int(pos_off[b])
+            byte_hi = int(pos_off[b + 1]) if b + 1 < len(pos_off) else len(blob)
+            c = counts[lo_post:hi_post]
+            vals, offs = unpack_position_blob(blob[byte_lo:byte_hi], c)
+            for j in range(hi_post - lo_post):
+                row_map[lo_post + j] = (vals, int(offs[j]), int(offs[j + 1]))
+        flat_parts, lens = [], np.empty(len(rows), dtype=np.int64)
+        for k, r in enumerate(rows.tolist()):
+            vals, s, e = row_map[r]
+            flat_parts.append(vals[s:e])
+            lens[k] = e - s
+        flat = np.concatenate(flat_parts) if flat_parts else np.empty(0, dtype=np.uint64)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        return pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(flat.astype(np.uint32), type=pa.uint32()),
+        )
 
     def positions_packed_column(self):
         """per-POSTING packed position cells (binary array, term-major
