@@ -157,6 +157,17 @@ def run_bench() -> dict:
     timings["bm25_and_local_p50_ms"] = p50_local(q_and)
     timings["missing_local_p50_ms"] = p50_local(q_missing)
 
+    # phrase p50: a real two-hot-term phrase ('return if' occurs in the
+    # code corpus) — skip-probed conjunction, lazy per-block positions,
+    # sorted (row,pos) key intersection
+    eng_local.search_phrase("return if", k=10)
+    samples = []
+    for _ in range(QUERY_REPS):
+        t = time.perf_counter()
+        eng_local.search_phrase("return if", k=10)
+        samples.append((time.perf_counter() - t) * 1e3)
+    timings["phrase_local_p50_ms"] = statistics.median(samples)
+
     # boolean local p50: the apples-to-apples analogue of the
     # reference's B lines (boolean retrieval capped at partitionLimit,
     # no scoring — its "10s of microseconds" claim, README.md:30)
@@ -232,6 +243,18 @@ def run_bench() -> dict:
     dc.q_sessionize(sf_dir)
     dc.q_asof_join(sf_dir)
     timings["sf_event_ops_sec"] = time.perf_counter() - t0
+    # round-3 operators: exact Jaccard join + connected-components keep
+    # set, document chunking, deterministic sampling
+    t0 = time.perf_counter()
+    dc.q_jaccard_pairs(sf_dir)
+    timings["sf_jaccard_join_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_neardup_keep(sf_dir)
+    timings["sf_neardup_keep_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_chunk_documents(sf_dir)
+    dc.q_deterministic_sample(sf_dir)
+    timings["sf_chunk_sample_sec"] = time.perf_counter() - t0
 
     timings = {k: round(v, 4) for k, v in timings.items()}
     result = {

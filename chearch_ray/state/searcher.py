@@ -606,6 +606,10 @@ class SegmentSearcher:
         m = len(candidates)
         if m == 0:
             return candidates
+        if len(terms) == 1:
+            # a one-term "phrase" is just the term: every candidate
+            # (they all contain it) matches — no position work at all
+            return candidates
         import pyarrow.compute as pc
 
         keys: np.ndarray | None = None
@@ -622,16 +626,23 @@ class SegmentSearcher:
             if taken is None:
                 return _EMPTY_U64  # positions unavailable -> no exact match
             lengths = pc.list_value_length(taken).to_numpy().astype(np.int64)
-            vals = taken.flatten().to_numpy().astype(np.int64)
-            rows = np.repeat(np.arange(m, dtype=np.int64), lengths)
-            shifted = vals - i
-            ok = shifted >= 0
-            k = (rows[ok].astype(np.uint64) << np.uint64(32)) | shifted[ok].astype(np.uint64)
-            k.sort()
+            vals = taken.flatten().to_numpy()  # uint32, ascending per row
+            rows = np.repeat(np.arange(m, dtype=np.uint64), lengths)
+            shifted = vals.astype(np.uint64)  # position - i, wraparound marks <i
+            shifted -= np.uint64(i)
+            ok = shifted < np.uint64(1 << 32)  # excludes positions < i (wrapped)
+            # (row << 32) | (pos - i) is ALREADY ascending: rows are
+            # emitted in ascending candidate order and positions ascend
+            # within each row — no sort needed before the intersection
+            k = (rows[ok] << np.uint64(32)) | shifted[ok]
             keys = k if keys is None else intersect_sorted(keys, k)
             if len(keys) == 0:
                 return _EMPTY_U64
-        survivor_rows = np.unique((keys >> np.uint64(32)).astype(np.int64))
+        rows_of = (keys >> np.uint64(32)).astype(np.int64)
+        # keys sorted -> rows_of sorted; run-detect instead of np.unique
+        survivor_rows = rows_of[
+            np.concatenate([[True], rows_of[1:] != rows_of[:-1]])
+        ]
         return candidates[survivor_rows]
 
     def first_positions_array(self, term: str, doc_id: int):

@@ -337,44 +337,67 @@ class PostingsPartReader:
         i = self._terms.get(term)
         if i is None:
             return None
-        full = self._pos_decoded.get(term)
-        if full is None and self._pos_blob is None:
-            full = self.positions_arrow(term)  # legacy nested path
-        if full is not None:
-            return full.take(pa.array(np.asarray(rows, dtype=np.int64), type=pa.int64()))
-        from chearch_ray.functions.codec import unpack_position_blob
-
         rows = np.asarray(rows, dtype=np.int64)
         counts = self._pos_counts(term)
         n_post = len(counts)
+        full = self._pos_decoded.get(term)
+        if full is None and self._pos_blob is None:
+            full = self.positions_arrow(term)  # legacy nested path
+        if full is None and len(rows) * 2 >= n_post:
+            # dense candidate set touches most blocks anyway: one full
+            # vectorized decode (cached) beats per-block bookkeeping
+            full = self.positions_arrow(term)
+        if full is not None:
+            return full.take(pa.array(rows, type=pa.int64()))
+        from chearch_ray.functions.codec import unpack_position_blob
+
         bs = self.block_size
         blocks = np.unique(rows // bs)
         pos_off = np.asarray(self._pos_off[i].values, dtype=np.int64)
         blob = np.frombuffer(self._pos_blob[i].as_py(), dtype=np.uint8)
         # decode each needed block's byte slice independently (delta
-        # restarts at every posting, so any block is self-contained)
-        row_map = {}
-        out_vals, out_counts = [], []
-        decoded_rows = []
+        # restarts at every posting, so any block is self-contained);
+        # Python loops run per BLOCK only — row assembly is numpy
+        blk_vals: dict[int, np.ndarray] = {}
+        blk_offs: dict[int, np.ndarray] = {}
         for b in blocks.tolist():
             lo_post, hi_post = b * bs, min((b + 1) * bs, n_post)
             byte_lo = int(pos_off[b])
             byte_hi = int(pos_off[b + 1]) if b + 1 < len(pos_off) else len(blob)
-            c = counts[lo_post:hi_post]
-            vals, offs = unpack_position_blob(blob[byte_lo:byte_hi], c)
-            for j in range(hi_post - lo_post):
-                row_map[lo_post + j] = (vals, int(offs[j]), int(offs[j + 1]))
-        flat_parts, lens = [], np.empty(len(rows), dtype=np.int64)
-        for k, r in enumerate(rows.tolist()):
-            vals, s, e = row_map[r]
-            flat_parts.append(vals[s:e])
-            lens[k] = e - s
+            vals, offs = unpack_position_blob(blob[byte_lo:byte_hi], counts[lo_post:hi_post])
+            blk_vals[b], blk_offs[b] = vals, offs
+        # vectorized gather: rows grouped by block, one fancy-index per
+        # block, assembled block-sorted then restored to `rows` order
+        # with one ListArray.take
+        order = np.argsort(rows // bs, kind="stable")
+        row_blocks = rows[order] // bs
+        run_starts = np.flatnonzero(np.concatenate([[True], row_blocks[1:] != row_blocks[:-1]]))
+        run_bounds = np.append(run_starts, len(order))
+        flat_parts, len_parts = [], []
+        for ri in range(len(run_starts)):
+            s, e = run_bounds[ri], run_bounds[ri + 1]
+            b = int(row_blocks[s])
+            within = rows[order[s:e]] - b * bs
+            offs = blk_offs[b]
+            starts_b = offs[within]
+            l = offs[within + 1] - starts_b
+            idx = (
+                np.arange(int(l.sum()), dtype=np.int64)
+                - np.repeat(np.concatenate([[0], np.cumsum(l)])[:-1], l)
+                + np.repeat(starts_b, l)
+            )
+            flat_parts.append(blk_vals[b][idx])
+            len_parts.append(l)
         flat = np.concatenate(flat_parts) if flat_parts else np.empty(0, dtype=np.uint64)
-        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
-        return pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()),
+        lens_s = np.concatenate(len_parts) if len_parts else np.empty(0, dtype=np.int64)
+        offs_s = np.concatenate([[0], np.cumsum(lens_s)]).astype(np.int32)
+        arr_sorted = pa.ListArray.from_arrays(
+            pa.array(offs_s, type=pa.int32()),
             pa.array(flat.astype(np.uint32), type=pa.uint32()),
         )
+        inv = np.empty(len(rows), dtype=np.int64)
+        inv[order] = np.arange(len(rows), dtype=np.int64)
+        return arr_sorted.take(pa.array(inv, type=pa.int64()))
 
     def positions_packed_column(self):
         """per-POSTING packed position cells (binary array, term-major
