@@ -318,6 +318,44 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     )
 
 
+#: IVF driver row: three query vectors, nprobe = ALL centroids — full
+#: probing makes IVF exactly brute-force kNN, so the partition-routing
+#: machinery itself is value-checked against the SQL oracle
+IVF_QUERY_IDS = (0, 1, 2)
+IVF_CENTROIDS = 8
+
+
+def q_ivf_knn(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.similarity import ivf_build, ivf_search
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qmat = np.asarray(
+        [
+            first.filter(pa.compute.equal(first["vec_id"], q))["embedding"][0].as_py()
+            for q in IVF_QUERY_IDS
+        ],
+        dtype=np.float64,
+    )
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    centroids, assigned = ivf_build(ds, n_centroids=IVF_CENTROIDS, sample_size=2048)
+    out = ivf_search(
+        assigned.materialize(), centroids, qmat, k=10, nprobe=IVF_CENTROIDS
+    )
+    qid = out["query_id"].to_numpy()
+    rank = np.concatenate([np.arange(1, (qid == q).sum() + 1) for q in sorted(set(qid.tolist()))])
+    order = np.argsort(qid, kind="stable")
+    return pa.table(
+        {
+            "query_id": pa.array(qid[order].astype(np.int64), type=pa.int64()),
+            "rank": pa.array(rank, type=pa.int64()),
+            "vec_id": out["vec_id"].take(pa.array(order, type=pa.int64())).cast(pa.int64()),
+        }
+    )
+
+
 def q_windowed_agg(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -491,6 +529,7 @@ QUERIES = {
     "content_sha": q_content_sha,
     "lang_counts": q_lang_counts,
     "knn_cosine": q_knn_cosine,
+    "ivf_knn": q_ivf_knn,
     "phrase": q_phrase,
     "windowed_agg": q_windowed_agg,
     "sessionize": q_sessionize,
@@ -820,6 +859,18 @@ SELECT row_number() OVER (
 FROM embeddings e, q
 ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
 LIMIT 10
+""",
+    "ivf_knn": f"""
+WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id IN {IVF_QUERY_IDS}),
+ranked AS (
+  SELECT q.query_id,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rank,
+         e.vec_id
+  FROM embeddings e CROSS JOIN qs q)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id::BIGINT AS vec_id
+FROM ranked WHERE rank <= 10
 """,
 }
 
