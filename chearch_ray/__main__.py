@@ -43,7 +43,11 @@ def cmd_build(args: argparse.Namespace) -> int:
     from chearch_ray.pipelines.build import build_index
     from chearch_ray.sources.corpus import read_corpus
 
-    cfg = EngineConfig(num_segments=args.segments, num_term_shards=args.shards)
+    cfg = EngineConfig(
+        num_segments=args.segments,
+        num_term_shards=args.shards,
+        doc_id_bits=args.doc_id_bits,
+    )
     corpus = read_corpus(args.input, fmt=args.format, text_column=args.text_column)
     manifest = build_index(corpus, args.index, cfg, dedup=args.dedup)
     print(
@@ -127,6 +131,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--segments", type=int, default=1)
     b.add_argument("--shards", type=int, default=4)
     b.add_argument("--dedup", default="none", choices=["none", "exact"])
+    b.add_argument("--doc-id-bits", type=int, default=64, choices=[64, 128],
+                   help="128 = two-column (hi, lo) external ids with "
+                        "segment-local posting ordinals")
     b.set_defaults(fn=cmd_build)
 
     mg = sub.add_parser("merge")
