@@ -210,3 +210,39 @@ def test_wide_mode_merge_byte_identical(ray_session, tmp_path):
     eng = QueryEngine(dm, use_actors=False)
     r = eng.search_boolean(ast.Term("def"))
     assert len(r) > 0 and set(r["doc_id_hi"].to_pylist()) <= {1, 2}
+
+
+def test_wide_mode_resume_after_failure(ray_session, tmp_path):
+    """kill the wide build mid-postings-wave (docmaps already
+    committed), resume, byte-identical manifest to an uninterrupted
+    build."""
+    import glob
+    import os
+
+    import ray.data
+
+    corpus = synthetic_corpus(150, seed=6).append_column(
+        "doc_id", pa.array(np.arange(150, dtype=np.uint64), type=pa.uint64())
+    )
+    d_full, d_resume = str(tmp_path / "full"), str(tmp_path / "resumed")
+    build_index(ray.data.from_arrow(corpus), d_full, CFG128)
+
+    ctrl = os.path.join(d_resume, "_control", "fail_after_parts")
+    os.makedirs(os.path.dirname(ctrl))
+    with open(ctrl, "w") as f:
+        f.write("2")
+    with pytest.raises(Exception):
+        build_index(ray.data.from_arrow(corpus), d_resume, CFG128)
+    os.remove(ctrl)
+    # docmap wave ran first: every docmap committed, postings partial
+    n_doc = len(glob.glob(os.path.join(d_resume, "_lineage", "docmap-*.json")))
+    n_post = len(glob.glob(os.path.join(d_resume, "_lineage", "postings-*.json")))
+    assert n_doc == CFG128.num_segments
+    assert 0 < n_post < CFG128.num_segments * CFG128.num_term_shards
+
+    build_index(ray.data.from_arrow(corpus), d_resume, CFG128)  # resume
+    with open(os.path.join(d_full, "manifest.json"), "rb") as f:
+        full_manifest = f.read()
+    with open(os.path.join(d_resume, "manifest.json"), "rb") as f:
+        resumed_manifest = f.read()
+    assert full_manifest == resumed_manifest
