@@ -43,6 +43,9 @@ _STRUCTURAL = (
     "split_subtokens",
     "store_positions",
     "max_positions_per_doc",
+    # wide vs narrow docmaps have different schemas and posting-value
+    # semantics (ordinals vs external ids) — never mix silently
+    "doc_id_bits",
 )
 
 

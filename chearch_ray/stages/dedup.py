@@ -23,6 +23,7 @@ import pyarrow as pa
 
 from chearch_ray.functions.hashing import sha256_hex
 from chearch_ray.functions.tokenizer import explode, tokenize
+from chearch_ray.stages.partition import add_pgrp_column, drop_pgrp_then
 from chearch_ray.stages.textstats import _token_hashes
 
 # ------------------------------------------------------------ exact
@@ -264,12 +265,8 @@ def _bucket_runs(group: pa.Table, value_columns: list[str],
 
 
 def _coarse_partition_column(batch: pa.Table, n_partitions: int = COARSE_PARTITIONS) -> pa.Table:
-    bucket = batch["bucket"].to_numpy().astype(np.uint64)
-    # mix so adjacent buckets spread across partitions
-    mixed = (bucket ^ (bucket >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-    return batch.append_column(
-        "pgrp", pa.array((mixed % np.uint64(n_partitions)).astype(np.int32), type=pa.int32())
-    )
+    # shared fmix64 spread (stages/partition.py) keyed on the bucket
+    return add_pgrp_column(batch, n_partitions, key="bucket")
 
 
 def candidate_pairs_in_partition(group: pa.Table,
@@ -573,6 +570,8 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
 
 
 def _pair_partition_column(batch: pa.Table, n_partitions: int = COARSE_PARTITIONS) -> pa.Table:
+    # TWO-key variant (golden-ratio combine) — both ids must route the
+    # pair, so this intentionally differs from partition.add_pgrp_column
     a = batch["doc_a"].to_numpy().astype(np.uint64)
     b = batch["doc_b"].to_numpy().astype(np.uint64)
     mixed = (a * np.uint64(0x9E3779B97F4A7C15) + b) % np.uint64(n_partitions)
@@ -1007,11 +1006,7 @@ def _cc_seed(batch: pa.Table) -> pa.Table:
 
 
 def _cc_partition_u(batch: pa.Table, n_partitions: int = COARSE_PARTITIONS) -> pa.Table:
-    u = batch["doc_a"].to_numpy().astype(np.uint64)
-    mixed = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-    return batch.append_column(
-        "pgrp", pa.array((mixed % np.uint64(n_partitions)).astype(np.int32), type=pa.int32())
-    )
+    return add_pgrp_column(batch, n_partitions, key="doc_a")
 
 
 def _cc_runs(group: pa.Table):
@@ -1097,7 +1092,7 @@ def connected_components(pairs_ds, coarse_partitions: int = COARSE_PARTITIONS,
             batch_format="pyarrow",
         )
         expanded = parted.groupby("pgrp").map_groups(
-            partial(_drop_pgrp_col, fn=_cc_expand_partition), batch_format="pyarrow"
+            partial(drop_pgrp_then, fn=_cc_expand_partition), batch_format="pyarrow"
         )
         state = dedup_pairs(expanded, coarse_partitions).materialize()
         sig = _state_signature(state)
@@ -1109,12 +1104,8 @@ def connected_components(pairs_ds, coarse_partitions: int = COARSE_PARTITIONS,
         batch_format="pyarrow",
     )
     return parted.groupby("pgrp").map_groups(
-        partial(_drop_pgrp_col, fn=_cc_labels_partition), batch_format="pyarrow"
+        partial(drop_pgrp_then, fn=_cc_labels_partition), batch_format="pyarrow"
     )
-
-
-def _drop_pgrp_col(group: pa.Table, fn) -> pa.Table:
-    return fn(group.drop_columns(["pgrp"]))
 
 
 def neardup_keep(ds, threshold: float = 0.5, text_column: str = "text", w: int = 3,

@@ -27,6 +27,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from chearch_ray.stages.partition import add_pgrp_column as _user_partition_column
+from chearch_ray.stages.partition import drop_pgrp_then as _drop_pgrp_then
+
 #: default tumbling window (seconds)
 WINDOW_SEC = 300
 #: default session gap (seconds)
@@ -114,16 +117,6 @@ _SESSION_SCHEMA = pa.schema(
 )
 
 
-def _user_partition_column(batch: pa.Table, n_partitions: int,
-                           key: str = "user_id") -> pa.Table:
-    u = batch[key].to_numpy().astype(np.int64).view(np.uint64)
-    # fmix64-style mix so adjacent user ids spread across partitions
-    mixed = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-    return batch.append_column(
-        "pgrp", pa.array((mixed % np.uint64(n_partitions)).astype(np.int32), type=pa.int32())
-    )
-
-
 def _run_starts(users: np.ndarray) -> np.ndarray:
     """boolean mask: True where a new user's run begins (input sorted
     by user)."""
@@ -184,17 +177,13 @@ def sessionize(ds, gap_sec: int = SESSION_GAP_SEC,
     from functools import partial
 
     parted = ds.map_batches(
-        partial(_user_partition_column, n_partitions=coarse_partitions),
+        partial(_user_partition_column, n_partitions=coarse_partitions, key="user_id"),
         batch_format="pyarrow",
     )
     return parted.groupby("pgrp").map_groups(
         partial(_drop_pgrp_then, fn=partial(_sessionize_partition, gap_sec=gap_sec)),
         batch_format="pyarrow",
     )
-
-
-def _drop_pgrp_then(group: pa.Table, fn) -> pa.Table:
-    return fn(group.drop_columns(["pgrp"]))
 
 
 #: RE2-safe GPT-2-ish token pattern (no lookaheads: both Arrow and

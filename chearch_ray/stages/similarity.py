@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from chearch_ray.stages.partition import fmix_mix
+
 
 def _embedding_matrix(col) -> np.ndarray:
     """list<float> column -> (n, d) float64 matrix, zero-copy-ish."""
@@ -372,8 +374,12 @@ def embedding_allpairs_exact(ds, threshold: float, id_column: str = "vec_id",
     import ray
     import ray.data
 
+    # materialize ONCE: the blocks feed both the broadcast gather and
+    # the map_batches pass (mapping the original lazy ds would re-run
+    # the whole upstream read a second time)
+    mds = ds.materialize()
     rows = []
-    for t in (ray.get(r) for r in ds.materialize().to_arrow_refs()):
+    for t in (ray.get(r) for r in mds.to_arrow_refs()):
         if len(t):
             rows.append(t.select([id_column, embedding_column]))
     empty = pa.table(
@@ -396,7 +402,7 @@ def embedding_allpairs_exact(ds, threshold: float, id_column: str = "vec_id",
     all_ids = corpus[id_column].to_numpy()
     mat_ref = ray.put(np.ascontiguousarray(full))
     ids_ref = ray.put(all_ids)
-    out = ds.map_batches(
+    out = mds.map_batches(
         _p(_allpairs_task, mat_ref=mat_ref, ids_ref=ids_ref,
            threshold=threshold, id_column=id_column,
            embedding_column=embedding_column),
@@ -431,7 +437,7 @@ def _sample_partial(batch: pa.Table, sample_size: int, id_column: str,
     """batch-local bottom-k by a mixed id hash: the per-batch half of
     the deterministic order-statistic sample."""
     ids = batch[id_column].to_numpy().astype(np.int64).view(np.uint64)
-    mixed = (ids ^ (ids >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    mixed = fmix_mix(ids)
     mixed = mixed ^ (mixed >> np.uint64(29))
     k = min(sample_size, len(batch))
     cut = np.argpartition(mixed, k - 1)[:k] if len(batch) > k else np.arange(len(batch))
@@ -478,6 +484,10 @@ def sample_embeddings(ds, sample_size: int, id_column: str = "vec_id",
     merged = _sample_combine(
         pa.concat_tables(tables).combine_chunks(), sample_size, embedding_column
     )
+    # the bottom-k SET is layout-independent, but _sample_combine keeps
+    # block-concatenation order — sort by skey so the matrix ROW order
+    # (and hence seeded k-means) is identical however ds is laid out
+    merged = merged.sort_by("skey")
     return _embedding_matrix(merged[embedding_column])
 
 

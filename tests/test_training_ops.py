@@ -257,7 +257,10 @@ def test_ivf_partitioned_index_prunes_reads(ray_session, tmp_path):
 
     queries = mat[:5].astype(np.float64)
     nprobe = 2
-    q = normalize_rows(queries.copy())
+    # pruning check on a 3-query subset: <= 3*nprobe = 6 probed
+    # partitions, so the set is strictly smaller than all 8 no matter
+    # where the (deterministic) centroids land
+    q = normalize_rows(queries[:3].copy())
     probes = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
     wanted = np.unique(probes)
     paths = ivf_probed_paths(idx, wanted)
@@ -704,3 +707,29 @@ def test_deterministic_sample_stable_and_content_keyed():
     # rate edges
     assert len(deterministic_sample(t, rate=0.0)) == 0
     assert len(deterministic_sample(t, rate=1.0)) == 400
+
+
+def test_sample_embeddings_layout_independent(ray_session):
+    """the quantizer sample must be IDENTICAL (set AND row order)
+    however the corpus is laid out — seeded k-means consumes row
+    indices, so order differences would change centroids per layout."""
+    import ray.data
+
+    from chearch_ray.stages.similarity import sample_embeddings
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((700, 8))
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(700), type=pa.int64()),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    one = sample_embeddings(ray.data.from_arrow(table), 128)
+    # different block layouts: single block, 8 blocks, reversed rows
+    many = sample_embeddings(ray.data.from_arrow(table).repartition(8), 128)
+    rev = sample_embeddings(
+        ray.data.from_arrow(table.take(pa.array(range(699, -1, -1)))).repartition(3), 128
+    )
+    np.testing.assert_array_equal(one, many)
+    np.testing.assert_array_equal(one, rev)

@@ -246,3 +246,21 @@ def test_wide_mode_resume_after_failure(ray_session, tmp_path):
     with open(os.path.join(d_resume, "manifest.json"), "rb") as f:
         resumed_manifest = f.read()
     assert full_manifest == resumed_manifest
+
+
+def test_merge_rejects_mixed_doc_id_bits(ray_session, tmp_path):
+    """a 64-bit and a 128-bit index must fail the structural gate with
+    a clear error, not crash inside a remote docmap/postings task."""
+    import ray.data
+
+    from chearch_ray.pipelines.merge import merge_indexes
+
+    corpus = synthetic_corpus(40, seed=9).append_column(
+        "doc_id", pa.array(np.arange(40, dtype=np.uint64), type=pa.uint64())
+    )
+    d64, d128 = str(tmp_path / "n64"), str(tmp_path / "w128")
+    build_index(ray.data.from_arrow(corpus), d64, CFG64)
+    build_index(ray.data.from_arrow(corpus), d128, CFG128)
+    for order in ([d64, d128], [d128, d64]):
+        with pytest.raises(ValueError, match="doc_id_bits"):
+            merge_indexes(order, str(tmp_path / "out"))
