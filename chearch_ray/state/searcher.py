@@ -43,6 +43,12 @@ from chearch_ray.state.segment import DocmapReader, PostingsPartReader, docmap_r
 
 _EMPTY_U64 = np.empty(0, dtype=np.uint64)
 
+# phrase verification: max bytes for the scatter/gather membership
+# table (candidates x max_start_position); above this the sorted-key
+# intersection path runs instead.  256 MB covers a whole 2^24-doc
+# segment of short docs or ~10^5 long-doc candidates.
+_PHRASE_FLAG_BUDGET_BYTES = 256 << 20
+
 RESULT_META_COLUMNS = ("repo", "path", "commit", "lang")
 
 
@@ -612,7 +618,17 @@ class SegmentSearcher:
             return candidates
         import pyarrow.compute as pc
 
-        keys: np.ndarray | None = None
+        # Two key representations, same semantics (key identifies a
+        # phrase START slot (candidate_row, position - i)):
+        #  * flag-array: a uint8 membership table over row*stride+slot,
+        #    O(occurrences) scatter/gather — beats the O(n log n)
+        #    sorted intersection ~3x on hot-term phrases, but needs
+        #    m*stride bytes, so it is budget-gated;
+        #  * sorted uint64 (row << 32 | slot) intersection — the
+        #    always-correct fallback for huge candidate sets.
+        flag: np.ndarray | None = None  # flag-array survivor table
+        stride = 0
+        keys: np.ndarray | None = None  # current survivor keys (sorted)
         for i, t in enumerate(terms):
             reader = self.shards.get(self._sharder.shard_of(t))
             if reader is None:
@@ -627,6 +643,34 @@ class SegmentSearcher:
                 return _EMPTY_U64  # positions unavailable -> no exact match
             lengths = pc.list_value_length(taken).to_numpy().astype(np.int64)
             vals = taken.flatten().to_numpy()  # uint32, ascending per row
+            if i == 0:
+                if len(vals) == 0:
+                    return _EMPTY_U64
+                # stride covers every slot the first term can start at;
+                # later terms' out-of-range slots cannot match and are
+                # masked out before the table lookup
+                stride = int(vals.max()) + 1
+                if m * stride <= _PHRASE_FLAG_BUDGET_BYTES:
+                    rows64 = np.repeat(np.arange(m, dtype=np.int64), lengths)
+                    k0 = rows64 * stride + vals.astype(np.int64)
+                    flag = np.zeros(m * stride, dtype=np.uint8)
+                    flag[k0] = 1
+                    continue
+            if flag is not None:
+                rows64 = np.repeat(np.arange(m, dtype=np.int64), lengths)
+                slot = vals.astype(np.int64) - i
+                ok = (slot >= 0) & (slot < stride)
+                k = rows64[ok] * stride + slot[ok]
+                k = k[flag[k] == 1]  # keys stay ascending (rows asc, pos asc)
+                if len(k) == 0:
+                    return _EMPTY_U64
+                if i + 1 < len(terms):
+                    # survivors shrink monotonically: rebuild a fresh
+                    # table from the (small) surviving key set
+                    flag = np.zeros(m * stride, dtype=np.uint8)
+                    flag[k] = 1
+                keys = k
+                continue
             rows = np.repeat(np.arange(m, dtype=np.uint64), lengths)
             shifted = vals.astype(np.uint64)  # position - i, wraparound marks <i
             shifted -= np.uint64(i)
@@ -638,7 +682,10 @@ class SegmentSearcher:
             keys = k if keys is None else intersect_sorted(keys, k)
             if len(keys) == 0:
                 return _EMPTY_U64
-        rows_of = (keys >> np.uint64(32)).astype(np.int64)
+        if flag is not None:
+            rows_of = (keys // stride).astype(np.int64)
+        else:
+            rows_of = (keys >> np.uint64(32)).astype(np.int64)
         # keys sorted -> rows_of sorted; run-detect instead of np.unique
         survivor_rows = rows_of[
             np.concatenate([[True], rows_of[1:] != rows_of[:-1]])

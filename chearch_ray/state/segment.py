@@ -348,6 +348,11 @@ class PostingsPartReader:
             # vectorized decode (cached) beats per-block bookkeeping
             full = self.positions_arrow(term)
         if full is not None:
+            if len(rows) == n_post:
+                # rows are strictly-ascending posting indices, so equal
+                # length means identity — skip the multi-MB take copy
+                # (the all-docs candidate set of a hot-term phrase)
+                return full
             return full.take(pa.array(rows, type=pa.int64()))
         from chearch_ray.functions.codec import unpack_position_blob
 

@@ -455,6 +455,28 @@ def test_phrase_search(engine, oracle, corpus):
     assert phrase_docs <= and_docs
 
 
+def test_phrase_flag_path_matches_sorted_fallback(engine, corpus, monkeypatch):
+    """The budget-gated scatter/gather membership table and the sorted
+    uint64-key intersection are two implementations of the same phrase
+    verification — identical result tables, phrase by phrase."""
+    import re
+
+    from chearch_ray.state import searcher as searcher_mod
+
+    texts = corpus["content"].to_pylist()
+    phrases = []
+    for t in texts[:10]:
+        toks = [x for x in re.split(r"[^a-z0-9_]+", t.lower()) if x]
+        if len(toks) >= 4:
+            phrases.append(toks[0:2])
+            phrases.append(toks[0:4])  # >2 terms: table-rebuild path
+    phrases.append(["__never_present__", "def"])
+    flag_results = [engine.search_phrase(p, k=50) for p in phrases]
+    monkeypatch.setattr(searcher_mod, "_PHRASE_FLAG_BUDGET_BYTES", 0)
+    for p, want in zip(phrases, flag_results):
+        assert engine.search_phrase(p, k=50).equals(want), p
+
+
 def test_phrase_with_repeated_term(engine, oracle, corpus):
     """A phrase containing the same term twice (e.g. 'x x') must score
     each unique term once."""
