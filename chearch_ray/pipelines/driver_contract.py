@@ -132,6 +132,54 @@ def q_boolean_or(sf_dir: str) -> pa.Table:
     return _bool_result(engine_for(sf_dir), ast.Or(ast.Term(a), ast.Term(b)))
 
 
+#: wide-id (doc_id_bits=128) driver row — ROADMAP #12.  The documents
+#: table's 64-bit ids are split into adversarially COLLIDING (hi, lo)
+#: pairs: hi = doc_id % WIDE_SPLIT, lo = doc_id // WIDE_SPLIT, so every
+#: lo-64 value is shared by up to WIDE_SPLIT distinct documents — the
+#: exact input a 64-bit id space cannot represent.  The oracle mirrors
+#: the split in SQL, making the whole ordinal machinery
+#: (hashing.doc_id_wide_from_keys is bypassed: explicit columns win)
+#: rows+schema+hash checkable.
+WIDE_SPLIT = 5
+WIDE_CFG = EngineConfig(num_segments=2, num_term_shards=4, doc_id_bits=128)
+
+
+def _wide_corpus(sf_dir: str):
+    ds = read_documents_corpus(sf_dir)
+
+    def split_ids(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy().astype(np.uint64)
+        batch = batch.drop_columns(["doc_id"])
+        batch = batch.append_column("doc_id", pa.array(did // WIDE_SPLIT, type=pa.uint64()))
+        return batch.append_column("doc_id_hi", pa.array(did % WIDE_SPLIT, type=pa.uint64()))
+
+    return ds.map_batches(split_ids, batch_format="pyarrow")
+
+
+def wide_engine_for(sf_dir: str) -> QueryEngine:
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    key = f"{os.path.abspath(sf_dir)}:{os.path.getsize(doc_path)}:{WIDE_CFG}:wide:fmt2"
+    tag = hashlib.sha256(key.encode()).hexdigest()[:16]
+    index_dir = os.path.join("/tmp", "chearch_ray_driver_cache", f"idx-{tag}")
+    eng = _ENGINES.get(index_dir)
+    if eng is None:
+        build_index(_wide_corpus(sf_dir), index_dir, WIDE_CFG)
+        eng = QueryEngine(index_dir, use_actors=True)
+        _ENGINES[index_dir] = eng
+    return eng
+
+
+def q_wide_id_boolean(sf_dir: str) -> pa.Table:
+    a, b = BOOL_AND_TERMS
+    t = wide_engine_for(sf_dir).search_boolean(ast.And(ast.Term(a), ast.Term(b)))
+    return pa.table(
+        {
+            "doc_id_hi": t["doc_id_hi"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+        }
+    )
+
+
 def _ranked(table: pa.Table) -> pa.Table:
     return pa.table(
         {
@@ -520,6 +568,7 @@ QUERIES = {
     "postings_cardinality": q_postings_cardinality,
     "boolean_and": q_boolean_and,
     "boolean_or": q_boolean_or,
+    "wide_id_boolean": q_wide_id_boolean,
     "bm25_single": q_bm25_single,
     "bm25_and": q_bm25_and,
     "bm25_or": q_bm25_or,
@@ -724,6 +773,15 @@ INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_AND_TERMS[1]}'
     "boolean_or": f"""
 WITH {TOK_CTE}
 SELECT DISTINCT doc_id FROM tok WHERE term IN ('{BOOL_OR_TERMS[0]}', '{BOOL_OR_TERMS[1]}')
+""",
+    "wide_id_boolean": f"""
+WITH {TOK_CTE},
+hits AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_AND_TERMS[0]}'
+  INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_AND_TERMS[1]}')
+SELECT (doc_id % {WIDE_SPLIT})::BIGINT AS doc_id_hi,
+       (doc_id // {WIDE_SPLIT})::BIGINT AS doc_id
+FROM hits
 """,
     "bm25_single": _bm25_sql((BM25_TERM,), "or"),
     "bm25_and": _bm25_sql(BM25_AND_TERMS, "and"),
