@@ -42,6 +42,7 @@ from chearch_ray.functions.codec import decode_blocks, decode_postings_any
 from chearch_ray.state.segment import DocmapReader, PostingsPartReader, docmap_rel_path, postings_rel_path
 
 _EMPTY_U64 = np.empty(0, dtype=np.uint64)
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
 
 # phrase verification: max bytes for the scatter/gather membership
 # table (candidates x max_start_position); above this the sorted-key
@@ -573,14 +574,36 @@ class SegmentSearcher:
         for t in terms[1:]:
             node = ast.And(node, ast.Term(t))
         candidates = self._eval_sets(node)
-        docs = self._phrase_survivors(terms, candidates)
-        if len(docs) == 0:
-            return self._project(docs, scores=np.empty(0))
-        # unique terms, first-seen order (oracle float contract — a
-        # repeated phrase term must not contribute twice)
-        scores = self._score_docs(docs, list(dict.fromkeys(terms)), idfs, avgdl)
-        order = topk_order(scores, docs, k)
-        return self._project(docs[order], scores=scores[order])
+        if len(candidates) == 0:
+            return self._project(candidates, scores=np.empty(0))
+        # Rank-ordered lazy verification: scoring needs only the tfs
+        # (already probe-cheap), so score ALL candidates first, then
+        # verify position lists in final ranking order (score desc,
+        # doc asc) in geometrically growing chunks.  Once k survivors
+        # exist, every unverified candidate ranks strictly after the
+        # k-th survivor — exact early exit.  Hot-term phrases verify
+        # ~k docs instead of the whole conjunction (25k docs / 4.4M
+        # occurrences for "return if" on the bench corpus: 340 ms ->
+        # ~10 ms).  Unique terms, first-seen order (oracle float
+        # contract — a repeated phrase term must not contribute twice).
+        scores = self._score_docs(candidates, list(dict.fromkeys(terms)), idfs, avgdl)
+        rank = np.lexsort((candidates, -scores))
+        kept_docs: list[np.ndarray] = []
+        kept_scores: list[np.ndarray] = []
+        total, start, chunk = 0, 0, max(8 * k, 256)
+        while start < len(rank) and total < k:
+            sel = rank[start : start + chunk]
+            rows = self._phrase_survivor_rows(terms, candidates[sel])
+            if len(rows):
+                kept_docs.append(candidates[sel][rows])
+                kept_scores.append(scores[sel][rows])
+                total += len(rows)
+            start += chunk
+            chunk *= 2
+        if total == 0:
+            return self._project(_EMPTY_U64, scores=np.empty(0))
+        docs = np.concatenate(kept_docs)[:k]
+        return self._project(docs, scores=np.concatenate(kept_scores)[: len(docs)])
 
     def _posting_row_indices(self, term: str, docs: np.ndarray) -> np.ndarray:
         """posting-list row index of each doc (docs must all be present
@@ -603,19 +626,21 @@ class SegmentSearcher:
         which = np.searchsorted(bounds, pos, side="right") - 1
         return needed[which] * self.cfg.block_size + (pos - bounds[which])
 
-    def _phrase_survivors(self, terms: list[str], candidates: np.ndarray) -> np.ndarray:
-        """Vectorized phrase verification over the WHOLE candidate set:
-        for each term i, flatten all candidate position lists into
+    def _phrase_survivor_rows(self, terms: list[str], candidates: np.ndarray) -> np.ndarray:
+        """Vectorized phrase verification over the candidate set: for
+        each term i, flatten all candidate position lists into
         (candidate_row, position - i) keys packed into uint64, then one
         sorted-intersection pass per term — no per-candidate Python
-        loop (VERDICT r01 item 7)."""
+        loop (VERDICT r01 item 7).  Returns ascending ROW indices into
+        `candidates` (which may be in any order — row keys are built
+        from positional order, not doc-id order)."""
         m = len(candidates)
         if m == 0:
-            return candidates
+            return np.empty(0, dtype=np.int64)
         if len(terms) == 1:
             # a one-term "phrase" is just the term: every candidate
             # (they all contain it) matches — no position work at all
-            return candidates
+            return np.arange(m, dtype=np.int64)
         import pyarrow.compute as pc
 
         # Two key representations, same semantics (key identifies a
@@ -632,7 +657,7 @@ class SegmentSearcher:
         for i, t in enumerate(terms):
             reader = self.shards.get(self._sharder.shard_of(t))
             if reader is None:
-                return _EMPTY_U64
+                return _EMPTY_I64
             idx = self._posting_row_indices(t, candidates)  # candidates ⊆ postings
             # lazy positions: decode only the skip blocks the candidate
             # rows live in (packed pos_blob + per-block pos_off) — a
@@ -640,12 +665,12 @@ class SegmentSearcher:
             # candidate set
             taken = reader.positions_for_rows(t, idx)
             if taken is None:
-                return _EMPTY_U64  # positions unavailable -> no exact match
+                return _EMPTY_I64  # positions unavailable -> no exact match
             lengths = pc.list_value_length(taken).to_numpy().astype(np.int64)
             vals = taken.flatten().to_numpy()  # uint32, ascending per row
             if i == 0:
                 if len(vals) == 0:
-                    return _EMPTY_U64
+                    return _EMPTY_I64
                 # stride covers every slot the first term can start at;
                 # later terms' out-of-range slots cannot match and are
                 # masked out before the table lookup
@@ -663,7 +688,7 @@ class SegmentSearcher:
                 k = rows64[ok] * stride + slot[ok]
                 k = k[flag[k] == 1]  # keys stay ascending (rows asc, pos asc)
                 if len(k) == 0:
-                    return _EMPTY_U64
+                    return _EMPTY_I64
                 if i + 1 < len(terms):
                     # survivors shrink monotonically: rebuild a fresh
                     # table from the (small) surviving key set
@@ -681,7 +706,7 @@ class SegmentSearcher:
             k = (rows[ok] << np.uint64(32)) | shifted[ok]
             keys = k if keys is None else intersect_sorted(keys, k)
             if len(keys) == 0:
-                return _EMPTY_U64
+                return _EMPTY_I64
         if flag is not None:
             rows_of = (keys // stride).astype(np.int64)
         else:
@@ -690,7 +715,7 @@ class SegmentSearcher:
         survivor_rows = rows_of[
             np.concatenate([[True], rows_of[1:] != rows_of[:-1]])
         ]
-        return candidates[survivor_rows]
+        return survivor_rows
 
     def first_positions_array(self, term: str, doc_id: int):
         """sorted position array of `term` in `doc_id`, or None when

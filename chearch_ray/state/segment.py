@@ -343,15 +343,26 @@ class PostingsPartReader:
         full = self._pos_decoded.get(term)
         if full is None and self._pos_blob is None:
             full = self.positions_arrow(term)  # legacy nested path
-        if full is None and len(rows) * 2 >= n_post:
-            # dense candidate set touches most blocks anyway: one full
-            # vectorized decode (cached) beats per-block bookkeeping
+        if full is None and len(np.unique(rows // self.block_size)) * self.block_size * 2 >= n_post:
+            # the gate is on BLOCKS touched, not row count: a few
+            # hundred rank-ordered (scattered) phrase candidates touch
+            # most blocks of a hot term, so per-block decode would cost
+            # nearly a full decode per call — one full vectorized
+            # decode (cached across chunks and queries) beats it
             full = self.positions_arrow(term)
         if full is not None:
-            if len(rows) == n_post:
-                # rows are strictly-ascending posting indices, so equal
-                # length means identity — skip the multi-MB take copy
-                # (the all-docs candidate set of a hot-term phrase)
+            if len(rows) == n_post and (
+                n_post == 0
+                or (
+                    rows[0] == 0
+                    and rows[-1] == n_post - 1
+                    and bool(np.all(rows[1:] > rows[:-1]))
+                )
+            ):
+                # rows are exactly 0..n_post-1 — skip the multi-MB take
+                # copy (the all-docs candidate set of a hot-term
+                # phrase).  NB callers may pass rows in RANK order, so
+                # equal length alone does not imply identity.
                 return full
             return full.take(pa.array(rows, type=pa.int64()))
         from chearch_ray.functions.codec import unpack_position_blob

@@ -477,6 +477,50 @@ def test_phrase_flag_path_matches_sorted_fallback(engine, corpus, monkeypatch):
         assert engine.search_phrase(p, k=50).equals(want), p
 
 
+def test_phrase_rank_ordered_early_exit(ray_session, tmp_path, monkeypatch):
+    """Phrase verification runs in final-ranking order and stops once k
+    survivors exist: on a corpus where the phrase matches everywhere,
+    only the first chunk of candidates is position-verified; a
+    candidate-heavy phrase with ZERO matches still verifies the whole
+    conjunction (exactness of the exhaustion path)."""
+    import ray.data
+
+    from chearch_ray.state import searcher as searcher_mod
+
+    n = 600
+    rows = [
+        {
+            "doc_id": np.uint64(i),
+            # one occurrence per doc: "zalpha zbeta" matches every doc,
+            # the reversed phrase matches none while both terms stay in
+            # every candidate set
+            "content": "zalpha zbeta " + " ".join(f"w{j}" for j in range(i % 7)),
+        }
+        for i in range(n)
+    ]
+    cfg = EngineConfig(num_segments=1, num_term_shards=2, block_size=16, tokenize_batch_size=64)
+    idx = str(tmp_path / "early")
+    build_index(ray.data.from_arrow(pa.Table.from_pylist(rows)), idx, cfg)
+    eng = QueryEngine(idx, use_actors=False)
+
+    verified = []
+    orig = searcher_mod.SegmentSearcher._phrase_survivor_rows
+
+    def spy(self, terms, candidates):
+        verified.append(len(candidates))
+        return orig(self, terms, candidates)
+
+    monkeypatch.setattr(searcher_mod.SegmentSearcher, "_phrase_survivor_rows", spy)
+    got = eng.search_phrase("zalpha zbeta", k=3)
+    assert len(got) == 3
+    # one 256-candidate chunk (max(8k, 256)) out of 600 candidates
+    assert sum(verified) == 256, verified
+    verified.clear()
+    empty = eng.search_phrase("zbeta zalpha", k=3)
+    assert len(empty) == 0
+    assert sum(verified) == n, verified  # zero survivors -> full exhaustion
+
+
 def test_phrase_with_repeated_term(engine, oracle, corpus):
     """A phrase containing the same term twice (e.g. 'x x') must score
     each unique term once."""
