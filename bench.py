@@ -79,7 +79,12 @@ def run_bench() -> dict:
     index_dir = os.path.join(INDEX_BASE, f"chearch_bench_index_{num_cpus}_{BENCH_DOCS}_{os.getpid()}")
 
     t0 = time.perf_counter()
-    manifest = build_index(ray.data.read_parquet(paths), index_dir, cfg, resume=False)
+    from chearch_ray.sources.corpus import build_read_blocks
+
+    corpus_ds = ray.data.read_parquet(
+        paths, override_num_blocks=build_read_blocks(content_bytes, num_cpus)
+    )
+    manifest = build_index(corpus_ds, index_dir, cfg, resume=False)
     build_sec = time.perf_counter() - t0
     timings["build_sec"] = build_sec
     timings["build_files_per_sec"] = BENCH_DOCS / build_sec

@@ -172,6 +172,32 @@ def write_corpus_parquet(
     return paths
 
 
+def build_read_blocks(
+    total_bytes: int,
+    num_cpus: int | None = None,
+    target_block_bytes: int = 128 << 20,
+) -> int:
+    """Read parallelism for an index-build corpus scan (pass as
+    read_parquet(override_num_blocks=...)).
+
+    Ray Data's default floors read splitting at ~200 blocks, so a
+    small-to-medium corpus tokenizes into hundreds of tiny blocks and
+    the partitioned shuffle writes one run file per (block x
+    partition) — 15k ~29 KB files on the 215 MB bench corpus (ROADMAP
+    #10), file-creation overhead dominating both shuffle sides.  One
+    block per CPU keeps every core busy in a single wave while cutting
+    run files 7x (measured: build 14.4 s -> ~10 s median at 32 cpus);
+    the byte cap takes over once blocks would exceed
+    `target_block_bytes` of COMPRESSED input (100 TB / 128 MB ≈ 8e5
+    blocks — far above any cluster's core count, so big corpora are
+    unaffected by the CPU term)."""
+    if num_cpus is None:
+        import ray
+
+        num_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(int(num_cpus), -(-int(total_bytes) // target_block_bytes), 1)
+
+
 # ------------------------------------------------- driver testdata shim
 def documents_batch_to_corpus(batch: pa.Table) -> pa.Table:
     """documents(doc_id, text, lang, source, n_chars) -> engine corpus
@@ -202,7 +228,12 @@ def read_documents_corpus(sf_dir: str):
 
 
 # ------------------------------------------------ generic corpus readers
-def read_corpus(path_or_paths, fmt: str = "parquet", text_column: str | None = None):
+def read_corpus(
+    path_or_paths,
+    fmt: str = "parquet",
+    text_column: str | None = None,
+    override_num_blocks: int | None = None,
+):
     """Read a corpus into the engine's input shape from other source
     formats (SURVEY.md §2.1 — the reference has only a synthetic
     source; these are the practical ingestion paths):
@@ -212,6 +243,10 @@ def read_corpus(path_or_paths, fmt: str = "parquet", text_column: str | None = N
     - json / csv: same column contract
     - text: one document per line, repo/path synthesized from the file
       path and line ordinal
+
+    For index builds pass override_num_blocks=build_read_blocks(...)
+    so the partitioned shuffle writes one run file per (read block x
+    partition) instead of Ray's ~200-block default floor (ROADMAP #10).
     """
     import pyarrow.compute as pc
 
@@ -222,8 +257,9 @@ def read_corpus(path_or_paths, fmt: str = "parquet", text_column: str | None = N
         "json": ray.data.read_json,
         "csv": ray.data.read_csv,
     }
+    nb = {"override_num_blocks": override_num_blocks} if override_num_blocks else {}
     if fmt == "text":
-        ds = ray.data.read_text(path_or_paths)
+        ds = ray.data.read_text(path_or_paths, **nb)
 
         def to_corpus(batch: pa.Table) -> pa.Table:
             n = len(batch)
@@ -240,7 +276,7 @@ def read_corpus(path_or_paths, fmt: str = "parquet", text_column: str | None = N
         return ds.map_batches(to_corpus, batch_format="pyarrow")
     if fmt not in readers:
         raise ValueError(f"unsupported corpus format {fmt!r}")
-    ds = readers[fmt](path_or_paths)
+    ds = readers[fmt](path_or_paths, **nb)
     if text_column and text_column != "content":
         def rename(batch: pa.Table) -> pa.Table:
             return batch.rename_columns(

@@ -58,9 +58,34 @@ def main() -> int:
 
     from chearch_ray.config import EngineConfig
     from chearch_ray.pipelines.build import build_index
-    from chearch_ray.sources.corpus import plan_partitions, read_corpus
+    from chearch_ray.sources.corpus import build_read_blocks, plan_partitions, read_corpus
 
-    corpus = read_corpus(args.input, fmt=args.format, text_column=args.text_column)
+    # size read blocks so the partitioned shuffle writes one run file
+    # per (read block x partition) rather than Ray's ~200-block floor
+    total_bytes = 0
+    try:
+        if os.path.isdir(args.input):
+            total_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fnames in os.walk(args.input)
+                for f in fnames
+            )
+        elif os.path.isfile(args.input):
+            total_bytes = os.path.getsize(args.input)
+        else:  # remote URI (s3:// etc.)
+            import pyarrow.fs as pafs
+
+            fs, fs_path = pafs.FileSystem.from_uri(args.input)
+            infos = fs.get_file_info(pafs.FileSelector(fs_path, recursive=True))
+            total_bytes = sum(i.size or 0 for i in infos)
+    except Exception:
+        total_bytes = 0
+    corpus = read_corpus(
+        args.input,
+        fmt=args.format,
+        text_column=args.text_column,
+        override_num_blocks=build_read_blocks(total_bytes) if total_bytes else None,
+    )
     n_est = args.num_docs_estimate or corpus.count()
     num_segments, num_term_shards = plan_partitions(n_est)
     cfg = EngineConfig(

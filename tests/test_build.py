@@ -174,6 +174,45 @@ def test_actor_engine_matches_local(ray_session, engine, oracle):
 
 
 # ------------------------------------------------------- salted build
+def test_read_block_override_identical_output(ray_session, corpus, tmp_path):
+    """Coalesced read blocks (sources.corpus.build_read_blocks /
+    override_num_blocks, ROADMAP #10) change only the run-file layout
+    of the partitioned shuffle — index bytes are identical, and the
+    run directory holds exactly (read blocks x partitions) files."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from chearch_ray.sources.corpus import build_read_blocks
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    half = len(corpus) // 2
+    _pq.write_table(corpus.slice(0, half), os.path.join(src, "a.parquet"))
+    _pq.write_table(corpus.slice(half), os.path.join(src, "b.parquet"))
+
+    d1 = str(tmp_path / "many")
+    m1 = build_index(ray.data.read_parquet(src), d1, CFG)
+    d2 = str(tmp_path / "few")
+    os.environ["CHEARCH_RAY_KEEP_RUNS"] = "1"
+    try:
+        m2 = build_index(
+            ray.data.read_parquet(src, override_num_blocks=2), d2, CFG
+        )
+    finally:
+        os.environ.pop("CHEARCH_RAY_KEEP_RUNS", None)
+    shas1 = {p["part"]: p["sha"] for p in m1.postings_parts}
+    shas2 = {p["part"]: p["sha"] for p in m2.postings_parts}
+    assert shas1 == shas2
+    n_parts = CFG.num_segments * CFG.num_term_shards + CFG.num_segments
+    run_files = _glob.glob(os.path.join(d2, "_shuffle", "part=*", "*.parquet"))
+    assert 0 < len(run_files) <= 2 * n_parts
+    # the sizing helper: CPU term at small inputs, byte cap at scale
+    assert build_read_blocks(1 << 20, num_cpus=32) == 32
+    assert build_read_blocks(100 * (1 << 40), num_cpus=32) == (100 * (1 << 40)) // (128 << 20)
+
+
 def test_salted_build_identical_output(ray_session, corpus, tmp_path):
     """salt composes with BOTH shuffle paths: the default partitioned
     exchange (salt = hive sub-partition, ROADMAP #7) and the
