@@ -38,7 +38,18 @@ class Or:
     b: "Node"
 
 
-Node = Union[Term, And, Or]
+@dataclass(frozen=True)
+class Prefix:
+    """Term-prefix query (engine extension, §2.10 — absent from the
+    reference's CHASM opcode set, chasm.chpl:10-13, so it never
+    appears on the wire).  QueryEngine expands it against the
+    term-sorted stats table into an Or chain over the matching terms
+    BEFORE planning; segment searchers only ever see Term/And/Or."""
+
+    prefix: str
+
+
+Node = Union[Term, And, Or, Prefix]
 
 
 def terms_of(node: Node) -> list[TermT]:
@@ -51,6 +62,8 @@ def terms_of(node: Node) -> list[TermT]:
             if n.term not in seen:
                 seen.add(n.term)
                 out.append(n.term)
+        elif isinstance(n, Prefix):
+            raise TypeError("Prefix nodes must be expanded (QueryEngine._plan) before terms_of")
         else:
             walk(n.a)
             walk(n.b)

@@ -132,6 +132,20 @@ def q_boolean_or(sf_dir: str) -> pa.Table:
     return _bool_result(engine_for(sf_dir), ast.Or(ast.Term(a), ast.Term(b)))
 
 
+#: prefix (wildcard) query — engine extension (§2.10): `s*` expands
+#: against the term-sorted stats parquet (range-predicate scan) into
+#: an Or chain before planning; AND'd with a plain term it exercises
+#: both the expansion and the conjunction path end-to-end through the
+#: string parser (`parse_query` -> Prefix leaf -> QueryEngine._plan).
+PREFIX_QUERY = "s* merge"
+
+
+def q_prefix_boolean(sf_dir: str) -> pa.Table:
+    eng = engine_for(sf_dir)
+    t = eng.search_boolean(PREFIX_QUERY, default_op="and")
+    return pa.table({"doc_id": t["doc_id"].cast(pa.int64())})
+
+
 #: wide-id (doc_id_bits=128) driver row — ROADMAP #12.  The documents
 #: table's 64-bit ids are split into adversarially COLLIDING (hi, lo)
 #: pairs: hi = doc_id % WIDE_SPLIT, lo = doc_id // WIDE_SPLIT, so every
@@ -568,6 +582,7 @@ QUERIES = {
     "postings_cardinality": q_postings_cardinality,
     "boolean_and": q_boolean_and,
     "boolean_or": q_boolean_or,
+    "prefix_boolean": q_prefix_boolean,
     "wide_id_boolean": q_wide_id_boolean,
     "bm25_single": q_bm25_single,
     "bm25_and": q_bm25_and,
@@ -773,6 +788,11 @@ INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_AND_TERMS[1]}'
     "boolean_or": f"""
 WITH {TOK_CTE}
 SELECT DISTINCT doc_id FROM tok WHERE term IN ('{BOOL_OR_TERMS[0]}', '{BOOL_OR_TERMS[1]}')
+""",
+    "prefix_boolean": f"""
+WITH {TOK_CTE}
+SELECT DISTINCT doc_id FROM tok WHERE term LIKE 's%'
+INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'
 """,
     "wide_id_boolean": f"""
 WITH {TOK_CTE},

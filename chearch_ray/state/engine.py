@@ -49,10 +49,18 @@ def parse_query(query: str | ast.Node, default_op: str = "or") -> ast.Node:
     terms = [t for t in query.lower().split() if t]
     if not terms:
         raise ValueError("empty query")
-    node: ast.Node = ast.Term(terms[0])
+
+    def leaf(t: str) -> ast.Node:
+        # trailing `*` = term-prefix query (Lucene-style); expanded by
+        # QueryEngine against the term dictionary before planning
+        if len(t) > 1 and t.endswith("*") and "*" not in t[:-1]:
+            return ast.Prefix(t[:-1])
+        return ast.Term(t)
+
+    node: ast.Node = leaf(terms[0])
     cls = ast.Or if default_op == "or" else ast.And
     for t in terms[1:]:
-        node = cls(node, ast.Term(t))
+        node = cls(node, leaf(t))
     return node
 
 
@@ -90,6 +98,7 @@ class QueryEngine:
         if not self.segments:
             self.segments = list(range(self.cfg.num_segments))
         self.use_actors = use_actors
+        self._prefix_cache: dict[str, list[str]] = {}
         if use_actors:
             import ray
 
@@ -121,10 +130,79 @@ class QueryEngine:
     def idfs_for(self, node: ast.Node) -> dict[str, float]:
         return {str(t): bm25_idf(self.n_docs, self.df(str(t))) for t in ast.terms_of(node)}
 
+    # ------------------------------------------------------------ prefix
+    def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
+        """Vocabulary terms starting with `prefix`, sorted, from the
+        term-SORTED stats parquet via a range predicate (row-group
+        pushdown — the scan touches only the prefix's row groups even
+        at a 10^12-doc vocabulary; memoized per engine).  Raises when
+        the expansion exceeds `max_expansions`: silently truncating
+        would change result sets, and an over-broad prefix should be
+        an explicit caller decision (raise the cap)."""
+        if not prefix:
+            raise ValueError("empty prefix")
+        hit = self._prefix_cache.get(prefix)
+        if hit is not None:
+            if len(hit) > max_expansions:
+                raise ValueError(
+                    f"prefix {prefix!r} expands to {len(hit)} terms (cap {max_expansions})"
+                )
+            return hit
+        import pyarrow.dataset as pads
+
+        # [prefix, prefix+1) bounds the sorted scan; the startswith
+        # post-filter is belt and braces for non-ascii tails
+        upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        t = pads.dataset(self._stats_path, format="parquet").to_table(
+            columns=["term"],
+            filter=(pads.field("term") >= prefix) & (pads.field("term") < upper),
+        )
+        terms = sorted(s for s in t["term"].to_pylist() if s.startswith(prefix))
+        if len(terms) > max_expansions:
+            raise ValueError(
+                f"prefix {prefix!r} expands to {len(terms)} terms (cap {max_expansions})"
+            )
+        if len(self._prefix_cache) > 1024:
+            self._prefix_cache.clear()
+        self._prefix_cache[prefix] = terms
+        return terms
+
+    def _plan(self, node: ast.Node) -> ast.Node:
+        """Prefix-free plan for the segment searchers.  A tree that
+        rewrites to provably-empty becomes a single impossible term
+        (tokenizer output never contains NUL), which evaluates to the
+        empty set in every segment with the normal projection schema."""
+        out = self._rewrite(node)
+        return ast.Term("\x00∅") if out is None else out
+
+    def _rewrite(self, node: ast.Node) -> ast.Node | None:
+        """Expand Prefix leaves into sorted Or chains of matched terms
+        (None = provably-empty subtree).  Segment searchers never see
+        Prefix nodes.  An empty expansion inside And annihilates the
+        conjunction; inside Or it yields the other side."""
+        if isinstance(node, ast.Term):
+            return node
+        if isinstance(node, ast.Prefix):
+            terms = self.expand_prefix(node.prefix)
+            if not terms:
+                return None
+            out: ast.Node = ast.Term(terms[0])
+            for t in terms[1:]:
+                out = ast.Or(out, ast.Term(t))
+            return out
+        a, b = self._rewrite(node.a), self._rewrite(node.b)
+        if isinstance(node, ast.And):
+            return None if (a is None or b is None) else ast.And(a, b)
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return ast.Or(a, b)
+
     # ----------------------------------------------------------- search
     def search(self, query: str | ast.Node, k: int | None = None, default_op: str = "or") -> pa.Table:
         """BM25 top-k, globally merged, ordered (score desc, doc_id asc)."""
-        node = parse_query(query, default_op)
+        node = self._plan(parse_query(query, default_op))
         k = k or self.cfg.default_k
         idfs = self.idfs_for(node)
         if self.use_actors:
@@ -145,7 +223,7 @@ class QueryEngine:
     def search_boolean(self, query: str | ast.Node, default_op: str = "or") -> pa.Table:
         """Doc-level boolean retrieval, ascending doc_id (per-segment
         partition_limit cap applies, as in the reference)."""
-        node = parse_query(query, default_op)
+        node = self._plan(parse_query(query, default_op))
         if self.use_actors:
             import ray
 
@@ -173,7 +251,7 @@ class QueryEngine:
         segment for the whole batch.  Returns a table with a query_id
         column (index into `queries`), each query's rows ordered
         (score desc, doc_id asc)."""
-        nodes = [parse_query(q, default_op) for q in queries]
+        nodes = [self._plan(parse_query(q, default_op)) for q in queries]
         k = k or self.cfg.default_k
         idfs: dict[str, float] = {}
         for node in nodes:

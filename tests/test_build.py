@@ -816,3 +816,69 @@ def test_positions_lazy_block_decode_matches_full(ray_session, tmp_path):
     full = reader.positions_arrow(term)
     want = full.take(pa.array(rows, type=pa.int64()))
     assert lazy.to_pylist() == want.to_pylist()
+
+
+# ------------------------------------------------------- prefix query
+def _prefix_with_hits(oracle, min_terms=2):
+    """a 2-char prefix shared by >= min_terms vocabulary terms."""
+    from collections import Counter
+
+    c = Counter(t[:2] for t in oracle.postings if len(t) >= 2)
+    pref, n = c.most_common(1)[0]
+    assert n >= min_terms
+    return pref
+
+
+def test_parse_query_prefix_leaves():
+    from chearch_ray import ast as A
+
+    n = parse_query("foo* bar", default_op="and")
+    assert n == A.And(A.Prefix("foo"), A.Term("bar"))
+    # lone '*', mid-string '*', and bare term stay Term
+    assert parse_query("*") == A.Term("*")
+    assert parse_query("f*o") == A.Term("f*o")
+    with pytest.raises(TypeError):
+        A.terms_of(A.Prefix("foo"))
+
+
+def test_expand_prefix_matches_vocabulary(engine, oracle):
+    pref = _prefix_with_hits(oracle)
+    want = sorted(t for t in oracle.postings if t.startswith(pref))
+    assert engine.expand_prefix(pref) == want
+    # memoized second call
+    assert engine.expand_prefix(pref) is engine._prefix_cache[pref]
+    with pytest.raises(ValueError):
+        engine.expand_prefix(pref, max_expansions=max(0, len(want) - 1))
+    with pytest.raises(ValueError):
+        engine.expand_prefix("")
+
+
+def test_prefix_search_equals_explicit_or(engine, oracle):
+    from chearch_ray import ast as A
+
+    pref = _prefix_with_hits(oracle)
+    terms = engine.expand_prefix(pref)
+    explicit: A.Node = A.Term(terms[0])
+    for t in terms[1:]:
+        explicit = A.Or(explicit, A.Term(t))
+    got_b = engine.search_boolean(f"{pref}*")
+    want_b = engine.search_boolean(explicit)
+    assert got_b.equals(want_b)
+    assert got_b.num_rows > 0
+    got_s = engine.search(f"{pref}*", k=25)
+    want_s = engine.search(explicit, k=25)
+    assert got_s.equals(want_s)
+
+
+def test_prefix_empty_expansion_semantics(engine, oracle):
+    rare = _rare_terms(oracle, 1)[0]
+    # no vocabulary term starts with this
+    dead = "zzzzqqqq"
+    assert engine.expand_prefix(dead) == []
+    # OR: dead side drops away
+    assert engine.search_boolean(f"{dead}* {rare}", default_op="or").equals(
+        engine.search_boolean(rare)
+    )
+    # AND: annihilates
+    assert engine.search_boolean(f"{dead}* {rare}", default_op="and").num_rows == 0
+    assert engine.search(f"{dead}*", k=10).num_rows == 0
