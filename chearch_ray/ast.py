@@ -39,6 +39,19 @@ class Or:
 
 
 @dataclass(frozen=True)
+class AndNot:
+    """Negation: docs matching `a` but NOT `b` (engine extension,
+    §2.10 — absent from the reference's CHASM opcode set,
+    chasm.chpl:10-13, so it never appears on the wire).  Always
+    positive-anchored: evaluation decodes `a` and PROBES `b` on a's
+    doc set (never materializes the complement), so a hot negative
+    term costs skip-block probes, not a full decode."""
+
+    a: "Node"
+    b: "Node"
+
+
+@dataclass(frozen=True)
 class Prefix:
     """Term-prefix query (engine extension, §2.10 — absent from the
     reference's CHASM opcode set, chasm.chpl:10-13, so it never
@@ -49,7 +62,7 @@ class Prefix:
     prefix: str
 
 
-Node = Union[Term, And, Or, Prefix]
+Node = Union[Term, And, Or, AndNot, Prefix]
 
 
 def terms_of(node: Node) -> list[TermT]:
@@ -64,6 +77,11 @@ def terms_of(node: Node) -> list[TermT]:
                 out.append(n.term)
         elif isinstance(n, Prefix):
             raise TypeError("Prefix nodes must be expanded (QueryEngine._plan) before terms_of")
+        elif isinstance(n, AndNot):
+            # only the POSITIVE side contributes scoring terms: result
+            # docs never contain b's terms (tf = 0 by construction), so
+            # their idf/probes would be dead weight
+            walk(n.a)
         else:
             walk(n.a)
             walk(n.b)

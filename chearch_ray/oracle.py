@@ -60,6 +60,8 @@ class OracleIndex:
         if isinstance(node, ast.Term):
             return set(self.postings.get(str(node.term), ()))
         a, b = self._eval(node.a), self._eval(node.b)
+        if isinstance(node, ast.AndNot):
+            return a - b
         return (a & b) if isinstance(node, ast.And) else (a | b)
 
     def boolean_search(self, node: ast.Node) -> list[int]:

@@ -132,6 +132,25 @@ def q_boolean_or(sf_dir: str) -> pa.Table:
     return _bool_result(engine_for(sf_dir), ast.Or(ast.Term(a), ast.Term(b)))
 
 
+#: negation — engine extension (§2.10): `window -stream` = docs with
+#: `window` minus docs with `stream`; evaluation is positive-anchored
+#: (the negative side is skip-block PROBED on the positive doc set,
+#: never decoded in full).  EXCEPT mirrors it exactly in SQL.
+BOOL_NOT_QUERY = "window -stream"
+BM25_NOT_TERMS = ("batch", "merge")  # score `batch`, exclude docs with `merge`
+
+
+def q_boolean_not(sf_dir: str) -> pa.Table:
+    eng = engine_for(sf_dir)
+    t = eng.search_boolean(BOOL_NOT_QUERY, default_op="and")
+    return pa.table({"doc_id": t["doc_id"].cast(pa.int64())})
+
+
+def q_bm25_not(sf_dir: str) -> pa.Table:
+    pos, neg = BM25_NOT_TERMS
+    return _ranked(engine_for(sf_dir).search(ast.AndNot(ast.Term(pos), ast.Term(neg)), k=10))
+
+
 #: prefix (wildcard) query — engine extension (§2.10): `s*` expands
 #: against the term-sorted stats parquet (range-predicate scan) into
 #: an Or chain before planning; AND'd with a plain term it exercises
@@ -583,6 +602,8 @@ QUERIES = {
     "boolean_and": q_boolean_and,
     "boolean_or": q_boolean_or,
     "prefix_boolean": q_prefix_boolean,
+    "boolean_not": q_boolean_not,
+    "bm25_not": q_bm25_not,
     "wide_id_boolean": q_wide_id_boolean,
     "bm25_single": q_bm25_single,
     "bm25_and": q_bm25_and,
@@ -794,6 +815,19 @@ WITH {TOK_CTE}
 SELECT DISTINCT doc_id FROM tok WHERE term LIKE 's%'
 INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'
 """,
+    "boolean_not": f"""
+WITH {TOK_CTE}
+SELECT DISTINCT doc_id FROM tok WHERE term = 'window'
+EXCEPT SELECT DISTINCT doc_id FROM tok WHERE term = 'stream'
+""",
+    "bm25_not": _bm25_sql(
+        (BM25_NOT_TERMS[0],),
+        "not",
+        cand_sql=(
+            f"SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_NOT_TERMS[0]}' "
+            f"EXCEPT SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_NOT_TERMS[1]}'"
+        ),
+    ),
     "wide_id_boolean": f"""
 WITH {TOK_CTE},
 hits AS (

@@ -46,8 +46,8 @@ def parse_query(query: str | ast.Node, default_op: str = "or") -> ast.Node:
     lowercased to match the tokenizer)."""
     if not isinstance(query, str):
         return query
-    terms = [t for t in query.lower().split() if t]
-    if not terms:
+    raw = [t for t in query.lower().split() if t]
+    if not raw:
         raise ValueError("empty query")
 
     def leaf(t: str) -> ast.Node:
@@ -57,10 +57,24 @@ def parse_query(query: str | ast.Node, default_op: str = "or") -> ast.Node:
             return ast.Prefix(t[:-1])
         return ast.Term(t)
 
+    # leading `-` = negation (Lucene-style): positives combine under
+    # default_op, negatives OR together under a single AndNot
+    terms = [t for t in raw if not (len(t) > 1 and t.startswith("-"))]
+    negs = [t[1:] for t in raw if len(t) > 1 and t.startswith("-")]
+    if not terms:
+        raise ValueError(
+            "query has no positive term — a pure negation is an unbounded "
+            "complement and cannot be evaluated"
+        )
     node: ast.Node = leaf(terms[0])
     cls = ast.Or if default_op == "or" else ast.And
     for t in terms[1:]:
         node = cls(node, leaf(t))
+    if negs:
+        neg: ast.Node = leaf(negs[0])
+        for t in negs[1:]:
+            neg = ast.Or(neg, leaf(t))
+        node = ast.AndNot(node, neg)
     return node
 
 
@@ -191,6 +205,11 @@ class QueryEngine:
                 out = ast.Or(out, ast.Term(t))
             return out
         a, b = self._rewrite(node.a), self._rewrite(node.b)
+        if isinstance(node, ast.AndNot):
+            # empty positive -> empty; empty negative -> just the positive
+            if a is None:
+                return None
+            return a if b is None else ast.AndNot(a, b)
         if isinstance(node, ast.And):
             return None if (a is None or b is None) else ast.And(a, b)
         if a is None:

@@ -241,6 +241,8 @@ class SegmentSearcher:
         drives which AND side is evaluated vs probed."""
         if isinstance(node, ast.Term):
             return self.df(str(node.term))
+        if isinstance(node, ast.AndNot):
+            return self._node_df_estimate(node.a)
         a = self._node_df_estimate(node.a)
         b = self._node_df_estimate(node.b)
         return min(a, b) if isinstance(node, ast.And) else a + b
@@ -253,6 +255,13 @@ class SegmentSearcher:
         if isinstance(node, ast.Term):
             return self.probe_tfs(str(node.term), probes) > 0
         mask_a = self._probe_node(node.a, probes)
+        if isinstance(node, ast.AndNot):
+            if not mask_a.any():
+                return mask_a
+            sub = self._probe_node(node.b, probes[mask_a])
+            result = np.zeros(len(probes), dtype=bool)
+            result[np.flatnonzero(mask_a)[~sub]] = True
+            return result
         if isinstance(node, ast.And):
             if not mask_a.any():
                 return mask_a
@@ -270,6 +279,13 @@ class SegmentSearcher:
     def _eval_sets(self, node: ast.Node) -> np.ndarray:
         if isinstance(node, ast.Term):
             return self.postings(str(node.term))[0]
+        if isinstance(node, ast.AndNot):
+            # positive-anchored: decode a, skip-block-probe b on a's
+            # docs — the negative side is never decoded in full
+            docs = self._eval_sets(node.a)
+            if len(docs) == 0:
+                return docs
+            return docs[~self._probe_node(node.b, docs)]
         if isinstance(node, ast.And):
             # evaluate the smaller side fully; probe the other side via
             # skip blocks (rare-AND-hot never decodes the hot list)

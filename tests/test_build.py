@@ -882,3 +882,59 @@ def test_prefix_empty_expansion_semantics(engine, oracle):
     # AND: annihilates
     assert engine.search_boolean(f"{dead}* {rare}", default_op="and").num_rows == 0
     assert engine.search(f"{dead}*", k=10).num_rows == 0
+
+
+# ---------------------------------------------------------- negation
+def test_parse_query_negation():
+    from chearch_ray import ast as A
+
+    n = parse_query("merge sort -window -str*", default_op="and")
+    assert n == A.AndNot(
+        A.And(A.Term("merge"), A.Term("sort")),
+        A.Or(A.Term("window"), A.Prefix("str")),
+    )
+    # terms_of sees only the positive side
+    assert A.terms_of(n) == ["merge", "sort"]
+    with pytest.raises(ValueError):
+        parse_query("-onlyneg")
+    # a bare '-' is a term, not a negation marker
+    assert parse_query("-") == A.Term("-")
+
+
+def test_boolean_andnot_vs_oracle(engine, oracle):
+    hot = _hot_terms(oracle, 4)
+    rare = _rare_terms(oracle, 2)
+    trees = [
+        ast.AndNot(ast.Term(hot[0]), ast.Term(hot[1])),
+        ast.AndNot(ast.Term(hot[0]), ast.Term(NEVER_PRESENT)),
+        ast.AndNot(ast.Term(rare[0]), ast.Term(hot[0])),
+        ast.AndNot(ast.Or(ast.Term(hot[0]), ast.Term(hot[1])),
+                   ast.Or(ast.Term(hot[2]), ast.Term(hot[3]))),
+        ast.AndNot(ast.And(ast.Term(hot[0]), ast.Term(hot[1])), ast.Term(hot[2])),
+        ast.AndNot(ast.AndNot(ast.Term(hot[0]), ast.Term(hot[1])), ast.Term(hot[2])),
+    ]
+    for tree in trees:
+        assert _bool_docs(engine, tree) == oracle.boolean_search(tree), tree
+    # result is a strict subset: no doc of the negative side survives
+    got = set(_bool_docs(engine, trees[0]))
+    assert got and got.isdisjoint(oracle.boolean_search(ast.Term(hot[1])))
+
+
+def test_bm25_andnot_vs_oracle(engine, oracle):
+    hot = _hot_terms(oracle, 4)
+    _check_bm25(engine, oracle, ast.AndNot(ast.Term(hot[0]), ast.Term(hot[1])))
+    _check_bm25(engine, oracle, ast.AndNot(
+        ast.Or(ast.Term(hot[0]), ast.Term(hot[1])), ast.Term(hot[2])))
+    # string path: parse -> plan -> same result as the explicit tree
+    got = engine.search(f"{hot[0]} -{hot[1]}", k=10)
+    want = engine.search(ast.AndNot(ast.Term(hot[0]), ast.Term(hot[1])), k=10)
+    assert got.equals(want)
+
+
+def test_andnot_empty_negative_rewrite(engine, oracle):
+    """`-dead*` (prefix matching nothing) rewrites away; the positive
+    side alone remains."""
+    hot = _hot_terms(oracle, 1)[0]
+    assert engine.search_boolean(f"{hot} -zzzzqqqq*").equals(
+        engine.search_boolean(hot)
+    )
