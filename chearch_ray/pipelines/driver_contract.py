@@ -491,6 +491,20 @@ CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
 SAMPLE_RATE = 0.25
 
 
+#: sequence-packing bin budget (tokens per training context window)
+PACK_MAX_TOKENS = 512
+
+
+def q_pack_sequences(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.pack import pack_sequences
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = pack_sequences(ds, max_tokens=PACK_MAX_TOKENS).to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_chunk_documents(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -623,6 +637,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "jaccard_pairs": q_jaccard_pairs,
     "neardup_keep": q_neardup_keep,
+    "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
     "deterministic_sample": q_deterministic_sample,
     # rows-only (non-SQL-expressible)
@@ -947,6 +962,16 @@ reach(u, v) AS (
   SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
 )
 SELECT u::BIGINT AS doc_id, min(v)::BIGINT AS keep_id FROM reach GROUP BY u
+""",
+    "pack_sequences": f"""
+WITH tc AS (SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+           x -> x <> ''))::BIGINT AS n_tokens FROM documents),
+p AS (SELECT doc_id, n_tokens,
+      (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) AS pre FROM tc)
+SELECT doc_id, n_tokens, (pre // {PACK_MAX_TOKENS})::BIGINT AS bin,
+       (pre % {PACK_MAX_TOKENS})::BIGINT AS bin_offset
+FROM p
 """,
     "chunk_documents": f"""
 WITH dt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),

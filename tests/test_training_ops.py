@@ -733,3 +733,70 @@ def test_sample_embeddings_layout_independent(ray_session):
     )
     np.testing.assert_array_equal(one, many)
     np.testing.assert_array_equal(one, rev)
+
+
+# ------------------------------------------------------ sequence packing
+def test_pack_sequences_vs_window_oracle(ray_session):
+    """pack_sequences == the SQL running-sum window, including docs
+    longer than the bin budget (they start a bin and spill over)."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.pack import pack_sequences
+
+    rng = np.random.default_rng(7)
+    n = 500
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(1, 60))) for _ in range(n)]
+    # non-contiguous, shuffled ids exercise the range bucketing
+    ids = rng.permutation(np.arange(n, dtype=np.int64) * 37 + 5)
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    got = (
+        pack_sequences(ray.data.from_arrow(t), max_tokens=100,
+                       n_buckets=32, coarse_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+        WITH tc AS (SELECT doc_id,
+            len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                x -> x <> ''))::BIGINT AS n_tokens FROM documents),
+        p AS (SELECT doc_id, n_tokens,
+            (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) AS pre FROM tc)
+        SELECT doc_id, n_tokens, (pre // 100)::BIGINT AS bin,
+               (pre % 100)::BIGINT AS bin_offset
+        FROM p ORDER BY doc_id
+    """).df().reset_index(drop=True)
+    assert len(got) == n
+    for col in ["doc_id", "n_tokens", "bin", "bin_offset"]:
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy(), err_msg=col)
+    # bins fill to the budget: every bin except the last spans 100 tokens
+    total = int(got["n_tokens"].sum())
+    assert int(got["bin"].max()) == (total - 1) // 100
+
+
+def test_pack_sequences_partition_invariance(ray_session):
+    """result is a pure function of the corpus — block layout and
+    partition counts must not matter."""
+    import ray.data
+
+    from chearch_ray.stages.pack import pack_sequences
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+        "text": pa.array([f"tok " * (i % 17 + 1) for i in range(100)]),
+    })
+    a = (
+        pack_sequences(ray.data.from_arrow(t).repartition(1), max_tokens=64,
+                       n_buckets=8, coarse_partitions=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        pack_sequences(ray.data.from_arrow(t).repartition(7), max_tokens=64,
+                       n_buckets=64, coarse_partitions=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
