@@ -494,6 +494,19 @@ SAMPLE_RATE = 0.25
 #: sequence-packing bin budget (tokens per training context window)
 PACK_MAX_TOKENS = 512
 
+#: per-language quota for the domain-mixing sampler
+SAMPLE_QUOTA = 40
+
+
+def q_quota_sample(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.sample import quota_sample_per_group
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"])
+    out = quota_sample_per_group(ds, group_column="lang", quota=SAMPLE_QUOTA).to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
 
 def q_pack_sequences(sf_dir: str) -> pa.Table:
     import ray.data
@@ -638,6 +651,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "neardup_keep": q_neardup_keep,
     "pack_sequences": q_pack_sequences,
+    "quota_sample": q_quota_sample,
     "chunk_documents": q_chunk_documents,
     "deterministic_sample": q_deterministic_sample,
     # rows-only (non-SQL-expressible)
@@ -972,6 +986,14 @@ p AS (SELECT doc_id, n_tokens,
 SELECT doc_id, n_tokens, (pre // {PACK_MAX_TOKENS})::BIGINT AS bin,
        (pre % {PACK_MAX_TOKENS})::BIGINT AS bin_offset
 FROM p
+""",
+    "quota_sample": f"""
+SELECT lang, doc_id, rn FROM (
+  SELECT lang, doc_id, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY (doc_id::HUGEINT * 6364136223846793005) % 18446744073709551616::HUGEINT,
+             doc_id) AS rn
+  FROM documents) WHERE rn <= {SAMPLE_QUOTA}
 """,
     "chunk_documents": f"""
 WITH dt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),

@@ -1,0 +1,127 @@
+"""Per-group quota sampling (domain mixing): keep at most `quota`
+documents per group (language, domain, source), selected in a
+DETERMINISTIC pseudorandom order so the sample is uniform-ish,
+reproducible, and exactly mirrorable in SQL.
+
+The selection key is a Knuth multiplicative hash of doc_id computed in
+wrapping uint64 arithmetic — `(doc_id * 6364136223846793005) mod 2^64`
+— which SQL replicates bit-exactly via HUGEINT:
+`(doc_id::HUGEINT * 6364136223846793005) % 2^64`.  Rank within group =
+row_number ordered by (h, doc_id).
+
+Scale shape (no analogue in the reference engine; training-data-side
+operator like stages/pack.py):
+
+* map-side pruning: each batch keeps only its own quota-lowest rows
+  per group before the shuffle (a row outside a batch's local top
+  `quota` can never enter the group's global top `quota`), so the
+  all-to-all carries <= quota * groups-per-batch rows per batch, not
+  the corpus;
+* the final selection runs per coarse hash(group) % N partition with
+  ONE vectorized pass over all its groups (sort by (group, h, id) +
+  run-rank arithmetic) — never one Python call per group, which at
+  web scale (millions of domains) would be all framework overhead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+
+from chearch_ray.stages.partition import coarse_partition_ids
+
+#: Knuth's MMIX multiplicative constant (fits in int64; odd, so the
+#: map doc_id -> h is a bijection on uint64)
+KNUTH_MULT = np.uint64(6364136223846793005)
+#: coarse partitions for the final per-group selection
+GROUP_PARTITIONS = 64
+
+
+def _sample_hash(doc_ids: np.ndarray) -> np.ndarray:
+    return doc_ids.astype(np.uint64) * KNUTH_MULT  # wraps mod 2^64
+
+
+def _select_quota(tbl: pa.Table, group_column: str, quota: int) -> pa.Table:
+    """rows -> the quota-lowest (h, doc_id) rows of every group in the
+    table, vectorized across groups, with rank column `rn` (1-based)."""
+    d = tbl["doc_id"].to_numpy().astype(np.int64)
+    h = _sample_hash(d)
+    g = tbl[group_column]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    # group ids via dictionary encode (string groups stay vectorized)
+    enc = g.dictionary_encode()
+    gid = np.asarray(enc.indices, dtype=np.int64)
+    # sort by (group, h, doc_id): lexsort keys in reverse priority;
+    # uint64 h sorts correctly as its own dtype
+    order = np.lexsort((d, h, gid))
+    gid_s = gid[order]
+    starts = np.empty(len(gid_s), dtype=bool)
+    if len(gid_s):
+        starts[0] = True
+        starts[1:] = gid_s[1:] != gid_s[:-1]
+    sidx = np.flatnonzero(starts)
+    runlen = np.diff(np.append(sidx, len(gid_s)))
+    rank = np.arange(len(gid_s), dtype=np.int64) - np.repeat(sidx, runlen)
+    keep = order[rank < quota]
+    out = tbl.take(pa.array(keep, type=pa.int64()))
+    return out.append_column("rn", pa.array(rank[rank < quota] + 1, type=pa.int64()))
+
+
+def _group_hash64(values: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """stable uint64 FNV-1a per group value, computed once per UNIQUE
+    value via dictionary encode (groups per batch << rows)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    enc = values.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    lut = np.empty(len(uniq), dtype=np.uint64)
+    for i, v in enumerate(uniq):
+        h = np.uint64(0xCBF29CE484222325)
+        for byte in str(v).encode():
+            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        lut[i] = h
+    if len(uniq) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return lut[np.asarray(enc.indices)]
+
+
+def _partial_batch(batch: pa.Table, group_column: str, quota: int, n_parts: int) -> pa.Table:
+    pruned = _select_quota(
+        pa.table({group_column: batch[group_column], "doc_id": batch["doc_id"].cast(pa.int64())}),
+        group_column,
+        quota,
+    ).drop_columns(["rn"])
+    pgrp = coarse_partition_ids(_group_hash64(pruned[group_column]), n_parts)
+    return pruned.append_column("pgrp", pa.array(pgrp, type=pa.int32()))
+
+
+def _final_partition(group: pa.Table, group_column: str, quota: int) -> pa.Table:
+    if len(group) == 0:
+        return pa.schema(
+            [(group_column, pa.string()), ("doc_id", pa.int64()), ("rn", pa.int64())]
+        ).empty_table()
+    return _select_quota(group.drop_columns(["pgrp"]), group_column, quota)
+
+
+def quota_sample_per_group(
+    ds,
+    group_column: str = "lang",
+    quota: int = 100,
+    coarse_partitions: int = GROUP_PARTITIONS,
+):
+    """(doc_id, group) Dataset -> at most `quota` rows per group value
+    with their 1-based rank `rn`; selection order is the Knuth hash of
+    doc_id (deterministic, partition-invariant).  See module docstring
+    for the SQL mirror and the map-side pruning argument."""
+    pruned = ds.map_batches(
+        partial(_partial_batch, group_column=group_column, quota=quota,
+                n_parts=coarse_partitions),
+        batch_format="pyarrow",
+    )
+    return pruned.groupby("pgrp").map_groups(
+        partial(_final_partition, group_column=group_column, quota=quota),
+        batch_format="pyarrow",
+    )

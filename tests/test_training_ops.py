@@ -800,3 +800,58 @@ def test_pack_sequences_partition_invariance(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+# --------------------------------------------------- quota sampling
+def test_quota_sample_vs_window_oracle(ray_session):
+    """quota_sample_per_group == SQL row_number() over the HUGEINT
+    Knuth-hash order, at every quota including quota > group size."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.sample import quota_sample_per_group
+
+    rng = np.random.default_rng(11)
+    n = 400
+    langs = rng.choice(["en", "es", "fr", "de", "tiny"], size=n,
+                       p=[0.4, 0.3, 0.2, 0.095, 0.005])
+    ids = rng.permutation(np.arange(n, dtype=np.int64) * 13 + 2)
+    t = pa.table({"doc_id": pa.array(ids), "lang": pa.array(langs)})
+    con = duckdb.connect()
+    con.register("documents", t)
+    for quota in (7, 50):
+        got = (
+            quota_sample_per_group(ray.data.from_arrow(t), "lang", quota=quota,
+                                   coarse_partitions=8)
+            .to_pandas().sort_values(["lang", "rn"]).reset_index(drop=True)
+        )
+        want = con.execute(f"""
+            SELECT lang, doc_id, rn FROM (
+              SELECT lang, doc_id, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY (doc_id::HUGEINT * 6364136223846793005) % 18446744073709551616::HUGEINT,
+                         doc_id) AS rn
+              FROM documents) WHERE rn <= {quota}
+            ORDER BY lang, rn
+        """).df().reset_index(drop=True)
+        assert len(got) == len(want), (quota, len(got), len(want))
+        np.testing.assert_array_equal(got["doc_id"].to_numpy(), want["doc_id"].to_numpy())
+        np.testing.assert_array_equal(got["rn"].to_numpy(), want["rn"].to_numpy().astype(np.int64))
+        assert list(got["lang"]) == list(want["lang"])
+
+
+def test_quota_sample_partition_invariance(ray_session):
+    import ray.data
+
+    from chearch_ray.stages.sample import quota_sample_per_group
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+        "lang": pa.array([["en", "es", "fr"][i % 3] for i in range(200)]),
+    })
+    a = (quota_sample_per_group(ray.data.from_arrow(t).repartition(1), "lang", 10, 2)
+         .to_pandas().sort_values(["lang", "rn"]).reset_index(drop=True))
+    b = (quota_sample_per_group(ray.data.from_arrow(t).repartition(9), "lang", 10, 7)
+         .to_pandas().sort_values(["lang", "rn"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert (a.groupby("lang").size() == 10).all()
