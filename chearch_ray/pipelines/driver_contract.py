@@ -498,6 +498,16 @@ PACK_MAX_TOKENS = 512
 SAMPLE_QUOTA = 40
 
 
+def q_repetition_filter(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.textstats import RepetitionStats
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(RepetitionStats(), batch_format="pyarrow", batch_size=1024)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def q_quota_sample(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -652,6 +662,7 @@ QUERIES = {
     "neardup_keep": q_neardup_keep,
     "pack_sequences": q_pack_sequences,
     "quota_sample": q_quota_sample,
+    "repetition_filter": q_repetition_filter,
     "chunk_documents": q_chunk_documents,
     "deterministic_sample": q_deterministic_sample,
     # rows-only (non-SQL-expressible)
@@ -986,6 +997,30 @@ p AS (SELECT doc_id, n_tokens,
 SELECT doc_id, n_tokens, (pre // {PACK_MAX_TOKENS})::BIGINT AS bin,
        (pre % {PACK_MAX_TOKENS})::BIGINT AS bin_offset
 FROM p
+""",
+    "repetition_filter": """
+WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+lc AS (SELECT doc_id, line, count(*)::BIGINT c, length(line)::BIGINT len
+       FROM l GROUP BY doc_id, line),
+lagg AS (SELECT doc_id, sum(c)::BIGINT n_lines,
+                sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT n_dup_lines,
+                sum(CASE WHEN c > 1 THEN c * len ELSE 0 END)::BIGINT dup_line_chars
+         FROM lc GROUP BY doc_id),
+tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        x -> x <> '')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT cnt FROM tok GROUP BY doc_id, term),
+tt AS (SELECT doc_id, max(cnt)::BIGINT top_tf, sum(cnt)::BIGINT n_tokens FROM tf GROUP BY doc_id)
+SELECT d.doc_id, length(d.text)::BIGINT AS n_chars, lagg.n_lines, lagg.n_dup_lines,
+       lagg.dup_line_chars, coalesce(tt.n_tokens, 0) AS n_tokens,
+       coalesce(tt.top_tf, 0) AS top_tf,
+       length(regexp_extract_all(d.text, '#'))::BIGINT AS n_hash,
+       length(regexp_extract_all(d.text, '\\.\\.\\.'))::BIGINT AS n_ellipsis,
+       (10 * lagg.n_dup_lines <= 3 * lagg.n_lines
+        AND 5 * lagg.dup_line_chars <= length(d.text)
+        AND (coalesce(tt.n_tokens, 0) < 8
+             OR 4 * coalesce(tt.top_tf, 0) <= coalesce(tt.n_tokens, 0))) AS keep
+FROM documents d JOIN lagg ON lagg.doc_id = d.doc_id
+LEFT JOIN tt ON tt.doc_id = d.doc_id
 """,
     "quota_sample": f"""
 SELECT lang, doc_id, rn FROM (

@@ -297,3 +297,94 @@ def sample_threshold_hex(rate: float) -> str:
     2^32), clamped)."""
     v = int(max(0.0, min(1.0, rate)) * (1 << 32))
     return f"{min(v, (1 << 32) - 1):08x}" if rate < 1.0 else "g"  # 'g' > any hex
+
+
+# ------------------------------------------- repetition quality filter
+class RepetitionStats:
+    """Gopher-style repetition metrics per document, all INTEGER so a
+    SQL oracle matches bit-for-bit (no float fraction is ever stored;
+    thresholds compare cross-multiplied integers):
+
+    * n_lines / n_dup_lines / dup_line_chars — newline-split lines;
+      a "dup line" is any occurrence of a line value appearing more
+      than once IN THE SAME DOC (all occurrences count, as in
+      Gopher's duplicate-line-fraction).
+    * n_tokens / top_tf — total tokens and the most frequent token's
+      count (Gopher's top-word-frequency rule).
+    * n_hash / n_ellipsis — '#' and '...' occurrence counts (RE2
+      non-overlapping, identical semantics in Arrow and DuckDB).
+    * keep — the filter verdict:
+        10 * n_dup_lines <= 3 * n_lines          (dup-line frac <= 0.3)
+        AND 5 * dup_line_chars <= n_chars        (dup-char frac <= 0.2)
+        AND (n_tokens < 8 OR 4 * top_tf <= n_tokens)  (top word <= 25%)
+
+    Vectorized: one newline split + one tokenize per batch; per-line
+    and per-term counts via Arrow hash group-bys; no Python loop over
+    rows."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(batch)
+        n_chars = np.asarray(pc.utf8_length(text)).astype(np.int64)
+
+        # ------- line metrics
+        line_lists = pc.split_pattern(text, pattern="\n")
+        lines, lrows, _ = explode(line_lists)
+        n_lines = np.zeros(n, dtype=np.int64)
+        np.add.at(n_lines, lrows, 1)
+        ltbl = pa.table(
+            {
+                "row": pa.array(lrows),
+                "line": lines,
+                "len": pc.utf8_length(lines).cast(pa.int64()),
+            }
+        )
+        lagg = ltbl.group_by(["row", "line"], use_threads=False).aggregate(
+            [("line", "count"), ("len", "min")]
+        )
+        c = lagg["line_count"].to_numpy().astype(np.int64)
+        llen = lagg["len_min"].to_numpy().astype(np.int64)
+        arows = lagg["row"].to_numpy()
+        dup = c > 1
+        n_dup_lines = np.zeros(n, dtype=np.int64)
+        np.add.at(n_dup_lines, arows[dup], c[dup])
+        dup_line_chars = np.zeros(n, dtype=np.int64)
+        np.add.at(dup_line_chars, arows[dup], (c * llen)[dup])
+
+        # ------- token metrics
+        tok_lists = tokenize(text)
+        n_tokens = token_counts(tok_lists).astype(np.int64)
+        values, trows, _ = explode(tok_lists)
+        ttbl = pa.table({"row": pa.array(trows), "term": values})
+        tagg = ttbl.group_by(["row", "term"], use_threads=False).aggregate([("term", "count")])
+        top_tf = np.zeros(n, dtype=np.int64)
+        np.maximum.at(top_tf, tagg["row"].to_numpy(), tagg["term_count"].to_numpy().astype(np.int64))
+
+        # ------- symbol counts (RE2 both here and in DuckDB)
+        n_hash = np.asarray(pc.count_substring_regex(text, "#")).astype(np.int64)
+        n_ellipsis = np.asarray(pc.count_substring_regex(text, r"\.\.\.")).astype(np.int64)
+
+        keep = (
+            (10 * n_dup_lines <= 3 * n_lines)
+            & (5 * dup_line_chars <= n_chars)
+            & ((n_tokens < 8) | (4 * top_tf <= n_tokens))
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+                "n_lines": pa.array(n_lines, type=pa.int64()),
+                "n_dup_lines": pa.array(n_dup_lines, type=pa.int64()),
+                "dup_line_chars": pa.array(dup_line_chars, type=pa.int64()),
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "top_tf": pa.array(top_tf, type=pa.int64()),
+                "n_hash": pa.array(n_hash, type=pa.int64()),
+                "n_ellipsis": pa.array(n_ellipsis, type=pa.int64()),
+                "keep": pa.array(keep),
+            }
+        )

@@ -855,3 +855,55 @@ def test_quota_sample_partition_invariance(ray_session):
          .to_pandas().sort_values(["lang", "rn"]).reset_index(drop=True))
     assert a.equals(b)
     assert (a.groupby("lang").size() == 10).all()
+
+
+# ------------------------------------------------ repetition filter
+def test_repetition_stats_vs_sql_oracle(ray_session):
+    import duckdb
+
+    from chearch_ray.stages.textstats import RepetitionStats
+
+    docs = [
+        "alpha beta gamma delta\nepsilon zeta eta theta\niota kappa lambda mu",
+        "spam\nspam\nspam\nspam\nreal content here",       # dup lines
+        "word word word word word word word word other",    # top word 8/9
+        "x",                                               # tiny doc
+        "a#b#c ... and .... more",                          # symbols
+        "",                                                # empty
+        "same\nsame\ndifferent longer line with tokens galore indeed",
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+                  "text": pa.array(docs)})
+    got = RepetitionStats()(t).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+lc AS (SELECT doc_id, line, count(*)::BIGINT c, length(line)::BIGINT len
+       FROM l GROUP BY doc_id, line),
+lagg AS (SELECT doc_id, sum(c)::BIGINT n_lines,
+                sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT n_dup_lines,
+                sum(CASE WHEN c > 1 THEN c * len ELSE 0 END)::BIGINT dup_line_chars
+         FROM lc GROUP BY doc_id),
+tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        x -> x <> '')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT cnt FROM tok GROUP BY doc_id, term),
+tt AS (SELECT doc_id, max(cnt)::BIGINT top_tf, sum(cnt)::BIGINT n_tokens FROM tf GROUP BY doc_id)
+SELECT d.doc_id, length(d.text)::BIGINT n_chars, lagg.n_lines, lagg.n_dup_lines,
+       lagg.dup_line_chars, coalesce(tt.n_tokens, 0) n_tokens, coalesce(tt.top_tf, 0) top_tf,
+       length(regexp_extract_all(d.text, '#'))::BIGINT n_hash,
+       length(regexp_extract_all(d.text, '\\.\\.\\.'))::BIGINT n_ellipsis,
+       (10 * lagg.n_dup_lines <= 3 * lagg.n_lines
+        AND 5 * lagg.dup_line_chars <= length(d.text)
+        AND (coalesce(tt.n_tokens, 0) < 8 OR 4 * coalesce(tt.top_tf, 0) <= coalesce(tt.n_tokens, 0))) AS keep
+FROM documents d JOIN lagg ON lagg.doc_id = d.doc_id
+LEFT JOIN tt ON tt.doc_id = d.doc_id
+ORDER BY d.doc_id
+    """).df().reset_index(drop=True)
+    for col in ["n_chars", "n_lines", "n_dup_lines", "dup_line_chars",
+                "n_tokens", "top_tf", "n_hash", "n_ellipsis"]:
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy(), err_msg=col)
+    assert list(got["keep"]) == list(want["keep"])
+    # the spam doc and the top-word doc are dropped; clean docs survive
+    assert not got.loc[1, "keep"] and not got.loc[2, "keep"]
+    assert got.loc[0, "keep"] and got.loc[3, "keep"]
