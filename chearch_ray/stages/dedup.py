@@ -886,9 +886,17 @@ def _shingle_df_broadcast(payload, max_distinct: int = 5_000_000):
     import ray
 
     partials = payload.map_batches(_df_partial, batch_format="pyarrow")
-    tables = [
-        t for t in partials.iter_batches(batch_size=None, batch_format="pyarrow") if len(t)
-    ]
+    # early bail: distinct <= streamed partial rows, so once the
+    # stream passes 4x the gate the broadcast is (almost surely) over
+    # budget — stop gathering and let the caller take the distributed
+    # path instead of completing a driver-scale merge first
+    tables, total = [], 0
+    for t in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(t):
+            tables.append(t)
+            total += len(t)
+            if total > max(4 * max_distinct, 1_000_000) and max_distinct < (1 << 62):
+                return None
     if not tables:
         return None
     t = pa.concat_tables(tables).combine_chunks()
@@ -902,6 +910,119 @@ def _shingle_df_broadcast(payload, max_distinct: int = 5_000_000):
         return None
     dfs = np.add.reduceat(ns, starts)
     return ray.put((uniq, dfs))
+
+
+def _explode_shingle_rows(batch: pa.Table) -> pa.Table:
+    """payload batch -> one row per (doc, shingle): doc_id, the hash
+    both as uint64 (`bucket`) and as an int64 BIT-CAST (`bucket_j`,
+    the join/groupby carrier — Ray's hash shuffle raises on uint64
+    keys >= 2^63), and the doc's shingle count."""
+    vals, off = _unpack_shingle_rows(batch["shingles"])
+    counts = np.diff(off)
+    doc_col = batch["doc_id"]
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    doc_np = doc_col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(doc_np, counts), type=pa.uint64()),
+            "bucket_j": pa.array(vals.view(np.int64), type=pa.int64()),
+            "nsh": pa.array(np.repeat(counts.astype(np.int32), counts), type=pa.int32()),
+        }
+    )
+
+
+def _df_partial_j(batch: pa.Table) -> pa.Table:
+    """like _df_partial but keyed on the int64 bit-cast for the Ray
+    groupby that merges it."""
+    t = _df_partial(batch)
+    return pa.table(
+        {
+            "bucket_j": pa.array(t["bucket"].to_numpy().view(np.int64), type=pa.int64()),
+            "n": t["n"],
+        }
+    )
+
+
+def _prefix_select_partition(group: pa.Table, threshold: float) -> pa.Table:
+    """one coarse doc partition of df-joined shingle rows -> prefix
+    rows in _prefix_rows' output schema.  Vectorized across all docs:
+    sort by (doc, df, hash), run-rank, keep rank < |S|-ceil(t|S|)+1."""
+    if len(group) == 0:
+        return pa.table(
+            {
+                "band": pa.array([], type=pa.int32()),
+                "bucket": pa.array([], type=pa.uint64()),
+                "doc_id": pa.array([], type=pa.uint64()),
+                "nsh": pa.array([], type=pa.int32()),
+            }
+        )
+    doc = group["doc_id"].to_numpy().astype(np.uint64)
+    hsh = group["bucket_j"].to_numpy().view(np.uint64)
+    dfs = group["df"].to_numpy().astype(np.int64)
+    nsh = group["nsh"].to_numpy().astype(np.int64)
+    order = np.lexsort((hsh, dfs, doc))
+    doc_s, hsh_s, nsh_s = doc[order], hsh[order], nsh[order]
+    starts = np.empty(len(doc_s), dtype=bool)
+    starts[0] = True
+    starts[1:] = doc_s[1:] != doc_s[:-1]
+    sidx = np.flatnonzero(starts)
+    runlen = np.diff(np.append(sidx, len(doc_s)))
+    rank = np.arange(len(doc_s), dtype=np.int64) - np.repeat(sidx, runlen)
+    p = nsh_s - np.ceil(threshold * nsh_s - 1e-9).astype(np.int64) + 1
+    mask = rank < np.clip(p, 0, nsh_s)
+    return pa.table(
+        {
+            "band": pa.array(np.zeros(int(mask.sum()), dtype=np.int32), type=pa.int32()),
+            "bucket": pa.array(hsh_s[mask], type=pa.uint64()),
+            "doc_id": pa.array(doc_s[mask], type=pa.uint64()),
+            "nsh": pa.array(nsh_s[mask].astype(np.int32), type=pa.int32()),
+        }
+    )
+
+
+def _prefix_rows_distributed(payload, threshold: float, coarse_partitions: int,
+                             join_partitions: int):
+    """Frequency-ordered prefix rows WITHOUT the df broadcast
+    (ROADMAP #11, the > max_distinct vocabulary path): df merges in a
+    Ray groupby, joins back to the exploded shingle rows on the
+    bit-cast hash, and per-doc prefix selection runs vectorized in
+    coarse doc partitions.  Output is row-identical to the broadcast
+    path (`_prefix_rows` with df_ref) — same (df ASC, hash ASC)
+    order, same tie-breaks."""
+    from functools import partial
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    df_ds = (
+        payload.map_batches(_df_partial_j, batch_format="pyarrow")
+        .groupby("bucket_j")
+        .aggregate(Sum("n", alias_name="df"))
+    )
+    exploded = payload.map_batches(_explode_shingle_rows, batch_format="pyarrow")
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.join_operator_actor_num_cpus_per_partition_override
+    ctx.join_operator_actor_num_cpus_per_partition_override = 0.1
+    try:
+        joined = exploded.join(
+            df_ds,
+            join_type="inner",
+            on=("bucket_j",),
+            num_partitions=join_partitions,
+        ).materialize()
+    finally:
+        ctx.join_operator_actor_num_cpus_per_partition_override = saved
+    parted = joined.map_batches(
+        partial(add_pgrp_column, n_partitions=coarse_partitions, key="doc_id"),
+        batch_format="pyarrow",
+    )
+    return parted.groupby("pgrp").map_groups(
+        partial(
+            drop_pgrp_then, fn=partial(_prefix_select_partition, threshold=threshold)
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _jaccard_candidates_partition(group: pa.Table, threshold: float) -> pa.Table:
@@ -932,7 +1053,8 @@ def _jaccard_candidates_partition(group: pa.Table, threshold: float) -> pa.Table
 
 def jaccard_similarity_join(ds, threshold: float = 0.5, text_column: str = "text",
                             w: int = 3, join_partitions: int = 8,
-                            coarse_partitions: int = COARSE_PARTITIONS):
+                            coarse_partitions: int = COARSE_PARTITIONS,
+                            df_broadcast_limit: int = 5_000_000):
     """EXACT n-gram Jaccard self-join: every pair with true shingle
     Jaccard >= threshold, no LSH recall luck involved.
 
@@ -964,12 +1086,19 @@ def jaccard_similarity_join(ds, threshold: float = 0.5, text_column: str = "text
         return ray.data.from_arrow(empty)
     # frequency-ordered prefixes (AllPairs): one df pass so each doc's
     # prefix holds its RAREST shingles — hot shingles stay in suffixes
-    # and never explode a candidate bucket
-    df_ref = _shingle_df_broadcast(payload)
-    prefix = payload.map_batches(
-        partial(_prefix_rows, threshold=threshold, df_ref=df_ref),
-        batch_format="pyarrow",
-    )
+    # and never explode a candidate bucket.  Vocabulary <= the gate
+    # broadcasts the df table; above it the same ordering comes from a
+    # distributed groupby + join (row-identical output, ROADMAP #11)
+    df_ref = _shingle_df_broadcast(payload, max_distinct=df_broadcast_limit)
+    if df_ref is not None:
+        prefix = payload.map_batches(
+            partial(_prefix_rows, threshold=threshold, df_ref=df_ref),
+            batch_format="pyarrow",
+        )
+    else:
+        prefix = _prefix_rows_distributed(
+            payload, threshold, coarse_partitions, join_partitions
+        )
     parted = prefix.map_batches(
         partial(_coarse_partition_column, n_partitions=coarse_partitions),
         batch_format="pyarrow",

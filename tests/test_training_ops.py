@@ -907,3 +907,58 @@ ORDER BY d.doc_id
     # the spam doc and the top-word doc are dropped; clean docs survive
     assert not got.loc[1, "keep"] and not got.loc[2, "keep"]
     assert got.loc[0, "keep"] and got.loc[3, "keep"]
+
+
+def test_jaccard_join_distributed_df_path(ray_session):
+    """forcing the vocabulary over the broadcast gate must route the
+    prefix ordering through the groupby+join path and produce
+    row-identical prefixes AND identical final pairs (ROADMAP #11)."""
+    from functools import partial
+
+    import ray.data
+
+    from chearch_ray.stages.dedup import (
+        _prefix_rows,
+        _prefix_rows_distributed,
+        _shingle_df_broadcast,
+        jaccard_similarity_join,
+        shingle_payload,
+    )
+
+    rng = np.random.default_rng(3)
+    base = ["the quick brown fox jumps over the lazy dog and runs away fast",
+            "pack my box with five dozen liquor jugs before the party starts"]
+    texts = []
+    for i in range(60):
+        words = base[i % 2].split()
+        if i % 3 == 0:  # perturb some docs into near-dups
+            words[rng.integers(0, len(words))] = f"w{i}"
+        rng.shuffle(words) if i % 7 == 0 else None
+        texts.append(" ".join(words) + f" tail{i % 5}")
+    t = pa.table({"doc_id": pa.array(np.arange(60, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    payload = ds.map_batches(
+        partial(shingle_payload, text_column="text", w=3),
+        batch_format="pyarrow",
+    ).materialize()
+    df_ref = _shingle_df_broadcast(payload)
+    assert df_ref is not None
+    bc = (payload.map_batches(partial(_prefix_rows, threshold=0.5, df_ref=df_ref),
+                              batch_format="pyarrow")
+          .to_pandas().sort_values(["doc_id", "bucket"]).reset_index(drop=True))
+    dist = (_prefix_rows_distributed(payload, 0.5, coarse_partitions=8,
+                                     join_partitions=4)
+            .to_pandas()[bc.columns.tolist()]
+            .sort_values(["doc_id", "bucket"]).reset_index(drop=True))
+    assert len(bc) > 0 and bc.equals(dist)
+
+    def pairs_df(out):
+        return (out.to_pandas().sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True))
+
+    default = pairs_df(jaccard_similarity_join(ds, threshold=0.5))
+    forced = pairs_df(jaccard_similarity_join(ds, threshold=0.5,
+                                              df_broadcast_limit=0))
+    assert len(default) > 0 and default.equals(forced)
