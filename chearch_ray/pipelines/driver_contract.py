@@ -498,6 +498,39 @@ PACK_MAX_TOKENS = 512
 SAMPLE_QUOTA = 40
 
 
+#: snippet window (tokens each side of the first hit)
+SNIPPET_WINDOW = 2
+
+
+def q_snippets(sf_dir: str) -> pa.Table:
+    """BM25 top-10 for the flagship term -> pruned corpus read of just
+    those docs -> vectorized snippet extraction (first-hit ordinal +
+    5-token context)."""
+    import ray
+    import ray.data
+
+    from chearch_ray.stages.snippets import extract_snippets
+
+    eng = engine_for(sf_dir)
+    ids = np.sort(eng.search(ast.Term(BM25_TERM), k=10)["doc_id"].to_numpy().astype(np.int64))
+    ids_ref = ray.put(ids)
+
+    def _filter_ids(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref) if not isinstance(ids_ref, np.ndarray) else ids_ref
+        d = batch["doc_id"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(want, d)
+        pos_c = np.minimum(pos, len(want) - 1)
+        return batch.filter(pa.array(want[pos_c] == d))
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = extract_snippets(
+        ds.map_batches(_filter_ids, batch_format="pyarrow"),
+        term=BM25_TERM,
+        window=SNIPPET_WINDOW,
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def q_repetition_filter(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -663,6 +696,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "quota_sample": q_quota_sample,
     "repetition_filter": q_repetition_filter,
+    "snippets": q_snippets,
     "chunk_documents": q_chunk_documents,
     "deterministic_sample": q_deterministic_sample,
     # rows-only (non-SQL-expressible)
@@ -997,6 +1031,31 @@ p AS (SELECT doc_id, n_tokens,
 SELECT doc_id, n_tokens, (pre // {PACK_MAX_TOKENS})::BIGINT AS bin,
        (pre % {PACK_MAX_TOKENS})::BIGINT AS bin_offset
 FROM p
+""",
+    "snippets": f"""
+WITH {TOK_CTE}, {POS_TOK_CTE},
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('{BM25_TERM}') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({K1} + 1)) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats s),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+topk AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+first AS (SELECT doc_id, min(ord) - 1 AS pos FROM ptok
+          WHERE term = '{BM25_TERM}' AND doc_id IN (SELECT doc_id FROM topk)
+          GROUP BY doc_id)
+SELECT f.doc_id, f.pos::BIGINT AS pos,
+       string_agg(p.term, ' ' ORDER BY p.ord) AS snippet
+FROM first f JOIN ptok p ON p.doc_id = f.doc_id
+     AND p.ord - 1 BETWEEN f.pos - {SNIPPET_WINDOW} AND f.pos + {SNIPPET_WINDOW}
+GROUP BY f.doc_id, f.pos
 """,
     "repetition_filter": """
 WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

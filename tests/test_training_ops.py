@@ -962,3 +962,31 @@ def test_jaccard_join_distributed_df_path(ray_session):
     forced = pairs_df(jaccard_similarity_join(ds, threshold=0.5,
                                               df_broadcast_limit=0))
     assert len(default) > 0 and default.equals(forced)
+
+
+# ---------------------------------------------------------- snippets
+def test_extract_snippets_edges(ray_session):
+    import ray.data
+
+    from chearch_ray.stages.snippets import extract_snippets
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array([
+            "target at the very start of things",   # pos 0: left-clipped
+            "ending with the word target",           # last token: right-clipped
+            "no match in this document at all",      # dropped
+            "target",                                # 1-token doc
+            "first target then target again later",  # first occurrence wins
+        ]),
+    })
+    out = (extract_snippets(ray.data.from_arrow(t), "target", window=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 4, 5]
+    assert out["pos"].tolist() == [0, 4, 0, 1]
+    assert out["snippet"].tolist() == [
+        "target at the",
+        "the word target",
+        "target",
+        "first target then target",
+    ]
