@@ -260,6 +260,36 @@ def run_bench() -> dict:
     dc.q_chunk_documents(sf_dir)
     dc.q_deterministic_sample(sf_dir)
     timings["sf_chunk_sample_sec"] = time.perf_counter() - t0
+    # round-3 additions: sequence packing (distributed prefix sum),
+    # per-group quota sampling, repetition filter, snippets
+    t0 = time.perf_counter()
+    dc.q_pack_sequences(sf_dir)
+    timings["sf_pack_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_quota_sample(sf_dir)
+    dc.q_repetition_filter(sf_dir)
+    timings["sf_sample_repetition_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_snippets(sf_dir)
+    timings["sf_snippets_sec"] = time.perf_counter() - t0
+    # prefix + negation query latency against the resident bench index
+    # ("__known_*" expands to the exact-df sentinel family; "def
+    # -return" probes the hot negative lazily)
+    def p50_fn(fn, reps=QUERY_REPS):
+        fn()  # warm (fills the prefix cache / decode cache)
+        samples = []
+        for _ in range(reps):
+            t = time.perf_counter()
+            fn()
+            samples.append((time.perf_counter() - t) * 1e3)
+        return statistics.median(samples)
+
+    timings["prefix_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search_boolean("__known_*", default_op="or")
+    )
+    timings["negation_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search("def -return", k=10)
+    )
 
     timings = {k: round(v, 4) for k, v in timings.items()}
     result = {

@@ -296,6 +296,13 @@ class SegmentSearcher:
             if len(docs) == 0:
                 return docs
             return docs[self._probe_node(big, docs)]
+        # flat multi-way union for pure disjunctions (prefix expansions
+        # produce deep Or chains; 1 sort beats n-1 pairwise merges)
+        if ast.is_disjunctive(node):
+            terms = ast.terms_of(node)
+            if len(terms) > 2:
+                arrs = [self.postings(str(t))[0] for t in terms]
+                return np.unique(np.concatenate(arrs))
         a = self._eval_sets(node.a)
         b = self._eval_sets(node.b)
         return np.union1d(a, b)
