@@ -501,6 +501,26 @@ SAMPLE_QUOTA = 40
 #: snippet window (tokens each side of the first hit)
 SNIPPET_WINDOW = 2
 
+#: per-language quota in the composed training pipeline
+TP_QUOTA = 60
+
+
+def q_training_pipeline(sf_dir: str) -> pa.Table:
+    """flagship composition: repetition filter -> exact dedup -> per
+    -language quota sample -> sequence packing (pipelines/training.py),
+    mirrored stage-for-stage by one SQL chain."""
+    import ray.data
+
+    from chearch_ray.pipelines.training import prepare_training_data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    out = prepare_training_data(
+        ds, group_column="lang", quota=TP_QUOTA, max_tokens=PACK_MAX_TOKENS
+    ).to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
 
 def q_snippets(sf_dir: str) -> pa.Table:
     """BM25 top-10 for the flagship term -> pruned corpus read of just
@@ -697,6 +717,7 @@ QUERIES = {
     "quota_sample": q_quota_sample,
     "repetition_filter": q_repetition_filter,
     "snippets": q_snippets,
+    "training_pipeline": q_training_pipeline,
     "chunk_documents": q_chunk_documents,
     "deterministic_sample": q_deterministic_sample,
     # rows-only (non-SQL-expressible)
@@ -1056,6 +1077,39 @@ SELECT f.doc_id, f.pos::BIGINT AS pos,
 FROM first f JOIN ptok p ON p.doc_id = f.doc_id
      AND p.ord - 1 BETWEEN f.pos - {SNIPPET_WINDOW} AND f.pos + {SNIPPET_WINDOW}
 GROUP BY f.doc_id, f.pos
+""",
+    "training_pipeline": f"""
+WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+lc AS (SELECT doc_id, line, count(*)::BIGINT c, length(line)::BIGINT len
+       FROM l GROUP BY doc_id, line),
+lagg AS (SELECT doc_id, sum(c)::BIGINT n_lines,
+                sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT n_dup_lines,
+                sum(CASE WHEN c > 1 THEN c * len ELSE 0 END)::BIGINT dup_line_chars
+         FROM lc GROUP BY doc_id),
+tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        x -> x <> '')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT cnt FROM tok GROUP BY doc_id, term),
+tt AS (SELECT doc_id, max(cnt)::BIGINT top_tf, sum(cnt)::BIGINT n_tokens FROM tf GROUP BY doc_id),
+keepset AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+            JOIN lagg ON lagg.doc_id = d.doc_id LEFT JOIN tt ON tt.doc_id = d.doc_id
+            WHERE 10 * lagg.n_dup_lines <= 3 * lagg.n_lines
+              AND 5 * lagg.dup_line_chars <= length(d.text)
+              AND (coalesce(tt.n_tokens, 0) < 8
+                   OR 4 * coalesce(tt.top_tf, 0) <= coalesce(tt.n_tokens, 0))),
+winners AS (SELECT min(doc_id)::BIGINT AS doc_id FROM keepset GROUP BY sha256(text)),
+surv AS (SELECT k.doc_id, k.lang FROM keepset k JOIN winners USING (doc_id)),
+samp AS (SELECT doc_id FROM (
+   SELECT doc_id, row_number() OVER (PARTITION BY lang
+     ORDER BY (doc_id::HUGEINT * 6364136223846793005) % 18446744073709551616::HUGEINT,
+              doc_id) AS rn
+   FROM surv) WHERE rn <= {TP_QUOTA}),
+tc AS (SELECT s.doc_id, coalesce(tt.n_tokens, 0) AS n_tokens
+       FROM samp s LEFT JOIN tt ON tt.doc_id = s.doc_id),
+p AS (SELECT doc_id, n_tokens,
+      (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) AS pre FROM tc)
+SELECT doc_id, n_tokens, (pre // {PACK_MAX_TOKENS})::BIGINT AS bin,
+       (pre % {PACK_MAX_TOKENS})::BIGINT AS bin_offset
+FROM p
 """,
     "repetition_filter": """
 WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

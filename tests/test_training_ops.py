@@ -990,3 +990,48 @@ def test_extract_snippets_edges(ray_session):
         "target",
         "first target then target",
     ]
+
+
+# ------------------------------------------- composed training pipeline
+def test_prepare_training_data_composition(ray_session):
+    """filter -> dedup -> quota -> pack composition: deterministic,
+    partition-invariant, respects every stage's contract."""
+    import ray.data
+
+    from chearch_ray.pipelines.training import prepare_training_data
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(120):
+        lang = ["en", "es", "fr"][i % 3]
+        if i % 10 == 0:
+            text = "spam\nspam\nspam\nspam\nspam\nx"          # filtered out
+        elif i % 7 == 0:
+            text = "shared duplicate content body here okay"  # dedup collapses
+        else:
+            text = " ".join(f"tok{i}w{j}" for j in range(5 + i % 9))
+        rows.append({"doc_id": i, "lang": lang, "text": text})
+    t = pa.Table.from_pylist(rows)
+
+    a = (prepare_training_data(ray.data.from_arrow(t).repartition(1),
+                               quota=10, max_tokens=32)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (prepare_training_data(ray.data.from_arrow(t).repartition(6),
+                               quota=10, max_tokens=32)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    ids = set(a["doc_id"])
+    # spam docs are filtered
+    assert not any(i % 10 == 0 for i in ids)
+    # dedup ran before sampling: no duplicate-family doc other than the
+    # min-doc_id winner (7) can appear (7 itself may lose the quota draw)
+    dups = [i for i in ids if i % 7 == 0 and i % 10 != 0]
+    assert dups in ([], [7])
+    # quota bound per lang
+    langs = {i: ["en", "es", "fr"][i % 3] for i in ids}
+    import collections
+    assert max(collections.Counter(langs.values()).values()) <= 10
+    # packing invariant
+    pre = a["bin"].to_numpy() * 32 + a["bin_offset"].to_numpy()
+    cs = np.cumsum(a["n_tokens"].to_numpy()) - a["n_tokens"].to_numpy()
+    assert (pre == cs).all()
