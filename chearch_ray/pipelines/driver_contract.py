@@ -501,6 +501,14 @@ SAMPLE_QUOTA = 40
 #: snippet window (tokens each side of the first hit)
 SNIPPET_WINDOW = 2
 
+
+def q_facets(sf_dir: str) -> pa.Table:
+    """faceted search: boolean hits for the flagship term grouped by
+    the docmap's lang metadata (counts over the result window; the
+    sf0.01 result set is far under the per-segment cap, so the SQL
+    mirror is exact)."""
+    return engine_for(sf_dir).facet_counts(BM25_TERM, column="lang")
+
 #: per-language quota in the composed training pipeline
 TP_QUOTA = 60
 
@@ -717,6 +725,7 @@ QUERIES = {
     "quota_sample": q_quota_sample,
     "repetition_filter": q_repetition_filter,
     "snippets": q_snippets,
+    "facets": q_facets,
     "training_pipeline": q_training_pipeline,
     "chunk_documents": q_chunk_documents,
     "deterministic_sample": q_deterministic_sample,
@@ -1077,6 +1086,13 @@ SELECT f.doc_id, f.pos::BIGINT AS pos,
 FROM first f JOIN ptok p ON p.doc_id = f.doc_id
      AND p.ord - 1 BETWEEN f.pos - {SNIPPET_WINDOW} AND f.pos + {SNIPPET_WINDOW}
 GROUP BY f.doc_id, f.pos
+""",
+    "facets": f"""
+WITH {TOK_CTE},
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TERM}')
+SELECT d.lang, count(*)::BIGINT AS n
+FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+GROUP BY d.lang
 """,
     "training_pipeline": f"""
 WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

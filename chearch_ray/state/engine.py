@@ -18,6 +18,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from chearch_ray import ast
@@ -295,6 +296,22 @@ class QueryEngine:
             order = topk_order(scores[m], doc_ids[m], k)
             keep.extend(m[order].tolist())
         return merged.take(pa.array(keep, type=pa.int64()))
+
+    def facet_counts(self, query: str | ast.Node, column: str = "lang",
+                     default_op: str = "or") -> pa.Table:
+        """Faceted search: boolean hits grouped by a docmap metadata
+        column -> (column, n) counts, n desc then facet asc.  Counts
+        cover the boolean result window (per-segment partition_limit
+        cap, the reference's result-window semantics)."""
+        t = self.search_boolean(query, default_op)
+        agg = t.group_by(column, use_threads=False).aggregate([(column, "count")])
+        agg = pa.table(
+            {column: agg[column], "n": agg[f"{column}_count"].cast(pa.int64())}
+        )
+        order = pc.sort_indices(
+            agg, sort_keys=[("n", "descending"), (column, "ascending")]
+        )
+        return agg.take(order)
 
     def search_phrase(self, phrase: str | list, k: int | None = None) -> pa.Table:
         """Exact phrase query across segments (requires

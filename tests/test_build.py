@@ -938,3 +938,19 @@ def test_andnot_empty_negative_rewrite(engine, oracle):
     assert engine.search_boolean(f"{hot} -zzzzqqqq*").equals(
         engine.search_boolean(hot)
     )
+
+
+# ------------------------------------------------------------ facets
+def test_facet_counts_vs_oracle(engine, oracle):
+    hot = _hot_terms(oracle, 2)
+    q = ast.Or(ast.Term(hot[0]), ast.Term(hot[1]))
+    got = engine.facet_counts(q, column="lang")
+    # oracle: docs -> lang via the corpus metadata
+    docs = oracle.boolean_search(q)
+    langs = {}
+    meta = {r["doc_id"]: r["lang"] for r in engine.search_boolean(q).to_pylist()}
+    for d in docs:
+        langs[meta[d]] = langs.get(meta[d], 0) + 1
+    want = sorted(langs.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(zip(got["lang"].to_pylist(), got["n"].to_pylist())) == want
+    assert int(got["n"].to_numpy().sum()) == len(docs)
