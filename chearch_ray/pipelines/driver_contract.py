@@ -502,6 +502,21 @@ SAMPLE_QUOTA = 40
 SNIPPET_WINDOW = 2
 
 
+#: KMV sketch size for the distinct-users row (64 < the 150 distinct
+#: users at sf0.01, so the ESTIMATOR path is what the oracle checks)
+KMV_USERS_K = 64
+
+
+def q_kmv_distinct_users(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.sketch import kmv_distinct
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    est = kmv_distinct(ds, "user_id", k=KMV_USERS_K)
+    return pa.table({"n_distinct_est": pa.array([est], type=pa.int64())})
+
+
 def q_facets(sf_dir: str) -> pa.Table:
     """faceted search: boolean hits for the flagship term grouped by
     the docmap's lang metadata (counts over the result window; the
@@ -726,6 +741,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "snippets": q_snippets,
     "facets": q_facets,
+    "kmv_distinct_users": q_kmv_distinct_users,
     "training_pipeline": q_training_pipeline,
     "chunk_documents": q_chunk_documents,
     "deterministic_sample": q_deterministic_sample,
@@ -1086,6 +1102,15 @@ SELECT f.doc_id, f.pos::BIGINT AS pos,
 FROM first f JOIN ptok p ON p.doc_id = f.doc_id
      AND p.ord - 1 BETWEEN f.pos - {SNIPPET_WINDOW} AND f.pos + {SNIPPET_WINDOW}
 GROUP BY f.doc_id, f.pos
+""",
+    "kmv_distinct_users": f"""
+WITH h AS (SELECT DISTINCT (user_id::HUGEINT * 6364136223846793005)
+                           % 18446744073709551616::HUGEINT AS hv FROM events),
+k AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_USERS_K}),
+agg AS (SELECT count(*)::BIGINT AS n, max(hv) AS kth FROM k)
+SELECT CASE WHEN (SELECT n FROM agg) < {KMV_USERS_K} THEN (SELECT n FROM agg)
+       ELSE ((({KMV_USERS_K} - 1)::HUGEINT * 18446744073709551616::HUGEINT)
+             // (SELECT kth FROM agg))::BIGINT END AS n_distinct_est
 """,
     "facets": f"""
 WITH {TOK_CTE},

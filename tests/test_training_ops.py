@@ -1035,3 +1035,38 @@ def test_prepare_training_data_composition(ray_session):
     pre = a["bin"].to_numpy() * 32 + a["bin_offset"].to_numpy()
     cs = np.cumsum(a["n_tokens"].to_numpy()) - a["n_tokens"].to_numpy()
     assert (pre == cs).all()
+
+
+# ------------------------------------------------------- KMV sketch
+def test_kmv_distinct_sketch(ray_session):
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.sketch import kmv_distinct
+
+    rng = np.random.default_rng(13)
+    keys = rng.integers(0, 5000, size=20000).astype(np.int64)  # ~4000 distinct
+    t = pa.table({"k": pa.array(keys)})
+    exact = len(np.unique(keys))
+    est = kmv_distinct(ray.data.from_arrow(t), "k", k=256)
+    # KMV with k=256: relative error ~1/sqrt(k) ~ 6%; allow 4 sigma
+    assert abs(est - exact) / exact < 0.25, (est, exact)
+    # partition invariance
+    est7 = kmv_distinct(ray.data.from_arrow(t).repartition(7), "k", k=256)
+    assert est == est7
+    # below-k input -> exact count
+    small = pa.table({"k": pa.array(np.arange(100, dtype=np.int64))})
+    assert kmv_distinct(ray.data.from_arrow(small), "k", k=256) == 100
+    # SQL mirror bit-exact
+    con = duckdb.connect()
+    con.register("tbl", t)
+    want = con.execute("""
+WITH h AS (SELECT DISTINCT (k::HUGEINT * 6364136223846793005)
+                           % 18446744073709551616::HUGEINT AS hv FROM tbl),
+kk AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+agg AS (SELECT count(*)::BIGINT AS n, max(hv) AS kth FROM kk)
+SELECT CASE WHEN (SELECT n FROM agg) < 256 THEN (SELECT n FROM agg)
+       ELSE ((255::HUGEINT * 18446744073709551616::HUGEINT)
+             // (SELECT kth FROM agg))::BIGINT END AS est
+    """).fetchone()[0]
+    assert est == want
