@@ -517,6 +517,14 @@ def q_kmv_distinct_users(sf_dir: str) -> pa.Table:
     return pa.table({"n_distinct_est": pa.array([est], type=pa.int64())})
 
 
+#: misspelling fed to the did-you-mean row ("merge" at distance 1)
+SUGGEST_QUERY = "merrge"
+
+
+def q_suggest(sf_dir: str) -> pa.Table:
+    return engine_for(sf_dir).suggest(SUGGEST_QUERY, max_distance=2, k=5)
+
+
 def q_facets(sf_dir: str) -> pa.Table:
     """faceted search: boolean hits for the flagship term grouped by
     the docmap's lang metadata (counts over the result window; the
@@ -742,6 +750,7 @@ QUERIES = {
     "snippets": q_snippets,
     "facets": q_facets,
     "kmv_distinct_users": q_kmv_distinct_users,
+    "suggest": q_suggest,
     "training_pipeline": q_training_pipeline,
     "chunk_documents": q_chunk_documents,
     "deterministic_sample": q_deterministic_sample,
@@ -1102,6 +1111,13 @@ SELECT f.doc_id, f.pos::BIGINT AS pos,
 FROM first f JOIN ptok p ON p.doc_id = f.doc_id
      AND p.ord - 1 BETWEEN f.pos - {SNIPPET_WINDOW} AND f.pos + {SNIPPET_WINDOW}
 GROUP BY f.doc_id, f.pos
+""",
+    "suggest": f"""
+WITH {TOK_CTE},
+v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)
+SELECT term AS suggestion, levenshtein(term, '{SUGGEST_QUERY}')::BIGINT AS dist, df
+FROM v WHERE levenshtein(term, '{SUGGEST_QUERY}') <= 2
+ORDER BY dist, df DESC, term LIMIT 5
 """,
     "kmv_distinct_users": f"""
 WITH h AS (SELECT DISTINCT (user_id::HUGEINT * 6364136223846793005)

@@ -297,6 +297,46 @@ class QueryEngine:
             keep.extend(m[order].tolist())
         return merged.take(pa.array(keep, type=pa.int64()))
 
+    def suggest(self, term: str, max_distance: int = 2, k: int = 5) -> pa.Table:
+        """Did-you-mean: vocabulary terms within `max_distance` edits,
+        ordered (distance asc, df desc, term asc), top k — columns
+        (suggestion, dist, df).  Exact unit-cost Levenshtein, computed
+        by a candidate-vectorized DP after a length prefilter
+        (|len - len(term)| <= max_distance).
+
+        The vocabulary scan reads (term, df) from the stats parquet —
+        fine up to millions of terms; a 10^12-doc vocabulary wants a
+        precomputed deletion-neighborhood (SymSpell) index instead,
+        which this method's contract (same ordering) leaves room for."""
+        from chearch_ray.functions.editdist import levenshtein_to
+
+        stats = pq.read_table(self._stats_path, columns=["term", "df"])
+        terms = stats["term"].to_pylist()
+        dfs = stats["df"].to_numpy().astype(np.int64)
+        lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=len(terms))
+        cand = np.flatnonzero(np.abs(lens - len(term)) <= max_distance)
+        if len(cand) == 0:
+            return pa.table(
+                {
+                    "suggestion": pa.array([], type=pa.string()),
+                    "dist": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                }
+            )
+        cand_terms = [terms[i] for i in cand]
+        dist = levenshtein_to(term, cand_terms).astype(np.int64)
+        ok = dist <= max_distance
+        ct = np.array(cand_terms, dtype=object)[ok]
+        dist, cdf = dist[ok], dfs[cand][ok]
+        order = sorted(range(len(ct)), key=lambda i: (dist[i], -cdf[i], ct[i]))[:k]
+        return pa.table(
+            {
+                "suggestion": pa.array([str(ct[i]) for i in order], type=pa.string()),
+                "dist": pa.array([int(dist[i]) for i in order], type=pa.int64()),
+                "df": pa.array([int(cdf[i]) for i in order], type=pa.int64()),
+            }
+        )
+
     def facet_counts(self, query: str | ast.Node, column: str = "lang",
                      default_op: str = "or") -> pa.Table:
         """Faceted search: boolean hits grouped by a docmap metadata

@@ -954,3 +954,45 @@ def test_facet_counts_vs_oracle(engine, oracle):
     want = sorted(langs.items(), key=lambda kv: (-kv[1], kv[0]))
     assert list(zip(got["lang"].to_pylist(), got["n"].to_pylist())) == want
     assert int(got["n"].to_numpy().sum()) == len(docs)
+
+
+# ------------------------------------------------------- did-you-mean
+def test_levenshtein_kernel_vs_python():
+    from chearch_ray.functions.editdist import levenshtein_to
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    import random
+
+    rng = random.Random(17)
+    words = ["", "a", "merge", "mergee", "merg", "sort", "stream", "windoow",
+             "abcdef", "fedcba", "xyz"] + [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 9))) for _ in range(50)
+    ]
+    for q in ["merge", "", "ab", "abcdefgh"]:
+        got = levenshtein_to(q, words).tolist()
+        want = [ref(w, q) for w in words]
+        assert got == want, q
+
+
+def test_suggest_vs_duckdb(engine, oracle):
+    import duckdb
+
+    con = duckdb.connect()
+    vocab = [(t, len(docs)) for t, docs in oracle.postings.items()]
+    con.execute("CREATE TABLE v(term VARCHAR, df BIGINT)")
+    con.executemany("INSERT INTO v VALUES (?, ?)", vocab)
+    for q in ["def", "retur", "claas", "zzzz"]:
+        got = engine.suggest(q, max_distance=2, k=5)
+        want = con.execute(
+            "SELECT term, levenshtein(term, ?)::BIGINT d, df FROM v "
+            "WHERE levenshtein(term, ?) <= 2 ORDER BY d, df DESC, term LIMIT 5",
+            [q, q],
+        ).fetchall()
+        assert [tuple(r.values()) for r in got.to_pylist()] == want, q
