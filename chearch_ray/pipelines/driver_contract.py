@@ -525,6 +525,29 @@ def q_suggest(sf_dir: str) -> pa.Table:
     return engine_for(sf_dir).suggest(SUGGEST_QUERY, max_distance=2, k=5)
 
 
+#: quantiles requested from the events value distribution
+QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def q_value_quantiles(sf_dir: str) -> pa.Table:
+    """exact discrete quantiles of events.value (integer cents, the
+    same round-half-away mirror as windowed_agg) via distributed
+    histogram narrowing — no global sort."""
+    import ray.data
+
+    from chearch_ray.stages.events import _round_half_away
+    from chearch_ray.stages.sketch import exact_quantiles
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = _round_half_away(batch["value"].to_numpy().astype(np.float64) * 100)
+        return pa.table({"cents": pa.array(cents, type=pa.int64())})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    return exact_quantiles(
+        ds.map_batches(to_cents, batch_format="pyarrow"), "cents", list(QUANTILE_QS)
+    )
+
+
 def q_facets(sf_dir: str) -> pa.Table:
     """faceted search: boolean hits for the flagship term grouped by
     the docmap's lang metadata (counts over the result window; the
@@ -751,6 +774,7 @@ QUERIES = {
     "facets": q_facets,
     "kmv_distinct_users": q_kmv_distinct_users,
     "suggest": q_suggest,
+    "value_quantiles": q_value_quantiles,
     "training_pipeline": q_training_pipeline,
     "chunk_documents": q_chunk_documents,
     "deterministic_sample": q_deterministic_sample,
@@ -1112,6 +1136,11 @@ FROM first f JOIN ptok p ON p.doc_id = f.doc_id
      AND p.ord - 1 BETWEEN f.pos - {SNIPPET_WINDOW} AND f.pos + {SNIPPET_WINDOW}
 GROUP BY f.doc_id, f.pos
 """,
+    "value_quantiles": "\nUNION ALL\n".join(
+        f"SELECT {q}::DOUBLE AS q, quantile_disc(CAST(round(value * 100) AS BIGINT), {q})::BIGINT"
+        f" AS cents FROM events"
+        for q in QUANTILE_QS
+    ),
     "suggest": f"""
 WITH {TOK_CTE},
 v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)

@@ -60,3 +60,97 @@ def kmv_distinct(ds, column: str, k: int = KMV_K) -> int:
     if kth == 0:
         return int(len(h))
     return ((k - 1) << 64) // kth
+
+
+# ------------------------------------------------ exact quantiles
+#: histogram resolution per narrowing round
+QUANTILE_BUCKETS = 4096
+#: once a rank's candidate range holds this few rows, gather and select
+QUANTILE_GATHER_LIMIT = 200_000
+
+
+def _range_hist(batch: pa.Table, column: str, lo: int, hi: int, nb: int) -> pa.Table:
+    """rows with lo <= v <= hi -> (bucket, n) partial histogram counts
+    over nb equal-width buckets of [lo, hi]."""
+    v = batch[column].to_numpy()
+    m = (v >= lo) & (v <= hi)
+    v = v[m]
+    if len(v) == 0:
+        return pa.table({"bucket": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64())})
+    width = max(1, (hi - lo + nb) // nb)  # ceil((hi-lo+1)/nb)
+    b = (v - lo) // width
+    uniq, cnt = np.unique(b, return_counts=True)
+    return pa.table({"bucket": pa.array(uniq, type=pa.int64()),
+                     "n": pa.array(cnt, type=pa.int64())})
+
+
+def _gather_range(batch: pa.Table, column: str, lo: int, hi: int) -> pa.Table:
+    v = batch[column].to_numpy()
+    m = (v >= lo) & (v <= hi)
+    return pa.table({column: pa.array(v[m], type=pa.int64())})
+
+
+def exact_quantiles(ds, column: str, qs, n_buckets: int = QUANTILE_BUCKETS,
+                    gather_limit: int = QUANTILE_GATHER_LIMIT) -> pa.Table:
+    """EXACT discrete quantiles of an int64 column without a global
+    sort: iterative histogram narrowing (distributed selection).
+
+    Rank convention matches DuckDB's quantile_disc: the 0-based rank
+    ceil(q*n) - 1 of the ascending order.  Each round histograms only
+    the rows still inside the rank's candidate range (one map_batches
+    pass, driver merges nb counts per block), narrows to the bucket
+    containing the rank, and repeats until the range holds at most
+    `gather_limit` rows — then gathers just those and selects.  Rounds
+    needed: log_nb(range), i.e. 2 passes for 64-bit cents at nb=4096x2;
+    the shuffle never carries data rows, only per-block histograms.
+
+    Returns (q double, value int64), one row per requested quantile."""
+    from functools import partial as _partial
+
+    n = ds.count()
+    out_q, out_v = [], []
+    if n == 0:
+        return pa.table({"q": pa.array([], type=pa.float64()),
+                         column: pa.array([], type=pa.int64())})
+    # global range from one partial pass
+    mm = ds.map_batches(
+        lambda b: pa.table({"mn": pa.array([int(b[column].to_numpy().min())], type=pa.int64()),
+                            "mx": pa.array([int(b[column].to_numpy().max())], type=pa.int64())}),
+        batch_format="pyarrow",
+    ).take_all()
+    g_lo = min(r["mn"] for r in mm)
+    g_hi = max(r["mx"] for r in mm)
+    for q in qs:
+        rank = max(0, int(np.ceil(q * n)) - 1)  # 0-based within full set
+        lo, hi, in_range = g_lo, g_hi, n
+        while in_range > gather_limit and lo < hi:
+            hist = ds.map_batches(
+                _partial(_range_hist, column=column, lo=lo, hi=hi, nb=n_buckets),
+                batch_format="pyarrow",
+            ).take_all()
+            counts = np.zeros(n_buckets, dtype=np.int64)
+            for r in hist:
+                counts[r["bucket"]] += r["n"]
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, rank + 1))
+            rank -= int(cum[b - 1]) if b else 0
+            width = max(1, (hi - lo + n_buckets) // n_buckets)
+            lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+            in_range = int(counts[b])
+        if lo == hi:  # range collapsed to one value (heavy duplicate):
+            out_q.append(float(q))  # no gather needed, however many rows
+            out_v.append(int(lo))
+            continue
+        vals = np.concatenate(
+            [t[column].to_numpy() for t in
+             (ds.map_batches(_partial(_gather_range, column=column, lo=lo, hi=hi),
+                             batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")) if len(t)]
+            or [np.empty(0, dtype=np.int64)]
+        )
+        vals.sort()
+        out_q.append(float(q))
+        out_v.append(int(vals[rank]))
+    return pa.table({"q": pa.array(out_q, type=pa.float64()),
+                     column: pa.array(out_v, type=pa.int64())})

@@ -1070,3 +1070,33 @@ SELECT CASE WHEN (SELECT n FROM agg) < 256 THEN (SELECT n FROM agg)
              // (SELECT kth FROM agg))::BIGINT END AS est
     """).fetchone()[0]
     assert est == want
+
+
+# -------------------------------------------------- exact quantiles
+def test_exact_quantiles_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.sketch import exact_quantiles
+
+    rng = np.random.default_rng(23)
+    # lognormal-ish skew + heavy duplicates at one value
+    v = np.concatenate([
+        (rng.lognormal(3, 1.5, 30000) * 100).astype(np.int64),
+        np.full(5000, 777, dtype=np.int64),
+        np.array([0, 1, 2**40], dtype=np.int64),
+    ])
+    t = pa.table({"cents": pa.array(v)})
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    # gather_limit low -> the narrowing loop actually runs
+    got = exact_quantiles(ray.data.from_arrow(t).repartition(6), "cents", qs,
+                          n_buckets=256, gather_limit=2000).to_pandas()
+    con = duckdb.connect()
+    con.register("tbl", t)
+    for q, val in zip(got["q"], got["cents"]):
+        want = con.execute(f"SELECT quantile_disc(cents, {q}) FROM tbl").fetchone()[0]
+        assert val == want, (q, val, want)
+    # partition invariance
+    got2 = exact_quantiles(ray.data.from_arrow(t).repartition(1), "cents", qs,
+                           n_buckets=4096, gather_limit=100_000).to_pandas()
+    assert got.equals(got2)
