@@ -529,6 +529,15 @@ def q_suggest(sf_dir: str) -> pa.Table:
 QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
 
 
+def q_top_bigrams(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.textstats import top_bigrams
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return top_bigrams(ds, k=20)
+
+
 def q_value_quantiles(sf_dir: str) -> pa.Table:
     """exact discrete quantiles of events.value (integer cents, the
     same round-half-away mirror as windowed_agg) via distributed
@@ -775,6 +784,7 @@ QUERIES = {
     "kmv_distinct_users": q_kmv_distinct_users,
     "suggest": q_suggest,
     "value_quantiles": q_value_quantiles,
+    "top_bigrams": q_top_bigrams,
     "training_pipeline": q_training_pipeline,
     "chunk_documents": q_chunk_documents,
     "deterministic_sample": q_deterministic_sample,
@@ -1135,6 +1145,13 @@ SELECT f.doc_id, f.pos::BIGINT AS pos,
 FROM first f JOIN ptok p ON p.doc_id = f.doc_id
      AND p.ord - 1 BETWEEN f.pos - {SNIPPET_WINDOW} AND f.pos + {SNIPPET_WINDOW}
 GROUP BY f.doc_id, f.pos
+""",
+    "top_bigrams": f"""
+WITH {POS_TOK_CTE},
+bg AS (SELECT a.term ta, b.term tb FROM ptok a JOIN ptok b
+       ON b.doc_id = a.doc_id AND b.ord = a.ord + 1)
+SELECT ta, tb, count(*)::BIGINT AS n FROM bg GROUP BY ta, tb
+ORDER BY n DESC, ta, tb LIMIT 20
 """,
     "value_quantiles": "\nUNION ALL\n".join(
         f"SELECT {q}::DOUBLE AS q, quantile_disc(CAST(round(value * 100) AS BIGINT), {q})::BIGINT"

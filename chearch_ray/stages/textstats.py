@@ -388,3 +388,61 @@ class RepetitionStats:
                 "keep": pa.array(keep),
             }
         )
+
+
+# -------------------------------------------------- n-gram LM counts
+def bigram_partial(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """batch -> per-batch (ta, tb, n) adjacent-bigram partial counts:
+    the map-side combiner that keeps the shuffle at bigram-vocabulary
+    rows per block, not token rows."""
+    values, rows, _ = explode(tokenize(batch[text_column]))
+    if len(values) < 2:
+        return pa.table({"ta": pa.array([], type=pa.string()),
+                         "tb": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    same = rows[1:] == rows[:-1]
+    idx = np.flatnonzero(same)
+    t = pa.table(
+        {
+            "ta": values.take(pa.array(idx, type=pa.int64())),
+            "tb": values.take(pa.array(idx + 1, type=pa.int64())),
+            "n": pa.array(np.ones(len(idx), dtype=np.int64)),
+        }
+    )
+    agg = t.group_by(["ta", "tb"], use_threads=False).aggregate([("n", "sum")])
+    return pa.table({"ta": agg["ta"], "tb": agg["tb"], "n": agg["n_sum"]})
+
+
+def top_bigrams(ds, k: int = 20, text_column: str = "text") -> pa.Table:
+    """corpus -> top-k adjacent bigrams (count desc, ta asc, tb asc).
+    Map-side partials -> one bigram groupby -> per-block top-k partials
+    -> tiny driver merge (blocks x k rows, never the bigram table)."""
+    from functools import partial
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial(bigram_partial, text_column=text_column),
+                       batch_format="pyarrow")
+        .groupby(["ta", "tb"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"), ("ta", "ascending"),
+                                              ("tb", "ascending")])
+        return t.take(order.slice(0, k))
+
+    parts = [
+        t for t in agg.map_batches(block_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow") if len(t)
+    ]
+    if not parts:
+        return pa.table({"ta": pa.array([], type=pa.string()),
+                         "tb": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    merged = pa.concat_tables(parts).combine_chunks()
+    order = pc.sort_indices(merged, sort_keys=[("n", "descending"), ("ta", "ascending"),
+                                               ("tb", "ascending")])
+    out = merged.take(order.slice(0, k))
+    return pa.table({"ta": out["ta"], "tb": out["tb"], "n": out["n"].cast(pa.int64())})

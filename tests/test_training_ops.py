@@ -1100,3 +1100,31 @@ def test_exact_quantiles_vs_duckdb(ray_session):
     got2 = exact_quantiles(ray.data.from_arrow(t).repartition(1), "cents", qs,
                            n_buckets=4096, gather_limit=100_000).to_pandas()
     assert got.equals(got2)
+
+
+# ----------------------------------------------------- bigram counts
+def test_top_bigrams_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.textstats import top_bigrams
+
+    rng = np.random.default_rng(29)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(2, 30)))
+             for _ in range(300)]
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    got = top_bigrams(ray.data.from_arrow(t).repartition(5), k=10).to_pylist()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+WITH ptoks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+               x -> x <> '') AS ts FROM documents),
+ptok AS (SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS ord FROM ptoks),
+bg AS (SELECT a.term ta, b.term tb FROM ptok a JOIN ptok b
+       ON b.doc_id = a.doc_id AND b.ord = a.ord + 1)
+SELECT ta, tb, count(*)::BIGINT n FROM bg GROUP BY ta, tb
+ORDER BY n DESC, ta, tb LIMIT 10
+    """).arrow().to_pylist()
+    assert got == want
