@@ -529,6 +529,16 @@ def q_suggest(sf_dir: str) -> pa.Table:
 QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
 
 
+def q_pii_scrub(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.textstats import PiiScrub
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(PiiScrub(), batch_format="pyarrow", batch_size=1024)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def q_top_bigrams(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -785,6 +795,7 @@ QUERIES = {
     "suggest": q_suggest,
     "value_quantiles": q_value_quantiles,
     "top_bigrams": q_top_bigrams,
+    "pii_scrub": q_pii_scrub,
     "training_pipeline": q_training_pipeline,
     "chunk_documents": q_chunk_documents,
     "deterministic_sample": q_deterministic_sample,
@@ -1145,6 +1156,16 @@ SELECT f.doc_id, f.pos::BIGINT AS pos,
 FROM first f JOIN ptok p ON p.doc_id = f.doc_id
      AND p.ord - 1 BETWEEN f.pos - {SNIPPET_WINDOW} AND f.pos + {SNIPPET_WINDOW}
 GROUP BY f.doc_id, f.pos
+""",
+    "pii_scrub": r"""
+WITH s1 AS (SELECT doc_id,
+  length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM documents),
+s2 AS (SELECT doc_id, n_email,
+  length(regexp_extract_all(t1, '[0-9]{6,}'))::BIGINT AS n_number,
+  regexp_replace(t1, '[0-9]{6,}', '<NUM>', 'g') AS scrubbed FROM s1)
+SELECT doc_id, n_email, n_number, scrubbed FROM s2
 """,
     "top_bigrams": f"""
 WITH {POS_TOK_CTE},

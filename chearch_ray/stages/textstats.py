@@ -446,3 +446,35 @@ def top_bigrams(ds, k: int = 20, text_column: str = "text") -> pa.Table:
                                                ("tb", "ascending")])
     out = merged.take(order.slice(0, k))
     return pa.table({"ta": out["ta"], "tb": out["tb"], "n": out["n"].cast(pa.int64())})
+
+
+# ------------------------------------------------------ PII scrubbing
+#: RE2 patterns (no lookaround — Arrow and DuckDB both run RE2, so
+#: counts and replacements match bit-for-bit).  Order matters: emails
+#: scrub FIRST so digit runs inside them don't also count as numbers.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("number", r"[0-9]{6,}", "<NUM>"),
+)
+
+
+class PiiScrub:
+    """doc_id/text -> (doc_id, n_email, n_number, scrubbed): redact
+    email addresses and long digit runs, counting each as it is
+    removed (sequential passes, so a digit run inside an email is
+    counted once, as an email).  One vectorized RE2 count + replace
+    per pattern per batch."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        cols = {"doc_id": batch["doc_id"]}
+        for name, pattern, repl in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.count_substring_regex(text, pattern).cast(pa.int64())
+            text = pc.replace_substring_regex(text, pattern, repl)
+        cols["scrubbed"] = text
+        return pa.table(cols)

@@ -1128,3 +1128,42 @@ SELECT ta, tb, count(*)::BIGINT n FROM bg GROUP BY ta, tb
 ORDER BY n DESC, ta, tb LIMIT 10
     """).arrow().to_pylist()
     assert got == want
+
+
+# ------------------------------------------------------ PII scrubbing
+def test_pii_scrub_vs_duckdb():
+    import duckdb
+
+    from chearch_ray.stages.textstats import PiiScrub
+
+    docs = [
+        "contact alice@example.com or bob.smith+tag@sub.domain.org today",
+        "card 1234567890123456 and pin 12345 and zip 90210",
+        "email-with-digits user123456@host.io plus raw 999999 run",
+        "clean text with no sensitive content at all",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+                  "text": pa.array(docs)})
+    got = PiiScrub()(t).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    num = "[0-9]{6,}"
+    want = con.execute(f"""
+WITH s1 AS (SELECT doc_id,
+  length(regexp_extract_all(text, '{email}'))::BIGINT n_email,
+  regexp_replace(text, '{email}', '<EMAIL>', 'g') t1 FROM documents),
+s2 AS (SELECT doc_id, n_email,
+  length(regexp_extract_all(t1, '{num}'))::BIGINT n_number,
+  regexp_replace(t1, '{num}', '<NUM>', 'g') scrubbed FROM s1)
+SELECT doc_id, n_email, n_number, scrubbed FROM s2 ORDER BY doc_id
+    """).df().reset_index(drop=True)
+    for col in ["n_email", "n_number"]:
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy(), err_msg=col)
+    assert got["scrubbed"].tolist() == want["scrubbed"].tolist()
+    # semantic spot checks
+    assert got.loc[0, "n_email"] == 2 and "<EMAIL>" in got.loc[0, "scrubbed"]
+    assert got.loc[1, "n_number"] == 1  # 16-digit card, not the 5-digit pin/zip
+    assert got.loc[2, "n_email"] == 1 and got.loc[2, "n_number"] == 1  # digits inside the email counted once
+    assert got.loc[3, "scrubbed"] == docs[3]
