@@ -1,0 +1,174 @@
+"""Relational analytics over the TPC-H-shaped driver tables — the
+general data-processing side of the engine (group aggregates and
+multi-table joins), expressed Ray-Data-first:
+
+* `pricing_summary` (TPC-H Q1 shape): filter at the read, map-side
+  PARTIAL aggregation per batch (one row per group per batch — the
+  shuffle carries group-count rows, never lineitems), then a tiny
+  global groupby.  Money rides as integer cents (round-half-away,
+  the same DuckDB `round()` mirror as stages.events) so sums are
+  order-independent and SQL-exact.
+* `revenue_by_nation` (orders ⋈ customer ⋈ nation): the 25-row
+  nation table BROADCASTS (a dict lookup inside map_batches — never
+  a shuffle); orders⋈customer is a real distributed hash join
+  (Dataset.join, fractional-CPU aggregators per the repo-wide
+  deadlock note); the final rollup is again partial-then-groupby.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+
+from chearch_ray.stages.events import _round_half_away
+
+#: Q1-style shipdate cutoff (epoch microseconds of 2001-06-30)
+PRICING_CUTOFF = "2001-06-30"
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return _round_half_away(np.asarray(x, dtype=np.float64) * 100)
+
+
+def _pricing_partial(batch: pa.Table, cutoff_us: int) -> pa.Table:
+    ship = batch["l_shipdate"]
+    if isinstance(ship, pa.ChunkedArray):
+        ship = ship.combine_chunks()
+    us = np.asarray(ship.cast(pa.int64()))
+    keep = us <= cutoff_us
+    if not keep.any():
+        return pa.table(
+            {
+                "l_returnflag": pa.array([], type=pa.string()),
+                "l_linestatus": pa.array([], type=pa.string()),
+                "count_order": pa.array([], type=pa.int64()),
+                "sum_qty_cents": pa.array([], type=pa.int64()),
+                "sum_base_cents": pa.array([], type=pa.int64()),
+                "sum_disc_cents": pa.array([], type=pa.int64()),
+                "sum_charge_cents": pa.array([], type=pa.int64()),
+            }
+        )
+    b = batch.filter(pa.array(keep))
+    qty = b["l_quantity"].to_numpy().astype(np.float64)
+    price = b["l_extendedprice"].to_numpy().astype(np.float64)
+    disc = b["l_discount"].to_numpy().astype(np.float64)
+    tax = b["l_tax"].to_numpy().astype(np.float64)
+    t = pa.table(
+        {
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "count_order": pa.array(np.ones(len(b), dtype=np.int64)),
+            # float expressions written EXACTLY as the SQL mirror
+            # (left-assoc products) so the rounded cents agree
+            "sum_qty_cents": pa.array(_cents(qty), type=pa.int64()),
+            "sum_base_cents": pa.array(_cents(price), type=pa.int64()),
+            "sum_disc_cents": pa.array(
+                _round_half_away(price * (1.0 - disc) * 100), type=pa.int64()
+            ),
+            "sum_charge_cents": pa.array(
+                _round_half_away(price * (1.0 - disc) * (1.0 + tax) * 100),
+                type=pa.int64(),
+            ),
+        }
+    )
+    agg = t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+        [(c, "sum") for c in t.column_names[2:]]
+    )
+    return agg.rename_columns(
+        ["l_returnflag", "l_linestatus", "count_order", "sum_qty_cents",
+         "sum_base_cents", "sum_disc_cents", "sum_charge_cents"]
+    )
+
+
+def pricing_summary(lineitem_ds, cutoff: str = PRICING_CUTOFF):
+    """TPC-H Q1 shape over the lineitem Dataset -> one row per
+    (returnflag, linestatus) with integer-cent sums."""
+    from ray.data.aggregate import Sum
+
+    cutoff_us = int(np.datetime64(cutoff, "us").astype(np.int64))
+    partials = lineitem_ds.map_batches(
+        partial(_pricing_partial, cutoff_us=cutoff_us), batch_format="pyarrow"
+    )
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        *[Sum(c, alias_name=c) for c in
+          ("count_order", "sum_qty_cents", "sum_base_cents",
+           "sum_disc_cents", "sum_charge_cents")]
+    )
+
+
+def _attach_nation(batch: pa.Table, nation_ref) -> pa.Table:
+    """broadcast nation lookup: c_nationkey -> n_name inside the task
+    (25 rows — never a shuffle)."""
+    import ray
+
+    keys, names = ray.get(nation_ref) if not isinstance(nation_ref, tuple) else nation_ref
+    k = batch["c_nationkey"].to_numpy().astype(np.int64)
+    pos = np.searchsorted(keys, k)
+    pos = np.minimum(pos, len(keys) - 1)
+    name_arr = names.take(pa.array(pos, type=pa.int64()))
+    return pa.table(
+        {
+            "c_custkey": batch["c_custkey"].cast(pa.int64()),
+            "n_name": name_arr,
+        }
+    )
+
+
+def _rev_partial(batch: pa.Table) -> pa.Table:
+    cents = _cents(batch["o_totalprice"].to_numpy().astype(np.float64))
+    t = pa.table(
+        {
+            "n_name": batch["n_name"],
+            "n_orders": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "total_cents": pa.array(cents, type=pa.int64()),
+        }
+    )
+    agg = t.group_by("n_name", use_threads=False).aggregate(
+        [("n_orders", "sum"), ("total_cents", "sum")]
+    )
+    return agg.rename_columns(["n_name", "n_orders", "total_cents"])
+
+
+def revenue_by_nation(orders_ds, customer_ds, nation_table: pa.Table,
+                      join_partitions: int = 8):
+    """orders ⋈ customer (distributed hash join on custkey) ⋈ nation
+    (broadcast) -> (n_name, n_orders, total_cents)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    keys = nation_table["n_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(keys)
+    names = nation_table["n_name"]
+    if isinstance(names, pa.ChunkedArray):
+        names = names.combine_chunks()
+    nation_ref = ray.put((keys[order], names.take(pa.array(order, type=pa.int64()))))
+
+    cust = customer_ds.map_batches(
+        partial(_attach_nation, nation_ref=nation_ref), batch_format="pyarrow"
+    )
+    orders = orders_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "o_totalprice": b["o_totalprice"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.join_operator_actor_num_cpus_per_partition_override
+    ctx.join_operator_actor_num_cpus_per_partition_override = 0.1
+    try:
+        joined = orders.join(
+            cust, "inner", join_partitions, on=("o_custkey",), right_on=("c_custkey",)
+        ).materialize()
+    finally:
+        ctx.join_operator_actor_num_cpus_per_partition_override = saved
+    partials = joined.map_batches(_rev_partial, batch_format="pyarrow")
+    return partials.groupby("n_name").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    )

@@ -529,6 +529,35 @@ def q_suggest(sf_dir: str) -> pa.Table:
 QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
 
 
+def q_pricing_summary(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import pricing_summary
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"],
+    )
+    return pa.Table.from_pandas(pricing_summary(ds).to_pandas(), preserve_index=False)
+
+
+def q_revenue_by_nation(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import revenue_by_nation
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    out = revenue_by_nation(orders, customer, nation)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def q_pii_scrub(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -796,6 +825,8 @@ QUERIES = {
     "value_quantiles": q_value_quantiles,
     "top_bigrams": q_top_bigrams,
     "pii_scrub": q_pii_scrub,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
     "training_pipeline": q_training_pipeline,
     "chunk_documents": q_chunk_documents,
     "deterministic_sample": q_deterministic_sample,
@@ -1156,6 +1187,23 @@ SELECT f.doc_id, f.pos::BIGINT AS pos,
 FROM first f JOIN ptok p ON p.doc_id = f.doc_id
      AND p.ord - 1 BETWEEN f.pos - {SNIPPET_WINDOW} AND f.pos + {SNIPPET_WINDOW}
 GROUP BY f.doc_id, f.pos
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS count_order,
+       sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS sum_disc_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT))::BIGINT AS sum_charge_cents
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "revenue_by_nation": """
+SELECT n.n_name, count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
 """,
     "pii_scrub": r"""
 WITH s1 AS (SELECT doc_id,

@@ -1167,3 +1167,44 @@ SELECT doc_id, n_email, n_number, scrubbed FROM s2 ORDER BY doc_id
     assert got.loc[1, "n_number"] == 1  # 16-digit card, not the 5-digit pin/zip
     assert got.loc[2, "n_email"] == 1 and got.loc[2, "n_number"] == 1  # digits inside the email counted once
     assert got.loc[3, "scrubbed"] == docs[3]
+
+
+# ------------------------------------------------- TPC-H analytics
+def test_pricing_summary_and_revenue_join(ray_session):
+    import duckdb
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from chearch_ray.pipelines.analytics import pricing_summary, revenue_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for n in ["lineitem", "orders", "customer", "nation"]:
+        con.execute(f"CREATE VIEW {n} AS SELECT * FROM read_parquet('{sf}/{n}.parquet')")
+
+    ps = (pricing_summary(ray.data.read_parquet(f"{sf}/lineitem.parquet"))
+          .to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True))
+    want = con.execute("""
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT count_order,
+       sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT sum_qty_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT sum_base_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT sum_disc_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT))::BIGINT sum_charge_cents
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+    """).df().reset_index(drop=True)
+    assert ps[want.columns.tolist()].equals(want)
+
+    rv = (revenue_by_nation(
+            ray.data.read_parquet(f"{sf}/orders.parquet"),
+            ray.data.read_parquet(f"{sf}/customer.parquet"),
+            pq.read_table(f"{sf}/nation.parquet"), join_partitions=4)
+          .to_pandas().sort_values("n_name").reset_index(drop=True))
+    want2 = con.execute("""
+SELECT n.n_name, count(*)::BIGINT n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT total_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+    """).df().reset_index(drop=True)
+    assert rv[want2.columns.tolist()].equals(want2)
