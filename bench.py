@@ -272,6 +272,22 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     dc.q_snippets(sf_dir)
     timings["sf_snippets_sec"] = time.perf_counter() - t0
+    # sketches + analytics (KMV, quantiles, bigrams, PII, TPC-H rows)
+    t0 = time.perf_counter()
+    dc.q_kmv_distinct_users(sf_dir)
+    dc.q_value_quantiles(sf_dir)
+    timings["sf_sketch_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_top_bigrams(sf_dir)
+    dc.q_pii_scrub(sf_dir)
+    timings["sf_textops_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_pricing_summary(sf_dir)
+    dc.q_revenue_by_nation(sf_dir)
+    timings["sf_analytics_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_training_pipeline(sf_dir)
+    timings["sf_training_pipeline_sec"] = time.perf_counter() - t0
     # prefix + negation query latency against the resident bench index
     # ("__known_*" expands to the exact-df sentinel family; "def
     # -return" probes the hot negative lazily)
