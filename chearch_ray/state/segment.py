@@ -371,49 +371,42 @@ class PostingsPartReader:
         blocks = np.unique(rows // bs)
         pos_off = np.asarray(self._pos_off[i].values, dtype=np.int64)
         blob = np.frombuffer(self._pos_blob[i].as_py(), dtype=np.uint8)
-        # decode each needed block's byte slice independently (delta
-        # restarts at every posting, so any block is self-contained);
-        # Python loops run per BLOCK only — row assembly is numpy
-        blk_vals: dict[int, np.ndarray] = {}
-        blk_offs: dict[int, np.ndarray] = {}
-        for b in blocks.tolist():
-            lo_post, hi_post = b * bs, min((b + 1) * bs, n_post)
-            byte_lo = int(pos_off[b])
-            byte_hi = int(pos_off[b + 1]) if b + 1 < len(pos_off) else len(blob)
-            vals, offs = unpack_position_blob(blob[byte_lo:byte_hi], counts[lo_post:hi_post])
-            blk_vals[b], blk_offs[b] = vals, offs
-        # vectorized gather: rows grouped by block, one fancy-index per
-        # block, assembled block-sorted then restored to `rows` order
-        # with one ListArray.take
-        order = np.argsort(rows // bs, kind="stable")
-        row_blocks = rows[order] // bs
-        run_starts = np.flatnonzero(np.concatenate([[True], row_blocks[1:] != row_blocks[:-1]]))
-        run_bounds = np.append(run_starts, len(order))
-        flat_parts, len_parts = [], []
-        for ri in range(len(run_starts)):
-            s, e = run_bounds[ri], run_bounds[ri + 1]
-            b = int(row_blocks[s])
-            within = rows[order[s:e]] - b * bs
-            offs = blk_offs[b]
-            starts_b = offs[within]
-            l = offs[within + 1] - starts_b
-            idx = (
-                np.arange(int(l.sum()), dtype=np.int64)
-                - np.repeat(np.concatenate([[0], np.cumsum(l)])[:-1], l)
-                + np.repeat(starts_b, l)
-            )
-            flat_parts.append(blk_vals[b][idx])
-            len_parts.append(l)
-        flat = np.concatenate(flat_parts) if flat_parts else np.empty(0, dtype=np.uint64)
-        lens_s = np.concatenate(len_parts) if len_parts else np.empty(0, dtype=np.int64)
-        offs_s = np.concatenate([[0], np.cumsum(lens_s)]).astype(np.int32)
-        arr_sorted = pa.ListArray.from_arrays(
-            pa.array(offs_s, type=pa.int32()),
-            pa.array(flat.astype(np.uint32), type=pa.uint32()),
+        # delta encoding restarts at every posting, so the touched
+        # blocks' byte slices CONCATENATE into one valid stream — one
+        # vectorized varint decode for the whole candidate set (a
+        # per-block decode loop costs ~50us of numpy setup per block;
+        # hot-term phrases touch hundreds of blocks per query)
+        lo_posts = blocks * bs
+        hi_posts = np.minimum((blocks + 1) * bs, n_post)
+        byte_lo = pos_off[blocks]
+        byte_hi = np.where(blocks + 1 < len(pos_off), pos_off[np.minimum(blocks + 1, len(pos_off) - 1)], len(blob))
+        big_blob = (
+            np.concatenate([blob[int(l) : int(h)] for l, h in zip(byte_lo, byte_hi)])
+            if len(blocks)
+            else np.empty(0, dtype=np.uint8)
         )
-        inv = np.empty(len(rows), dtype=np.int64)
-        inv[order] = np.arange(len(rows), dtype=np.int64)
-        return arr_sorted.take(pa.array(inv, type=pa.int64()))
+        cat_counts = (
+            np.concatenate([counts[int(l) : int(h)] for l, h in zip(lo_posts, hi_posts)])
+            if len(blocks)
+            else np.empty(0, dtype=np.int64)
+        )
+        vals, offs = unpack_position_blob(big_blob, cat_counts)
+        # posting index inside the concatenated space, fully vectorized
+        cat_base = np.concatenate([[0], np.cumsum(hi_posts - lo_posts)])[:-1]
+        brank = np.searchsorted(blocks, rows // bs)
+        cat_post = cat_base[brank] + (rows - blocks[brank] * bs)
+        starts_b = offs[cat_post]
+        l = offs[cat_post + 1] - starts_b
+        total = int(l.sum())
+        idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(l)])[:-1], l)
+            + np.repeat(starts_b, l)
+        )
+        return pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(l)]).astype(np.int32), type=pa.int32()),
+            pa.array(vals[idx].astype(np.uint32), type=pa.uint32()),
+        )
 
     def positions_packed_column(self):
         """per-POSTING packed position cells (binary array, term-major
