@@ -338,12 +338,55 @@ class SegmentSearcher:
             if len(terms) >= 2:
                 docs, scores = self._maxscore_disjunctive(terms, k, idfs, avgdl)
                 return self._project(docs, scores=scores)
+        if isinstance(node, ast.And) and ast.is_conjunctive(node):
+            # pure AND: evaluate and score in one pass — the tfs found
+            # while intersecting are exactly the tfs scoring needs, so
+            # no term is probed twice.  Float-identical to the generic
+            # path (every candidate has tf > 0 in every term, and the
+            # accumulation runs in the same query-term order).
+            terms = [str(t) for t in ast.terms_of(node)]
+            docs, tf_by_term = self._conjunctive_eval(terms)
+            if len(docs) == 0:
+                return self._project(docs, scores=np.empty(0))
+            cfg = self.cfg
+            dl_all = self.docmap.lengths_for(docs)
+            scores = np.zeros(len(docs), dtype=np.float64)
+            for term in terms:
+                scores += bm25_component(
+                    tf_by_term[term].astype(np.float64), dl_all,
+                    idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b,
+                )
+            order = topk_order(scores, docs, k)
+            return self._project(docs[order], scores=scores[order])
         candidates = self._eval_sets(node)
         if len(candidates) == 0:
             return self._project(candidates, scores=np.empty(0))
         scores = self._score_docs(candidates, [str(t) for t in ast.terms_of(node)], idfs, avgdl)
         order = topk_order(scores, candidates, k)
         return self._project(candidates[order], scores=scores[order])
+
+    def _conjunctive_eval(
+        self, terms: list[str]
+    ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+        """intersection docs of `terms` plus each term's tf aligned to
+        the surviving docs.  Decodes the rarest term fully, then
+        narrows by skip-block probing the others in ascending-df order
+        (the lazy AND shape of _eval_sets, keeping the tfs it finds)."""
+        order = sorted(terms, key=lambda t: self.df(t))
+        docs, tf0 = self.postings(order[0])
+        tf_by_term: dict[str, np.ndarray] = {order[0]: tf0}
+        for term in order[1:]:
+            if len(docs) == 0:
+                break
+            tf_all = self.probe_tfs(term, docs)
+            keep = tf_all > 0
+            docs = docs[keep]
+            for t in tf_by_term:
+                tf_by_term[t] = tf_by_term[t][keep]
+            tf_by_term[term] = tf_all[keep]
+        if len(docs) == 0:
+            return docs, {t: np.empty(0, dtype=np.uint64) for t in terms}
+        return docs, tf_by_term
 
     def _score_docs(
         self, docs: np.ndarray, terms: list[str], idfs: dict[str, float], avgdl: float

@@ -996,3 +996,32 @@ def test_suggest_vs_duckdb(engine, oracle):
             [q, q],
         ).fetchall()
         assert [tuple(r.values()) for r in got.to_pylist()] == want, q
+
+
+def test_conjunctive_fast_path_identical_to_generic(engine, oracle):
+    """the one-pass AND scorer (tf reuse from the intersection) must be
+    byte-identical — scores included — to the generic probe-again path
+    on random conjunctive trees."""
+    import random
+
+    import chearch_ray.state.searcher as S
+    from chearch_ray import ast as A
+
+    vocab = _hot_terms(oracle, 5) + _rare_terms(oracle, 3)
+    rng = random.Random(99)
+
+    def rand_and(depth):
+        if depth == 0:
+            return A.Term(rng.choice(vocab))
+        return A.And(rand_and(depth - 1), rand_and(rng.randint(0, depth - 1)))
+
+    trees = [rand_and(rng.randint(1, 3)) for _ in range(25)]
+    fast = [engine.search(t, k=25) for t in trees]
+    orig = S.ast.is_conjunctive
+    S.ast.is_conjunctive = lambda n: False
+    try:
+        slow = [engine.search(t, k=25) for t in trees]
+    finally:
+        S.ast.is_conjunctive = orig
+    for t, a, b in zip(trees, fast, slow):
+        assert a.equals(b), t
