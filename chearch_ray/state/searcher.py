@@ -338,6 +338,20 @@ class SegmentSearcher:
             if len(terms) >= 2:
                 docs, scores = self._maxscore_disjunctive(terms, k, idfs, avgdl)
                 return self._project(docs, scores=scores)
+        if isinstance(node, ast.Term):
+            # a term's candidates ARE its postings — the generic path
+            # would searchsorted the list into itself to re-find tfs
+            term = str(node.term)
+            docs, tfs = self.postings(term)
+            if len(docs) == 0:
+                return self._project(docs, scores=np.empty(0))
+            cfg = self.cfg
+            scores = bm25_component(
+                tfs.astype(np.float64), self.docmap.lengths_for(docs),
+                idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b,
+            )
+            order = topk_order(scores, docs, k)
+            return self._project(docs[order], scores=scores[order])
         if isinstance(node, ast.And) and ast.is_conjunctive(node):
             # pure AND: evaluate and score in one pass — the tfs found
             # while intersecting are exactly the tfs scoring needs, so
