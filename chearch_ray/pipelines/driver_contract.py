@@ -507,6 +507,27 @@ SNIPPET_WINDOW = 2
 KMV_USERS_K = 64
 
 
+def q_pq_knn(sf_dir: str) -> pa.Table:
+    """PQ (product quantization) ANN: train sub-codebooks, encode the
+    embeddings table to 8-byte codes, ADC top-10 for 4 queries.
+    Rows-only in the driver (the quantizer is lossy, so no SQL mirror
+    exists); cluster-precision and shortlist-recall are pinned by
+    test_pq_recall_and_determinism."""
+    import ray.data
+
+    from chearch_ray.stages.similarity import pq_encode, pq_search, pq_train
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path)
+    books = pq_train(ds, m=8, n_codes=64)
+    codes = pq_encode(ds, books).materialize()
+    qmat = np.array(
+        pq.read_table(path, columns=["embedding"])["embedding"].to_pylist()[:4],
+        dtype=np.float64,
+    )
+    return pq_search(codes, books, qmat, k=10)
+
+
 def q_kmv_distinct_users(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -821,6 +842,7 @@ QUERIES = {
     "snippets": q_snippets,
     "facets": q_facets,
     "kmv_distinct_users": q_kmv_distinct_users,
+    "pq_knn": q_pq_knn,
     "suggest": q_suggest,
     "value_quantiles": q_value_quantiles,
     "top_bigrams": q_top_bigrams,

@@ -716,3 +716,146 @@ def _ivf_route_batch(batch: pa.Table, queries_ref, routing: dict, k: int,
             }
         )
     return pa.concat_tables(outs)
+
+
+# ------------------------------------------------------------------ PQ
+# Product quantization (Jegou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): the memory-compression ANN
+# path.  64-dim float32 vectors (256 B) compress to m uint8 codes
+# (m bytes, 32x at m=8) so the code table for 10^12 vectors fits in a
+# cluster's aggregate RAM; search is asymmetric distance computation
+# (ADC) — one [m, n_codes] inner-product lookup table per query, then
+# a table-gather + sum per code row, no float vector math per row.
+
+
+def pq_train(ds, m: int = 8, n_codes: int = 256, sample_size: int = 2048,
+             seed: int = 42, iters: int = 12,
+             id_column: str = "vec_id", embedding_column: str = "embedding") -> np.ndarray:
+    """sub-quantizer codebooks [m, n_codes, d/m] from a deterministic
+    order-statistic sample (same sampler as the IVF coarse quantizer);
+    plain Lloyd k-means per subvector, seeded -> reproducible."""
+    sample = normalize_rows(
+        sample_embeddings(ds, sample_size, id_column, embedding_column)
+    )
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.empty((m, min(n_codes, len(sample)), sub), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        kk = min(n_codes, len(x))
+        cents = x[rng.choice(len(x), size=kk, replace=False)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(kk):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j, :kk] = cents
+    return books
+
+
+class PQEncode:
+    """vectors -> m uint8 codes per row (binary column `pq_code`).
+    Codebooks resolve once per actor from the local object store."""
+
+    def __init__(self, books_ref, id_column: str = "vec_id",
+                 embedding_column: str = "embedding"):
+        import ray
+
+        self.books = (
+            ray.get(books_ref) if isinstance(books_ref, ray.ObjectRef) else books_ref
+        )
+        self.id_column = id_column
+        self.embedding_column = embedding_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = normalize_rows(_embedding_matrix(batch[self.embedding_column]))
+        m, kk, sub = self.books.shape
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for j in range(m):
+            x = mat[:, j * sub : (j + 1) * sub]
+            # argmin ||x-c||^2 == argmax (x.c - ||c||^2/2); ||x||^2 drops
+            scores = x @ self.books[j].T - 0.5 * (self.books[j] ** 2).sum(axis=1)
+            codes[:, j] = np.argmax(scores, axis=1)
+        raw = codes.tobytes()
+        return pa.table(
+            {
+                self.id_column: batch[self.id_column].cast(pa.int64()),
+                "pq_code": pa.array(
+                    [raw[i * m : (i + 1) * m] for i in range(len(mat))], type=pa.binary()
+                ),
+            }
+        )
+
+
+def pq_encode(ds, books: np.ndarray, id_column: str = "vec_id",
+              embedding_column: str = "embedding"):
+    import ray
+
+    books_ref = ray.put(books)
+    return ds.map_batches(
+        PQEncode(books_ref, id_column, embedding_column),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+
+
+def _pq_search_batch(batch: pa.Table, lut_ref, k: int, id_column: str) -> pa.Table:
+    import ray
+
+    lut = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) else lut_ref
+    nq, m, kk = lut.shape
+    code_col = batch["pq_code"]
+    if isinstance(code_col, pa.ChunkedArray):
+        code_col = code_col.combine_chunks()
+    buf = np.frombuffer(b"".join(code_col.to_pylist()), dtype=np.uint8)
+    codes = buf.reshape(-1, m)
+    ids = batch[id_column].to_numpy().astype(np.int64)
+    outs_q, outs_i, outs_s = [], [], []
+    for q in range(nq):
+        # ADC: score = sum_j lut[q, j, code_j]
+        s = np.zeros(len(codes), dtype=np.float64)
+        for j in range(m):
+            s += lut[q, j][codes[:, j]]
+        kq = min(k, len(s))
+        top = np.argpartition(-s, kq - 1)[:kq] if len(s) > kq else np.arange(len(s))
+        order = top[np.lexsort((ids[top], -s[top]))]
+        outs_q.append(np.full(len(order), q, dtype=np.int64))
+        outs_i.append(ids[order])
+        outs_s.append(s[order])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(outs_q), type=pa.int64()),
+            id_column: pa.array(np.concatenate(outs_i), type=pa.int64()),
+            "sim": pa.array(np.concatenate(outs_s), type=pa.float64()),
+        }
+    )
+
+
+def pq_search(codes_ds, books: np.ndarray, query_matrix: np.ndarray, k: int,
+              id_column: str = "vec_id"):
+    """ADC top-k over the PQ codes Dataset: broadcast one [q, m,
+    n_codes] inner-product LUT, per-batch partial top-k, tree-combined
+    merge (same tail as knn_brute_force).  Returns (query_id, vec_id,
+    sim) with sim = the quantized cosine estimate."""
+    from functools import partial as _p
+
+    import ray
+
+    q = normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+    m, kk, sub = books.shape
+    # lut[q, j, c] = <query_q's j-th subvector, codebook_j[c]>
+    lut = np.stack(
+        [q[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)], axis=1
+    )
+    lut_ref = ray.put(np.ascontiguousarray(lut))
+    partials = codes_ds.map_batches(
+        _p(_pq_search_batch, lut_ref=lut_ref, k=k, id_column=id_column),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    return _gather_topk(partials, k, id_column)

@@ -1208,3 +1208,49 @@ JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name ORDER BY n.n_name
     """).df().reset_index(drop=True)
     assert rv[want2.columns.tolist()].equals(want2)
+
+
+# ---------------------------------------------------------------- PQ
+def test_pq_recall_and_determinism(ray_session):
+    import ray.data
+
+    from chearch_ray.stages.similarity import (
+        knn_brute_force, pq_encode, pq_search, pq_train,
+    )
+
+    rng = np.random.default_rng(31)
+    # clustered vectors: PQ must find cluster-mates
+    centers = rng.standard_normal((10, 64)) * 4
+    mat = np.concatenate([c + rng.standard_normal((80, 64)) for c in centers])
+    n = len(mat)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    books = pq_train(ds, m=8, n_codes=64, sample_size=n)
+    assert books.shape == (8, 64, 8)
+    # deterministic: retrain == identical codebooks
+    books2 = pq_train(ds, m=8, n_codes=64, sample_size=n)
+    np.testing.assert_array_equal(books, books2)
+
+    codes = pq_encode(ds, books).materialize()
+    enc = codes.take_all()
+    assert len(enc) == n and all(len(r["pq_code"]) == 8 for r in enc)  # 32x compression
+
+    queries = mat[:8].astype(np.float64)
+    exact = knn_brute_force(ray.data.from_arrow(t), queries, k=10).to_pandas()
+    short = pq_search(codes, books, queries, k=50).to_pandas()
+    # PQ's contract is coarse retrieval: (a) every ADC top-10 hit comes
+    # from the query's true cluster; (b) a 50-candidate shortlist
+    # covers most of the exact top-10 (the re-rank window pattern).
+    # Strict recall@10 WITHIN a tight cluster is beyond 8-byte codes.
+    hits = total = 0
+    for qid in range(8):
+        a10 = short[short["query_id"] == qid].head(10)["vec_id"].to_numpy()
+        assert (a10 // 80 == qid // 80).all(), qid
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        s50 = set(short[short["query_id"] == qid]["vec_id"])
+        hits += len(e & s50)
+        total += len(e)
+    assert hits / total >= 0.75, hits / total
