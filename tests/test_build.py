@@ -1025,3 +1025,35 @@ def test_conjunctive_fast_path_identical_to_generic(engine, oracle):
         S.ast.is_conjunctive = orig
     for t, a, b in zip(trees, fast, slow):
         assert a.equals(b), t
+
+
+def test_random_mixed_trees_vs_oracle(engine, oracle):
+    """randomized And/Or/AndNot trees: engine boolean AND BM25 results
+    must match the pure-Python oracle (docs, scores, and order) — the
+    fast paths (flat union, one-pass AND, Term scoring, lazy probes)
+    all route through here."""
+    import random
+
+    from chearch_ray import ast as A
+
+    vocab = _hot_terms(oracle, 6) + _rare_terms(oracle, 4) + [NEVER_PRESENT]
+    rng = random.Random(271)
+
+    def rand_tree(depth):
+        if depth == 0:
+            return A.Term(rng.choice(vocab))
+        op = rng.choice([A.And, A.Or, A.AndNot])
+        return op(rand_tree(depth - 1), rand_tree(rng.randint(0, depth - 1)))
+
+    n_checked = 0
+    for _ in range(60):
+        tree = rand_tree(rng.randint(1, 4))
+        assert _bool_docs(engine, tree) == oracle.boolean_search(tree), tree
+        want = oracle.bm25_search(tree, 15)
+        got = engine.search(tree, k=15)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want], tree
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(), np.array([s for _, s in want]), err_msg=str(tree)
+        )
+        n_checked += 1
+    assert n_checked == 60
