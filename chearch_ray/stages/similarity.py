@@ -859,3 +859,124 @@ def pq_search(codes_ds, books: np.ndarray, query_matrix: np.ndarray, k: int,
         batch_size=8192,
     )
     return _gather_topk(partials, k, id_column)
+
+
+# -------------------------------------------------------------- IVF-PQ
+# The composed trillion-scale recipe (Jegou et al. 2011 §V): IVF
+# routes each query to nprobe coarse partitions, PQ codes make each
+# partition's residency 8 bytes/vector — search touches nprobe/n_cent
+# of the corpus AND never materializes a float vector.
+
+
+class _PQEncodeKeep(PQEncode):
+    """PQEncode that carries extra columns through (the IVF `centroid`
+    routing column)."""
+
+    def __init__(self, books_ref, keep: tuple, **kw):
+        super().__init__(books_ref, **kw)
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        for col in self.keep:
+            out = out.append_column(col, batch[col])
+        return out
+
+
+def ivfpq_build(ds, n_centroids: int = 16, m: int = 8, n_codes: int = 256,
+                sample_size: int = 2048, seed: int = 42,
+                id_column: str = "vec_id", embedding_column: str = "embedding"):
+    """-> (centroids, codebooks, codes Dataset with (id, pq_code,
+    centroid)).  One IVF assignment pass + one PQ encode pass; both
+    quantizers train on the same deterministic sample."""
+    import ray
+
+    centroids, assigned = ivf_build(
+        ds, n_centroids, sample_size, seed,
+        id_column=id_column, embedding_column=embedding_column,
+    )
+    books = pq_train(ds, m, n_codes, sample_size, seed,
+                     id_column=id_column, embedding_column=embedding_column)
+    books_ref = ray.put(books)
+    codes = assigned.map_batches(
+        _PQEncodeKeep(books_ref, keep=("centroid",),
+                      id_column=id_column, embedding_column=embedding_column),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return centroids, books, codes
+
+
+def _ivfpq_route_batch(batch: pa.Table, lut_ref, routing: dict, k: int,
+                       id_column: str) -> pa.Table:
+    import ray
+
+    lut = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) else lut_ref
+    nq, m, kk = lut.shape
+    code_col = batch["pq_code"]
+    if isinstance(code_col, pa.ChunkedArray):
+        code_col = code_col.combine_chunks()
+    codes = np.frombuffer(b"".join(code_col.to_pylist()), dtype=np.uint8).reshape(-1, m)
+    ids = batch[id_column].to_numpy().astype(np.int64)
+    cents = batch["centroid"].to_numpy()
+    outs_q, outs_i, outs_s = [], [], []
+    for c, qids in routing.items():
+        mask = cents == c
+        if not mask.any() or len(qids) == 0:
+            continue
+        sub_codes, sub_ids = codes[mask], ids[mask]
+        for q in qids.tolist():
+            s = np.zeros(len(sub_codes), dtype=np.float64)
+            for j in range(m):
+                s += lut[q, j][sub_codes[:, j]]
+            kq = min(k, len(s))
+            top = np.argpartition(-s, kq - 1)[:kq] if len(s) > kq else np.arange(len(s))
+            order = top[np.lexsort((sub_ids[top], -s[top]))]
+            outs_q.append(np.full(len(order), q, dtype=np.int64))
+            outs_i.append(sub_ids[order])
+            outs_s.append(s[order])
+    if not outs_q:
+        return pa.table(
+            {"query_id": pa.array([], type=pa.int64()),
+             id_column: pa.array([], type=pa.int64()),
+             "sim": pa.array([], type=pa.float64())}
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(outs_q), type=pa.int64()),
+            id_column: pa.array(np.concatenate(outs_i), type=pa.int64()),
+            "sim": pa.array(np.concatenate(outs_s), type=pa.float64()),
+        }
+    )
+
+
+def ivfpq_search(codes_ds, centroids: np.ndarray, books: np.ndarray,
+                 query_matrix: np.ndarray, k: int = 10, nprobe: int = 4,
+                 id_column: str = "vec_id"):
+    """routed ADC top-k: each query scores ONLY the codes of its
+    nprobe nearest coarse partitions (true IVF semantics), with the
+    same broadcast LUT + partial-top-k + tree-combined merge tail as
+    pq_search.  With nprobe = n_centroids this is exactly pq_search
+    over the full code set (pinned by test)."""
+    from functools import partial as _p
+
+    import ray
+
+    q = normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+    m, kk, sub = books.shape
+    lut = np.stack(
+        [q[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)], axis=1
+    )
+    probes = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    routing = {
+        int(c): np.flatnonzero((probes == c).any(axis=1))
+        for c in np.unique(probes).tolist()
+    }
+    lut_ref = ray.put(np.ascontiguousarray(lut))
+    partials = codes_ds.map_batches(
+        _p(_ivfpq_route_batch, lut_ref=lut_ref, routing=routing, k=k,
+           id_column=id_column),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    return _gather_topk(partials, k, id_column)

@@ -1254,3 +1254,40 @@ def test_pq_recall_and_determinism(ray_session):
         hits += len(e & s50)
         total += len(e)
     assert hits / total >= 0.75, hits / total
+
+
+def test_ivfpq_full_probe_equals_pq(ray_session):
+    """with nprobe = n_centroids IVF-PQ must equal plain PQ over the
+    full code set — the routing machinery adds nothing and loses
+    nothing; with a small nprobe it still finds cluster-mates."""
+    import ray.data
+
+    from chearch_ray.stages.similarity import (
+        ivfpq_build, ivfpq_search, pq_search,
+    )
+
+    rng = np.random.default_rng(37)
+    centers = rng.standard_normal((8, 64)) * 4
+    mat = np.concatenate([c + rng.standard_normal((60, 64)) for c in centers])
+    n = len(mat)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    centroids, books, codes = ivfpq_build(ds, n_centroids=8, m=8, n_codes=64,
+                                          sample_size=n)
+    codes = codes.materialize()
+    queries = mat[:6].astype(np.float64)
+
+    full = (ivfpq_search(codes, centroids, books, queries, k=10,
+                         nprobe=len(centroids))
+            .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+    plain = (pq_search(codes.drop_columns(["centroid"]), books, queries, k=10)
+             .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+    assert full.equals(plain)
+
+    routed = ivfpq_search(codes, centroids, books, queries, k=10, nprobe=2).to_pandas()
+    for qid in range(6):
+        got = routed[routed["query_id"] == qid]["vec_id"].to_numpy()
+        assert len(got) == 10 and (got // 60 == qid // 60).all()
