@@ -980,3 +980,92 @@ def ivfpq_search(codes_ds, centroids: np.ndarray, books: np.ndarray,
         batch_size=8192,
     )
     return _gather_topk(partials, k, id_column)
+
+
+def ivfpq_write(codes_ds, centroids: np.ndarray, books: np.ndarray,
+                index_dir: str) -> None:
+    """persist the IVF-PQ index: hive-partitioned codes
+    (`codes/centroid=N/`, 8 bytes + id per vector — the whole code
+    table is ~1% of the raw vectors) plus centroids and codebooks.
+    Rebuild-safe: stale partitions are cleared first (write_parquet
+    appends uniquely-named files)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet  # noqa: F401
+
+    shutil.rmtree(os.path.join(index_dir, "codes"), ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    codes_ds.write_parquet(os.path.join(index_dir, "codes"), partition_cols=["centroid"])
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "centroid": pa.array(np.arange(len(centroids), dtype=np.int32)),
+                "vector": pa.array(centroids.tolist(), type=pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    m, kk, sub = books.shape
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "subq": pa.array(np.repeat(np.arange(m, dtype=np.int32), kk)),
+                "code": pa.array(np.tile(np.arange(kk, dtype=np.int32), m)),
+                "center": pa.array(books.reshape(m * kk, sub).tolist(), type=pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(index_dir, "codebooks.parquet"),
+    )
+
+
+def ivfpq_load(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """-> (centroids, codebooks) from an ivfpq_write layout."""
+    import os
+
+    import pyarrow.parquet  # noqa: F401
+
+    centroids = ivf_load_centroids(index_dir)
+    t = pa.parquet.read_table(os.path.join(index_dir, "codebooks.parquet"))
+    m = int(t["subq"].to_numpy().max()) + 1
+    kk = int(t["code"].to_numpy().max()) + 1
+    centers = _embedding_matrix(t["center"])
+    return centroids, centers.reshape(m, kk, -1)
+
+
+def ivfpq_search_dir(index_dir: str, query_matrix: np.ndarray, k: int = 10,
+                     nprobe: int = 4, id_column: str = "vec_id"):
+    """pruned-read IVF-PQ search: load centroids + codebooks, read
+    ONLY the probed `centroid=N` code partitions (ids + 8-byte codes —
+    nothing else leaves storage), then the routed ADC of
+    ivfpq_search."""
+    import os
+
+    import ray.data
+
+    centroids, books = ivfpq_load(index_dir)
+    q = normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+    probes = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probes)
+    # per-file reads drop the hive partition column, so read each
+    # probed partition separately and restore its constant centroid id
+    out_parts = []
+    for c in wanted.tolist():
+        p = os.path.join(index_dir, "codes", f"centroid={c}")
+        if not os.path.isdir(p):
+            continue
+        fs = [os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+        sub = ray.data.read_parquet(fs, columns=[id_column, "pq_code"]).map_batches(
+            lambda b, _c=c: b.append_column(
+                "centroid", pa.array(np.full(len(b), _c, dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        out_parts.append(sub)
+    if not out_parts:
+        return _gather_topk(None, k, id_column)
+    codes = out_parts[0]
+    for sub in out_parts[1:]:
+        codes = codes.union(sub)
+    return ivfpq_search(codes, centroids, books, query_matrix, k=k,
+                        nprobe=nprobe, id_column=id_column)

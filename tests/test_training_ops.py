@@ -1291,3 +1291,43 @@ def test_ivfpq_full_probe_equals_pq(ray_session):
     for qid in range(6):
         got = routed[routed["query_id"] == qid]["vec_id"].to_numpy()
         assert len(got) == 10 and (got // 60 == qid // 60).all()
+
+
+def test_ivfpq_disk_layout_round_trip(ray_session, tmp_path):
+    """ivfpq_write -> ivfpq_load round-trips centroids/codebooks
+    exactly, and the pruned-read search matches the in-memory routed
+    search row-for-row."""
+    import os
+
+    import ray.data
+
+    from chearch_ray.stages.similarity import (
+        ivfpq_build, ivfpq_load, ivfpq_search, ivfpq_search_dir, ivfpq_write,
+    )
+
+    rng = np.random.default_rng(41)
+    centers = rng.standard_normal((6, 32)) * 4
+    mat = np.concatenate([c + rng.standard_normal((50, 32)) for c in centers])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+        "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    cents, books, codes = ivfpq_build(ds, n_centroids=6, m=8, n_codes=32,
+                                      sample_size=len(mat))
+    codes = codes.materialize()
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_write(codes, cents, books, idx)
+    c2, b2 = ivfpq_load(idx)
+    np.testing.assert_allclose(c2, cents)
+    np.testing.assert_allclose(b2, books)
+    # code partitions exist per hive dir
+    dirs = sorted(os.listdir(os.path.join(idx, "codes")))
+    assert all(d.startswith("centroid=") for d in dirs) and len(dirs) >= 3
+
+    queries = mat[:4].astype(np.float64)
+    mem = (ivfpq_search(codes, cents, books, queries, k=8, nprobe=2)
+           .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+    disk = (ivfpq_search_dir(idx, queries, k=8, nprobe=2)
+            .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+    assert mem.equals(disk)
