@@ -1331,3 +1331,20 @@ def test_ivfpq_disk_layout_round_trip(ray_session, tmp_path):
     disk = (ivfpq_search_dir(idx, queries, k=8, nprobe=2)
             .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True))
     assert mem.equals(disk)
+
+
+def test_exact_quantiles_negative_values(ray_session):
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.sketch import exact_quantiles
+
+    rng = np.random.default_rng(43)
+    v = (rng.standard_normal(20000) * 10000).astype(np.int64)  # centered on 0
+    t = pa.table({"c": pa.array(v)})
+    got = exact_quantiles(ray.data.from_arrow(t).repartition(4), "c",
+                          [0.1, 0.5, 0.9], n_buckets=128, gather_limit=500).to_pandas()
+    con = duckdb.connect(); con.register("tbl", t)
+    for q, val in zip(got["q"], got["c"]):
+        want = con.execute(f"SELECT quantile_disc(c, {q}) FROM tbl").fetchone()[0]
+        assert val == want, (q, val, want)
