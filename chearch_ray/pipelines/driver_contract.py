@@ -704,6 +704,19 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_pack_sequences_hash(sf_dir: str) -> pa.Table:
+    """order="hash": pack in Knuth-multiplicative-hash order (the
+    deterministic pretraining shuffle) — SQL mirror is the same
+    running-sum window over the HUGEINT hash key."""
+    import ray.data
+
+    from chearch_ray.stages.pack import pack_sequences
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = pack_sequences(ds, max_tokens=PACK_MAX_TOKENS, order="hash").to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_chunk_documents(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -837,6 +850,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "neardup_keep": q_neardup_keep,
     "pack_sequences": q_pack_sequences,
+    "pack_sequences_hash": q_pack_sequences_hash,
     "quota_sample": q_quota_sample,
     "repetition_filter": q_repetition_filter,
     "snippets": q_snippets,
@@ -1181,6 +1195,18 @@ WITH tc AS (SELECT doc_id,
            x -> x <> ''))::BIGINT AS n_tokens FROM documents),
 p AS (SELECT doc_id, n_tokens,
       (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) AS pre FROM tc)
+SELECT doc_id, n_tokens, (pre // {PACK_MAX_TOKENS})::BIGINT AS bin,
+       (pre % {PACK_MAX_TOKENS})::BIGINT AS bin_offset
+FROM p
+""",
+    "pack_sequences_hash": f"""
+WITH tc AS (SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+           x -> x <> ''))::BIGINT AS n_tokens FROM documents),
+p AS (SELECT doc_id, n_tokens,
+      (sum(n_tokens) OVER (ORDER BY
+          (doc_id::HUGEINT * 6364136223846793005) % 18446744073709551616
+      ) - n_tokens) AS pre FROM tc)
 SELECT doc_id, n_tokens, (pre // {PACK_MAX_TOKENS})::BIGINT AS bin,
        (pre % {PACK_MAX_TOKENS})::BIGINT AS bin_offset
 FROM p

@@ -1,8 +1,9 @@
 """Sequence packing: assign every document to a fixed token-budget
 training bin (concat-and-split semantics, the standard LLM-pretraining
-packing: documents are laid out in ascending doc_id order, token
-counts concatenate, and the stream splits every `max_tokens` tokens —
-a document's bin is the bin of its FIRST token).
+packing: documents are laid out in a total pack order — ascending
+doc_id, or a deterministic hash shuffle — token counts concatenate,
+and the stream splits every `max_tokens` tokens — a document's bin is
+the bin of its FIRST token).
 
 The reference engine has no analogue; this is a training-data-side
 operator like stages/events.py.  The result is a deterministic pure
@@ -59,36 +60,53 @@ DRIVER_MERGE_LIMIT = 2_000_000
 
 _COUNT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
 
+#: Knuth multiplicative constant for order="hash" (same as
+#: stages.sample.KNUTH_MULT; odd -> bijection, SQL-mirrorable via
+#: HUGEINT arithmetic)
+_HASH_MULT = np.uint64(6364136223846793005)
 
-def _count_batch(batch: pa.Table, text_column: str) -> pa.Table:
+
+def _count_batch(batch: pa.Table, text_column: str, order: str) -> pa.Table:
     n = token_counts(tokenize(batch[text_column]))
+    d = batch["doc_id"].to_numpy().astype(np.int64)
+    # pkey: the packing-order sort key, carried as the int64 bit
+    # pattern of an unsigned key (order = unsigned pkey order)
+    if order == "hash":
+        pkey = (d.astype(np.uint64) * _HASH_MULT).view(np.int64)
+    else:
+        pkey = d
     return pa.table(
         {
-            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "doc_id": pa.array(d, type=pa.int64()),
+            "pkey": pa.array(pkey, type=pa.int64()),
             "n_tokens": pa.array(n, type=pa.int64()),
         }
     )
 
 
 def _minmax_batch(batch: pa.Table) -> pa.Table:
-    d = batch["doc_id"].to_numpy()
+    # min/max in uint64 key space, carried as int64 bit patterns
+    # (hash keys exceed 2^63; int64 is the shuffle-safe carrier)
+    u = batch["pkey"].to_numpy().view(np.uint64)
+    ex = np.array([u.min(), u.max()], dtype=np.uint64).view(np.int64)
     return pa.table(
         {
-            "mn": pa.array([int(d.min())], type=pa.int64()),
-            "mx": pa.array([int(d.max())], type=pa.int64()),
+            "mn": pa.array([int(ex[0])], type=pa.int64()),
+            "mx": pa.array([int(ex[1])], type=pa.int64()),
         }
     )
 
 
-def _bucket_of(doc_ids: np.ndarray, mn: int, width: int) -> np.ndarray:
-    # doc ids are hashed uint64 at scale; do the subtraction in uint64
-    # (wraps are impossible: mn <= id) and divide there too
-    u = doc_ids.astype(np.uint64) - np.uint64(mn)
+def _bucket_of(pkeys: np.ndarray, mn: int, width: int) -> np.ndarray:
+    # pack keys are unsigned (hashed or raw uint64 ids at scale,
+    # carried as int64 bit patterns); do the subtraction in uint64
+    # (wraps are impossible: mn <= key) and divide there too
+    u = pkeys.astype(np.int64).view(np.uint64) - np.uint64(mn)
     return (u // np.uint64(width)).astype(np.int64)
 
 
 def _bucket_partial(batch: pa.Table, mn: int, width: int) -> pa.Table:
-    b = _bucket_of(batch["doc_id"].to_numpy(), mn, width)
+    b = _bucket_of(batch["pkey"].to_numpy(), mn, width)
     t = pa.table(
         {
             "bucket": pa.array(b, type=pa.int64()),
@@ -100,7 +118,7 @@ def _bucket_partial(batch: pa.Table, mn: int, width: int) -> pa.Table:
 
 
 def _add_pack_keys(batch: pa.Table, mn: int, width: int, n_parts: int) -> pa.Table:
-    b = _bucket_of(batch["doc_id"].to_numpy(), mn, width)
+    b = _bucket_of(batch["pkey"].to_numpy(), mn, width)
     pgrp = coarse_partition_ids(b, n_parts)
     return batch.append_column("pgrp", pa.array(pgrp, type=pa.int32()))
 
@@ -120,18 +138,20 @@ def _pack_partition(
             ]
         ).empty_table()
     group = group.drop_columns(["pgrp"])
-    d = group["doc_id"].to_numpy()
-    # packing order is UNSIGNED doc_id order (ids are uint64 hashes at
-    # scale; int64 is only the shuffle-safe carrier) — sort the uint64
-    # view so bucket ids stay monotone and equal buckets stay runs
-    order = np.argsort(d.astype(np.uint64), kind="stable")
-    d = d[order]
+    k = group["pkey"].to_numpy()
+    # packing order is UNSIGNED pack-key order (keys are uint64 hashes
+    # or raw ids at scale; int64 is only the shuffle-safe carrier) —
+    # sort the uint64 view so bucket ids stay monotone and equal
+    # buckets stay runs
+    order = np.argsort(k.astype(np.int64).view(np.uint64), kind="stable")
+    k = k[order]
+    d = group["doc_id"].to_numpy()[order]
     n = group["n_tokens"].to_numpy()[order].astype(np.int64)
-    b = _bucket_of(d, mn, width)
+    b = _bucket_of(k, mn, width)
     cs = np.cumsum(n) - n  # exclusive, partition-local
     starts = np.empty(len(b), dtype=bool)
     starts[0] = True
-    starts[1:] = b[1:] != b[:-1]  # buckets are runs: b is monotone in d
+    starts[1:] = b[1:] != b[:-1]  # buckets are runs: b is monotone in k
     sidx = np.flatnonzero(starts)
     runlen = np.diff(np.append(sidx, len(b)))
     within = cs - np.repeat(cs[sidx], runlen)
@@ -152,16 +172,28 @@ def pack_sequences(
     text_column: str = "text",
     n_buckets: int = N_BUCKETS,
     coarse_partitions: int = PACK_PARTITIONS,
+    order: str = "doc_id",
 ):
     """(doc_id, text) Dataset -> (doc_id, n_tokens, bin, bin_offset):
-    concat-and-split packing of the ascending-doc_id token stream into
+    concat-and-split packing of the document token stream into
     `max_tokens`-sized bins.  See module docstring for the distributed
-    prefix-sum plan."""
+    prefix-sum plan.
+
+    order="doc_id" packs in ascending (unsigned) doc_id order;
+    order="hash" packs in Knuth-multiplicative-hash order — a
+    deterministic, seed-free global shuffle of the documents before
+    packing (the standard pretraining layout: neighbours in a bin are
+    unrelated documents, not adjacent crawl records).  The hash is a
+    bijection on uint64, so the order is total and SQL-mirrorable
+    (ORDER BY (doc_id::HUGEINT * C) % 2^64)."""
+    if order not in ("doc_id", "hash"):
+        raise ValueError(f"unknown pack order: {order!r}")
     counts = ds.map_batches(
-        partial(_count_batch, text_column=text_column), batch_format="pyarrow"
+        partial(_count_batch, text_column=text_column, order=order),
+        batch_format="pyarrow",
     ).materialize()
 
-    # doc_id range -> bucket width (driver gather: one row per block)
+    # pack-key range -> bucket width (driver gather: one row per block)
     mm = counts.map_batches(_minmax_batch, batch_format="pyarrow").take_all()
     if not mm:
         import ray.data
@@ -176,8 +208,8 @@ def pack_sequences(
                 ]
             ).empty_table()
         )
-    mn = min(r["mn"] for r in mm)
-    mx = max(r["mx"] for r in mm)
+    mn = int(np.array([r["mn"] for r in mm], dtype=np.int64).view(np.uint64).min())
+    mx = int(np.array([r["mx"] for r in mm], dtype=np.int64).view(np.uint64).max())
     span = (np.uint64(mx) - np.uint64(mn)) + np.uint64(1)
     width = max(1, int(-(-int(span) // n_buckets)))  # ceil
 

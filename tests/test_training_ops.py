@@ -802,6 +802,58 @@ def test_pack_sequences_partition_invariance(ray_session):
     assert a.equals(b)
 
 
+def test_pack_sequences_hash_order_vs_window_oracle(ray_session):
+    """order="hash" packs in Knuth-multiplicative-hash order — the SQL
+    mirror is the same running-sum window over the HUGEINT hash key."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.pack import pack_sequences
+
+    rng = np.random.default_rng(11)
+    n = 400
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(1, 50))) for _ in range(n)]
+    ids = rng.permutation(np.arange(n, dtype=np.int64) * 13 + 2)
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    got = (
+        pack_sequences(ray.data.from_arrow(t).repartition(5), max_tokens=100,
+                       n_buckets=32, coarse_partitions=8, order="hash")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+        WITH tc AS (SELECT doc_id,
+            len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                x -> x <> ''))::BIGINT AS n_tokens FROM documents),
+        p AS (SELECT doc_id, n_tokens,
+            (sum(n_tokens) OVER (ORDER BY
+                (doc_id::HUGEINT * 6364136223846793005) % 18446744073709551616
+            ) - n_tokens) AS pre FROM tc)
+        SELECT doc_id, n_tokens, (pre // 100)::BIGINT AS bin,
+               (pre % 100)::BIGINT AS bin_offset
+        FROM p ORDER BY doc_id
+    """).df().reset_index(drop=True)
+    assert len(got) == n
+    for col in ["doc_id", "n_tokens", "bin", "bin_offset"]:
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy(), err_msg=col)
+    # the hash order is a real shuffle: it must differ from doc_id order
+    plain = (
+        pack_sequences(ray.data.from_arrow(t), max_tokens=100,
+                       n_buckets=32, coarse_partitions=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert not plain["bin"].equals(got["bin"])
+    # same total token stream either way: end of the last document's
+    # span is the stream length regardless of order
+    plain_end = (plain["bin"] * 100 + plain["bin_offset"] + plain["n_tokens"]).max()
+    hash_end = (got["bin"] * 100 + got["bin_offset"] + got["n_tokens"]).max()
+    assert int(plain_end) == int(hash_end) == int(got["n_tokens"].sum())
+
+
 # --------------------------------------------------- quota sampling
 def test_quota_sample_vs_window_oracle(ray_session):
     """quota_sample_per_group == SQL row_number() over the HUGEINT
