@@ -403,17 +403,29 @@ class SegmentSearcher:
         return docs, tf_by_term
 
     def _score_docs(
-        self, docs: np.ndarray, terms: list[str], idfs: dict[str, float], avgdl: float
+        self,
+        docs: np.ndarray,
+        terms: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        known_tfs: dict[str, np.ndarray] | None = None,
     ) -> np.ndarray:
         """Full BM25 score of `docs` over every query term — identical
-        float semantics to the candidate-scoring loop in search_bm25."""
+        float semantics to the candidate-scoring loop in search_bm25.
+        `known_tfs` maps a term to its tf array already aligned with
+        `docs` (MaxScore passes the expansion term's decoded tfs so it
+        isn't re-probed for its own docs); values are identical to what
+        probe_tfs would return, so the floats don't move."""
         cfg = self.cfg
         dl_all = self.docmap.lengths_for(docs)
         scores = np.zeros(len(docs), dtype=np.float64)
         for term in terms:
-            # skip-block probe: a hot term contributes tf for the few
-            # candidate docs without decoding its full posting list
-            tf_all = self.probe_tfs(term, docs)
+            if known_tfs is not None and term in known_tfs:
+                tf_all = known_tfs[term]
+            else:
+                # skip-block probe: a hot term contributes tf for the
+                # few candidate docs without decoding its full list
+                tf_all = self.probe_tfs(term, docs)
             mask = tf_all > 0
             if not mask.any():
                 continue
@@ -425,7 +437,7 @@ class SegmentSearcher:
 
     def _term_docs_blockmax(
         self, term: str, idf: float, carry_ub: float, kth: float | None
-    ) -> tuple[np.ndarray, float]:
+    ) -> tuple[np.ndarray, np.ndarray, float]:
         """Docs of `term` from only the skip blocks whose BLOCK-MAX
         score upper bound (idf * block_max_tf component with the
         dl-independent 1-b bound) plus `carry_ub` can still reach the
@@ -435,16 +447,18 @@ class SegmentSearcher:
         were SKIPPED there (an unseen doc can only hide in skipped
         blocks of expanded terms).
 
-        Returns (docs, max skipped-block UB of this term) — the second
-        value feeds later terms' carry.  Exact: a doc living solely in
-        dropped blocks scores strictly below kth, so it can neither
-        enter nor tie into the top-k."""
+        Returns (docs, tfs, max skipped-block UB of this term) — the
+        tfs ride along so the caller scores this term without
+        re-probing it; the last value feeds later terms' carry.
+        Exact: a doc living solely in dropped blocks scores strictly
+        below kth, so it can neither enter nor tie into the top-k."""
         enc = self._encoded(term)
         if enc is None or enc.count == 0:
-            return _EMPTY_U64, 0.0
+            return _EMPTY_U64, _EMPTY_U64, 0.0
         n_blocks = len(enc.block_last)
         if kth is None:
-            return self.postings(term)[0], 0.0
+            docs, tfs = self.postings(term)
+            return docs, tfs, 0.0
         cfg = self.cfg
         btf = enc.block_max_tf.astype(np.float64)
         block_ub = idf * (btf * (cfg.k1 + 1.0)) / (btf + cfg.k1 * (1.0 - cfg.b))
@@ -453,12 +467,13 @@ class SegmentSearcher:
         self.decode_stats["blocks_total"] += n_blocks
         if len(keep) * 2 >= n_blocks:
             self.decode_stats["blocks_decoded"] += n_blocks
-            return self.postings(term)[0], 0.0
+            docs, tfs = self.postings(term)
+            return docs, tfs, 0.0
         skipped_max = float(block_ub[~keep_mask].max()) if len(keep) < n_blocks else 0.0
-        # decode through the block cache so the scoring probes that
-        # follow reuse these blocks instead of re-decoding them
-        docs, _ = self._decode_blocks_cached(term, enc, keep.astype(np.int64))
-        return docs, skipped_max
+        # decode through the block cache so any later probes of this
+        # term reuse these blocks instead of re-decoding them
+        docs, tfs = self._decode_blocks_cached(term, enc, keep.astype(np.int64))
+        return docs, tfs, skipped_max
 
     def _maxscore_disjunctive(
         self, terms: list[str], k: int, idfs: dict[str, float], avgdl: float
@@ -503,7 +518,7 @@ class SegmentSearcher:
             # expanded, decode only blocks that can beat the current
             # k-th score (WAND-style, exactness argument in
             # _term_docs_blockmax)
-            docs_e, skipped_max = self._term_docs_blockmax(
+            docs_e, tfs_e, skipped_max = self._term_docs_blockmax(
                 terms[e],
                 idfs.get(terms[e], 0.0),
                 float(ubs[e + 1 :].sum()) + skipped_carry,
@@ -513,11 +528,17 @@ class SegmentSearcher:
             if len(docs_e) == 0:
                 continue
             if len(cand):
-                new = docs_e[~np.isin(docs_e, cand, assume_unique=True)]
+                new_mask = ~np.isin(docs_e, cand, assume_unique=True)
+                new = docs_e[new_mask]
+                tf_new = tfs_e[new_mask]
             else:
-                new = docs_e
+                new, tf_new = docs_e, tfs_e
             if len(new):
-                new_scores = self._score_docs(new, score_terms, idfs, avgdl)
+                # the expansion term's tfs were just decoded — hand
+                # them to the scorer so it probes one term fewer
+                new_scores = self._score_docs(
+                    new, score_terms, idfs, avgdl, known_tfs={terms[e]: tf_new}
+                )
                 cand = np.concatenate([cand, new])
                 cand_scores = np.concatenate([cand_scores, new_scores])
                 srt = np.argsort(cand, kind="stable")
