@@ -717,6 +717,44 @@ def q_pack_sequences_hash(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_ivfpq_refine(sf_dir: str) -> pa.Table:
+    """IVF-PQ (residual/IVFADC coding) shortlist + exact re-rank.
+    Full probing + a full-corpus shortlist make the refine stage
+    exactly brute-force kNN, so the whole residual-encode -> routed
+    ADC -> exact-rerank machinery is value-checked against SQL."""
+    import ray.data
+
+    from chearch_ray.stages.similarity import ivfpq_build, ivfpq_search_refined
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qmat = np.asarray(
+        [
+            first.filter(pa.compute.equal(first["vec_id"], q))["embedding"][0].as_py()
+            for q in IVF_QUERY_IDS
+        ],
+        dtype=np.float64,
+    )
+    n = first.num_rows
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    cents, books, codes = ivfpq_build(ds, n_centroids=IVF_CENTROIDS, m=8,
+                                      n_codes=64, sample_size=2048, residual=True)
+    out = ivfpq_search_refined(
+        codes.materialize(), cents, books, ds, qmat, k=10,
+        nprobe=IVF_CENTROIDS, refine_k=n, residual=True,
+    )
+    qid = out["query_id"].to_numpy()
+    rank = np.concatenate([np.arange(1, (qid == q).sum() + 1) for q in sorted(set(qid.tolist()))])
+    order = np.argsort(qid, kind="stable")
+    return pa.table(
+        {
+            "query_id": pa.array(qid[order].astype(np.int64), type=pa.int64()),
+            "rank": pa.array(rank, type=pa.int64()),
+            "vec_id": out["vec_id"].take(pa.array(order, type=pa.int64())).cast(pa.int64()),
+        }
+    )
+
+
 def q_chunk_documents(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -841,6 +879,7 @@ QUERIES = {
     "lang_counts": q_lang_counts,
     "knn_cosine": q_knn_cosine,
     "ivf_knn": q_ivf_knn,
+    "ivfpq_refine": q_ivfpq_refine,
     "phrase": q_phrase,
     "windowed_agg": q_windowed_agg,
     "sessionize": q_sessionize,
@@ -1388,6 +1427,18 @@ ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
 LIMIT 10
 """,
     "ivf_knn": f"""
+WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id IN {IVF_QUERY_IDS}),
+ranked AS (
+  SELECT q.query_id,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rank,
+         e.vec_id
+  FROM embeddings e CROSS JOIN qs q)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id::BIGINT AS vec_id
+FROM ranked WHERE rank <= 10
+""",
+    "ivfpq_refine": f"""
 WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings
             WHERE vec_id IN {IVF_QUERY_IDS}),
 ranked AS (

@@ -728,15 +728,12 @@ def _ivf_route_batch(batch: pa.Table, queries_ref, routing: dict, k: int,
 # a table-gather + sum per code row, no float vector math per row.
 
 
-def pq_train(ds, m: int = 8, n_codes: int = 256, sample_size: int = 2048,
-             seed: int = 42, iters: int = 12,
-             id_column: str = "vec_id", embedding_column: str = "embedding") -> np.ndarray:
-    """sub-quantizer codebooks [m, n_codes, d/m] from a deterministic
-    order-statistic sample (same sampler as the IVF coarse quantizer);
-    plain Lloyd k-means per subvector, seeded -> reproducible."""
-    sample = normalize_rows(
-        sample_embeddings(ds, sample_size, id_column, embedding_column)
-    )
+def _train_books(sample: np.ndarray, m: int, n_codes: int, seed: int,
+                 iters: int) -> np.ndarray:
+    """sub-quantizer codebooks [m, n_codes, d/m] over a driver-side
+    sample matrix (NOT normalized here — residual training passes
+    un-normalized residuals); plain Lloyd k-means per subvector,
+    seeded -> reproducible."""
     d = sample.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -758,22 +755,50 @@ def pq_train(ds, m: int = 8, n_codes: int = 256, sample_size: int = 2048,
     return books
 
 
+def pq_train(ds, m: int = 8, n_codes: int = 256, sample_size: int = 2048,
+             seed: int = 42, iters: int = 12,
+             id_column: str = "vec_id", embedding_column: str = "embedding") -> np.ndarray:
+    """sub-quantizer codebooks [m, n_codes, d/m] from a deterministic
+    order-statistic sample (same sampler as the IVF coarse quantizer)."""
+    sample = normalize_rows(
+        sample_embeddings(ds, sample_size, id_column, embedding_column)
+    )
+    return _train_books(sample, m, n_codes, seed, iters)
+
+
 class PQEncode:
     """vectors -> m uint8 codes per row (binary column `pq_code`).
-    Codebooks resolve once per actor from the local object store."""
+    Codebooks resolve once per actor from the local object store.
+
+    With `centroids_ref` set, the RESIDUAL (normalized vector minus
+    its assigned IVF centroid, from the batch's `centroid` column) is
+    coded instead of the vector itself — cluster-local resolution, the
+    IVFADC variant of Jegou et al. 2011 §III-C.  The argmin formula is
+    unchanged: ||x||^2 drops out of argmin ||x-c||^2 whether or not x
+    is unit-norm."""
 
     def __init__(self, books_ref, id_column: str = "vec_id",
-                 embedding_column: str = "embedding"):
+                 embedding_column: str = "embedding", centroids_ref=None):
         import ray
 
         self.books = (
             ray.get(books_ref) if isinstance(books_ref, ray.ObjectRef) else books_ref
         )
+        self.centroids = None
+        if centroids_ref is not None:
+            c = (
+                ray.get(centroids_ref)
+                if isinstance(centroids_ref, ray.ObjectRef)
+                else centroids_ref
+            )
+            self.centroids = np.asarray(c, dtype=np.float64)
         self.id_column = id_column
         self.embedding_column = embedding_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = normalize_rows(_embedding_matrix(batch[self.embedding_column]))
+        if self.centroids is not None:
+            mat = mat - self.centroids[batch["centroid"].to_numpy()]
         m, kk, sub = self.books.shape
         codes = np.empty((len(mat), m), dtype=np.uint8)
         for j in range(m):
@@ -885,22 +910,40 @@ class _PQEncodeKeep(PQEncode):
 
 def ivfpq_build(ds, n_centroids: int = 16, m: int = 8, n_codes: int = 256,
                 sample_size: int = 2048, seed: int = 42,
-                id_column: str = "vec_id", embedding_column: str = "embedding"):
+                id_column: str = "vec_id", embedding_column: str = "embedding",
+                residual: bool = False):
     """-> (centroids, codebooks, codes Dataset with (id, pq_code,
     centroid)).  One IVF assignment pass + one PQ encode pass; both
-    quantizers train on the same deterministic sample."""
+    quantizers train on the same deterministic sample.
+
+    residual=True codes x - centroid[assign(x)] instead of x (IVFADC):
+    the codebooks spend their resolution on the cluster-local
+    displacement, which is much smaller than the vector itself, so the
+    quantization error drops at the same code budget.  Search must add
+    the <query, centroid> offset back (ivfpq_search(residual=True))."""
     import ray
 
     centroids, assigned = ivf_build(
         ds, n_centroids, sample_size, seed,
         id_column=id_column, embedding_column=embedding_column,
     )
-    books = pq_train(ds, m, n_codes, sample_size, seed,
-                     id_column=id_column, embedding_column=embedding_column)
+    if residual:
+        # train on the SAME deterministic sample, displaced by each
+        # sampled vector's own coarse assignment
+        mat = normalize_rows(
+            sample_embeddings(ds, sample_size, id_column, embedding_column)
+        )
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        books = _train_books(mat - centroids[assign], m, n_codes, seed, iters=12)
+    else:
+        books = pq_train(ds, m, n_codes, sample_size, seed,
+                         id_column=id_column, embedding_column=embedding_column)
     books_ref = ray.put(books)
+    cents_ref = ray.put(centroids) if residual else None
     codes = assigned.map_batches(
         _PQEncodeKeep(books_ref, keep=("centroid",),
-                      id_column=id_column, embedding_column=embedding_column),
+                      id_column=id_column, embedding_column=embedding_column,
+                      centroids_ref=cents_ref),
         batch_format="pyarrow",
         batch_size=4096,
     )
@@ -908,7 +951,7 @@ def ivfpq_build(ds, n_centroids: int = 16, m: int = 8, n_codes: int = 256,
 
 
 def _ivfpq_route_batch(batch: pa.Table, lut_ref, routing: dict, k: int,
-                       id_column: str) -> pa.Table:
+                       id_column: str, offsets: np.ndarray | None = None) -> pa.Table:
     import ray
 
     lut = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) else lut_ref
@@ -926,7 +969,9 @@ def _ivfpq_route_batch(batch: pa.Table, lut_ref, routing: dict, k: int,
             continue
         sub_codes, sub_ids = codes[mask], ids[mask]
         for q in qids.tolist():
-            s = np.zeros(len(sub_codes), dtype=np.float64)
+            # residual mode: sim = <q, centroid_c> + <q, residual-hat>
+            base = 0.0 if offsets is None else float(offsets[q, c])
+            s = np.full(len(sub_codes), base, dtype=np.float64)
             for j in range(m):
                 s += lut[q, j][sub_codes[:, j]]
             kq = min(k, len(s))
@@ -952,12 +997,17 @@ def _ivfpq_route_batch(batch: pa.Table, lut_ref, routing: dict, k: int,
 
 def ivfpq_search(codes_ds, centroids: np.ndarray, books: np.ndarray,
                  query_matrix: np.ndarray, k: int = 10, nprobe: int = 4,
-                 id_column: str = "vec_id"):
+                 id_column: str = "vec_id", residual: bool = False):
     """routed ADC top-k: each query scores ONLY the codes of its
     nprobe nearest coarse partitions (true IVF semantics), with the
     same broadcast LUT + partial-top-k + tree-combined merge tail as
     pq_search.  With nprobe = n_centroids this is exactly pq_search
-    over the full code set (pinned by test)."""
+    over the full code set (pinned by test).
+
+    residual=True matches an ivfpq_build(residual=True) index: the ADC
+    sum scores the coded residual, and the per-(query, centroid)
+    <q, centroid> offset is added back (a tiny [nq, n_centroids]
+    matrix that rides the task closure)."""
     from functools import partial as _p
 
     import ray
@@ -972,10 +1022,11 @@ def ivfpq_search(codes_ds, centroids: np.ndarray, books: np.ndarray,
         int(c): np.flatnonzero((probes == c).any(axis=1))
         for c in np.unique(probes).tolist()
     }
+    offsets = (q @ centroids.T) if residual else None
     lut_ref = ray.put(np.ascontiguousarray(lut))
     partials = codes_ds.map_batches(
         _p(_ivfpq_route_batch, lut_ref=lut_ref, routing=routing, k=k,
-           id_column=id_column),
+           id_column=id_column, offsets=offsets),
         batch_format="pyarrow",
         batch_size=8192,
     )
@@ -983,7 +1034,7 @@ def ivfpq_search(codes_ds, centroids: np.ndarray, books: np.ndarray,
 
 
 def ivfpq_write(codes_ds, centroids: np.ndarray, books: np.ndarray,
-                index_dir: str) -> None:
+                index_dir: str, residual: bool = False) -> None:
     """persist the IVF-PQ index: hive-partitioned codes
     (`codes/centroid=N/`, 8 bytes + id per vector — the whole code
     table is ~1% of the raw vectors) plus centroids and codebooks.
@@ -1007,16 +1058,19 @@ def ivfpq_write(codes_ds, centroids: np.ndarray, books: np.ndarray,
         os.path.join(index_dir, "centroids.parquet"),
     )
     m, kk, sub = books.shape
-    pa.parquet.write_table(
-        pa.table(
-            {
-                "subq": pa.array(np.repeat(np.arange(m, dtype=np.int32), kk)),
-                "code": pa.array(np.tile(np.arange(kk, dtype=np.int32), m)),
-                "center": pa.array(books.reshape(m * kk, sub).tolist(), type=pa.list_(pa.float64())),
-            }
-        ),
-        os.path.join(index_dir, "codebooks.parquet"),
+    books_table = pa.table(
+        {
+            "subq": pa.array(np.repeat(np.arange(m, dtype=np.int32), kk)),
+            "code": pa.array(np.tile(np.arange(kk, dtype=np.int32), m)),
+            "center": pa.array(books.reshape(m * kk, sub).tolist(), type=pa.list_(pa.float64())),
+        }
     )
+    # the residual flag travels in the codebook file's schema metadata
+    # so a reader can't silently score a residual index as plain PQ
+    books_table = books_table.replace_schema_metadata(
+        {b"ivfpq_residual": b"1" if residual else b"0"}
+    )
+    pa.parquet.write_table(books_table, os.path.join(index_dir, "codebooks.parquet"))
 
 
 def ivfpq_load(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -1031,6 +1085,18 @@ def ivfpq_load(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
     kk = int(t["code"].to_numpy().max()) + 1
     centers = _embedding_matrix(t["center"])
     return centroids, centers.reshape(m, kk, -1)
+
+
+def ivfpq_is_residual(index_dir: str) -> bool:
+    """the codebook file's residual flag (False for pre-flag indexes)."""
+    import os
+
+    import pyarrow.parquet  # noqa: F401
+
+    meta = pa.parquet.read_schema(
+        os.path.join(index_dir, "codebooks.parquet")
+    ).metadata or {}
+    return meta.get(b"ivfpq_residual", b"0") == b"1"
 
 
 def ivfpq_search_dir(index_dir: str, query_matrix: np.ndarray, k: int = 10,
@@ -1068,4 +1134,106 @@ def ivfpq_search_dir(index_dir: str, query_matrix: np.ndarray, k: int = 10,
     for sub in out_parts[1:]:
         codes = codes.union(sub)
     return ivfpq_search(codes, centroids, books, query_matrix, k=k,
-                        nprobe=nprobe, id_column=id_column)
+                        nprobe=nprobe, id_column=id_column,
+                        residual=ivfpq_is_residual(index_dir))
+
+
+# ------------------------------------------------------ exact re-rank
+def _fetch_rows_batch(batch: pa.Table, ids_ref, id_column: str,
+                      embedding_column: str) -> pa.Table:
+    import ray
+
+    wanted = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+    ids = batch[id_column].to_numpy().astype(np.int64)
+    mask = np.isin(ids, wanted)  # wanted is sorted -> binary search path
+    if not mask.any():
+        emb = batch[embedding_column]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table({id_column: pa.array([], type=pa.int64()),
+                         embedding_column: emb.slice(0, 0)})
+    take = pa.array(np.flatnonzero(mask), type=pa.int64())
+    emb = batch[embedding_column]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    return pa.table({id_column: pa.array(ids[mask], type=pa.int64()),
+                     embedding_column: emb.take(take)})
+
+
+def exact_rerank(shortlist: pa.Table, ds, query_matrix: np.ndarray, k: int,
+                 id_column: str = "vec_id",
+                 embedding_column: str = "embedding") -> pa.Table:
+    """ADC shortlist (query_id, vec_id, sim) -> EXACT cosine top-k.
+
+    The refine stage of IVFADC: the quantized scores choose a small
+    shortlist, then the true vectors of ONLY those ids are read back
+    (one pruned broadcast-filter pass over the raw dataset — the
+    driver gather is bounded by the shortlist size, never the corpus)
+    and re-scored exactly.  Output schema matches ivfpq_search with
+    sim = the exact cosine, ordered (query_id, sim desc, id asc)."""
+    from functools import partial as _p
+
+    import ray
+
+    q = normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+    sl_q = shortlist["query_id"].to_numpy().astype(np.int64)
+    sl_i = shortlist[id_column].to_numpy().astype(np.int64)
+    if len(sl_i) == 0:
+        return pa.table(
+            {"query_id": pa.array([], type=pa.int64()),
+             id_column: pa.array([], type=pa.int64()),
+             "sim": pa.array([], type=pa.float64())}
+        )
+    wanted = np.unique(sl_i)
+    ids_ref = ray.put(wanted)
+    fetched = ds.map_batches(
+        _p(_fetch_rows_batch, ids_ref=ids_ref, id_column=id_column,
+           embedding_column=embedding_column),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    parts = [
+        t for t in fetched.iter_batches(batch_size=None, batch_format="pyarrow")
+        if len(t)
+    ]
+    got = pa.concat_tables(parts).combine_chunks()
+    got_ids = got[id_column].to_numpy().astype(np.int64)
+    mat = normalize_rows(_embedding_matrix(got[embedding_column]))
+    # row index of each shortlist id in the fetched matrix
+    order = np.argsort(got_ids)
+    pos = order[np.searchsorted(got_ids[order], sl_i)]
+    sims = np.einsum("ij,ij->i", q[sl_q], mat[pos])
+    outs_q, outs_i, outs_s = [], [], []
+    for qq in np.unique(sl_q).tolist():
+        m = sl_q == qq
+        ii, ss = sl_i[m], sims[m]
+        kq = min(k, len(ii))
+        sel = np.lexsort((ii, -ss))[:kq]
+        outs_q.append(np.full(kq, qq, dtype=np.int64))
+        outs_i.append(ii[sel])
+        outs_s.append(ss[sel])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(outs_q), type=pa.int64()),
+            id_column: pa.array(np.concatenate(outs_i), type=pa.int64()),
+            "sim": pa.array(np.concatenate(outs_s), type=pa.float64()),
+        }
+    )
+
+
+def ivfpq_search_refined(codes_ds, centroids: np.ndarray, books: np.ndarray,
+                         raw_ds, query_matrix: np.ndarray, k: int = 10,
+                         nprobe: int = 4, refine_k: int | None = None,
+                         id_column: str = "vec_id",
+                         embedding_column: str = "embedding",
+                         residual: bool = False) -> pa.Table:
+    """IVF-PQ ADC shortlist of `refine_k` (default 4k) per query, then
+    exact_rerank to the true top-k — recovers strict recall@k over the
+    shortlist while the quantized scan still prunes the corpus."""
+    shortlist = ivfpq_search(
+        codes_ds, centroids, books, query_matrix,
+        k=refine_k or 4 * k, nprobe=nprobe, id_column=id_column,
+        residual=residual,
+    )
+    return exact_rerank(shortlist, raw_ds, query_matrix, k,
+                        id_column=id_column, embedding_column=embedding_column)

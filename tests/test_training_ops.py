@@ -1385,6 +1385,116 @@ def test_ivfpq_disk_layout_round_trip(ray_session, tmp_path):
     assert mem.equals(disk)
 
 
+def test_ivfpq_residual_adc_math(ray_session, tmp_path):
+    """residual ADC score must equal <q, centroid + reconstructed
+    residual> exactly — pins the per-(query, centroid) offset plus the
+    LUT sum against a driver-side reconstruction; also round-trips the
+    residual flag through the disk layout."""
+    import ray.data
+
+    from chearch_ray.stages.similarity import (
+        ivfpq_build, ivfpq_is_residual, ivfpq_search, ivfpq_search_dir,
+        ivfpq_write, normalize_rows,
+    )
+
+    rng = np.random.default_rng(47)
+    centers = rng.standard_normal((5, 32)) * 4
+    mat = np.concatenate([c + rng.standard_normal((40, 32)) for c in centers])
+    n = len(mat)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    cents, books, codes = ivfpq_build(ds, n_centroids=5, m=8, n_codes=32,
+                                      sample_size=n, residual=True)
+    codes = codes.materialize()
+    queries = mat[:3].astype(np.float64)
+    got = (ivfpq_search(codes, cents, books, queries, k=n,
+                        nprobe=len(cents), residual=True)
+           .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+
+    # driver-side reconstruction: x_hat = centroid[c] + books[j][code_j]
+    cdf = codes.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    code_mat = np.frombuffer(b"".join(cdf["pq_code"]), dtype=np.uint8).reshape(n, 8)
+    sub = books.shape[2]
+    recon = cents[cdf["centroid"].to_numpy()] + np.concatenate(
+        [books[j][code_mat[:, j]] for j in range(8)], axis=1
+    )
+    q = normalize_rows(queries)
+    want = q @ recon.T  # [3, n]
+    for _, row in got.iterrows():
+        assert abs(row["sim"] - want[int(row["query_id"]), int(row["vec_id"])]) < 1e-9
+
+    # residual coding beats plain coding at the same budget on
+    # clustered data: reconstruction error is strictly smaller
+    _, pbooks, pcodes = ivfpq_build(ds, n_centroids=5, m=8, n_codes=32,
+                                    sample_size=n, residual=False)
+    pdf = pcodes.materialize().to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pcode_mat = np.frombuffer(b"".join(pdf["pq_code"]), dtype=np.uint8).reshape(n, 8)
+    precon = np.concatenate([pbooks[j][pcode_mat[:, j]] for j in range(8)], axis=1)
+    norm = normalize_rows(mat.astype(np.float64))
+    err_res = ((norm - recon) ** 2).sum(axis=1).mean()
+    err_plain = ((norm - precon) ** 2).sum(axis=1).mean()
+    assert err_res < err_plain, (err_res, err_plain)
+
+    # disk round-trip carries the residual flag and reproduces results
+    idx = str(tmp_path / "ivfpq_res")
+    ivfpq_write(codes, cents, books, idx, residual=True)
+    assert ivfpq_is_residual(idx)
+    mem = (ivfpq_search(codes, cents, books, queries, k=8, nprobe=2, residual=True)
+           .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+    disk = (ivfpq_search_dir(idx, queries, k=8, nprobe=2)
+            .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+    assert mem.equals(disk)
+
+
+def test_ivfpq_refined_exact_recall(ray_session):
+    """the refine stage re-scores the ADC shortlist with true vectors:
+    sims are exact cosines, and a full-corpus shortlist reproduces
+    brute-force top-k bit-for-bit."""
+    import ray.data
+
+    from chearch_ray.stages.similarity import (
+        ivfpq_build, ivfpq_search_refined, knn_brute_force, normalize_rows,
+    )
+
+    rng = np.random.default_rng(53)
+    centers = rng.standard_normal((6, 32)) * 4
+    mat = np.concatenate([c + rng.standard_normal((50, 32)) for c in centers])
+    n = len(mat)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    cents, books, codes = ivfpq_build(ds, n_centroids=6, m=8, n_codes=32,
+                                      sample_size=n, residual=True)
+    codes = codes.materialize()
+    queries = mat[:4].astype(np.float64)
+
+    # full shortlist -> refine IS brute force
+    full = (ivfpq_search_refined(codes, cents, books, ds, queries, k=10,
+                                 nprobe=len(cents), refine_k=n, residual=True)
+            .to_pandas().reset_index(drop=True))
+    exact = knn_brute_force(ray.data.from_arrow(t), queries, k=10).to_pandas()
+    assert full["vec_id"].tolist() == exact["vec_id"].tolist()
+    np.testing.assert_allclose(full["sim"].to_numpy(), exact["sim"].to_numpy(),
+                               rtol=0, atol=1e-12)
+
+    # moderate shortlist: every returned sim is the EXACT cosine (the
+    # float32 corpus is re-read, so compare against the same cast)
+    part = (ivfpq_search_refined(codes, cents, books, ds, queries, k=10,
+                                 nprobe=2, refine_k=30, residual=True)
+            .to_pandas())
+    norm = normalize_rows(np.asarray(
+        pa.table({"e": t["embedding"]})["e"].to_pylist(), dtype=np.float64))
+    qn = normalize_rows(queries)
+    for _, row in part.iterrows():
+        true = float(qn[int(row["query_id"])] @ norm[int(row["vec_id"])])
+        assert abs(row["sim"] - true) < 1e-9
+
+
 def test_exact_quantiles_negative_values(ray_session):
     import duckdb
     import ray.data
