@@ -546,6 +546,21 @@ def q_suggest(sf_dir: str) -> pa.Table:
     return engine_for(sf_dir).suggest(SUGGEST_QUERY, max_distance=2, k=5)
 
 
+def q_suggest_indexed(sf_dir: str) -> pa.Table:
+    """did-you-mean served from the SymSpell deletion-neighborhood
+    index (variant-key lookups over probed hash-prefix partitions, no
+    vocabulary scan) — same oracle as the scan-path `suggest` row, so
+    the driver checks the two paths agree exactly."""
+    import tempfile
+
+    from chearch_ray.state.suggest import build_suggest_index, suggest_from_index
+
+    eng = engine_for(sf_dir)
+    sdir = tempfile.mkdtemp(prefix="suggest_idx_")
+    build_suggest_index(eng._stats_path, sdir, max_distance=2)
+    return suggest_from_index(sdir, eng._stats_path, SUGGEST_QUERY, 2, 5)
+
+
 #: quantiles requested from the events value distribution
 QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
 
@@ -897,6 +912,7 @@ QUERIES = {
     "kmv_distinct_users": q_kmv_distinct_users,
     "pq_knn": q_pq_knn,
     "suggest": q_suggest,
+    "suggest_indexed": q_suggest_indexed,
     "value_quantiles": q_value_quantiles,
     "top_bigrams": q_top_bigrams,
     "pii_scrub": q_pii_scrub,
@@ -1315,6 +1331,13 @@ ORDER BY n DESC, ta, tb LIMIT 20
         for q in QUANTILE_QS
     ),
     "suggest": f"""
+WITH {TOK_CTE},
+v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)
+SELECT term AS suggestion, levenshtein(term, '{SUGGEST_QUERY}')::BIGINT AS dist, df
+FROM v WHERE levenshtein(term, '{SUGGEST_QUERY}') <= 2
+ORDER BY dist, df DESC, term LIMIT 5
+""",
+    "suggest_indexed": f"""
 WITH {TOK_CTE},
 v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)
 SELECT term AS suggestion, levenshtein(term, '{SUGGEST_QUERY}')::BIGINT AS dist, df

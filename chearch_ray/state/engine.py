@@ -297,6 +297,17 @@ class QueryEngine:
             keep.extend(m[order].tolist())
         return merged.take(pa.array(keep, type=pa.int64()))
 
+    def build_suggest_index(self, max_distance: int = 2) -> str:
+        """Precompute the SymSpell deletion-neighborhood index under
+        <index_dir>/suggest — suggest() uses it automatically for any
+        query distance <= max_distance.  One vocabulary-scale Ray
+        build; results are identical to the scan path (pinned)."""
+        from chearch_ray.state.suggest import build_suggest_index
+
+        sdir = os.path.join(self.index_dir, "suggest")
+        build_suggest_index(self._stats_path, sdir, max_distance)
+        return sdir
+
     def suggest(self, term: str, max_distance: int = 2, k: int = 5) -> pa.Table:
         """Did-you-mean: vocabulary terms within `max_distance` edits,
         ordered (distance asc, df desc, term asc), top k — columns
@@ -304,11 +315,22 @@ class QueryEngine:
         by a candidate-vectorized DP after a length prefilter
         (|len - len(term)| <= max_distance).
 
-        The vocabulary scan reads (term, df) from the stats parquet —
-        fine up to millions of terms; a 10^12-doc vocabulary wants a
-        precomputed deletion-neighborhood (SymSpell) index instead,
-        which this method's contract (same ordering) leaves room for."""
+        When a deletion-neighborhood index built for >= max_distance
+        exists (build_suggest_index), candidates come from exact
+        variant-key lookups over only the probed hash-prefix
+        partitions instead of a full vocabulary scan — the 10^12-doc
+        path; identical results either way."""
         from chearch_ray.functions.editdist import levenshtein_to
+        from chearch_ray.state.suggest import (
+            suggest_from_index, suggest_index_distance,
+        )
+
+        sdir = os.path.join(self.index_dir, "suggest")
+        built = suggest_index_distance(sdir)
+        if built is not None and built >= max_distance:
+            return suggest_from_index(
+                sdir, self._stats_path, term, max_distance, k
+            )
 
         stats = pq.read_table(self._stats_path, columns=["term", "df"])
         terms = stats["term"].to_pylist()

@@ -998,6 +998,64 @@ def test_suggest_vs_duckdb(engine, oracle):
         assert [tuple(r.values()) for r in got.to_pylist()] == want, q
 
 
+def test_symspell_deletion_guarantee():
+    """the SymSpell property the index relies on: lev(a, b) <= d
+    implies a and b share a <= d-deletion variant — checked over
+    random mutation pairs against the reference DP."""
+    import random
+
+    from chearch_ray.state.suggest import deletion_variants
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    rng = random.Random(23)
+    alphabet = "abcde"
+    for _ in range(300):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+        b = list(a)
+        for _ in range(rng.randint(0, 2)):
+            op = rng.choice("ids")
+            pos = rng.randint(0, max(0, len(b) - 1))
+            if op == "i":
+                b.insert(pos, rng.choice(alphabet))
+            elif op == "d" and b:
+                del b[pos]
+            elif b:
+                b[pos] = rng.choice(alphabet)
+        b = "".join(b)
+        d = ref(a, b)
+        if d <= 2:
+            assert deletion_variants(a, 2) & deletion_variants(b, 2), (a, b, d)
+
+
+def test_suggest_index_matches_scan(engine, oracle):
+    """index-backed suggest == vocabulary-scan suggest, row for row,
+    and the engine auto-routes to the index once it exists (for any
+    query distance <= the built one)."""
+    import shutil
+
+    queries = ["def", "retur", "claas", "zzzz", "merge"]
+    scan = {q: engine.suggest(q, max_distance=2, k=5) for q in queries}
+    scan1 = {q: engine.suggest(q, max_distance=1, k=5) for q in queries}
+    sdir = engine.build_suggest_index(max_distance=2)
+    try:
+        from chearch_ray.state.suggest import suggest_index_distance
+
+        assert suggest_index_distance(sdir) == 2
+        for q in queries:
+            assert engine.suggest(q, max_distance=2, k=5).equals(scan[q]), q
+            # a d=2 index also serves d=1 queries exactly
+            assert engine.suggest(q, max_distance=1, k=5).equals(scan1[q]), q
+    finally:
+        shutil.rmtree(sdir)
+
+
 def test_conjunctive_fast_path_identical_to_generic(engine, oracle):
     """the one-pass AND scorer (tf reuse from the intersection) must be
     byte-identical — scores included — to the generic probe-again path
