@@ -770,6 +770,28 @@ def q_ivfpq_refine(sf_dir: str) -> pa.Table:
     )
 
 
+#: decontamination: benchmark = docs with doc_id < DECON_BENCH_MAX,
+#: word 5-grams, flag at >= 1 distinct shared shingle
+DECON_BENCH_MAX = 10
+DECON_W = 5
+
+
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.decontaminate import decontaminate, shingle_hash_set
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    bench = pq.read_table(
+        doc_path, columns=["doc_id", "text"],
+        filters=[("doc_id", "<", DECON_BENCH_MAX)],
+    )
+    hashes = shingle_hash_set(bench, w=DECON_W)
+    ds = ray.data.read_parquet(doc_path, columns=["doc_id", "text"])
+    out = decontaminate(ds, hashes, w=DECON_W, min_overlap=1).to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_chunk_documents(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -905,6 +927,7 @@ QUERIES = {
     "neardup_keep": q_neardup_keep,
     "pack_sequences": q_pack_sequences,
     "pack_sequences_hash": q_pack_sequences_hash,
+    "decontaminate": q_decontaminate,
     "quota_sample": q_quota_sample,
     "repetition_filter": q_repetition_filter,
     "snippets": q_snippets,
@@ -1253,6 +1276,27 @@ p AS (SELECT doc_id, n_tokens,
 SELECT doc_id, n_tokens, (pre // {PACK_MAX_TOKENS})::BIGINT AS bin,
        (pre % {PACK_MAX_TOKENS})::BIGINT AS bin_offset
 FROM p
+""",
+    "decontaminate": f"""
+WITH {POS_TOK_CTE},
+ng0 AS (SELECT doc_id, term,
+        {', '.join(f'lead(term, {j}) OVER (PARTITION BY doc_id ORDER BY ord) AS t{j}' for j in range(1, DECON_W))}
+        FROM ptok),
+ng AS (SELECT doc_id,
+       {" || ' ' || ".join(["term"] + [f"t{j}" for j in range(1, DECON_W)])} AS g
+       FROM ng0 WHERE t{DECON_W - 1} IS NOT NULL),
+ngd AS (SELECT DISTINCT doc_id, g FROM ng),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id < {DECON_BENCH_MAX}),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM ngd GROUP BY doc_id),
+ov AS (SELECT n.doc_id, count(*)::BIGINT AS n_overlap
+       FROM ngd n JOIN bench b ON n.g = b.g GROUP BY n.doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(c.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(o.n_overlap, 0) >= 1 AS contaminated
+FROM documents d
+LEFT JOIN cnt c ON d.doc_id = c.doc_id
+LEFT JOIN ov o ON d.doc_id = o.doc_id
 """,
     "pack_sequences_hash": f"""
 WITH tc AS (SELECT doc_id,

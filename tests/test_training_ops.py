@@ -1495,6 +1495,71 @@ def test_ivfpq_refined_exact_recall(ray_session):
         assert abs(row["sim"] - true) < 1e-9
 
 
+def test_decontaminate_vs_duckdb_and_planted_overlap(ray_session):
+    """decontaminate == the SQL distinct-shared-5-gram count, and a
+    doc that copies a benchmark span is flagged while clean docs are
+    not."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.decontaminate import decontaminate, shingle_hash_set
+
+    rng = np.random.default_rng(61)
+    vocab = [f"w{i}" for i in range(200)]
+    bench_texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(8, 30))) for _ in range(5)
+    ]
+    clean = [" ".join(rng.choice(vocab, size=rng.integers(3, 30))) for _ in range(40)]
+    # plant: doc 50 copies 6 consecutive tokens from bench doc 1
+    span = " ".join(bench_texts[1].split()[2:8])
+    planted = "filler tokens here " + span + " trailing words"
+    texts = bench_texts + clean + [planted]
+    ids = np.arange(len(texts), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    bench_tbl = t.slice(0, 5)
+    hashes = shingle_hash_set(bench_tbl, w=5)
+    got = (
+        decontaminate(ray.data.from_arrow(t).repartition(4), hashes, w=5, min_overlap=1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert bool(got.loc[len(texts) - 1, "contaminated"])
+    assert got.loc[:4, "contaminated"].all()  # bench docs match themselves
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+WITH ptoks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+           '[^a-z0-9_]+'), x -> x <> '') AS ts FROM documents),
+ptok AS (SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS ord FROM ptoks),
+ng0 AS (SELECT doc_id, term,
+        lead(term, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t1,
+        lead(term, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t2,
+        lead(term, 3) OVER (PARTITION BY doc_id ORDER BY ord) AS t3,
+        lead(term, 4) OVER (PARTITION BY doc_id ORDER BY ord) AS t4 FROM ptok),
+ng AS (SELECT doc_id, term || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4 AS g
+       FROM ng0 WHERE t4 IS NOT NULL),
+ngd AS (SELECT DISTINCT doc_id, g FROM ng),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id < 5),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM ngd GROUP BY doc_id),
+ov AS (SELECT n.doc_id, count(*)::BIGINT AS n_overlap
+       FROM ngd n JOIN bench b ON n.g = b.g GROUP BY n.doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(c.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(o.n_overlap, 0) >= 1 AS contaminated
+FROM documents d
+LEFT JOIN cnt c ON d.doc_id = c.doc_id
+LEFT JOIN ov o ON d.doc_id = o.doc_id
+ORDER BY doc_id
+    """).df().reset_index(drop=True)
+    for c in ["doc_id", "n_shingles", "n_overlap"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+    np.testing.assert_array_equal(
+        got["contaminated"].to_numpy(), want["contaminated"].to_numpy().astype(bool)
+    )
+
+
 def test_exact_quantiles_negative_values(ray_session):
     import duckdb
     import ray.data
