@@ -288,6 +288,18 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     dc.q_training_pipeline(sf_dir)
     timings["sf_training_pipeline_sec"] = time.perf_counter() - t0
+    # late-round-3 additions: benchmark decontamination (broadcast
+    # n-gram membership), residual IVF-PQ + exact re-rank, SymSpell
+    # suggest index build + lookup
+    t0 = time.perf_counter()
+    dc.q_decontaminate(sf_dir)
+    timings["sf_decontaminate_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_ivfpq_refine(sf_dir)
+    timings["sf_ivfpq_refine_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_suggest_indexed(sf_dir)
+    timings["sf_suggest_index_sec"] = time.perf_counter() - t0
     # prefix + negation query latency against the resident bench index
     # ("__known_*" expands to the exact-df sentinel family; "def
     # -return" probes the hot negative lazily)

@@ -770,6 +770,23 @@ def q_ivfpq_refine(sf_dir: str) -> pa.Table:
     )
 
 
+#: deterministic split ratios; bound literals are computed in Python
+#: so the SQL mirror compares against the SAME integers
+SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_hash_split(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.sample import hash_split
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = hash_split(ds, SPLIT_RATIOS).to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 #: decontamination: benchmark = docs with doc_id < DECON_BENCH_MAX,
 #: word 5-grams, flag at >= 1 distinct shared shingle
 DECON_BENCH_MAX = 10
@@ -928,6 +945,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pack_sequences_hash": q_pack_sequences_hash,
     "decontaminate": q_decontaminate,
+    "hash_split": q_hash_split,
     "quota_sample": q_quota_sample,
     "repetition_filter": q_repetition_filter,
     "snippets": q_snippets,
@@ -1276,6 +1294,16 @@ p AS (SELECT doc_id, n_tokens,
 SELECT doc_id, n_tokens, (pre // {PACK_MAX_TOKENS})::BIGINT AS bin,
        (pre % {PACK_MAX_TOKENS})::BIGINT AS bin_offset
 FROM p
+""",
+    "hash_split": f"""
+WITH h AS (SELECT doc_id,
+    (doc_id::HUGEINT * 6364136223846793005) % 18446744073709551616::HUGEINT AS hv
+    FROM documents)
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN hv < {int(np.cumsum([SPLIT_RATIOS['train']])[0] * 2**64)}::HUGEINT THEN 'train'
+            WHEN hv < {int(np.cumsum([SPLIT_RATIOS['train'], SPLIT_RATIOS['val']])[1] * 2**64)}::HUGEINT THEN 'val'
+            ELSE 'test' END AS split
+FROM h
 """,
     "decontaminate": f"""
 WITH {POS_TOK_CTE},

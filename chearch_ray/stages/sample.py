@@ -106,6 +106,37 @@ def _final_partition(group: pa.Table, group_column: str, quota: int) -> pa.Table
     return _select_quota(group.drop_columns(["pgrp"]), group_column, quota)
 
 
+def _hash_split_batch(batch: pa.Table, id_column: str,
+                      bounds: np.ndarray, names: list[str]) -> pa.Table:
+    h = _sample_hash(batch[id_column].to_numpy().astype(np.int64).view(np.uint64))
+    idx = np.searchsorted(bounds, h, side="right")
+    labels = np.array(names, dtype=object)[idx]
+    return batch.append_column("split", pa.array(labels, type=pa.string()))
+
+
+def hash_split(ds, ratios: dict[str, float], id_column: str = "doc_id"):
+    """Deterministic train/val/test assignment: each row's Knuth hash
+    of `id_column` lands in one of the cumulative-ratio intervals of
+    [0, 2^64) — seed-free, partition- and scale-invariant (a document
+    keeps its split whatever else is in the corpus), and SQL-mirrorable
+    with HUGEINT threshold compares.  Adds a `split` string column;
+    ratios must sum to 1 (the last band absorbs rounding)."""
+    names = list(ratios)
+    if not names:
+        raise ValueError("ratios must name at least one split")
+    total = float(sum(ratios.values()))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1, got {total}")
+    # cumulative upper bounds in hash space; the final band runs to
+    # 2^64 - 1 regardless of float rounding
+    cum = np.cumsum([ratios[n] for n in names[:-1]])
+    bounds = np.array([int(c * 2**64) for c in cum], dtype=np.uint64)
+    return ds.map_batches(
+        partial(_hash_split_batch, id_column=id_column, bounds=bounds, names=names),
+        batch_format="pyarrow",
+    )
+
+
 def quota_sample_per_group(
     ds,
     group_column: str = "lang",

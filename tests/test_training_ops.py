@@ -1495,6 +1495,42 @@ def test_ivfpq_refined_exact_recall(ray_session):
         assert abs(row["sim"] - true) < 1e-9
 
 
+def test_hash_split_vs_sql_and_invariance(ray_session):
+    """hash_split == the SQL HUGEINT CASE mirror; assignment is
+    partition-invariant and roughly ratio-shaped."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.sample import hash_split
+
+    ids = np.arange(0, 5000, dtype=np.int64) * 7 + 3
+    t = pa.table({"doc_id": pa.array(ids)})
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = (hash_split(ray.data.from_arrow(t).repartition(6), ratios)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b1 = int(np.cumsum([0.8])[0] * 2**64)
+    b2 = int(np.cumsum([0.8, 0.1])[1] * 2**64)
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(f"""
+        WITH h AS (SELECT doc_id,
+            (doc_id::HUGEINT * 6364136223846793005) % 18446744073709551616::HUGEINT AS hv
+            FROM documents)
+        SELECT doc_id, CASE WHEN hv < {b1}::HUGEINT THEN 'train'
+                            WHEN hv < {b2}::HUGEINT THEN 'val'
+                            ELSE 'test' END AS split
+        FROM h ORDER BY doc_id
+    """).df().reset_index(drop=True)
+    assert got["split"].tolist() == want["split"].tolist()
+    # ratio-shaped (hash-uniform): train within a few points of 80%
+    frac = (got["split"] == "train").mean()
+    assert 0.75 < frac < 0.85, frac
+    # partition-invariant: same result from a single block
+    again = (hash_split(ray.data.from_arrow(t), ratios)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert again["split"].tolist() == got["split"].tolist()
+
+
 def test_decontaminate_vs_duckdb_and_planted_overlap(ray_session):
     """decontaminate == the SQL distinct-shared-5-gram count, and a
     doc that copies a benchmark span is flagged while clean docs are
