@@ -126,3 +126,38 @@ class OracleIndex:
                 s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
             scored.append((doc, s))
         return sorted(scored, key=lambda it: (-it[1], it[0]))[:k]
+
+    # ---------------------------------------------------------- proximity
+    def near_search(
+        self, term_a: str, term_b: str, slop: int, ordered: bool, k: int
+    ) -> list[tuple[int, float]]:
+        """Brute-force NEAR/slop: docs with an occurrence pair (pa, pb)
+        where |pb - pa| <= slop (unordered; pa != pb for identical
+        terms) or 1 <= pb - pa <= slop (ordered).  BM25 over the unique
+        query terms, same float contract as bm25_search."""
+        docs_a = set(self.positions.get(term_a, ()))
+        docs_b = set(self.positions.get(term_b, ()))
+        survivors = []
+        for doc in docs_a & docs_b:
+            pas = self.positions[term_a][doc]
+            pbs = self.positions[term_b][doc]
+            hit = any(
+                (1 <= pb - pa <= slop)
+                if ordered
+                else (pa != pb and abs(pb - pa) <= slop)
+                for pa in pas
+                for pb in pbs
+            )
+            if hit:
+                survivors.append(doc)
+        k1, b = self.cfg.k1, self.cfg.b
+        scored = []
+        for doc in survivors:
+            dl = float(self.doc_len[doc])
+            s = 0.0
+            for term in dict.fromkeys([term_a, term_b]):
+                tf = float(self.postings[term][doc])
+                idf = self.idf(term)
+                s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+            scored.append((doc, s))
+        return sorted(scored, key=lambda it: (-it[1], it[0]))[:k]

@@ -255,6 +255,28 @@ def q_phrase(sf_dir: str) -> pa.Table:
     return _ranked(engine_for(sf_dir).search_phrase(" ".join(PHRASE_TERMS), k=10))
 
 
+#: proximity query parameters — common corpus terms so both rows are
+#: non-empty at every sf
+NEAR_TERMS = ("sort", "merge")
+NEAR_SLOP = 3
+NEAR_ORD_TERMS = ("hash", "join")
+NEAR_ORD_SLOP = 4
+
+
+def q_near(sf_dir: str) -> pa.Table:
+    return _ranked(
+        engine_for(sf_dir).search_near(*NEAR_TERMS, slop=NEAR_SLOP, k=10)
+    )
+
+
+def q_near_ordered(sf_dir: str) -> pa.Table:
+    return _ranked(
+        engine_for(sf_dir).search_near(
+            *NEAR_ORD_TERMS, slop=NEAR_ORD_SLOP, ordered=True, k=10
+        )
+    )
+
+
 #: exact all-pairs threshold — the embeddings tables are random
 #: vectors (max pairwise cosine ~0.51 at sf0.01, ~0.60 at sf0.1), so a
 #: non-empty, exact-checkable answer needs a low threshold; at low
@@ -935,6 +957,8 @@ QUERIES = {
     "ivf_knn": q_ivf_knn,
     "ivfpq_refine": q_ivfpq_refine,
     "phrase": q_phrase,
+    "near": q_near,
+    "near_ordered": q_near_ordered,
     "windowed_agg": q_windowed_agg,
     "sessionize": q_sessionize,
     "bpeish_tokens": q_bpeish_tokens,
@@ -995,6 +1019,22 @@ def _phrase_cand_sql(terms: tuple[str, ...]) -> str:
     return (
         f"SELECT DISTINCT t0.doc_id FROM ptok t0 {' '.join(joins)} "
         f"WHERE {' AND '.join(conds)}"
+    )
+
+
+def _near_cand_sql(a: str, b: str, slop: int, ordered: bool) -> str:
+    """docs where `b` occurs within `slop` positions of `a` (ord is
+    1-based sequential, so ord differences equal the engine's 0-based
+    position differences)."""
+    window = (
+        f"tb.ord - ta.ord BETWEEN 1 AND {slop}"
+        if ordered
+        else f"abs(tb.ord - ta.ord) <= {slop} AND tb.ord <> ta.ord"
+    )
+    return (
+        f"SELECT DISTINCT ta.doc_id FROM ptok ta "
+        f"JOIN ptok tb ON tb.doc_id = ta.doc_id AND {window} "
+        f"WHERE ta.term = '{a}' AND tb.term = '{b}'"
     )
 
 
@@ -1194,6 +1234,18 @@ SELECT doc_id FROM tok WHERE term = '__never_present__'
         PHRASE_TERMS,
         "phrase",
         cand_sql=_phrase_cand_sql(PHRASE_TERMS),
+        extra_ctes=POS_TOK_CTE,
+    ),
+    "near": _bm25_sql(
+        NEAR_TERMS,
+        "near",
+        cand_sql=_near_cand_sql(*NEAR_TERMS, NEAR_SLOP, False),
+        extra_ctes=POS_TOK_CTE,
+    ),
+    "near_ordered": _bm25_sql(
+        NEAR_ORD_TERMS,
+        "near",
+        cand_sql=_near_cand_sql(*NEAR_ORD_TERMS, NEAR_ORD_SLOP, True),
         extra_ctes=POS_TOK_CTE,
     ),
     "media_features": f"""

@@ -397,3 +397,42 @@ class QueryEngine:
             return merged
         order = topk_order(merged["score"].to_numpy(), _merge_tie_key(merged), k)
         return merged.take(pa.array(order, type=pa.int64()))
+
+    def search_near(
+        self,
+        term_a: str,
+        term_b: str,
+        slop: int = 3,
+        ordered: bool = False,
+        k: int | None = None,
+    ) -> pa.Table:
+        """Proximity query (NEAR/slop): docs where `term_b` occurs
+        within `slop` token positions of `term_a` (unordered by
+        default; `ordered=True` requires term_b AFTER term_a).
+        Requires store_positions=True at build time.  Results are
+        BM25-ranked over the two terms (score desc, doc_id asc)."""
+        term_a, term_b = term_a.lower(), term_b.lower()
+        k = k or self.cfg.default_k
+        idfs = {
+            t: bm25_idf(self.n_docs, self.df(t))
+            for t in dict.fromkeys([term_a, term_b])
+        }
+        if self.use_actors:
+            import ray
+
+            tables = ray.get(
+                [
+                    a.search_near.remote(term_a, term_b, slop, ordered, k, idfs, self.avgdl)
+                    for a in self._actors
+                ]
+            )
+        else:
+            tables = [
+                s.search_near(term_a, term_b, slop, ordered, k, idfs, self.avgdl)
+                for s in self._local
+            ]
+        merged = pa.concat_tables(tables)
+        if len(merged) == 0:
+            return merged
+        order = topk_order(merged["score"].to_numpy(), _merge_tie_key(merged), k)
+        return merged.take(pa.array(order, type=pa.int64()))

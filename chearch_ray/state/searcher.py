@@ -818,6 +818,127 @@ class SegmentSearcher:
         ]
         return survivor_rows
 
+    # ----------------------------------------------------- proximity mode
+    def search_near(
+        self,
+        term_a: str,
+        term_b: str,
+        slop: int,
+        ordered: bool,
+        k: int,
+        idfs: dict[str, float],
+        avgdl: float,
+    ) -> pa.Table:
+        """Proximity (NEAR/slop) query over the stored position lists —
+        the unordered/ordered generalization of search_phrase for two
+        terms (positions are the engine-level form of the reference's
+        per-posting textLocation, documentid.chpl:17-18).  A candidate
+        (= conjunction of both terms) survives when some occurrence
+        pair (pa, pb) has |pb - pa| <= slop (unordered) or
+        1 <= pb - pa <= slop (ordered).  Survivors are BM25-scored over
+        the query terms (same float contract as search_bm25), and
+        verification runs lazily in final ranking order with the exact
+        early exit search_phrase uses."""
+        if self.docmap is None:
+            return self._project(_EMPTY_U64, scores=np.empty(0))
+        if not self.cfg.store_positions:
+            raise ValueError(
+                "NEAR queries require an index built with store_positions=True"
+            )
+        if slop < 1:
+            raise ValueError("slop must be >= 1")
+        node: ast.Node = (
+            ast.Term(term_a)
+            if term_a == term_b
+            else ast.And(ast.Term(term_a), ast.Term(term_b))
+        )
+        candidates = self._eval_sets(node)
+        if len(candidates) == 0:
+            return self._project(candidates, scores=np.empty(0))
+        uniq_terms = list(dict.fromkeys([term_a, term_b]))
+        scores = self._score_docs(candidates, uniq_terms, idfs, avgdl)
+        rank = np.lexsort((candidates, -scores))
+        kept_docs: list[np.ndarray] = []
+        kept_scores: list[np.ndarray] = []
+        total, start, chunk = 0, 0, max(8 * k, 256)
+        while start < len(rank) and total < k:
+            sel = rank[start : start + chunk]
+            rows = self._near_survivor_rows(
+                term_a, term_b, slop, ordered, candidates[sel]
+            )
+            if len(rows):
+                kept_docs.append(candidates[sel][rows])
+                kept_scores.append(scores[sel][rows])
+                total += len(rows)
+            start += chunk
+            chunk *= 2
+        if total == 0:
+            return self._project(_EMPTY_U64, scores=np.empty(0))
+        docs = np.concatenate(kept_docs)[:k]
+        return self._project(docs, scores=np.concatenate(kept_scores)[: len(docs)])
+
+    def _near_survivor_rows(
+        self,
+        term_a: str,
+        term_b: str,
+        slop: int,
+        ordered: bool,
+        candidates: np.ndarray,
+    ) -> np.ndarray:
+        """Vectorized proximity verification: all candidates' b-side
+        positions become one sorted (row * stride + pos) key array;
+        each a-side occurrence then checks its window [pos-slop,
+        pos+slop] (or (pos, pos+slop] ordered) with two batched
+        searchsorted calls — no per-candidate Python loop.  stride >
+        max_pos + slop keeps windows from crossing row boundaries
+        after clamping.  Returns ascending ROW indices into
+        `candidates`."""
+        m = len(candidates)
+        if m == 0:
+            return _EMPTY_I64
+        import pyarrow.compute as pc
+
+        def _occurrences(term: str) -> tuple[np.ndarray, np.ndarray] | None:
+            reader = self.shards.get(self._sharder.shard_of(term))
+            if reader is None:
+                return None
+            idx = self._posting_row_indices(term, candidates)
+            taken = reader.positions_for_rows(term, idx)
+            if taken is None:
+                return None  # positions unavailable -> no exact match
+            lengths = pc.list_value_length(taken).to_numpy().astype(np.int64)
+            vals = taken.flatten().to_numpy().astype(np.int64)
+            rows = np.repeat(np.arange(m, dtype=np.int64), lengths)
+            return rows, vals
+
+        occ_a = _occurrences(term_a)
+        occ_b = occ_a if term_b == term_a else _occurrences(term_b)
+        if occ_a is None or occ_b is None:
+            return _EMPTY_I64
+        rows_a, pos_a = occ_a
+        rows_b, pos_b = occ_b
+        if len(pos_a) == 0 or len(pos_b) == 0:
+            return _EMPTY_I64
+        stride = int(max(pos_a.max(), pos_b.max())) + slop + 2
+        keys_b = rows_b * stride + pos_b  # ascending: rows asc, pos asc per row
+        base = rows_a * stride
+        anchor = base + pos_a
+        lo = np.maximum(anchor + (1 if ordered else -slop), base)
+        hi = np.minimum(anchor + slop, base + (stride - 1))
+        left = np.searchsorted(keys_b, lo, side="left")
+        right = np.searchsorted(keys_b, hi, side="right")
+        if term_a == term_b and not ordered:
+            # keys_b contains the anchor itself exactly once (same
+            # term): "another occurrence within slop" needs >= 2 keys
+            # in the window
+            hit = (right - left) >= 2
+        else:
+            hit = left < right
+        hitrows = rows_a[hit]
+        if len(hitrows) == 0:
+            return _EMPTY_I64
+        return hitrows[np.concatenate([[True], hitrows[1:] != hitrows[:-1]])]
+
     def first_positions_array(self, term: str, doc_id: int):
         """sorted position array of `term` in `doc_id`, or None when
         positions are unavailable / doc doesn't contain the term."""
@@ -861,6 +982,11 @@ class SearcherGroup:
 
     def search_phrase(self, terms, k, idfs, avgdl) -> pa.Table:
         return pa.concat_tables([m.search_phrase(terms, k, idfs, avgdl) for m in self.members])
+
+    def search_near(self, term_a, term_b, slop, ordered, k, idfs, avgdl) -> pa.Table:
+        return pa.concat_tables(
+            [m.search_near(term_a, term_b, slop, ordered, k, idfs, avgdl) for m in self.members]
+        )
 
     def first_position(self, term: str, doc_id: int, doc_hi: int | None = None):
         seg = int(doc_id) % self.cfg.num_segments

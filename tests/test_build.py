@@ -579,6 +579,66 @@ def test_phrase_with_repeated_term(engine, oracle, corpus):
     pytest.skip("no immediate repetition in corpus")
 
 
+def test_near_search_vs_oracle(engine, oracle, corpus):
+    """NEAR/slop proximity queries (ordered and unordered) vs the
+    brute-force positional oracle: identical doc ids AND identical BM25
+    floats, across slops, term orders, hot and rare terms."""
+    import re
+
+    texts = corpus["content"].to_pylist()
+    pairs = []
+    for t in texts[:15]:
+        toks = [x for x in re.split(r"[^a-z0-9_]+", t.lower()) if x]
+        if len(toks) >= 5:
+            pairs.append((toks[0], toks[3]))  # gap 3
+            pairs.append((toks[4], toks[1]))  # reversed, gap 3
+    hot = _hot_terms(oracle, 2)
+    rare = _rare_terms(oracle, 2)
+    pairs += [(hot[0], hot[1]), (hot[0], rare[0]), ("__never_present__", hot[0])]
+    for a, b in pairs[:14]:
+        for slop in (1, 3, 8):
+            for ordered in (False, True):
+                got = engine.search_near(a, b, slop=slop, ordered=ordered, k=10)
+                want = oracle.near_search(a, b, slop, ordered, 10)
+                assert got["doc_id"].to_pylist() == [d for d, _ in want], (a, b, slop, ordered)
+                assert got["score"].to_pylist() == [s for _, s in want], (a, b, slop, ordered)
+
+
+def test_near_search_same_term_and_semantics(engine, oracle, corpus):
+    """NEAR with term_a == term_b means 'another occurrence within
+    slop' (self-pairs excluded); unordered NEAR slop=1 is a superset of
+    both phrase orders; ordered NEAR is a subset of unordered."""
+    import re
+
+    # a term that repeats within a doc
+    term = None
+    for t in corpus["content"].to_pylist():
+        toks = [x for x in re.split(r"[^a-z0-9_]+", t.lower()) if x]
+        seen = set()
+        for x in toks:
+            if x in seen:
+                term = x
+                break
+            seen.add(x)
+        if term:
+            break
+    assert term is not None
+    for slop in (1, 4):
+        got = engine.search_near(term, term, slop=slop, k=1000)
+        want = oracle.near_search(term, term, slop, False, 1000)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want]
+    a, b = _hot_terms(oracle, 2)
+    near1 = set(engine.search_near(a, b, slop=1, k=10_000)["doc_id"].to_pylist())
+    phr_ab = set(engine.search_phrase([a, b], k=10_000)["doc_id"].to_pylist())
+    phr_ba = set(engine.search_phrase([b, a], k=10_000)["doc_id"].to_pylist())
+    assert (phr_ab | phr_ba) <= near1
+    ordered = set(engine.search_near(a, b, slop=4, ordered=True, k=10_000)["doc_id"].to_pylist())
+    unordered = set(engine.search_near(a, b, slop=4, k=10_000)["doc_id"].to_pylist())
+    assert ordered <= unordered
+    with pytest.raises(ValueError):
+        engine.search_near(a, b, slop=0)
+
+
 def test_pfor_codec_build_search_identical(ray_session, corpus, oracle, tmp_path):
     import dataclasses
 
