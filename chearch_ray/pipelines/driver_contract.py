@@ -626,6 +626,35 @@ def q_pii_scrub(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+#: raw regex scan over the corpus (stages/codesearch.py): the
+#: pre-index query against a source-code table.  Both sides are RE2
+#: (Arrow kernels and DuckDB's regexp functions), so the mirrors are
+#: bit-exact.
+GREP_PATTERN = "(merge|sort) (table|index)"
+REGEX_COUNT_PATTERN = "(scan|hash)[a-z ]*join"
+REGEX_EXTRACT_PATTERN = "(?:scan|hash)[a-z ]*join"
+
+
+def q_grep_lines(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.codesearch import grep
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = grep(ds, GREP_PATTERN)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_regex_count(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.codesearch import regex_count
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = regex_count(ds, REGEX_COUNT_PATTERN, extract=REGEX_EXTRACT_PATTERN)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def q_top_bigrams(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -979,6 +1008,8 @@ QUERIES = {
     "suggest": q_suggest,
     "suggest_indexed": q_suggest_indexed,
     "value_quantiles": q_value_quantiles,
+    "grep_lines": q_grep_lines,
+    "regex_count": q_regex_count,
     "top_bigrams": q_top_bigrams,
     "pii_scrub": q_pii_scrub,
     "pricing_summary": q_pricing_summary,
@@ -1441,6 +1472,18 @@ s2 AS (SELECT doc_id, n_email,
   length(regexp_extract_all(t1, '[0-9]{6,}'))::BIGINT AS n_number,
   regexp_replace(t1, '[0-9]{6,}', '<NUM>', 'g') AS scrubbed FROM s1)
 SELECT doc_id, n_email, n_number, scrubbed FROM s2
+""",
+    "grep_lines": f"""
+WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
+SELECT doc_id, g.i::BIGINT AS line_no, lines[g.i] AS line
+FROM s, LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i) g
+WHERE regexp_matches(lines[g.i], '{GREP_PATTERN}')
+""",
+    "regex_count": f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{REGEX_COUNT_PATTERN}'))::BIGINT AS n_matches,
+       regexp_extract(text, '{REGEX_EXTRACT_PATTERN}', 0) AS first_match
+FROM documents
 """,
     "top_bigrams": f"""
 WITH {POS_TOK_CTE},
