@@ -251,6 +251,33 @@ def q_bm25_tree(sf_dir: str) -> pa.Table:
 PHRASE_TERMS = ("table", "hash")
 
 
+#: metadata-filtered search (engine extension): the docmap carries
+#: (repo, path, commit, lang) per doc, and `QueryEngine.search(...,
+#: filter={"lang": [...]})` narrows the CANDIDATE set before top-k —
+#: a post-filter of the unrestricted top-k would drop qualifying docs.
+#: Scores are unchanged (global corpus stats), mirrored in SQL by a
+#: lang predicate on the candidate CTE only.
+FILTER_LANGS = ("es", "de")
+BM25_FILTERED_TERMS = ("merge", "sort")
+
+
+def q_bm25_filtered(sf_dir: str) -> pa.Table:
+    a, b = BM25_FILTERED_TERMS
+    return _ranked(
+        engine_for(sf_dir).search(
+            ast.Or(ast.Term(a), ast.Term(b)), k=10, filter={"lang": list(FILTER_LANGS)}
+        )
+    )
+
+
+def q_boolean_filtered(sf_dir: str) -> pa.Table:
+    a, b = BOOL_AND_TERMS
+    t = engine_for(sf_dir).search_boolean(
+        ast.And(ast.Term(a), ast.Term(b)), filter={"lang": list(FILTER_LANGS)}
+    )
+    return pa.table({"doc_id": t["doc_id"].cast(pa.int64())})
+
+
 def q_phrase(sf_dir: str) -> pa.Table:
     return _ranked(engine_for(sf_dir).search_phrase(" ".join(PHRASE_TERMS), k=10))
 
@@ -978,6 +1005,8 @@ QUERIES = {
     "bm25_and": q_bm25_and,
     "bm25_or": q_bm25_or,
     "bm25_tree": q_bm25_tree,
+    "bm25_filtered": q_bm25_filtered,
+    "boolean_filtered": q_boolean_filtered,
     "missing_term": q_missing_term,
     "dedup_exact": q_dedup_exact,
     "content_sha": q_content_sha,
@@ -1257,6 +1286,22 @@ FROM hits
             f"INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TREE_TERMS[2]}')"
         ),
     ),
+    "bm25_filtered": _bm25_sql(
+        BM25_FILTERED_TERMS,
+        "or",
+        cand_sql=(
+            f"SELECT DISTINCT t.doc_id FROM tok t JOIN documents d USING (doc_id) "
+            f"WHERE t.term IN ('{BM25_FILTERED_TERMS[0]}', '{BM25_FILTERED_TERMS[1]}') "
+            f"AND d.lang IN ('{FILTER_LANGS[0]}', '{FILTER_LANGS[1]}')"
+        ),
+    ),
+    "boolean_filtered": f"""
+WITH {TOK_CTE},
+i AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_AND_TERMS[0]}'
+      INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_AND_TERMS[1]}')
+SELECT i.doc_id FROM i JOIN documents d ON i.doc_id = d.doc_id
+WHERE d.lang IN ('{FILTER_LANGS[0]}', '{FILTER_LANGS[1]}')
+""",
     "missing_term": f"""
 WITH {TOK_CTE}
 SELECT doc_id FROM tok WHERE term = '__never_present__'

@@ -220,17 +220,33 @@ class QueryEngine:
         return ast.Or(a, b)
 
     # ----------------------------------------------------------- search
-    def search(self, query: str | ast.Node, k: int | None = None, default_op: str = "or") -> pa.Table:
-        """BM25 top-k, globally merged, ordered (score desc, doc_id asc)."""
+    def search(self, query: str | ast.Node, k: int | None = None, default_op: str = "or",
+               filter: dict[str, list[str]] | None = None) -> pa.Table:
+        """BM25 top-k, globally merged, ordered (score desc, doc_id asc).
+
+        `filter` restricts results to docs whose docmap metadata
+        matches {column: allowed values} (AND across columns) — e.g.
+        {"lang": ["py", "rs"]}.  Scores are unchanged by the filter
+        (global corpus stats), but top-k is taken over the restricted
+        candidate set, not post-filtered."""
         node = self._plan(parse_query(query, default_op))
         k = k or self.cfg.default_k
         idfs = self.idfs_for(node)
         if self.use_actors:
             import ray
 
-            tables = ray.get(
-                [a.search_bm25.remote(node, k, idfs, self.avgdl) for a in self._actors]
-            )
+            if filter is not None:
+                tables = ray.get(
+                    [a.search_bm25_filtered.remote(node, k, idfs, self.avgdl, filter)
+                     for a in self._actors]
+                )
+            else:
+                tables = ray.get(
+                    [a.search_bm25.remote(node, k, idfs, self.avgdl) for a in self._actors]
+                )
+        elif filter is not None:
+            tables = [s.search_bm25_filtered(node, k, idfs, self.avgdl, filter)
+                      for s in self._local]
         else:
             tables = [s.search_bm25(node, k, idfs, self.avgdl) for s in self._local]
         merged = pa.concat_tables(tables)
@@ -240,14 +256,24 @@ class QueryEngine:
         order = topk_order(scores, _merge_tie_key(merged), k)
         return merged.take(pa.array(order, type=pa.int64()))
 
-    def search_boolean(self, query: str | ast.Node, default_op: str = "or") -> pa.Table:
+    def search_boolean(self, query: str | ast.Node, default_op: str = "or",
+                       filter: dict[str, list[str]] | None = None) -> pa.Table:
         """Doc-level boolean retrieval, ascending doc_id (per-segment
-        partition_limit cap applies, as in the reference)."""
+        partition_limit cap applies, as in the reference).  `filter`
+        as in `search`."""
         node = self._plan(parse_query(query, default_op))
         if self.use_actors:
             import ray
 
-            tables = ray.get([a.search_boolean.remote(node, None) for a in self._actors])
+            if filter is not None:
+                tables = ray.get(
+                    [a.search_boolean_filtered.remote(node, filter, None)
+                     for a in self._actors]
+                )
+            else:
+                tables = ray.get([a.search_boolean.remote(node, None) for a in self._actors])
+        elif filter is not None:
+            tables = [s.search_boolean_filtered(node, filter) for s in self._local]
         else:
             tables = [s.search_boolean(node) for s in self._local]
         merged = pa.concat_tables(tables)

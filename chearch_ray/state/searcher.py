@@ -122,6 +122,7 @@ class SegmentSearcher:
         self._enc_cache: dict[str, object] = {}
         self._blk_cache: dict[str, dict[int, tuple[np.ndarray, np.ndarray]]] = {}
         self._pos_cache: dict[str, list | None] = {}
+        self._filter_cache: dict[tuple, np.ndarray] = {}
         # decode telemetry: proves skip blocks actually skip (the
         # reference's whole query model is lazy block iteration,
         # memorysegment.chpl:41-55) — tests assert blocks_decoded <<
@@ -314,6 +315,71 @@ class SegmentSearcher:
         cap = limit if limit is not None else self.cfg.partition_limit
         docs = docs[:cap]
         return self._project(docs, scores=None)
+
+    # ------------------------------------------------- metadata filters
+    def _filter_allowed(self, flt: dict[str, list[str]]) -> np.ndarray:
+        """Sorted doc-id (posting-ordinal in wide mode) array of docmap
+        rows matching a metadata predicate: IN within a column, AND
+        across columns.  Computed once per predicate per actor (the
+        docmap is actor-resident state, so this is a vectorized scan of
+        local Arrow columns, never a network fetch) and cached like the
+        postings caches."""
+        key = tuple(sorted((c, tuple(v)) for c, v in flt.items()))
+        cached = self._filter_cache.get(key)
+        if cached is not None:
+            return cached
+        import pyarrow.compute as pc
+
+        mask = np.ones(len(self.docmap.doc_ids), dtype=bool)
+        for col, values in flt.items():
+            arr = self.docmap.table[col]
+            hit = pc.fill_null(pc.is_in(arr, value_set=pa.array(list(values))), False)
+            mask &= hit.to_numpy(zero_copy_only=False)
+        if getattr(self.docmap, "wide", False):
+            # posting values are row ordinals of the (hi, lo)-sorted docmap
+            allowed = np.flatnonzero(mask).astype(np.uint64)
+        else:
+            allowed = self.docmap.doc_ids[mask].astype(np.uint64)
+        self._filter_cache[key] = allowed
+        return allowed
+
+    def search_bm25_filtered(
+        self,
+        node: ast.Node,
+        k: int,
+        idfs: dict[str, float],
+        avgdl: float,
+        flt: dict[str, list[str]],
+    ) -> pa.Table:
+        """BM25 top-k restricted to docs matching the metadata
+        predicate.  The filter narrows the CANDIDATE set before
+        scoring/top-k (a post-filtered unrestricted top-k would drop
+        qualifying docs); scores stay the global-stats BM25 of the
+        unfiltered engine, so a doc's score is identical with and
+        without a filter.  Uses the generic eval+score path rather
+        than the MaxScore/conjunctive fast paths: their pruning
+        thresholds would be built from pre-filter accumulations."""
+        if self.docmap is None:
+            return self._project(_EMPTY_U64, scores=np.empty(0))
+        allowed = self._filter_allowed(flt)
+        candidates = intersect_sorted(self._eval_sets(node), allowed)
+        if len(candidates) == 0:
+            return self._project(candidates, scores=np.empty(0))
+        scores = self._score_docs(
+            candidates, [str(t) for t in ast.terms_of(node)], idfs, avgdl
+        )
+        order = topk_order(scores, candidates, k)
+        return self._project(candidates[order], scores=scores[order])
+
+    def search_boolean_filtered(
+        self, node: ast.Node, flt: dict[str, list[str]], limit: int | None = None
+    ) -> pa.Table:
+        if self.docmap is None:
+            return self._project(_EMPTY_U64, scores=None)
+        allowed = self._filter_allowed(flt)
+        docs = intersect_sorted(self._eval_sets(node), allowed)
+        cap = limit if limit is not None else self.cfg.partition_limit
+        return self._project(docs[:cap], scores=None)
 
     def max_tf(self, term: str) -> int:
         reader = self.shards.get(self._sharder.shard_of(term))
@@ -978,6 +1044,16 @@ class SearcherGroup:
     def search_bm25_batch(self, nodes, k, idfs, avgdl) -> pa.Table:
         return pa.concat_tables(
             [m.search_bm25_batch(nodes, k, idfs, avgdl) for m in self.members]
+        )
+
+    def search_bm25_filtered(self, node, k, idfs, avgdl, flt) -> pa.Table:
+        return pa.concat_tables(
+            [m.search_bm25_filtered(node, k, idfs, avgdl, flt) for m in self.members]
+        )
+
+    def search_boolean_filtered(self, node, flt, limit=None) -> pa.Table:
+        return pa.concat_tables(
+            [m.search_boolean_filtered(node, flt, limit) for m in self.members]
         )
 
     def search_phrase(self, terms, k, idfs, avgdl) -> pa.Table:

@@ -1175,3 +1175,74 @@ def test_random_mixed_trees_vs_oracle(engine, oracle):
         )
         n_checked += 1
     assert n_checked == 60
+
+
+# --------------------------------------------------- metadata filters
+def _lang_of(corpus):
+    from chearch_ray.stages.tokenize import _doc_ids_of
+
+    ids = _doc_ids_of(corpus).tolist()
+    return dict(zip(ids, corpus["lang"].to_pylist()))
+
+
+def test_filtered_bm25_vs_bruteforce(engine, oracle, corpus):
+    """filter={'lang': [...]} = restrict the candidate set BEFORE
+    top-k; scores of surviving docs are bit-identical to the
+    unfiltered engine's scores for the same docs."""
+    lang_of = _lang_of(corpus)
+    hot = _hot_terms(oracle, 2)
+    tree = ast.Or(ast.Term(hot[0]), ast.Term(hot[1]))
+    for langs in (["py"], ["go", "rs"], ["chpl", "c", "rb"]):
+        allowed = set(langs)
+        want = [
+            (d, s)
+            for d, s in sorted(oracle.bm25_scores(tree).items(), key=lambda it: (-it[1], it[0]))
+            if lang_of[d] in allowed
+        ][:10]
+        got = engine.search(tree, k=10, filter={"lang": langs})
+        assert got["doc_id"].to_pylist() == [d for d, _ in want], langs
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(), np.array([s for _, s in want])
+        )
+        assert set(got["lang"].to_pylist()) <= allowed
+        assert len(want) > 0  # fixture exercises the path
+
+
+def test_filtered_topk_differs_from_postfilter(engine, oracle, corpus):
+    """the filtered top-k must contain docs a post-filter of the
+    unrestricted top-k would have dropped."""
+    lang_of = _lang_of(corpus)
+    hot = _hot_terms(oracle, 2)
+    tree = ast.Or(ast.Term(hot[0]), ast.Term(hot[1]))
+    unfiltered_topk = set(engine.search(tree, k=5)["doc_id"].to_pylist())
+    got = engine.search(tree, k=5, filter={"lang": ["py"]})
+    assert len(got) == 5
+    assert any(d not in unfiltered_topk for d in got["doc_id"].to_pylist())
+
+
+def test_filtered_boolean_and_multi_column(engine, oracle, corpus):
+    lang_of = _lang_of(corpus)
+    hot = _hot_terms(oracle, 2)
+    tree = ast.And(ast.Term(hot[0]), ast.Term(hot[1]))
+    got = engine.search_boolean(tree, filter={"lang": ["js", "java"]})
+    want = [d for d in oracle.boolean_search(tree) if lang_of[d] in {"js", "java"}]
+    assert got["doc_id"].to_pylist() == want
+    # AND across filter columns: lang + an impossible repo -> empty
+    got2 = engine.search_boolean(tree, filter={"lang": ["js"], "repo": ["no/such"]})
+    assert len(got2) == 0
+
+
+def test_filtered_actor_path_matches_local(ray_session, engine, oracle, corpus):
+    eng_a = QueryEngine(engine.index_dir, use_actors=True)
+    try:
+        lang_of = _lang_of(corpus)
+        hot = _hot_terms(oracle, 2)
+        tree = ast.Or(ast.Term(hot[0]), ast.Term(hot[1]))
+        local = engine.search(tree, k=10, filter={"lang": ["py", "go"]})
+        remote = eng_a.search(tree, k=10, filter={"lang": ["py", "go"]})
+        assert local["doc_id"].to_pylist() == remote["doc_id"].to_pylist()
+        np.testing.assert_array_equal(
+            local["score"].to_numpy(), remote["score"].to_numpy()
+        )
+    finally:
+        eng_a.close()

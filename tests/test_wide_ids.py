@@ -264,3 +264,21 @@ def test_merge_rejects_mixed_doc_id_bits(ray_session, tmp_path):
     for order in ([d64, d128], [d128, d64]):
         with pytest.raises(ValueError, match="doc_id_bits"):
             merge_indexes(order, str(tmp_path / "out"))
+
+
+def test_wide_mode_filtered_search_parity(engines):
+    """metadata filter in wide mode: _filter_allowed returns posting
+    ORDINALS (docmap row indices), not external ids — parity with the
+    64-bit engine pins the translation."""
+    e64, e128 = engines
+    q = ast.Or(ast.Term("def"), ast.Term("return"))
+    for flt in ({"lang": ["py", "go"]}, {"lang": ["chpl"]}):
+        s64 = e64.search(q, k=10, filter=flt)
+        s128 = e128.search(q, k=10, filter=flt)
+        assert len(s64) > 0
+        assert s64["doc_id"].to_pylist() == s128["doc_id"].to_pylist(), flt
+        assert s64["score"].to_pylist() == s128["score"].to_pylist(), flt
+        assert s64["lang"].to_pylist() == s128["lang"].to_pylist(), flt
+        b64 = e64.search_boolean(q, filter=flt)
+        b128 = e128.search_boolean(q, filter=flt)
+        assert b64["doc_id"].to_pylist() == b128["doc_id"].to_pylist(), flt
