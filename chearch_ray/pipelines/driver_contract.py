@@ -917,6 +917,21 @@ def q_deterministic_sample(sf_dir: str) -> pa.Table:
 
 
 # --------------------------- rows-only (not SQL-expressible) queries
+#: exact substring dedup: drop docs whose token w-grams first appear
+#: in a lower-doc_id document (stages/dedup.substring_dedup)
+SUBSTR_W = 8
+
+
+def q_substring_dedup(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.dedup import substring_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = substring_dedup(ds, w=SUBSTR_W)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1027,6 +1042,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pack_sequences_hash": q_pack_sequences_hash,
     "decontaminate": q_decontaminate,
+    "substring_dedup": q_substring_dedup,
     "hash_split": q_hash_split,
     "quota_sample": q_quota_sample,
     "repetition_filter": q_repetition_filter,
@@ -1453,6 +1469,29 @@ SELECT d.doc_id::BIGINT AS doc_id,
 FROM documents d
 LEFT JOIN cnt c ON d.doc_id = c.doc_id
 LEFT JOIN ov o ON d.doc_id = o.doc_id
+""",
+    "substring_dedup": f"""
+WITH {POS_TOK_CTE},
+ng0 AS (SELECT doc_id, term,
+        {', '.join(f'lead(term, {j}) OVER (PARTITION BY doc_id ORDER BY ord) AS t{j}' for j in range(1, SUBSTR_W))}
+        FROM ptok),
+ng AS (SELECT doc_id,
+       {" || ' ' || ".join(["term"] + [f"t{j}" for j in range(1, SUBSTR_W)])} AS g
+       FROM ng0 WHERE t{SUBSTR_W - 1} IS NOT NULL),
+ngd AS (SELECT DISTINCT doc_id, g FROM ng),
+firsts AS (SELECT g, min(doc_id) AS fd, count(*) AS n FROM ngd GROUP BY g),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM ngd GROUP BY doc_id),
+dup AS (SELECT d.doc_id,
+        sum(CASE WHEN f.n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+        max(CASE WHEN f.fd < d.doc_id THEN 1 ELSE 0 END) AS flagged
+        FROM ngd d JOIN firsts f ON d.g = f.g GROUP BY d.doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(c.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(u.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       coalesce(u.flagged, 0) = 0 AS keep
+FROM documents d
+LEFT JOIN cnt c ON d.doc_id = c.doc_id
+LEFT JOIN dup u ON d.doc_id = u.doc_id
 """,
     "pack_sequences_hash": f"""
 WITH tc AS (SELECT doc_id,

@@ -1280,3 +1280,274 @@ def ngram_jaccard_verify(corpus: pa.Table, pairs: pa.Table, text_column: str = "
         union = len(sa | sb)
         ja.append((len(sa & sb) / union) if union else 0.0)
     return pairs.append_column("jaccard", pa.array(ja, type=pa.float64()))
+
+
+# ------------------------------------------------- exact substring dedup
+def _unique_doc_grams(batch: pa.Table, text_column: str, w: int):
+    """-> (gram hashes, doc row index) with per-(doc, gram) duplicates
+    removed, plus the per-row doc_id array — shared by every
+    substring-dedup pass."""
+    h, rows = _doc_shingle_hashes(batch, text_column, w)
+    doc_col = batch["doc_id"]
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    doc_np = doc_col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    if len(h) == 0:
+        return h, rows, doc_np
+    order = np.lexsort((h, rows))
+    rows_s, h_s = rows[order], h[order]
+    keep = np.ones(len(h_s), dtype=bool)
+    keep[1:] = (rows_s[1:] != rows_s[:-1]) | (h_s[1:] != h_s[:-1])
+    return h_s[keep], rows_s[keep], doc_np
+
+
+def _gram_doc_rows(batch: pa.Table, text_column: str, w: int) -> pa.Table:
+    """corpus batch -> unique (gram_j, doc_id, n_grams) rows for the
+    distributed join path.  gram_j is the int64 BIT-CAST of the uint64
+    rolling hash (Ray groupby/join key); n_grams is the doc's
+    distinct-gram count, repeated per row so the per-doc aggregate
+    after the join needs no second corpus pass."""
+    h_u, rows_u, doc_np = _unique_doc_grams(batch, text_column, w)
+    n_grams = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(n_grams, rows_u, 1)
+    return pa.table(
+        {
+            "gram_j": pa.array(h_u.view(np.int64), type=pa.int64()),
+            "doc_id": pa.array(doc_np[rows_u], type=pa.uint64()),
+            "n_grams": pa.array(n_grams[rows_u], type=pa.int64()),
+        }
+    )
+
+
+#: uint64 -> int64 ORDER-PRESERVING bijection (XOR the sign bit): Ray
+#: aggregates normalize uint64 to int64, which would corrupt Min over
+#: ids >= 2^63 (blake2b-64 ids exceed it half the time); the shifted
+#: encoding keeps Min exact in int64 space.
+_ORDER_SHIFT = np.uint64(1 << 63)
+
+
+def _u64_to_ordered_i64(u: np.ndarray) -> np.ndarray:
+    return (u.astype(np.uint64) ^ _ORDER_SHIFT).view(np.int64)
+
+
+def _ordered_i64_to_u64(i: np.ndarray) -> np.ndarray:
+    return (i.astype(np.int64).view(np.uint64)) ^ _ORDER_SHIFT
+
+
+def _gram_first_partial(batch: pa.Table) -> pa.Table:
+    """map-side combine for the gram-ownership groupby: (gram_j ->
+    min doc, row count) per block, so the shuffle carries
+    distinct-grams-per-block rows instead of (gram, doc) pairs.
+    min_doc rides in the order-preserving int64 encoding."""
+    g = batch["gram_j"].to_numpy()
+    d = batch["doc_id"].to_numpy().astype(np.uint64)
+    if len(g) == 0:
+        return pa.table(
+            {
+                "gram_j": pa.array([], type=pa.int64()),
+                "min_doc": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    order = np.argsort(g, kind="stable")
+    g_s, d_s = g[order], d[order]
+    starts = np.flatnonzero(np.concatenate([[True], g_s[1:] != g_s[:-1]]))
+    return pa.table(
+        {
+            "gram_j": pa.array(g_s[starts], type=pa.int64()),
+            "min_doc": pa.array(
+                _u64_to_ordered_i64(np.minimum.reduceat(d_s, starts)), type=pa.int64()
+            ),
+            "n": pa.array(np.diff(np.append(starts, len(g_s))), type=pa.int64()),
+        }
+    )
+
+
+def _doc_gram_counts(batch: pa.Table, text_column: str, w: int) -> pa.Table:
+    """one row per doc (INCLUDING docs with fewer than w tokens), in
+    the per-doc reduce schema: (doc_j bit-cast key, n_grams,
+    n_dup=0, n_earlier=0) — unioned with the dup-hit partials and
+    summed per doc (an outer join replacement: Ray's left_outer
+    chokes on empty right partitions, and a union + groupby-sum is
+    one stage cheaper anyway)."""
+    h_u, rows_u, doc_np = _unique_doc_grams(batch, text_column, w)
+    n_grams = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(n_grams, rows_u, 1)
+    zeros = np.zeros(len(batch), dtype=np.int64)
+    return pa.table(
+        {
+            "doc_j": pa.array(doc_np.view(np.int64), type=pa.int64()),
+            "n_grams": pa.array(n_grams, type=pa.int64()),
+            "n_dup": pa.array(zeros, type=pa.int64()),
+            "n_earlier": pa.array(zeros, type=pa.int64()),
+        }
+    )
+
+
+def _substring_flag_batch(batch: pa.Table, dup_ref, text_column: str, w: int) -> pa.Table:
+    import ray
+
+    dup_grams, first_docs = (
+        ray.get(dup_ref) if isinstance(dup_ref, ray.ObjectRef) else dup_ref
+    )
+    h_u, rows_u, doc_np = _unique_doc_grams(batch, text_column, w)
+    n = len(batch)
+    n_grams = np.zeros(n, dtype=np.int64)
+    np.add.at(n_grams, rows_u, 1)
+    n_dup = np.zeros(n, dtype=np.int64)
+    earlier = np.zeros(n, dtype=np.int64)
+    if len(dup_grams) and len(h_u):
+        pos = np.searchsorted(dup_grams, h_u)
+        pos_c = np.minimum(pos, len(dup_grams) - 1)
+        hit = dup_grams[pos_c] == h_u
+        np.add.at(n_dup, rows_u[hit], 1)
+        owned_earlier = hit & (first_docs[pos_c] < doc_np[rows_u])
+        np.add.at(earlier, rows_u[owned_earlier], 1)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_np.astype(np.int64), type=pa.int64()),
+            "n_grams": pa.array(n_grams, type=pa.int64()),
+            "n_dup_grams": pa.array(n_dup, type=pa.int64()),
+            "keep": pa.array(earlier == 0),
+        }
+    )
+
+
+def substring_dedup(ds, w: int = 8, text_column: str = "text",
+                    broadcast_limit: int = 5_000_000, join_partitions: int = 16):
+    """Exact substring-level dedup at token w-gram granularity ->
+    (doc_id, n_grams, n_dup_grams, keep), one row per document.
+
+    A doc is DROPPED (keep=false) when any of its distinct w-grams
+    first appears in a lower-doc_id document — the doc-level policy of
+    "Deduplicating Training Data Makes Language Models Better"-style
+    exact substring dedup (the first copy of every duplicated span
+    survives; later copies are flagged).  n_dup_grams counts the doc's
+    grams shared with ANY other doc (direction-free), for auditing
+    partial overlap.
+
+    Scale shape: ONE token-scale shuffle — per-batch unique
+    (gram, doc) rows are map-side combined to (gram -> min doc, n)
+    per block, then a Ray groupby-aggregate merges gram ownership.
+    Grams duplicated across docs (n >= 2) are usually a tiny fraction;
+    below `broadcast_limit` they broadcast via ray.put and a second
+    vectorized corpus pass flags docs (the decontaminate shape).
+    Above it, the dup-gram table stays distributed: hash-join back
+    onto the exploded gram rows, per-doc aggregate, left-outer join
+    onto the per-doc gram counts (row-identical to the broadcast
+    path; pinned by test_substring_dedup_join_path_identical)."""
+    from functools import partial as _p
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    grams = ds.map_batches(
+        _p(_gram_doc_rows, text_column=text_column, w=w), batch_format="pyarrow"
+    )
+    ownership = (
+        grams.map_batches(_gram_first_partial, batch_format="pyarrow")
+        .groupby("gram_j")
+        .aggregate(Min("min_doc", alias_name="first_doc"), Sum("n", alias_name="n"))
+    )
+    dup = ownership.filter(expr="n >= 2").select_columns(["gram_j", "first_doc"])
+
+    # ---- broadcast fast path: gather the dup-gram table with an
+    # early bail once it provably exceeds the gate
+    tables, total, over = [], 0, False
+    for t in dup.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(t):
+            tables.append(t)
+            total += len(t)
+            if total > broadcast_limit:
+                over = True
+                break
+    if not over:
+        if tables:
+            t = pa.concat_tables(tables).combine_chunks()
+            keys = t["gram_j"].to_numpy().view(np.uint64)
+            firsts = _ordered_i64_to_u64(t["first_doc"].to_numpy())
+            order = np.argsort(keys, kind="stable")
+            dup_ref = ray.put((keys[order], firsts[order]))
+        else:
+            dup_ref = ray.put(
+                (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64))
+            )
+        return ds.map_batches(
+            _p(_substring_flag_batch, dup_ref=dup_ref, text_column=text_column, w=w),
+            batch_format="pyarrow",
+        )
+
+    # ---- distributed path: dup grams inner-join back onto the gram
+    # rows, then ONE per-doc groupby-sum over the union of (hit
+    # partials) + (per-doc gram counts) — no outer join
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.join_operator_actor_num_cpus_per_partition_override
+    ctx.join_operator_actor_num_cpus_per_partition_override = 0.1
+    try:
+        hits = grams.join(
+            dup, join_type="inner", on=("gram_j",), num_partitions=join_partitions
+        )
+        hit_partials = hits.map_batches(_substring_hit_partial, batch_format="pyarrow")
+        counts = ds.map_batches(
+            _p(_doc_gram_counts, text_column=text_column, w=w), batch_format="pyarrow"
+        )
+        per_doc = (
+            counts.union(hit_partials)
+            .groupby("doc_j")
+            .aggregate(
+                Sum("n_grams", alias_name="n_grams"),
+                Sum("n_dup", alias_name="n_dup_grams"),
+                Sum("n_earlier", alias_name="n_earlier"),
+            )
+            .materialize()
+        )
+    finally:
+        ctx.join_operator_actor_num_cpus_per_partition_override = saved
+    return per_doc.map_batches(_substring_finalize, batch_format="pyarrow")
+
+
+def _substring_hit_partial(batch: pa.Table) -> pa.Table:
+    """dup-joined gram rows -> per-(doc in block) partial counts in
+    the per-doc reduce schema: n_dup = dup-gram rows, n_earlier = dup
+    grams whose first owner has a strictly lower id (uint64
+    comparison after decoding the order-shifted first_doc),
+    n_grams = 0 (the counts stream owns that term of the sum)."""
+    d = batch["doc_id"].to_numpy().astype(np.uint64)
+    f = _ordered_i64_to_u64(batch["first_doc"].to_numpy())
+    if len(d) == 0:
+        return pa.table(
+            {
+                "doc_j": pa.array([], type=pa.int64()),
+                "n_grams": pa.array([], type=pa.int64()),
+                "n_dup": pa.array([], type=pa.int64()),
+                "n_earlier": pa.array([], type=pa.int64()),
+            }
+        )
+    earlier = (f < d).astype(np.int64)
+    order = np.argsort(d, kind="stable")
+    d_s, e_s = d[order], earlier[order]
+    starts = np.flatnonzero(np.concatenate([[True], d_s[1:] != d_s[:-1]]))
+    return pa.table(
+        {
+            "doc_j": pa.array(d_s[starts].view(np.int64), type=pa.int64()),
+            "n_grams": pa.array(np.zeros(len(starts), dtype=np.int64), type=pa.int64()),
+            "n_dup": pa.array(np.diff(np.append(starts, len(d_s))), type=pa.int64()),
+            "n_earlier": pa.array(np.add.reduceat(e_s, starts), type=pa.int64()),
+        }
+    )
+
+
+def _substring_finalize(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    doc_u = batch["doc_j"].to_numpy().view(np.uint64)
+    n_earlier = batch["n_earlier"].to_numpy()
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_u.astype(np.int64), type=pa.int64()),
+            "n_grams": batch["n_grams"].cast(pa.int64()),
+            "n_dup_grams": pc.fill_null(batch["n_dup_grams"], 0).cast(pa.int64()),
+            "keep": pa.array(n_earlier == 0),
+        }
+    )

@@ -1611,3 +1611,80 @@ def test_exact_quantiles_negative_values(ray_session):
     for q, val in zip(got["q"], got["c"]):
         want = con.execute(f"SELECT quantile_disc(c, {q}) FROM tbl").fetchone()[0]
         assert val == want, (q, val, want)
+
+
+# ------------------------------------------------ exact substring dedup
+def _substring_brute(table: pa.Table, w: int):
+    """pure-Python reference: doc -> (n_grams, n_dup_grams, keep)."""
+    from chearch_ray.functions.tokenizer import tokenize
+
+    toks = tokenize(table["text"]).to_pylist()
+    ids = table["doc_id"].to_pylist()
+    grams = {
+        d: {tuple(ts[i : i + w]) for i in range(len(ts) - w + 1)}
+        for d, ts in zip(ids, toks)
+    }
+    first: dict[tuple, int] = {}
+    count: dict[tuple, int] = {}
+    for d in sorted(ids):
+        for g in grams[d]:
+            first[g] = min(first.get(g, d), d)
+            count[g] = count.get(g, 0) + 1
+    out = {}
+    for d in ids:
+        dup = sum(1 for g in grams[d] if count[g] >= 2)
+        flagged = any(first[g] < d for g in grams[d])
+        out[d] = (len(grams[d]), dup, not flagged)
+    return out
+
+
+def test_substring_dedup_vs_bruteforce(ray_session, docs):
+    import ray.data
+
+    from chearch_ray.stages.dedup import substring_dedup
+
+    got = substring_dedup(ray.data.from_arrow(docs), w=3).to_pandas().set_index("doc_id")
+    want = _substring_brute(docs, w=3)
+    assert len(got) == len(docs)
+    for d, (ng, nd, keep) in want.items():
+        row = got.loc[d]
+        assert (row["n_grams"], row["n_dup_grams"], bool(row["keep"])) == (ng, nd, keep), d
+    # the exact dup (doc 2) and the near dup (doc 3, shares a long
+    # prefix with doc 1) are both dropped; doc 1 survives
+    assert bool(got.loc[1, "keep"]) and not bool(got.loc[2, "keep"])
+    assert not bool(got.loc[3, "keep"])
+    assert got.loc[4:6, "keep"].all()
+
+
+def test_substring_dedup_join_path_identical(ray_session, docs):
+    """broadcast_limit=0 forces the distributed join path; output must
+    be row-identical to the broadcast path."""
+    import ray.data
+
+    from chearch_ray.stages.dedup import substring_dedup
+
+    a = (
+        substring_dedup(ray.data.from_arrow(docs), w=3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        substring_dedup(ray.data.from_arrow(docs), w=3, broadcast_limit=0, join_partitions=3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_substring_dedup_short_docs_have_zero_grams(ray_session):
+    import ray.data
+
+    from chearch_ray.stages.dedup import substring_dedup
+
+    t = pa.Table.from_pylist(
+        [{"doc_id": 1, "text": "one two"}, {"doc_id": 2, "text": "one two"}]
+    )
+    got = substring_dedup(ray.data.from_arrow(t), w=5).to_pandas().set_index("doc_id")
+    assert (got["n_grams"] == 0).all() and got["keep"].all()
