@@ -57,6 +57,28 @@ def cmd_build(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_delete(args: argparse.Namespace) -> int:
+    from chearch_ray.pipelines.lifecycle import delete_docs
+
+    ids = [int(x) for x in args.ids.split(",") if x]
+    his = [int(x) for x in args.hi.split(",") if x] if args.hi else None
+    path = delete_docs(args.index, ids, doc_ids_hi=his)
+    print(f"tombstoned {len(ids)} docs -> {path}")
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from chearch_ray.pipelines.lifecycle import compact_index
+
+    manifest = compact_index(args.index, args.out)
+    print(
+        f"compacted -> {args.out}: {manifest.num_docs} docs, "
+        f"{len(manifest.postings_parts)} posting partitions"
+    )
+    return 0
+
+
 def cmd_merge(args: argparse.Namespace) -> int:
     _ensure_ray()
     from chearch_ray.pipelines.merge import merge_indexes
@@ -140,6 +162,17 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--inputs", nargs="+", required=True)
     mg.add_argument("--output", required=True)
     mg.set_defaults(fn=cmd_merge)
+
+    dl = sub.add_parser("delete")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--ids", required=True, help="comma-separated doc ids")
+    dl.add_argument("--hi", default=None, help="comma-separated hi words (doc_id_bits=128)")
+    dl.set_defaults(fn=cmd_delete)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--out", required=True)
+    cp.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)

@@ -917,6 +917,51 @@ def q_deterministic_sample(sf_dir: str) -> pa.Table:
 
 
 # --------------------------- rows-only (not SQL-expressible) queries
+#: document deletes (pipelines/lifecycle.py): tombstone a COPY of the
+#: cached index (the shared engine keeps its snapshot), then search —
+#: deleted docs must vanish from results while surviving docs keep
+#: their exact pre-delete scores (live-docs contract; BM25 stats stay
+#: the manifest's until compaction, which the SQL mirror reproduces by
+#: computing stats over the FULL corpus and excluding deleted ids from
+#: candidates only).
+DELETE_MOD, DELETE_REMAINDER = 7, 3
+
+
+def _deleted_engine_for(sf_dir: str) -> QueryEngine:
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from chearch_ray.pipelines.lifecycle import delete_docs
+
+    engine_for(sf_dir)  # ensure the base index is built
+    base = _index_dir_for(sf_dir)
+    ddir = base + "-del"
+    eng = _ENGINES.get(ddir)
+    if eng is None:
+        if not os.path.exists(os.path.join(ddir, "manifest.json")):
+            shutil.rmtree(ddir, ignore_errors=True)
+            shutil.copytree(base, ddir)
+            ids = _pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+            )["doc_id"].to_numpy()
+            delete_docs(ddir, ids[ids % DELETE_MOD == DELETE_REMAINDER].astype("uint64"))
+        eng = QueryEngine(ddir, use_actors=True)
+        _ENGINES[ddir] = eng
+    return eng
+
+
+def q_boolean_deleted(sf_dir: str) -> pa.Table:
+    a, b = BOOL_AND_TERMS
+    t = _deleted_engine_for(sf_dir).search_boolean(ast.And(ast.Term(a), ast.Term(b)))
+    return pa.table({"doc_id": t["doc_id"].cast(pa.int64())})
+
+
+def q_bm25_deleted(sf_dir: str) -> pa.Table:
+    a, b = BM25_FILTERED_TERMS
+    return _ranked(_deleted_engine_for(sf_dir).search(ast.Or(ast.Term(a), ast.Term(b)), k=10))
+
+
 #: exact substring dedup: drop docs whose token w-grams first appear
 #: in a lower-doc_id document (stages/dedup.substring_dedup)
 SUBSTR_W = 8
@@ -1022,6 +1067,8 @@ QUERIES = {
     "bm25_tree": q_bm25_tree,
     "bm25_filtered": q_bm25_filtered,
     "boolean_filtered": q_boolean_filtered,
+    "boolean_deleted": q_boolean_deleted,
+    "bm25_deleted": q_bm25_deleted,
     "missing_term": q_missing_term,
     "dedup_exact": q_dedup_exact,
     "content_sha": q_content_sha,
@@ -1318,6 +1365,21 @@ i AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_AND_TERMS[0]}'
 SELECT i.doc_id FROM i JOIN documents d ON i.doc_id = d.doc_id
 WHERE d.lang IN ('{FILTER_LANGS[0]}', '{FILTER_LANGS[1]}')
 """,
+    "boolean_deleted": f"""
+WITH {TOK_CTE},
+i AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_AND_TERMS[0]}'
+      INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_AND_TERMS[1]}')
+SELECT doc_id FROM i WHERE doc_id % {DELETE_MOD} <> {DELETE_REMAINDER}
+""",
+    "bm25_deleted": _bm25_sql(
+        BM25_FILTERED_TERMS,
+        "or",
+        cand_sql=(
+            f"SELECT DISTINCT doc_id FROM tok "
+            f"WHERE term IN ('{BM25_FILTERED_TERMS[0]}', '{BM25_FILTERED_TERMS[1]}') "
+            f"AND doc_id % {DELETE_MOD} <> {DELETE_REMAINDER}"
+        ),
+    ),
     "missing_term": f"""
 WITH {TOK_CTE}
 SELECT doc_id FROM tok WHERE term = '__never_present__'

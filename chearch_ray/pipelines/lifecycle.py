@@ -1,0 +1,95 @@
+"""Index lifecycle: document deletes (tombstones) + compaction.
+
+The reference's MVCC-lite snapshot filter (memorysegment.chpl:299:
+queries only see documents registered before the query started)
+generalizes to the persistent engine as LIVE-DOCS semantics:
+
+* `delete_docs` appends a tombstone parquet under
+  `<index>/tombstones/` — no segment file is touched, the manifest
+  stays valid, and the write is atomic (tmp + rename), so a
+  concurrent reader never sees a partial tombstone.
+* `SegmentSearcher` loads the tombstone set ONCE at construction and
+  masks candidates in every query mode; an engine opened BEFORE the
+  delete keeps serving its snapshot (searcher.py `_load_tombstones`).
+* BM25 corpus stats (df / N / avgdl) intentionally remain the
+  manifest's until compaction — the standard live-docs contract
+  (scores of surviving docs are unchanged by a delete).
+* `compact_index` rewrites the index WITHOUT the deleted docs by
+  running the per-partition merge machinery over the single input
+  with a drop set: decode -> filter -> re-sort -> re-encode per
+  partition, no global shuffle, stats re-derived by commit_manifest.
+  The output is byte-identical to a from-scratch build over the
+  corpus minus the deleted docs (pinned by
+  tests/test_lifecycle.py::test_compact_byte_identical_to_rebuild),
+  and carries no tombstones.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from chearch_ray.state import segment as seg_io
+from chearch_ray.state.segment import Manifest
+
+
+def delete_docs(index_dir: str, doc_ids, doc_ids_hi=None) -> str:
+    """Tombstone `doc_ids` (uint64 external ids; pass `doc_ids_hi` for
+    a doc_id_bits=128 index).  Returns the tombstone file path.
+    Readers constructed after this call exclude the docs from every
+    query mode; already-open engines keep their snapshot."""
+    if not seg_io.manifest_exists(index_dir):
+        raise ValueError(f"no committed index at {index_dir}")
+    lo = np.asarray(list(doc_ids), dtype=np.uint64)
+    cols: dict = {"doc_id": pa.array(lo, type=pa.uint64())}
+    manifest = Manifest.load(index_dir)
+    wide = manifest.engine_config.doc_id_bits == 128
+    if wide:
+        if doc_ids_hi is None:
+            raise ValueError("doc_id_bits=128 index: pass doc_ids_hi")
+        hi = np.asarray(list(doc_ids_hi), dtype=np.uint64)
+        if len(hi) != len(lo):
+            raise ValueError("doc_ids and doc_ids_hi length mismatch")
+        cols = {"doc_id_hi": pa.array(hi, type=pa.uint64()), **cols}
+    elif doc_ids_hi is not None:
+        raise ValueError("doc_ids_hi given for a 64-bit index")
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    os.makedirs(tomb_dir, exist_ok=True)
+    n = len(glob.glob(os.path.join(tomb_dir, "t-*.parquet")))
+    path = os.path.join(tomb_dir, f"t-{n:06d}.parquet")
+    seg_io.atomic_write_table(pa.table(cols), path)
+    return path
+
+
+def load_tombstone_ids(index_dir: str) -> dict | None:
+    """{"lo": uint64 array, "hi": uint64 array | None} of all
+    tombstoned external ids, or None when there are none."""
+    import pyarrow.parquet as pq
+
+    paths = sorted(glob.glob(os.path.join(index_dir, "tombstones", "*.parquet")))
+    if not paths:
+        return None
+    t = pa.concat_tables([pq.read_table(p) for p in paths])
+    lo = t["doc_id"].to_numpy().astype(np.uint64)
+    hi = (
+        t["doc_id_hi"].to_numpy().astype(np.uint64)
+        if "doc_id_hi" in t.column_names
+        else None
+    )
+    return {"lo": lo, "hi": hi}
+
+
+def compact_index(index_dir: str, out_dir: str) -> Manifest:
+    """Rewrite the index into `out_dir` without its tombstoned docs
+    (per-partition Ray tasks, no global shuffle); output is
+    byte-identical to a fresh build over the surviving corpus and has
+    an empty tombstone set.  A no-op copy-shaped compact (no
+    tombstones) is also valid — it re-finalizes every partition."""
+    from chearch_ray.pipelines.merge import merge_indexes
+
+    drop = load_tombstone_ids(index_dir)
+    manifest = merge_indexes([index_dir], out_dir, drop_ids=drop)
+    return manifest

@@ -97,8 +97,30 @@ def _explode_postings_part(path: str, cfg: EngineConfig,
     return pa.table(cols)
 
 
-def _merge_one_part(batch: pa.Table, cfg_dict: dict, input_dirs: list[str], out_dir: str) -> pa.Table:
-    """ray task: merge one partition id across all inputs."""
+def _drop_mask(lo: np.ndarray, hi: np.ndarray | None, drop: dict) -> np.ndarray:
+    """keep-mask of rows whose external id is NOT in the drop set.
+    64-bit mode: sorted membership on doc_id; wide mode: on the packed
+    (hi, lo) key."""
+    from chearch_ray.functions.hashing import key16
+
+    if hi is not None:
+        keys = key16(hi.astype(np.uint64), lo.astype(np.uint64))
+        dkeys = np.sort(key16(drop["hi"].astype(np.uint64), drop["lo"].astype(np.uint64)))
+    else:
+        keys = lo.astype(np.uint64)
+        dkeys = np.sort(drop["lo"].astype(np.uint64))
+    if len(dkeys) == 0 or len(keys) == 0:
+        return np.ones(len(keys), dtype=bool)
+    pos = np.searchsorted(dkeys, keys)
+    pos_c = np.minimum(pos, len(dkeys) - 1)
+    return dkeys[pos_c] != keys
+
+
+def _merge_one_part(batch: pa.Table, cfg_dict: dict, input_dirs: list[str], out_dir: str,
+                    drop: dict | None = None) -> pa.Table:
+    """ray task: merge one partition id across all inputs, optionally
+    dropping documents in `drop` ({"lo": uint64 array, "hi": array or
+    None}) — the compaction path (pipelines.lifecycle.compact_index)."""
     import pyarrow.compute as pc
 
     from chearch_ray.stages.postings import _empty_summary
@@ -124,6 +146,10 @@ def _merge_one_part(batch: pa.Table, cfg_dict: dict, input_dirs: list[str], out_
                         )
                     )
             flat = pa.concat_tables(tables)
+            if drop is not None and len(flat):
+                lo_np = flat["doc_id"].to_numpy()
+                hi_np = flat["doc_hi"].to_numpy() if wide else None
+                flat = flat.filter(pa.array(_drop_mask(lo_np, hi_np, drop)))
             if len(flat) == 0:
                 outs.append(_empty_summary())
                 continue
@@ -158,6 +184,10 @@ def _merge_one_part(batch: pa.Table, cfg_dict: dict, input_dirs: list[str], out_
                     t = pq.read_table(p)
                     tables.append(t.append_column("seg", pa.array([part] * len(t), type=pa.int32())))
             cat = pa.concat_tables(tables)
+            if drop is not None and len(cat):
+                lo_np = cat["doc_id"].to_numpy()
+                hi_np = cat["doc_id_hi"].to_numpy() if cfg.doc_id_bits == 128 else None
+                cat = cat.filter(pa.array(_drop_mask(lo_np, hi_np, drop)))
             if cfg.doc_id_bits != 128:
                 # wide mode: low words may legitimately collide; the
                 # writer dup-checks the full (hi, lo) pair after sorting
@@ -168,7 +198,8 @@ def _merge_one_part(batch: pa.Table, cfg_dict: dict, input_dirs: list[str], out_
     return pa.concat_tables(outs)
 
 
-def merge_indexes(input_dirs: list[str], out_dir: str) -> Manifest:
+def merge_indexes(input_dirs: list[str], out_dir: str,
+                  drop_ids: dict | None = None) -> Manifest:
     """Merge built indexes (same structural config, disjoint doc ids)
     into `out_dir`; per-partition ray tasks, no global shuffle.  Output
     partitions are byte-identical to a from-scratch build over the
@@ -212,7 +243,8 @@ def merge_indexes(input_dirs: list[str], out_dir: str) -> Manifest:
         (
             ray.data.from_items(items, override_num_blocks=len(items))
             .map_batches(
-                partial(_merge_one_part, cfg_dict=cfg_dict, input_dirs=list(input_dirs), out_dir=out_dir),
+                partial(_merge_one_part, cfg_dict=cfg_dict, input_dirs=list(input_dirs),
+                        out_dir=out_dir, drop=drop_ids),
                 batch_format="pyarrow",
                 batch_size=1,
                 num_cpus=1,

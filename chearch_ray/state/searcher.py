@@ -101,6 +101,31 @@ def topk_order(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
     return order[:k]
 
 
+def _load_tombstones(index_dir: str, docmap) -> np.ndarray:
+    """sorted deleted-doc array for one segment: posting-value space
+    (external uint64 ids in 64-bit mode; docmap ordinals in wide
+    mode).  Empty when no tombstones exist."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    paths = sorted(_glob.glob(os.path.join(index_dir, "tombstones", "*.parquet")))
+    if not paths or docmap is None:
+        return np.empty(0, dtype=np.uint64)
+    tables = [_pq.read_table(p) for p in paths]
+    t = pa.concat_tables(tables)
+    lo = t["doc_id"].to_numpy().astype(np.uint64)
+    if getattr(docmap, "wide", False):
+        hi = (
+            t["doc_id_hi"].to_numpy().astype(np.uint64)
+            if "doc_id_hi" in t.column_names
+            else np.zeros(len(lo), dtype=np.uint64)
+        )
+        ords = docmap.ordinals_for(hi, lo)
+        return np.unique(ords[ords >= 0].astype(np.uint64))
+    return np.unique(lo)
+
+
 class SegmentSearcher:
     """Holds one doc-segment: all its term-shard postings files + its
     docmap.  Designed for `ray.remote(SegmentSearcher)` — everything
@@ -118,6 +143,13 @@ class SegmentSearcher:
                 self.shards[shard] = PostingsPartReader(path, cfg)
         docmap_path = os.path.join(index_dir, docmap_rel_path(seg))
         self.docmap = DocmapReader(docmap_path) if os.path.exists(docmap_path) else None
+        # tombstones (pipelines.lifecycle.delete_docs): loaded ONCE at
+        # construction — an engine opened before a delete keeps its
+        # snapshot (the reference's MVCC-lite snapshot filter,
+        # memorysegment.chpl:299, generalized to persistent segments).
+        # BM25 stats (df/N/avgdl) intentionally stay those of the
+        # manifest until compaction, the standard live-docs contract.
+        self.deleted = _load_tombstones(index_dir, self.docmap)
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._enc_cache: dict[str, object] = {}
         self._blk_cache: dict[str, dict[int, tuple[np.ndarray, np.ndarray]]] = {}
@@ -308,10 +340,26 @@ class SegmentSearcher:
         b = self._eval_sets(node.b)
         return np.union1d(a, b)
 
+    def _not_deleted(self, docs: np.ndarray) -> np.ndarray:
+        """boolean keep-mask over `docs` against the tombstone set."""
+        if len(self.deleted) == 0 or len(docs) == 0:
+            return np.ones(len(docs), dtype=bool)
+        pos = np.searchsorted(self.deleted, docs)
+        pos_c = np.minimum(pos, len(self.deleted) - 1)
+        return self.deleted[pos_c] != docs
+
+    def _candidates(self, node: ast.Node) -> np.ndarray:
+        """_eval_sets minus tombstoned docs — the single candidate
+        source for every non-fast-path search mode."""
+        docs = self._eval_sets(node)
+        if len(self.deleted):
+            docs = docs[self._not_deleted(docs)]
+        return docs
+
     def search_boolean(self, node: ast.Node, limit: int | None = None) -> pa.Table:
         """Doc-level boolean retrieval, ascending doc_id, capped at
         partition_limit per segment (reference search.chpl:17)."""
-        docs = self._eval_sets(node)
+        docs = self._candidates(node)
         cap = limit if limit is not None else self.cfg.partition_limit
         docs = docs[:cap]
         return self._project(docs, scores=None)
@@ -362,7 +410,7 @@ class SegmentSearcher:
         if self.docmap is None:
             return self._project(_EMPTY_U64, scores=np.empty(0))
         allowed = self._filter_allowed(flt)
-        candidates = intersect_sorted(self._eval_sets(node), allowed)
+        candidates = intersect_sorted(self._candidates(node), allowed)
         if len(candidates) == 0:
             return self._project(candidates, scores=np.empty(0))
         scores = self._score_docs(
@@ -377,7 +425,7 @@ class SegmentSearcher:
         if self.docmap is None:
             return self._project(_EMPTY_U64, scores=None)
         allowed = self._filter_allowed(flt)
-        docs = intersect_sorted(self._eval_sets(node), allowed)
+        docs = intersect_sorted(self._candidates(node), allowed)
         cap = limit if limit is not None else self.cfg.partition_limit
         return self._project(docs[:cap], scores=None)
 
@@ -397,6 +445,9 @@ class SegmentSearcher:
             return self._project(_EMPTY_U64, scores=np.empty(0))
         if (
             self.cfg.use_maxscore
+            and len(self.deleted) == 0  # live-docs: exact top-k needs
+            # deleted docs out BEFORE threshold accumulation — route
+            # to the generic candidates path instead
             and isinstance(node, ast.Or)
             and ast.is_disjunctive(node)
         ):
@@ -409,6 +460,9 @@ class SegmentSearcher:
             # would searchsorted the list into itself to re-find tfs
             term = str(node.term)
             docs, tfs = self.postings(term)
+            if len(self.deleted):
+                keep = self._not_deleted(docs)
+                docs, tfs = docs[keep], tfs[keep]
             if len(docs) == 0:
                 return self._project(docs, scores=np.empty(0))
             cfg = self.cfg
@@ -426,6 +480,10 @@ class SegmentSearcher:
             # accumulation runs in the same query-term order).
             terms = [str(t) for t in ast.terms_of(node)]
             docs, tf_by_term = self._conjunctive_eval(terms)
+            if len(self.deleted) and len(docs):
+                keep = self._not_deleted(docs)
+                docs = docs[keep]
+                tf_by_term = {t: v[keep] for t, v in tf_by_term.items()}
             if len(docs) == 0:
                 return self._project(docs, scores=np.empty(0))
             cfg = self.cfg
@@ -438,7 +496,7 @@ class SegmentSearcher:
                 )
             order = topk_order(scores, docs, k)
             return self._project(docs[order], scores=scores[order])
-        candidates = self._eval_sets(node)
+        candidates = self._candidates(node)
         if len(candidates) == 0:
             return self._project(candidates, scores=np.empty(0))
         scores = self._score_docs(candidates, [str(t) for t in ast.terms_of(node)], idfs, avgdl)
@@ -740,7 +798,7 @@ class SegmentSearcher:
         node: ast.Node = ast.Term(terms[0])
         for t in terms[1:]:
             node = ast.And(node, ast.Term(t))
-        candidates = self._eval_sets(node)
+        candidates = self._candidates(node)
         if len(candidates) == 0:
             return self._project(candidates, scores=np.empty(0))
         # Rank-ordered lazy verification: scoring needs only the tfs
@@ -918,7 +976,7 @@ class SegmentSearcher:
             if term_a == term_b
             else ast.And(ast.Term(term_a), ast.Term(term_b))
         )
-        candidates = self._eval_sets(node)
+        candidates = self._candidates(node)
         if len(candidates) == 0:
             return self._project(candidates, scores=np.empty(0))
         uniq_terms = list(dict.fromkeys([term_a, term_b]))
