@@ -172,3 +172,177 @@ def revenue_by_nation(orders_ds, customer_ds, nation_table: pa.Table,
         Sum("n_orders", alias_name="n_orders"),
         Sum("total_cents", alias_name="total_cents"),
     )
+
+
+# ------------------------------------------------------------- Q6 shape
+def _q6_partial(batch: pa.Table, d1_us: int, d2_us: int,
+                disc_lo: float, disc_hi: float, qty_max: float) -> pa.Table:
+    ship = batch["l_shipdate"]
+    if isinstance(ship, pa.ChunkedArray):
+        ship = ship.combine_chunks()
+    us = np.asarray(ship.cast(pa.int64()))
+    disc = batch["l_discount"].to_numpy().astype(np.float64)
+    qty = batch["l_quantity"].to_numpy().astype(np.float64)
+    keep = (us >= d1_us) & (us < d2_us) & (disc >= disc_lo) & (disc <= disc_hi) & (qty < qty_max)
+    price = batch["l_extendedprice"].to_numpy().astype(np.float64)[keep]
+    d = disc[keep]
+    return pa.table(
+        {
+            "revenue_cents": pa.array(
+                [int(_round_half_away(price * d * 100).sum())], type=pa.int64()
+            ),
+            "n_items": pa.array([int(keep.sum())], type=pa.int64()),
+        }
+    )
+
+
+def forecast_revenue(lineitem_ds, d1: str = "2001-01-01", d2: str = "2002-01-01",
+                     discount: float = 0.06, qty_max: float = 24.0):
+    """TPC-H Q6 shape: fully map-side — every batch reduces to ONE
+    partial row (revenue cents, matched items), and the 'shuffle' is a
+    count-of-blocks-row global sum.  Predicates run vectorized on the
+    pruned (date, discount, qty, price) columns; at scale the read
+    itself should pass `columns=` so nothing else leaves storage."""
+    from ray.data.aggregate import Sum
+
+    d1_us = int(np.datetime64(d1, "us").astype(np.int64))
+    d2_us = int(np.datetime64(d2, "us").astype(np.int64))
+    partials = lineitem_ds.map_batches(
+        partial(_q6_partial, d1_us=d1_us, d2_us=d2_us,
+                disc_lo=discount - 0.01 - 1e-9, disc_hi=discount + 0.01 + 1e-9,
+                qty_max=qty_max),
+        batch_format="pyarrow",
+    )
+    row = partials.aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_items", alias_name="n_items"),
+    )
+    return pa.table(
+        {
+            "revenue_cents": pa.array([int(row["revenue_cents"] or 0)], type=pa.int64()),
+            "n_items": pa.array([int(row["n_items"] or 0)], type=pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------------- Q3 shape
+def _q3_lineitem_partial(batch: pa.Table, ship_after_us: int) -> pa.Table:
+    ship = batch["l_shipdate"]
+    if isinstance(ship, pa.ChunkedArray):
+        ship = ship.combine_chunks()
+    us = np.asarray(ship.cast(pa.int64()))
+    keep = us > ship_after_us
+    b = batch.filter(pa.array(keep))
+    price = b["l_extendedprice"].to_numpy().astype(np.float64)
+    disc = b["l_discount"].to_numpy().astype(np.float64)
+    t = pa.table(
+        {
+            "l_orderkey": b["l_orderkey"].cast(pa.int64()),
+            "rev_cents": pa.array(
+                _round_half_away(price * (1.0 - disc) * 100), type=pa.int64()
+            ),
+        }
+    )
+    agg = t.group_by("l_orderkey", use_threads=False).aggregate([("rev_cents", "sum")])
+    return agg.rename_columns(["l_orderkey", "rev_cents"])
+
+
+def _q3_orders_partial(batch: pa.Table, before_us: int) -> pa.Table:
+    od = batch["o_orderdate"]
+    if isinstance(od, pa.ChunkedArray):
+        od = od.combine_chunks()
+    keep = np.asarray(od.cast(pa.int64())) < before_us
+    b = batch.filter(pa.array(keep))
+    return pa.table(
+        {
+            "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+            "o_custkey": b["o_custkey"].cast(pa.int64()),
+            "o_orderdate": b["o_orderdate"],
+            "o_orderpriority": b["o_orderpriority"],
+        }
+    )
+
+
+def _q3_topk_block(batch: pa.Table, k: int) -> pa.Table:
+    """per-block candidate cut for the final top-k merge: keep each
+    block's k best rows by (revenue desc, orderkey asc) — the global
+    top-k is a subset of the union of per-block top-k."""
+    if len(batch) <= k:
+        return batch
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        batch,
+        sort_keys=[("revenue_cents", "descending"), ("l_orderkey", "ascending")],
+    )
+    return batch.take(order[:k])
+
+
+def shipping_priority(lineitem_ds, orders_ds, customer_ds,
+                      segment: str = "BUILDING", date: str = "1998-06-01",
+                      k: int = 10, join_partitions: int = 8):
+    """TPC-H Q3 shape: customer(segment) ⋈ orders(date) ⋈ lineitem
+    (both distributed hash joins), per-orderkey revenue as integer
+    cents, global top-k by (revenue desc, orderkey asc).
+
+    Scale notes: lineitem (the big side) is pre-aggregated PER
+    ORDERKEY inside map_batches before its join — the join moves one
+    row per (block, orderkey), not one per lineitem; the final top-k
+    never sorts the aggregate globally (per-block k-cut, then one
+    driver-side merge of <= k*blocks candidate rows)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    date_us = int(np.datetime64(date, "us").astype(np.int64))
+    cust = customer_ds.filter(expr=f"c_mktsegment == '{segment}'").map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    orders = orders_ds.map_batches(
+        partial(_q3_orders_partial, before_us=date_us), batch_format="pyarrow"
+    )
+    li = lineitem_ds.map_batches(
+        partial(_q3_lineitem_partial, ship_after_us=date_us), batch_format="pyarrow"
+    )
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.join_operator_actor_num_cpus_per_partition_override
+    ctx.join_operator_actor_num_cpus_per_partition_override = 0.1
+    try:
+        o_c = orders.join(
+            cust, "inner", join_partitions, on=("o_custkey",), right_on=("o_custkey",)
+        )
+        joined = o_c.join(
+            li, "inner", join_partitions, on=("o_orderkey",), right_on=("l_orderkey",)
+        ).materialize()
+    finally:
+        ctx.join_operator_actor_num_cpus_per_partition_override = saved
+    per_order = joined.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
+        Sum("rev_cents", alias_name="revenue_cents")
+    )
+    per_order = per_order.map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "revenue_cents": b["revenue_cents"].cast(pa.int64()),
+                "o_orderdate": b["o_orderdate"],
+                "o_orderpriority": b["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cand = per_order.map_batches(
+        partial(_q3_topk_block, k=k), batch_format="pyarrow"
+    )
+    merged = pa.concat_tables(
+        [t for t in cand.iter_batches(batch_size=None, batch_format="pyarrow") if len(t)]
+    )
+    if len(merged) == 0:
+        return merged
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        merged,
+        sort_keys=[("revenue_cents", "descending"), ("l_orderkey", "ascending")],
+    )
+    return merged.take(order[: min(k, len(merged))])

@@ -643,6 +643,38 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def q_forecast_revenue(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import forecast_revenue
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    return pa.Table.from_pandas(forecast_revenue(ds).to_pandas(), preserve_index=False)
+
+
+def q_shipping_priority(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import shipping_priority
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    return shipping_priority(lineitem, orders, customer)
+
+
 def q_pii_scrub(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1105,6 +1137,8 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "pii_scrub": q_pii_scrub,
     "pricing_summary": q_pricing_summary,
+    "forecast_revenue": q_forecast_revenue,
+    "shipping_priority": q_shipping_priority,
     "revenue_by_nation": q_revenue_by_nation,
     "training_pipeline": q_training_pipeline,
     "chunk_documents": q_chunk_documents,
@@ -1608,6 +1642,28 @@ SELECT n.n_name, count(*)::BIGINT AS n_orders,
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name
+""",
+    "forecast_revenue": """
+SELECT coalesce(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)), 0)::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '2002-01-01 00:00:00'
+  AND l_discount >= 0.05 - 1e-9 AND l_discount <= 0.07 + 1e-9
+  AND l_quantity < 24
+""",
+    "shipping_priority": """
+SELECT l.l_orderkey::BIGINT AS l_orderkey,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))::BIGINT AS revenue_cents,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
 """,
     "pii_scrub": r"""
 WITH s1 AS (SELECT doc_id,
