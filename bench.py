@@ -300,6 +300,23 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     dc.q_suggest_indexed(sf_dir)
     timings["sf_suggest_index_sec"] = time.perf_counter() - t0
+    # session additions: raw regex scans, exact substring dedup,
+    # lifecycle deletes (tombstone + filtered search), Q6/Q3 relational
+    t0 = time.perf_counter()
+    dc.q_grep_lines(sf_dir)
+    dc.q_regex_count(sf_dir)
+    timings["sf_codesearch_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_substring_dedup(sf_dir)
+    timings["sf_substring_dedup_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_boolean_deleted(sf_dir)
+    dc.q_bm25_deleted(sf_dir)
+    timings["sf_lifecycle_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_forecast_revenue(sf_dir)
+    dc.q_shipping_priority(sf_dir)
+    timings["sf_relational2_sec"] = time.perf_counter() - t0
     # prefix + negation query latency against the resident bench index
     # ("__known_*" expands to the exact-df sentinel family; "def
     # -return" probes the hot negative lazily)
@@ -317,6 +334,9 @@ def run_bench() -> dict:
     )
     timings["negation_local_p50_ms"] = p50_fn(
         lambda: eng_local.search("def -return", k=10)
+    )
+    timings["filtered_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search("def return", k=10, filter={"lang": ["py", "go"]})
     )
 
     timings = {k: round(v, 4) for k, v in timings.items()}
