@@ -278,6 +278,26 @@ def q_boolean_filtered(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": t["doc_id"].cast(pa.int64())})
 
 
+#: MoreLikeThis (engine extension): the source doc's unique terms rank
+#: by tf·idf against the index stats (ties: term asc); the top
+#: MLT_TERMS become a BM25 Or query.  Ask for k+1 and drop the source
+#: doc — exact vs SQL whether or not the source makes the top k+1.
+MLT_SRC, MLT_TERMS, MLT_K = 42, 5, 10
+
+
+def q_more_like_this(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as _pq
+
+    eng = engine_for(sf_dir)
+    doc = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+        filters=[("doc_id", "=", MLT_SRC)],
+    )
+    t = eng.more_like_this(doc["text"][0].as_py(), n_terms=MLT_TERMS, k=MLT_K + 1)
+    keep = [i for i, d in enumerate(t["doc_id"].to_pylist()) if d != MLT_SRC][:MLT_K]
+    return _ranked(t.take(pa.array(keep, type=pa.int64())))
+
+
 def q_phrase(sf_dir: str) -> pa.Table:
     return _ranked(engine_for(sf_dir).search_phrase(" ".join(PHRASE_TERMS), k=10))
 
@@ -1097,6 +1117,7 @@ QUERIES = {
     "bm25_and": q_bm25_and,
     "bm25_or": q_bm25_or,
     "bm25_tree": q_bm25_tree,
+    "more_like_this": q_more_like_this,
     "bm25_filtered": q_bm25_filtered,
     "boolean_filtered": q_boolean_filtered,
     "boolean_deleted": q_boolean_deleted,
@@ -1383,6 +1404,31 @@ FROM hits
             f"INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TREE_TERMS[2]}')"
         ),
     ),
+    "more_like_this": f"""
+WITH {TOK_CTE},
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+srctf AS (SELECT term, count(*)::DOUBLE AS tf FROM tok WHERE doc_id = {MLT_SRC} GROUP BY term),
+alldf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+sel AS (SELECT s.term
+        FROM srctf s JOIN alldf d USING (term), stats
+        ORDER BY s.tf * ln(1 + (stats.n - d.df + 0.5) / (d.df + 0.5)) DESC, s.term
+        LIMIT {MLT_TERMS}),
+tfq AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tfq GROUP BY term),
+contrib AS (
+  SELECT tfq.doc_id,
+         ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tfq.tf * ({K1} + 1)) / (tfq.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM tfq JOIN dfq USING (term) JOIN dl ON tfq.doc_id = dl.doc_id, stats s
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id
+FROM scored WHERE doc_id <> {MLT_SRC} ORDER BY score DESC, doc_id LIMIT {MLT_K}
+""",
     "bm25_filtered": _bm25_sql(
         BM25_FILTERED_TERMS,
         "or",

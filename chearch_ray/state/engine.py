@@ -385,6 +385,50 @@ class QueryEngine:
             }
         )
 
+    def more_like_this(self, text: str, n_terms: int = 5, k: int | None = None) -> pa.Table:
+        """Similar-document retrieval by distinctive-term expansion
+        (the classic MoreLikeThis): tokenize `text`, rank its UNIQUE
+        terms by tf·idf against the INDEX's stats (ties: term asc),
+        take the top `n_terms` that exist in the index, and run a BM25
+        Or query over them.  The caller excludes the source doc from
+        the results if `text` came from an indexed doc (ask for k+1).
+
+        Term selection is deterministic and exactly mirrorable in SQL
+        (integer tf, the engine's ln-idf, lexicographic tie-break), so
+        the whole composition is oracle-checkable."""
+        from chearch_ray.functions.tokenizer import tokenize as _tok
+        from chearch_ray.state.searcher import bm25_idf
+
+        toks = _tok(
+            pa.array([text]),
+            lowercase=self.cfg.lowercase,
+            split_subtokens=self.cfg.split_subtokens,
+            split_regex=self.cfg.token_split_regex,
+        ).to_pylist()[0]
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = []
+        for t, f in tf.items():
+            df = self.df(t)
+            if df == 0:
+                continue  # terms absent from the index carry no signal
+            scored.append((-float(f) * bm25_idf(self.n_docs, df), t))
+        scored.sort()
+        pick = [t for _, t in scored[:n_terms]]
+        if not pick:
+            from chearch_ray.state.searcher import RESULT_META_COLUMNS
+
+            cols = {"doc_id": pa.array([], type=pa.uint64()),
+                    "score": pa.array([], type=pa.float64())}
+            for name in RESULT_META_COLUMNS:
+                cols[name] = pa.array([], type=pa.string())
+            return pa.table(cols)
+        node: ast.Node = ast.Term(pick[0])
+        for t in pick[1:]:
+            node = ast.Or(node, ast.Term(t))
+        return self.search(node, k=k)
+
     def facet_counts(self, query: str | ast.Node, column: str = "lang",
                      default_op: str = "or") -> pa.Table:
         """Faceted search: boolean hits grouped by a docmap metadata

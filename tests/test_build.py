@@ -1246,3 +1246,41 @@ def test_filtered_actor_path_matches_local(ray_session, engine, oracle, corpus):
         )
     finally:
         eng_a.close()
+
+
+# ------------------------------------------------------ more-like-this
+def test_more_like_this_vs_bruteforce(engine, oracle, corpus):
+    """term selection = top-n by (tf*idf desc, term asc) over the
+    source doc's unique terms; results = BM25 Or over those terms."""
+    from chearch_ray.functions.tokenizer import tokenize
+    from chearch_ray.state.searcher import bm25_idf
+    from chearch_ray.stages.tokenize import _doc_ids_of
+
+    ids = _doc_ids_of(corpus).tolist()
+    texts = corpus["content"].to_pylist()
+    src_row = 7
+    toks = tokenize(pa.array([texts[src_row]])).to_pylist()[0]
+    tf = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    scored = sorted(
+        (-(float(f) * bm25_idf(oracle.n_docs, oracle.df(t))), t)
+        for t, f in tf.items() if oracle.df(t) > 0
+    )
+    pick = [t for _, t in scored[:4]]
+    node = ast.Term(pick[0])
+    for t in pick[1:]:
+        node = ast.Or(node, ast.Term(t))
+    want = oracle.bm25_search(node, 12)
+    got = engine.more_like_this(texts[src_row], n_terms=4, k=12)
+    assert got["doc_id"].to_pylist() == [d for d, _ in want]
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(), np.array([s for _, s in want])
+    )
+    # the source doc itself ranks (it contains all its own terms)
+    assert ids[src_row] in got["doc_id"].to_pylist()
+
+
+def test_more_like_this_unknown_text_empty(engine):
+    out = engine.more_like_this("zzzqqqxxx unseen tokens only", n_terms=3, k=5)
+    assert len(out) == 0
