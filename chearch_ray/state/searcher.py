@@ -410,6 +410,19 @@ class SegmentSearcher:
         if self.docmap is None:
             return self._project(_EMPTY_U64, scores=np.empty(0))
         allowed = self._filter_allowed(flt)
+        if len(self.deleted):
+            allowed = allowed[self._not_deleted(allowed)]
+        if (
+            self.cfg.use_maxscore
+            and isinstance(node, ast.Or)
+            and ast.is_disjunctive(node)
+        ):
+            terms = [str(t) for t in ast.terms_of(node)]
+            if len(terms) >= 2:
+                docs, scores = self._maxscore_disjunctive(
+                    terms, k, idfs, avgdl, allowed=allowed
+                )
+                return self._project(docs, scores=scores)
         candidates = intersect_sorted(self._candidates(node), allowed)
         if len(candidates) == 0:
             return self._project(candidates, scores=np.empty(0))
@@ -600,7 +613,8 @@ class SegmentSearcher:
         return docs, tfs, skipped_max
 
     def _maxscore_disjunctive(
-        self, terms: list[str], k: int, idfs: dict[str, float], avgdl: float
+        self, terms: list[str], k: int, idfs: dict[str, float], avgdl: float,
+        allowed: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact MaxScore pruning for pure disjunctions (north-star
         block-max machinery): terms are processed in descending
@@ -609,7 +623,14 @@ class SegmentSearcher:
         summed UB of unprocessed terms falls strictly below the k-th
         best score, no unseen document can enter the top-k, so their
         postings are never decoded.  Result is IDENTICAL to the
-        exhaustive path (strict < keeps doc_id tie-breaks exact)."""
+        exhaustive path (strict < keeps doc_id tie-breaks exact).
+
+        `allowed` (sorted): restrict candidates to this doc set BEFORE
+        accumulation — the metadata-filter fast path.  Exactness is
+        preserved: excluded docs never enter the candidate pool, so
+        the k-th threshold is built from qualifying docs only, and the
+        term/block upper bounds remain valid bounds for every unseen
+        qualifying doc (a lower kth only ever prunes LESS)."""
         cfg = self.cfg
         ubs = []
         for t in terms:
@@ -649,6 +670,15 @@ class SegmentSearcher:
                 kth,
             )
             skipped_carry += skipped_max
+            if allowed is not None and len(docs_e):
+                pos = np.searchsorted(allowed, docs_e)
+                pos_c = np.minimum(pos, max(len(allowed) - 1, 0))
+                in_allowed = (
+                    allowed[pos_c] == docs_e
+                    if len(allowed)
+                    else np.zeros(len(docs_e), dtype=bool)
+                )
+                docs_e, tfs_e = docs_e[in_allowed], tfs_e[in_allowed]
             if len(docs_e) == 0:
                 continue
             if len(cand):

@@ -1284,3 +1284,41 @@ def test_more_like_this_vs_bruteforce(engine, oracle, corpus):
 def test_more_like_this_unknown_text_empty(engine):
     out = engine.more_like_this("zzzqqqxxx unseen tokens only", n_terms=3, k=5)
     assert len(out) == 0
+
+
+def test_filtered_maxscore_identical_to_generic(engine, oracle, corpus):
+    """the filtered MaxScore fast path must return exactly what the
+    generic eval+score path returns, for every filter selectivity."""
+    import dataclasses
+
+    from chearch_ray.state.searcher import SegmentSearcher
+
+    lang_of = _lang_of(corpus)
+    hot = _hot_terms(oracle, 4)
+    cfg_off = dataclasses.replace(CFG, use_maxscore=False)
+    searchers_on = [SegmentSearcher(engine.index_dir, s, CFG) for s in range(CFG.num_segments)]
+    searchers_off = [SegmentSearcher(engine.index_dir, s, cfg_off) for s in range(CFG.num_segments)]
+    trees = [
+        ast.Or(ast.Term(hot[0]), ast.Term(hot[1])),
+        ast.Or(ast.Or(ast.Term(hot[0]), ast.Term(hot[2])), ast.Term(hot[3])),
+    ]
+    idfs_all = {t: engine.idfs_for(ast.Term(t))[t] for t in hot}
+    filters = [{"lang": ["py"]}, {"lang": ["go", "rs", "c"]},
+               {"lang": ["py", "js", "java", "go", "c", "rs", "rb", "chpl"]},
+               {"lang": ["nope"]}]
+    n_nonempty = 0
+    for tree in trees:
+        for flt in filters:
+            for k in (3, 10, 1000):
+                outs = []
+                for group in (searchers_on, searchers_off):
+                    tables = [s.search_bm25_filtered(tree, k, idfs_all, engine.avgdl, flt)
+                              for s in group]
+                    merged = pa.concat_tables(tables)
+                    outs.append(merged)
+                a, b = outs
+                ka = sorted(zip(a["doc_id"].to_pylist(), a["score"].to_pylist()))
+                kb = sorted(zip(b["doc_id"].to_pylist(), b["score"].to_pylist()))
+                assert ka == kb, (tree, flt, k)
+                n_nonempty += len(ka) > 0
+    assert n_nonempty > 0
