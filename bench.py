@@ -207,6 +207,18 @@ def run_bench() -> dict:
     timings["tcp_wire_p50_ms"] = statistics.median(samples)
     srv.stop()
 
+    # v2 pipelined framing: one connection, 64 in-flight requests
+    from chearch_ray.serve import query_pipelined
+
+    srv2 = TcpQueryServer(WireEngine(eng_local), port=0, pipelined=True).start_background()
+    query_pipelined("127.0.0.1", srv2.port, [_prog] * 8)  # warm
+    t = time.perf_counter()
+    n_pipe = 64
+    out = query_pipelined("127.0.0.1", srv2.port, [_prog] * n_pipe)
+    timings["tcp_pipelined_qps"] = n_pipe / (time.perf_counter() - t)
+    assert len(out) == n_pipe
+    srv2.stop()
+
     # ---- reference-workload ingest (synthdataindexer.chpl shape:
     # 1M tiny docs, 1-10 uniform terms from a 16,384 vocab) -----------
     from chearch_ray.sources.corpus import reference_shape_corpus

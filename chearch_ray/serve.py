@@ -221,11 +221,15 @@ class TcpQueryServer:
     """
 
     def __init__(self, handler, host: str = "127.0.0.1", port: int = 3033,
-                 workers: int = 4):
+                 workers: int = 4, pipelined: bool = False):
         self.handler = handler
         self.host = host
         self.port = port
         self.workers = workers
+        #: serve the v2 id-framed protocol instead of v1 (ROADMAP #9:
+        #: many in-flight requests per connection, completion-order
+        #: responses).  A socket speaks one protocol only.
+        self.pipelined = pipelined
         self._server = None
         self._loop = None
         self._thread = None
@@ -234,6 +238,9 @@ class TcpQueryServer:
     async def _on_connection(self, reader, writer) -> None:
         import asyncio
 
+        if self.pipelined:
+            await self._on_connection_v2(reader, writer)
+            return
         loop = asyncio.get_running_loop()
         try:
             while True:
@@ -254,6 +261,51 @@ class TcpQueryServer:
         except (ConnectionResetError, asyncio.IncompleteReadError):
             pass
         finally:
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    async def _on_connection_v2(self, reader, writer) -> None:
+        """v2 connection: every request dispatches immediately to the
+        worker pool; responses write back in COMPLETION order under a
+        write lock.  A malformed v1 payload answers status=1 for its
+        id instead of killing the connection (the id disambiguates)."""
+        import asyncio
+
+        loop = asyncio.get_running_loop()
+        write_lock = asyncio.Lock()
+        in_flight: set[asyncio.Task] = set()
+
+        async def _serve_one(rid: int, payload: bytes) -> None:
+            status = V2_OK
+            try:
+                response = await loop.run_in_executor(
+                    self._pool, self.handler.handle, payload
+                )
+            except ValueError:
+                status, response = V2_MALFORMED, b""
+            async with write_lock:
+                writer.write(V2_RESP.pack(rid, status, len(response)) + response)
+                await writer.drain()
+
+        try:
+            while True:
+                try:
+                    header = await reader.readexactly(V2_REQ.size)
+                except asyncio.IncompleteReadError:
+                    break
+                rid, ln = V2_REQ.unpack(header)
+                payload = await reader.readexactly(ln) if ln else b""
+                task = asyncio.ensure_future(_serve_one(rid, payload))
+                in_flight.add(task)
+                task.add_done_callback(in_flight.discard)
+        except ConnectionResetError:
+            pass
+        finally:
+            if in_flight:
+                await asyncio.gather(*in_flight, return_exceptions=True)
             writer.close()
             try:
                 await writer.wait_closed()
@@ -361,3 +413,60 @@ def query_over_socket(host: str, port: int, program: bytes,
                 settle_timeout if got % WIRE_RECORD_BYTES else settle_timeout / 10
             )
         return decode_response(b"".join(chunks))
+
+
+# ------------------------------------------------- pipelined v2 framing
+#: ENGINE EXTENSION (never on the reference port): the v1 protocol has
+#: no request ids, so responses on a connection must be serialized —
+#: one slow query convoys everything behind it (ROADMAP #9).  The v2
+#: framing adds explicit ids and length prefixes so MANY requests can
+#: be in flight per connection and responses return AS THEY FINISH:
+#:   request  = u32 BE request_id | u16 BE len | v1 request frame
+#:   response = u32 BE request_id | u8 status | u16 BE len | v1 response
+#: status 0 = ok, 1 = malformed request (v1 kills the connection; v2
+#: can report per-request because the id disambiguates).  A server
+#: socket speaks EITHER v1 or v2 (`pipelined=True`) — in-band
+#: autodetection would be ambiguous since a v1 count byte can take any
+#: value.
+import struct as _struct
+
+V2_REQ = _struct.Struct(">IH")
+V2_RESP = _struct.Struct(">IBH")
+V2_OK, V2_MALFORMED = 0, 1
+
+
+def build_request_v2(request_id: int, program: bytes) -> bytes:
+    frame = build_request(program)
+    return V2_REQ.pack(request_id, len(frame)) + frame
+
+
+def query_pipelined(host: str, port: int, programs: list[bytes],
+                    timeout: float = 10.0) -> list[list[QueryResult] | None]:
+    """Send ALL programs on one connection, then collect responses in
+    completion order and return results in PROGRAM order (None for a
+    malformed entry).  One round trip for the whole batch; slow
+    queries never delay fast ones."""
+    import socket
+
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        sock.sendall(b"".join(build_request_v2(i, p) for i, p in enumerate(programs)))
+        sock.settimeout(timeout)
+        out: list[list[QueryResult] | None] = [None] * len(programs)
+        pending = set(range(len(programs)))
+
+        def read_exactly(n: int) -> bytes:
+            buf = b""
+            while len(buf) < n:
+                chunk = sock.recv(n - len(buf))
+                if not chunk:
+                    raise ConnectionError("server closed mid-frame")
+                buf += chunk
+            return buf
+
+        while pending:
+            rid, status, ln = V2_RESP.unpack(read_exactly(V2_RESP.size))
+            payload = read_exactly(ln) if ln else b""
+            if rid in pending:
+                pending.discard(rid)
+                out[rid] = decode_response(payload) if status == V2_OK else None
+        return out

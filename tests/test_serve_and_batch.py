@@ -430,3 +430,84 @@ def test_tcp_server_concurrent_connections(server):
         assert done["fast"] < done["slow"], "fast query waited behind the slow one"
     finally:
         srv.stop()
+
+
+# ------------------------------------------- pipelined v2 transport
+def test_pipelined_v2_golden_and_order(server):
+    """v2 framing returns the SAME records as v1 for the golden query,
+    batches many programs on one connection, and reports malformed
+    requests per-id instead of dropping the connection."""
+    from chearch_ray.serve import TcpQueryServer, query_pipelined
+
+    srv = TcpQueryServer(server, port=0, pipelined=True).start_background()
+    try:
+        programs = [_program(2, 3, "and"), _program(999), _program(2, 3, "and")]
+        out = query_pipelined("127.0.0.1", srv.port, programs)
+        for rows in (out[0], out[2]):
+            assert [(r.term, r.text_location, r.external_doc_id) for r in rows] == [
+                (3, 15, 10),
+                (2, 6, 10),
+            ]
+        assert out[1] == []  # unknown term: clean empty response
+        # malformed payload -> status=1 -> None, connection survives
+        import socket
+        import struct
+
+        from chearch_ray.serve import V2_REQ, V2_RESP, build_request_v2, decode_response
+
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=5) as sock:
+            bad = b"\x07\x01"  # count byte says 7, payload has 1 op
+            sock.sendall(V2_REQ.pack(0, len(bad)) + bad)
+            sock.sendall(build_request_v2(1, _program(2, 3, "and")))
+            seen = {}
+            buf = b""
+            while len(seen) < 2:
+                chunk = sock.recv(4096)
+                assert chunk, "server closed the connection on a malformed v2 request"
+                buf += chunk
+                while len(buf) >= V2_RESP.size:
+                    rid, status, ln = V2_RESP.unpack(buf[: V2_RESP.size])
+                    if len(buf) < V2_RESP.size + ln:
+                        break
+                    seen[rid] = (status, buf[V2_RESP.size : V2_RESP.size + ln])
+                    buf = buf[V2_RESP.size + ln :]
+            assert seen[0][0] == 1 and seen[0][1] == b""
+            assert seen[1][0] == 0 and len(decode_response(seen[1][1])) == 2
+    finally:
+        srv.stop()
+
+
+def test_pipelined_v2_slow_query_does_not_convoy(server):
+    """two requests on ONE connection: the slow first request must not
+    delay the fast second one — its response arrives first."""
+    import threading
+    import time
+
+    from chearch_ray.serve import TcpQueryServer, V2_RESP, build_request_v2
+
+    class SlowFirst:
+        def __init__(self, inner):
+            self.inner = inner
+            self._first = threading.Event()
+
+        def handle(self, request: bytes) -> bytes:
+            if not self._first.is_set():
+                self._first.set()
+                time.sleep(0.8)
+            return self.inner.handle(request)
+
+    srv = TcpQueryServer(SlowFirst(server), port=0, pipelined=True).start_background()
+    try:
+        import socket
+
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=5) as sock:
+            sock.sendall(build_request_v2(7, _program(2, 3, "and")))
+            time.sleep(0.1)  # ensure the slow one is picked up first
+            sock.sendall(build_request_v2(8, _program(2, 3, "and")))
+            first_header = b""
+            while len(first_header) < V2_RESP.size:
+                first_header += sock.recv(V2_RESP.size - len(first_header))
+            rid, status, ln = V2_RESP.unpack(first_header)
+            assert rid == 8, "fast request should complete first on the wire"
+    finally:
+        srv.stop()
