@@ -1068,6 +1068,18 @@ def q_quality(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def q_weighted_sample(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.sample import weighted_sample
+    from chearch_ray.stages.textstats import QualityScore
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    scored = ds.map_batches(QualityScore(), batch_format="pyarrow", batch_size=1024)
+    out = weighted_sample(scored).select_columns(["doc_id", "quality", "keep"])
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def q_fingerprint(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1144,6 +1156,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "substring_dedup": q_substring_dedup,
     "hash_split": q_hash_split,
+    "weighted_sample": q_weighted_sample,
     "quota_sample": q_quota_sample,
     "repetition_filter": q_repetition_filter,
     "snippets": q_snippets,
@@ -1491,6 +1504,13 @@ FROM read_parquet('{MEDIA_TABLE_PATH}')
     "content_sha": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
     "lang_counts": "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
     "quality": _quality_sql(),
+    "weighted_sample": f"""
+WITH q AS ({_quality_sql()})
+SELECT doc_id, quality,
+       ((doc_id::HUGEINT * 6364136223846793005) % 18446744073709551616)::DOUBLE
+         < quality * 18446744073709551616.0 AS keep
+FROM q
+""",
     "langid": _langid_sql(),
     "windowed_agg": """
 SELECT (epoch_us(ts) // 300000000) * 300 AS window_start,

@@ -156,3 +156,27 @@ def quota_sample_per_group(
         partial(_final_partition, group_column=group_column, quota=quota),
         batch_format="pyarrow",
     )
+
+
+def _weighted_batch(batch: pa.Table, weight_column: str, id_column: str) -> pa.Table:
+    h = _sample_hash(batch[id_column].to_numpy().astype(np.int64).view(np.uint64))
+    w = batch[weight_column].to_numpy().astype(np.float64)
+    # both sides (numpy and DuckDB) round the uint64 hash to float64
+    # identically (IEEE nearest), so the mirror stays bit-exact
+    keep = h.astype(np.float64) < w * 18446744073709551616.0
+    return batch.append_column("keep", pa.array(keep))
+
+
+def weighted_sample(ds, weight_column: str = "quality", id_column: str = "doc_id"):
+    """Deterministic weighted subsampling: keep each row with
+    probability equal to its weight in [0, 1], decided by the row's
+    Knuth hash (keep iff hash(id) < w * 2^64) — the DSIR-style
+    importance-resampling primitive with the target/proposal ratio
+    supplied as a column.  Seed-free, partition- and corpus-invariant
+    (a doc's fate depends only on its own id and weight), one
+    stateless map pass, SQL-mirrorable with the HUGEINT hash compare.
+    Adds a boolean `keep` column; filter downstream."""
+    return ds.map_batches(
+        partial(_weighted_batch, weight_column=weight_column, id_column=id_column),
+        batch_format="pyarrow",
+    )

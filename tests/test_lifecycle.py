@@ -191,3 +191,55 @@ def test_wide_mode_delete_and_compact(ray_session, tmp_path):
     assert {p["part"]: p["sha"] for p in m_compact.docmap_parts} == {
         p["part"]: p["sha"] for p in m_fresh.docmap_parts
     }
+
+
+def test_random_trees_with_filters_and_deletes(ray_session, built, tmp_path):
+    """randomized And/Or/AndNot trees x metadata filters x tombstones:
+    engine results must equal the oracle restricted to (lang allowed,
+    not deleted), scored with original stats."""
+    import random
+    import shutil
+
+    from chearch_ray.sources.corpus import vocab
+
+    d = str(tmp_path / "idx")
+    shutil.copytree(built, d)
+    delete_docs(d, DELETED)
+    eng = QueryEngine(d, use_actors=False)
+    corpus = _corpus()
+    oracle = OracleIndex(corpus, CFG)
+    from chearch_ray.stages.tokenize import _doc_ids_of
+
+    lang_of = dict(zip(_doc_ids_of(corpus).tolist(), corpus["lang"].to_pylist()))
+    deleted = set(DELETED)
+    hot = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))[:8]
+    rng = random.Random(99)
+
+    def rand_tree(depth):
+        if depth == 0:
+            return ast.Term(rng.choice(hot))
+        op = rng.choice([ast.And, ast.Or, ast.AndNot])
+        return op(rand_tree(depth - 1), rand_tree(rng.randint(0, depth - 1)))
+
+    lang_pool = ["py", "js", "java", "go", "c", "rs", "rb", "chpl"]
+    checked = 0
+    for _ in range(30):
+        tree = rand_tree(rng.randint(1, 3))
+        langs = rng.sample(lang_pool, rng.randint(1, 4))
+        allowed = set(langs)
+        want = [
+            (doc, s)
+            for doc, s in sorted(oracle.bm25_scores(tree).items(), key=lambda it: (-it[1], it[0]))
+            if lang_of[doc] in allowed and doc not in deleted
+        ][:12]
+        got = eng.search(tree, k=12, filter={"lang": langs})
+        assert got["doc_id"].to_pylist() == [doc for doc, _ in want], (tree, langs)
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(), np.array([s for _, s in want]), err_msg=str(tree)
+        )
+        bwant = [doc for doc in oracle.boolean_search(tree)
+                 if lang_of[doc] in allowed and doc not in deleted]
+        bgot = eng.search_boolean(tree, filter={"lang": langs})["doc_id"].to_pylist()
+        assert bgot == bwant, (tree, langs)
+        checked += len(want) > 0
+    assert checked >= 10

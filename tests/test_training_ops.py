@@ -1688,3 +1688,33 @@ def test_substring_dedup_short_docs_have_zero_grams(ray_session):
     )
     got = substring_dedup(ray.data.from_arrow(t), w=5).to_pandas().set_index("doc_id")
     assert (got["n_grams"] == 0).all() and got["keep"].all()
+
+
+def test_weighted_sample_deterministic_and_proportional(ray_session):
+    """keep rate tracks the weight; decision is a pure function of
+    (id, weight) — corpus- and partition-invariant."""
+    import ray.data
+
+    from chearch_ray.stages.sample import weighted_sample
+
+    n = 4000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "quality": pa.array(np.where(np.arange(n) % 2 == 0, 0.9, 0.1)),
+        }
+    )
+    out = weighted_sample(ray.data.from_arrow(t).repartition(4)).to_pandas()
+    hi = out[out["quality"] > 0.5]["keep"].mean()
+    lo = out[out["quality"] < 0.5]["keep"].mean()
+    assert 0.85 <= hi <= 0.95 and 0.05 <= lo <= 0.15
+    # partition-invariance: same decisions with a different layout
+    out2 = weighted_sample(ray.data.from_arrow(t).repartition(13)).to_pandas()
+    a = out.sort_values("doc_id", ignore_index=True)
+    b = out2.sort_values("doc_id", ignore_index=True)
+    assert (a["keep"] == b["keep"]).all()
+    # weight 0 drops everything, weight 1 keeps everything
+    edge = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                     "quality": pa.array([0.0, 1.0])})
+    e = weighted_sample(ray.data.from_arrow(edge)).to_pandas().set_index("doc_id")
+    assert not e.loc[1, "keep"] and bool(e.loc[2, "keep"])
