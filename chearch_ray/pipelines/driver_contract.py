@@ -278,6 +278,45 @@ def q_boolean_filtered(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": t["doc_id"].cast(pa.int64())})
 
 
+#: fielded search (state/engine.FieldedEngine): one index per field
+#: over the same doc ids, scores combined as Σ w_f · bm25_f — here the
+#: documents table's `text` and `source` columns, source weighted 2x.
+FIELD_WEIGHTS = {"text": 1.0, "source": 2.0}
+FIELD_QUERIES = {"text": ("merge", "sort"), "source": ("src3",)}
+
+
+def field_engine_for(sf_dir: str, column: str) -> QueryEngine:
+    """second cached index over a non-default document column."""
+    base = _index_dir_for(sf_dir)
+    fdir = f"{base}-field-{column}"
+    eng = _ENGINES.get(fdir)
+    if eng is None:
+        if not os.path.exists(os.path.join(fdir, "manifest.json")):
+            build_index(
+                read_documents_corpus(sf_dir, content_column=column), fdir, DRIVER_CFG
+            )
+        eng = QueryEngine(fdir, use_actors=True)
+        _ENGINES[fdir] = eng
+    return eng
+
+
+def q_fielded_search(sf_dir: str) -> pa.Table:
+    from chearch_ray.state.engine import FieldedEngine
+
+    fe = FieldedEngine(
+        {"text": engine_for(sf_dir), "source": field_engine_for(sf_dir, "source")},
+        weights=FIELD_WEIGHTS,
+    )
+    t = fe.search(
+        {
+            "text": ast.Or(ast.Term(FIELD_QUERIES["text"][0]), ast.Term(FIELD_QUERIES["text"][1])),
+            "source": ast.Term(FIELD_QUERIES["source"][0]),
+        },
+        k=10,
+    )
+    return _ranked(t)
+
+
 #: MoreLikeThis (engine extension): the source doc's unique terms rank
 #: by tf·idf against the index stats (ties: term asc); the top
 #: MLT_TERMS become a BM25 Or query.  Ask for k+1 and drop the source
@@ -1130,6 +1169,7 @@ QUERIES = {
     "bm25_or": q_bm25_or,
     "bm25_tree": q_bm25_tree,
     "more_like_this": q_more_like_this,
+    "fielded_search": q_fielded_search,
     "bm25_filtered": q_bm25_filtered,
     "boolean_filtered": q_boolean_filtered,
     "boolean_deleted": q_boolean_deleted,
@@ -1417,6 +1457,43 @@ FROM hits
             f"INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TREE_TERMS[2]}')"
         ),
     ),
+    "fielded_search": f"""
+WITH {TOK_CTE},
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('{FIELD_QUERIES["text"][0]}', '{FIELD_QUERIES["text"][1]}') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+tscore AS (
+  SELECT tf.doc_id, sum(
+    ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * ({K1} + 1)) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats s
+  GROUP BY tf.doc_id),
+stok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(source),
+         '[^a-z0-9_]+'), x -> x <> '')) AS term FROM documents),
+sdl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+        FROM documents d LEFT JOIN stok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+sstats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT sum(dl) FROM sdl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+stf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM stok
+        WHERE term = '{FIELD_QUERIES["source"][0]}' GROUP BY doc_id, term),
+sdf AS (SELECT term, count(*)::DOUBLE AS df FROM stf GROUP BY term),
+sscore AS (
+  SELECT stf.doc_id, sum(
+    ln(1 + (s.n - sdf.df + 0.5) / (sdf.df + 0.5))
+      * (stf.tf * ({K1} + 1)) / (stf.tf + {K1} * (1 - {B} + {B} * sdl.dl / s.avgdl))) AS score
+  FROM stf JOIN sdf USING (term) JOIN sdl ON stf.doc_id = sdl.doc_id, sstats s
+  GROUP BY stf.doc_id),
+combined AS (
+  SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+         {FIELD_WEIGHTS["text"]} * coalesce(t.score, 0) + {FIELD_WEIGHTS["source"]} * coalesce(u.score, 0) AS score
+  FROM tscore t FULL OUTER JOIN sscore u ON t.doc_id = u.doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id
+FROM combined ORDER BY score DESC, doc_id LIMIT 10
+""",
     "more_like_this": f"""
 WITH {TOK_CTE},
 dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl

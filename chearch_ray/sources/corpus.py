@@ -199,9 +199,12 @@ def build_read_blocks(
 
 
 # ------------------------------------------------- driver testdata shim
-def documents_batch_to_corpus(batch: pa.Table) -> pa.Table:
+def documents_batch_to_corpus(batch: pa.Table, content_column: str = "text") -> pa.Table:
     """documents(doc_id, text, lang, source, n_chars) -> engine corpus
-    shape, keeping the original doc_id (FIXTURES.md §5 mapping)."""
+    shape, keeping the original doc_id (FIXTURES.md §5 mapping).
+    `content_column` picks which document column is indexed — a FIELD
+    index (state/engine.FieldedEngine) builds one index per field over
+    the same doc ids."""
     import pyarrow.compute as pc
 
     doc_id = batch["doc_id"]
@@ -214,17 +217,22 @@ def documents_batch_to_corpus(batch: pa.Table) -> pa.Table:
             ),
             "commit": doc_id.cast(pa.string()),
             "lang": batch["lang"],
-            "content": batch["text"],
+            "content": batch[content_column].cast(pa.string()),
         }
     )
 
 
-def read_documents_corpus(sf_dir: str):
+def read_documents_corpus(sf_dir: str, content_column: str = "text"):
     """ray Dataset over the driver `documents` table, in corpus shape."""
+    from functools import partial
+
     import ray.data
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    return ds.map_batches(documents_batch_to_corpus, batch_format="pyarrow")
+    return ds.map_batches(
+        partial(documents_batch_to_corpus, content_column=content_column),
+        batch_format="pyarrow",
+    )
 
 
 # ------------------------------------------------ generic corpus readers

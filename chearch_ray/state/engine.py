@@ -506,3 +506,63 @@ class QueryEngine:
             return merged
         order = topk_order(merged["score"].to_numpy(), _merge_tie_key(merged), k)
         return merged.take(pa.array(order, type=pa.int64()))
+
+
+class FieldedEngine:
+    """Weighted multi-field search (the BM25F-family linear
+    combination): one INDEX PER FIELD over the same doc-id space
+    (e.g. content and path of a source-code corpus), combined as
+
+        score(d) = Σ_f  w_f · bm25_f(d, query_f)
+
+    with a missing field contributing 0.  Each field keeps its own
+    df/avgdl statistics, as BM25F variants prescribe.
+
+    Exactness over scale: per-field rankings are fetched COMPLETE
+    (k = field's corpus size) before combining — a per-field top-k cut
+    would drop docs that score mid-range in several fields but top
+    overall.  Candidates are still bounded by docs matching at least
+    one query term, and each field's search runs the normal pruned
+    engine path; a WAND over combined per-field upper bounds is the
+    future scale refinement (same exactness argument as MaxScore).
+    """
+
+    def __init__(self, engines: dict[str, QueryEngine],
+                 weights: dict[str, float] | None = None):
+        if not engines:
+            raise ValueError("need at least one field engine")
+        self.engines = dict(engines)
+        self.weights = {f: 1.0 for f in engines} | dict(weights or {})
+        unknown = set(self.weights) - set(engines)
+        if unknown:
+            raise ValueError(f"weights for unknown fields: {sorted(unknown)}")
+
+    def search(self, queries: dict[str, "str | ast.Node"], k: int = 10) -> pa.Table:
+        """`queries` maps field -> query (string or ast).  Fields
+        absent from `queries` contribute nothing.  Returns (doc_id,
+        score) ordered (score desc, doc_id asc)."""
+        score_map: dict[int, float] = {}
+        # deterministic field order = engines dict order; each doc's
+        # combined score accumulates in that order (float contract)
+        for field, eng in self.engines.items():
+            q = queries.get(field)
+            if q is None:
+                continue
+            w = float(self.weights[field])
+            t = eng.search(q, k=eng.n_docs + 1)
+            for doc, s in zip(t["doc_id"].to_pylist(), t["score"].to_pylist()):
+                score_map[doc] = score_map.get(doc, 0.0) + w * s
+        if not score_map:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.uint64()),
+                 "score": pa.array([], type=pa.float64())}
+            )
+        docs = np.fromiter(score_map.keys(), dtype=np.uint64, count=len(score_map))
+        scores = np.fromiter(score_map.values(), dtype=np.float64, count=len(score_map))
+        order = topk_order(scores, docs, k)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[order], type=pa.uint64()),
+                "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )

@@ -1322,3 +1322,59 @@ def test_filtered_maxscore_identical_to_generic(engine, oracle, corpus):
                 assert ka == kb, (tree, flt, k)
                 n_nonempty += len(ka) > 0
     assert n_nonempty > 0
+
+
+# ------------------------------------------------------ fielded search
+def test_fielded_engine_vs_bruteforce(ray_session, engine, oracle, corpus, tmp_path_factory):
+    """content + path field indexes: combined score = 1.0*bm25_content
+    + 3.0*bm25_path, checked doc-by-doc against the two oracles."""
+    import ray.data
+
+    from chearch_ray.state.engine import FieldedEngine
+
+    path_corpus = corpus.set_column(
+        corpus.column_names.index("content"), "content", corpus["path"]
+    )
+    pdir = str(tmp_path_factory.mktemp("fielded") / "pathidx")
+    build_index(ray.data.from_arrow(path_corpus), pdir, CFG)
+    path_eng = QueryEngine(pdir, use_actors=False)
+    path_oracle = OracleIndex(path_corpus, CFG)
+
+    fe = FieldedEngine({"content": engine, "path": path_eng},
+                       weights={"content": 1.0, "path": 3.0})
+    rare = _rare_terms(oracle, 2)
+    # path tokens: src / pkgN / mod_i / extension; rare content terms
+    # keep the two fields' candidate sets from coinciding
+    q = {"content": ast.Or(ast.Term(rare[0]), ast.Term(rare[1])),
+         "path": ast.Term("pkg3")}
+    got = fe.search(q, k=15)
+    c_scores = oracle.bm25_scores(q["content"])
+    p_scores = path_oracle.bm25_scores(q["path"])
+    want_map = {}
+    for d, s in c_scores.items():
+        want_map[d] = want_map.get(d, 0.0) + 1.0 * s
+    for d, s in p_scores.items():
+        want_map[d] = want_map.get(d, 0.0) + 3.0 * s
+    want = sorted(want_map.items(), key=lambda it: (-it[1], it[0]))[:15]
+    assert got["doc_id"].to_pylist() == [d for d, _ in want]
+    np.testing.assert_array_equal(got["score"].to_numpy(), np.array([s for _, s in want]))
+    # path-only matches are real candidates (the union is not just the
+    # content set) and the path weight actually moved the ranking
+    path_only = set(p_scores) - set(c_scores)
+    assert path_only
+    full = fe.search(q, k=N_DOCS + 1)
+    assert path_only <= set(full["doc_id"].to_pylist())
+    content_only_rank = engine.search(q["content"], k=15)["doc_id"].to_pylist()
+    assert got["doc_id"].to_pylist() != content_only_rank
+
+
+def test_fielded_engine_single_field_matches_plain(engine, oracle):
+    from chearch_ray.state.engine import FieldedEngine
+
+    hot = _hot_terms(oracle, 2)
+    fe = FieldedEngine({"content": engine})
+    q = ast.Or(ast.Term(hot[0]), ast.Term(hot[1]))
+    got = fe.search({"content": q}, k=10)
+    want = engine.search(q, k=10)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    np.testing.assert_array_equal(got["score"].to_numpy(), want["score"].to_numpy())
