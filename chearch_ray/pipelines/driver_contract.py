@@ -317,6 +317,23 @@ def q_fielded_search(sf_dir: str) -> pa.Table:
     return _ranked(t)
 
 
+#: DocStore (state/docstore.py): id-keyed document fetch from a hash-
+#: partitioned hive store — the search -> fetch serving loop.
+DOCSTORE_IDS = (3, 42, 77, 123, 456)
+
+
+def q_docstore_fetch(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.state.docstore import docstore_build, docstore_fetch
+
+    store = _index_dir_for(sf_dir) + "-docstore"
+    if not os.path.exists(store):
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        docstore_build(ds, store)
+    return docstore_fetch(store, list(DOCSTORE_IDS))
+
+
 #: MoreLikeThis (engine extension): the source doc's unique terms rank
 #: by tf·idf against the index stats (ties: term asc); the top
 #: MLT_TERMS become a BM25 Or query.  Ask for k+1 and drop the source
@@ -1170,6 +1187,7 @@ QUERIES = {
     "bm25_tree": q_bm25_tree,
     "more_like_this": q_more_like_this,
     "fielded_search": q_fielded_search,
+    "docstore_fetch": q_docstore_fetch,
     "bm25_filtered": q_bm25_filtered,
     "boolean_filtered": q_boolean_filtered,
     "boolean_deleted": q_boolean_deleted,
@@ -1457,6 +1475,9 @@ FROM hits
             f"INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TREE_TERMS[2]}')"
         ),
     ),
+    "docstore_fetch": f"""
+SELECT * FROM documents WHERE doc_id IN {DOCSTORE_IDS} ORDER BY doc_id
+""",
     "fielded_search": f"""
 WITH {TOK_CTE},
 dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl

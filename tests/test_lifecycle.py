@@ -243,3 +243,38 @@ def test_random_trees_with_filters_and_deletes(ray_session, built, tmp_path):
         assert bgot == bwant, (tree, langs)
         checked += len(want) > 0
     assert checked >= 10
+
+
+# --------------------------------------------------------- doc store
+def test_docstore_fetch_and_pruning(ray_session, tmp_path):
+    import ray.data
+
+    from chearch_ray.state.docstore import (
+        docstore_build,
+        docstore_fetch,
+        docstore_pruned_fragments,
+    )
+
+    n = 2000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array([f"document body {i}" for i in range(n)]),
+            "lang": pa.array(["en"] * n),
+        }
+    )
+    store = str(tmp_path / "store")
+    docstore_build(ray.data.from_arrow(t).repartition(8), store, partition_bits=4)
+    ids = [3, 999, 1500, 42]
+    got = docstore_fetch(store, ids)
+    assert got["doc_id"].to_pylist() == sorted(ids)
+    assert got["text"].to_pylist() == [f"document body {i}" for i in sorted(ids)]
+    assert "dpart" not in got.column_names
+    # column pruning
+    slim = docstore_fetch(store, ids, columns=["doc_id"])
+    assert slim.column_names == ["doc_id"]
+    # partition pruning: a small fetch must not touch most fragments
+    touched, total = docstore_pruned_fragments(store, [7])
+    assert touched < total, (touched, total)
+    # a missing id simply returns no row
+    assert docstore_fetch(store, [10**9])["doc_id"].to_pylist() == []
