@@ -118,9 +118,12 @@ def cmd_serve(args: argparse.Namespace) -> int:
     if args.tcp:
         import asyncio
 
-        server = TcpQueryServer(wire, host=args.host, port=args.port)
+        server = TcpQueryServer(
+            wire, host=args.host, port=args.port, pipelined=args.pipelined
+        )
+        proto = "v2 pipelined" if args.pipelined else "v1 wire"
         try:
-            print(f"serving wire protocol on {args.host}:{args.port}", flush=True)
+            print(f"serving {proto} protocol on {args.host}:{args.port}", flush=True)
             asyncio.run(server.serve_forever())
         except KeyboardInterrupt:
             pass
@@ -189,6 +192,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--tcp", action="store_true", help="real socket server (reference port 3033)")
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=3033)  # chearch_srv.chpl:15
+    v.add_argument("--pipelined", action="store_true",
+                   help="v2 id-framed protocol (many in-flight requests per connection)")
     v.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

@@ -799,6 +799,25 @@ def q_top_bigrams(sf_dir: str) -> pa.Table:
     return top_bigrams(ds, k=20)
 
 
+def q_group_quantiles(sf_dir: str) -> pa.Table:
+    """per-event-type exact quantiles: every (group, q) selection job
+    narrows simultaneously in shared histogram passes."""
+    import ray.data
+
+    from chearch_ray.stages.events import _round_half_away
+    from chearch_ray.stages.sketch import exact_group_quantiles
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = _round_half_away(batch["value"].to_numpy().astype(np.float64) * 100)
+        return pa.table({"event_type": batch["event_type"],
+                         "cents": pa.array(cents, type=pa.int64())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    ).map_batches(to_cents, batch_format="pyarrow")
+    return exact_group_quantiles(ds, "cents", QUANTILE_QS, by="event_type")
+
+
 def q_value_quantiles(sf_dir: str) -> pa.Table:
     """exact discrete quantiles of events.value (integer cents, the
     same round-half-away mirror as windowed_agg) via distributed
@@ -1224,6 +1243,7 @@ QUERIES = {
     "suggest": q_suggest,
     "suggest_indexed": q_suggest_indexed,
     "value_quantiles": q_value_quantiles,
+    "group_quantiles": q_group_quantiles,
     "grep_lines": q_grep_lines,
     "regex_count": q_regex_count,
     "top_bigrams": q_top_bigrams,
@@ -1861,6 +1881,12 @@ ORDER BY n DESC, ta, tb LIMIT 20
     "value_quantiles": "\nUNION ALL\n".join(
         f"SELECT {q}::DOUBLE AS q, quantile_disc(CAST(round(value * 100) AS BIGINT), {q})::BIGINT"
         f" AS cents FROM events"
+        for q in QUANTILE_QS
+    ),
+    "group_quantiles": "\nUNION ALL\n".join(
+        f"SELECT event_type, {q}::DOUBLE AS q,"
+        f" quantile_disc(CAST(round(value * 100) AS BIGINT), {q})::BIGINT AS cents"
+        f" FROM events GROUP BY event_type"
         for q in QUANTILE_QS
     ),
     "suggest": f"""

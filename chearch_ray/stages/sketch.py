@@ -154,3 +154,149 @@ def exact_quantiles(ds, column: str, qs, n_buckets: int = QUANTILE_BUCKETS,
         out_v.append(int(vals[rank]))
     return pa.table({"q": pa.array(out_q, type=pa.float64()),
                      column: pa.array(out_v, type=pa.int64())})
+
+
+# ------------------------------------------------- per-group quantiles
+def _group_jobs_hist(batch: pa.Table, column: str, by: str, jobs: list[dict],
+                     nb: int) -> pa.Table:
+    """one pass serving EVERY active (group, q) narrowing job: per job,
+    histogram the batch's rows of that group inside the job's current
+    range.  Jobs are few (|groups| x |qs|); each histogram is a
+    vectorized masked bincount."""
+    v = batch[column].to_numpy()
+    g = batch[by]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    out_j, out_b, out_n = [], [], []
+    for j, job in enumerate(jobs):
+        import pyarrow.compute as pc
+
+        gm = pc.equal(g, job["group"]).to_numpy(zero_copy_only=False)
+        lo, hi = job["lo"], job["hi"]
+        vv = v[gm & (v >= lo) & (v <= hi)]
+        if len(vv) == 0:
+            continue
+        width = max(1, (hi - lo + nb) // nb)
+        uniq, cnt = np.unique((vv - lo) // width, return_counts=True)
+        out_j.append(np.full(len(uniq), j, dtype=np.int64))
+        out_b.append(uniq)
+        out_n.append(cnt)
+    if not out_j:
+        return pa.table({"job": pa.array([], type=pa.int64()),
+                         "bucket": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64())})
+    return pa.table({"job": pa.array(np.concatenate(out_j), type=pa.int64()),
+                     "bucket": pa.array(np.concatenate(out_b), type=pa.int64()),
+                     "n": pa.array(np.concatenate(out_n), type=pa.int64())})
+
+
+def _group_jobs_gather(batch: pa.Table, column: str, by: str,
+                       jobs: list[dict]) -> pa.Table:
+    v = batch[column].to_numpy()
+    g = batch[by]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    out_j, out_v = [], []
+    for j, job in enumerate(jobs):
+        import pyarrow.compute as pc
+
+        gm = pc.equal(g, job["group"]).to_numpy(zero_copy_only=False)
+        vv = v[gm & (v >= job["lo"]) & (v <= job["hi"])]
+        if len(vv):
+            out_j.append(np.full(len(vv), j, dtype=np.int64))
+            out_v.append(vv)
+    if not out_j:
+        return pa.table({"job": pa.array([], type=pa.int64()),
+                         "val": pa.array([], type=pa.int64())})
+    return pa.table({"job": pa.array(np.concatenate(out_j), type=pa.int64()),
+                     "val": pa.array(np.concatenate(out_v), type=pa.int64())})
+
+
+def exact_group_quantiles(ds, column: str, qs, by: str,
+                          n_buckets: int = QUANTILE_BUCKETS,
+                          gather_limit: int = QUANTILE_GATHER_LIMIT) -> pa.Table:
+    """EXACT per-group discrete quantiles of an int64 column — the
+    grouped form of `exact_quantiles`, still with NO global sort and
+    no per-group data shuffle.  Every (group, q) pair is an
+    independent selection job; ONE histogram pass per round serves all
+    still-active jobs simultaneously (each job narrows its own value
+    range), so the pass count stays log_nb(range) whatever the group
+    count.  The shuffle carries per-(block, job, bucket) count rows
+    only.  Intended for enumerable group columns (lang, split,
+    event_type — |groups| x |qs| jobs held in driver state); rank
+    convention matches DuckDB's quantile_disc per group.
+
+    Returns (by, q double, <column> int64) sorted by (group, q)."""
+    from functools import partial as _partial
+
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.groupby(by).aggregate(
+        Count(alias_name="n"), Min(column, alias_name="mn"), Max(column, alias_name="mx")
+    )
+    rows = []
+    for t in stats.iter_batches(batch_size=None, batch_format="pyarrow"):
+        rows.extend(t.to_pylist())
+    jobs = []
+    for r in sorted(rows, key=lambda x: str(x[by])):
+        for q in qs:
+            jobs.append(
+                {
+                    "group": r[by],
+                    "q": float(q),
+                    "rank": max(0, int(np.ceil(q * r["n"])) - 1),
+                    "lo": int(r["mn"]),
+                    "hi": int(r["mx"]),
+                    "in_range": int(r["n"]),
+                    "done": None,
+                }
+            )
+
+    def active(js):
+        return [j for j in js if j["done"] is None
+                and j["in_range"] > gather_limit and j["lo"] < j["hi"]]
+
+    while True:
+        act = active(jobs)
+        # collapsed ranges resolve immediately (heavy duplicates)
+        for j in jobs:
+            if j["done"] is None and j["lo"] == j["hi"]:
+                j["done"] = int(j["lo"])
+        act = active(jobs)
+        if not act:
+            break
+        hist = ds.map_batches(
+            _partial(_group_jobs_hist, column=column, by=by, jobs=act, nb=n_buckets),
+            batch_format="pyarrow",
+        ).take_all()
+        counts = np.zeros((len(act), n_buckets), dtype=np.int64)
+        for r in hist:
+            counts[r["job"], r["bucket"]] += r["n"]
+        for ji, job in enumerate(act):
+            cum = np.cumsum(counts[ji])
+            b = int(np.searchsorted(cum, job["rank"] + 1))
+            job["rank"] -= int(cum[b - 1]) if b else 0
+            lo, hi, nb = job["lo"], job["hi"], n_buckets
+            width = max(1, (hi - lo + nb) // nb)
+            job["lo"], job["hi"] = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+            job["in_range"] = int(counts[ji, b])
+
+    remaining = [j for j in jobs if j["done"] is None]
+    if remaining:
+        gathered = ds.map_batches(
+            _partial(_group_jobs_gather, column=column, by=by, jobs=remaining),
+            batch_format="pyarrow",
+        ).take_all()
+        vals: dict[int, list] = {}
+        for r in gathered:
+            vals.setdefault(r["job"], []).append(r["val"])
+        for ji, job in enumerate(remaining):
+            vv = np.sort(np.array(vals.get(ji, []), dtype=np.int64))
+            job["done"] = int(vv[job["rank"]])
+    return pa.table(
+        {
+            by: pa.array([j["group"] for j in jobs]),
+            "q": pa.array([j["q"] for j in jobs], type=pa.float64()),
+            column: pa.array([j["done"] for j in jobs], type=pa.int64()),
+        }
+    )

@@ -1154,6 +1154,40 @@ def test_exact_quantiles_vs_duckdb(ray_session):
     assert got.equals(got2)
 
 
+def test_exact_group_quantiles_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.sketch import exact_group_quantiles
+
+    rng = np.random.default_rng(31)
+    n = 40_000
+    groups = rng.choice(["a", "b", "c", "skewed"], size=n,
+                        p=[0.05, 0.25, 0.3, 0.4])
+    v = (rng.lognormal(3, 1.5, n) * 100).astype(np.int64)
+    # heavy duplicates inside one group (collapsed-range path)
+    v[groups == "skewed"] = np.where(
+        rng.random((groups == "skewed").sum()) < 0.8, 777,
+        v[groups == "skewed"])
+    t = pa.table({"g": pa.array(groups), "cents": pa.array(v)})
+    qs = [0.01, 0.5, 0.99]
+    got = exact_group_quantiles(
+        ray.data.from_arrow(t).repartition(6), "cents", qs, by="g",
+        n_buckets=64, gather_limit=500).to_pandas()
+    con = duckdb.connect()
+    con.register("tbl", t)
+    for g, q, val in zip(got["g"], got["q"], got["cents"]):
+        want = con.execute(
+            f"SELECT quantile_disc(cents, {q}) FROM tbl WHERE g = '{g}'"
+        ).fetchone()[0]
+        assert val == want, (g, q, val, want)
+    # partition invariance + straight-to-gather path
+    got2 = exact_group_quantiles(
+        ray.data.from_arrow(t).repartition(1), "cents", qs, by="g",
+        n_buckets=4096, gather_limit=100_000).to_pandas()
+    assert got.equals(got2)
+
+
 # ----------------------------------------------------- bigram counts
 def test_top_bigrams_vs_duckdb(ray_session):
     import duckdb
