@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from chearch_ray.stages.events import _round_half_away
+from chearch_ray.stages.partition import join_parallelism, join_remote_args
 
 #: Q1-style shipdate cutoff (epoch microseconds of 2001-06-30)
 PRICING_CUTOFF = "2001-06-30"
@@ -132,7 +133,7 @@ def _rev_partial(batch: pa.Table) -> pa.Table:
 
 
 def revenue_by_nation(orders_ds, customer_ds, nation_table: pa.Table,
-                      join_partitions: int = 8):
+                      join_partitions: int | None = None):
     """orders ⋈ customer (distributed hash join on custkey) ⋈ nation
     (broadcast) -> (n_name, n_orders, total_cents)."""
     import ray
@@ -158,15 +159,11 @@ def revenue_by_nation(orders_ds, customer_ds, nation_table: pa.Table,
         ),
         batch_format="pyarrow",
     )
-    ctx = ray.data.DataContext.get_current()
-    saved = ctx.join_operator_actor_num_cpus_per_partition_override
-    ctx.join_operator_actor_num_cpus_per_partition_override = 0.1
-    try:
-        joined = orders.join(
-            cust, "inner", join_partitions, on=("o_custkey",), right_on=("c_custkey",)
-        ).materialize()
-    finally:
-        ctx.join_operator_actor_num_cpus_per_partition_override = saved
+    joined = orders.join(
+        cust, "inner", join_parallelism(join_partitions),
+        on=("o_custkey",), right_on=("c_custkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    ).materialize()
     partials = joined.map_batches(_rev_partial, batch_format="pyarrow")
     return partials.groupby("n_name").aggregate(
         Sum("n_orders", alias_name="n_orders"),
@@ -280,7 +277,7 @@ def _q3_topk_block(batch: pa.Table, k: int) -> pa.Table:
 
 def shipping_priority(lineitem_ds, orders_ds, customer_ds,
                       segment: str = "BUILDING", date: str = "1998-06-01",
-                      k: int = 10, join_partitions: int = 8):
+                      k: int = 10, join_partitions: int | None = None):
     """TPC-H Q3 shape: customer(segment) ⋈ orders(date) ⋈ lineitem
     (both distributed hash joins), per-orderkey revenue as integer
     cents, global top-k by (revenue desc, orderkey asc).
@@ -305,18 +302,17 @@ def shipping_priority(lineitem_ds, orders_ds, customer_ds,
     li = lineitem_ds.map_batches(
         partial(_q3_lineitem_partial, ship_after_us=date_us), batch_format="pyarrow"
     )
-    ctx = ray.data.DataContext.get_current()
-    saved = ctx.join_operator_actor_num_cpus_per_partition_override
-    ctx.join_operator_actor_num_cpus_per_partition_override = 0.1
-    try:
-        o_c = orders.join(
-            cust, "inner", join_partitions, on=("o_custkey",), right_on=("o_custkey",)
-        )
-        joined = o_c.join(
-            li, "inner", join_partitions, on=("o_orderkey",), right_on=("l_orderkey",)
-        ).materialize()
-    finally:
-        ctx.join_operator_actor_num_cpus_per_partition_override = saved
+    # two live join operators: halve the per-join partition count so
+    # the plan's total aggregator reservation matches a one-join plan
+    jp = max(2, join_parallelism(join_partitions) // 2)
+    o_c = orders.join(
+        cust, "inner", jp, on=("o_custkey",), right_on=("o_custkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+    joined = o_c.join(
+        li, "inner", jp, on=("o_orderkey",), right_on=("l_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    ).materialize()
     per_order = joined.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
         Sum("rev_cents", alias_name="revenue_cents")
     )

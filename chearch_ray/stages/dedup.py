@@ -335,7 +335,7 @@ BROADCAST_PAYLOAD_BYTES = 256 * 1024 * 1024
 
 
 def verify_pairs_by_join(deduped, payload_ds, verify_fn, payload_col: str,
-                         join_partitions: int = 8,
+                         join_partitions: int | None = None,
                          broadcast_bytes: int = BROADCAST_PAYLOAD_BYTES):
     """Distributed pair verification: run `verify_fn` over batches
     carrying `{payload_col}_a` + `{payload_col}` columns for each
@@ -397,19 +397,9 @@ def verify_pairs_by_join(deduped, payload_ds, verify_fn, payload_col: str,
         )
         return _drop_empty_blocks(out.materialize())
 
-    # fractional-CPU join aggregators: with the default 1-CPU-per-
-    # partition reservation two Join ops deadlock small clusters.
-    # Scoped: both joins materialize inside this function, so the
-    # process-wide default is restored before returning.
-    ctx = ray.data.DataContext.get_current()
-    saved_override = ctx.join_operator_actor_num_cpus_per_partition_override
-    ctx.join_operator_actor_num_cpus_per_partition_override = 0.1
-    try:
-        return _verify_pairs_joins(
-            deduped, filtered, verify_fn, payload_col, join_partitions
-        )
-    finally:
-        ctx.join_operator_actor_num_cpus_per_partition_override = saved_override
+    return _verify_pairs_joins(
+        deduped, filtered, verify_fn, payload_col, join_partitions
+    )
 
 
 def _verify_batch_broadcast(batch: pa.Table, payload_ref, payload_col: str,
@@ -462,14 +452,21 @@ def _candidate_id_filter(batch: pa.Table, ids_ref) -> pa.Table:
 
 
 def _verify_pairs_joins(deduped, payload_ds, verify_fn, payload_col: str,
-                        join_partitions: int):
+                        join_partitions: int | None):
     """join-plan verification: `payload_ds` arrives already semi-join-
     filtered to candidate docs and materialized (both joins consume
-    it); the filtered set is candidate-scale, never the corpus."""
+    it); the filtered set is candidate-scale, never the corpus.
+    Aggregator actors get explicit fractional-CPU remote args — the
+    DataContext override is snapshotted per dataset and never reaches
+    these operators (see stages/partition.join_remote_args)."""
     from functools import partial
 
+    from chearch_ray.stages.partition import join_parallelism, join_remote_args
+
+    join_partitions = join_parallelism(join_partitions)
     j1 = deduped.join(
-        payload_ds, "inner", join_partitions, on=("doc_a",), right_on=("doc_id",)
+        payload_ds, "inner", join_partitions, on=("doc_a",), right_on=("doc_id",),
+        aggregator_ray_remote_args=join_remote_args(),
     ).map_batches(
         partial(_rename_column, src=payload_col, dst=f"{payload_col}_a"),
         batch_format="pyarrow",
@@ -481,7 +478,9 @@ def _verify_pairs_joins(deduped, payload_ds, verify_fn, payload_col: str,
     j1 = _drop_empty_blocks(j1.materialize())
     if j1 is None:
         return None
-    j2 = j1.join(payload_ds, "inner", join_partitions, on=("doc_b",), right_on=("doc_id",))
+    j2 = j1.join(payload_ds, "inner", join_partitions, on=("doc_b",),
+                 right_on=("doc_id",),
+                 aggregator_ray_remote_args=join_remote_args())
     return _drop_empty_blocks(
         j2.map_batches(verify_fn, batch_format="pyarrow").materialize()
     )
@@ -503,7 +502,7 @@ def _est_jaccard_packed(batch: pa.Table, num_perm: int, threshold: float) -> pa.
 
 def minhash_dedup_pairs(ds, threshold: float = 0.7, text_column: str = "text",
                         num_perm: int = 128, bands: int = 32,
-                        join_partitions: int = 8, verify: str = "est",
+                        join_partitions: int | None = None, verify: str = "est",
                         shingle_w: int = 3,
                         coarse_partitions: int = COARSE_PARTITIONS):
     """Dataset -> candidate near-dup pairs (doc_a < doc_b, est_jaccard
@@ -775,7 +774,7 @@ def _exact_jaccard_packed(batch: pa.Table, threshold: float) -> pa.Table:
 
 def ngram_jaccard_pairs(ds, pairs_ds, threshold: float = 0.0,
                         text_column: str = "text", w: int = 3,
-                        join_partitions: int = 8):
+                        join_partitions: int | None = None):
     """DATASET-scale exact n-gram Jaccard for candidate pairs: the
     corpus maps to packed shingle-set payloads, candidate pairs
     hash-join them on doc_a/doc_b (same machinery as the MinHash and
@@ -1001,18 +1000,15 @@ def _prefix_rows_distributed(payload, threshold: float, coarse_partitions: int,
         .aggregate(Sum("n", alias_name="df"))
     )
     exploded = payload.map_batches(_explode_shingle_rows, batch_format="pyarrow")
-    ctx = ray.data.DataContext.get_current()
-    saved = ctx.join_operator_actor_num_cpus_per_partition_override
-    ctx.join_operator_actor_num_cpus_per_partition_override = 0.1
-    try:
-        joined = exploded.join(
-            df_ds,
-            join_type="inner",
-            on=("bucket_j",),
-            num_partitions=join_partitions,
-        ).materialize()
-    finally:
-        ctx.join_operator_actor_num_cpus_per_partition_override = saved
+    from chearch_ray.stages.partition import join_parallelism, join_remote_args
+
+    joined = exploded.join(
+        df_ds,
+        join_type="inner",
+        on=("bucket_j",),
+        num_partitions=join_parallelism(join_partitions),
+        aggregator_ray_remote_args=join_remote_args(),
+    ).materialize()
     parted = joined.map_batches(
         partial(add_pgrp_column, n_partitions=coarse_partitions, key="doc_id"),
         batch_format="pyarrow",
@@ -1052,7 +1048,7 @@ def _jaccard_candidates_partition(group: pa.Table, threshold: float) -> pa.Table
 
 
 def jaccard_similarity_join(ds, threshold: float = 0.5, text_column: str = "text",
-                            w: int = 3, join_partitions: int = 8,
+                            w: int = 3, join_partitions: int | None = None,
                             coarse_partitions: int = COARSE_PARTITIONS,
                             df_broadcast_limit: int = 5_000_000):
     """EXACT n-gram Jaccard self-join: every pair with true shingle
@@ -1414,7 +1410,7 @@ def _substring_flag_batch(batch: pa.Table, dup_ref, text_column: str, w: int) ->
 
 
 def substring_dedup(ds, w: int = 8, text_column: str = "text",
-                    broadcast_limit: int = 5_000_000, join_partitions: int = 16):
+                    broadcast_limit: int = 5_000_000, join_partitions: int | None = None):
     """Exact substring-level dedup at token w-gram granularity ->
     (doc_id, n_grams, n_dup_grams, keep), one row per document.
 
@@ -1481,29 +1477,27 @@ def substring_dedup(ds, w: int = 8, text_column: str = "text",
     # ---- distributed path: dup grams inner-join back onto the gram
     # rows, then ONE per-doc groupby-sum over the union of (hit
     # partials) + (per-doc gram counts) — no outer join
-    ctx = ray.data.DataContext.get_current()
-    saved = ctx.join_operator_actor_num_cpus_per_partition_override
-    ctx.join_operator_actor_num_cpus_per_partition_override = 0.1
-    try:
-        hits = grams.join(
-            dup, join_type="inner", on=("gram_j",), num_partitions=join_partitions
+    from chearch_ray.stages.partition import join_parallelism, join_remote_args
+
+    hits = grams.join(
+        dup, join_type="inner", on=("gram_j",),
+        num_partitions=join_parallelism(join_partitions),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+    hit_partials = hits.map_batches(_substring_hit_partial, batch_format="pyarrow")
+    counts = ds.map_batches(
+        _p(_doc_gram_counts, text_column=text_column, w=w), batch_format="pyarrow"
+    )
+    per_doc = (
+        counts.union(hit_partials)
+        .groupby("doc_j")
+        .aggregate(
+            Sum("n_grams", alias_name="n_grams"),
+            Sum("n_dup", alias_name="n_dup_grams"),
+            Sum("n_earlier", alias_name="n_earlier"),
         )
-        hit_partials = hits.map_batches(_substring_hit_partial, batch_format="pyarrow")
-        counts = ds.map_batches(
-            _p(_doc_gram_counts, text_column=text_column, w=w), batch_format="pyarrow"
-        )
-        per_doc = (
-            counts.union(hit_partials)
-            .groupby("doc_j")
-            .aggregate(
-                Sum("n_grams", alias_name="n_grams"),
-                Sum("n_dup", alias_name="n_dup_grams"),
-                Sum("n_earlier", alias_name="n_earlier"),
-            )
-            .materialize()
-        )
-    finally:
-        ctx.join_operator_actor_num_cpus_per_partition_override = saved
+        .materialize()
+    )
     return per_doc.map_batches(_substring_finalize, batch_format="pyarrow")
 
 

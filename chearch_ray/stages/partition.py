@@ -47,3 +47,56 @@ def drop_pgrp_then(group: pa.Table, fn) -> pa.Table:
     """map_groups adapter: strip the routing column before the real
     per-partition function runs."""
     return fn(group.drop_columns(["pgrp"]))
+
+
+# ------------------------------------------------- join sizing
+#: CPU reserved per hash-join aggregator actor.  One aggregator actor
+#: is spawned PER PARTITION and the reservation lives for the whole
+#: plan, so a two-join pipeline holds 2 x partitions x this many CPUs
+#: before any read/map task (1 CPU each) can schedule.  Ray's default
+#: (0.125/partition) deadlocked the 4-cpu test session: 2 joins x 8
+#: partitions x 0.125 = 2.0 CPUs + resident searcher actors left less
+#: than one whole CPU for tasks.  Aggregators only concat/hash-route
+#: blocks, so a small fraction is honest.
+JOIN_AGG_NUM_CPUS = 0.05
+
+#: hard cap on join partitions (= aggregator actors) per join
+JOIN_PARTITIONS_CAP = 64
+
+
+def cluster_cpus(default: int = 8) -> int:
+    """Total CPUs of the current Ray cluster (or `default` when Ray
+    isn't initialised yet — sizing must never force an init)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(1, int(ray.cluster_resources().get("CPU", default)))
+    except Exception:
+        pass
+    return default
+
+
+def join_parallelism(requested: int | None = None,
+                     cap: int = JOIN_PARTITIONS_CAP) -> int:
+    """Join partition count sized to the session.  Each partition
+    costs one long-lived aggregator actor, so the count must track
+    cluster size: `min(requested, cpus)` with a floor of 2.  Callers
+    pass None to get the pure cluster-derived value (= cpus, capped);
+    an explicit `requested` acts as an upper bound (small, well-known
+    inputs don't need one partition per core)."""
+    n = min(cap, cluster_cpus())
+    if requested is not None:
+        n = min(n, requested)
+    return max(2, n)
+
+
+def join_remote_args() -> dict:
+    """aggregator_ray_remote_args for Dataset.join: explicit per-call
+    CPU reservation.  NOTE: the DataContext
+    `join_operator_actor_num_cpus_per_partition_override` is NOT a
+    substitute — each Dataset snapshots its DataContext at creation,
+    so mutating the global context between `read_parquet` and
+    `materialize` never reaches the join operator (observed: actors
+    still reserved Ray's 0.125 default)."""
+    return {"num_cpus": JOIN_AGG_NUM_CPUS}
