@@ -35,7 +35,33 @@ TOK_CTE = (
 
 K1, B = DRIVER_CFG.k1, DRIVER_CFG.b
 
-_ENGINES: dict[str, QueryEngine] = {}
+#: LRU cache of live actor engines.  BOUNDED: every cached engine
+#: holds SearcherGroup actors whose fractional-CPU reservations are
+#: permanent while cached — with one engine per index flavor (main /
+#: wide / deleted / per-field) an unbounded cache accumulates enough
+#: reservations to starve Ray Data task stages outright on small CPU
+#: budgets (observed: a 4-cpu pytest session deadlocked inside
+#: ivf_build once 6 cached actors held 3.0 CPUs).  Evicted engines
+#: have their actors killed; a later hit on the same index just
+#: reopens it (segment load is the only cost).
+_ENGINES: "dict[str, QueryEngine]" = {}
+#: max live actor engines (fielded search needs its two field engines
+#: resident at once, plus headroom for the main engine)
+_ENGINE_CACHE_CAP = 3
+
+
+def _cache_engine(key: str, eng: QueryEngine) -> None:
+    while len(_ENGINES) >= _ENGINE_CACHE_CAP:
+        old_key = next(iter(_ENGINES))
+        _ENGINES.pop(old_key).close()
+    _ENGINES[key] = eng
+
+
+def _cached_engine(key: str) -> QueryEngine | None:
+    eng = _ENGINES.pop(key, None)
+    if eng is not None:
+        _ENGINES[key] = eng  # refresh LRU position
+    return eng
 
 
 def _index_dir_for(sf_dir: str) -> str:
@@ -50,11 +76,11 @@ def _index_dir_for(sf_dir: str) -> str:
 
 def engine_for(sf_dir: str) -> QueryEngine:
     index_dir = _index_dir_for(sf_dir)
-    eng = _ENGINES.get(index_dir)
+    eng = _cached_engine(index_dir)
     if eng is None:
         build_index(read_documents_corpus(sf_dir), index_dir, DRIVER_CFG)
         eng = QueryEngine(index_dir, use_actors=True)
-        _ENGINES[index_dir] = eng
+        _cache_engine(index_dir, eng)
     return eng
 
 
@@ -194,11 +220,11 @@ def wide_engine_for(sf_dir: str) -> QueryEngine:
     key = f"{os.path.abspath(sf_dir)}:{os.path.getsize(doc_path)}:{WIDE_CFG}:wide:fmt2"
     tag = hashlib.sha256(key.encode()).hexdigest()[:16]
     index_dir = os.path.join("/tmp", "chearch_ray_driver_cache", f"idx-{tag}")
-    eng = _ENGINES.get(index_dir)
+    eng = _cached_engine(index_dir)
     if eng is None:
         build_index(_wide_corpus(sf_dir), index_dir, WIDE_CFG)
         eng = QueryEngine(index_dir, use_actors=True)
-        _ENGINES[index_dir] = eng
+        _cache_engine(index_dir, eng)
     return eng
 
 
@@ -289,14 +315,14 @@ def field_engine_for(sf_dir: str, column: str) -> QueryEngine:
     """second cached index over a non-default document column."""
     base = _index_dir_for(sf_dir)
     fdir = f"{base}-field-{column}"
-    eng = _ENGINES.get(fdir)
+    eng = _cached_engine(fdir)
     if eng is None:
         if not os.path.exists(os.path.join(fdir, "manifest.json")):
             build_index(
                 read_documents_corpus(sf_dir, content_column=column), fdir, DRIVER_CFG
             )
         eng = QueryEngine(fdir, use_actors=True)
-        _ENGINES[fdir] = eng
+        _cache_engine(fdir, eng)
     return eng
 
 
@@ -1064,7 +1090,7 @@ def _deleted_engine_for(sf_dir: str) -> QueryEngine:
     engine_for(sf_dir)  # ensure the base index is built
     base = _index_dir_for(sf_dir)
     ddir = base + "-del"
-    eng = _ENGINES.get(ddir)
+    eng = _cached_engine(ddir)
     if eng is None:
         if not os.path.exists(os.path.join(ddir, "manifest.json")):
             shutil.rmtree(ddir, ignore_errors=True)
@@ -1074,7 +1100,7 @@ def _deleted_engine_for(sf_dir: str) -> QueryEngine:
             )["doc_id"].to_numpy()
             delete_docs(ddir, ids[ids % DELETE_MOD == DELETE_REMAINDER].astype("uint64"))
         eng = QueryEngine(ddir, use_actors=True)
-        _ENGINES[ddir] = eng
+        _cache_engine(ddir, eng)
     return eng
 
 

@@ -84,13 +84,16 @@ class QueryEngine:
         self,
         index_dir: str,
         use_actors: bool = True,
-        num_cpus_per_actor: float = 0.5,
+        num_cpus_per_actor: float = 0.25,
         stats_mode: str = "eager",
         max_actors: int = 32,
     ):
         # fractional CPUs: long-lived searcher actors must not starve
         # Ray Data read/map tasks on small clusters (a pool that
-        # reserves every CPU serializes the pipeline)
+        # reserves every CPU serializes the pipeline).  0.25 keeps a
+        # 4-cpu session able to run a full Ray Data pipeline alongside
+        # several resident engines; the reservation is a scheduling
+        # hint, not a throughput cap (idle actors consume nothing)
         self.index_dir = index_dir
         self.manifest = Manifest.load(index_dir)
         self.cfg = self.manifest.engine_config

@@ -81,3 +81,38 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(out)
     assert len(df) >= 0
     assert "doc_id" in df.columns and "score" in df.columns
+
+
+def test_engine_cache_bounded_no_cpu_starvation(ray_session):
+    """Regression: an unbounded engine cache accumulated SearcherGroup
+    CPU reservations (one engine per index flavor) until Ray Data task
+    stages could not schedule at the 4-cpu test session (observed
+    deadlock inside ivf_build).  The cache must stay bounded, evicted
+    engines must release their actors, and an actor-pool pipeline must
+    still complete with every cache slot full."""
+    import pyarrow as pa
+    import ray.data
+
+    from chearch_ray.pipelines import driver_contract as dc
+
+    # touch >cap distinct engine flavors (indexes are disk-cached by
+    # the parametrized oracle tests above, so this is load-only)
+    dc.engine_for(SF_DIR)
+    dc.wide_engine_for(SF_DIR)
+    dc.field_engine_for(SF_DIR, "source")
+    dc._deleted_engine_for(SF_DIR)
+    dc.engine_for(SF_DIR)
+    assert len(dc._ENGINES) <= dc._ENGINE_CACHE_CAP
+    # reservations of live engines stay under half the 4-cpu budget
+    live_actors = sum(len(e._actors) for e in dc._ENGINES.values())
+    assert live_actors * 0.25 <= 2.0
+    # an actor-pool map stage (the shape that starved) still schedules
+
+    class Echo:
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b
+
+    n = (ray.data.range(1000)
+         .map_batches(Echo, concurrency=2, num_cpus=0.5, batch_size=256)
+         .count())
+    assert n == 1000
