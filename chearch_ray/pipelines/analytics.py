@@ -342,3 +342,109 @@ def shipping_priority(lineitem_ds, orders_ds, customer_ds,
         sort_keys=[("revenue_cents", "descending"), ("l_orderkey", "ascending")],
     )
     return merged.take(order[: min(k, len(merged))])
+
+
+# ------------------------------------------------- EXISTS / NOT EXISTS
+def _priority_partial(batch: pa.Table) -> pa.Table:
+    cents = _cents(batch["o_totalprice"].to_numpy().astype(np.float64))
+    t = pa.table(
+        {
+            "o_orderpriority": batch["o_orderpriority"],
+            "n_orders": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "total_cents": pa.array(cents, type=pa.int64()),
+        }
+    )
+    agg = t.group_by("o_orderpriority", use_threads=False).aggregate(
+        [("n_orders", "sum"), ("total_cents", "sum")]
+    )
+    return agg.rename_columns(["o_orderpriority", "n_orders", "total_cents"])
+
+
+def returned_order_priority(orders_ds, lineitem_ds,
+                            n_partitions: int = 64):
+    """TPC-H Q4 shape (EXISTS): orders having >= 1 returned lineitem
+    (l_returnflag = 'R'), rolled up per o_orderpriority as
+    (n_orders, total_cents).
+
+    The big side (lineitem) is filtered + projected to bare orderkeys
+    and deduplicated map-side before the single semi-join shuffle —
+    the exchange carries one key row per (block, distinct orderkey),
+    never lineitems.  The rollup is the usual partial-then-groupby."""
+    from ray.data.aggregate import Sum
+
+    from chearch_ray.stages.joins import hash_semi_join
+
+    returned = lineitem_ds.filter(expr="l_returnflag == 'R'").map_batches(
+        lambda b: pa.table({"l_orderkey": b["l_orderkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    hits = hash_semi_join(
+        orders_ds, returned, on="o_orderkey", right_on="l_orderkey",
+        payload=["o_orderpriority", "o_totalprice"], n_partitions=n_partitions,
+    )
+    partials = hits.map_batches(_priority_partial, batch_format="pyarrow")
+    return partials.groupby("o_orderpriority").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+
+
+def _recent_custkeys(batch: pa.Table, since_us: int) -> pa.Table:
+    od = batch["o_orderdate"]
+    if isinstance(od, pa.ChunkedArray):
+        od = od.combine_chunks()
+    keep = np.asarray(od.cast(pa.int64())) >= since_us
+    return pa.table(
+        {"o_custkey": batch["o_custkey"].to_numpy()[keep].astype(np.int64)}
+    )
+
+
+def inactive_customer_segments(customer_ds, orders_ds,
+                               since: str = "1998-01-01",
+                               n_partitions: int = 64):
+    """NOT EXISTS shape (churn): customers with NO order since `since`,
+    rolled up per market segment as (n_customers, sum_acctbal_cents) —
+    the anti-join twin of `returned_order_priority`, same
+    single-shuffle membership pass with the probe side filtered +
+    deduplicated map-side."""
+    from ray.data.aggregate import Sum
+
+    from chearch_ray.stages.joins import hash_anti_join
+
+    since_us = int(np.datetime64(since, "us").astype(np.int64))
+    order_keys = orders_ds.map_batches(
+        partial(_recent_custkeys, since_us=since_us), batch_format="pyarrow",
+    )
+    silent = hash_anti_join(
+        customer_ds, order_keys, on="c_custkey", right_on="o_custkey",
+        payload=["c_mktsegment", "c_acctbal"], n_partitions=n_partitions,
+    )
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"].to_numpy().astype(np.float64))
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_customers": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "acctbal_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+        agg = t.group_by("c_mktsegment", use_threads=False).aggregate(
+            [("n_customers", "sum"), ("acctbal_cents", "sum")]
+        )
+        return agg.rename_columns(["c_mktsegment", "n_customers", "acctbal_cents"])
+
+    partials = silent.map_batches(seg_partial, batch_format="pyarrow")
+    out = partials.groupby("c_mktsegment").aggregate(
+        Sum("n_customers", alias_name="n_customers"),
+        Sum("acctbal_cents", alias_name="acctbal_cents"),
+    )
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")]
+    ) if out.count() else None
+    if t is None or len(t) == 0:
+        # schema-stable empty result (groupby over zero rows loses it)
+        return pa.table({"c_mktsegment": pa.array([], type=pa.string()),
+                         "n_customers": pa.array([], type=pa.int64()),
+                         "acctbal_cents": pa.array([], type=pa.int64())})
+    return t

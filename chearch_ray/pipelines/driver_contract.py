@@ -613,6 +613,21 @@ def q_sessionize(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(sessionize(ds, gap_sec=1800).to_pandas(), preserve_index=False)
 
 
+def q_running_windows(sf_dir: str) -> pa.Table:
+    """ordered per-key window functions (row_number, running sum,
+    lag gap) — one coarse shuffle + segmented scans, one row out per
+    row in."""
+    import ray.data
+
+    from chearch_ray.stages.events import running_windows
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return pa.Table.from_pandas(running_windows(ds).to_pandas(), preserve_index=False)
+
+
 def q_bpeish_tokens(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -687,6 +702,46 @@ def q_kmv_distinct_users(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
     est = kmv_distinct(ds, "user_id", k=KMV_USERS_K)
     return pa.table({"n_distinct_est": pa.array([est], type=pa.int64())})
+
+
+def q_normalize_text(sf_dir: str) -> pa.Table:
+    """whitespace + case canonicalization (the pass before dedup)."""
+    import ray.data
+
+    from chearch_ray.stages.textstats import normalize_text
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(normalize_text, batch_format="pyarrow")
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def q_frequent_terms(sf_dir: str) -> pa.Table:
+    """exact heavy hitters (terms with >= 1/200 of all occurrences):
+    bounded-state candidates + broadcast exact verify, no term
+    groupby."""
+    import ray.data
+
+    from chearch_ray.stages.textstats import frequent_terms
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return frequent_terms(ds, denom=200)
+
+
+def q_kmv_distinct_by_type(sf_dir: str) -> pa.Table:
+    """grouped KMV sketch: distinct-user estimate per event_type (k=64
+    < 150 true distinct, so the integer estimate formula is exercised,
+    not the exact small-set path)."""
+    import ray.data
+
+    from chearch_ray.stages.sketch import kmv_distinct_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return kmv_distinct_by(ds, "user_id", by="event_type", k=KMV_USERS_K)
 
 
 #: misspelling fed to the did-you-mean row ("merge" at distance 1)
@@ -775,6 +830,43 @@ def q_shipping_priority(sf_dir: str) -> pa.Table:
         columns=["c_custkey", "c_mktsegment"],
     )
     return shipping_priority(lineitem, orders, customer)
+
+
+def q_order_priority(sf_dir: str) -> pa.Table:
+    """EXISTS semi-join: orders with >= 1 returned lineitem, per
+    priority."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import returned_order_priority
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag"],
+    )
+    out = returned_order_priority(orders, lineitem)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_inactive_customers(sf_dir: str) -> pa.Table:
+    """NOT EXISTS anti-join: customers with no orders, per segment."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import inactive_customer_segments
+
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+    out = inactive_customer_segments(customer, orders, since="1998-01-01")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
 def q_pii_scrub(sf_dir: str) -> pa.Table:
@@ -1249,6 +1341,7 @@ QUERIES = {
     "near_ordered": q_near_ordered,
     "windowed_agg": q_windowed_agg,
     "sessionize": q_sessionize,
+    "running_windows": q_running_windows,
     "bpeish_tokens": q_bpeish_tokens,
     "asof_join": q_asof_join,
     "embedding_neardup": q_embedding_neardup,
@@ -1265,6 +1358,9 @@ QUERIES = {
     "snippets": q_snippets,
     "facets": q_facets,
     "kmv_distinct_users": q_kmv_distinct_users,
+    "kmv_distinct_by_type": q_kmv_distinct_by_type,
+    "frequent_terms": q_frequent_terms,
+    "normalize_text": q_normalize_text,
     "pq_knn": q_pq_knn,
     "suggest": q_suggest,
     "suggest_indexed": q_suggest_indexed,
@@ -1277,6 +1373,8 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "forecast_revenue": q_forecast_revenue,
     "shipping_priority": q_shipping_priority,
+    "order_priority": q_order_priority,
+    "inactive_customers": q_inactive_customers,
     "revenue_by_nation": q_revenue_by_nation,
     "training_pipeline": q_training_pipeline,
     "chunk_documents": q_chunk_documents,
@@ -1682,6 +1780,15 @@ SELECT user_id, session_id::BIGINT AS session_id,
        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
 FROM sess GROUP BY user_id, session_id
 """,
+    "running_windows": """
+SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us,
+       row_number() OVER w::BIGINT AS rn,
+       sum(CAST(round(value * 100) AS BIGINT))
+         OVER (w ROWS UNBOUNDED PRECEDING)::BIGINT AS run_sum_cents,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1)::BIGINT AS prev_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
     "asof_join": """
 SELECT l.event_id, l.user_id, epoch_us(l.ts)::BIGINT AS ts_us, l.value,
        (SELECT r.value FROM events r
@@ -1875,6 +1982,25 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
 """,
+    "order_priority": """
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    "inactive_customers": """
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_mktsegment
+""",
     "pii_scrub": r"""
 WITH s1 AS (SELECT doc_id,
   length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
@@ -1937,6 +2063,34 @@ agg AS (SELECT count(*)::BIGINT AS n, max(hv) AS kth FROM k)
 SELECT CASE WHEN (SELECT n FROM agg) < {KMV_USERS_K} THEN (SELECT n FROM agg)
        ELSE ((({KMV_USERS_K} - 1)::HUGEINT * 18446744073709551616::HUGEINT)
              // (SELECT kth FROM agg))::BIGINT END AS n_distinct_est
+""",
+    "normalize_text": r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(lower(text),
+         '[\t\r\n\f\v]', ' ', 'g'), ' {2,}', ' ', 'g'),
+         '^ +| +$', '', 'g') AS norm
+FROM documents
+""",
+    "frequent_terms": f"""
+WITH {TOK_CTE},
+tot AS (SELECT count(*)::BIGINT AS n FROM tok),
+c AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term)
+SELECT term, n FROM c WHERE n * 200 >= (SELECT n FROM tot)
+""",
+    "kmv_distinct_by_type": f"""
+WITH h AS (SELECT DISTINCT event_type,
+                  (user_id::HUGEINT * 6364136223846793005)
+                  % 18446744073709551616::HUGEINT AS hv FROM events),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h),
+agg AS (SELECT event_type, count(*)::BIGINT AS n, max(hv) AS kth
+        FROM r WHERE rn <= {KMV_USERS_K} GROUP BY event_type)
+SELECT event_type,
+       CASE WHEN n < {KMV_USERS_K} THEN n
+            ELSE ((({KMV_USERS_K} - 1)::HUGEINT * 18446744073709551616::HUGEINT)
+                  // kth)::BIGINT END AS n_distinct_est
+FROM agg
 """,
     "facets": f"""
 WITH {TOK_CTE},

@@ -308,3 +308,98 @@ def asof_join(ds, key: str = "user_id", ts_column: str = "ts",
         ),
         batch_format="pyarrow",
     )
+
+
+_WINDOW_FN_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("rn", pa.int64()),
+        ("run_sum_cents", pa.int64()),
+        ("prev_gap_us", pa.int64()),
+    ]
+)
+
+
+def _running_partition(group: pa.Table, key: str, ts_column: str,
+                       id_column: str, value_column: str) -> pa.Table:
+    """one coarse partition (many keys) -> per-row ordered window
+    values, all keys in one vectorized pass: sort by (key, ts, id),
+    then segmented cumsum / ordinal / lag with run-start resets."""
+    if len(group) == 0:
+        return _WINDOW_FN_SCHEMA.empty_table()
+    order = pc.sort_indices(
+        group,
+        sort_keys=[(key, "ascending"), (ts_column, "ascending"),
+                   (id_column, "ascending")],
+    )
+    g = group.take(order)
+    us = _epoch_us(g[ts_column])
+    keys = g[key].to_numpy()
+    n = len(g)
+    new_key = _run_starts(keys)
+    starts = np.flatnonzero(new_key)
+    counts = np.diff(np.append(starts, n))
+    cents = _round_half_away(g[value_column].to_numpy().astype(np.float64) * 100)
+    # segmented cumulative sum: global cumsum minus each run's base
+    cum = np.cumsum(cents)
+    base = np.repeat(cum[starts] - cents[starts], counts)
+    run_sum = cum - base
+    # 1-based ordinal within the key's run
+    rn = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+    # gap to the previous event of the SAME key; -1 on run starts
+    # (mirrors coalesce(ts - lag(ts) over w, -1))
+    gap = np.empty(n, dtype=np.int64)
+    gap[0] = -1
+    gap[1:] = us[1:] - us[:-1]
+    gap[new_key] = -1
+    return pa.table(
+        {
+            "event_id": pa.array(g[id_column].to_numpy(), type=pa.int64()),
+            "user_id": pa.array(keys.astype(np.int64), type=pa.int64()),
+            "ts_us": pa.array(us, type=pa.int64()),
+            "rn": pa.array(rn, type=pa.int64()),
+            "run_sum_cents": pa.array(run_sum, type=pa.int64()),
+            "prev_gap_us": pa.array(gap, type=pa.int64()),
+        }
+    )
+
+
+def running_windows(ds, key: str = "user_id", ts_column: str = "ts",
+                    id_column: str = "event_id", value_column: str = "value",
+                    coarse_partitions: int = USER_PARTITIONS):
+    """Ordered per-key window functions over an event stream — the SQL
+    `OVER (PARTITION BY key ORDER BY ts, id)` family as one distributed
+    pass: per input row, emit its 1-based ordinal (`rn`,
+    row_number()), running value sum in integer cents
+    (`run_sum_cents`, SUM ... ROWS UNBOUNDED PRECEDING), and
+    microsecond gap to the key's previous event (`prev_gap_us`,
+    ts - lag(ts), -1 on each key's first row).
+
+    Ray Data has no ordered-window primitive; the prescribed
+    composition is the same shape as sessionize/asof: ONE
+    hash(key)%N coarse groupby shuffle, then one vectorized
+    sort + segmented-scan pass per partition covering all its keys.
+    Window state never crosses key boundaries, so key-hash
+    partitioning is sufficient; output row count equals input row
+    count (this is a per-row annotation, not an aggregate)."""
+    from functools import partial
+
+    parted = ds.map_batches(
+        partial(_user_partition_column, n_partitions=coarse_partitions, key=key),
+        batch_format="pyarrow",
+    )
+    return parted.groupby("pgrp").map_groups(
+        partial(
+            _drop_pgrp_then,
+            fn=partial(
+                _running_partition,
+                key=key,
+                ts_column=ts_column,
+                id_column=id_column,
+                value_column=value_column,
+            ),
+        ),
+        batch_format="pyarrow",
+    )

@@ -62,6 +62,72 @@ def kmv_distinct(ds, column: str, k: int = KMV_K) -> int:
     return ((k - 1) << 64) // kth
 
 
+def _kmv_group_partial(batch: pa.Table, column: str, by: str, k: int) -> pa.Table:
+    """per (group) k smallest distinct hashes of this batch: one sort
+    of (group, hash) pairs, then a vectorized per-run k-cut."""
+    g = batch[by]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    h = batch[column].to_numpy().astype(np.uint64) * KNUTH_MULT
+    t = pa.table({by: g, "hv": pa.array(h, type=pa.uint64())})
+    # sort by (group, hv); drop duplicate (group, hv); keep first k per run
+    order = pa.compute.sort_indices(
+        t, sort_keys=[(by, "ascending"), ("hv", "ascending")])
+    t = t.take(order)
+    gv = t[by].combine_chunks() if isinstance(t[by], pa.ChunkedArray) else t[by]
+    hv = t["hv"].to_numpy()
+    n = len(t)
+    if n == 0:
+        return pa.table({by: g.slice(0, 0), "hv": pa.array([], type=pa.uint64())})
+    import pyarrow.compute as pc
+
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = ~pc.equal(gv.slice(1), gv.slice(0, n - 1)).to_numpy(
+        zero_copy_only=False)
+    new_val = np.empty(n, dtype=bool)
+    new_val[0] = True
+    new_val[1:] = (hv[1:] != hv[:-1]) | new_grp[1:]
+    # ordinal of each DISTINCT value within its group run
+    starts = np.flatnonzero(new_grp)
+    counts = np.diff(np.append(starts, n))
+    distinct_rank = np.cumsum(new_val) - np.repeat(
+        np.cumsum(new_val)[starts] - new_val[starts], counts)
+    keep = new_val & (distinct_rank <= k)
+    return t.filter(pa.array(keep))
+
+
+def kmv_distinct_by(ds, column: str, by: str, k: int = KMV_K) -> pa.Table:
+    """Per-group KMV distinct-count estimates: (by, n_distinct_est),
+    sorted by group.  Same integer estimate formula as `kmv_distinct`,
+    per group; the shuffle carries <= k hash rows per (block, group)
+    and the per-group finalize runs on <= k * blocks values.  Intended
+    for enumerable group columns; deterministic and
+    partition-invariant (merging k-min sets is order-free)."""
+    parted = ds.map_batches(
+        partial(_kmv_group_partial, column=column, by=by, k=k),
+        batch_format="pyarrow",
+    )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        h = np.unique(group["hv"].to_numpy().astype(np.uint64))
+        if len(h) < k:
+            est = int(len(h))
+        else:
+            kth = int(np.partition(h, k - 1)[k - 1])
+            est = int(len(h)) if kth == 0 else ((k - 1) << 64) // kth
+        gcol = group[by]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        return pa.table({by: gcol.slice(0, 1),
+                         "n_distinct_est": pa.array([est], type=pa.int64())})
+
+    out = parted.groupby(by).map_groups(finalize, batch_format="pyarrow")
+    t = pa.concat_tables(
+        out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return t.take(pa.compute.sort_indices(t, sort_keys=[(by, "ascending")]))
+
+
 # ------------------------------------------------ exact quantiles
 #: histogram resolution per narrowing round
 QUANTILE_BUCKETS = 4096

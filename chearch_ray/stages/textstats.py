@@ -9,6 +9,8 @@ any table with a text column.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -478,3 +480,121 @@ class PiiScrub:
             text = pc.replace_substring_regex(text, pattern, repl)
         cols["scrubbed"] = text
         return pa.table(cols)
+
+
+# --------------------------------------------------- frequent terms
+def _hh_partial(batch: pa.Table, text_column: str, denom: int) -> pa.Table:
+    """bounded-state heavy-hitter candidates for one block: terms with
+    block frequency >= n_b/denom (at most `denom` of them exist), plus
+    one sentinel row ('', n_b) carrying the block's occurrence count.
+    Pigeonhole guarantee: a term with GLOBAL frequency >= N/denom has
+    block frequency >= n_b/denom in at least one block, so the union
+    of block candidates is a provable superset of the answer."""
+    values, _, _ = explode(tokenize(batch[text_column]))
+    n_b = len(values)
+    if n_b == 0:
+        return pa.table({"term": pa.array(["__n__"]),
+                         "n": pa.array([0], type=pa.int64())})
+    vc = values.value_counts()
+    terms = vc.field("values")
+    counts = vc.field("counts").to_numpy().astype(np.int64)
+    keep = counts * denom >= n_b
+    return pa.table(
+        {
+            "term": pa.concat_arrays([terms.filter(pa.array(keep)),
+                                      pa.array(["__n__"])]),
+            "n": pa.array(np.append(counts[keep], n_b), type=pa.int64()),
+        }
+    )
+
+
+def _hh_count(batch: pa.Table, text_column: str, cand_ref) -> pa.Table:
+    """exact occurrence counts of the candidate terms in this block
+    (one vectorized membership filter + value_counts)."""
+    import ray
+
+    cand = ray.get(cand_ref) if not isinstance(cand_ref, pa.Array) else cand_ref
+    values, _, _ = explode(tokenize(batch[text_column]))
+    hit = pc.is_in(values, value_set=cand)
+    vals = values.filter(hit)
+    if len(vals) == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    vc = vals.value_counts()
+    return pa.table({"term": vc.field("values"),
+                     "n": vc.field("counts").cast(pa.int64())})
+
+
+def frequent_terms(ds, text_column: str = "text", denom: int = 200) -> pa.Table:
+    """EXACT heavy hitters: every term whose occurrence count is
+    >= N/denom (integer cross-multiplied: count * denom >= N), as
+    (term, n) sorted by (n desc, term asc).
+
+    Two passes, both with BOUNDED state — the point at 100 TB, where
+    an exact term groupby would shuffle the whole vocabulary:
+    1. candidate generation: each block emits at most `denom`
+       local heavy hitters (+ its occurrence count) — a provable
+       superset of the global answer by pigeonhole;
+    2. exact verify: candidate terms broadcast once (`ray.put`), each
+       block emits exact counts for candidates only (<= |candidates|
+       rows per block), summed driver-side.
+    No term groupby ever happens; the only driver state is
+    candidates x blocks count rows."""
+    import ray
+
+    cand_rows = ds.map_batches(
+        partial(_hh_partial, text_column=text_column, denom=denom),
+        batch_format="pyarrow",
+    ).take_all()
+    total = 0
+    cands: set[str] = set()
+    for r in cand_rows:
+        if r["term"] == "__n__":
+            total += int(r["n"])
+        else:
+            cands.add(r["term"])
+    if not cands or total == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    cand_ref = ray.put(pa.array(sorted(cands), type=pa.string()))
+    counts: dict[str, int] = {}
+    exact = ds.map_batches(
+        partial(_hh_count, text_column=text_column, cand_ref=cand_ref),
+        batch_format="pyarrow",
+    )
+    for t in exact.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for term, n in zip(t["term"].to_pylist(), t["n"].to_pylist()):
+            counts[term] = counts.get(term, 0) + int(n)
+    out = [(t, n) for t, n in counts.items() if n * denom >= total]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return pa.table({"term": pa.array([t for t, _ in out], type=pa.string()),
+                     "n": pa.array([n for _, n in out], type=pa.int64())})
+
+
+# ------------------------------------------------- text normalization
+#: normalization passes (order matters; all RE2 — Arrow and DuckDB
+#: both run RE2, so the composition is bit-identical in SQL):
+#: 1. unify line endings / tabs to spaces
+#: 2. collapse space runs
+#: 3. trim
+NORMALIZE_STEPS = (
+    (r"[\t\r\n\f\v]", " "),
+    (r" {2,}", " "),
+    (r"^ +| +$", ""),
+)
+
+
+def normalize_text(batch: pa.Table, text_column: str = "text",
+                   lowercase: bool = True) -> pa.Table:
+    """doc_id/text -> (doc_id, norm): canonical whitespace + case
+    normalization — the first pass of every dedup/quality pipeline
+    (exact dedup over raw bytes misses trivially-reformatted copies).
+    One vectorized RE2 replace per step; stateless map stage."""
+    text = batch[text_column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if lowercase:
+        text = pc.utf8_lower(text)
+    for pattern, repl in NORMALIZE_STEPS:
+        text = pc.replace_substring_regex(text, pattern, repl)
+    return pa.table({"doc_id": batch["doc_id"], "norm": text})

@@ -149,3 +149,42 @@ def test_cents_rounding_matches_duckdb():
         .fetchall()
     ]
     assert got == want
+
+
+def test_running_windows_vs_duckdb(ray_session):
+    """Per-key ordered window functions match SQL window semantics
+    exactly, including ts ties (ordered by event_id) and run resets."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from chearch_ray.stages.events import running_windows
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    base = dt.datetime(2024, 1, 1)
+    # few keys -> long runs; ts ties injected deliberately
+    ts_s = rng.integers(0, 50_000, size=n)
+    rows = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array([base + dt.timedelta(seconds=int(s)) for s in ts_s],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 37, size=n).astype(np.int64)),
+        "value": pa.array(np.round(rng.random(n) * 100, 2)),
+    })
+    got = (running_windows(ray.data.from_arrow(rows).repartition(7),
+                           coarse_partitions=5)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", rows)
+    want = con.execute("""
+SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us,
+       row_number() OVER w::BIGINT AS rn,
+       sum(CAST(round(value * 100) AS BIGINT))
+         OVER (w ROWS UNBOUNDED PRECEDING)::BIGINT AS run_sum_cents,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1)::BIGINT AS prev_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+""").df()
+    assert got.equals(want), got.compare(want)

@@ -1752,3 +1752,170 @@ def test_weighted_sample_deterministic_and_proportional(ray_session):
                      "quality": pa.array([0.0, 1.0])})
     e = weighted_sample(ray.data.from_arrow(edge)).to_pandas().set_index("doc_id")
     assert not e.loc[1, "keep"] and bool(e.loc[2, "keep"])
+
+
+# ---------------------------------------------- semi / anti hash join
+def test_hash_semi_anti_join_vs_numpy(ray_session):
+    """Distributed membership join matches a plain np.isin reference,
+    payload intact, regardless of partitioning; anti is the exact
+    complement."""
+    import ray.data
+
+    from chearch_ray.stages.joins import hash_anti_join, hash_semi_join
+
+    rng = np.random.default_rng(47)
+    n = 20_000
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 5_000, n).astype(np.int64)),
+        "payload": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        "tag": pa.array(rng.choice(["x", "y"], n)),
+    })
+    # probe side heavily duplicated (tests map-side dedup) + misses
+    right = pa.table({
+        "rk": pa.array(np.repeat(rng.integers(0, 2_500, 400), 50).astype(np.int64)),
+    })
+    lds = ray.data.from_arrow(left).repartition(9)
+    rds = ray.data.from_arrow(right).repartition(4)
+    member = np.isin(left["k"].to_numpy(), np.unique(right["rk"].to_numpy()))
+
+    def collect(ds):
+        t = pa.concat_tables(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+        return t.to_pandas().sort_values(list(t.column_names)).reset_index(drop=True)
+
+    semi = collect(hash_semi_join(lds, rds, on="k", right_on="rk",
+                                  payload=["k", "payload", "tag"], n_partitions=13))
+    want = left.to_pandas()[member].sort_values(["k", "payload", "tag"]).reset_index(drop=True)
+    assert semi.equals(want)
+    anti = collect(hash_anti_join(lds, rds, on="k", right_on="rk",
+                                  payload=["k", "payload", "tag"], n_partitions=13))
+    want_a = left.to_pandas()[~member].sort_values(["k", "payload", "tag"]).reset_index(drop=True)
+    assert anti.equals(want_a)
+    assert len(semi) + len(anti) == n
+
+
+def test_semi_anti_analytics_vs_duckdb(ray_session):
+    """EXISTS / NOT EXISTS pipelines match DuckDB on the sf0.001
+    tables, including the anti-join's schema-stable empty result."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import (
+        inactive_customer_segments,
+        returned_order_priority,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["orders", "lineitem", "customer"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    got = (returned_order_priority(
+        ray.data.read_parquet(f"{sf}/orders.parquet",
+                              columns=["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                              columns=["l_orderkey", "l_returnflag"]))
+        .to_pandas().sort_values("o_orderpriority").reset_index(drop=True))
+    want = con.execute("""
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority""").df()
+    assert got.equals(want)
+
+    cust = ray.data.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = ray.data.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    got2 = inactive_customer_segments(cust, orders, since="1998-01-01").to_pandas()
+    want2 = con.execute("""
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_mktsegment""").df()
+    g = got2.sort_values("c_mktsegment").reset_index(drop=True)
+    w = want2.sort_values("c_mktsegment").reset_index(drop=True)
+    assert g.equals(w), (g, w)
+    # since earlier than every order -> empty, schema intact
+    empty = inactive_customer_segments(
+        cust, orders, since="1990-01-01").to_pandas()
+    assert len(empty) == 0
+    assert list(empty.columns) == ["c_mktsegment", "n_customers", "acctbal_cents"]
+
+
+def test_kmv_distinct_by_group(ray_session):
+    """Grouped KMV: per-group estimates equal the ungrouped sketch run
+    on each group's rows alone (merge correctness), exact below k,
+    partition-invariant."""
+    import ray.data
+
+    from chearch_ray.stages.sketch import kmv_distinct, kmv_distinct_by
+
+    rng = np.random.default_rng(53)
+    n = 30_000
+    g = rng.choice(["big", "mid", "tiny"], size=n, p=[0.6, 0.35, 0.05])
+    # distinct-universe sizes: big >> k, mid ~ k, tiny << k
+    key = np.where(g == "big", rng.integers(0, 5000, n),
+                   np.where(g == "mid", rng.integers(0, 300, n),
+                            rng.integers(0, 17, n))).astype(np.int64)
+    t = pa.table({"g": pa.array(g), "k": pa.array(key)})
+    k = 256
+    got = kmv_distinct_by(ray.data.from_arrow(t).repartition(8), "k",
+                          by="g", k=k).to_pandas()
+    for grp in ["big", "mid", "tiny"]:
+        sub = t.filter(pa.compute.equal(t["g"], grp))
+        want = kmv_distinct(ray.data.from_arrow(sub), "k", k=k)
+        gotv = int(got.loc[got["g"] == grp, "n_distinct_est"].iloc[0])
+        assert gotv == want, (grp, gotv, want)
+        true = len(np.unique(sub["k"].to_numpy()))
+        if true < k:
+            assert gotv == true  # exact below k
+        else:
+            assert abs(gotv - true) / true < 0.2
+    got2 = kmv_distinct_by(ray.data.from_arrow(t).repartition(1), "k",
+                           by="g", k=k).to_pandas()
+    assert got.equals(got2)
+
+
+def test_frequent_terms_uniform_spread_hitter(ray_session):
+    """A term spread thinly but uniformly across every block (never a
+    LOCAL standout by a large margin) must still be caught — the
+    pigeonhole candidate rule guarantees a superset; the exact verify
+    pass then prunes the near-misses."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.textstats import frequent_terms
+
+    rng = np.random.default_rng(59)
+    filler = [f"w{i}" for i in range(2000)]
+    docs = []
+    for d in range(400):
+        toks = list(rng.choice(filler, size=60))
+        # 'needle' ~1.6% of every doc (above 1/100); 'chaff' ~0.8% (below)
+        toks.append("needle")
+        if d % 2 == 0:
+            toks.append("chaff")
+        docs.append(" ".join(toks))
+    t = pa.table({"text": pa.array(docs)})
+    got = frequent_terms(ray.data.from_arrow(t).repartition(10),
+                         denom=100).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9_]+'), x -> x <> '')) AS term FROM documents),
+tot AS (SELECT count(*)::BIGINT AS n FROM tok),
+c AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term)
+SELECT term, n FROM c WHERE n * 100 >= (SELECT n FROM tot)
+ORDER BY n DESC, term""").df()
+    assert got.equals(want), (got, want)
+    assert "needle" in set(got["term"])
+    assert "chaff" not in set(got["term"])
+    # partition invariance
+    got2 = frequent_terms(ray.data.from_arrow(t).repartition(1),
+                          denom=100).to_pandas()
+    assert got.equals(got2)
