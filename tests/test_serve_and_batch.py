@@ -511,3 +511,64 @@ def test_pipelined_v2_slow_query_does_not_convoy(server):
             assert rid == 8, "fast request should complete first on the wire"
     finally:
         srv.stop()
+
+
+# ----------------------------------------------- tiered merge policy
+def test_tiered_policy_rewrite_amplification():
+    """Pure policy simulation: across N same-size flushes the live-set
+    size stays logarithmic and total rewritten docs are O(N log N) —
+    the reason tiered beats merge-into-main (O(N^2))."""
+    from chearch_ray.state.tiered import pick_merge_group, size_class
+
+    fanout, base = 4, 10
+    live: list[int] = []
+    rewritten = 0
+    n_flushes = 256
+    for _ in range(n_flushes):
+        live.append(10)
+        while (g := pick_merge_group(live, fanout, base)) is not None:
+            merged = sum(live[i] for i in g)
+            rewritten += merged
+            live = [n for i, n in enumerate(live) if i not in set(g)]
+            live.append(merged)
+    total_docs = n_flushes * 10
+    assert sum(live) == total_docs
+    # live count bounded by fanout per class x class count (log_4 256 = 4)
+    assert len(live) <= (fanout - 1) * (size_class(total_docs, base, fanout) + 1)
+    # each doc rewritten ~log_fanout(N) times, far below N/2 (main-merge)
+    assert rewritten <= total_docs * (size_class(total_docs, base, fanout) + 1)
+    assert rewritten < total_docs * n_flushes / 8
+
+
+def test_tiered_index_set_collapse_byte_identical(ray_session, tmp_path):
+    """Flush 5 slices through TieredIndexSet (fanout=2 so merges
+    actually trigger), collapse, and compare part shas to a one-shot
+    build over the union corpus."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.engine import QueryEngine
+    from chearch_ray.state.tiered import TieredIndexSet
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=3, block_size=16)
+    full = synthetic_corpus(150, seed=43)
+    tis = TieredIndexSet(str(tmp_path / "tiers"), fanout=2, base_docs=40)
+    for i in range(5):
+        d = str(tmp_path / f"flush{i}")
+        build_index(ray.data.from_arrow(full.slice(i * 30, 30)), d, cfg)
+        tis.add(d)
+    assert tis.merge_log, "fanout=2 over 5 flushes must merge"
+    assert 1 <= len(tis.live_dirs()) < 5
+    m_full = build_index(ray.data.from_arrow(full), str(tmp_path / "full"), cfg)
+    m_col = tis.collapse(str(tmp_path / "serving"))
+    assert m_col.num_docs == m_full.num_docs
+    assert {p["part"]: p["sha"] for p in m_col.postings_parts} == {
+        p["part"]: p["sha"] for p in m_full.postings_parts
+    }
+    assert {p["part"]: p["sha"] for p in m_col.docmap_parts} == {
+        p["part"]: p["sha"] for p in m_full.docmap_parts
+    }
+    eng = QueryEngine(str(tmp_path / "serving"), use_actors=False)
+    assert len(eng.search("def return", k=5)) == 5
