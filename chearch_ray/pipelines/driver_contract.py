@@ -506,6 +506,31 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_dedup_incremental(sf_dir: str) -> pa.Table:
+    """incremental-ingest dedup: the 'new shard' (doc_id % 3 != 0) is
+    checked against the 'already-ingested' fingerprint store
+    (doc_id % 3 == 0); one coarse sha-partitioned shuffle of
+    fingerprints, full-sha membership per partition."""
+    import ray.data
+    from functools import partial
+
+    from chearch_ray.stages.dedup import dedup_against_store
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+
+    def _mod3(batch: pa.Table, want_zero: bool) -> pa.Table:
+        keep = (batch["doc_id"].to_numpy() % 3 == 0) == want_zero
+        return batch.filter(pa.array(keep))
+
+    new = ray.data.read_parquet(docs, columns=["doc_id", "text"]).map_batches(
+        partial(_mod3, want_zero=False), batch_format="pyarrow")
+    seen = ray.data.read_parquet(docs, columns=["text", "doc_id"]).map_batches(
+        partial(_mod3, want_zero=True), batch_format="pyarrow")
+    out = dedup_against_store(new, seen).to_pandas()[["doc_id", "content_sha"]]
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False)
+
+
 def q_content_sha(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1331,6 +1356,7 @@ QUERIES = {
     "bm25_deleted": q_bm25_deleted,
     "missing_term": q_missing_term,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "content_sha": q_content_sha,
     "lang_counts": q_lang_counts,
     "knn_cosine": q_knn_cosine,
@@ -1743,6 +1769,14 @@ SELECT media_id, kind, sha256(decode(payload)) AS payload_sha,
 FROM read_parquet('{MEDIA_TABLE_PATH}')
 """,
     "dedup_exact": "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY sha256(text)",
+    "dedup_incremental": """
+SELECT n.doc_id, sha256(n.text) AS content_sha
+FROM documents n
+WHERE n.doc_id % 3 <> 0
+  AND NOT EXISTS (SELECT 1 FROM documents s
+                  WHERE s.doc_id % 3 = 0 AND s.text = n.text)
+ORDER BY n.doc_id
+""",
     "content_sha": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
     "lang_counts": "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
     "quality": _quality_sql(),

@@ -1545,3 +1545,92 @@ def _substring_finalize(batch: pa.Table) -> pa.Table:
             "keep": pa.array(n_earlier == 0),
         }
     )
+
+
+# ------------------------------------------- incremental (store) dedup
+def _store_side_rows(batch: pa.Table, text_column: str, id_column: str | None,
+                     n_partitions: int, probe: bool,
+                     id_type: pa.DataType | None = None) -> pa.Table:
+    """one input block -> (pgrp, content_sha, probe flag [, id]) rows.
+    Partition id comes from the sha's leading 64 bits, so equal shas
+    always co-locate; the membership test inside the partition runs on
+    the FULL hex sha (no prefix-collision risk).  The probe (already-
+    ingested) side is deduplicated map-side: one sha row per distinct
+    content per block."""
+    from chearch_ray.stages.partition import coarse_partition_ids
+
+    sha = sha256_hex(batch[text_column])
+    if probe:
+        sha = sha.unique()
+    hi = np.array([int(s[:16], 16) for s in sha.to_pylist()], dtype=np.uint64)
+    cols: dict = {
+        "content_sha": sha,
+        "__probe": pa.array(np.full(len(sha), probe), type=pa.bool_()),
+    }
+    if id_column is not None:
+        # the probe side carries a typed null id so the union schema
+        # matches without requiring the store to have ids at all
+        ids = pa.nulls(len(sha), type=id_type) if probe else batch[id_column]
+        cols[id_column] = ids
+    t = pa.table(cols)
+    return t.append_column(
+        "pgrp", pa.array(coarse_partition_ids(hi, n_partitions), type=pa.int32()))
+
+
+def _store_membership_partition(group: pa.Table, id_column: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    probe = group["__probe"].to_numpy(zero_copy_only=False)
+    new = group.filter(pa.array(~probe))
+    if len(new) == 0:
+        return pa.table({id_column: pa.array([], type=group[id_column].type),
+                         "content_sha": pa.array([], type=pa.string())})
+    seen = group["content_sha"].filter(pa.array(probe))
+    if isinstance(seen, pa.ChunkedArray):
+        seen = seen.combine_chunks()
+    hit = pc.is_in(new["content_sha"], value_set=seen)
+    keep = pc.invert(hit)
+    out = new.filter(keep)
+    return pa.table({id_column: out[id_column], "content_sha": out["content_sha"]})
+
+
+def dedup_against_store(new_ds, seen_ds, text_column: str = "text",
+                        id_column: str = "doc_id",
+                        n_partitions: int | None = None):
+    """Incremental ingest dedup: rows of `new_ds` whose exact content
+    (sha256 of `text_column`) does NOT already exist in `seen_ds` —
+    the every-day shape of a continuously-fed training-data pipeline,
+    where each arriving shard must be checked against the corpus
+    fingerprint store, not against itself.
+
+    ONE coarse shuffle carries both sides: new rows as
+    (sha, id), the store as map-side-deduplicated bare sha rows
+    (one per distinct content per block — at 100 TB the store side is
+    a parquet of fingerprints, so the exchange moves fingerprints
+    only, never documents).  Membership is tested per partition on the
+    full sha via pc.is_in.  Returns (id_column, content_sha) of the
+    genuinely new rows.  NOTE: unlike `exact_dedup`, duplicates WITHIN
+    `new_ds` are kept (both pass the store check); compose with
+    `exact_dedup` first when intra-shard uniqueness is also required.
+    """
+    from functools import partial as _pp
+
+    from chearch_ray.stages.partition import join_parallelism
+
+    n = join_parallelism(n_partitions)
+    schema = new_ds.schema()
+    id_type = schema.types[schema.names.index(id_column)]
+    left = new_ds.map_batches(
+        _pp(_store_side_rows, text_column=text_column, id_column=id_column,
+            n_partitions=n, probe=False),
+        batch_format="pyarrow",
+    )
+    store = seen_ds.map_batches(
+        _pp(_store_side_rows, text_column=text_column, id_column=id_column,
+            n_partitions=n, probe=True, id_type=id_type),
+        batch_format="pyarrow",
+    )
+    return left.union(store).groupby("pgrp").map_groups(
+        _pp(_store_membership_partition, id_column=id_column),
+        batch_format="pyarrow",
+    )

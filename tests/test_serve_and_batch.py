@@ -572,3 +572,33 @@ def test_tiered_index_set_collapse_byte_identical(ray_session, tmp_path):
     }
     eng = QueryEngine(str(tmp_path / "serving"), use_actors=False)
     assert len(eng.search("def return", k=5)) == 5
+
+
+def test_online_flush_tiered_matches_batch_build(ray_session, tmp_path):
+    """OnlineIndexer.flush_tiered: three buffer flushes through a
+    TieredIndexSet collapse to part shas identical to one batch build
+    over all enqueued rows."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.online import OnlineIndexer
+    from chearch_ray.state.tiered import TieredIndexSet
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=3, block_size=16)
+    corpus = synthetic_corpus(90, seed=47)
+    tis = TieredIndexSet(str(tmp_path / "tiers"), fanout=2, base_docs=25)
+    idx = OnlineIndexer(cfg, flush_threshold=30)
+    rows = corpus.to_pylist()
+    for i, row in enumerate(rows):
+        assert idx.enqueue_index_request(row) or True
+        if (i + 1) % 30 == 0:
+            idx.flush_tiered(tis)
+    assert idx.pending() == 0
+    m_full = build_index(ray.data.from_arrow(corpus), str(tmp_path / "full"), cfg)
+    m_col = tis.collapse(str(tmp_path / "serving"))
+    assert m_col.num_docs == m_full.num_docs
+    assert {p["part"]: p["sha"] for p in m_col.postings_parts} == {
+        p["part"]: p["sha"] for p in m_full.postings_parts
+    }

@@ -1919,3 +1919,39 @@ ORDER BY n DESC, term""").df()
     got2 = frequent_terms(ray.data.from_arrow(t).repartition(1),
                           denom=100).to_pandas()
     assert got.equals(got2)
+
+
+def test_dedup_against_store_vs_sets(ray_session):
+    """Incremental store dedup: survivors are exactly the new rows
+    whose content is absent from the store; intra-shard duplicates
+    both survive (documented semantics); partition-invariant."""
+    import ray.data
+
+    from chearch_ray.stages.dedup import dedup_against_store
+
+    store_texts = [f"seen doc {i}" for i in range(50)]
+    new_texts = (
+        [f"fresh doc {i}" for i in range(40)]        # genuinely new
+        + store_texts[10:20]                          # already ingested
+        + ["fresh dup", "fresh dup"]                  # intra-shard dup
+    )
+    new = pa.table({
+        "doc_id": pa.array(np.arange(len(new_texts), dtype=np.int64)),
+        "text": pa.array(new_texts),
+    })
+    seen = pa.table({"text": pa.array(store_texts),
+                     "doc_id": pa.array(np.arange(1000, 1000 + len(store_texts), dtype=np.int64))})
+    out = dedup_against_store(
+        ray.data.from_arrow(new).repartition(5),
+        ray.data.from_arrow(seen).repartition(3),
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want_ids = [i for i, t in enumerate(new_texts) if t not in set(store_texts)]
+    assert out["doc_id"].tolist() == want_ids
+    # both intra-shard dup rows survive the STORE check
+    assert sum(t == "fresh dup" for t in np.array(new_texts)[out["doc_id"].to_numpy()]) == 2
+    out2 = dedup_against_store(
+        ray.data.from_arrow(new).repartition(1),
+        ray.data.from_arrow(seen).repartition(1),
+        n_partitions=3,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(out2)
