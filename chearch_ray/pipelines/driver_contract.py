@@ -1286,6 +1286,23 @@ def q_quality(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def q_quality_gate(sf_dir: str) -> pa.Table:
+    """per-language quality gate: keep docs at or above their
+    language's EXACT median quality (integer micro-units; histogram
+    narrowing, no global sort)."""
+    import ray.data
+
+    from chearch_ray.pipelines.training import quality_gate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    out = quality_gate(ds, by="lang", q=0.5).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False)
+
+
 def q_weighted_sample(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1410,6 +1427,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
     "quality": q_quality,
+    "quality_gate": q_quality_gate,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
 }
@@ -1780,6 +1798,17 @@ ORDER BY n.doc_id
     "content_sha": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
     "lang_counts": "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
     "quality": _quality_sql(),
+    "quality_gate": f"""
+WITH q AS ({_quality_sql()}),
+qq AS (SELECT d.lang, q.doc_id,
+              CAST(round(q.quality * 1000000) AS BIGINT) AS q_int
+       FROM q JOIN documents d ON q.doc_id = d.doc_id),
+med AS (SELECT lang, quantile_disc(q_int, 0.5) AS m FROM qq GROUP BY lang)
+SELECT qq.doc_id, qq.lang, qq.q_int
+FROM qq JOIN med ON qq.lang = med.lang
+WHERE qq.q_int >= med.m
+ORDER BY qq.doc_id
+""",
     "weighted_sample": f"""
 WITH q AS ({_quality_sql()})
 SELECT doc_id, quality,

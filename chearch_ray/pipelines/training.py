@@ -78,3 +78,60 @@ def prepare_training_data(
 
     final = ds.map_batches(_filter_ids, batch_format="pyarrow")
     return pack_sequences(final, max_tokens=max_tokens, text_column=text_column)
+
+
+# ------------------------------------------- per-group quality gating
+def _gate_score_rows(batch: pa.Table, by: str) -> pa.Table:
+    """(doc_id, by, text) -> (doc_id, by, q_int): the QualityScore
+    composite in integer MICRO-units (round-half-away, mirroring SQL
+    round()) so every downstream comparison is integer-exact."""
+    import pyarrow as pa
+
+    from chearch_ray.stages.events import _round_half_away
+    from chearch_ray.stages.textstats import QualityScore
+
+    scored = QualityScore()(batch)
+    q_int = _round_half_away(scored["quality"].to_numpy() * 1_000_000)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        by: batch[by],
+        "q_int": pa.array(q_int, type=pa.int64()),
+    })
+
+
+def quality_gate(ds, by: str = "lang", q: float = 0.5):
+    """Keep each group's top documents by quality: score every doc
+    (integer micro-units), find the group's EXACT q-quantile with the
+    shared histogram-narrowing machinery (no global sort, no per-group
+    shuffle), broadcast the tiny (group -> threshold) table, and
+    filter in one map pass.  The common 'drop the bottom half per
+    language' pre-training gate, distributed end-to-end.
+
+    Returns (doc_id, by, q_int) of docs with q_int >= their group's
+    q-quantile (quantile_disc rank convention, ties kept)."""
+    from functools import partial as _pp
+
+    import ray
+
+    from chearch_ray.stages.sketch import exact_group_quantiles
+
+    scored = ds.map_batches(_pp(_gate_score_rows, by=by), batch_format="pyarrow")
+    med = exact_group_quantiles(scored, "q_int", [q], by=by)
+    thr = {med[by][i].as_py(): int(med["q_int"][i].as_py()) for i in range(len(med))}
+    thr_ref = ray.put(thr)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref) if not isinstance(thr_ref, dict) else thr_ref
+        g = batch[by]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        import numpy as np
+
+        vals = np.asarray(g.to_numpy(zero_copy_only=False))
+        uniq, inv = np.unique(vals, return_inverse=True)
+        cut_u = np.array([t.get(u, np.iinfo(np.int64).max) for u in uniq],
+                         dtype=np.int64)
+        keep = batch["q_int"].to_numpy() >= cut_u[inv]
+        return batch.filter(pa.array(keep))
+
+    return scored.map_batches(_keep, batch_format="pyarrow")

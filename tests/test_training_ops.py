@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pandas as pd
 import pytest
 
 from chearch_ray.stages.dedup import (
@@ -1955,3 +1956,47 @@ def test_dedup_against_store_vs_sets(ray_session):
         n_partitions=3,
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out.equals(out2)
+
+
+def test_quality_gate_vs_duckdb(ray_session):
+    """Per-group quality gating equals the SQL window formulation
+    (median per group, ties kept), with >= half of each group
+    surviving by the quantile_disc rank convention; partition-
+    invariant."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.pipelines.driver_contract import _quality_sql
+    from chearch_ray.pipelines.training import quality_gate
+
+    rng = np.random.default_rng(61)
+    langs = rng.choice(["en", "fr", "xx"], size=300, p=[0.5, 0.4, 0.1])
+    words = [f"w{i}" for i in range(400)]
+    texts = [" ".join(rng.choice(words, size=int(rng.integers(3, 120))))
+             for _ in range(300)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+        "lang": pa.array(langs),
+        "text": pa.array(texts),
+    })
+    got = (quality_gate(ray.data.from_arrow(t).repartition(7), by="lang", q=0.5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(f"""
+WITH q AS ({_quality_sql()}),
+qq AS (SELECT d.lang, q.doc_id,
+              CAST(round(q.quality * 1000000) AS BIGINT) AS q_int
+       FROM q JOIN documents d ON q.doc_id = d.doc_id),
+med AS (SELECT lang, quantile_disc(q_int, 0.5) AS m FROM qq GROUP BY lang)
+SELECT qq.doc_id, qq.lang, qq.q_int FROM qq JOIN med ON qq.lang = med.lang
+WHERE qq.q_int >= med.m ORDER BY qq.doc_id""").df()
+    assert got.equals(want), (len(got), len(want))
+    # each group keeps at least half its docs (ties only ADD rows)
+    kept = got.groupby("lang").size()
+    total = pd.Series(langs).value_counts()
+    for lang in total.index:
+        assert kept.get(lang, 0) >= total[lang] // 2
+    got2 = (quality_gate(ray.data.from_arrow(t).repartition(1), by="lang", q=0.5)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(got2)
