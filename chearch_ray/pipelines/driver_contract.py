@@ -942,6 +942,19 @@ def q_top_bigrams(sf_dir: str) -> pa.Table:
     return top_bigrams(ds, k=20)
 
 
+def q_pmi_bigrams(sf_dir: str) -> pa.Table:
+    """top-20 collocations by PMI (min bigram count 5): bigram-vocab
+    groupby + broadcast candidate-unigram exact counts; the reported
+    pmi's libm ln is bit-identical to DuckDB's."""
+    import ray.data
+
+    from chearch_ray.stages.textstats import pmi_bigrams
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return pmi_bigrams(ds, k=20, min_count=5)
+
+
 def q_group_quantiles(sf_dir: str) -> pa.Table:
     """per-event-type exact quantiles: every (group, q) selection job
     narrows simultaneously in shared histogram passes."""
@@ -1412,6 +1425,7 @@ QUERIES = {
     "grep_lines": q_grep_lines,
     "regex_count": q_regex_count,
     "top_bigrams": q_top_bigrams,
+    "pmi_bigrams": q_pmi_bigrams,
     "pii_scrub": q_pii_scrub,
     "pricing_summary": q_pricing_summary,
     "forecast_revenue": q_forecast_revenue,
@@ -2092,6 +2106,24 @@ bg AS (SELECT a.term ta, b.term tb FROM ptok a JOIN ptok b
        ON b.doc_id = a.doc_id AND b.ord = a.ord + 1)
 SELECT ta, tb, count(*)::BIGINT AS n FROM bg GROUP BY ta, tb
 ORDER BY n DESC, ta, tb LIMIT 20
+""",
+    "pmi_bigrams": f"""
+WITH {POS_TOK_CTE},
+bg AS (SELECT a.term ta, b.term tb, count(*)::BIGINT AS n_ab
+       FROM ptok a JOIN ptok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+       GROUP BY a.term, b.term HAVING count(*) >= 5),
+tot AS (SELECT count(*)::BIGINT AS n FROM ptok),
+tbg AS (SELECT count(*)::BIGINT AS n FROM ptok a JOIN ptok b
+        ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
+uni AS (SELECT term, count(*)::BIGINT AS n FROM ptok GROUP BY term)
+SELECT bg.ta, bg.tb, bg.n_ab, ua.n AS n_a, ub.n AS n_b,
+       ln((CAST(bg.n_ab AS DOUBLE) / (SELECT n FROM tbg)) /
+          ((CAST(ua.n AS DOUBLE) / (SELECT n FROM tot))
+           * (CAST(ub.n AS DOUBLE) / (SELECT n FROM tot)))) AS pmi
+FROM bg JOIN uni ua ON ua.term = bg.ta JOIN uni ub ON ub.term = bg.tb
+ORDER BY CAST(bg.n_ab AS DOUBLE)
+         / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) DESC, bg.ta, bg.tb
+LIMIT 20
 """,
     "value_quantiles": "\nUNION ALL\n".join(
         f"SELECT {q}::DOUBLE AS q, quantile_disc(CAST(round(value * 100) AS BIGINT), {q})::BIGINT"

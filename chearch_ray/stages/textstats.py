@@ -598,3 +598,119 @@ def normalize_text(batch: pa.Table, text_column: str = "text",
     for pattern, repl in NORMALIZE_STEPS:
         text = pc.replace_substring_regex(text, pattern, repl)
     return pa.table({"doc_id": batch["doc_id"], "norm": text})
+
+
+# ---------------------------------------------------- PMI collocations
+def _pmi_unigram_counts(batch: pa.Table, text_column: str, cand_ref) -> pa.Table:
+    """per-block (exact candidate-unigram counts) + a sentinel row
+    ('', n_tokens, n_bigrams) carrying the block totals the PMI
+    normalizers need — one pass, bounded output."""
+    import ray
+
+    cand = ray.get(cand_ref) if not isinstance(cand_ref, pa.Array) else cand_ref
+    values, rows, _ = explode(tokenize(batch[text_column]))
+    n_tok = len(values)
+    n_bg = int((rows[1:] == rows[:-1]).sum()) if n_tok > 1 else 0
+    hit = pc.is_in(values, value_set=cand)
+    vals = values.filter(hit)
+    if len(vals):
+        vc = vals.value_counts()
+        terms = pa.concat_arrays([vc.field("values"), pa.array([""])])
+        n = np.append(vc.field("counts").to_numpy().astype(np.int64), n_tok)
+    else:
+        terms = pa.array([""], type=pa.string())
+        n = np.array([n_tok], dtype=np.int64)
+    nb = np.zeros(len(terms), dtype=np.int64)
+    nb[-1] = n_bg
+    return pa.table({"term": terms, "n": pa.array(n, type=pa.int64()),
+                     "nb": pa.array(nb, type=pa.int64())})
+
+
+def pmi_bigrams(ds, k: int = 20, min_count: int = 5,
+                text_column: str = "text") -> pa.Table:
+    """Top-k collocations by pointwise mutual information:
+    pmi(a,b) = ln( P(ab) / (P(a) P(b)) ) with P(ab) = n_ab / N_bigrams
+    and P(x) = n_x / N_tokens, over bigrams with n_ab >= min_count.
+
+    Distribution: bigram counts ride the usual map-combined
+    bigram-vocabulary groupby (same exchange as top_bigrams);
+    `min_count` then shrinks the candidate set, the candidates'
+    unigrams broadcast ONCE, and one more map pass returns exact
+    unigram counts + block totals — the unigram VOCABULARY never
+    shuffles.  Ranking uses the raw likelihood ratio
+    r = n_ab / (n_a * n_b) (doubles; products and divisions are
+    IEEE-correctly-rounded so the sort key is engine-reproducible,
+    unlike ln whose last ulp differs between numpy and SQL); the
+    reported pmi is math.log (= libm = DuckDB ln, bit-identical) of
+    an argument built with the SAME operation order as the SQL
+    mirror.  Returns (ta, tb, n_ab, n_a, n_b, pmi) sorted by
+    (r desc, ta, tb)."""
+    import math
+    from functools import partial
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"ta": pa.array([], type=pa.string()),
+                      "tb": pa.array([], type=pa.string()),
+                      "n_ab": pa.array([], type=pa.int64()),
+                      "n_a": pa.array([], type=pa.int64()),
+                      "n_b": pa.array([], type=pa.int64()),
+                      "pmi": pa.array([], type=pa.float64())})
+    bg = (
+        ds.map_batches(partial(bigram_partial, text_column=text_column),
+                       batch_format="pyarrow")
+        .groupby(["ta", "tb"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    cand_parts = [
+        t.filter(pa.array(t["n"].to_numpy() >= min_count))
+        for t in bg.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    cand = pa.concat_tables([t for t in cand_parts if len(t)]) if any(
+        len(t) for t in cand_parts) else None
+    if cand is None:
+        return empty
+    cand = cand.combine_chunks()
+    uni_terms = pa.concat_arrays(
+        [cand["ta"].combine_chunks() if isinstance(cand["ta"], pa.ChunkedArray) else cand["ta"],
+         cand["tb"].combine_chunks() if isinstance(cand["tb"], pa.ChunkedArray) else cand["tb"]]
+    ).unique()
+    cand_ref = ray.put(uni_terms)
+    counts: dict[str, int] = {}
+    total_tok = 0
+    total_bg = 0
+    uni = ds.map_batches(
+        partial(_pmi_unigram_counts, text_column=text_column, cand_ref=cand_ref),
+        batch_format="pyarrow",
+    )
+    for t in uni.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for term, n, nb in zip(t["term"].to_pylist(), t["n"].to_pylist(),
+                               t["nb"].to_pylist()):
+            if term == "":
+                total_tok += int(n)
+                total_bg += int(nb)
+            else:
+                counts[term] = counts.get(term, 0) + int(n)
+    if total_bg == 0:
+        return empty
+    ta = cand["ta"].to_pylist()
+    tb = cand["tb"].to_pylist()
+    n_ab = cand["n"].to_numpy().astype(np.int64)
+    n_a = np.array([counts[x] for x in ta], dtype=np.int64)
+    n_b = np.array([counts[x] for x in tb], dtype=np.int64)
+    # engine-reproducible sort key (see docstring)
+    r = n_ab.astype(np.float64) / (n_a.astype(np.float64) * n_b.astype(np.float64))
+    order = sorted(range(len(ta)), key=lambda i: (-r[i], ta[i], tb[i]))[:k]
+    pmi = [
+        math.log((n_ab[i] / total_bg) / ((n_a[i] / total_tok) * (n_b[i] / total_tok)))
+        for i in order
+    ]
+    return pa.table({
+        "ta": pa.array([ta[i] for i in order], type=pa.string()),
+        "tb": pa.array([tb[i] for i in order], type=pa.string()),
+        "n_ab": pa.array(n_ab[order], type=pa.int64()),
+        "n_a": pa.array(n_a[order], type=pa.int64()),
+        "n_b": pa.array(n_b[order], type=pa.int64()),
+        "pmi": pa.array(pmi, type=pa.float64()),
+    })

@@ -2000,3 +2000,52 @@ WHERE qq.q_int >= med.m ORDER BY qq.doc_id""").df()
     got2 = (quality_gate(ray.data.from_arrow(t).repartition(1), by="lang", q=0.5)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert got.equals(got2)
+
+
+def test_pmi_bigrams_vs_duckdb(ray_session):
+    """PMI collocations: counts, ranking (likelihood-ratio doubles are
+    IEEE-reproducible) and the ln values themselves (libm == DuckDB)
+    match SQL bit-for-bit; partition-invariant."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.textstats import pmi_bigrams
+
+    rng = np.random.default_rng(67)
+    vocab = [f"w{i}" for i in range(150)]
+    docs = []
+    for _ in range(250):
+        toks = list(rng.choice(vocab, size=int(rng.integers(5, 60))))
+        if rng.random() < 0.4:
+            toks += ["strong", "pair"]       # a real collocation
+        docs.append(" ".join(toks))
+    t = pa.table({"doc_id": pa.array(np.arange(250, dtype=np.int64)),
+                  "text": pa.array(docs)})
+    got = pmi_bigrams(ray.data.from_arrow(t).repartition(6),
+                      k=15, min_count=4).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+WITH ptoks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+       '[^a-z0-9_]+'), x -> x <> '') AS ts FROM documents),
+ptok AS (SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS ord FROM ptoks),
+bg AS (SELECT a.term ta, b.term tb, count(*)::BIGINT AS n_ab
+       FROM ptok a JOIN ptok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+       GROUP BY a.term, b.term HAVING count(*) >= 4),
+tot AS (SELECT count(*)::BIGINT AS n FROM ptok),
+tbg AS (SELECT count(*)::BIGINT AS n FROM ptok a JOIN ptok b
+        ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
+uni AS (SELECT term, count(*)::BIGINT AS n FROM ptok GROUP BY term)
+SELECT bg.ta, bg.tb, bg.n_ab, ua.n AS n_a, ub.n AS n_b,
+       ln((CAST(bg.n_ab AS DOUBLE) / (SELECT n FROM tbg)) /
+          ((CAST(ua.n AS DOUBLE) / (SELECT n FROM tot))
+           * (CAST(ub.n AS DOUBLE) / (SELECT n FROM tot)))) AS pmi
+FROM bg JOIN uni ua ON ua.term = bg.ta JOIN uni ub ON ub.term = bg.tb
+ORDER BY CAST(bg.n_ab AS DOUBLE)
+         / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) DESC, bg.ta, bg.tb
+LIMIT 15""").df()
+    assert got.equals(want), (got.head(), want.head())
+    assert ("strong", "pair") in set(zip(got["ta"], got["tb"]))
+    got2 = pmi_bigrams(ray.data.from_arrow(t).repartition(1),
+                       k=15, min_count=4).to_pandas()
+    assert got.equals(got2)
