@@ -252,6 +252,15 @@ def q_bm25_single(sf_dir: str) -> pa.Table:
     return _ranked(engine_for(sf_dir).search(ast.Term(BM25_TERM), k=10))
 
 
+def q_bm25_page2(sf_dir: str) -> pa.Table:
+    """cursor pagination: page 1's last row feeds search_after, whose
+    page 2 must be rank-identical to the oracle's OFFSET window."""
+    eng = engine_for(sf_dir)
+    page1 = eng.search(ast.Term(BM25_TERM), k=10)
+    cursor = (page1["score"][-1].as_py(), page1["doc_id"][-1].as_py())
+    return _ranked(eng.search_after(ast.Term(BM25_TERM), cursor, k=10))
+
+
 def q_bm25_and(sf_dir: str) -> pa.Table:
     a, b = BM25_AND_TERMS
     return _ranked(engine_for(sf_dir).search(ast.And(ast.Term(a), ast.Term(b)), k=10))
@@ -1374,6 +1383,7 @@ QUERIES = {
     "bm25_not": q_bm25_not,
     "wide_id_boolean": q_wide_id_boolean,
     "bm25_single": q_bm25_single,
+    "bm25_page2": q_bm25_page2,
     "bm25_and": q_bm25_and,
     "bm25_or": q_bm25_or,
     "bm25_tree": q_bm25_tree,
@@ -1490,7 +1500,7 @@ def _near_cand_sql(a: str, b: str, slop: int, ordered: bool) -> str:
 
 
 def _bm25_sql(terms: tuple[str, ...], mode: str, k: int = 10, cand_sql: str | None = None,
-              extra_ctes: str = "") -> str:
+              extra_ctes: str = "", offset: int = 0) -> str:
     term_list = ", ".join(f"'{t}'" for t in terms)
     if cand_sql is not None:
         cand = cand_sql
@@ -1518,9 +1528,11 @@ contrib AS (
   FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats s
   WHERE tf.doc_id IN (SELECT doc_id FROM cand)
 ),
-scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
-SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id
-FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+ranked AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk, doc_id
+           FROM scored)
+SELECT (rk - {offset})::BIGINT AS rank, doc_id
+FROM ranked WHERE rk > {offset} AND rk <= {offset} + {k} ORDER BY rk
 """
 
 
@@ -1666,6 +1678,7 @@ SELECT (doc_id % {WIDE_SPLIT})::BIGINT AS doc_id_hi,
 FROM hits
 """,
     "bm25_single": _bm25_sql((BM25_TERM,), "or"),
+    "bm25_page2": _bm25_sql((BM25_TERM,), "or", offset=10),
     "bm25_and": _bm25_sql(BM25_AND_TERMS, "and"),
     "bm25_or": _bm25_sql(BM25_OR_TERMS, "or"),
     "bm25_tree": _bm25_sql(

@@ -1378,3 +1378,29 @@ def test_fielded_engine_single_field_matches_plain(engine, oracle):
     want = engine.search(q, k=10)
     assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
     np.testing.assert_array_equal(got["score"].to_numpy(), want["score"].to_numpy())
+
+
+def test_search_after_pages_chain_exactly(engine, oracle):
+    """Cursor pagination: concatenating pages of size k reproduces the
+    global top-(n*k) ranking exactly (scores and ids), mixed page
+    sizes stay consistent, and paging past the end returns empty."""
+    node = ast.Or(ast.Term("def"), ast.Term("return"))
+    full = engine.search(node, k=40)
+    pages = [engine.search(node, k=10)]
+    for _ in range(3):
+        last = pages[-1]
+        if len(last) == 0:
+            break
+        cursor = (last["score"][-1].as_py(), last["doc_id"][-1].as_py())
+        pages.append(engine.search_after(node, cursor, k=10))
+    got = pa.concat_tables(pages)
+    assert got["doc_id"].to_pylist() == full["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == full["score"].to_pylist()
+    # mixed page sizes: one 25-row page after page1 == rows 10..35
+    cursor = (pages[0]["score"][-1].as_py(), pages[0]["doc_id"][-1].as_py())
+    wide = engine.search_after(node, cursor, k=25)
+    assert wide["doc_id"].to_pylist() == full["doc_id"].to_pylist()[10:35]
+    # paging past the end
+    total = engine.search(node, k=1 << 20)
+    end_cursor = (total["score"][-1].as_py(), total["doc_id"][-1].as_py())
+    assert len(engine.search_after(node, end_cursor, k=10)) == 0
