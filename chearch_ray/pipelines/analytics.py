@@ -160,7 +160,8 @@ def revenue_by_nation(orders_ds, customer_ds, nation_table: pa.Table,
         batch_format="pyarrow",
     )
     joined = orders.join(
-        cust, "inner", join_parallelism(join_partitions),
+        cust, "inner",
+        join_parallelism(join_partitions, size_bytes=_ds_size(orders_ds, customer_ds)),
         on=("o_custkey",), right_on=("c_custkey",),
         aggregator_ray_remote_args=join_remote_args(),
     ).materialize()
@@ -304,7 +305,8 @@ def shipping_priority(lineitem_ds, orders_ds, customer_ds,
     )
     # two live join operators: halve the per-join partition count so
     # the plan's total aggregator reservation matches a one-join plan
-    jp = max(2, join_parallelism(join_partitions) // 2)
+    jp = max(2, join_parallelism(
+        join_partitions, size_bytes=_ds_size(lineitem_ds, orders_ds)) // 2)
     o_c = orders.join(
         cust, "inner", jp, on=("o_custkey",), right_on=("o_custkey",),
         aggregator_ray_remote_args=join_remote_args(),
@@ -448,3 +450,18 @@ def inactive_customer_segments(customer_ds, orders_ds,
                          "n_customers": pa.array([], type=pa.int64()),
                          "acctbal_cents": pa.array([], type=pa.int64())})
     return t
+
+
+def _ds_size(*datasets) -> int | None:
+    """best-effort input size for join-partition sizing: parquet reads
+    report a metadata-based estimate without executing; transformed /
+    unsized datasets contribute nothing."""
+    total = 0
+    for ds in datasets:
+        try:
+            b = ds.size_bytes()
+        except Exception:
+            b = None
+        if b:
+            total += int(b)
+    return total or None

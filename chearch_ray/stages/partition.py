@@ -77,18 +77,29 @@ def cluster_cpus(default: int = 8) -> int:
     return default
 
 
+#: target bytes per join partition when the input size is known
+JOIN_PARTITION_BYTES = 256 << 20
+
+
 def join_parallelism(requested: int | None = None,
-                     cap: int = JOIN_PARTITIONS_CAP) -> int:
+                     cap: int = JOIN_PARTITIONS_CAP,
+                     size_bytes: int | None = None) -> int:
     """Join partition count sized to the session.  Each partition
-    costs one long-lived aggregator actor, so the count must track
-    cluster size: `min(requested, cpus)` with a floor of 2.  Callers
-    pass None to get the pure cluster-derived value (= cpus, capped);
-    an explicit `requested` acts as an upper bound (small, well-known
-    inputs don't need one partition per core)."""
-    n = min(cap, cluster_cpus())
+    costs one long-lived aggregator actor (spawn + reservation for the
+    whole plan), so the count must track BOTH cluster size and input
+    size: measured at 32 cpus over a 25 MB join input, 32 partitions
+    ran 1.8x slower than 8 — pure actor-spawn overhead.  Resolution
+    order: an explicit `requested` wins (clamped to cluster cpus);
+    else a known `size_bytes` gives ceil(bytes / 256 MB); else the
+    cluster cpu count.  All clamped to [2, min(cap, cpus)]."""
+    ceiling = min(cap, cluster_cpus())
     if requested is not None:
-        n = min(n, requested)
-    return max(2, n)
+        n = requested
+    elif size_bytes:
+        n = -(-int(size_bytes) // JOIN_PARTITION_BYTES)
+    else:
+        n = ceiling
+    return max(2, min(ceiling, n))
 
 
 def join_remote_args() -> dict:
