@@ -23,7 +23,8 @@ import numpy as np
 import pyarrow as pa
 
 from chearch_ray.stages.events import _round_half_away
-from chearch_ray.stages.partition import join_parallelism, join_remote_args
+from chearch_ray.stages.partition import (datasets_size_bytes,
+                                           join_parallelism, join_remote_args)
 
 #: Q1-style shipdate cutoff (epoch microseconds of 2001-06-30)
 PRICING_CUTOFF = "2001-06-30"
@@ -161,7 +162,7 @@ def revenue_by_nation(orders_ds, customer_ds, nation_table: pa.Table,
     )
     joined = orders.join(
         cust, "inner",
-        join_parallelism(join_partitions, size_bytes=_ds_size(orders_ds, customer_ds)),
+        join_parallelism(join_partitions, size_bytes=datasets_size_bytes(orders_ds, customer_ds)),
         on=("o_custkey",), right_on=("c_custkey",),
         aggregator_ray_remote_args=join_remote_args(),
     ).materialize()
@@ -306,7 +307,7 @@ def shipping_priority(lineitem_ds, orders_ds, customer_ds,
     # two live join operators: halve the per-join partition count so
     # the plan's total aggregator reservation matches a one-join plan
     jp = max(2, join_parallelism(
-        join_partitions, size_bytes=_ds_size(lineitem_ds, orders_ds)) // 2)
+        join_partitions, size_bytes=datasets_size_bytes(lineitem_ds, orders_ds)) // 2)
     o_c = orders.join(
         cust, "inner", jp, on=("o_custkey",), right_on=("o_custkey",),
         aggregator_ray_remote_args=join_remote_args(),
@@ -451,17 +452,3 @@ def inactive_customer_segments(customer_ds, orders_ds,
                          "acctbal_cents": pa.array([], type=pa.int64())})
     return t
 
-
-def _ds_size(*datasets) -> int | None:
-    """best-effort input size for join-partition sizing: parquet reads
-    report a metadata-based estimate without executing; transformed /
-    unsized datasets contribute nothing."""
-    total = 0
-    for ds in datasets:
-        try:
-            b = ds.size_bytes()
-        except Exception:
-            b = None
-        if b:
-            total += int(b)
-    return total or None

@@ -1325,6 +1325,24 @@ def q_quality_gate(sf_dir: str) -> pa.Table:
         out.sort_values("doc_id").reset_index(drop=True), preserve_index=False)
 
 
+def q_top_quality_per_lang(sf_dir: str) -> pa.Table:
+    """per-group MERIT cap: each language's top-5 docs by quality
+    (integer micro-units), map-side pruned, one coarse shuffle."""
+    import ray.data
+    from functools import partial
+
+    from chearch_ray.pipelines.training import _gate_score_rows
+    from chearch_ray.stages.sample import top_per_group
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    ).map_batches(partial(_gate_score_rows, by="lang"), batch_format="pyarrow")
+    out = top_per_group(ds, "lang", "q_int", n=5).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["lang", "rn"]).reset_index(drop=True), preserve_index=False)
+
+
 def q_weighted_sample(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1452,6 +1470,7 @@ QUERIES = {
     "langid": q_langid,
     "quality": q_quality,
     "quality_gate": q_quality_gate,
+    "top_quality_per_lang": q_top_quality_per_lang,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
 }
@@ -1835,6 +1854,18 @@ SELECT qq.doc_id, qq.lang, qq.q_int
 FROM qq JOIN med ON qq.lang = med.lang
 WHERE qq.q_int >= med.m
 ORDER BY qq.doc_id
+""",
+    "top_quality_per_lang": f"""
+WITH q AS ({_quality_sql()}),
+qq AS (SELECT d.lang, q.doc_id,
+              CAST(round(q.quality * 1000000) AS BIGINT) AS q_int
+       FROM q JOIN documents d ON q.doc_id = d.doc_id),
+r AS (SELECT lang, doc_id, q_int,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY q_int DESC, doc_id) AS rn
+      FROM qq)
+SELECT lang, doc_id, q_int, rn::BIGINT AS rn FROM r WHERE rn <= 5
+ORDER BY lang, rn
 """,
     "weighted_sample": f"""
 WITH q AS ({_quality_sql()})

@@ -70,7 +70,7 @@ def _membership_partition(group: pa.Table, anti: bool) -> pa.Table:
 
 def hash_semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
                    payload: list[str] | None = None, anti: bool = False,
-                   n_partitions: int = JOIN_PARTITIONS):
+                   n_partitions: int | None = None):
     """left rows whose `on` key IS (semi) / IS NOT (anti) present in
     `right_ds[right_on]`.  `payload` names the left columns to carry
     through (default: every column except the key; the key itself is
@@ -78,6 +78,12 @@ def hash_semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
     """
     import ray.data  # noqa: F401  (caller owns the session)
 
+    if n_partitions is None:
+        from chearch_ray.stages.partition import (datasets_size_bytes,
+                                                  join_parallelism)
+
+        n_partitions = join_parallelism(
+            None, size_bytes=datasets_size_bytes(left_ds, right_ds))
     right_on = right_on or on
     if payload is None:
         payload = [c for c in left_ds.schema().names if c != on]
@@ -101,7 +107,7 @@ def hash_semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
 
 def hash_anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
                    payload: list[str] | None = None,
-                   n_partitions: int = JOIN_PARTITIONS):
+                   n_partitions: int | None = None):
     """left rows with NO matching key in right (NOT EXISTS)."""
     return hash_semi_join(left_ds, right_ds, on, right_on=right_on,
                           payload=payload, anti=True,

@@ -102,6 +102,21 @@ def join_parallelism(requested: int | None = None,
     return max(2, min(ceiling, n))
 
 
+def datasets_size_bytes(*datasets) -> int | None:
+    """best-effort input size for join-partition sizing: parquet reads
+    report a metadata-based estimate without executing; transformed /
+    unsized datasets contribute nothing."""
+    total = 0
+    for ds in datasets:
+        try:
+            b = ds.size_bytes()
+        except Exception:
+            b = None
+        if b:
+            total += int(b)
+    return total or None
+
+
 def join_remote_args() -> dict:
     """aggregator_ray_remote_args for Dataset.join: explicit per-call
     CPU reservation.  NOTE: the DataContext

@@ -180,3 +180,78 @@ def weighted_sample(ds, weight_column: str = "quality", id_column: str = "doc_id
         partial(_weighted_batch, weight_column=weight_column, id_column=id_column),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------- per-group top-k by value
+def _select_top(tbl: pa.Table, group_column: str, value_column: str,
+                n: int) -> pa.Table:
+    """rows -> each group's n best rows by (value desc, doc_id asc),
+    vectorized across all groups at once (one lexsort + run-rank),
+    with 1-based rank `rn`."""
+    d = tbl["doc_id"].to_numpy().astype(np.int64)
+    v = tbl[value_column].to_numpy().astype(np.int64)
+    g = tbl[group_column]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    gid = np.asarray(g.dictionary_encode().indices, dtype=np.int64)
+    order = np.lexsort((d, -v, gid))
+    gid_s = gid[order]
+    starts = np.empty(len(gid_s), dtype=bool)
+    if len(gid_s):
+        starts[0] = True
+        starts[1:] = gid_s[1:] != gid_s[:-1]
+    sidx = np.flatnonzero(starts)
+    runlen = np.diff(np.append(sidx, len(gid_s)))
+    rank = np.arange(len(gid_s), dtype=np.int64) - np.repeat(sidx, runlen)
+    keep = order[rank < n]
+    out = tbl.take(pa.array(keep, type=pa.int64()))
+    return out.append_column("rn", pa.array(rank[rank < n] + 1, type=pa.int64()))
+
+
+def _top_partial(batch: pa.Table, group_column: str, value_column: str,
+                 n: int, n_parts: int) -> pa.Table:
+    pruned = _select_top(
+        pa.table({group_column: batch[group_column],
+                  "doc_id": batch["doc_id"].cast(pa.int64()),
+                  value_column: batch[value_column].cast(pa.int64())}),
+        group_column, value_column, n,
+    ).drop_columns(["rn"])
+    pgrp = coarse_partition_ids(_group_hash64(pruned[group_column]), n_parts)
+    return pruned.append_column("pgrp", pa.array(pgrp, type=pa.int32()))
+
+
+def _top_final(group: pa.Table, group_column: str, value_column: str,
+               n: int) -> pa.Table:
+    if len(group) == 0:
+        return pa.schema(
+            [(group_column, pa.string()), ("doc_id", pa.int64()),
+             (value_column, pa.int64()), ("rn", pa.int64())]
+        ).empty_table()
+    return _select_top(group.drop_columns(["pgrp"]), group_column,
+                       value_column, n)
+
+
+def top_per_group(ds, group_column: str, value_column: str, n: int,
+                  coarse_partitions: int = GROUP_PARTITIONS):
+    """At most `n` rows per group, the BEST by (value desc, doc_id
+    asc), with 1-based rank `rn` — per-source/per-language caps keyed
+    on merit (quality score, length, click count) rather than
+    quota_sample_per_group's random hash order.
+
+    Same two-level shape as the quota sampler: each block first keeps
+    its own per-group top-n (map-side prune — the shuffle carries at
+    most n rows per (block, group), never the corpus), then each
+    coarse group-hash partition runs one vectorized lexsort-and-rank
+    over all its groups.  `value_column` must be integer-valued (cast
+    to int64) so ranking is exact; route floats through integer
+    micro-units first (see pipelines.training.quality_gate)."""
+    pruned = ds.map_batches(
+        partial(_top_partial, group_column=group_column,
+                value_column=value_column, n=n, n_parts=coarse_partitions),
+        batch_format="pyarrow",
+    )
+    return pruned.groupby("pgrp").map_groups(
+        partial(_top_final, group_column=group_column,
+                value_column=value_column, n=n),
+        batch_format="pyarrow",
+    )

@@ -2049,3 +2049,36 @@ LIMIT 15""").df()
     got2 = pmi_bigrams(ray.data.from_arrow(t).repartition(1),
                        k=15, min_count=4).to_pandas()
     assert got.equals(got2)
+
+
+def test_top_per_group_vs_window_sql(ray_session):
+    """Merit-ranked per-group caps equal the SQL row_number window;
+    ties on value break by doc_id; map-side prune is invisible to the
+    result (partition invariance across block layouts)."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.sample import top_per_group
+
+    rng = np.random.default_rng(71)
+    n = 8000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "grp": pa.array(rng.choice(["a", "b", "c", "d"], size=n)),
+        # small value range forces heavy TIES at the rank boundary
+        "val": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+    })
+    got = (top_per_group(ray.data.from_arrow(t).repartition(9), "grp", "val", n=7)
+           .to_pandas().sort_values(["grp", "rn"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+WITH r AS (SELECT grp, doc_id, val,
+                  row_number() OVER (PARTITION BY grp ORDER BY val DESC, doc_id) AS rn
+           FROM t)
+SELECT grp, doc_id, val, rn::BIGINT AS rn FROM r WHERE rn <= 7
+ORDER BY grp, rn""").df()
+    assert got.equals(want), (got.head(10), want.head(10))
+    got2 = (top_per_group(ray.data.from_arrow(t).repartition(1), "grp", "val", n=7)
+            .to_pandas().sort_values(["grp", "rn"]).reset_index(drop=True))
+    assert got.equals(got2)
