@@ -329,6 +329,27 @@ def run_bench() -> dict:
     dc.q_forecast_revenue(sf_dir)
     dc.q_shipping_priority(sf_dir)
     timings["sf_relational2_sec"] = time.perf_counter() - t0
+    # this-session additions: EXISTS/NOT-EXISTS membership joins,
+    # per-group quality gating + merit caps, incremental store dedup,
+    # PMI collocations, ordered windows
+    t0 = time.perf_counter()
+    dc.q_order_priority(sf_dir)
+    dc.q_inactive_customers(sf_dir)
+    timings["sf_semijoin_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_quality_gate(sf_dir)
+    dc.q_top_quality_per_lang(sf_dir)
+    timings["sf_quality_gate_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_dedup_incremental(sf_dir)
+    timings["sf_dedup_incr_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_pmi_bigrams(sf_dir)
+    dc.q_frequent_terms(sf_dir)
+    timings["sf_pmi_hh_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_running_windows(sf_dir)
+    timings["sf_running_windows_sec"] = time.perf_counter() - t0
     # prefix + negation query latency against the resident bench index
     # ("__known_*" expands to the exact-df sentinel family; "def
     # -return" probes the hot negative lazily)
