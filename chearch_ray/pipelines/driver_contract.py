@@ -635,6 +635,22 @@ def q_windowed_agg(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_hopping_window(sf_dir: str) -> pa.Table:
+    """hopping windows (300 s window, 100 s hop): each event counts in
+    three windows; replication is map-side, the shuffle ships
+    combiner rows."""
+    import ray.data
+
+    from chearch_ray.stages.events import hopping_window_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+    pdf = hopping_window_aggregate(ds, window_sec=300, hop_sec=100).to_pandas()
+    pdf["n_events"] = pdf["n_events"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def q_sessionize(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1424,6 +1440,7 @@ QUERIES = {
     "near": q_near,
     "near_ordered": q_near_ordered,
     "windowed_agg": q_windowed_agg,
+    "hopping_window": q_hopping_window,
     "sessionize": q_sessionize,
     "running_windows": q_running_windows,
     "bpeish_tokens": q_bpeish_tokens,
@@ -1881,6 +1898,18 @@ SELECT (epoch_us(ts) // 300000000) * 300 AS window_start,
        count(*)::BIGINT AS n_events,
        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
 FROM events GROUP BY 1, 2
+""",
+    "hopping_window": """
+WITH ev AS (SELECT epoch_us(ts)::BIGINT AS us, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+hops AS (SELECT unnest(range(0, 3))::BIGINT AS i),
+x AS (SELECT (ev.us // 100000000) * 100000000 - hops.i * 100000000 AS s_us,
+             ev.event_type, ev.cents, ev.us
+      FROM ev CROSS JOIN hops)
+SELECT s_us // 1000000 AS window_start, event_type,
+       count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS sum_cents
+FROM x WHERE s_us > us - 300000000 AND s_us >= 0
+GROUP BY 1, 2
 """,
     "sessionize": """
 WITH o AS (

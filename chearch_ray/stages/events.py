@@ -403,3 +403,67 @@ def running_windows(ds, key: str = "user_id", ts_column: str = "ts",
         ),
         batch_format="pyarrow",
     )
+
+
+def _hopping_partial(batch: pa.Table, window_sec: int, hop_sec: int,
+                     key: str) -> pa.Table:
+    """one batch -> one row per (window_start, key) across every
+    hopping window each event falls in.  An event at t belongs to the
+    windows starting at hop-aligned s with s <= t < s + window —
+    exactly window/hop of them; replication happens MAP-SIDE via one
+    np.repeat (never a shuffle of duplicated events: the combiner
+    still reduces to window-count rows before the exchange)."""
+    us = _epoch_us(batch["ts"])
+    w_us = window_sec * 1_000_000
+    h_us = hop_sec * 1_000_000
+    n_hops = -(-window_sec // hop_sec)  # windows covering each event
+    # last hop-aligned start <= t, then walk back n_hops-1 hops
+    last = (us // h_us) * h_us
+    starts = last[:, None] - np.arange(n_hops, dtype=np.int64)[None, :] * h_us
+    valid = (starts > us[:, None] - w_us) & (starts >= 0)
+    cents = _round_half_away(
+        np.asarray(batch["value"].to_numpy(), dtype=np.float64) * 100)
+    rows = np.repeat(np.arange(len(batch), dtype=np.int64), n_hops)[valid.ravel()]
+    ws = starts.ravel()[valid.ravel()] // 1_000_000  # epoch seconds
+    kcol = batch[key]
+    if isinstance(kcol, pa.ChunkedArray):
+        kcol = kcol.combine_chunks()
+    t = pa.table(
+        {
+            "window_start": pa.array(ws, type=pa.int64()),
+            key: kcol.take(pa.array(rows, type=pa.int64())),
+            "n_events": pa.array(np.ones(len(rows), dtype=np.int64)),
+            "sum_cents": pa.array(cents[rows], type=pa.int64()),
+        }
+    )
+    agg = t.group_by(["window_start", key], use_threads=False).aggregate(
+        [("n_events", "sum"), ("sum_cents", "sum")]
+    )
+    return agg.rename_columns(["window_start", key, "n_events", "sum_cents"])
+
+
+def hopping_window_aggregate(ds, window_sec: int = WINDOW_SEC,
+                             hop_sec: int | None = None,
+                             key: str = "event_type"):
+    """Hopping (sliding) window aggregate: every `hop_sec` a new
+    window of length `window_sec` opens, and each event counts in all
+    windows covering it — the streaming-analytics generalization of
+    `windowed_aggregate` (hop == window degenerates to tumbling).
+    Replication is bounded map-side (window/hop partial rows per
+    (batch, window, key)); the shuffle still carries combiner output
+    only."""
+    from functools import partial
+
+    from ray.data.aggregate import Sum
+
+    hop_sec = hop_sec or window_sec
+    if window_sec % hop_sec:
+        raise ValueError("window_sec must be a multiple of hop_sec "
+                         "(hop-aligned window starts)")
+    partials = ds.map_batches(
+        partial(_hopping_partial, window_sec=window_sec, hop_sec=hop_sec, key=key),
+        batch_format="pyarrow",
+    )
+    return partials.groupby(["window_start", key]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_cents", alias_name="sum_cents")
+    )

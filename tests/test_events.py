@@ -188,3 +188,49 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id
 """).df()
     assert got.equals(want), got.compare(want)
+
+
+def test_hopping_window_vs_duckdb(ray_session):
+    """Hopping windows: each event lands in exactly window/hop
+    windows, sums in integer cents match SQL, hop == window reduces to
+    the tumbling aggregate; partition-invariant."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from chearch_ray.stages.events import hopping_window_aggregate, windowed_aggregate
+
+    rng = np.random.default_rng(73)
+    n = 4000
+    base = dt.datetime(2024, 3, 1)
+    rows = pa.table({
+        "ts": pa.array([base + dt.timedelta(seconds=int(s))
+                        for s in rng.integers(0, 20_000, n)], type=pa.timestamp("us")),
+        "event_type": pa.array(rng.choice(["a", "b"], n)),
+        "value": pa.array(np.round(rng.random(n) * 50, 2)),
+    })
+    ds = ray.data.from_arrow(rows).repartition(6)
+    got = (hopping_window_aggregate(ds, window_sec=60, hop_sec=20)
+           .to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True))
+    got["n_events"] = got["n_events"].astype("int64")
+    con = duckdb.connect()
+    con.register("events", rows)
+    want = con.execute("""
+WITH ev AS (SELECT epoch_us(ts)::BIGINT AS us, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+hops AS (SELECT unnest(range(0, 3))::BIGINT AS i),
+x AS (SELECT (ev.us // 20000000) * 20000000 - hops.i * 20000000 AS s_us,
+             ev.event_type, ev.cents, ev.us FROM ev CROSS JOIN hops)
+SELECT s_us // 1000000 AS window_start, event_type,
+       count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS sum_cents
+FROM x WHERE s_us > us - 60000000 AND s_us >= 0
+GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    assert got.equals(want)
+    # every event counted window/hop = 3 times in total
+    assert got["n_events"].sum() == 3 * n
+    # hop == window degenerates to tumbling
+    t1 = (hopping_window_aggregate(ds, window_sec=60, hop_sec=60)
+          .to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True))
+    t2 = (windowed_aggregate(ds, window_sec=60)
+          .to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True))
+    assert t1.equals(t2)
