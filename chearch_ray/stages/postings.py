@@ -217,7 +217,18 @@ def _split_run_positions(run_cells: pa.Array, tfs_flat: np.ndarray,
     if len(cum) == 0 or cum[-1] == 0:
         byte_off = np.zeros(n_postings + 1, dtype=np.int64)
     else:
-        ends = np.flatnonzero(blob < 0x80)
+        # Arrow's less + indices_nonzero: one fused C++ pass, measured
+        # 2x numpy's mask-then-flatnonzero single-threaded (0.38 s vs
+        # 0.81 s per 25 MB blob; the scan was 60% of the biggest
+        # partition's finalize CPU).  Under 32-way build contention
+        # the end-to-end gain washes out on this bandwidth-limited
+        # box (A/B within noise) — the win shows when finalize tasks
+        # aren't all competing for one memory bus, i.e. on real nodes
+        import pyarrow.compute as _pc
+
+        ends = _pc.indices_nonzero(
+            _pc.less(pa.array(blob, type=pa.uint8()), 0x80)
+        ).to_numpy().astype(np.int64)
         byte_off = np.concatenate(
             [[0], np.where(cum > 0, ends[np.maximum(cum - 1, 0)] + 1, 0)]
         )
