@@ -1025,6 +1025,15 @@ def q_facets(sf_dir: str) -> pa.Table:
     mirror is exact)."""
     return engine_for(sf_dir).facet_counts(BM25_TERM, column="lang")
 
+def q_facet_hist(sf_dir: str) -> pa.Table:
+    """numeric histogram aggregation: doc-length buckets (32 tokens)
+    over every doc matching the flagship term; segments ship histogram
+    partials only."""
+    out = engine_for(sf_dir).facet_histogram(BM25_TERM, bucket_width=32)
+    return pa.table({"bucket_lo": out["bucket_lo"],
+                     "n": out["n"].cast(pa.int64())})
+
+
 #: per-language quota in the composed training pipeline
 TP_QUOTA = 60
 
@@ -1458,6 +1467,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "snippets": q_snippets,
     "facets": q_facets,
+    "facet_hist": q_facet_hist,
     "kmv_distinct_users": q_kmv_distinct_users,
     "kmv_distinct_by_type": q_kmv_distinct_by_type,
     "frequent_terms": q_frequent_terms,
@@ -2266,6 +2276,14 @@ hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TERM}')
 SELECT d.lang, count(*)::BIGINT AS n
 FROM hits h JOIN documents d ON d.doc_id = h.doc_id
 GROUP BY d.lang
+""",
+    "facet_hist": f"""
+WITH {TOK_CTE},
+dl AS (SELECT doc_id, count(*)::BIGINT AS n_tok FROM tok GROUP BY doc_id),
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TERM}')
+SELECT (dl.n_tok // 32) * 32 AS bucket_lo, count(*)::BIGINT AS n
+FROM dl JOIN hits USING (doc_id)
+GROUP BY 1 ORDER BY 1
 """,
     "training_pipeline": f"""
 WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

@@ -498,6 +498,31 @@ class QueryEngine:
         )
         return agg.take(order)
 
+    def facet_histogram(self, query: str | ast.Node, bucket_width: int = 32,
+                        default_op: str = "or") -> pa.Table:
+        """Numeric histogram aggregation (ES date_histogram/histogram
+        analogue) over matching docs' token lengths: (bucket_lo, n)
+        ascending, buckets of `bucket_width` tokens.  Unlike
+        `facet_counts` this covers the FULL match set, not the
+        partition_limit result window; each segment ships only its
+        histogram partial."""
+        node = self._plan(parse_query(query, default_op))
+        if self.use_actors:
+            import ray
+
+            tables = ray.get(
+                [a.facet_histogram.remote(node, bucket_width) for a in self._actors]
+            )
+        else:
+            tables = [s.facet_histogram(node, bucket_width) for s in self._local]
+        merged = pa.concat_tables(tables)
+        if len(merged) == 0:
+            return merged
+        agg = merged.group_by("bucket_lo", use_threads=False).aggregate([("n", "sum")])
+        agg = pa.table({"bucket_lo": agg["bucket_lo"],
+                        "n": agg["n_sum"].cast(pa.int64())})
+        return agg.take(pc.sort_indices(agg, sort_keys=[("bucket_lo", "ascending")]))
+
     def search_phrase(self, phrase: str | list, k: int | None = None) -> pa.Table:
         """Exact phrase query across segments (requires
         store_positions=True at build time), ordered

@@ -364,6 +364,22 @@ class SegmentSearcher:
         docs = docs[:cap]
         return self._project(docs, scores=None)
 
+    def facet_histogram(self, node: ast.Node, bucket_width: int) -> pa.Table:
+        """Numeric histogram aggregation over ALL matching docs'
+        lengths (not the partition_limit result window — aggregations
+        summarize the full match set): (bucket_lo = floor(doc_len /
+        width) * width, n) partial counts for this segment.  Only
+        histogram rows cross the wire; the engine merges partials."""
+        docs = self._candidates(node)
+        if len(docs) == 0 or self.docmap is None:
+            return pa.table({"bucket_lo": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        dl = self.docmap.lengths_for(docs).astype(np.int64)
+        uniq, counts = np.unique((dl // bucket_width) * bucket_width,
+                                 return_counts=True)
+        return pa.table({"bucket_lo": pa.array(uniq, type=pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), type=pa.int64())})
+
     # ------------------------------------------------- metadata filters
     def _filter_allowed(self, flt: dict[str, list[str]]) -> np.ndarray:
         """Sorted doc-id (posting-ordinal in wide mode) array of docmap
@@ -1146,6 +1162,11 @@ class SearcherGroup:
 
     def search_phrase(self, terms, k, idfs, avgdl) -> pa.Table:
         return pa.concat_tables([m.search_phrase(terms, k, idfs, avgdl) for m in self.members])
+
+    def facet_histogram(self, node, bucket_width) -> pa.Table:
+        return pa.concat_tables(
+            [m.facet_histogram(node, bucket_width) for m in self.members]
+        )
 
     def search_near(self, term_a, term_b, slop, ordered, k, idfs, avgdl) -> pa.Table:
         return pa.concat_tables(

@@ -1404,3 +1404,19 @@ def test_search_after_pages_chain_exactly(engine, oracle):
     total = engine.search(node, k=1 << 20)
     end_cursor = (total["score"][-1].as_py(), total["doc_id"][-1].as_py())
     assert len(engine.search_after(node, end_cursor, k=10)) == 0
+
+
+def test_facet_histogram_vs_boolean_lengths(engine, oracle):
+    """Histogram facet counts ALL matches (not the result window) and
+    equals a brute-force bucket count of the oracle's matching docs'
+    token lengths; actor and local paths agree."""
+    import collections
+
+    node = ast.Or(ast.Term("def"), ast.Term("return"))
+    got = engine.facet_histogram(node, bucket_width=16)
+    match_docs = oracle.boolean_search(node)
+    want = collections.Counter(
+        (oracle.doc_len[d] // 16) * 16 for d in match_docs)
+    got_map = dict(zip(got["bucket_lo"].to_pylist(), got["n"].to_pylist()))
+    assert got_map == dict(want)
+    assert sum(got_map.values()) == len(match_docs)
