@@ -93,3 +93,66 @@ def compact_index(index_dir: str, out_dir: str) -> Manifest:
     drop = load_tombstone_ids(index_dir)
     manifest = merge_indexes([index_dir], out_dir, drop_ids=drop)
     return manifest
+
+
+def upsert_docs(index_dir: str, corpus, cfg=None, scratch_dir: str | None = None):
+    """Replace-or-insert documents in a live index: batch-build the
+    incoming rows as a delta index, then run ONE per-input-drop merge
+    — the old index drops every incoming doc_id (replaced versions
+    vanish physically, like compaction), the delta contributes the new
+    versions, and ids new to the corpus simply insert.  The result is
+    byte-identical to a from-scratch build over
+    (old corpus − replaced ids) ∪ incoming rows, with fresh stats and
+    no tombstones (the reference is append-only in-memory,
+    search.chpl:38-39; updates are this repo's persistence extension).
+
+    Scale shape: the delta build is the normal distributed pipeline
+    over ONLY the new rows, and the merge rewrites each term partition
+    once (per-partition Ray tasks, no global shuffle) — no
+    full-corpus re-tokenization.  Swap is atomic-ish: merged dir moves
+    in after the old moves aside, so a crash leaves one complete
+    index."""
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+
+    from chearch_ray.config import DEFAULT_CONFIG
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.pipelines.merge import merge_indexes
+
+    cfg = cfg or Manifest.load(index_dir).engine_config or DEFAULT_CONFIG
+    if isinstance(corpus, _pa.Table):
+        import ray.data
+
+        ids = corpus["doc_id"].to_numpy().astype("uint64")
+        ds = ray.data.from_arrow(corpus)
+    else:
+        ds = corpus
+        ids = np.concatenate(
+            [b["doc_id"].to_numpy().astype("uint64")
+             for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")]
+        )
+    if len(ids) == 0:
+        raise ValueError("nothing to upsert")
+    if cfg.doc_id_bits == 128:
+        raise NotImplementedError(
+            "wide-id upsert needs (hi, lo) drop sets threaded through the "
+            "delta corpus — use delete_docs + merge explicitly")
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="chearch_upsert_")
+    delta_dir = os.path.join(scratch, "delta")
+    build_index(ds, delta_dir, cfg, resume=False)
+    merged_dir = os.path.join(scratch, "merged")
+    # per-input drops: replaced ids leave the OLD index only; ids
+    # absent from it are inert (sorted-membership mask)
+    manifest = merge_indexes(
+        [index_dir, delta_dir], merged_dir,
+        drop_ids=[{"lo": ids, "hi": None}, None],
+    )
+    old = index_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(index_dir, old)
+    shutil.move(merged_dir, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return manifest

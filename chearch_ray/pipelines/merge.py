@@ -117,15 +117,28 @@ def _drop_mask(lo: np.ndarray, hi: np.ndarray | None, drop: dict) -> np.ndarray:
 
 
 def _merge_one_part(batch: pa.Table, cfg_dict: dict, input_dirs: list[str], out_dir: str,
-                    drop: dict | None = None) -> pa.Table:
+                    drop: dict | list | None = None) -> pa.Table:
     """ray task: merge one partition id across all inputs, optionally
     dropping documents in `drop` ({"lo": uint64 array, "hi": array or
-    None}) — the compaction path (pipelines.lifecycle.compact_index)."""
+    None}) — the compaction path (pipelines.lifecycle.compact_index).
+    A LIST of drop sets (one per input, None allowed) applies each set
+    to ITS OWN input only — the upsert path, where the old index drops
+    the replaced ids but the delta index carrying their new versions
+    must not."""
     import pyarrow.compute as pc
 
     from chearch_ray.stages.postings import _empty_summary
 
     cfg = EngineConfig(**cfg_dict)
+    drops = drop if isinstance(drop, list) else [drop] * len(input_dirs)
+
+    def _apply_drop(t: pa.Table, dset, lo_col: str, hi_col: str | None) -> pa.Table:
+        if dset is None or len(t) == 0:
+            return t
+        lo_np = t[lo_col].to_numpy()
+        hi_np = t[hi_col].to_numpy() if hi_col else None
+        return t.filter(pa.array(_drop_mask(lo_np, hi_np, dset)))
+
     outs = []
     for row in batch.to_pylist():
         part = int(row["part"])
@@ -134,22 +147,18 @@ def _merge_one_part(batch: pa.Table, cfg_dict: dict, input_dirs: list[str], out_
             wide = cfg.doc_id_bits == 128
             seg_id = part // cfg.num_term_shards
             tables = []
-            for d in input_dirs:
+            for d, dset in zip(input_dirs, drops):
                 p = os.path.join(d, seg_io.postings_rel_path(part))
                 if os.path.exists(p):
-                    tables.append(
-                        _explode_postings_part(
-                            p, cfg,
-                            source_docmap=os.path.join(d, seg_io.docmap_rel_path(seg_id))
-                            if wide
-                            else None,
-                        )
+                    t = _explode_postings_part(
+                        p, cfg,
+                        source_docmap=os.path.join(d, seg_io.docmap_rel_path(seg_id))
+                        if wide
+                        else None,
                     )
+                    tables.append(
+                        _apply_drop(t, dset, "doc_id", "doc_hi" if wide else None))
             flat = pa.concat_tables(tables)
-            if drop is not None and len(flat):
-                lo_np = flat["doc_id"].to_numpy()
-                hi_np = flat["doc_hi"].to_numpy() if wide else None
-                flat = flat.filter(pa.array(_drop_mask(lo_np, hi_np, drop)))
             if len(flat) == 0:
                 outs.append(_empty_summary())
                 continue
@@ -178,16 +187,16 @@ def _merge_one_part(batch: pa.Table, cfg_dict: dict, input_dirs: list[str], out_
             outs.append(_finalize_part(cfg, out_dir, part, g))
         else:  # docmap
             tables = []
-            for d in input_dirs:
+            for d, dset in zip(input_dirs, drops):
                 p = os.path.join(d, seg_io.docmap_rel_path(part))
                 if os.path.exists(p):
                     t = pq.read_table(p)
-                    tables.append(t.append_column("seg", pa.array([part] * len(t), type=pa.int32())))
+                    t = t.append_column("seg", pa.array([part] * len(t), type=pa.int32()))
+                    tables.append(
+                        _apply_drop(
+                            t, dset, "doc_id",
+                            "doc_id_hi" if cfg.doc_id_bits == 128 else None))
             cat = pa.concat_tables(tables)
-            if drop is not None and len(cat):
-                lo_np = cat["doc_id"].to_numpy()
-                hi_np = cat["doc_id_hi"].to_numpy() if cfg.doc_id_bits == 128 else None
-                cat = cat.filter(pa.array(_drop_mask(lo_np, hi_np, drop)))
             if cfg.doc_id_bits != 128:
                 # wide mode: low words may legitimately collide; the
                 # writer dup-checks the full (hi, lo) pair after sorting
@@ -199,7 +208,7 @@ def _merge_one_part(batch: pa.Table, cfg_dict: dict, input_dirs: list[str], out_
 
 
 def merge_indexes(input_dirs: list[str], out_dir: str,
-                  drop_ids: dict | None = None) -> Manifest:
+                  drop_ids: dict | list | None = None) -> Manifest:
     """Merge built indexes (same structural config, disjoint doc ids)
     into `out_dir`; per-partition ray tasks, no global shuffle.  Output
     partitions are byte-identical to a from-scratch build over the

@@ -278,3 +278,44 @@ def test_docstore_fetch_and_pruning(ray_session, tmp_path):
     assert touched < total, (touched, total)
     # a missing id simply returns no row
     assert docstore_fetch(store, [10**9])["doc_id"].to_pylist() == []
+
+
+def test_upsert_byte_identical_to_rebuild(ray_session, built, tmp_path):
+    """upsert = replace 10 docs' content + insert 5 new docs; the
+    swapped-in index's part shas equal a from-scratch build over the
+    updated corpus, and searches see the new content only."""
+    import shutil
+
+    import ray.data
+
+    from chearch_ray.pipelines.lifecycle import upsert_docs
+
+    d = str(tmp_path / "idx")
+    shutil.copytree(built, d)
+    base = _corpus()
+    # replacements: new content under 10 existing ids; inserts: 5 new ids
+    repl_ids = np.arange(1010, 1020, dtype=np.uint64)
+    fresh = synthetic_corpus(15, seed=99)
+    delta = fresh.append_column(
+        "doc_id", pa.array(np.concatenate([repl_ids,
+                                           np.arange(2000, 2005, dtype=np.uint64)]),
+                           type=pa.uint64()))
+    m = upsert_docs(d, delta, CFG)
+
+    # expected corpus: base minus replaced ids, plus delta
+    keep = ~np.isin(base["doc_id"].to_numpy(), repl_ids)
+    expected = pa.concat_tables([base.filter(pa.array(keep)), delta])
+    ref = str(tmp_path / "ref")
+    m_ref = build_index(ray.data.from_arrow(expected), ref, CFG)
+    assert m.num_docs == m_ref.num_docs == N + 5
+    assert {p["part"]: p["sha"] for p in m.postings_parts} == {
+        p["part"]: p["sha"] for p in m_ref.postings_parts}
+    assert {p["part"]: p["sha"] for p in m.docmap_parts} == {
+        p["part"]: p["sha"] for p in m_ref.docmap_parts}
+
+    eng_a = QueryEngine(d, use_actors=False)
+    eng_b = QueryEngine(ref, use_actors=False)
+    ra = eng_a.search("def return", k=20)
+    rb = eng_b.search("def return", k=20)
+    assert ra["doc_id"].to_pylist() == rb["doc_id"].to_pylist()
+    assert ra["score"].to_pylist() == rb["score"].to_pylist()
