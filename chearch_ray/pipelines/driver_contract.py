@@ -1025,6 +1025,53 @@ def q_facets(sf_dir: str) -> pa.Table:
     mirror is exact)."""
     return engine_for(sf_dir).facet_counts(BM25_TERM, column="lang")
 
+#: replacement text for the upsert driver row (deterministic, so the
+#: SQL mirror is a CASE expression)
+UPSERT_TEXT = "merge sort pipeline upserted"
+
+
+def _upserted_engine_for(sf_dir: str) -> QueryEngine:
+    """index with every doc_id % 10 == 0 document REPLACED via
+    upsert_docs (content -> UPSERT_TEXT), built once and disk-cached
+    like the deleted-docs flavor."""
+    import shutil
+
+    engine_for(sf_dir)  # ensure the base index exists on disk
+    base = _index_dir_for(sf_dir)
+    udir = base + "-upsert"
+    eng = _cached_engine(udir)
+    if eng is None:
+        if not os.path.exists(os.path.join(udir, "manifest.json")):
+            import ray.data
+
+            shutil.rmtree(udir, ignore_errors=True)
+            shutil.copytree(base, udir)
+            docs = pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "lang", "source", "text"],
+            )
+            ids = docs["doc_id"].to_numpy()
+            repl = docs.filter(pa.array(ids % 10 == 0))
+            repl = repl.set_column(
+                repl.column_names.index("text"), "text",
+                pa.array([UPSERT_TEXT] * len(repl), type=pa.string()))
+            from chearch_ray.pipelines.lifecycle import upsert_docs
+            from chearch_ray.sources.corpus import documents_batch_to_corpus
+
+            upsert_docs(udir, documents_batch_to_corpus(repl), DRIVER_CFG)
+        eng = QueryEngine(udir, use_actors=True)
+        _cache_engine(udir, eng)
+    return eng
+
+
+def q_upsert_bm25(sf_dir: str) -> pa.Table:
+    """BM25 top-10 on an index where every doc_id %% 10 == 0 document
+    was REPLACED through the upsert path (delta build + per-input-drop
+    merge); the oracle recomputes BM25 over the CASE-updated corpus,
+    so stats (df/avgdl), scores and ranks all reflect the update."""
+    return _ranked(_upserted_engine_for(sf_dir).search(ast.Term(BM25_TERM), k=10))
+
+
 def q_facet_hist(sf_dir: str) -> pa.Table:
     """numeric histogram aggregation: doc-length buckets (32 tokens)
     over every doc matching the flagship term; segments ship histogram
@@ -1427,6 +1474,7 @@ QUERIES = {
     "wide_id_boolean": q_wide_id_boolean,
     "bm25_single": q_bm25_single,
     "bm25_page2": q_bm25_page2,
+    "upsert_bm25": q_upsert_bm25,
     "bm25_and": q_bm25_and,
     "bm25_or": q_bm25_or,
     "bm25_tree": q_bm25_tree,
@@ -1725,6 +1773,15 @@ FROM hits
 """,
     "bm25_single": _bm25_sql((BM25_TERM,), "or"),
     "bm25_page2": _bm25_sql((BM25_TERM,), "or", offset=10),
+    # same BM25 body over the CASE-updated corpus: the `documents`
+    # CTE shadows the view (main.documents = the original), so df /
+    # avgdl / scores all reflect the upsert
+    "upsert_bm25": _bm25_sql((BM25_TERM,), "or").replace(
+        "WITH ",
+        "WITH documents AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 "
+        f"THEN '{UPSERT_TEXT}' ELSE text END AS text FROM main.documents), ",
+        1,
+    ),
     "bm25_and": _bm25_sql(BM25_AND_TERMS, "and"),
     "bm25_or": _bm25_sql(BM25_OR_TERMS, "or"),
     "bm25_tree": _bm25_sql(
