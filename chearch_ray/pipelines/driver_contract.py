@@ -651,6 +651,45 @@ def q_hopping_window(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+#: funnel steps for the driver row — deep alternation so the row has
+#: real attrition at sf scale (every user completes any shallow
+#: funnel; this one drops ~20% by step 10)
+FUNNEL_STEPS = ("purchase", "error") * 5
+
+
+def _funnel_sql(steps) -> str:
+    ctes = [f"s0 AS (SELECT user_id, min(epoch_us(ts))::BIGINT AS t FROM events "
+            f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS t "
+            f"FROM events e JOIN s{i - 1} USING (user_id) "
+            f"WHERE e.event_type = '{steps[i]}' AND epoch_us(e.ts) > s{i - 1}.t "
+            f"GROUP BY e.user_id)")
+    selects = [
+        f"SELECT {i}::BIGINT AS step_index, '{s}' AS step, "
+        f"count(*)::BIGINT AS n_users FROM s{i}"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ", ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def q_funnel(sf_dir: str) -> pa.Table:
+    """ordered funnel: users completing view -> click (strictly after)
+    -> purchase; one user-hash shuffle, vectorized per-step scatters."""
+    import ray.data
+
+    from chearch_ray.stages.events import funnel
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "user_id", "event_type"],
+    )
+    out = funnel(ds, list(FUNNEL_STEPS)).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("step_index").reset_index(drop=True), preserve_index=False)
+
+
 def q_sessionize(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1498,6 +1537,7 @@ QUERIES = {
     "near_ordered": q_near_ordered,
     "windowed_agg": q_windowed_agg,
     "hopping_window": q_hopping_window,
+    "funnel": q_funnel,
     "sessionize": q_sessionize,
     "running_windows": q_running_windows,
     "bpeish_tokens": q_bpeish_tokens,
@@ -1978,6 +2018,7 @@ SELECT s_us // 1000000 AS window_start, event_type,
 FROM x WHERE s_us > us - 300000000 AND s_us >= 0
 GROUP BY 1, 2
 """,
+    "funnel": _funnel_sql(FUNNEL_STEPS),
     "sessionize": """
 WITH o AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS us,

@@ -467,3 +467,74 @@ def hopping_window_aggregate(ds, window_sec: int = WINDOW_SEC,
     return partials.groupby(["window_start", key]).aggregate(
         Sum("n_events", alias_name="n_events"), Sum("sum_cents", alias_name="sum_cents")
     )
+
+
+_FUNNEL_INF = np.int64(np.iinfo(np.int64).max)
+
+
+def _funnel_partition(group: pa.Table, steps: list[str], key: str,
+                      ts_column: str, type_column: str) -> pa.Table:
+    """one coarse partition -> per-step completer counts for ITS
+    users, every step vectorized across all users at once: per user,
+    step k's time is min ts of a step-k event STRICTLY after the
+    user's step-(k-1) time (np.minimum.at over user codes)."""
+    if len(group) == 0:
+        return pa.table({"step_index": pa.array([], type=pa.int64()),
+                         "step": pa.array([], type=pa.string()),
+                         "n_users": pa.array([], type=pa.int64())})
+    us = _epoch_us(group[ts_column])
+    users = group[key].to_numpy()
+    _, codes = np.unique(users, return_inverse=True)
+    n_users = codes.max() + 1 if len(codes) else 0
+    types = group[type_column]
+    if isinstance(types, pa.ChunkedArray):
+        types = types.combine_chunks()
+    type_np = np.asarray(types.to_numpy(zero_copy_only=False))
+    thr = np.full(n_users, -1, dtype=np.int64)  # step -1: before all time
+    counts = []
+    for s in steps:
+        ok = (type_np == s) & (us > thr[codes]) & (thr[codes] < _FUNNEL_INF)
+        t_next = np.full(n_users, _FUNNEL_INF, dtype=np.int64)
+        np.minimum.at(t_next, codes[ok], us[ok])
+        thr = t_next
+        counts.append(int((t_next < _FUNNEL_INF).sum()))
+    return pa.table({
+        "step_index": pa.array(np.arange(len(steps), dtype=np.int64)),
+        "step": pa.array(list(steps), type=pa.string()),
+        "n_users": pa.array(counts, type=pa.int64()),
+    })
+
+
+def funnel(ds, steps: list[str], key: str = "user_id", ts_column: str = "ts",
+           type_column: str = "event_type",
+           coarse_partitions: int = USER_PARTITIONS):
+    """Ordered funnel analysis: how many users complete step 0, then a
+    step-1 event strictly after it, then step 2 after that, ... —
+    per-step completer counts (step_index, step, n_users).
+
+    Same distribution contract as sessionize/running_windows: ONE
+    hash(key)%N shuffle (funnel state never crosses users), then each
+    partition resolves ALL its users per step with one boolean mask +
+    one np.minimum.at scatter — no per-user Python.  Partition counts
+    sum exactly because user sets are disjoint."""
+    from functools import partial
+
+    from ray.data.aggregate import Sum
+
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    parted = ds.map_batches(
+        partial(_user_partition_column, n_partitions=coarse_partitions, key=key),
+        batch_format="pyarrow",
+    )
+    partials = parted.groupby("pgrp").map_groups(
+        partial(
+            _drop_pgrp_then,
+            fn=partial(_funnel_partition, steps=list(steps), key=key,
+                       ts_column=ts_column, type_column=type_column),
+        ),
+        batch_format="pyarrow",
+    )
+    return partials.groupby(["step_index", "step"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )

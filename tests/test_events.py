@@ -234,3 +234,59 @@ GROUP BY 1, 2 ORDER BY 1, 2""").df()
     t2 = (windowed_aggregate(ds, window_sec=60)
           .to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True))
     assert t1.equals(t2)
+
+
+def test_funnel_vs_duckdb(ray_session):
+    """Ordered funnel matches the chained min-after-threshold SQL on
+    sparse synthetic events (real attrition at every step), honors
+    strict ordering (equal timestamps do NOT advance), and is
+    partition-invariant."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from chearch_ray.stages.events import funnel
+
+    rng = np.random.default_rng(79)
+    n = 6000
+    base = dt.datetime(2024, 5, 1)
+    rows = pa.table({
+        "ts": pa.array([base + dt.timedelta(seconds=int(s))
+                        for s in rng.integers(0, 10_000, n)], type=pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 400, n).astype(np.int64)),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n, p=[0.5, 0.35, 0.15])),
+    })
+    steps = ["a", "b", "c", "b"]
+    got = (funnel(ray.data.from_arrow(rows).repartition(7), steps)
+           .to_pandas().sort_values("step_index").reset_index(drop=True))
+    got["n_users"] = got["n_users"].astype("int64")
+    con = duckdb.connect()
+    con.register("events", rows)
+    ctes = ["s0 AS (SELECT user_id, min(epoch_us(ts))::BIGINT AS t FROM events "
+            "WHERE event_type = 'a' GROUP BY user_id)"]
+    for i, s in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS t "
+            f"FROM events e JOIN s{i-1} USING (user_id) "
+            f"WHERE e.event_type = '{s}' AND epoch_us(e.ts) > s{i-1}.t "
+            f"GROUP BY e.user_id)")
+    sels = [f"SELECT {i}::BIGINT AS step_index, '{s}' AS step, "
+            f"count(*)::BIGINT AS n_users FROM s{i}" for i, s in enumerate(steps)]
+    want = con.execute("WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(sels)
+                       ).df().sort_values("step_index").reset_index(drop=True)
+    assert got.equals(want), (got, want)
+    # attrition is real in this fixture
+    assert got["n_users"].iloc[-1] < got["n_users"].iloc[0]
+    # strict ordering: a user whose only b is SIMULTANEOUS with a stalls
+    tiny = pa.table({
+        "ts": pa.array([base, base, base + dt.timedelta(seconds=1)], type=pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "c"]),
+    })
+    t = (funnel(ray.data.from_arrow(tiny), ["a", "b", "c"])
+         .to_pandas().sort_values("step_index"))
+    assert t["n_users"].tolist() == [1, 0, 0]
+    got2 = (funnel(ray.data.from_arrow(rows).repartition(1), steps)
+            .to_pandas().sort_values("step_index").reset_index(drop=True))
+    got2["n_users"] = got2["n_users"].astype("int64")
+    assert got.equals(got2)
