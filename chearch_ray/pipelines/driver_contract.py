@@ -690,6 +690,21 @@ def q_funnel(sf_dir: str) -> pa.Table:
         out.sort_values("step_index").reset_index(drop=True), preserve_index=False)
 
 
+def q_retention(sf_dir: str) -> pa.Table:
+    """daily cohort retention: (cohort day, k days later, active
+    users); per-user state stays inside one user-hash partition."""
+    import ray.data
+
+    from chearch_ray.stages.events import retention
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"])
+    out = retention(ds, period_sec=86_400).to_pandas()
+    out["n_active"] = out["n_active"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["cohort", "k"]).reset_index(drop=True), preserve_index=False)
+
+
 def q_sessionize(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1538,6 +1553,7 @@ QUERIES = {
     "windowed_agg": q_windowed_agg,
     "hopping_window": q_hopping_window,
     "funnel": q_funnel,
+    "retention": q_retention,
     "sessionize": q_sessionize,
     "running_windows": q_running_windows,
     "bpeish_tokens": q_bpeish_tokens,
@@ -2019,6 +2035,14 @@ FROM x WHERE s_us > us - 300000000 AND s_us >= 0
 GROUP BY 1, 2
 """,
     "funnel": _funnel_sql(FUNNEL_STEPS),
+    "retention": """
+WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS per FROM events),
+f AS (SELECT user_id, min(per)::BIGINT AS cohort FROM p GROUP BY user_id),
+a AS (SELECT DISTINCT p.user_id, f.cohort, (p.per - f.cohort)::BIGINT AS k
+      FROM p JOIN f USING (user_id))
+SELECT cohort, k, count(*)::BIGINT AS n_active FROM a GROUP BY cohort, k
+ORDER BY cohort, k
+""",
     "sessionize": """
 WITH o AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS us,

@@ -538,3 +538,66 @@ def funnel(ds, steps: list[str], key: str = "user_id", ts_column: str = "ts",
     return partials.groupby(["step_index", "step"]).aggregate(
         Sum("n_users", alias_name="n_users")
     )
+
+
+def _retention_partition(group: pa.Table, period_sec: int, key: str,
+                         ts_column: str) -> pa.Table:
+    """one coarse partition -> (cohort_period, k, n_active) partials
+    for ITS users: per-user first period via one np.minimum.at, then
+    distinct (user, offset) pairs via one np.unique over packed keys."""
+    if len(group) == 0:
+        return pa.table({"cohort": pa.array([], type=pa.int64()),
+                         "k": pa.array([], type=pa.int64()),
+                         "n_active": pa.array([], type=pa.int64())})
+    per = _epoch_us(group[ts_column]) // (period_sec * 1_000_000)
+    users = group[key].to_numpy()
+    _, codes = np.unique(users, return_inverse=True)
+    n_users = codes.max() + 1
+    cohort = np.full(n_users, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(cohort, codes, per)
+    k = per - cohort[codes]
+    # distinct (user, k): pack into one int64 (k < 2^20 periods is
+    # ample for any real window span)
+    packed = codes.astype(np.int64) * (1 << 20) + k
+    uniq = np.unique(packed)
+    ucodes = uniq >> 20
+    uk = uniq & ((1 << 20) - 1)
+    t = pa.table({
+        "cohort": pa.array(cohort[ucodes], type=pa.int64()),
+        "k": pa.array(uk, type=pa.int64()),
+        "n_active": pa.array(np.ones(len(uniq), dtype=np.int64)),
+    })
+    agg = t.group_by(["cohort", "k"], use_threads=False).aggregate([("n_active", "sum")])
+    return agg.rename_columns(["cohort", "k", "n_active"])
+
+
+def retention(ds, period_sec: int = 86_400, key: str = "user_id",
+              ts_column: str = "ts",
+              coarse_partitions: int = USER_PARTITIONS):
+    """Cohort retention: bucket time into `period_sec` periods, assign
+    each user to the cohort of their FIRST event's period, and count
+    how many of each cohort are active again k periods later ->
+    (cohort, k, n_active); k = 0 rows are cohort sizes.
+
+    One user-hash shuffle (cohort membership never crosses users),
+    vectorized per partition, partials summed by a tiny
+    (cohort, k) groupby."""
+    from functools import partial
+
+    from ray.data.aggregate import Sum
+
+    parted = ds.map_batches(
+        partial(_user_partition_column, n_partitions=coarse_partitions, key=key),
+        batch_format="pyarrow",
+    )
+    partials = parted.groupby("pgrp").map_groups(
+        partial(
+            _drop_pgrp_then,
+            fn=partial(_retention_partition, period_sec=period_sec, key=key,
+                       ts_column=ts_column),
+        ),
+        batch_format="pyarrow",
+    )
+    return partials.groupby(["cohort", "k"]).aggregate(
+        Sum("n_active", alias_name="n_active")
+    )

@@ -290,3 +290,44 @@ def test_funnel_vs_duckdb(ray_session):
             .to_pandas().sort_values("step_index").reset_index(drop=True))
     got2["n_users"] = got2["n_users"].astype("int64")
     assert got.equals(got2)
+
+
+def test_retention_vs_duckdb(ray_session):
+    """Cohort retention matches the SQL distinct-(user, offset)
+    formulation; k=0 rows are cohort sizes; partition-invariant."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from chearch_ray.stages.events import retention
+
+    rng = np.random.default_rng(83)
+    n = 5000
+    base = dt.datetime(2024, 6, 1)
+    rows = pa.table({
+        "ts": pa.array([base + dt.timedelta(hours=int(h))
+                        for h in rng.integers(0, 24 * 14, n)], type=pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 300, n).astype(np.int64)),
+    })
+    got = (retention(ray.data.from_arrow(rows).repartition(8), period_sec=86_400)
+           .to_pandas().sort_values(["cohort", "k"]).reset_index(drop=True))
+    got["n_active"] = got["n_active"].astype("int64")
+    con = duckdb.connect()
+    con.register("events", rows)
+    want = con.execute("""
+WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS per FROM events),
+f AS (SELECT user_id, min(per)::BIGINT AS cohort FROM p GROUP BY user_id),
+a AS (SELECT DISTINCT p.user_id, f.cohort, (p.per - f.cohort)::BIGINT AS k
+      FROM p JOIN f USING (user_id))
+SELECT cohort, k, count(*)::BIGINT AS n_active FROM a GROUP BY cohort, k
+ORDER BY cohort, k""").df()
+    assert got.equals(want)
+    # k = 0 rows equal cohort sizes (every user is active in their own
+    # first period by definition)
+    sizes = got[got["k"] == 0].set_index("cohort")["n_active"]
+    per_user_cohort = want  # structure check above suffices; spot check total
+    assert sizes.sum() == 300  # every user appears in exactly one cohort
+    got2 = (retention(ray.data.from_arrow(rows).repartition(1), period_sec=86_400)
+            .to_pandas().sort_values(["cohort", "k"]).reset_index(drop=True))
+    got2["n_active"] = got2["n_active"].astype("int64")
+    assert got.equals(got2)
