@@ -1126,6 +1126,20 @@ def q_upsert_bm25(sf_dir: str) -> pa.Table:
     return _ranked(_upserted_engine_for(sf_dir).search(ast.Term(BM25_TERM), k=10))
 
 
+def q_lm_score(sf_dir: str) -> pa.Table:
+    """perplexity-proxy LM filter: corpus-trained top-4096 unigram
+    model, integer micro-nat per-token log-probs summed per doc."""
+    import ray.data
+
+    from chearch_ray.stages.textstats import lm_score
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = lm_score(ds).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False)
+
+
 def q_facet_hist(sf_dir: str) -> pa.Table:
     """numeric histogram aggregation: doc-length buckets (32 tokens)
     over every doc matching the flagship term; segments ship histogram
@@ -1572,6 +1586,7 @@ QUERIES = {
     "snippets": q_snippets,
     "facets": q_facets,
     "facet_hist": q_facet_hist,
+    "lm_score": q_lm_score,
     "kmv_distinct_users": q_kmv_distinct_users,
     "kmv_distinct_by_type": q_kmv_distinct_by_type,
     "frequent_terms": q_frequent_terms,
@@ -2406,6 +2421,19 @@ hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TERM}')
 SELECT (dl.n_tok // 32) * 32 AS bucket_lo, count(*)::BIGINT AS n
 FROM dl JOIN hits USING (doc_id)
 GROUP BY 1 ORDER BY 1
+""",
+    "lm_score": f"""
+WITH {TOK_CTE},
+tot AS (SELECT count(*)::BIGINT AS n FROM tok),
+c AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term),
+v AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 4096),
+lp AS (SELECT t.doc_id,
+              CAST(round(ln(coalesce(v.n, 0.5) / (SELECT n FROM tot))
+                         * 1000000) AS BIGINT) AS lpi
+       FROM tok t LEFT JOIN v ON v.term = t.term)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(lpi)::BIGINT AS logp_sum_micro
+FROM lp GROUP BY doc_id ORDER BY doc_id
 """,
     "training_pipeline": f"""
 WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

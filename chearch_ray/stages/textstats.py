@@ -714,3 +714,117 @@ def pmi_bigrams(ds, k: int = 20, min_count: int = 5,
         "n_b": pa.array(n_b[order], type=pa.int64()),
         "pmi": pa.array(pmi, type=pa.float64()),
     })
+
+
+# ------------------------------------------- unigram LM scoring
+#: top-K vocabulary kept by the corpus LM (OOV smoothing below)
+LM_VOCAB_K = 4096
+#: pseudo-count for out-of-vocabulary tokens
+LM_OOV_COUNT = 0.5
+
+
+def _lm_count_partial(batch: pa.Table, text_column: str) -> pa.Table:
+    values, _, _ = explode(tokenize(batch[text_column]))
+    if len(values) == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    vc = values.value_counts()
+    return pa.table({"term": vc.field("values"),
+                     "n": vc.field("counts").cast(pa.int64())})
+
+
+def _lm_score_batch(batch: pa.Table, text_column: str, id_column: str,
+                    model_ref) -> pa.Table:
+    """(doc rows) -> (doc_id, n_tokens, logp_sum_micro): per-token
+    integer micro-nat log-probs gathered from the broadcast model,
+    summed per doc (integer sums are order-free, so the result is
+    partition- and engine-invariant)."""
+    import ray
+
+    vocab, lp, oov = ray.get(model_ref) if not isinstance(model_ref, tuple) else model_ref
+    values, rows, _ = explode(tokenize(batch[text_column]))
+    if len(values) == 0:
+        return pa.table({id_column: batch[id_column].slice(0, 0),
+                         "n_tokens": pa.array([], type=pa.int64()),
+                         "logp_sum_micro": pa.array([], type=pa.int64())})
+    idx = pc.index_in(values, value_set=vocab)
+    idx_np = idx.to_numpy(zero_copy_only=False)
+    hit = idx_np == idx_np  # NaN-safe: index_in yields null on miss
+    idx_filled = np.where(hit, idx_np, 0).astype(np.int64)
+    tok_lp = np.where(hit, lp[idx_filled], oov)
+    n_tok = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(n_tok, rows, 1)
+    sums = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(sums, rows, tok_lp)
+    keep = n_tok > 0
+    ids = batch[id_column]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        id_column: ids.filter(pa.array(keep)),
+        "n_tokens": pa.array(n_tok[keep], type=pa.int64()),
+        "logp_sum_micro": pa.array(sums[keep], type=pa.int64()),
+    })
+
+
+def lm_score(ds, text_column: str = "text", id_column: str = "doc_id",
+             vocab_k: int = LM_VOCAB_K):
+    """Perplexity-proxy scoring (the CCNet / Gopher language-model
+    filter shape, with the corpus itself as the LM): train a top-K
+    unigram model over the corpus, then score every document by its
+    total token log-probability.
+
+    Two passes: (1) unigram counts via map-side value_counts partials
+    + one term groupby, top-`vocab_k` kept (count desc, term asc —
+    deterministic ties); (2) the model broadcasts ONCE (term array +
+    integer micro-nat log-probs + OOV smoothing ln(0.5/N)) and each
+    batch scores vectorized via pc.index_in + np.add.at.
+
+    Exactness: each token's ln(count/N) is libm log (bit-identical to
+    SQL ln) of a correctly-rounded division, rounded half-away to
+    integer MICRO-NATS before summing — integer sums are order-free,
+    so the result hash-matches SQL whatever the partitioning.
+    Returns (id, n_tokens, logp_sum_micro); perplexity-rank callers
+    divide client-side."""
+    import math
+    from functools import partial
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from chearch_ray.stages.events import _round_half_away
+
+    counts = (
+        ds.map_batches(partial(_lm_count_partial, text_column=text_column),
+                       batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    rows = []
+    total = 0
+    for t in counts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        ns = t["n"].to_numpy()
+        total += int(ns.sum())
+        rows.extend(zip(t["term"].to_pylist(), ns.tolist()))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    top = rows[:vocab_k]
+    if total == 0:
+        return ds.map_batches(
+            lambda b: pa.table({id_column: b[id_column].slice(0, 0),
+                                "n_tokens": pa.array([], type=pa.int64()),
+                                "logp_sum_micro": pa.array([], type=pa.int64())}),
+            batch_format="pyarrow")
+    lp = np.array(
+        [_round_half_away(np.array([math.log(n / total) * 1_000_000]))[0]
+         for _, n in top],
+        dtype=np.int64,
+    )
+    oov = int(_round_half_away(
+        np.array([math.log(LM_OOV_COUNT / total) * 1_000_000]))[0])
+    vocab = pa.array([t for t, _ in top], type=pa.string())
+    model_ref = ray.put((vocab, lp, oov))
+    return ds.map_batches(
+        partial(_lm_score_batch, text_column=text_column, id_column=id_column,
+                model_ref=model_ref),
+        batch_format="pyarrow",
+    )

@@ -2082,3 +2082,44 @@ ORDER BY grp, rn""").df()
     got2 = (top_per_group(ray.data.from_arrow(t).repartition(1), "grp", "val", n=7)
             .to_pandas().sort_values(["grp", "rn"]).reset_index(drop=True))
     assert got.equals(got2)
+
+
+def test_lm_score_vs_duckdb_with_oov(ray_session):
+    """Unigram LM scoring: vocab cap forces real OOV smoothing, count
+    ties resolve identically (count desc, term asc), integer micro-nat
+    sums hash-match SQL, partition-invariant."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.textstats import lm_score
+
+    rng = np.random.default_rng(89)
+    common = [f"c{i}" for i in range(30)]
+    rare = [f"r{i}" for i in range(200)]
+    docs = []
+    for _ in range(150):
+        toks = list(rng.choice(common, size=20)) + list(rng.choice(rare, size=5))
+        docs.append(" ".join(toks))
+    t = pa.table({"doc_id": pa.array(np.arange(150, dtype=np.int64)),
+                  "text": pa.array(docs)})
+    K = 40  # below the 230-term vocabulary -> rare terms hit OOV
+    got = (lm_score(ray.data.from_arrow(t).repartition(6), vocab_k=K)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(f"""
+WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9_]+'), x -> x <> '')) AS term FROM documents),
+tot AS (SELECT count(*)::BIGINT AS n FROM tok),
+c AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term),
+v AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT {K}),
+lp AS (SELECT t.doc_id,
+              CAST(round(ln(coalesce(v.n, 0.5) / (SELECT n FROM tot))
+                         * 1000000) AS BIGINT) AS lpi
+       FROM tok t LEFT JOIN v ON v.term = t.term)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(lpi)::BIGINT AS logp_sum_micro
+FROM lp GROUP BY doc_id ORDER BY doc_id""").df()
+    assert got.equals(want)
+    got2 = (lm_score(ray.data.from_arrow(t).repartition(1), vocab_k=K)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(got2)
