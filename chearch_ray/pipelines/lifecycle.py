@@ -122,23 +122,32 @@ def upsert_docs(index_dir: str, corpus, cfg=None, scratch_dir: str | None = None
     from chearch_ray.pipelines.merge import merge_indexes
 
     cfg = cfg or Manifest.load(index_dir).engine_config or DEFAULT_CONFIG
+    wide = cfg.doc_id_bits == 128
+
+    def _ids_of(t: _pa.Table):
+        lo = t["doc_id"].to_numpy().astype("uint64")
+        if not wide:
+            return lo, None
+        if "doc_id_hi" not in t.column_names:
+            raise ValueError(
+                "wide-id upsert needs explicit doc_id_hi + doc_id columns "
+                "(derived blake2b ids would have to be recomputed here)")
+        return lo, t["doc_id_hi"].to_numpy().astype("uint64")
+
     if isinstance(corpus, _pa.Table):
         import ray.data
 
-        ids = corpus["doc_id"].to_numpy().astype("uint64")
+        ids, his = _ids_of(corpus)
         ds = ray.data.from_arrow(corpus)
     else:
         ds = corpus
-        ids = np.concatenate(
-            [b["doc_id"].to_numpy().astype("uint64")
-             for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")]
-        )
+        parts = [_ids_of(b) for b in ds.iter_batches(batch_size=None,
+                                                     batch_format="pyarrow")]
+        ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, "uint64")
+        his = (np.concatenate([p[1] for p in parts])
+               if wide and parts else None)
     if len(ids) == 0:
         raise ValueError("nothing to upsert")
-    if cfg.doc_id_bits == 128:
-        raise NotImplementedError(
-            "wide-id upsert needs (hi, lo) drop sets threaded through the "
-            "delta corpus — use delete_docs + merge explicitly")
     scratch = scratch_dir or tempfile.mkdtemp(prefix="chearch_upsert_")
     delta_dir = os.path.join(scratch, "delta")
     build_index(ds, delta_dir, cfg, resume=False)
@@ -147,7 +156,7 @@ def upsert_docs(index_dir: str, corpus, cfg=None, scratch_dir: str | None = None
     # absent from it are inert (sorted-membership mask)
     manifest = merge_indexes(
         [index_dir, delta_dir], merged_dir,
-        drop_ids=[{"lo": ids, "hi": None}, None],
+        drop_ids=[{"lo": ids, "hi": his}, None],
     )
     old = index_dir.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)

@@ -282,3 +282,55 @@ def test_wide_mode_filtered_search_parity(engines):
         b64 = e64.search_boolean(q, filter=flt)
         b128 = e128.search_boolean(q, filter=flt)
         assert b64["doc_id"].to_pylist() == b128["doc_id"].to_pylist(), flt
+
+
+def test_wide_upsert_byte_identical_to_rebuild(ray_session, tmp_path):
+    """128-bit upsert: replace docs that COLLIDE on lo-64 (distinct
+    hi) so only full (hi, lo) drop keys are correct; the swapped index
+    part-shas a rebuild over the updated corpus."""
+    import ray.data
+
+    from chearch_ray.pipelines.lifecycle import upsert_docs
+
+    n = 120
+    base = synthetic_corpus(n, seed=51)
+    # adversarial ids: every lo shared by up to 3 docs (hi = i % 3)
+    lo = np.arange(n, dtype=np.uint64) // 3
+    hi = (np.arange(n, dtype=np.uint64) % 3)
+    base = base.append_column("doc_id", pa.array(lo, type=pa.uint64()))
+    base = base.append_column("doc_id_hi", pa.array(hi, type=pa.uint64()))
+    d = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(base), d, CFG128)
+
+    # replace docs 30..39 (their lo values are shared with NON-replaced
+    # docs of other hi) and insert 4 genuinely new (hi, lo) pairs
+    repl_rows = np.arange(30, 40)
+    fresh = synthetic_corpus(14, seed=77)
+    delta = fresh.append_column(
+        "doc_id", pa.array(np.concatenate([lo[repl_rows],
+                                           np.arange(500, 504, dtype=np.uint64)]),
+                           type=pa.uint64()))
+    delta = delta.append_column(
+        "doc_id_hi", pa.array(np.concatenate([hi[repl_rows],
+                                              np.zeros(4, dtype=np.uint64)]),
+                              type=pa.uint64()))
+    m = upsert_docs(d, delta, CFG128)
+
+    keep = np.ones(n, dtype=bool)
+    keep[repl_rows] = False
+    expected = pa.concat_tables([base.filter(pa.array(keep)), delta])
+    ref = str(tmp_path / "ref")
+    m_ref = build_index(ray.data.from_arrow(expected), ref, CFG128)
+    assert m.num_docs == m_ref.num_docs == n + 4
+    assert {p["part"]: p["sha"] for p in m.postings_parts} == {
+        p["part"]: p["sha"] for p in m_ref.postings_parts}
+    assert {p["part"]: p["sha"] for p in m.docmap_parts} == {
+        p["part"]: p["sha"] for p in m_ref.docmap_parts}
+    # lo-collision safety: the surviving docs sharing a replaced lo
+    # (different hi) are still searchable with their ORIGINAL content
+    eng = QueryEngine(d, use_actors=False)
+    ref_eng = QueryEngine(ref, use_actors=False)
+    for q in QUERIES[:3]:
+        a, b = eng.search_boolean(q), ref_eng.search_boolean(q)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["doc_id_hi"].to_pylist() == b["doc_id_hi"].to_pylist()
