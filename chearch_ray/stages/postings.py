@@ -101,6 +101,8 @@ def write_unified_part(group: pa.Table, cfg: EngineConfig, index_dir: str) -> pa
     wide = cfg.doc_id_bits == 128
     if part < n_posting_parts:
         cols = ["part", "term", "doc_ids", "tfs", "positions"]
+        if "pos_lens" in group.column_names:  # absent in pre-lens run dirs (resume)
+            cols.append("pos_lens")
         if wide:
             cols.append("doc_his")
         return RunMergeWriter(cfg, index_dir)(group.select(cols))
@@ -233,6 +235,41 @@ def _split_run_positions(run_cells: pa.Array, tfs_flat: np.ndarray,
             [[0], np.where(cum > 0, ends[np.maximum(cum - 1, 0)] + 1, 0)]
         )
         byte_off = np.maximum.accumulate(byte_off)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n_postings,
+        [None, pa.py_buffer(byte_off.astype(np.int32).tobytes()),
+         pa.py_buffer(blob.tobytes())],
+    )
+
+
+def _split_runs_by_lens(run_cells: pa.Array, lens_cells: pa.Array,
+                        n_postings: int) -> pa.Array:
+    """run-level packed positions + per-posting uint32 byte lengths ->
+    per-posting cells: ONE cumsum over the lengths (runs concatenate
+    in row order, so the flattened lens align with the flattened
+    postings) — replaces the varint-end scan over every positions
+    byte."""
+    if n_postings == 0 or run_cells.buffers()[2] is None:
+        return pa.array([b""] * n_postings, type=pa.binary())
+    n_runs = len(run_cells)
+    roff = np.frombuffer(run_cells.buffers()[1], dtype=np.int32)[
+        run_cells.offset : run_cells.offset + n_runs + 1
+    ].astype(np.int64)
+    data = np.frombuffer(run_cells.buffers()[2], dtype=np.uint8)
+    blob = data[roff[0] : roff[-1]]
+    loff = np.frombuffer(lens_cells.buffers()[1], dtype=np.int32)[
+        lens_cells.offset : lens_cells.offset + len(lens_cells) + 1
+    ].astype(np.int64)
+    lbuf = np.frombuffer(lens_cells.buffers()[2], dtype=np.uint8)[
+        loff[0] : loff[-1]
+    ]
+    # tobytes: 4 B/posting copy, sidesteps u4-view alignment rules
+    lens = np.frombuffer(lbuf.tobytes(), dtype="<u4").astype(np.int64)
+    if len(lens) != n_postings:
+        raise ValueError(
+            f"pos_lens carries {len(lens)} lengths for {n_postings} postings")
+    byte_off = np.concatenate([[0], np.cumsum(lens)])
     return pa.Array.from_buffers(
         pa.binary(),
         n_postings,
@@ -378,6 +415,7 @@ class PartialRunBuilder:
                     ("doc_ids", pa.list_(pa.uint64())),
                     ("tfs", pa.list_(pa.uint32())),
                     ("positions", pa.binary()),
+                    ("pos_lens", pa.binary()),
                 ]
             ).empty_table()
         order = pc.sort_indices(
@@ -392,7 +430,7 @@ class PartialRunBuilder:
         bounds = pa.array(np.append(starts, len(g)).astype(np.int32), type=pa.int32())
         doc_lists = pa.ListArray.from_arrays(bounds, _combine(g["doc_id"]))
         tf_lists = pa.ListArray.from_arrays(bounds, _combine(g["tf"]))
-        from chearch_ray.stages.tokenize import _runs_binary
+        from chearch_ray.stages.tokenize import _runs_binary, _runs_lens32
 
         return pa.table(
             {
@@ -401,6 +439,7 @@ class PartialRunBuilder:
                 "doc_ids": doc_lists.cast(pa.list_(pa.uint64())),
                 "tfs": tf_lists.cast(pa.list_(pa.uint32())),
                 "positions": _runs_binary(_combine(g["positions"]), starts),
+                "pos_lens": _runs_lens32(_combine(g["positions"]), starts),
             }
         )
 
@@ -425,16 +464,24 @@ class RunMergeWriter:
         term_rep = pc.list_parent_indices(doc_lists)
         terms_flat = _combine(group["term"]).take(term_rep)
         tfs_flat = _combine(group["tfs"]).flatten()
-        flat_cols = {
-            "part": pa.array(np.full(int(lengths.sum()), part, dtype=np.int32)),
-            "term": terms_flat,
-            "doc_id": doc_lists.flatten(),
-            "tf": tfs_flat,
-            "positions": _split_run_positions(
+        n_postings = int(lengths.sum())
+        if "pos_lens" in group.column_names:
+            per_posting_pos = _split_runs_by_lens(
+                _combine(group["positions"]), _combine(group["pos_lens"]), n_postings
+            )
+        else:
+            # pre-lens run dirs (resume across versions): varint scan
+            per_posting_pos = _split_run_positions(
                 _combine(group["positions"]),
                 np.asarray(tfs_flat, dtype=np.int64),
                 self.cfg.max_positions_per_doc,
-            ),
+            )
+        flat_cols = {
+            "part": pa.array(np.full(n_postings, part, dtype=np.int32)),
+            "term": terms_flat,
+            "doc_id": doc_lists.flatten(),
+            "tf": tfs_flat,
+            "positions": per_posting_pos,
         }
         sort_keys = [("term", "ascending"), ("doc_id", "ascending")]
         if "doc_his" in group.column_names:

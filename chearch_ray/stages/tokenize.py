@@ -164,6 +164,10 @@ UNIFIED_SCHEMA = pa.schema(
         # recovered from the tfs column (occurrence counts) by a
         # vectorized varint-end scan at finalize.
         ("positions", pa.binary()),
+        # per-posting byte lengths of the positions cells (uint32 LE,
+        # one cell per run): finalize rebuilds boundaries with one
+        # cumsum instead of the varint-end scan (_runs_lens32)
+        ("pos_lens", pa.binary()),
         ("doc_id", pa.uint64()),
         ("repo", pa.string()),
         ("path", pa.string()),
@@ -262,6 +266,7 @@ class TokenizeCorpus:
                 pa.list_(pa.uint32())
             ),
             "positions": _runs_binary(_chunk(p["positions"]), starts),
+            "pos_lens": _runs_lens32(_chunk(p["positions"]), starts),
             "doc_id": pa.nulls(n_runs, type=pa.uint64()),
             "repo": nulls_s,
             "path": nulls_s,
@@ -296,6 +301,7 @@ class TokenizeCorpus:
             "doc_ids": pa.nulls(n, type=pa.list_(pa.uint64())),
             "tfs": pa.nulls(n, type=pa.list_(pa.uint32())),
             "positions": pa.nulls(n, type=pa.binary()),
+            "pos_lens": pa.nulls(n, type=pa.binary()),
             "doc_id": pa.array(doc_ids, type=pa.uint64()),
             "repo": col("repo"),
             "path": col("path"),
@@ -335,6 +341,29 @@ def _runs_binary(per_posting: pa.Array, starts: np.ndarray) -> pa.Array:
         pa.binary(),
         len(starts),
         [None, pa.py_buffer(run_off.astype(np.int32).tobytes()), per_posting.buffers()[2]],
+    )
+
+
+def _runs_lens32(per_posting: pa.Array, starts: np.ndarray) -> pa.Array:
+    """per-posting packed cells -> one cell per run holding each
+    posting's BYTE LENGTH as little-endian uint32.  Carrying lengths
+    through the shuffle lets finalize rebuild posting boundaries with
+    one cumsum instead of scanning every positions byte for varint
+    terminators (the scan was 60% of the hottest partition's finalize
+    CPU).  Raw cost 4 B/posting; the mostly-small values page-compress
+    far below that."""
+    n = len(per_posting)
+    if n == 0 or per_posting.buffers()[2] is None:
+        return pa.array([b""] * len(starts), type=pa.binary())
+    poff = np.frombuffer(per_posting.buffers()[1], dtype=np.int32)[
+        per_posting.offset : per_posting.offset + n + 1
+    ].astype(np.int64)
+    lens = np.diff(poff).astype("<u4")
+    run_off = (np.append(starts, n) * 4).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(starts),
+        [None, pa.py_buffer(run_off.tobytes()), pa.py_buffer(lens.tobytes())],
     )
 
 
