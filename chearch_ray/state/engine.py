@@ -269,45 +269,36 @@ class QueryEngine:
         if earlier pages used different sizes (the search_after
         contract, not OFFSET).
 
-        Exactness over speed: segments score their FULL candidate sets
-        (the generic exhaustive path; MaxScore's threshold pruning is
-        built for page one and would need cursor-aware heap seeding to
-        stay exact), the cursor mask applies to the merged scores, and
-        the global top-k runs on what remains.  Cursor equality is
-        safe because scores are deterministic floats produced by this
-        same engine."""
+        Cursor-aware (ROADMAP #21): the cursor predicate is pushed
+        into the segments — each returns the top-k of its QUALIFYING
+        docs (SegmentSearcher._after_mask), with MaxScore/term/
+        conjunctive fast paths intact and thresholds built from
+        qualifying docs only — so the driver merges ≤ segments×k rows
+        instead of every scored candidate.  Exact: the global
+        qualifying top-k is contained in the union of per-segment
+        qualifying top-k, and cursor score equality is safe because
+        scores are deterministic floats produced by this same
+        engine."""
         node = self._plan(parse_query(query, default_op))
         k = k or self.cfg.default_k
         idfs = self.idfs_for(node)
-        big = (1 << 31) - 1  # per-segment "all candidates" (exhaustive page path)
+        after = tuple(cursor)
         if self.use_actors:
             import ray
 
             tables = ray.get(
-                [a.search_bm25.remote(node, big, idfs, self.avgdl) for a in self._actors]
+                [a.search_bm25.remote(node, k, idfs, self.avgdl, after)
+                 for a in self._actors]
             )
         else:
-            tables = [s.search_bm25(node, big, idfs, self.avgdl) for s in self._local]
+            tables = [s.search_bm25(node, k, idfs, self.avgdl, after=after)
+                      for s in self._local]
         merged = pa.concat_tables(tables)
         if len(merged) == 0:
             return merged
         scores = merged["score"].to_numpy()
-        tie = _merge_tie_key(merged)
-        if "doc_id_hi" in merged.column_names:
-            from chearch_ray.functions.hashing import key16
-
-            s_c, hi_c, lo_c = cursor
-            key_c = key16(np.array([hi_c], dtype=np.uint64),
-                          np.array([lo_c], dtype=np.uint64))[0]
-        else:
-            s_c, d_c = cursor
-            key_c = tie.dtype.type(d_c)
-        after = (scores < s_c) | ((scores == s_c) & (tie > key_c))
-        idx = np.flatnonzero(after)
-        if len(idx) == 0:
-            return merged.slice(0, 0)
-        order = topk_order(scores[idx], tie[idx], k)
-        return merged.take(pa.array(idx[order], type=pa.int64()))
+        order = topk_order(scores, _merge_tie_key(merged), k)
+        return merged.take(pa.array(order, type=pa.int64()))
 
     def search_boolean(self, query: str | ast.Node, default_op: str = "or",
                        filter: dict[str, list[str]] | None = None) -> pa.Table:

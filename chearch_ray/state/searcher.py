@@ -356,6 +356,38 @@ class SegmentSearcher:
             docs = docs[self._not_deleted(docs)]
         return docs
 
+    def _after_mask(
+        self, docs: np.ndarray, scores: np.ndarray, after: tuple
+    ) -> np.ndarray:
+        """True where (score, external doc key) sorts STRICTLY after
+        the cursor in the global (score desc, key asc) order — the
+        search_after qualification predicate, applied inside the
+        segment so per-segment top-k and MaxScore thresholds run over
+        qualifying docs only.  Cursor scores are deterministic floats
+        produced by this same engine, so float equality at the tie
+        boundary is exact.  `after` is (score, doc_id) in 64-bit mode
+        and (score, doc_id_hi, doc_id) in doc_id_bits=128 mode; wide
+        posting values are segment-local ordinals, so the (rare)
+        score-tie rows resolve through the docmap to external keys."""
+        s_c = float(after[0])
+        mask = scores < s_c
+        eq = np.flatnonzero(scores == s_c)
+        if len(eq):
+            if self.docmap is not None and getattr(self.docmap, "wide", False):
+                from chearch_ray.functions.hashing import key16
+
+                hi, lo = self.docmap.external_ids(docs[eq])
+                keys = key16(hi, lo)
+                key_c = key16(
+                    np.array([after[1]], dtype=np.uint64),
+                    np.array([after[2]], dtype=np.uint64),
+                )[0]
+            else:
+                keys = docs[eq]
+                key_c = np.uint64(after[1])
+            mask[eq] = keys > key_c
+        return mask
+
     def search_boolean(self, node: ast.Node, limit: int | None = None) -> pa.Table:
         """Doc-level boolean retrieval, ascending doc_id, capped at
         partition_limit per segment (reference search.chpl:17)."""
@@ -469,7 +501,14 @@ class SegmentSearcher:
         k: int,
         idfs: dict[str, float],
         avgdl: float,
+        after: tuple | None = None,
     ) -> pa.Table:
+        """BM25 top-k.  `after` = cursor pagination: restrict to docs
+        sorting strictly after (score, key) in the global order (see
+        _after_mask) and return the segment's top-k of THAT set — the
+        global merge over per-segment qualifying top-k is exact, so
+        page-n queries keep every fast path instead of the exhaustive
+        all-candidates gather."""
         if self.docmap is None:
             return self._project(_EMPTY_U64, scores=np.empty(0))
         if (
@@ -482,7 +521,9 @@ class SegmentSearcher:
         ):
             terms = [str(t) for t in ast.terms_of(node)]
             if len(terms) >= 2:
-                docs, scores = self._maxscore_disjunctive(terms, k, idfs, avgdl)
+                docs, scores = self._maxscore_disjunctive(
+                    terms, k, idfs, avgdl, after=after
+                )
                 return self._project(docs, scores=scores)
         if isinstance(node, ast.Term):
             # a term's candidates ARE its postings — the generic path
@@ -499,6 +540,9 @@ class SegmentSearcher:
                 tfs.astype(np.float64), self.docmap.lengths_for(docs),
                 idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b,
             )
+            if after is not None:
+                keep = self._after_mask(docs, scores, after)
+                docs, scores = docs[keep], scores[keep]
             order = topk_order(scores, docs, k)
             return self._project(docs[order], scores=scores[order])
         if isinstance(node, ast.And) and ast.is_conjunctive(node):
@@ -523,12 +567,18 @@ class SegmentSearcher:
                     tf_by_term[term].astype(np.float64), dl_all,
                     idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b,
                 )
+            if after is not None:
+                keep = self._after_mask(docs, scores, after)
+                docs, scores = docs[keep], scores[keep]
             order = topk_order(scores, docs, k)
             return self._project(docs[order], scores=scores[order])
         candidates = self._candidates(node)
         if len(candidates) == 0:
             return self._project(candidates, scores=np.empty(0))
         scores = self._score_docs(candidates, [str(t) for t in ast.terms_of(node)], idfs, avgdl)
+        if after is not None:
+            keep = self._after_mask(candidates, scores, after)
+            candidates, scores = candidates[keep], scores[keep]
         order = topk_order(scores, candidates, k)
         return self._project(candidates[order], scores=scores[order])
 
@@ -630,7 +680,7 @@ class SegmentSearcher:
 
     def _maxscore_disjunctive(
         self, terms: list[str], k: int, idfs: dict[str, float], avgdl: float,
-        allowed: np.ndarray | None = None,
+        allowed: np.ndarray | None = None, after: tuple | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact MaxScore pruning for pure disjunctions (north-star
         block-max machinery): terms are processed in descending
@@ -646,7 +696,19 @@ class SegmentSearcher:
         preserved: excluded docs never enter the candidate pool, so
         the k-th threshold is built from qualifying docs only, and the
         term/block upper bounds remain valid bounds for every unseen
-        qualifying doc (a lower kth only ever prunes LESS)."""
+        qualifying doc (a lower kth only ever prunes LESS).
+
+        `after` (cursor pagination, ROADMAP #21): qualification here
+        depends on the EXACT score (score < cursor score, or tie with
+        a later key), which is only known after accumulation — so
+        every expanded doc still enters the candidate pool, but the
+        k-th threshold and the final selection consider qualifying
+        docs only.  Exactness at the pruning boundary: a doc pruned by
+        `remaining_ub < kth` or left in a skipped block has full score
+        strictly below the k-th best QUALIFYING score, so whether or
+        not it qualifies it cannot enter (or tie into) the qualifying
+        top-k; a lower qualifying kth only ever prunes less than the
+        page-one threshold would."""
         cfg = self.cfg
         ubs = []
         for t in terms:
@@ -667,14 +729,23 @@ class SegmentSearcher:
 
         cand = _EMPTY_U64
         cand_scores = np.empty(0, dtype=np.float64)
+        # qualifying mask (cursor mode only): which candidates sort
+        # after the cursor — thresholds and the final top-k use these
+        cand_q = None if after is None else np.empty(0, dtype=bool)
         skipped_carry = 0.0  # Σ over expanded terms of max skipped-block UB
         for e in range(len(terms)):
             remaining_ub = float(ubs[e:].sum()) + skipped_carry
             kth = None
-            if len(cand) >= k:
-                kth = float(cand_scores[topk_order(cand_scores, cand, k)[-1]])
-                if remaining_ub < kth:
-                    break
+            if cand_q is None:
+                if len(cand) >= k:
+                    kth = float(cand_scores[topk_order(cand_scores, cand, k)[-1]])
+            else:
+                sub = np.flatnonzero(cand_q)
+                if len(sub) >= k:
+                    sel = topk_order(cand_scores[sub], cand[sub], k)
+                    kth = float(cand_scores[sub[sel[-1]]])
+            if kth is not None and remaining_ub < kth:
+                break
             # block-max refinement: within a term that must still be
             # expanded, decode only blocks that can beat the current
             # k-th score (WAND-style, exactness argument in
@@ -713,6 +784,13 @@ class SegmentSearcher:
                 cand_scores = np.concatenate([cand_scores, new_scores])
                 srt = np.argsort(cand, kind="stable")
                 cand, cand_scores = cand[srt], cand_scores[srt]
+                if cand_q is not None:
+                    new_q = self._after_mask(new, new_scores, after)
+                    cand_q = np.concatenate([cand_q, new_q])[srt]
+        if cand_q is not None:
+            sub = np.flatnonzero(cand_q)
+            sel = topk_order(cand_scores[sub], cand[sub], k)
+            return cand[sub][sel], cand_scores[sub][sel]
         sel = topk_order(cand_scores, cand, k)
         return cand[sel], cand_scores[sel]
 
@@ -1139,8 +1217,10 @@ class SearcherGroup:
         self.segs = list(segs)
         self.members = [SegmentSearcher(index_dir, s, cfg) for s in segs]
 
-    def search_bm25(self, node, k, idfs, avgdl) -> pa.Table:
-        return pa.concat_tables([m.search_bm25(node, k, idfs, avgdl) for m in self.members])
+    def search_bm25(self, node, k, idfs, avgdl, after=None) -> pa.Table:
+        return pa.concat_tables(
+            [m.search_bm25(node, k, idfs, avgdl, after=after) for m in self.members]
+        )
 
     def search_boolean(self, node, limit=None) -> pa.Table:
         return pa.concat_tables([m.search_boolean(node, limit) for m in self.members])

@@ -1406,6 +1406,39 @@ def test_search_after_pages_chain_exactly(engine, oracle):
     assert len(engine.search_after(node, end_cursor, k=10)) == 0
 
 
+def test_search_after_every_query_shape_and_tie_cursors(engine, oracle):
+    """Cursor-aware segment search (ROADMAP #21) is exact on every
+    search_bm25 fast path — MaxScore disjunction, single term,
+    conjunctive AND, nested generic tree — for cursors at several
+    depths INCLUDING inside score-tie runs (the boundary the pruning
+    argument has to get right): page n+1 from a cursor at full-rank
+    row i must equal rows i+1..i+k of the exhaustive ranking."""
+    hot = _hot_terms(oracle, 3)
+    shapes = [
+        ast.Or(ast.Term(hot[0]), ast.Term(hot[1])),          # MaxScore path
+        ast.Term(hot[0]),                                     # term fast path
+        ast.And(ast.Term(hot[0]), ast.Term(hot[1])),          # conjunctive path
+        ast.And(ast.Or(ast.Term(hot[0]), ast.Term(hot[2])),   # generic path
+                ast.Term(hot[1])),
+    ]
+    for node in shapes:
+        full = engine.search(node, k=1 << 20)
+        scores = full["score"].to_numpy()
+        n = len(full)
+        assert n > 5, "fixture query too selective for pagination"
+        cursors = {0, 1, n // 2, n - 2}
+        # aim a cursor at the FIRST row of a score-tie run, if any
+        ties = np.flatnonzero(scores[:-1] == scores[1:])
+        if len(ties):
+            cursors.add(int(ties[0]))
+        for i in sorted(cursors):
+            cur = (full["score"][i].as_py(), full["doc_id"][i].as_py())
+            got = engine.search_after(node, cur, k=7)
+            want = full.slice(i + 1, 7)
+            assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist(), (node, i)
+            assert got["score"].to_pylist() == want["score"].to_pylist(), (node, i)
+
+
 def test_facet_histogram_vs_boolean_lengths(engine, oracle):
     """Histogram facet counts ALL matches (not the result window) and
     equals a brute-force bucket count of the oracle's matching docs'

@@ -64,6 +64,35 @@ def test_wide_mode_result_parity(engines):
         assert s64["repo"].to_pylist() == s128["repo"].to_pylist(), q
 
 
+def test_wide_mode_search_after_pages_chain_exactly(engines):
+    """Cursor pagination in doc_id_bits=128 mode: the cursor is
+    (score, hi, lo), the segment-side qualification resolves posting
+    ordinals to external keys, and chained pages reproduce the
+    exhaustive ranking exactly (and match the 64-bit engine on this
+    hi=0 corpus)."""
+    e64, e128 = engines
+    node = ast.Or(ast.Term("def"), ast.Term("return"))
+    full = e128.search(node, k=1 << 20)
+    pages = [e128.search(node, k=10)]
+    for _ in range(3):
+        last = pages[-1]
+        if len(last) == 0:
+            break
+        cur = (last["score"][-1].as_py(), last["doc_id_hi"][-1].as_py(),
+               last["doc_id"][-1].as_py())
+        pages.append(e128.search_after(node, cur, k=10))
+    got = pa.concat_tables(pages)
+    n = len(got)
+    assert got["doc_id"].to_pylist() == full["doc_id"].to_pylist()[:n]
+    assert got["doc_id_hi"].to_pylist() == full["doc_id_hi"].to_pylist()[:n]
+    assert got["score"].to_pylist() == full["score"].to_pylist()[:n]
+    # parity with the 64-bit engine's page 2 on the same corpus
+    p1 = e64.search(node, k=10)
+    cur64 = (p1["score"][-1].as_py(), p1["doc_id"][-1].as_py())
+    assert (e64.search_after(node, cur64, k=10)["doc_id"].to_pylist()
+            == pages[1]["doc_id"].to_pylist())
+
+
 def test_wide_mode_phrase_parity(engines):
     e64, e128 = engines
     p64 = e64.search_phrase("def main", k=10)
