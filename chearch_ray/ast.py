@@ -62,7 +62,22 @@ class Prefix:
     prefix: str
 
 
-Node = Union[Term, And, Or, AndNot, Prefix]
+@dataclass(frozen=True)
+class Fuzzy:
+    """Fuzzy term query `term~d` (engine extension, §2.10 — absent
+    from the reference's CHASM opcode set, so it never appears on the
+    wire): matches every vocabulary term within `dist` unit-cost
+    Levenshtein edits of `term`.  QueryEngine expands it into a
+    sorted Or chain over the matching terms BEFORE planning (exact DP
+    verification; the SymSpell deletion index routes the candidate
+    lookup when built) — segment searchers only ever see
+    Term/And/Or."""
+
+    term: str
+    dist: int = 1
+
+
+Node = Union[Term, And, Or, AndNot, Prefix, Fuzzy]
 
 
 def terms_of(node: Node) -> list[TermT]:
@@ -75,8 +90,10 @@ def terms_of(node: Node) -> list[TermT]:
             if n.term not in seen:
                 seen.add(n.term)
                 out.append(n.term)
-        elif isinstance(n, Prefix):
-            raise TypeError("Prefix nodes must be expanded (QueryEngine._plan) before terms_of")
+        elif isinstance(n, (Prefix, Fuzzy)):
+            raise TypeError(
+                f"{type(n).__name__} nodes must be expanded (QueryEngine._plan) before terms_of"
+            )
         elif isinstance(n, AndNot):
             # only the POSITIVE side contributes scoring terms: result
             # docs never contain b's terms (tf = 0 by construction), so

@@ -191,6 +191,24 @@ def q_prefix_boolean(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": t["doc_id"].cast(pa.int64())})
 
 
+#: fuzzy query — engine extension (§2.10): `part~2` expands against
+#: the vocabulary by exact unit-cost Levenshtein (DuckDB-identical
+#: semantics) into a sorted Or chain before planning; at sf scale it
+#: expands to {fast, part, sort, spark}, so the row exercises a real
+#: 4-way disjunction reached purely through the fuzzy machinery.  The
+#: oracle mirrors the expansion with `levenshtein(term, ...) <= 2`
+#: over the same tokenization — no term list is hardcoded on either
+#: side.
+FUZZY_TERM, FUZZY_DIST = "part", 2
+
+
+def q_fuzzy_bm25(sf_dir: str) -> pa.Table:
+    from chearch_ray.state.engine import parse_query
+
+    eng = engine_for(sf_dir)
+    return _ranked(eng.search(parse_query(f"{FUZZY_TERM}~{FUZZY_DIST}"), k=10))
+
+
 #: wide-id (doc_id_bits=128) driver row — ROADMAP #12.  The documents
 #: table's 64-bit ids are split into adversarially COLLIDING (hi, lo)
 #: pairs: hi = doc_id % WIDE_SPLIT, lo = doc_id // WIDE_SPLIT, so every
@@ -1545,6 +1563,7 @@ QUERIES = {
     "upsert_bm25": q_upsert_bm25,
     "bm25_and": q_bm25_and,
     "bm25_or": q_bm25_or,
+    "fuzzy_bm25": q_fuzzy_bm25,
     "bm25_tree": q_bm25_tree,
     "more_like_this": q_more_like_this,
     "fielded_search": q_fielded_search,
@@ -1665,8 +1684,10 @@ def _near_cand_sql(a: str, b: str, slop: int, ordered: bool) -> str:
 
 
 def _bm25_sql(terms: tuple[str, ...], mode: str, k: int = 10, cand_sql: str | None = None,
-              extra_ctes: str = "", offset: int = 0) -> str:
-    term_list = ", ".join(f"'{t}'" for t in terms)
+              extra_ctes: str = "", offset: int = 0, term_sql: str | None = None) -> str:
+    # term_sql: a SELECT yielding the scoring-term set (e.g. a fuzzy
+    # levenshtein expansion) in place of a literal term list
+    term_list = term_sql if term_sql is not None else ", ".join(f"'{t}'" for t in terms)
     if cand_sql is not None:
         cand = cand_sql
     elif mode == "and":
@@ -1855,6 +1876,14 @@ FROM hits
     ),
     "bm25_and": _bm25_sql(BM25_AND_TERMS, "and"),
     "bm25_or": _bm25_sql(BM25_OR_TERMS, "or"),
+    "fuzzy_bm25": _bm25_sql(
+        (),
+        "or",
+        term_sql=(
+            "SELECT DISTINCT term FROM tok "
+            f"WHERE levenshtein(term, '{FUZZY_TERM}') <= {FUZZY_DIST}"
+        ),
+    ),
     "bm25_tree": _bm25_sql(
         BM25_TREE_TERMS,
         "tree",

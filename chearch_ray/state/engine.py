@@ -56,6 +56,10 @@ def parse_query(query: str | ast.Node, default_op: str = "or") -> ast.Node:
         # QueryEngine against the term dictionary before planning
         if len(t) > 1 and t.endswith("*") and "*" not in t[:-1]:
             return ast.Prefix(t[:-1])
+        # `term~d` (d = 1 or 2) = fuzzy query (Lucene-style), expanded
+        # against the vocabulary by exact edit distance before planning
+        if len(t) > 2 and t[-2] == "~" and t[-1] in "12" and "~" not in t[:-2]:
+            return ast.Fuzzy(t[:-2], int(t[-1]))
         return ast.Term(t)
 
     # leading `-` = negation (Lucene-style): positives combine under
@@ -117,6 +121,7 @@ class QueryEngine:
             self.segments = list(range(self.cfg.num_segments))
         self.use_actors = use_actors
         self._prefix_cache: dict[str, list[str]] = {}
+        self._fuzzy_cache: dict[tuple[str, int], list[str]] = {}
         if use_actors:
             import ray
 
@@ -185,6 +190,59 @@ class QueryEngine:
         self._prefix_cache[prefix] = terms
         return terms
 
+    # ------------------------------------------------------------- fuzzy
+    def expand_fuzzy(self, term: str, max_distance: int = 1,
+                     max_expansions: int = 1024) -> list[str]:
+        """Vocabulary terms within `max_distance` unit-cost Levenshtein
+        edits of `term`, sorted — the expansion set of `ast.Fuzzy`
+        (same distance definition as DuckDB's levenshtein(), so the
+        driver oracle mirrors it exactly).  When a SymSpell deletion
+        index built for >= max_distance exists, candidates come from
+        exact variant-key lookups over only the probed hash-prefix
+        partitions (the 10^12-doc path); otherwise a length-prefiltered
+        vocabulary scan.  Either way the final set is verified with the
+        exact vectorized DP, so results are identical.  Raises above
+        `max_expansions` like expand_prefix (silent truncation would
+        change result sets)."""
+        if not term:
+            raise ValueError("empty fuzzy term")
+        import os as _os
+
+        from chearch_ray.functions.editdist import levenshtein_to
+        from chearch_ray.state.suggest import (
+            candidate_terms, suggest_index_distance,
+        )
+
+        cache_key = (term, max_distance)
+        hit = self._fuzzy_cache.get(cache_key)
+        if hit is None:
+            sdir = _os.path.join(self.index_dir, "suggest")
+            built = suggest_index_distance(sdir)
+            if built is not None and built >= max_distance:
+                cands = candidate_terms(sdir, term, max_distance)
+            else:
+                stats = pq.read_table(self._stats_path, columns=["term"])
+                all_terms = stats["term"].to_pylist()
+                lens = np.fromiter(
+                    (len(t) for t in all_terms), dtype=np.int64, count=len(all_terms)
+                )
+                keep = np.flatnonzero(np.abs(lens - len(term)) <= max_distance)
+                cands = [all_terms[i] for i in keep]
+            if cands:
+                dist = levenshtein_to(term, cands)
+                hit = sorted(c for c, d in zip(cands, dist) if d <= max_distance)
+            else:
+                hit = []
+            if len(self._fuzzy_cache) > 1024:
+                self._fuzzy_cache.clear()
+            self._fuzzy_cache[cache_key] = hit
+        if len(hit) > max_expansions:
+            raise ValueError(
+                f"fuzzy {term!r}~{max_distance} expands to {len(hit)} terms "
+                f"(cap {max_expansions})"
+            )
+        return hit
+
     def _plan(self, node: ast.Node) -> ast.Node:
         """Prefix-free plan for the segment searchers.  A tree that
         rewrites to provably-empty becomes a single impossible term
@@ -200,8 +258,11 @@ class QueryEngine:
         conjunction; inside Or it yields the other side."""
         if isinstance(node, ast.Term):
             return node
-        if isinstance(node, ast.Prefix):
-            terms = self.expand_prefix(node.prefix)
+        if isinstance(node, (ast.Prefix, ast.Fuzzy)):
+            if isinstance(node, ast.Prefix):
+                terms = self.expand_prefix(node.prefix)
+            else:
+                terms = self.expand_fuzzy(node.term, node.dist)
             if not terms:
                 return None
             out: ast.Node = ast.Term(terms[0])

@@ -1116,6 +1116,85 @@ def test_suggest_index_matches_scan(engine, oracle):
         shutil.rmtree(sdir)
 
 
+# -------------------------------------------------------------- fuzzy
+def _ref_lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[-1]
+
+
+def test_parse_fuzzy():
+    assert parse_query("part~2") == ast.Fuzzy("part", 2)
+    assert parse_query("data~1 merge", default_op="and") == ast.And(
+        ast.Fuzzy("data", 1), ast.Term("merge")
+    )
+    # only trailing `~1` / `~2` is the fuzzy marker; anything else is a
+    # literal term (the tokenizer strips `~` anyway, but the parser
+    # must not misread it)
+    assert parse_query("part~3") == ast.Term("part~3")
+    assert parse_query("~1") == ast.Term("~1")
+
+
+def test_fuzzy_expansion_matches_bruteforce(engine, oracle):
+    """expand_fuzzy == brute-force DP over the indexed vocabulary, for
+    present, misspelled, and absent query terms at both distances."""
+    vocab = list(oracle.postings)
+    for q in ["merge", "mergee", "sorrt", "zzzz", "a"]:
+        for d in (1, 2):
+            want = sorted(t for t in vocab if _ref_lev(t, q) <= d)
+            assert engine.expand_fuzzy(q, d) == want, (q, d)
+
+
+def test_fuzzy_search_equals_or_chain(engine, oracle):
+    """A Fuzzy node must score byte-identically to the explicit sorted
+    Or chain over its expansion set — BM25 and boolean both."""
+    # find a query whose d=2 expansion is multi-term (deterministic
+    # corpus => stable); fall back assertion guards fixture drift
+    q = next(
+        (t for t in sorted(oracle.postings) if len(engine.expand_fuzzy(t, 2)) >= 2),
+        None,
+    )
+    assert q is not None, "no multi-term fuzzy expansion in test vocab"
+    exp = engine.expand_fuzzy(q, 2)
+    chain: ast.Node = ast.Term(exp[0])
+    for t in exp[1:]:
+        chain = ast.Or(chain, ast.Term(t))
+    node = parse_query(f"{q}~2")
+    assert engine.search(node, k=10).equals(engine.search(chain, k=10))
+    got_bool = set(engine.search_boolean(node)["doc_id"].to_pylist())
+    want_bool = set()
+    for t in exp:
+        want_bool |= set(oracle.postings.get(t, ()))
+    ext = {r["doc_id"] for r in engine.search_boolean(chain).to_pylist()}
+    assert got_bool == ext
+    assert len(got_bool) == len(want_bool)
+
+
+def test_fuzzy_index_path_matches_scan(engine):
+    """expansion via the SymSpell deletion index == the vocabulary
+    scan, exactly, for every query × distance."""
+    import shutil
+
+    queries = ["merge", "mergee", "sorrt", "zzzz", "a"]
+    scan = {(q, d): engine.expand_fuzzy(q, d) for q in queries for d in (1, 2)}
+    sdir = engine.build_suggest_index(max_distance=2)
+    try:
+        engine._fuzzy_cache.clear()
+        for (q, d), want in scan.items():
+            assert engine.expand_fuzzy(q, d) == want, (q, d)
+    finally:
+        shutil.rmtree(sdir)
+        engine._fuzzy_cache.clear()
+
+
+def test_fuzzy_expansion_cap_raises(engine):
+    with pytest.raises(ValueError, match="expands to"):
+        engine.expand_fuzzy("merge", 2, max_expansions=1)
+
+
 def test_conjunctive_fast_path_identical_to_generic(engine, oracle):
     """the one-pass AND scorer (tf reuse from the intersection) must be
     byte-identical — scores included — to the generic probe-again path
