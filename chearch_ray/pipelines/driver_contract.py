@@ -838,6 +838,28 @@ def q_normalize_text(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
 
 
+#: significant-terms foreground query — the match set of this term is
+#: the foreground; the oracle recomputes fg/bg document frequencies
+#: and the integer cross-multiplied proportion-difference score in SQL
+SIGTERM_FG_TERM = "spark"
+SIGTERM_K = 20
+
+
+def q_significant_terms(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.textstats import significant_terms
+
+    eng = engine_for(sf_dir)
+    fg = eng.search_boolean(ast.Term(SIGTERM_FG_TERM))["doc_id"].to_numpy()
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return significant_terms(
+        docs, fg, _term_stats(sf_dir), eng.manifest.num_docs, k=SIGTERM_K
+    )
+
+
 def q_frequent_terms(sf_dir: str) -> pa.Table:
     """exact heavy hitters (terms with >= 1/200 of all occurrences):
     bounded-state candidates + broadcast exact verify, no term
@@ -1609,6 +1631,7 @@ QUERIES = {
     "kmv_distinct_users": q_kmv_distinct_users,
     "kmv_distinct_by_type": q_kmv_distinct_by_type,
     "frequent_terms": q_frequent_terms,
+    "significant_terms": q_significant_terms,
     "normalize_text": q_normalize_text,
     "pq_knn": q_pq_knn,
     "suggest": q_suggest,
@@ -2420,6 +2443,19 @@ WITH {TOK_CTE},
 tot AS (SELECT count(*)::BIGINT AS n FROM tok),
 c AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term)
 SELECT term, n FROM c WHERE n * 200 >= (SELECT n FROM tot)
+""",
+    "significant_terms": f"""
+WITH {TOK_CTE},
+fg AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{SIGTERM_FG_TERM}'),
+cnt AS (SELECT (SELECT count(*) FROM fg)::BIGINT AS fg_n,
+               (SELECT count(*) FROM documents)::BIGINT AS bg_n),
+fgdf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df FROM tok
+         WHERE doc_id IN (SELECT doc_id FROM fg) GROUP BY term),
+bgdf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM tok GROUP BY term)
+SELECT f.term, f.fg_df, b.bg_df,
+       (f.fg_df * cnt.bg_n - b.bg_df * cnt.fg_n)::BIGINT AS score
+FROM fgdf f JOIN bgdf b USING (term), cnt
+ORDER BY score DESC, f.term LIMIT {SIGTERM_K}
 """,
     "kmv_distinct_by_type": f"""
 WITH h AS (SELECT DISTINCT event_type,

@@ -828,3 +828,120 @@ def lm_score(ds, text_column: str = "text", id_column: str = "doc_id",
                 model_ref=model_ref),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------- significant terms
+def _sig_partial_term_df(batch: pa.Table, text_column: str,
+                         fg_ref=None) -> pa.Table:
+    """(doc_id, text) -> partial (term, n) rows: the number of DISTINCT
+    docs in this batch containing each term.  Every document lives in
+    exactly one batch, so partials sum exactly across batches.  When
+    `fg_ref` is given (ray.put sorted uint64 ids — broadcast once,
+    resolved from local plasma per task), the batch is first restricted
+    to the foreground set via searchsorted membership."""
+    if fg_ref is not None:
+        import ray
+
+        fg = ray.get(fg_ref) if isinstance(fg_ref, ray.ObjectRef) else np.asarray(fg_ref)
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        pos = np.minimum(np.searchsorted(fg, ids), len(fg) - 1)
+        batch = batch.filter(pa.array(fg[pos] == ids))
+    empty = pa.table({"term": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+    if batch.num_rows == 0:
+        return empty
+    flat, row_idx, _ = explode(tokenize(batch[text_column]))
+    if len(flat) == 0:
+        return empty
+    pairs = pa.table({"term": flat, "d": pa.array(row_idx)})
+    distinct = pairs.group_by(["term", "d"]).aggregate([])
+    out = distinct.group_by("term").aggregate([("d", "count")])
+    return pa.table({"term": out["term"].cast(pa.string()),
+                     "n": out["d_count"].cast(pa.int64())})
+
+
+def significant_terms(docs_ds, fg_doc_ids, term_stats: pa.Table, bg_n: int,
+                      k: int = 20, text_column: str = "text",
+                      broadcast_limit: int = 2_000_000) -> pa.Table:
+    """Foreground-vs-background significant terms over a query's match
+    set (the search-analytics aggregation Elasticsearch ships as
+    significant_terms; absent from the reference, whose only
+    aggregates are df/N counters — memorysegment.chpl:73,118): for
+    each term occurring in the foreground docs,
+
+        fg_df = #foreground docs containing the term
+        bg_df = index document frequency (term_stats df)
+        score = fg_df*bg_n - bg_df*fg_n
+
+    — the difference of proportions fg_df/fg_n − bg_df/bg_n
+    cross-multiplied into EXACT int64 arithmetic (no float-order
+    hazard; overflow-safe while bg_n < 2^31, far past the sandbox and
+    guarded loudly).  Returns top-k by (score desc, term asc) with
+    columns (term, fg_df, bg_df, score).
+
+    Scale shape: the foreground id set broadcasts via ONE ray.put and
+    per-task searchsorted membership (the small-side-broadcast join
+    pattern); counting is a per-batch distinct-(doc, term) reduction
+    followed by ONE vocabulary-scale groupby — the same
+    partial-then-shuffle shape as the build's term stats.  The final
+    fg_df table and the bg join are vocabulary-bounded, not
+    corpus-bounded.  `docs_ds` must be the corpus the index was built
+    over (bg_df comes from the index's stats).  Above
+    `broadcast_limit` foreground ids, restrict `docs_ds` with
+    stages.joins.hash_semi_join first and pass fg_ref=None semantics
+    by pre-filtering (kept explicit so the broadcast path stays the
+    one-copy fast path)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"term": pa.array([], type=pa.string()),
+                      "fg_df": pa.array([], type=pa.int64()),
+                      "bg_df": pa.array([], type=pa.int64()),
+                      "score": pa.array([], type=pa.int64())})
+    fg = np.unique(np.asarray(fg_doc_ids).astype(np.uint64))
+    fg_n = int(len(fg))
+    if fg_n == 0:
+        return empty
+    if bg_n >= 1 << 31:
+        raise ValueError(
+            f"significant_terms int64 score overflows at bg_n={bg_n}; "
+            "switch to a ratio-mode scorer beyond 2^31 docs"
+        )
+    if fg_n > broadcast_limit:
+        from chearch_ray.stages.joins import hash_semi_join
+
+        fg_ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(fg, type=pa.uint64())}))
+        docs_ds = hash_semi_join(docs_ds, fg_ds, on="doc_id")
+        fg_ref = None
+    else:
+        fg_ref = ray.put(fg)
+    agg = (
+        docs_ds.map_batches(
+            partial(_sig_partial_term_df, text_column=text_column, fg_ref=fg_ref),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="fg_df"))
+    )
+    parts = [t for t in (ray.get(r) for r in agg.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return empty
+    fgt = pa.concat_tables(parts).combine_chunks()
+    bg = pa.table({
+        "term": term_stats["term"].cast(pa.string()),
+        "bg_df": term_stats["df"].cast(pa.int64()),
+    })
+    j = fgt.join(bg, keys="term", join_type="inner")
+    fg_df = j["fg_df"].to_numpy().astype(np.int64)
+    bg_df = j["bg_df"].to_numpy().astype(np.int64)
+    score = fg_df * np.int64(bg_n) - bg_df * np.int64(fg_n)
+    out = pa.table({
+        "term": j["term"].combine_chunks(),
+        "fg_df": pa.array(fg_df, type=pa.int64()),
+        "bg_df": pa.array(bg_df, type=pa.int64()),
+        "score": pa.array(score, type=pa.int64()),
+    })
+    order = pc.sort_indices(
+        out, sort_keys=[("score", "descending"), ("term", "ascending")]
+    )
+    return out.take(order.slice(0, k))

@@ -2123,3 +2123,66 @@ FROM lp GROUP BY doc_id ORDER BY doc_id""").df()
     got2 = (lm_score(ray.data.from_arrow(t).repartition(1), vocab_k=K)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert got.equals(got2)
+
+
+def test_significant_terms_vs_duckdb(ray_session):
+    """significant_terms == the DuckDB fg/bg proportion-difference
+    formula, rows+values, on a corpus with a planted foreground signal;
+    partition-invariant; the semi-join (above-broadcast-limit) path is
+    row-identical to the broadcast path."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.textstats import significant_terms
+
+    rng = np.random.default_rng(41)
+    filler = [f"w{i}" for i in range(200)]
+    docs, fg_ids = [], []
+    for d in range(300):
+        toks = list(rng.choice(filler, size=30))
+        if d % 5 == 0:
+            # foreground docs carry the marker plus an enriched signal
+            toks += ["marker"] + ["signal"] * 2
+            fg_ids.append(d)
+        docs.append(" ".join(toks))
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "text": pa.array(docs)})
+    con = duckdb.connect()
+    con.register("documents", t)
+    # bg stats = per-term distinct doc counts (what the index's term
+    # stats hold for the same corpus)
+    stats = con.execute("""
+WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9_]+'), x -> x <> '')) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term""").arrow()
+    want = con.execute("""
+WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9_]+'), x -> x <> '')) AS term FROM documents),
+fg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'marker'),
+cnt AS (SELECT (SELECT count(*) FROM fg)::BIGINT AS fg_n,
+               (SELECT count(*) FROM documents)::BIGINT AS bg_n),
+fgdf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df FROM tok
+         WHERE doc_id IN (SELECT doc_id FROM fg) GROUP BY term),
+bgdf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM tok GROUP BY term)
+SELECT f.term, f.fg_df, b.bg_df,
+       (f.fg_df * cnt.bg_n - b.bg_df * cnt.fg_n)::BIGINT AS score
+FROM fgdf f JOIN bgdf b USING (term), cnt
+ORDER BY score DESC, f.term LIMIT 10""").df()
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = significant_terms(ds, np.array(fg_ids), stats, 300, k=10).to_pandas()
+    assert got.equals(want), (got, want)
+    # the planted marker/signal terms dominate
+    assert list(got["term"][:2]) == ["marker", "signal"]
+    # partition invariance
+    got1 = significant_terms(
+        ray.data.from_arrow(t).repartition(1), np.array(fg_ids), stats, 300, k=10
+    ).to_pandas()
+    assert got.equals(got1)
+    # semi-join path (broadcast_limit forces it) is identical
+    got_j = significant_terms(
+        ds, np.array(fg_ids), stats, 300, k=10, broadcast_limit=1
+    ).to_pandas()
+    assert got.equals(got_j)
+    # empty foreground -> empty result
+    empty = significant_terms(ds, np.array([], dtype=np.int64), stats, 300, k=10)
+    assert empty.num_rows == 0
