@@ -350,6 +350,9 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     dc.q_running_windows(sf_dir)
     timings["sf_running_windows_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dc.q_significant_terms(sf_dir)
+    timings["sf_sigterms_sec"] = time.perf_counter() - t0
     # prefix + negation query latency against the resident bench index
     # ("__known_*" expands to the exact-df sentinel family; "def
     # -return" probes the hot negative lazily)
@@ -370,6 +373,9 @@ def run_bench() -> dict:
     )
     timings["filtered_local_p50_ms"] = p50_fn(
         lambda: eng_local.search("def return", k=10, filter={"lang": ["py", "go"]})
+    )
+    timings["fuzzy_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search("retur~1", k=10)
     )
 
     timings = {k: round(v, 4) for k, v in timings.items()}
