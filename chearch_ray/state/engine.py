@@ -206,8 +206,6 @@ class QueryEngine:
         change result sets)."""
         if not term:
             raise ValueError("empty fuzzy term")
-        import os as _os
-
         from chearch_ray.functions.editdist import levenshtein_to
         from chearch_ray.state.suggest import (
             candidate_terms, suggest_index_distance,
@@ -216,7 +214,7 @@ class QueryEngine:
         cache_key = (term, max_distance)
         hit = self._fuzzy_cache.get(cache_key)
         if hit is None:
-            sdir = _os.path.join(self.index_dir, "suggest")
+            sdir = os.path.join(self.index_dir, "suggest")
             built = suggest_index_distance(sdir)
             if built is not None and built >= max_distance:
                 cands = candidate_terms(sdir, term, max_distance)
