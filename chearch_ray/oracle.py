@@ -161,3 +161,35 @@ class OracleIndex:
                 s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
             scored.append((doc, s))
         return sorted(scored, key=lambda it: (-it[1], it[0]))[:k]
+
+    def near_all_search(
+        self, terms: list[str], slop: int, k: int
+    ) -> list[tuple[int, float]]:
+        """Brute-force N-term unordered NEAR: docs with an occurrence
+        choice (one per unique term) whose span max − min <= slop —
+        checked directly via anchored windows over every occurrence.
+        BM25 over the unique terms, same float contract as
+        bm25_search."""
+        uniq = list(dict.fromkeys(terms))
+        doc_sets = [set(self.positions.get(t, ())) for t in uniq]
+        common = set.intersection(*doc_sets) if doc_sets and all(doc_sets) else set()
+        survivors = []
+        for doc in common:
+            pos_lists = [self.positions[t][doc] for t in uniq]
+            anchors = sorted(p for ps in pos_lists for p in ps)
+            if any(
+                all(any(q <= p <= q + slop for p in ps) for ps in pos_lists)
+                for q in anchors
+            ):
+                survivors.append(doc)
+        k1, b = self.cfg.k1, self.cfg.b
+        scored = []
+        for doc in survivors:
+            dl = float(self.doc_len[doc])
+            s = 0.0
+            for term in uniq:
+                tf = float(self.postings[term][doc])
+                idf = self.idf(term)
+                s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+            scored.append((doc, s))
+        return sorted(scored, key=lambda it: (-it[1], it[0]))[:k]

@@ -433,6 +433,18 @@ def q_near_ordered(sf_dir: str) -> pa.Table:
     )
 
 
+#: N-term unordered proximity: all three terms inside one
+#: (slop+1)-position window (occurrence choice with max − min <= slop)
+NEAR_ALL_TERMS = ("merge", "sort", "key")
+NEAR_ALL_SLOP = 6
+
+
+def q_near_all(sf_dir: str) -> pa.Table:
+    return _ranked(
+        engine_for(sf_dir).search_near_all(list(NEAR_ALL_TERMS), slop=NEAR_ALL_SLOP, k=10)
+    )
+
+
 #: exact all-pairs threshold — the embeddings tables are random
 #: vectors (max pairwise cosine ~0.51 at sf0.01, ~0.60 at sf0.1), so a
 #: non-empty, exact-checkable answer needs a low threshold; at low
@@ -1605,6 +1617,7 @@ QUERIES = {
     "phrase": q_phrase,
     "near": q_near,
     "near_ordered": q_near_ordered,
+    "near_all": q_near_all,
     "windowed_agg": q_windowed_agg,
     "hopping_window": q_hopping_window,
     "funnel": q_funnel,
@@ -2032,6 +2045,21 @@ SELECT doc_id FROM tok WHERE term = '__never_present__'
         NEAR_ORD_TERMS,
         "near",
         cand_sql=_near_cand_sql(*NEAR_ORD_TERMS, NEAR_ORD_SLOP, True),
+        extra_ctes=POS_TOK_CTE,
+    ),
+    "near_all": _bm25_sql(
+        NEAR_ALL_TERMS,
+        "near",
+        cand_sql=(
+            f"SELECT DISTINCT ta.doc_id FROM ptok ta "
+            f"JOIN ptok tb ON tb.doc_id = ta.doc_id "
+            f"JOIN ptok tc ON tc.doc_id = ta.doc_id "
+            f"WHERE ta.term = '{NEAR_ALL_TERMS[0]}' "
+            f"AND tb.term = '{NEAR_ALL_TERMS[1]}' "
+            f"AND tc.term = '{NEAR_ALL_TERMS[2]}' "
+            f"AND greatest(ta.ord, tb.ord, tc.ord) "
+            f"- least(ta.ord, tb.ord, tc.ord) <= {NEAR_ALL_SLOP}"
+        ),
         extra_ctes=POS_TOK_CTE,
     ),
     "media_features": f"""

@@ -635,6 +635,44 @@ class QueryEngine:
         order = topk_order(merged["score"].to_numpy(), _merge_tie_key(merged), k)
         return merged.take(pa.array(order, type=pa.int64()))
 
+    def search_near_all(
+        self,
+        terms: list[str],
+        slop: int = 3,
+        k: int | None = None,
+    ) -> pa.Table:
+        """N-term unordered proximity (span-near): docs where some
+        window of `slop + 1` consecutive token positions contains at
+        least one occurrence of EVERY term (an occurrence choice with
+        max − min <= slop; exactly the 2-term unordered `search_near`
+        semantics for two distinct terms).  Duplicate terms dedupe.
+        Requires store_positions=True at build time.  BM25-ranked over
+        the unique terms (score desc, doc_id asc)."""
+        terms = list(dict.fromkeys(t.lower() for t in terms))
+        if not terms:
+            raise ValueError("empty NEAR term list")
+        k = k or self.cfg.default_k
+        idfs = {t: bm25_idf(self.n_docs, self.df(t)) for t in terms}
+        if self.use_actors:
+            import ray
+
+            tables = ray.get(
+                [
+                    a.search_near_all.remote(terms, slop, k, idfs, self.avgdl)
+                    for a in self._actors
+                ]
+            )
+        else:
+            tables = [
+                s.search_near_all(terms, slop, k, idfs, self.avgdl)
+                for s in self._local
+            ]
+        merged = pa.concat_tables(tables)
+        if len(merged) == 0:
+            return merged
+        order = topk_order(merged["score"].to_numpy(), _merge_tie_key(merged), k)
+        return merged.take(pa.array(order, type=pa.int64()))
+
 
 class FieldedEngine:
     """Weighted multi-field search (the BM25F-family linear

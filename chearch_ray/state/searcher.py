@@ -1187,6 +1187,109 @@ class SegmentSearcher:
             return _EMPTY_I64
         return hitrows[np.concatenate([[True], hitrows[1:] != hitrows[:-1]])]
 
+    def search_near_all(
+        self,
+        terms: list[str],
+        slop: int,
+        k: int,
+        idfs: dict[str, float],
+        avgdl: float,
+    ) -> pa.Table:
+        """N-term unordered proximity (span-near): a candidate (=
+        conjunction of all terms) survives when some window of
+        positions [q, q+slop] contains at least one occurrence of
+        EVERY term — i.e. an occurrence choice with max − min <= slop.
+        Exactness of the anchored check: a valid choice's minimum
+        occurrence q is itself an occurrence, and its window contains
+        every chosen occurrence; conversely any anchor window
+        satisfying all terms is such a choice.  Duplicate terms are
+        deduplicated (no multiplicity requirement).  Survivors are
+        BM25-scored over the unique terms and verified lazily in
+        final ranking order with search_phrase's exact early exit."""
+        terms = list(dict.fromkeys(terms))
+        if self.docmap is None or not terms:
+            return self._project(_EMPTY_U64, scores=np.empty(0))
+        if not self.cfg.store_positions:
+            raise ValueError(
+                "NEAR queries require an index built with store_positions=True"
+            )
+        if slop < 1:
+            raise ValueError("slop must be >= 1")
+        node: ast.Node = ast.Term(terms[0])
+        for t in terms[1:]:
+            node = ast.And(node, ast.Term(t))
+        candidates = self._candidates(node)
+        if len(candidates) == 0:
+            return self._project(candidates, scores=np.empty(0))
+        if len(terms) == 1:
+            # one distinct term: every candidate trivially matches
+            scores = self._score_docs(candidates, terms, idfs, avgdl)
+            order = topk_order(scores, candidates, k)
+            return self._project(candidates[order], scores=scores[order])
+        scores = self._score_docs(candidates, terms, idfs, avgdl)
+        rank = np.lexsort((candidates, -scores))
+        kept_docs: list[np.ndarray] = []
+        kept_scores: list[np.ndarray] = []
+        total, start, chunk = 0, 0, max(8 * k, 256)
+        while start < len(rank) and total < k:
+            sel = rank[start : start + chunk]
+            rows = self._near_all_survivor_rows(terms, slop, candidates[sel])
+            if len(rows):
+                kept_docs.append(candidates[sel][rows])
+                kept_scores.append(scores[sel][rows])
+                total += len(rows)
+            start += chunk
+            chunk *= 2
+        if total == 0:
+            return self._project(_EMPTY_U64, scores=np.empty(0))
+        docs = np.concatenate(kept_docs)[:k]
+        return self._project(docs, scores=np.concatenate(kept_scores)[: len(docs)])
+
+    def _near_all_survivor_rows(
+        self, terms: list[str], slop: int, candidates: np.ndarray
+    ) -> np.ndarray:
+        """Vectorized N-term window verification: every occurrence of
+        every term is a window ANCHOR (row*stride + pos keys); each
+        term's sorted key array answers "occurrence in [q, q+slop]?"
+        for all anchors with two batched searchsorted calls.  An
+        anchor survives when all terms hit; a candidate survives when
+        any of its anchors does.  stride > max_pos + slop keeps
+        windows inside their row.  No per-candidate Python loop."""
+        m = len(candidates)
+        if m == 0:
+            return _EMPTY_I64
+        import pyarrow.compute as pc
+
+        rows_l: list[np.ndarray] = []
+        pos_l: list[np.ndarray] = []
+        for t in terms:
+            reader = self.shards.get(self._sharder.shard_of(t))
+            if reader is None:
+                return _EMPTY_I64
+            idx = self._posting_row_indices(t, candidates)
+            taken = reader.positions_for_rows(t, idx)
+            if taken is None:
+                return _EMPTY_I64  # positions unavailable -> no match
+            lengths = pc.list_value_length(taken).to_numpy().astype(np.int64)
+            vals = taken.flatten().to_numpy().astype(np.int64)
+            if len(vals) == 0:
+                return _EMPTY_I64
+            rows_l.append(np.repeat(np.arange(m, dtype=np.int64), lengths))
+            pos_l.append(vals)
+        stride = int(max(p.max() for p in pos_l)) + slop + 2
+        keys = [r * stride + p for r, p in zip(rows_l, pos_l)]  # asc per term
+        anchors = np.concatenate(keys)
+        anchor_rows = np.concatenate(rows_l)
+        ok = np.ones(len(anchors), dtype=bool)
+        for kt in keys:
+            left = np.searchsorted(kt, anchors, side="left")
+            right = np.searchsorted(kt, anchors + slop, side="right")
+            ok &= left < right
+        hitrows = anchor_rows[ok]
+        if len(hitrows) == 0:
+            return _EMPTY_I64
+        return np.unique(hitrows)
+
     def first_positions_array(self, term: str, doc_id: int):
         """sorted position array of `term` in `doc_id`, or None when
         positions are unavailable / doc doesn't contain the term."""
@@ -1251,6 +1354,11 @@ class SearcherGroup:
     def search_near(self, term_a, term_b, slop, ordered, k, idfs, avgdl) -> pa.Table:
         return pa.concat_tables(
             [m.search_near(term_a, term_b, slop, ordered, k, idfs, avgdl) for m in self.members]
+        )
+
+    def search_near_all(self, terms, slop, k, idfs, avgdl) -> pa.Table:
+        return pa.concat_tables(
+            [m.search_near_all(terms, slop, k, idfs, avgdl) for m in self.members]
         )
 
     def first_position(self, term: str, doc_id: int, doc_hi: int | None = None):

@@ -639,6 +639,52 @@ def test_near_search_same_term_and_semantics(engine, oracle, corpus):
         engine.search_near(a, b, slop=0)
 
 
+def test_near_all_vs_oracle(engine, oracle, corpus):
+    """N-term unordered NEAR (window with max − min <= slop covering
+    every term) vs the brute-force positional oracle: identical doc
+    ids AND identical BM25 floats across triples and slops."""
+    import re
+
+    texts = corpus["content"].to_pylist()
+    triples = []
+    for t in texts[:12]:
+        toks = [x for x in re.split(r"[^a-z0-9_]+", t.lower()) if x]
+        if len(dict.fromkeys(toks[:6])) >= 3:
+            u = list(dict.fromkeys(toks[:6]))
+            triples.append((u[0], u[1], u[2]))
+    hot = _hot_terms(oracle, 3)
+    rare = _rare_terms(oracle, 2)
+    triples += [tuple(hot), (hot[0], hot[1], rare[0]),
+                (hot[0], "__never_present__", hot[1])]
+    for tri in triples[:10]:
+        for slop in (2, 5, 12):
+            got = engine.search_near_all(list(tri), slop=slop, k=10)
+            want = oracle.near_all_search(list(tri), slop, 10)
+            assert got["doc_id"].to_pylist() == [d for d, _ in want], (tri, slop)
+            assert got["score"].to_pylist() == [s for _, s in want], (tri, slop)
+
+
+def test_near_all_two_term_matches_pairwise_near(engine, oracle):
+    """For two distinct terms, N-term NEAR == the unordered pairwise
+    search_near doc set (|pb − pa| <= slop ⟺ a covering window
+    anchored at the smaller position exists)."""
+    a, b = _hot_terms(oracle, 2)
+    for slop in (1, 4):
+        pair = set(engine.search_near(a, b, slop=slop, k=10_000)["doc_id"].to_pylist())
+        nall = set(engine.search_near_all([a, b], slop=slop, k=10_000)["doc_id"].to_pylist())
+        assert pair == nall, slop
+    # duplicate terms dedupe: [a, a, b] behaves as [a, b]
+    d1 = engine.search_near_all([a, a, b], slop=4, k=10_000)
+    d2 = engine.search_near_all([a, b], slop=4, k=10_000)
+    assert d1.equals(d2)
+    # monotone in slop: a wider window only ever adds docs
+    s2 = set(engine.search_near_all([a, b], slop=2, k=10_000)["doc_id"].to_pylist())
+    s8 = set(engine.search_near_all([a, b], slop=8, k=10_000)["doc_id"].to_pylist())
+    assert s2 <= s8
+    with pytest.raises(ValueError):
+        engine.search_near_all([a, b], slop=0)
+
+
 def test_pfor_codec_build_search_identical(ray_session, corpus, oracle, tmp_path):
     import dataclasses
 
