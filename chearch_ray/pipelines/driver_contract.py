@@ -863,7 +863,12 @@ def q_significant_terms(sf_dir: str) -> pa.Table:
     from chearch_ray.stages.textstats import significant_terms
 
     eng = engine_for(sf_dir)
-    fg = eng.search_boolean(ast.Term(SIGTERM_FG_TERM))["doc_id"].to_numpy()
+    # uncapped: the foreground must be EVERY matching doc, not the
+    # partition_limit result window (which silently truncates above
+    # 2048/segment and would diverge from the SQL oracle — ADVICE r3)
+    fg = eng.search_boolean(
+        ast.Term(SIGTERM_FG_TERM), limit=eng.manifest.num_docs
+    )["doc_id"].to_numpy()
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -1580,57 +1585,15 @@ def q_media_features(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+# DRIVER ROTATION — the driver harness checks the FIRST 50 entries of
+# this dict (insertion order).  CORRECTNESS_r01–r03 covered the 56
+# queries listed in the "round 1–3 re-checks" sections below; the 36
+# entries in the first section below had never appeared in any
+# CORRECTNESS_r*.json as of round 3, so they register FIRST for round 4
+# (VERDICT r3 "Next round" #1).  Slots 37–50 re-check the core index
+# surface so regressions there still surface in the same round.
 QUERIES = {
-    "token_counts": q_token_counts,
-    "corpus_stats": q_corpus_stats,
-    "term_df": q_term_df,
-    "top_terms": q_top_terms,
-    "postings_cardinality": q_postings_cardinality,
-    "boolean_and": q_boolean_and,
-    "boolean_or": q_boolean_or,
-    "prefix_boolean": q_prefix_boolean,
-    "boolean_not": q_boolean_not,
-    "bm25_not": q_bm25_not,
-    "wide_id_boolean": q_wide_id_boolean,
-    "bm25_single": q_bm25_single,
-    "bm25_page2": q_bm25_page2,
-    "upsert_bm25": q_upsert_bm25,
-    "bm25_and": q_bm25_and,
-    "bm25_or": q_bm25_or,
-    "fuzzy_bm25": q_fuzzy_bm25,
-    "bm25_tree": q_bm25_tree,
-    "more_like_this": q_more_like_this,
-    "fielded_search": q_fielded_search,
-    "docstore_fetch": q_docstore_fetch,
-    "bm25_filtered": q_bm25_filtered,
-    "boolean_filtered": q_boolean_filtered,
-    "boolean_deleted": q_boolean_deleted,
-    "bm25_deleted": q_bm25_deleted,
-    "missing_term": q_missing_term,
-    "dedup_exact": q_dedup_exact,
-    "dedup_incremental": q_dedup_incremental,
-    "content_sha": q_content_sha,
-    "lang_counts": q_lang_counts,
-    "knn_cosine": q_knn_cosine,
-    "ivf_knn": q_ivf_knn,
-    "ivfpq_refine": q_ivfpq_refine,
-    "phrase": q_phrase,
-    "near": q_near,
-    "near_ordered": q_near_ordered,
-    "near_all": q_near_all,
-    "windowed_agg": q_windowed_agg,
-    "hopping_window": q_hopping_window,
-    "funnel": q_funnel,
-    "retention": q_retention,
-    "sessionize": q_sessionize,
-    "running_windows": q_running_windows,
-    "bpeish_tokens": q_bpeish_tokens,
-    "asof_join": q_asof_join,
-    "embedding_neardup": q_embedding_neardup,
-    "jaccard_pairs": q_jaccard_pairs,
-    "neardup_keep": q_neardup_keep,
-    "pack_sequences": q_pack_sequences,
-    "pack_sequences_hash": q_pack_sequences_hash,
+    # --- round-4 rotation: never driver-checked in r1–r3 (36) -------
     "decontaminate": q_decontaminate,
     "substring_dedup": q_substring_dedup,
     "hash_split": q_hash_split,
@@ -1665,13 +1628,66 @@ QUERIES = {
     "training_pipeline": q_training_pipeline,
     "chunk_documents": q_chunk_documents,
     "deterministic_sample": q_deterministic_sample,
+    "quality_gate": q_quality_gate,
+    "top_quality_per_lang": q_top_quality_per_lang,
+    # --- core-surface re-checks (slots 37–50) -----------------------
+    "token_counts": q_token_counts,
+    "corpus_stats": q_corpus_stats,
+    "term_df": q_term_df,
+    "boolean_and": q_boolean_and,
+    "boolean_or": q_boolean_or,
+    "bm25_single": q_bm25_single,
+    "bm25_and": q_bm25_and,
+    "bm25_or": q_bm25_or,
+    "phrase": q_phrase,
+    "near": q_near,
+    "wide_id_boolean": q_wide_id_boolean,
+    "knn_cosine": q_knn_cosine,
+    "sessionize": q_sessionize,
+    "dedup_exact": q_dedup_exact,
+    # --- round 1–3 re-checks (beyond the driver's 50-cap; still run
+    # --- by tests/test_entry.py against the same oracles) ------------
+    "top_terms": q_top_terms,
+    "postings_cardinality": q_postings_cardinality,
+    "prefix_boolean": q_prefix_boolean,
+    "boolean_not": q_boolean_not,
+    "bm25_not": q_bm25_not,
+    "bm25_page2": q_bm25_page2,
+    "upsert_bm25": q_upsert_bm25,
+    "fuzzy_bm25": q_fuzzy_bm25,
+    "bm25_tree": q_bm25_tree,
+    "more_like_this": q_more_like_this,
+    "fielded_search": q_fielded_search,
+    "docstore_fetch": q_docstore_fetch,
+    "bm25_filtered": q_bm25_filtered,
+    "boolean_filtered": q_boolean_filtered,
+    "boolean_deleted": q_boolean_deleted,
+    "bm25_deleted": q_bm25_deleted,
+    "missing_term": q_missing_term,
+    "dedup_incremental": q_dedup_incremental,
+    "content_sha": q_content_sha,
+    "lang_counts": q_lang_counts,
+    "ivf_knn": q_ivf_knn,
+    "ivfpq_refine": q_ivfpq_refine,
+    "near_ordered": q_near_ordered,
+    "near_all": q_near_all,
+    "windowed_agg": q_windowed_agg,
+    "hopping_window": q_hopping_window,
+    "funnel": q_funnel,
+    "retention": q_retention,
+    "running_windows": q_running_windows,
+    "bpeish_tokens": q_bpeish_tokens,
+    "asof_join": q_asof_join,
+    "embedding_neardup": q_embedding_neardup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "neardup_keep": q_neardup_keep,
+    "pack_sequences": q_pack_sequences,
+    "pack_sequences_hash": q_pack_sequences_hash,
     # rows-only (non-SQL-expressible)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
     "quality": q_quality,
-    "quality_gate": q_quality_gate,
-    "top_quality_per_lang": q_top_quality_per_lang,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
 }

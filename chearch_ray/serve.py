@@ -284,7 +284,11 @@ class TcpQueryServer:
                 response = await loop.run_in_executor(
                     self._pool, self.handler.handle, payload
                 )
-            except ValueError:
+            except Exception:
+                # ANY handler failure must answer this id: the v2
+                # connection stays open, so a swallowed exception
+                # would leave the client blocked on the pending id
+                # until its socket timeout (ADVICE r3)
                 status, response = V2_MALFORMED, b""
             async with write_lock:
                 writer.write(V2_RESP.pack(rid, status, len(response)) + response)

@@ -157,44 +157,74 @@ def _gather_range(batch: pa.Table, column: str, lo: int, hi: int) -> pa.Table:
     return pa.table({column: pa.array(v[m], type=pa.int64())})
 
 
+def _merge_hist(partials, n_buckets: int, n_blocks: int,
+                driver_merge_limit: int,
+                key: str = "bucket") -> list[dict]:
+    """merge per-block histogram partials: driver-side below the gate,
+    via a Ray groupby("bucket").aggregate(Sum) above it — so the rows
+    reaching the driver are O(n_buckets), never O(blocks x buckets)
+    (VERDICT r3 finding #1; pattern: pack.DRIVER_MERGE_LIMIT)."""
+    if n_blocks * n_buckets > driver_merge_limit:
+        from ray.data.aggregate import Sum
+
+        partials = partials.groupby(key).aggregate(Sum("n", alias_name="n"))
+    return partials.take_all()
+
+
 def exact_quantiles(ds, column: str, qs, n_buckets: int = QUANTILE_BUCKETS,
-                    gather_limit: int = QUANTILE_GATHER_LIMIT) -> pa.Table:
+                    gather_limit: int = QUANTILE_GATHER_LIMIT,
+                    driver_merge_limit: int | None = None) -> pa.Table:
     """EXACT discrete quantiles of an int64 column without a global
     sort: iterative histogram narrowing (distributed selection).
 
     Rank convention matches DuckDB's quantile_disc: the 0-based rank
     ceil(q*n) - 1 of the ascending order.  Each round histograms only
     the rows still inside the rank's candidate range (one map_batches
-    pass, driver merges nb counts per block), narrows to the bucket
-    containing the rank, and repeats until the range holds at most
-    `gather_limit` rows — then gathers just those and selects.  Rounds
-    needed: log_nb(range), i.e. 2 passes for 64-bit cents at nb=4096x2;
-    the shuffle never carries data rows, only per-block histograms.
+    pass; partials merge driver-side below the blocks x buckets gate,
+    through a Ray groupby above it), narrows to the bucket containing
+    the rank, and repeats until the range holds at most `gather_limit`
+    rows — then gathers just those and selects.  Rounds needed:
+    log_nb(range), i.e. 2 passes for 64-bit cents at nb=4096x2; the
+    shuffle never carries data rows, only per-block histograms.
 
     Returns (q double, value int64), one row per requested quantile."""
     from functools import partial as _partial
 
-    n = ds.count()
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    if driver_merge_limit is None:
+        driver_merge_limit = DRIVER_MERGE_LIMIT
     out_q, out_v = [], []
+    # global range + row count from ONE partial pass (one row per
+    # non-empty block, which also measures the block count for the gate)
+    mm = ds.map_batches(
+        lambda b: pa.table({"mn": pa.array([int(b[column].to_numpy().min())], type=pa.int64()),
+                            "mx": pa.array([int(b[column].to_numpy().max())], type=pa.int64()),
+                            "cnt": pa.array([len(b)], type=pa.int64())})
+        if len(b) else
+        pa.table({"mn": pa.array([], type=pa.int64()),
+                  "mx": pa.array([], type=pa.int64()),
+                  "cnt": pa.array([], type=pa.int64())}),
+        batch_format="pyarrow",
+    ).take_all()
+    n = sum(r["cnt"] for r in mm)
     if n == 0:
         return pa.table({"q": pa.array([], type=pa.float64()),
                          column: pa.array([], type=pa.int64())})
-    # global range from one partial pass
-    mm = ds.map_batches(
-        lambda b: pa.table({"mn": pa.array([int(b[column].to_numpy().min())], type=pa.int64()),
-                            "mx": pa.array([int(b[column].to_numpy().max())], type=pa.int64())}),
-        batch_format="pyarrow",
-    ).take_all()
+    n_blocks = max(1, len(mm))
     g_lo = min(r["mn"] for r in mm)
     g_hi = max(r["mx"] for r in mm)
     for q in qs:
         rank = max(0, int(np.ceil(q * n)) - 1)  # 0-based within full set
         lo, hi, in_range = g_lo, g_hi, n
         while in_range > gather_limit and lo < hi:
-            hist = ds.map_batches(
-                _partial(_range_hist, column=column, lo=lo, hi=hi, nb=n_buckets),
-                batch_format="pyarrow",
-            ).take_all()
+            hist = _merge_hist(
+                ds.map_batches(
+                    _partial(_range_hist, column=column, lo=lo, hi=hi, nb=n_buckets),
+                    batch_format="pyarrow",
+                ),
+                n_buckets, n_blocks, driver_merge_limit,
+            )
             counts = np.zeros(n_buckets, dtype=np.int64)
             for r in hist:
                 counts[r["bucket"]] += r["n"]
@@ -280,7 +310,8 @@ def _group_jobs_gather(batch: pa.Table, column: str, by: str,
 
 def exact_group_quantiles(ds, column: str, qs, by: str,
                           n_buckets: int = QUANTILE_BUCKETS,
-                          gather_limit: int = QUANTILE_GATHER_LIMIT) -> pa.Table:
+                          gather_limit: int = QUANTILE_GATHER_LIMIT,
+                          driver_merge_limit: int | None = None) -> pa.Table:
     """EXACT per-group discrete quantiles of an int64 column — the
     grouped form of `exact_quantiles`, still with NO global sort and
     no per-group data shuffle.  Every (group, q) pair is an
@@ -297,6 +328,10 @@ def exact_group_quantiles(ds, column: str, qs, by: str,
 
     from ray.data.aggregate import Count, Max, Min
 
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    if driver_merge_limit is None:
+        driver_merge_limit = DRIVER_MERGE_LIMIT
     stats = ds.groupby(by).aggregate(
         Count(alias_name="n"), Min(column, alias_name="mn"), Max(column, alias_name="mx")
     )
@@ -331,13 +366,31 @@ def exact_group_quantiles(ds, column: str, qs, by: str,
         act = active(jobs)
         if not act:
             break
-        hist = ds.map_batches(
+        # materialized: per-block partials are bounded by the block's
+        # own row count (object-store resident); num_blocks needs it
+        partials = ds.map_batches(
             _partial(_group_jobs_hist, column=column, by=by, jobs=act, nb=n_buckets),
             batch_format="pyarrow",
-        ).take_all()
+        ).materialize()
+        n_blocks = max(1, partials.num_blocks())
         counts = np.zeros((len(act), n_buckets), dtype=np.int64)
-        for r in hist:
-            counts[r["job"], r["bucket"]] += r["n"]
+        if n_blocks * len(act) * n_buckets > driver_merge_limit:
+            # scale path: collapse (block, job, bucket) partials on a
+            # combined jb key so the driver sees O(jobs x buckets) rows
+            from ray.data.aggregate import Sum
+
+            def _jb(t: pa.Table, nb: int = n_buckets) -> pa.Table:
+                jb = t["job"].to_numpy() * nb + t["bucket"].to_numpy()
+                return pa.table({"jb": pa.array(jb, type=pa.int64()), "n": t["n"]})
+
+            merged = (partials.map_batches(_jb, batch_format="pyarrow")
+                      .groupby("jb").aggregate(Sum("n", alias_name="n"))
+                      .take_all())
+            for r in merged:
+                counts[r["jb"] // n_buckets, r["jb"] % n_buckets] += r["n"]
+        else:
+            for r in partials.take_all():
+                counts[r["job"], r["bucket"]] += r["n"]
         for ji, job in enumerate(act):
             cum = np.cumsum(counts[ji])
             b = int(np.searchsorted(cum, job["rank"] + 1))

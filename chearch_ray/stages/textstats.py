@@ -483,6 +483,14 @@ class PiiScrub:
 
 
 # --------------------------------------------------- frequent terms
+#: sentinel term carrying per-block totals.  The empty string can
+#: NEVER be a corpus token (tokenize() strips empties), unlike any
+#: underscore/alnum word — '__n__' was a legal token under the
+#: [^a-z0-9_]+ splitter and, if block-frequent, corrupted `total` and
+#: could never itself be reported (ADVICE r3).
+_HH_TOTAL_SENTINEL = ""
+
+
 def _hh_partial(batch: pa.Table, text_column: str, denom: int) -> pa.Table:
     """bounded-state heavy-hitter candidates for one block: terms with
     block frequency >= n_b/denom (at most `denom` of them exist), plus
@@ -493,7 +501,7 @@ def _hh_partial(batch: pa.Table, text_column: str, denom: int) -> pa.Table:
     values, _, _ = explode(tokenize(batch[text_column]))
     n_b = len(values)
     if n_b == 0:
-        return pa.table({"term": pa.array(["__n__"]),
+        return pa.table({"term": pa.array([_HH_TOTAL_SENTINEL]),
                          "n": pa.array([0], type=pa.int64())})
     vc = values.value_counts()
     terms = vc.field("values")
@@ -501,8 +509,8 @@ def _hh_partial(batch: pa.Table, text_column: str, denom: int) -> pa.Table:
     keep = counts * denom >= n_b
     return pa.table(
         {
-            "term": pa.concat_arrays([terms.filter(pa.array(keep)),
-                                      pa.array(["__n__"])]),
+            "term": pa.concat_arrays([terms.filter(pa.array(keep)).cast(pa.string()),
+                                      pa.array([_HH_TOTAL_SENTINEL])]),
             "n": pa.array(np.append(counts[keep], n_b), type=pa.int64()),
         }
     )
@@ -525,7 +533,8 @@ def _hh_count(batch: pa.Table, text_column: str, cand_ref) -> pa.Table:
                      "n": vc.field("counts").cast(pa.int64())})
 
 
-def frequent_terms(ds, text_column: str = "text", denom: int = 200) -> pa.Table:
+def frequent_terms(ds, text_column: str = "text", denom: int = 200,
+                   driver_merge_limit: int | None = None) -> pa.Table:
     """EXACT heavy hitters: every term whose occurrence count is
     >= N/denom (integer cross-multiplied: count * denom >= N), as
     (term, n) sorted by (n desc, term asc).
@@ -537,31 +546,49 @@ def frequent_terms(ds, text_column: str = "text", denom: int = 200) -> pa.Table:
        superset of the global answer by pigeonhole;
     2. exact verify: candidate terms broadcast once (`ray.put`), each
        block emits exact counts for candidates only (<= |candidates|
-       rows per block), summed driver-side.
-    No term groupby ever happens; the only driver state is
-    candidates x blocks count rows."""
+       rows per block).
+    No full-vocabulary groupby ever happens.  Below the gate
+    (blocks x rows-per-block <= driver_merge_limit, default
+    pack.DRIVER_MERGE_LIMIT) partials merge driver-side; above it each
+    pass merges through a Ray groupby("term").aggregate(Sum) first, so
+    driver state is O(|distinct candidates|), never O(blocks)."""
     import ray
+    from ray.data.aggregate import Sum
 
-    cand_rows = ds.map_batches(
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    if driver_merge_limit is None:
+        driver_merge_limit = DRIVER_MERGE_LIMIT
+    # materialized: bounded at <= denom+1 rows per block (object-store
+    # resident, never driver-side), and num_blocks needs it
+    partials = ds.map_batches(
         partial(_hh_partial, text_column=text_column, denom=denom),
         batch_format="pyarrow",
-    ).take_all()
+    ).materialize()
+    n_blocks = partials.num_blocks()
+    if n_blocks * (denom + 1) > driver_merge_limit:
+        # scale path: collapse blocks x candidates rows to one row per
+        # distinct candidate before they reach the driver
+        partials = partials.groupby("term").aggregate(Sum("n", alias_name="n"))
     total = 0
     cands: set[str] = set()
-    for r in cand_rows:
-        if r["term"] == "__n__":
-            total += int(r["n"])
-        else:
-            cands.add(r["term"])
+    for t in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for term, n in zip(t["term"].to_pylist(), t["n"].to_pylist()):
+            if term == _HH_TOTAL_SENTINEL:
+                total += int(n)
+            else:
+                cands.add(term)
     if not cands or total == 0:
         return pa.table({"term": pa.array([], type=pa.string()),
                          "n": pa.array([], type=pa.int64())})
     cand_ref = ray.put(pa.array(sorted(cands), type=pa.string()))
-    counts: dict[str, int] = {}
     exact = ds.map_batches(
         partial(_hh_count, text_column=text_column, cand_ref=cand_ref),
         batch_format="pyarrow",
     )
+    if n_blocks * len(cands) > driver_merge_limit:
+        exact = exact.groupby("term").aggregate(Sum("n", alias_name="n"))
+    counts: dict[str, int] = {}
     for t in exact.iter_batches(batch_size=None, batch_format="pyarrow"):
         for term, n in zip(t["term"].to_pylist(), t["n"].to_pylist()):
             counts[term] = counts.get(term, 0) + int(n)

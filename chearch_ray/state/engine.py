@@ -360,25 +360,29 @@ class QueryEngine:
         return merged.take(pa.array(order, type=pa.int64()))
 
     def search_boolean(self, query: str | ast.Node, default_op: str = "or",
-                       filter: dict[str, list[str]] | None = None) -> pa.Table:
-        """Doc-level boolean retrieval, ascending doc_id (per-segment
-        partition_limit cap applies, as in the reference).  `filter`
-        as in `search`."""
+                       filter: dict[str, list[str]] | None = None,
+                       limit: int | None = None) -> pa.Table:
+        """Doc-level boolean retrieval, ascending doc_id.  `limit`
+        overrides the per-segment partition_limit cap (None keeps the
+        reference's default cap; pass e.g. the corpus size for an
+        uncapped match set — analytics like significant_terms need the
+        FULL foreground, not a result window).  `filter` as in
+        `search`."""
         node = self._plan(parse_query(query, default_op))
         if self.use_actors:
             import ray
 
             if filter is not None:
                 tables = ray.get(
-                    [a.search_boolean_filtered.remote(node, filter, None)
+                    [a.search_boolean_filtered.remote(node, filter, limit)
                      for a in self._actors]
                 )
             else:
-                tables = ray.get([a.search_boolean.remote(node, None) for a in self._actors])
+                tables = ray.get([a.search_boolean.remote(node, limit) for a in self._actors])
         elif filter is not None:
-            tables = [s.search_boolean_filtered(node, filter) for s in self._local]
+            tables = [s.search_boolean_filtered(node, filter, limit) for s in self._local]
         else:
-            tables = [s.search_boolean(node) for s in self._local]
+            tables = [s.search_boolean(node, limit) for s in self._local]
         merged = pa.concat_tables(tables)
         if len(merged) == 0:
             return merged

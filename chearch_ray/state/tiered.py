@@ -74,11 +74,30 @@ class TieredIndexSet:
         self.root = root
         self.fanout = fanout
         self.base_docs = base_docs
-        self._counter = 0
         os.makedirs(os.path.join(root, "live"), exist_ok=True)
         os.makedirs(os.path.join(root, "tmp"), exist_ok=True)
+        # the directory layout is the durable live-set record, so the
+        # name counter must resume past every existing idx-*/merge-*
+        # name — a fresh instance over an existing root would otherwise
+        # compute an already-occupied dest and shutil.move the new
+        # flush INSIDE it (silent data loss on restart)
+        self._counter = self._max_existing_counter()
         #: merge audit: list of (inputs_docs, output_docs) per merge
         self.merge_log: list[tuple[list[int], int]] = []
+
+    def _max_existing_counter(self) -> int:
+        mx = 0
+        for sub in ("live", "tmp"):
+            base = os.path.join(self.root, sub)
+            for name in os.listdir(base):
+                head, _, tail = name.rpartition("-")
+                if head in ("idx", "merge") and tail.isdigit():
+                    mx = max(mx, int(tail))
+        return mx
+
+    def _next_name(self, prefix: str) -> str:
+        self._counter += 1
+        return f"{prefix}-{self._counter:08d}"
 
     # ------------------------------------------------------------ state
     def live_dirs(self) -> list[str]:
@@ -95,8 +114,9 @@ class TieredIndexSet:
     def add(self, index_dir: str) -> None:
         """Register a built index (moved under root/live) and compact
         until stable."""
-        self._counter += 1
-        dest = os.path.join(self.root, "live", f"idx-{self._counter:08d}")
+        dest = os.path.join(self.root, "live", self._next_name("idx"))
+        if os.path.exists(dest):
+            raise RuntimeError(f"tiered dest already occupied: {dest}")
         shutil.move(index_dir, dest)
         self._compact()
 
@@ -110,11 +130,13 @@ class TieredIndexSet:
             if group is None:
                 return
             inputs = [dirs[i] for i in group]
-            self._counter += 1
-            out_tmp = os.path.join(self.root, "tmp", f"merge-{self._counter:08d}")
+            name = self._next_name("idx")
+            out_tmp = os.path.join(self.root, "tmp", f"merge-{name.split('-')[1]}")
             shutil.rmtree(out_tmp, ignore_errors=True)
             m = merge_indexes(inputs, out_tmp)
-            dest = os.path.join(self.root, "live", f"idx-{self._counter:08d}")
+            dest = os.path.join(self.root, "live", name)
+            if os.path.exists(dest):
+                raise RuntimeError(f"tiered dest already occupied: {dest}")
             # output in first, inputs out after: a crash window leaves
             # duplicates (re-mergeable), never data loss
             shutil.move(out_tmp, dest)

@@ -236,3 +236,29 @@ def test_phrase_requires_positions(ray_session, tmp_path):
     eng = QueryEngine(str(tmp_path / "np"), use_actors=False)
     with pytest.raises(ValueError, match="store_positions"):
         eng.search_phrase("def return")
+
+
+def test_search_boolean_limit_overrides_partition_cap(ray_session, tmp_path):
+    """engine.search_boolean(limit=) must return EVERY matching doc
+    when the caller passes an explicit limit above partition_limit —
+    analytics (significant_terms' foreground) silently truncated at
+    the 2048/segment result-window cap otherwise (ADVICE r3)."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.state.engine import QueryEngine
+
+    n = 60
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "content": pa.array(["needle haystack"] * n),
+    })
+    cfg = EngineConfig(num_segments=2, num_term_shards=2, partition_limit=5)
+    build_index(ray.data.from_arrow(t), str(tmp_path / "idx"), cfg)
+    eng = QueryEngine(str(tmp_path / "idx"), use_actors=False)
+    capped = eng.search_boolean("needle")
+    assert len(capped) == 10  # 5 per segment x 2 — reference default cap
+    full = eng.search_boolean("needle", limit=n)
+    assert len(full) == n
+    assert sorted(full["doc_id"].to_pylist()) == list(range(n))

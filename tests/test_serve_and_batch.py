@@ -602,3 +602,85 @@ def test_online_flush_tiered_matches_batch_build(ray_session, tmp_path):
     assert {p["part"]: p["sha"] for p in m_col.postings_parts} == {
         p["part"]: p["sha"] for p in m_full.postings_parts
     }
+
+
+def test_tiered_index_set_reopen_resumes_counter(ray_session, tmp_path):
+    """Reopening an existing tiered root must resume the name counter
+    past every existing idx-*/merge-* directory: a fresh instance used
+    to restart at 0 and shutil.move the next flush INSIDE the occupied
+    live/idx-00000001 (silent data loss — ADVICE r3)."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.tiered import TieredIndexSet
+
+    cfg = EngineConfig(num_segments=1, num_term_shards=2, block_size=16)
+    full = synthetic_corpus(60, seed=51)
+    root = str(tmp_path / "tiers")
+    tis = TieredIndexSet(root, fanout=4, base_docs=1_000_000)
+    d0 = str(tmp_path / "flush0")
+    build_index(ray.data.from_arrow(full.slice(0, 30)), d0, cfg)
+    tis.add(d0)
+    assert len(tis.live_dirs()) == 1
+
+    # process restart: a NEW instance over the same root
+    tis2 = TieredIndexSet(root, fanout=4, base_docs=1_000_000)
+    assert tis2._counter >= 1
+    d1 = str(tmp_path / "flush1")
+    build_index(ray.data.from_arrow(full.slice(30, 30)), d1, cfg)
+    tis2.add(d1)
+    dirs = tis2.live_dirs()
+    assert len(dirs) == 2, f"restart lost a flush: {dirs}"
+    # no nesting: neither live dir contains the other
+    names = [d.rsplit("/", 1)[1] for d in dirs]
+    assert len(set(names)) == 2
+    m = tis2.collapse(str(tmp_path / "serving"))
+    assert m.num_docs == 60
+
+
+def test_pipelined_v2_internal_error_answers_per_id(server):
+    """A handler exception that is NOT ValueError must still answer
+    the request id with an error status — the v2 connection stays
+    open, so a swallowed exception used to leave the client blocked
+    on the pending id forever (ADVICE r3)."""
+    import socket
+
+    from chearch_ray.serve import TcpQueryServer, V2_RESP, build_request_v2
+
+    class ExplodingHandler:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def handle(self, request: bytes) -> bytes:
+            if request == b"\xff":
+                raise RuntimeError("internal failure")
+            return self.inner.handle(request)
+
+    srv = TcpQueryServer(ExplodingHandler(server), port=0,
+                         pipelined=True).start_background()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=5) as sock:
+            sock.sendall(V2_RESP.pack(0, 0, 0)[:0] + b"")  # no-op
+            from chearch_ray.serve import V2_REQ
+
+            sock.sendall(V2_REQ.pack(5, 1) + b"\xff")       # explodes
+            sock.sendall(build_request_v2(6, _program(2, 3, "and")))
+            seen = {}
+            buf = b""
+            sock.settimeout(5)
+            while len(seen) < 2:
+                chunk = sock.recv(4096)
+                assert chunk, "server closed the connection on an internal error"
+                buf += chunk
+                while len(buf) >= V2_RESP.size:
+                    rid, status, ln = V2_RESP.unpack(buf[: V2_RESP.size])
+                    if len(buf) < V2_RESP.size + ln:
+                        break
+                    seen[rid] = status
+                    buf = buf[V2_RESP.size + ln:]
+            assert seen[5] == 1, "exploding request must answer with error status"
+            assert seen[6] == 0, "healthy request must still succeed"
+    finally:
+        srv.stop()

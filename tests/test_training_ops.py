@@ -2186,3 +2186,102 @@ ORDER BY score DESC, f.term LIMIT 10""").df()
     # empty foreground -> empty result
     empty = significant_terms(ds, np.array([], dtype=np.int64), stats, 300, k=10)
     assert empty.num_rows == 0
+
+
+def test_frequent_terms_sentinel_is_not_a_token(ray_session):
+    """'__n__' is a LEGAL token under the [^a-z0-9_]+ splitter; when it
+    is block-frequent the old sentinel overload inflated the global
+    total AND suppressed the term itself from the answer (ADVICE r3).
+    With the '' sentinel (tokenize strips empties) the output must
+    match the SQL mirror exactly, __n__ included."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.textstats import frequent_terms
+
+    rng = np.random.default_rng(67)
+    filler = [f"w{i}" for i in range(500)]
+    docs = []
+    for d in range(200):
+        toks = list(rng.choice(filler, size=40))
+        toks.append("__n__")  # ~2.4% of every doc — a true heavy hitter
+        docs.append(" ".join(toks))
+    t = pa.table({"text": pa.array(docs)})
+    got = frequent_terms(ray.data.from_arrow(t).repartition(8),
+                         denom=100).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9_]+'), x -> x <> '')) AS term FROM documents),
+tot AS (SELECT count(*)::BIGINT AS n FROM tok),
+c AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term)
+SELECT term, n FROM c WHERE n * 100 >= (SELECT n FROM tot)
+ORDER BY n DESC, term""").df()
+    assert "__n__" in set(want["term"])  # the adversarial premise holds
+    assert got.equals(want), (got, want)
+
+
+def test_frequent_terms_distributed_merge_path(ray_session):
+    """driver_merge_limit=0 forces BOTH passes through the Ray
+    groupby merge (the >~8e5-block scale path); output must be
+    row-identical to the driver-merge path."""
+    import ray.data
+
+    from chearch_ray.stages.textstats import frequent_terms
+
+    rng = np.random.default_rng(71)
+    filler = [f"w{i}" for i in range(800)]
+    docs = [" ".join(list(rng.choice(filler, size=50)) + ["needle"])
+            for _ in range(300)]
+    t = pa.table({"text": pa.array(docs)})
+    ds = ray.data.from_arrow(t).repartition(10)
+    small = frequent_terms(ds, denom=100).to_pandas()
+    dist = frequent_terms(ds, denom=100, driver_merge_limit=0).to_pandas()
+    assert small.equals(dist), (small, dist)
+    assert "needle" in set(dist["term"])
+
+
+def test_exact_quantiles_distributed_merge_path(ray_session):
+    """driver_merge_limit=0 forces every histogram round through the
+    Ray groupby merge; quantiles must equal the driver-merge path
+    (and DuckDB) exactly."""
+    import duckdb
+    import ray.data
+
+    from chearch_ray.stages.sketch import exact_quantiles
+
+    rng = np.random.default_rng(73)
+    v = (rng.lognormal(3, 1.5, 20000) * 100).astype(np.int64)
+    t = pa.table({"cents": pa.array(v)})
+    qs = [0.25, 0.5, 0.99]
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = exact_quantiles(ds, "cents", qs, n_buckets=256, gather_limit=1000,
+                          driver_merge_limit=0).to_pandas()
+    con = duckdb.connect()
+    con.register("tbl", t)
+    for q, val in zip(got["q"], got["cents"]):
+        want = con.execute(f"SELECT quantile_disc(cents, {q}) FROM tbl").fetchone()[0]
+        assert val == want, (q, val, want)
+
+
+def test_exact_group_quantiles_distributed_merge_path(ray_session):
+    """grouped variant: the gated jb-key groupby merge must reproduce
+    the driver-merge result exactly."""
+    import ray.data
+
+    from chearch_ray.stages.sketch import exact_group_quantiles
+
+    rng = np.random.default_rng(79)
+    n = 20_000
+    groups = rng.choice(["a", "b", "c"], size=n)
+    v = (rng.lognormal(3, 1.5, n) * 100).astype(np.int64)
+    t = pa.table({"g": pa.array(groups), "cents": pa.array(v)})
+    qs = [0.1, 0.5, 0.9]
+    ds = ray.data.from_arrow(t).repartition(6)
+    small = exact_group_quantiles(ds, "cents", qs, by="g", n_buckets=64,
+                                  gather_limit=500).to_pandas()
+    dist = exact_group_quantiles(ds, "cents", qs, by="g", n_buckets=64,
+                                 gather_limit=500,
+                                 driver_merge_limit=0).to_pandas()
+    assert small.equals(dist), (small, dist)
