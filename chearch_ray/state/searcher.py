@@ -917,32 +917,87 @@ class SegmentSearcher:
             )
         # NB max_positions_per_doc truncation can hide matches past the
         # cap — phrase recall is only exact with the cap disabled.
-        # Conjunction uses the skip-probe AND path (smallest-df term
-        # decoded, the rest probed block-wise).
-        node: ast.Node = ast.Term(terms[0])
-        for t in terms[1:]:
-            node = ast.And(node, ast.Term(t))
-        candidates = self._candidates(node)
+        # Unique terms, first-seen order (oracle float contract — a
+        # repeated phrase term must not contribute twice).
+        candidates, scores = self._conjunctive_scored(
+            list(dict.fromkeys(terms)), idfs, avgdl
+        )
         if len(candidates) == 0:
             return self._project(candidates, scores=np.empty(0))
-        # Rank-ordered lazy verification: scoring needs only the tfs
-        # (already probe-cheap), so score ALL candidates first, then
-        # verify position lists in final ranking order (score desc,
-        # doc asc) in geometrically growing chunks.  Once k survivors
-        # exist, every unverified candidate ranks strictly after the
-        # k-th survivor — exact early exit.  Hot-term phrases verify
-        # ~k docs instead of the whole conjunction (25k docs / 4.4M
-        # occurrences for "return if" on the bench corpus: 340 ms ->
-        # ~10 ms).  Unique terms, first-seen order (oracle float
-        # contract — a repeated phrase term must not contribute twice).
-        scores = self._score_docs(candidates, list(dict.fromkeys(terms)), idfs, avgdl)
-        rank = np.lexsort((candidates, -scores))
+        docs, doc_scores = self._lazy_rank_verify(
+            candidates, scores, k,
+            lambda cand: self._phrase_survivor_rows(terms, cand),
+        )
+        return self._project(docs, scores=doc_scores)
+
+    def _conjunctive_scored(
+        self, uniq_terms: list[str], idfs: dict[str, float], avgdl: float
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """candidates + BM25 scores of a pure term conjunction in ONE
+        pass: the tfs found while intersecting (_conjunctive_eval) are
+        exactly the tfs scoring needs, so no term probes twice.
+        Float-identical to _score_docs over the same candidates —
+        every conjunctive candidate has tf > 0 in every term, so the
+        masked accumulation degenerates to this unmasked one in the
+        same term order."""
+        candidates, tf_by_term = self._conjunctive_eval(uniq_terms)
+        if len(self.deleted) and len(candidates):
+            keep = self._not_deleted(candidates)
+            candidates = candidates[keep]
+            tf_by_term = {t: v[keep] for t, v in tf_by_term.items()}
+        if len(candidates) == 0:
+            return candidates, np.empty(0)
+        cfg = self.cfg
+        dl_all = self.docmap.lengths_for(candidates)
+        scores = np.zeros(len(candidates), dtype=np.float64)
+        for t in uniq_terms:
+            scores += bm25_component(
+                tf_by_term[t].astype(np.float64), dl_all,
+                idfs.get(t, 0.0), avgdl, cfg.k1, cfg.b,
+            )
+        return candidates, scores
+
+    def _lazy_rank_verify(
+        self, candidates: np.ndarray, scores: np.ndarray, k: int, verify
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Rank-ordered lazy verification shared by phrase/NEAR: run
+        `verify` (candidate docs -> surviving row indices) in final
+        ranking order (score desc, doc asc) in geometrically growing
+        chunks.  Once k survivors exist, every unverified candidate
+        ranks strictly after the k-th survivor — exact early exit.
+        Hot-term phrases verify ~k docs instead of the whole
+        conjunction.  The ranking itself is lazy too: a full lexsort
+        of 25k candidates costs ~5x the verify chunk, so the exact
+        (score desc, doc asc) prefix is materialized only as deep as
+        the verify loop actually reaches — argpartition to the needed
+        depth, then include EVERY candidate tied with the boundary
+        score and sort just those (candidates outside the tie set
+        score strictly below the boundary, so the prefix is exact
+        whatever the tie-break).  Returns (docs, scores) of the first
+        <= k survivors."""
+        n = len(candidates)
+        rank: np.ndarray | None = None
+        rank_len = 0  # leading entries of `rank` that are exact
         kept_docs: list[np.ndarray] = []
         kept_scores: list[np.ndarray] = []
-        total, start, chunk = 0, 0, max(8 * k, 256)
-        while start < len(rank) and total < k:
+        # first chunk sized to the ask (hot phrases survive verification
+        # at ~100%, so a 256-doc first chunk did 4x the position work
+        # k=10 needs); geometric growth keeps the sparse-match worst
+        # case at one extra round
+        total, start, chunk = 0, 0, max(4 * k, 64)
+        while start < n and total < k:
+            need = min(n, start + chunk)
+            if need > rank_len:
+                if need * 4 >= n:
+                    rank, rank_len = np.lexsort((candidates, -scores)), n
+                else:
+                    part = np.argpartition(-scores, need - 1)[:need]
+                    boundary = scores[part].min()
+                    ii = np.flatnonzero(scores >= boundary)
+                    order = np.lexsort((candidates[ii], -scores[ii]))
+                    rank, rank_len = ii[order], len(ii)
             sel = rank[start : start + chunk]
-            rows = self._phrase_survivor_rows(terms, candidates[sel])
+            rows = verify(candidates[sel])
             if len(rows):
                 kept_docs.append(candidates[sel][rows])
                 kept_scores.append(scores[sel][rows])
@@ -950,9 +1005,9 @@ class SegmentSearcher:
             start += chunk
             chunk *= 2
         if total == 0:
-            return self._project(_EMPTY_U64, scores=np.empty(0))
+            return _EMPTY_U64, np.empty(0)
         docs = np.concatenate(kept_docs)[:k]
-        return self._project(docs, scores=np.concatenate(kept_scores)[: len(docs)])
+        return docs, np.concatenate(kept_scores)[: len(docs)]
 
     def _posting_row_indices(self, term: str, docs: np.ndarray) -> np.ndarray:
         """posting-list row index of each doc (docs must all be present
@@ -1095,35 +1150,16 @@ class SegmentSearcher:
             )
         if slop < 1:
             raise ValueError("slop must be >= 1")
-        node: ast.Node = (
-            ast.Term(term_a)
-            if term_a == term_b
-            else ast.And(ast.Term(term_a), ast.Term(term_b))
+        candidates, scores = self._conjunctive_scored(
+            list(dict.fromkeys([term_a, term_b])), idfs, avgdl
         )
-        candidates = self._candidates(node)
         if len(candidates) == 0:
             return self._project(candidates, scores=np.empty(0))
-        uniq_terms = list(dict.fromkeys([term_a, term_b]))
-        scores = self._score_docs(candidates, uniq_terms, idfs, avgdl)
-        rank = np.lexsort((candidates, -scores))
-        kept_docs: list[np.ndarray] = []
-        kept_scores: list[np.ndarray] = []
-        total, start, chunk = 0, 0, max(8 * k, 256)
-        while start < len(rank) and total < k:
-            sel = rank[start : start + chunk]
-            rows = self._near_survivor_rows(
-                term_a, term_b, slop, ordered, candidates[sel]
-            )
-            if len(rows):
-                kept_docs.append(candidates[sel][rows])
-                kept_scores.append(scores[sel][rows])
-                total += len(rows)
-            start += chunk
-            chunk *= 2
-        if total == 0:
-            return self._project(_EMPTY_U64, scores=np.empty(0))
-        docs = np.concatenate(kept_docs)[:k]
-        return self._project(docs, scores=np.concatenate(kept_scores)[: len(docs)])
+        docs, doc_scores = self._lazy_rank_verify(
+            candidates, scores, k,
+            lambda cand: self._near_survivor_rows(term_a, term_b, slop, ordered, cand),
+        )
+        return self._project(docs, scores=doc_scores)
 
     def _near_survivor_rows(
         self,
@@ -1215,35 +1251,18 @@ class SegmentSearcher:
             )
         if slop < 1:
             raise ValueError("slop must be >= 1")
-        node: ast.Node = ast.Term(terms[0])
-        for t in terms[1:]:
-            node = ast.And(node, ast.Term(t))
-        candidates = self._candidates(node)
+        candidates, scores = self._conjunctive_scored(terms, idfs, avgdl)
         if len(candidates) == 0:
             return self._project(candidates, scores=np.empty(0))
         if len(terms) == 1:
             # one distinct term: every candidate trivially matches
-            scores = self._score_docs(candidates, terms, idfs, avgdl)
             order = topk_order(scores, candidates, k)
             return self._project(candidates[order], scores=scores[order])
-        scores = self._score_docs(candidates, terms, idfs, avgdl)
-        rank = np.lexsort((candidates, -scores))
-        kept_docs: list[np.ndarray] = []
-        kept_scores: list[np.ndarray] = []
-        total, start, chunk = 0, 0, max(8 * k, 256)
-        while start < len(rank) and total < k:
-            sel = rank[start : start + chunk]
-            rows = self._near_all_survivor_rows(terms, slop, candidates[sel])
-            if len(rows):
-                kept_docs.append(candidates[sel][rows])
-                kept_scores.append(scores[sel][rows])
-                total += len(rows)
-            start += chunk
-            chunk *= 2
-        if total == 0:
-            return self._project(_EMPTY_U64, scores=np.empty(0))
-        docs = np.concatenate(kept_docs)[:k]
-        return self._project(docs, scores=np.concatenate(kept_scores)[: len(docs)])
+        docs, doc_scores = self._lazy_rank_verify(
+            candidates, scores, k,
+            lambda cand: self._near_all_survivor_rows(terms, slop, cand),
+        )
+        return self._project(docs, scores=doc_scores)
 
     def _near_all_survivor_rows(
         self, terms: list[str], slop: int, candidates: np.ndarray

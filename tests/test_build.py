@@ -552,8 +552,8 @@ def test_phrase_rank_ordered_early_exit(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(searcher_mod.SegmentSearcher, "_phrase_survivor_rows", spy)
     got = eng.search_phrase("zalpha zbeta", k=3)
     assert len(got) == 3
-    # one 256-candidate chunk (max(8k, 256)) out of 600 candidates
-    assert sum(verified) == 256, verified
+    # one 64-candidate chunk (max(4k, 64)) out of 600 candidates
+    assert sum(verified) == 64, verified
     verified.clear()
     empty = eng.search_phrase("zbeta zalpha", k=3)
     assert len(empty) == 0
