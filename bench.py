@@ -191,20 +191,38 @@ def run_bench() -> dict:
     # ---- real TCP wire serving (chearch_srv analogue: socket round
     # trip of a single-term CHASM query against the resident index) ---
     from chearch_ray.functions import chasm as _chasm
-    from chearch_ray.serve import TcpQueryServer, WireEngine, query_over_socket
+    from chearch_ray.serve import (
+        TcpQueryServer,
+        WireClient,
+        WireEngine,
+        query_over_socket,
+    )
     from chearch_ray.sources.queries import term_id32
 
+    # inline auto-routes (small actorless index -> no executor hop)
     srv = TcpQueryServer(WireEngine(eng_local), port=0).start_background()
     _buf = _chasm.InstructionBuffer(256)
     _chasm.InstructionWriter(_buf).write_push_term(term_id32("__known_64__"))
     _prog = _buf.to_bytes()
+    # per-query latency over ONE held-open connection — the reference
+    # client's own shape (util/query_client.py:6 connects once), so
+    # this is the apples-to-apples row for its single-locale claim
+    with WireClient("127.0.0.1", srv.port) as cli:
+        cli.query(_prog)  # warm
+        samples = []
+        for _ in range(QUERY_REPS):
+            t = time.perf_counter()
+            cli.query(_prog)
+            samples.append((time.perf_counter() - t) * 1e3)
+        timings["tcp_wire_p50_ms"] = statistics.median(samples)
+    # connect-per-request latency (TCP handshake + accept included)
     query_over_socket("127.0.0.1", srv.port, _prog)  # warm
     samples = []
     for _ in range(QUERY_REPS):
         t = time.perf_counter()
         query_over_socket("127.0.0.1", srv.port, _prog)
         samples.append((time.perf_counter() - t) * 1e3)
-    timings["tcp_wire_p50_ms"] = statistics.median(samples)
+    timings["tcp_connect_p50_ms"] = statistics.median(samples)
     srv.stop()
 
     # v2 pipelined framing: one connection, 64 in-flight requests

@@ -118,6 +118,12 @@ class WireEngine:
       reference's newest-first insertion order (SURVEY.md §2.6 O1).
     """
 
+    #: below this many docs an actorless engine answers in well under a
+    #: millisecond, so TcpQueryServer auto-routes its v1 loop inline
+    #: (no executor hop) — chasing the reference's single-locale
+    #: latency claim (README.md:30)
+    SMALL_INDEX_DOCS = 1_000_000
+
     def __init__(self, engine):
         from chearch_ray import ast as ast_mod
         from chearch_ray.sources.queries import term_id32
@@ -125,6 +131,9 @@ class WireEngine:
         self._ast = ast_mod
         self.engine = engine
         self._term_by_id = {term_id32(t): t for t in engine._df}
+        self.prefers_inline = (
+            not engine.use_actors and engine.n_docs <= self.SMALL_INDEX_DOCS
+        )
 
     def _resolve(self, node):
         ast_mod = self._ast
@@ -146,7 +155,15 @@ class WireEngine:
         program = parse_request(request)
         int_tree = chasm_mod.parse_chasm(program)
         tree = self._resolve(int_tree)
-        t = self.engine.search_boolean(tree)
+        # the response caps at MAX_RESPONSE_RECORDS and records come
+        # from ascending-doc order, so docs beyond the first 8 per
+        # segment can never contribute (every matching doc yields >= 1
+        # record) — skip projecting the full partition_limit window
+        t = self.engine.search_boolean(
+            tree,
+            limit=min(MAX_RESPONSE_RECORDS, self.engine.cfg.partition_limit),
+            with_meta=False,
+        )
         docs = t["doc_id"].to_pylist()
         # wide-id indexes project the external (hi, lo) pair; the
         # 13-byte wire record carries the LOW word (the reference's
@@ -221,7 +238,8 @@ class TcpQueryServer:
     """
 
     def __init__(self, handler, host: str = "127.0.0.1", port: int = 3033,
-                 workers: int = 4, pipelined: bool = False):
+                 workers: int = 4, pipelined: bool = False,
+                 inline: bool | None = None):
         self.handler = handler
         self.host = host
         self.port = port
@@ -230,6 +248,17 @@ class TcpQueryServer:
         #: many in-flight requests per connection, completion-order
         #: responses).  A socket speaks one protocol only.
         self.pipelined = pipelined
+        #: v1 fast path: run the handler ON the event loop instead of
+        #: the worker pool, skipping the ~1 ms executor hop.  Only
+        #: sound when every query is fast (an in-process sub-ms index
+        #: — a slow handler would convoy ALL connections, not just its
+        #: own).  None auto-routes: handlers advertise
+        #: `prefers_inline` (WireEngine sets it for small actorless
+        #: indexes).  The v2 loop always uses the pool — its
+        #: completion-order pipelining is the point there.
+        if inline is None:
+            inline = bool(getattr(handler, "prefers_inline", False))
+        self.inline = inline
         self._server = None
         self._loop = None
         self._thread = None
@@ -248,12 +277,17 @@ class TcpQueryServer:
                 if not data:
                     break
                 try:
-                    # handler work (parse + query + ray.get) runs on
-                    # the pool: other connections' coroutines keep
-                    # serving while this one waits
-                    response = await loop.run_in_executor(
-                        self._pool, self.handler.handle, bytes(data)
-                    )
+                    if self.inline:
+                        # sub-ms in-process handler: the executor hop
+                        # costs more than the query — run on the loop
+                        response = self.handler.handle(bytes(data))
+                    else:
+                        # handler work (parse + query + ray.get) runs
+                        # on the pool: other connections' coroutines
+                        # keep serving while this one waits
+                        response = await loop.run_in_executor(
+                            self._pool, self.handler.handle, bytes(data)
+                        )
                 except ValueError:
                     break  # malformed frame: drop the connection
                 writer.write(response)
@@ -417,6 +451,55 @@ def query_over_socket(host: str, port: int, program: bytes,
                 settle_timeout if got % WIRE_RECORD_BYTES else settle_timeout / 10
             )
         return decode_response(b"".join(chunks))
+
+
+class WireClient:
+    """Persistent-connection v1 client: connect ONCE, query many — the
+    reference's own client holds its socket open across requests
+    (util/query_client.py:6), so per-query latency excludes the TCP
+    handshake.  Responses are read exactly like query_over_socket
+    (record-aligned reassembly with a short settle poll); requests on
+    one connection are serialized, as the v1 protocol requires."""
+
+    def __init__(self, host: str, port: int, timeout: float = 10.0,
+                 settle_timeout: float = 0.2):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._timeout = timeout
+        self._settle = settle_timeout
+
+    def query(self, program: bytes) -> list[QueryResult]:
+        import socket
+
+        sock = self._sock
+        sock.settimeout(self._timeout)
+        sock.sendall(build_request(program))
+        chunks: list[bytes] = []
+        got = 0
+        want = MAX_RESPONSE_RECORDS * WIRE_RECORD_BYTES
+        while got < want:
+            try:
+                data = sock.recv(want - got)
+            except socket.timeout:
+                break
+            if not data:
+                break
+            chunks.append(data)
+            got += len(data)
+            sock.settimeout(
+                self._settle if got % WIRE_RECORD_BYTES else self._settle / 10
+            )
+        return decode_response(b"".join(chunks))
+
+    def close(self) -> None:
+        self._sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 # ------------------------------------------------- pipelined v2 framing

@@ -361,13 +361,15 @@ class QueryEngine:
 
     def search_boolean(self, query: str | ast.Node, default_op: str = "or",
                        filter: dict[str, list[str]] | None = None,
-                       limit: int | None = None) -> pa.Table:
+                       limit: int | None = None,
+                       with_meta: bool = True) -> pa.Table:
         """Doc-level boolean retrieval, ascending doc_id.  `limit`
         overrides the per-segment partition_limit cap (None keeps the
         reference's default cap; pass e.g. the corpus size for an
         uncapped match set — analytics like significant_terms need the
-        FULL foreground, not a result window).  `filter` as in
-        `search`."""
+        FULL foreground, not a result window).  `with_meta=False`
+        skips the metadata-column projection (id-only results — the
+        wire handler's path).  `filter` as in `search`."""
         node = self._plan(parse_query(query, default_op))
         if self.use_actors:
             import ray
@@ -378,11 +380,13 @@ class QueryEngine:
                      for a in self._actors]
                 )
             else:
-                tables = ray.get([a.search_boolean.remote(node, limit) for a in self._actors])
+                tables = ray.get(
+                    [a.search_boolean.remote(node, limit, with_meta) for a in self._actors]
+                )
         elif filter is not None:
             tables = [s.search_boolean_filtered(node, filter, limit) for s in self._local]
         else:
-            tables = [s.search_boolean(node, limit) for s in self._local]
+            tables = [s.search_boolean(node, limit, with_meta) for s in self._local]
         merged = pa.concat_tables(tables)
         if len(merged) == 0:
             return merged

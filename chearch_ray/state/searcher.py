@@ -388,13 +388,14 @@ class SegmentSearcher:
             mask[eq] = keys > key_c
         return mask
 
-    def search_boolean(self, node: ast.Node, limit: int | None = None) -> pa.Table:
+    def search_boolean(self, node: ast.Node, limit: int | None = None,
+                       with_meta: bool = True) -> pa.Table:
         """Doc-level boolean retrieval, ascending doc_id, capped at
         partition_limit per segment (reference search.chpl:17)."""
         docs = self._candidates(node)
         cap = limit if limit is not None else self.cfg.partition_limit
         docs = docs[:cap]
-        return self._project(docs, scores=None)
+        return self._project(docs, scores=None, with_meta=with_meta)
 
     def facet_histogram(self, node: ast.Node, bucket_width: int) -> pa.Table:
         """Numeric histogram aggregation over ALL matching docs'
@@ -795,7 +796,8 @@ class SegmentSearcher:
         return cand[sel], cand_scores[sel]
 
     # -------------------------------------------------------- projection
-    def _project(self, doc_ids: np.ndarray, scores: np.ndarray | None) -> pa.Table:
+    def _project(self, doc_ids: np.ndarray, scores: np.ndarray | None,
+                 with_meta: bool = True) -> pa.Table:
         wide = self.docmap is not None and getattr(self.docmap, "wide", False)
         if wide:
             # posting values are segment-local ordinals; results carry
@@ -812,6 +814,12 @@ class SegmentSearcher:
             cols = {"doc_id": pa.array(doc_ids.astype(np.uint64), type=pa.uint64())}
         if scores is not None:
             cols["score"] = pa.array(scores.astype(np.float64), type=pa.float64())
+        if not with_meta:
+            # id-only projection for callers that discard the metadata
+            # columns (the 13-byte wire records carry ids alone) —
+            # meta_for's string-table take is the result path's single
+            # biggest fixed cost per segment
+            return pa.table(cols)
         if self.docmap is not None and len(doc_ids):
             meta = self.docmap.meta_for(doc_ids)
             for name in RESULT_META_COLUMNS:
@@ -1344,8 +1352,10 @@ class SearcherGroup:
             [m.search_bm25(node, k, idfs, avgdl, after=after) for m in self.members]
         )
 
-    def search_boolean(self, node, limit=None) -> pa.Table:
-        return pa.concat_tables([m.search_boolean(node, limit) for m in self.members])
+    def search_boolean(self, node, limit=None, with_meta=True) -> pa.Table:
+        return pa.concat_tables(
+            [m.search_boolean(node, limit, with_meta) for m in self.members]
+        )
 
     def search_bm25_batch(self, nodes, k, idfs, avgdl) -> pa.Table:
         return pa.concat_tables(

@@ -684,3 +684,73 @@ def test_pipelined_v2_internal_error_answers_per_id(server):
             assert seen[6] == 0, "healthy request must still succeed"
     finally:
         srv.stop()
+
+
+def test_wire_client_persistent_and_inline_route(ray_session, tmp_path):
+    """WireClient holds one connection across queries (the reference
+    client's own shape) and returns the same records as the
+    reconnect-per-request client; a small actorless index auto-routes
+    the v1 loop inline (no executor hop)."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.serve import (
+        TcpQueryServer,
+        WireClient,
+        WireEngine,
+        query_over_socket,
+    )
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.sources.queries import term_id32
+    from chearch_ray.state.engine import QueryEngine
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    build_index(ray.data.from_arrow(synthetic_corpus(120, seed=42)), str(tmp_path / "t"), cfg)
+    eng = QueryEngine(str(tmp_path / "t"), use_actors=False)
+    try:
+        handler = WireEngine(eng)
+        assert handler.prefers_inline  # small + actorless
+        srv = TcpQueryServer(handler, port=0).start_background()
+        assert srv.inline
+        try:
+            progs = [_program(term_id32("def")), _program(term_id32("return")),
+                     _program(term_id32("def"), term_id32("return"), "and")]
+            with WireClient("127.0.0.1", srv.port) as cli:
+                for p in progs:  # several queries, ONE connection
+                    got = cli.query(p)
+                    want = query_over_socket("127.0.0.1", srv.port, p)
+                    assert [(r.term, r.external_doc_id) for r in got] == [
+                        (r.term, r.external_doc_id) for r in want
+                    ]
+                    assert got, "known terms must match"
+        finally:
+            srv.stop()
+    finally:
+        eng.close()
+
+
+def test_wire_engine_id_only_projection_matches_full(ray_session, tmp_path):
+    """The wire handler's with_meta=False / limit-8 boolean fast path
+    must return exactly the ids the full projection returns."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.engine import QueryEngine
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    build_index(ray.data.from_arrow(synthetic_corpus(120, seed=42)), str(tmp_path / "t"), cfg)
+    eng = QueryEngine(str(tmp_path / "t"), use_actors=False)
+    try:
+        full = eng.search_boolean(ast.Term("def"))
+        lean = eng.search_boolean(ast.Term("def"), with_meta=False, limit=8)
+        assert lean.column_names == ["doc_id"]
+        # a per-segment limit of L guarantees exactly the first L rows
+        # of the GLOBAL ascending merge — all the 8-record wire
+        # response can ever consume
+        assert lean["doc_id"].to_pylist()[:8] == full["doc_id"].to_pylist()[:8]
+        assert len(lean) == min(16, len(full))  # 8 per segment x 2
+    finally:
+        eng.close()
