@@ -52,8 +52,19 @@ def main() -> int:
 
     if not ray.is_initialized():
         # inside `ray job submit` this connects to the hosting cluster;
-        # standalone it starts a local one
-        ray.init(ignore_reinit_error=True, logging_level="ERROR")
+        # standalone it starts a local one.  Workers spawned by a
+        # pre-started cluster (`ray start`) do NOT inherit the driver's
+        # sys.path, so ship the repo root via PYTHONPATH — on a real
+        # multi-machine cluster submit.sh's --working-dir distributes
+        # the code instead (env_vars still compose with it).
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        pypath = f"{repo_root}:{existing}" if existing else repo_root
+        ray.init(
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            runtime_env={"env_vars": {"PYTHONPATH": pypath}},
+        )
     import ray.data
 
     from chearch_ray.config import EngineConfig
