@@ -202,8 +202,6 @@ def forecast_revenue(lineitem_ds, d1: str = "2001-01-01", d2: str = "2002-01-01"
     count-of-blocks-row global sum.  Predicates run vectorized on the
     pruned (date, discount, qty, price) columns; at scale the read
     itself should pass `columns=` so nothing else leaves storage."""
-    from ray.data.aggregate import Sum
-
     d1_us = int(np.datetime64(d1, "us").astype(np.int64))
     d2_us = int(np.datetime64(d2, "us").astype(np.int64))
     partials = lineitem_ds.map_batches(
@@ -212,14 +210,19 @@ def forecast_revenue(lineitem_ds, d1: str = "2001-01-01", d2: str = "2002-01-01"
                 qty_max=qty_max),
         batch_format="pyarrow",
     )
-    row = partials.aggregate(
-        Sum("revenue_cents", alias_name="revenue_cents"),
-        Sum("n_items", alias_name="n_items"),
-    )
+    # bounded driver merge: one 2-int row per block (the same class as
+    # the quantile min/max pass — ~13 MB at the 8e5-block 100-TB
+    # estimate), vs a global-aggregate exchange whose fixed cost is
+    # seconds however small the data
+    revenue = items = 0
+    for t in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(t):
+            revenue += int(np.sum(t["revenue_cents"].to_numpy()))
+            items += int(np.sum(t["n_items"].to_numpy()))
     return pa.table(
         {
-            "revenue_cents": pa.array([int(row["revenue_cents"] or 0)], type=pa.int64()),
-            "n_items": pa.array([int(row["n_items"] or 0)], type=pa.int64()),
+            "revenue_cents": pa.array([revenue], type=pa.int64()),
+            "n_items": pa.array([items], type=pa.int64()),
         }
     )
 
@@ -293,6 +296,11 @@ def shipping_priority(lineitem_ds, orders_ds, customer_ds,
     import ray.data
     from ray.data.aggregate import Sum
 
+    import pyarrow.compute as pc
+
+    from chearch_ray.stages.joins import hash_semi_join
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
     date_us = int(np.datetime64(date, "us").astype(np.int64))
     cust = customer_ds.filter(expr=f"c_mktsegment == '{segment}'").map_batches(
         lambda b: pa.table({"o_custkey": b["c_custkey"].cast(pa.int64())}),
@@ -304,15 +312,90 @@ def shipping_priority(lineitem_ds, orders_ds, customer_ds,
     li = lineitem_ds.map_batches(
         partial(_q3_lineitem_partial, ship_after_us=date_us), batch_format="pyarrow"
     )
-    # two live join operators: halve the per-join partition count so
-    # the plan's total aggregator reservation matches a one-join plan
-    jp = max(2, join_parallelism(
-        join_partitions, size_bytes=datasets_size_bytes(lineitem_ds, orders_ds)) // 2)
-    o_c = orders.join(
-        cust, "inner", jp, on=("o_custkey",), right_on=("o_custkey",),
-        aggregator_ray_remote_args=join_remote_args(),
-    )
-    joined = o_c.join(
+    # qualifying orders: segment membership is a SEMI join (the
+    # customer side carries no payload), so it rides hash_semi_join's
+    # size-gated broadcast instead of a Dataset.join actor exchange
+    sel = hash_semi_join(
+        orders, cust, on="o_custkey",
+        payload=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).materialize()
+
+    empty = pa.table({
+        "l_orderkey": pa.array([], type=pa.int64()),
+        "revenue_cents": pa.array([], type=pa.int64()),
+        "o_orderdate": pa.array([], type=pa.timestamp("us")),
+        "o_orderpriority": pa.array([], type=pa.string()),
+    })
+    n_sel = sel.count()
+    if n_sel == 0:
+        return empty
+    if n_sel <= DRIVER_MERGE_LIMIT:
+        # broadcast path: the qualifying-order table is small, so its
+        # sorted key array ships once (`ray.put`) and the lineitem
+        # side needs ONE map pass — no join exchange, no groupby
+        # shuffle.  Revenue partials are one row per (block, member
+        # orderkey); they merge driver-side below the same gate the
+        # other operators use, in a Ray groupby above it.
+        ot = pa.concat_tables(
+            [t for t in sel.iter_batches(batch_size=None, batch_format="pyarrow")
+             if len(t)]
+        ).combine_chunks()
+        okeys = ot["o_orderkey"].to_numpy().astype(np.int64)
+        sort = np.argsort(okeys)
+        okeys_sorted = okeys[sort]
+        keys_ref = ray.put(okeys_sorted)
+
+        def member_rev(batch: pa.Table, keys_ref=keys_ref) -> pa.Table:
+            import ray as _ray
+
+            keys = _ray.get(keys_ref) if not isinstance(keys_ref, np.ndarray) else keys_ref
+            kk = batch["l_orderkey"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(keys, kk)
+            posc = np.minimum(pos, max(len(keys) - 1, 0))
+            hit = keys[posc] == kk if len(keys) else np.zeros(len(kk), dtype=bool)
+            return pa.table({
+                "l_orderkey": pa.array(kk[hit], type=pa.int64()),
+                "rev_cents": pa.array(
+                    batch["rev_cents"].to_numpy().astype(np.int64)[hit],
+                    type=pa.int64()),
+            })
+
+        partials = li.map_batches(member_rev, batch_format="pyarrow").materialize()
+        if partials.count() <= DRIVER_MERGE_LIMIT:
+            rows = [t for t in partials.iter_batches(batch_size=None,
+                                                     batch_format="pyarrow") if len(t)]
+            if not rows:
+                return empty
+            allp = pa.concat_tables(rows)
+            kk = allp["l_orderkey"].to_numpy().astype(np.int64)
+            rv = allp["rev_cents"].to_numpy().astype(np.int64)
+            uk, inv = np.unique(kk, return_inverse=True)
+            sums = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(sums, inv, rv)  # integer-pure (bincount would go float)
+        else:
+            merged_rows = partials.groupby("l_orderkey").aggregate(
+                Sum("rev_cents", alias_name="rev_cents")
+            ).take_all()
+            if not merged_rows:
+                return empty
+            uk = np.array([r["l_orderkey"] for r in merged_rows], dtype=np.int64)
+            sums = np.array([r["rev_cents"] for r in merged_rows], dtype=np.int64)
+        topk = np.lexsort((uk, -sums))[: min(k, len(uk))]
+        out_k, out_rev = uk[topk], sums[topk]
+        # order columns attach driver-side for the k result rows only
+        at = sort[np.searchsorted(okeys_sorted, out_k)]
+        return pa.table({
+            "l_orderkey": pa.array(out_k, type=pa.int64()),
+            "revenue_cents": pa.array(out_rev, type=pa.int64()),
+            "o_orderdate": ot["o_orderdate"].take(pa.array(at, type=pa.int64())),
+            "o_orderpriority": ot["o_orderpriority"].take(pa.array(at, type=pa.int64())),
+        })
+
+    # scale path: one Dataset.join (the semi join above already
+    # replaced the customer join), then the usual per-block top-k
+    jp = join_parallelism(
+        join_partitions, size_bytes=datasets_size_bytes(lineitem_ds, orders_ds))
+    joined = sel.join(
         li, "inner", jp, on=("o_orderkey",), right_on=("l_orderkey",),
         aggregator_ray_remote_args=join_remote_args(),
     ).materialize()
@@ -338,8 +421,6 @@ def shipping_priority(lineitem_ds, orders_ds, customer_ds,
     )
     if len(merged) == 0:
         return merged
-    import pyarrow.compute as pc
-
     order = pc.sort_indices(
         merged,
         sort_keys=[("revenue_cents", "descending"), ("l_orderkey", "ascending")],
@@ -364,7 +445,7 @@ def _priority_partial(batch: pa.Table) -> pa.Table:
 
 
 def returned_order_priority(orders_ds, lineitem_ds,
-                            n_partitions: int = 64):
+                            n_partitions: int | None = None):
     """TPC-H Q4 shape (EXISTS): orders having >= 1 returned lineitem
     (l_returnflag = 'R'), rolled up per o_orderpriority as
     (n_orders, total_cents).
@@ -404,7 +485,7 @@ def _recent_custkeys(batch: pa.Table, since_us: int) -> pa.Table:
 
 def inactive_customer_segments(customer_ds, orders_ds,
                                since: str = "1998-01-01",
-                               n_partitions: int = 64):
+                               n_partitions: int | None = None):
     """NOT EXISTS shape (churn): customers with NO order since `since`,
     rolled up per market segment as (n_customers, sum_acctbal_cents) —
     the anti-join twin of `returned_order_priority`, same
@@ -442,13 +523,14 @@ def inactive_customer_segments(customer_ds, orders_ds,
         Sum("n_customers", alias_name="n_customers"),
         Sum("acctbal_cents", alias_name="acctbal_cents"),
     )
-    t = pa.concat_tables(
-        [b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")]
-    ) if out.count() else None
-    if t is None or len(t) == 0:
+    # one execution: a `if out.count()` guard would run the whole plan
+    # TWICE (count pass + fetch pass) — gather first, test after
+    parts = [b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+             if len(b)]
+    if not parts:
         # schema-stable empty result (groupby over zero rows loses it)
         return pa.table({"c_mktsegment": pa.array([], type=pa.string()),
                          "n_customers": pa.array([], type=pa.int64()),
                          "acctbal_cents": pa.array([], type=pa.int64())})
-    return t
+    return pa.concat_tables(parts)
 

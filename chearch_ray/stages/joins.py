@@ -68,15 +68,68 @@ def _membership_partition(group: pa.Table, anti: bool) -> pa.Table:
     return left.filter(pa.array(keep)).drop_columns(["__sj_k"])
 
 
+#: below this many probe-key partial rows (per-block-deduped), the key
+#: set broadcasts (`ray.put`) and membership is ONE map pass over the
+#: left side — no shuffle.  A sort exchange has seconds of fixed
+#: scheduling cost however small the data (measured: 4.8 s Sort for
+#: 0.7 s of work on the sf0.1 semi-joins); at 100 TB a huge probe side
+#: exceeds the gate and takes the partitioned path.
+PROBE_BROADCAST_KEYS = 5_000_000
+
+
+def _probe_key_partial(batch: pa.Table, key: str) -> pa.Table:
+    k = np.unique(batch[key].to_numpy().astype(np.int64))
+    return pa.table({"__sj_k": pa.array(k, type=pa.int64())})
+
+
+def _broadcast_member_filter(batch: pa.Table, key: str, payload: list[str],
+                             anti: bool, keys_ref) -> pa.Table:
+    import ray
+
+    keys = ray.get(keys_ref) if not isinstance(keys_ref, np.ndarray) else keys_ref
+    hit = np.isin(batch[key].to_numpy().astype(np.int64), keys)
+    keep = ~hit if anti else hit
+    return pa.table({c: batch[c] for c in payload}).filter(pa.array(keep))
+
+
 def hash_semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
                    payload: list[str] | None = None, anti: bool = False,
-                   n_partitions: int | None = None):
+                   n_partitions: int | None = None,
+                   probe_broadcast_limit: int = PROBE_BROADCAST_KEYS):
     """left rows whose `on` key IS (semi) / IS NOT (anti) present in
     `right_ds[right_on]`.  `payload` names the left columns to carry
     through (default: every column except the key; the key itself is
     re-emitted only if listed).  Returns a Dataset of payload columns.
+
+    Two shapes behind one contract: the probe side always reduces to
+    per-block distinct keys first; when that partial set is small
+    (<= probe_broadcast_limit rows) the merged key array broadcasts
+    via `ray.put` and membership is a single vectorized map over the
+    left side — otherwise both sides exchange on a coarse key-hash
+    partition and each partition runs one `np.isin`.
     """
+    import ray
     import ray.data  # noqa: F401  (caller owns the session)
+
+    right_on = right_on or on
+    if payload is None:
+        payload = [c for c in left_ds.schema().names if c != on]
+
+    # probe partials are needed by BOTH paths; materialized so the
+    # gate's count() is free and neither path recomputes them
+    probe_partials = right_ds.map_batches(
+        partial(_probe_key_partial, key=right_on), batch_format="pyarrow",
+    ).materialize()
+    if probe_partials.count() <= probe_broadcast_limit:
+        vals = [t["__sj_k"].to_numpy() for t in probe_partials.iter_batches(
+            batch_size=None, batch_format="pyarrow") if len(t)]
+        keys = np.unique(np.concatenate(vals)) if vals else np.empty(0, dtype=np.int64)
+        keys_ref = ray.put(keys)
+        return left_ds.map_batches(
+            partial(_broadcast_member_filter, key=on, payload=payload,
+                    anti=anti, keys_ref=keys_ref),
+            batch_format="pyarrow",
+        )
 
     if n_partitions is None:
         from chearch_ray.stages.partition import (datasets_size_bytes,
@@ -84,9 +137,6 @@ def hash_semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
 
         n_partitions = join_parallelism(
             None, size_bytes=datasets_size_bytes(left_ds, right_ds))
-    right_on = right_on or on
-    if payload is None:
-        payload = [c for c in left_ds.schema().names if c != on]
     left_schema = left_ds.schema()
     payload_schema = pa.schema(
         [pa.field(c, left_schema.types[left_schema.names.index(c)]) for c in payload])
@@ -95,8 +145,8 @@ def hash_semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
         partial(_left_rows, key=on, payload=payload, n_partitions=n_partitions),
         batch_format="pyarrow",
     )
-    probe = right_ds.map_batches(
-        partial(_probe_rows, key=right_on, payload_schema=payload_schema,
+    probe = probe_partials.map_batches(
+        partial(_probe_rows, key="__sj_k", payload_schema=payload_schema,
                 n_partitions=n_partitions),
         batch_format="pyarrow",
     )
@@ -107,8 +157,10 @@ def hash_semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
 
 def hash_anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
                    payload: list[str] | None = None,
-                   n_partitions: int | None = None):
+                   n_partitions: int | None = None,
+                   probe_broadcast_limit: int = PROBE_BROADCAST_KEYS):
     """left rows with NO matching key in right (NOT EXISTS)."""
     return hash_semi_join(left_ds, right_ds, on, right_on=right_on,
                           payload=payload, anti=True,
-                          n_partitions=n_partitions)
+                          n_partitions=n_partitions,
+                          probe_broadcast_limit=probe_broadcast_limit)

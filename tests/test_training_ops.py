@@ -2285,3 +2285,41 @@ def test_exact_group_quantiles_distributed_merge_path(ray_session):
                                  gather_limit=500,
                                  driver_merge_limit=0).to_pandas()
     assert small.equals(dist), (small, dist)
+
+
+def test_hash_semi_join_partitioned_path_matches_broadcast(ray_session):
+    """probe_broadcast_limit=0 forces the coarse-partition shuffle (the
+    >5M-distinct-keys scale shape); its rows must be identical to the
+    default broadcast path and to the numpy reference."""
+    import ray.data
+
+    from chearch_ray.stages.joins import hash_anti_join, hash_semi_join
+
+    rng = np.random.default_rng(53)
+    n = 10_000
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 3_000, n).astype(np.int64)),
+        "payload": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+    })
+    right = pa.table({
+        "rk": pa.array(np.repeat(rng.integers(0, 1_500, 300), 20).astype(np.int64)),
+    })
+    lds = ray.data.from_arrow(left).repartition(7)
+    rds = ray.data.from_arrow(right).repartition(3)
+
+    def collect(ds):
+        t = pa.concat_tables(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+        return t.to_pandas().sort_values(list(t.column_names)).reset_index(drop=True)
+
+    for anti in (False, True):
+        fn = hash_anti_join if anti else hash_semi_join
+        bcast = collect(fn(lds, rds, on="k", right_on="rk",
+                           payload=["k", "payload"]))
+        shuf = collect(fn(lds, rds, on="k", right_on="rk",
+                          payload=["k", "payload"], n_partitions=8,
+                          probe_broadcast_limit=0))
+        assert bcast.equals(shuf), f"anti={anti}"
+        member = np.isin(left["k"].to_numpy(), np.unique(right["rk"].to_numpy()))
+        want = (left.to_pandas()[~member if anti else member]
+                .sort_values(["k", "payload"]).reset_index(drop=True))
+        assert bcast.equals(want), f"anti={anti}"
