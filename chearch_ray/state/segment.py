@@ -236,6 +236,12 @@ class PostingsPartReader:
         self._pos_off = table["pos_off"] if "pos_off" in table.column_names else None
         self._positions = table["positions"] if "positions" in table.column_names else None
         self._pos_decoded: dict[str, "pa.ListArray"] = {}
+        #: per-(term, skip-block) decoded positions: (flat uint32 vals,
+        #: block-local int64 offsets).  The lazy per-block path is hit
+        #: REPEATEDLY by phrase/NEAR verify chunks over hot terms; an
+        #: uncached decode re-paid ~13 ms per term per segment per
+        #: query (the round-4 bench phrase regression)
+        self._pos_blk_cache: dict[str, dict[int, tuple[np.ndarray, np.ndarray]]] = {}
         self._pos_counts_cache: dict[str, np.ndarray] = {}
 
     def __contains__(self, term: str) -> bool:
@@ -369,28 +375,53 @@ class PostingsPartReader:
 
         bs = self.block_size
         blocks = np.unique(rows // bs)
-        pos_off = np.asarray(self._pos_off[i].values, dtype=np.int64)
-        blob = np.frombuffer(self._pos_blob[i].as_py(), dtype=np.uint8)
-        # delta encoding restarts at every posting, so the touched
-        # blocks' byte slices CONCATENATE into one valid stream — one
-        # vectorized varint decode for the whole candidate set (a
-        # per-block decode loop costs ~50us of numpy setup per block;
-        # hot-term phrases touch hundreds of blocks per query)
+        cache = self._pos_blk_cache.setdefault(term, {})
+        miss = [b for b in blocks.tolist() if b not in cache]
+        if miss:
+            pos_off = np.asarray(self._pos_off[i].values, dtype=np.int64)
+            blob = np.frombuffer(self._pos_blob[i].as_py(), dtype=np.uint8)
+            mb = np.array(miss, dtype=np.int64)
+            # delta encoding restarts at every posting, so the missing
+            # blocks' byte slices CONCATENATE into one valid stream —
+            # one vectorized varint decode for all misses (a per-block
+            # decode loop costs ~50us of numpy setup per block)
+            m_lo = mb * bs
+            m_hi = np.minimum((mb + 1) * bs, n_post)
+            byte_lo = pos_off[mb]
+            byte_hi = np.where(mb + 1 < len(pos_off),
+                               pos_off[np.minimum(mb + 1, len(pos_off) - 1)], len(blob))
+            big_blob = np.concatenate(
+                [blob[int(l) : int(h)] for l, h in zip(byte_lo, byte_hi)])
+            cat_counts = np.concatenate(
+                [counts[int(l) : int(h)] for l, h in zip(m_lo, m_hi)])
+            m_vals, m_offs = unpack_position_blob(big_blob, cat_counts)
+            m_base = np.concatenate([[0], np.cumsum(m_hi - m_lo)]).astype(np.int64)
+            for j, b in enumerate(miss):
+                p0, p1 = m_base[j], m_base[j + 1]
+                v0, v1 = int(m_offs[p0]), int(m_offs[p1])
+                cache[b] = (m_vals[v0:v1].astype(np.uint32),
+                            (m_offs[p0 : p1 + 1] - m_offs[p0]).astype(np.int64))
+            # memory bound mirrors the postings block cache policy:
+            # keep only the current term's blocks once the total grows
+            if sum(len(c) for c in self._pos_blk_cache.values()) > (1 << 13):
+                keep = self._pos_blk_cache.pop(term)
+                self._pos_blk_cache.clear()
+                self._pos_blk_cache[term] = keep
+                cache = keep
+        # assemble the concatenated (vals, offs) view over the needed
+        # blocks from cache (block-local offsets re-shifted global)
+        parts = [cache[b] for b in blocks.tolist()]
+        vals = (np.concatenate([p[0] for p in parts])
+                if parts else np.empty(0, dtype=np.uint32))
+        shift = 0
+        offs_parts = []
+        for p in parts:
+            offs_parts.append(p[1][:-1] + shift)
+            shift += int(p[1][-1])
+        offs = (np.concatenate(offs_parts + [np.array([shift], dtype=np.int64)])
+                if parts else np.zeros(1, dtype=np.int64))
         lo_posts = blocks * bs
         hi_posts = np.minimum((blocks + 1) * bs, n_post)
-        byte_lo = pos_off[blocks]
-        byte_hi = np.where(blocks + 1 < len(pos_off), pos_off[np.minimum(blocks + 1, len(pos_off) - 1)], len(blob))
-        big_blob = (
-            np.concatenate([blob[int(l) : int(h)] for l, h in zip(byte_lo, byte_hi)])
-            if len(blocks)
-            else np.empty(0, dtype=np.uint8)
-        )
-        cat_counts = (
-            np.concatenate([counts[int(l) : int(h)] for l, h in zip(lo_posts, hi_posts)])
-            if len(blocks)
-            else np.empty(0, dtype=np.int64)
-        )
-        vals, offs = unpack_position_blob(big_blob, cat_counts)
         # posting index inside the concatenated space, fully vectorized
         cat_base = np.concatenate([[0], np.cumsum(hi_posts - lo_posts)])[:-1]
         brank = np.searchsorted(blocks, rows // bs)
