@@ -593,6 +593,33 @@ def q_lang_counts(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+#: hybrid retrieval: fuse this many candidates from each retriever
+HYBRID_LIST_K = 30
+
+
+def q_hybrid_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: BM25 top-30 (inverted index) fused with
+    cosine-kNN top-30 (dense embeddings, vec_id == doc_id in the
+    testdata) by Reciprocal Rank Fusion, output top-10 (rank, doc_id).
+    Both candidate lists come from the distributed retrievers; the
+    fusion is a bounded merge of <= 60 rows."""
+    import ray.data
+
+    from chearch_ray.stages.similarity import knn_brute_force, reciprocal_rank_fusion
+
+    eng = engine_for(sf_dir)
+    bm = eng.search(BM25_TERM, k=HYBRID_LIST_K)["doc_id"].to_numpy().astype(np.int64)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        first.filter(pa.compute.equal(first["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64,
+    )[None, :]
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    knn = knn_brute_force(ds, qvec, k=HYBRID_LIST_K)["vec_id"].to_numpy().astype(np.int64)
+    return reciprocal_rank_fusion([bm, knn], k=10)
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1593,7 +1620,9 @@ def q_media_features(sf_dir: str) -> pa.Table:
 # (VERDICT r3 "Next round" #1).  Slots 37–50 re-check the core index
 # surface so regressions there still surface in the same round.
 QUERIES = {
-    # --- round-4 rotation: never driver-checked in r1–r3 (36) -------
+    # --- round-4 rotation: never driver-checked in r1–r3 (36), plus
+    # --- the round-4 hybrid-retrieval addition ----------------------
+    "hybrid_rrf": q_hybrid_rrf,
     "decontaminate": q_decontaminate,
     "substring_dedup": q_substring_dedup,
     "hash_split": q_hash_split,
@@ -2632,6 +2661,24 @@ SELECT row_number() OVER (
 FROM embeddings e, q
 ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
 LIMIT 10
+""",
+    # RRF: 1.0/(60+rank) contributions, bm25-list-then-knn-list
+    # addition order mirrors reciprocal_rank_fusion exactly (one
+    # float64 add either way, so scores are bit-identical)
+    "hybrid_rrf": f"""
+WITH b AS (SELECT rank AS brank, doc_id
+           FROM ({_bm25_sql((BM25_TERM,), "or", k=HYBRID_LIST_K)})),
+v AS (SELECT row_number() OVER (
+         ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS vrank,
+       e.vec_id AS doc_id
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      QUALIFY vrank <= {HYBRID_LIST_K}),
+fused AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+                 coalesce(1.0 / (60 + brank), 0) + coalesce(1.0 / (60 + vrank), 0) AS rrf
+          FROM b FULL OUTER JOIN v ON b.doc_id = v.doc_id)
+SELECT row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
 """,
     "ivf_knn": f"""
 WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings

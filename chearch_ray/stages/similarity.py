@@ -1237,3 +1237,39 @@ def ivfpq_search_refined(codes_ds, centroids: np.ndarray, books: np.ndarray,
     )
     return exact_rerank(shortlist, raw_ds, query_matrix, k,
                         id_column=id_column, embedding_column=embedding_column)
+
+
+# ------------------------------------------------ hybrid rank fusion
+#: standard RRF constant (Cormack & Clarke 2009)
+RRF_K = 60
+
+
+def reciprocal_rank_fusion(ranked_lists: list[np.ndarray], k: int = 10,
+                           rrf_k: int = RRF_K) -> pa.Table:
+    """Reciprocal Rank Fusion over top-k id lists from heterogeneous
+    retrievers (BM25, dense kNN, ...): score(d) = sum over lists of
+    1 / (rrf_k + rank_d), missing entries contribute nothing; output
+    is the fused top-k as (rank, doc_id) ordered by (score desc,
+    doc_id asc).
+
+    Each input array is ALREADY a bounded top-k list (the expensive,
+    distributed work — the inverted-index scorer, the brute-force /
+    IVF matmul — happened upstream), so fusion itself is a driver-side
+    merge of <= sum(len(list)) rows by construction; no Ray stage is
+    warranted.  Float contract: contributions are float64 divisions
+    accumulated in LIST ORDER (left-assoc), so a SQL mirror computing
+    coalesce-per-list sums in the same order is bit-identical."""
+    scores: dict[int, float] = {}
+    for lst in ranked_lists:
+        for rank0, doc in enumerate(np.asarray(lst).tolist()):
+            scores[int(doc)] = scores.get(int(doc), 0.0) + 1.0 / (rrf_k + rank0 + 1)
+    if not scores:
+        return pa.table({"rank": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64())})
+    docs = np.array(sorted(scores), dtype=np.int64)
+    sc = np.array([scores[int(d)] for d in docs], dtype=np.float64)
+    order = np.lexsort((docs, -sc))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+        "doc_id": pa.array(docs[order], type=pa.int64()),
+    })

@@ -2323,3 +2323,25 @@ def test_hash_semi_join_partitioned_path_matches_broadcast(ray_session):
         want = (left.to_pandas()[~member if anti else member]
                 .sort_values(["k", "payload"]).reset_index(drop=True))
         assert bcast.equals(want), f"anti={anti}"
+
+
+def test_reciprocal_rank_fusion_semantics():
+    """RRF: 1/(60+rank) per list, missing entries contribute nothing,
+    ties break by doc asc, output capped at k."""
+    from chearch_ray.stages.similarity import reciprocal_rank_fusion
+
+    a = np.array([5, 3, 9], dtype=np.int64)       # ranks 1..3
+    b = np.array([3, 7], dtype=np.int64)          # ranks 1..2
+    out = reciprocal_rank_fusion([a, b], k=10).to_pandas()
+    want = {
+        3: 1 / 62 + 1 / 61,   # rank 2 in a, rank 1 in b
+        5: 1 / 61,
+        7: 1 / 62,
+        9: 1 / 63,
+    }
+    order = sorted(want, key=lambda d: (-want[d], d))
+    assert out["doc_id"].tolist() == order
+    assert out["rank"].tolist() == [1, 2, 3, 4]
+    # k cap + empty input
+    assert len(reciprocal_rank_fusion([a, b], k=2)) == 2
+    assert len(reciprocal_rank_fusion([np.array([], dtype=np.int64)])) == 0
