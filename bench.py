@@ -395,6 +395,13 @@ def run_bench() -> dict:
     timings["fuzzy_local_p50_ms"] = p50_fn(
         lambda: eng_local.search("retur~1", k=10)
     )
+    # positional proximity ops (same hot pair as the phrase row)
+    timings["near_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search_near("return", "if", slop=4, k=10)
+    )
+    timings["near_all_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search_near_all(["def", "return", "if"], slop=8, k=10)
+    )
 
     timings = {k: round(v, 4) for k, v in timings.items()}
     result = {

@@ -596,6 +596,53 @@ def q_lang_counts(sf_dir: str) -> pa.Table:
 #: hybrid retrieval: fuse this many candidates from each retriever
 HYBRID_LIST_K = 30
 
+#: deterministic multi-line derived corpus for the boilerplate-removal
+#: row (the base documents are single-line): body re-wrapped at 8
+#: words/line, a shared header on even doc_ids, a shared footer on
+#: doc_id % 3 == 0.  Written to disk (media_features pattern) so the
+#: SQL oracle reads the SAME table the Ray pipeline consumes.
+LINEDOC_TABLE_PATH = "/tmp/chearch_ray_driver_cache/linedocs-8w-42.parquet"
+LINEDOC_HEADER = "shared navigation header generated by pipeline"
+LINEDOC_FOOTER = "shared footer all rights reserved"
+
+
+def _linedoc_table(sf_dir: str) -> pa.Table:
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    out = []
+    for i, t in zip(ids, docs["text"].to_pylist()):
+        words = t.split()
+        lines = [" ".join(words[j : j + 8]) for j in range(0, len(words), 8)]
+        if i % 2 == 0:
+            lines = [LINEDOC_HEADER] + lines
+        if i % 3 == 0:
+            lines = lines + [LINEDOC_FOOTER]
+        out.append("\n".join(lines))
+    t = pa.table({"doc_id": docs["doc_id"], "text": pa.array(out, type=pa.string())})
+    os.makedirs(os.path.dirname(LINEDOC_TABLE_PATH), exist_ok=True)
+    tmp = f"{LINEDOC_TABLE_PATH}.tmp-{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, LINEDOC_TABLE_PATH)
+    return t
+
+
+def q_line_dedup(sf_dir: str) -> pa.Table:
+    """boilerplate line removal over the derived multi-line corpus:
+    every line in >= 50 distinct docs (the injected header/footer)
+    disappears; unique body lines survive in order."""
+    import ray.data
+
+    from chearch_ray.stages.dedup import boilerplate_line_dedup
+
+    t = _linedoc_table(sf_dir)
+    out = boilerplate_line_dedup(
+        ray.data.from_arrow(t).repartition(4), min_docs=50
+    )
+    got = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return got.sort_by("doc_id")
+
 
 def q_hybrid_rrf(sf_dir: str) -> pa.Table:
     """Hybrid retrieval: BM25 top-30 (inverted index) fused with
@@ -1621,8 +1668,9 @@ def q_media_features(sf_dir: str) -> pa.Table:
 # surface so regressions there still surface in the same round.
 QUERIES = {
     # --- round-4 rotation: never driver-checked in r1–r3 (36), plus
-    # --- the round-4 hybrid-retrieval addition ----------------------
+    # --- the round-4 additions --------------------------------------
     "hybrid_rrf": q_hybrid_rrf,
+    "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
     "substring_dedup": q_substring_dedup,
     "hash_split": q_hash_split,
@@ -2679,6 +2727,22 @@ fused AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
 SELECT row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT AS rank,
        doc_id::BIGINT AS doc_id
 FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+    # reads the deterministic on-disk derived table the Ray pipeline
+    # consumed (media_features pattern); a line in >= 50 distinct docs
+    # is removed everywhere, survivors keep their order
+    "line_dedup": f"""
+WITH src AS (SELECT doc_id, text FROM read_parquet('{LINEDOC_TABLE_PATH}')),
+ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+              generate_subscripts(string_split(text, chr(10)), 1) AS ord
+       FROM src),
+freq AS (SELECT line, count(DISTINCT doc_id)::BIGINT AS n FROM ln GROUP BY line),
+keep AS (SELECT l.doc_id, l.ord, l.line
+         FROM ln l JOIN freq f USING (line) WHERE f.n < 50)
+SELECT s.doc_id,
+       coalesce(string_agg(k.line, chr(10) ORDER BY k.ord), '') AS text
+FROM src s LEFT JOIN keep k USING (doc_id)
+GROUP BY s.doc_id ORDER BY s.doc_id
 """,
     "ivf_knn": f"""
 WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings

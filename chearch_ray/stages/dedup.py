@@ -1634,3 +1634,102 @@ def dedup_against_store(new_ds, seen_ds, text_column: str = "text",
         _pp(_store_membership_partition, id_column=id_column),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------- boilerplate line dedup
+#: a line occurring in at least this many DISTINCT docs is boilerplate
+BOILERPLATE_MIN_DOCS = 10
+
+
+def _line_df_partial(batch: pa.Table, text_column: str) -> pa.Table:
+    """per-block (line, n) where n = number of DISTINCT docs in this
+    block containing the line (docs never span blocks, so block
+    partials sum to the global distinct-doc count)."""
+    import pyarrow.compute as pc
+
+    text = batch[text_column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lists = pc.split_pattern(pc.fill_null(text, ""), "\n")
+    offsets = np.asarray(lists.offsets, dtype=np.int64)
+    values = lists.values
+    if offsets[0] != 0 or len(values) != offsets[-1] - offsets[0]:
+        values = values.slice(offsets[0], offsets[-1] - offsets[0])
+    row_idx = np.repeat(np.arange(len(lists), dtype=np.int64),
+                        np.diff(offsets))
+    pairs = pa.table({"line": values, "row": pa.array(row_idx, type=pa.int64())})
+    distinct = pairs.group_by(["line", "row"], use_threads=False).aggregate([])
+    vc = distinct["line"].combine_chunks().value_counts()
+    return pa.table({"line": vc.field("values").cast(pa.string()),
+                     "n": vc.field("counts").cast(pa.int64())})
+
+
+def _strip_boilerplate(batch: pa.Table, text_column: str, boil_ref) -> pa.Table:
+    import pyarrow.compute as pc
+
+    import ray
+
+    boil = ray.get(boil_ref) if not isinstance(boil_ref, pa.Array) else boil_ref
+    text = batch[text_column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lists = pc.split_pattern(pc.fill_null(text, ""), "\n")
+    offsets = np.asarray(lists.offsets, dtype=np.int64)
+    values = lists.values
+    if offsets[0] != 0 or len(values) != offsets[-1] - offsets[0]:
+        values = values.slice(offsets[0], offsets[-1] - offsets[0])
+    rel_off = offsets - offsets[0]
+    keep = pc.invert(pc.is_in(values, value_set=boil))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    csum = np.concatenate([[0], np.cumsum(keep_np)]).astype(np.int64)
+    new_off = csum[rel_off]
+    kept = values.filter(keep)
+    new_lists = pa.ListArray.from_arrays(
+        pa.array(new_off.astype(np.int32), type=pa.int32()), kept)
+    joined = pc.binary_join(new_lists.cast(pa.list_(pa.string())),
+                            pa.scalar("\n", type=pa.string()))
+    return pa.table({"doc_id": batch["doc_id"], "text": joined})
+
+
+def boilerplate_line_dedup(ds, text_column: str = "text",
+                           min_docs: int = BOILERPLATE_MIN_DOCS,
+                           driver_merge_limit: int | None = None):
+    """CCNet-style boilerplate removal: delete every line occurring in
+    >= min_docs DISTINCT documents (headers, footers, nav chrome),
+    preserving the remaining lines' order.  Returns (doc_id, text).
+
+    Shape: one explode pass emits per-block (line, distinct-doc-count)
+    partials; partials merge driver-side below the rows gate (pattern:
+    pack.DRIVER_MERGE_LIMIT) or through a Ray groupby-Sum above it —
+    either way only the BOILERPLATE set (<= total_lines / min_docs by
+    pigeonhole) broadcasts via ray.put, and the strip is one vectorized
+    map pass.  EXACT: line strings (not hashes) are the merge key."""
+    from functools import partial as _pp
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    if driver_merge_limit is None:
+        driver_merge_limit = DRIVER_MERGE_LIMIT
+    partials = ds.map_batches(
+        _pp(_line_df_partial, text_column=text_column), batch_format="pyarrow",
+    ).materialize()
+    boil: list[str] = []
+    if partials.count() <= driver_merge_limit:
+        counts: dict[str, int] = {}
+        for t in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for line, n in zip(t["line"].to_pylist(), t["n"].to_pylist()):
+                counts[line] = counts.get(line, 0) + int(n)
+        boil = [line for line, n in counts.items() if n >= min_docs]
+    else:
+        merged = partials.groupby("line").aggregate(Sum("n", alias_name="n"))
+        flagged = merged.filter(expr=f"n >= {min_docs}")
+        for t in flagged.iter_batches(batch_size=None, batch_format="pyarrow"):
+            boil.extend(t["line"].to_pylist())
+    boil_ref = ray.put(pa.array(sorted(boil), type=pa.string()))
+    return ds.map_batches(
+        _pp(_strip_boilerplate, text_column=text_column, boil_ref=boil_ref),
+        batch_format="pyarrow",
+    )

@@ -2345,3 +2345,41 @@ def test_reciprocal_rank_fusion_semantics():
     # k cap + empty input
     assert len(reciprocal_rank_fusion([a, b], k=2)) == 2
     assert len(reciprocal_rank_fusion([np.array([], dtype=np.int64)])) == 0
+
+
+def test_boilerplate_line_dedup_paths_and_semantics(ray_session):
+    """header/footer lines in >= min_docs distinct docs disappear from
+    every doc; unique lines keep their order; within-doc repeats of a
+    non-boilerplate line survive; a doc that was ALL boilerplate
+    becomes ''. driver_merge_limit=0 (groupby merge path) must be
+    row-identical to the driver-merge path."""
+    import ray.data
+
+    from chearch_ray.stages.dedup import boilerplate_line_dedup
+
+    docs = []
+    for i in range(40):
+        lines = ["HEADER"] if i % 2 == 0 else []
+        lines += [f"body {i} alpha", f"body {i} beta", f"body {i} alpha"]
+        if i % 4 == 0:
+            lines.append("FOOTER")
+        docs.append("\n".join(lines))
+    docs.append("HEADER\nFOOTER")  # all-boilerplate doc
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = pa.concat_tables(
+        boilerplate_line_dedup(ds, min_docs=10)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("doc_id").to_pandas()
+    assert not out["text"].str.contains("HEADER").any()
+    assert not out["text"].str.contains("FOOTER").any()
+    assert out.loc[3, "text"] == "body 3 alpha\nbody 3 beta\nbody 3 alpha"
+    assert out.loc[40, "text"] == ""
+    out2 = pa.concat_tables(
+        boilerplate_line_dedup(ds, min_docs=10, driver_merge_limit=0)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by("doc_id").to_pandas()
+    assert out.equals(out2)
