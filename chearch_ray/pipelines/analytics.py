@@ -84,19 +84,49 @@ def _pricing_partial(batch: pa.Table, cutoff_us: int) -> pa.Table:
     )
 
 
-def pricing_summary(lineitem_ds, cutoff: str = PRICING_CUTOFF):
-    """TPC-H Q1 shape over the lineitem Dataset -> one row per
-    (returnflag, linestatus) with integer-cent sums."""
+def _gated_group_sum(partials_ds, keys: list[str], sums: list[str],
+                     driver_merge_limit: int | None = None) -> pa.Table:
+    """merge map-side pre-aggregated partials (a few rows PER BLOCK —
+    bounded by |groups|) into the final (keys, sums) table: driver-side
+    below the rows gate (pattern: pack.DRIVER_MERGE_LIMIT — a groupby
+    exchange costs seconds of fixed scheduling however few the rows),
+    through a Ray groupby-Sum above it."""
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    limit = DRIVER_MERGE_LIMIT if driver_merge_limit is None else driver_merge_limit
+    mat = partials_ds.materialize()
+    if mat.count() <= limit:
+        parts = [t for t in mat.iter_batches(batch_size=None, batch_format="pyarrow")
+                 if len(t)]
+        if not parts:
+            return mat.schema().empty_table()
+        agg = pa.concat_tables(parts).group_by(keys, use_threads=False).aggregate(
+            [(c, "sum") for c in sums]
+        )
+        return agg.rename_columns(keys + sums).select(keys + sums)
     from ray.data.aggregate import Sum
 
+    out = mat.groupby(keys[0] if len(keys) == 1 else keys).aggregate(
+        *[Sum(c, alias_name=c) for c in sums]
+    )
+    return pa.concat_tables(
+        out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).select(keys + sums)
+
+
+def pricing_summary(lineitem_ds, cutoff: str = PRICING_CUTOFF) -> pa.Table:
+    """TPC-H Q1 shape over the lineitem Dataset -> one row per
+    (returnflag, linestatus) with integer-cent sums.  Map-side partials
+    carry <= |flag x status| (~6) rows per block, so the merge is the
+    gated driver/groupby pattern — no exchange at sandbox scale."""
     cutoff_us = int(np.datetime64(cutoff, "us").astype(np.int64))
     partials = lineitem_ds.map_batches(
         partial(_pricing_partial, cutoff_us=cutoff_us), batch_format="pyarrow"
     )
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        *[Sum(c, alias_name=c) for c in
-          ("count_order", "sum_qty_cents", "sum_base_cents",
-           "sum_disc_cents", "sum_charge_cents")]
+    return _gated_group_sum(
+        partials, ["l_returnflag", "l_linestatus"],
+        ["count_order", "sum_qty_cents", "sum_base_cents",
+         "sum_disc_cents", "sum_charge_cents"],
     )
 
 
@@ -134,12 +164,17 @@ def _rev_partial(batch: pa.Table) -> pa.Table:
 
 
 def revenue_by_nation(orders_ds, customer_ds, nation_table: pa.Table,
-                      join_partitions: int | None = None):
-    """orders ⋈ customer (distributed hash join on custkey) ⋈ nation
-    (broadcast) -> (n_name, n_orders, total_cents)."""
+                      join_partitions: int | None = None) -> pa.Table:
+    """orders ⋈ customer ⋈ nation -> (n_name, n_orders, total_cents).
+    nation (25 rows) broadcasts inside the customer map; customer
+    itself is a unique-key DIMENSION side, so orders ⋈ customer rides
+    broadcast_lookup_join (one map pass below the gate, Dataset.join
+    above); the rollup partials are <= 25 rows per block and merge
+    through the gated driver/groupby pattern."""
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
+
+    from chearch_ray.stages.joins import broadcast_lookup_join
 
     keys = nation_table["n_nationkey"].to_numpy().astype(np.int64)
     order = np.argsort(keys)
@@ -160,17 +195,12 @@ def revenue_by_nation(orders_ds, customer_ds, nation_table: pa.Table,
         ),
         batch_format="pyarrow",
     )
-    joined = orders.join(
-        cust, "inner",
-        join_parallelism(join_partitions, size_bytes=datasets_size_bytes(orders_ds, customer_ds)),
-        on=("o_custkey",), right_on=("c_custkey",),
-        aggregator_ray_remote_args=join_remote_args(),
-    ).materialize()
-    partials = joined.map_batches(_rev_partial, batch_format="pyarrow")
-    return partials.groupby("n_name").aggregate(
-        Sum("n_orders", alias_name="n_orders"),
-        Sum("total_cents", alias_name="total_cents"),
+    joined = broadcast_lookup_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        payload=["n_name"], n_partitions=join_partitions,
     )
+    partials = joined.map_batches(_rev_partial, batch_format="pyarrow")
+    return _gated_group_sum(partials, ["n_name"], ["n_orders", "total_cents"])
 
 
 # ------------------------------------------------------------- Q6 shape

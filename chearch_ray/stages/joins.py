@@ -164,3 +164,74 @@ def hash_anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
                           payload=payload, anti=True,
                           n_partitions=n_partitions,
                           probe_broadcast_limit=probe_broadcast_limit)
+
+
+# --------------------------------------------- broadcast lookup join
+#: below this many right-side rows the lookup table broadcasts
+LOOKUP_BROADCAST_ROWS = 2_000_000
+
+
+def _lookup_attach(batch: pa.Table, key: str, payload: list[str], ref) -> pa.Table:
+    import ray
+
+    keys, cols = ray.get(ref) if not isinstance(ref, tuple) else ref
+    k = batch[key].to_numpy().astype(np.int64)
+    pos = np.searchsorted(keys, k)
+    posc = np.minimum(pos, max(len(keys) - 1, 0))
+    hit = keys[posc] == k if len(keys) else np.zeros(len(k), dtype=bool)
+    out = batch.filter(pa.array(hit))
+    take = pa.array(posc[hit], type=pa.int64())
+    for c in payload:
+        out = out.append_column(c, cols[c].take(take))
+    return out
+
+
+def broadcast_lookup_join(left_ds, right_ds, on: str, right_on: str | None = None,
+                          payload: list[str] | None = None,
+                          n_partitions: int | None = None,
+                          broadcast_limit: int = LOOKUP_BROADCAST_ROWS):
+    """INNER equi-join against a UNIQUE-KEY lookup table (dimension
+    join): left rows keep every left column plus the right `payload`
+    columns; rows with no match drop.  Below `broadcast_limit` rows
+    the right table ships once via `ray.put` and the join is ONE
+    vectorized map pass over the left side (searchsorted on the sorted
+    key array) — the scale shape for star-schema dimensions, where a
+    hash-join exchange pays seconds of fixed actor cost.  Above the
+    gate it falls back to Dataset.join.  Duplicate right keys raise
+    (a lookup table with repeated keys would silently multiply rows
+    in the broadcast path but not the hash path)."""
+    import ray
+
+    from chearch_ray.stages.partition import (datasets_size_bytes,
+                                              join_parallelism,
+                                              join_remote_args)
+
+    right_on = right_on or on
+    if payload is None:
+        payload = [c for c in right_ds.schema().names if c != right_on]
+    right = right_ds.materialize()
+    if right.count() <= broadcast_limit:
+        parts = [t for t in right.iter_batches(batch_size=None, batch_format="pyarrow")
+                 if len(t)]
+        tbl = (pa.concat_tables(parts).combine_chunks() if parts
+               else right.schema().empty_table())
+        keys = tbl[right_on].to_numpy().astype(np.int64) if len(tbl) else np.empty(0, np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        if len(keys) > 1 and bool(np.any(keys[1:] == keys[:-1])):
+            raise ValueError(f"broadcast_lookup_join: duplicate keys in {right_on}")
+        cols = {c: (tbl[c].combine_chunks() if isinstance(tbl[c], pa.ChunkedArray)
+                    else tbl[c]).take(pa.array(order, type=pa.int64()))
+                for c in payload} if len(tbl) else {c: tbl[c] for c in payload}
+        ref = ray.put((keys, cols))
+        return left_ds.map_batches(
+            partial(_lookup_attach, key=on, payload=payload, ref=ref),
+            batch_format="pyarrow",
+        )
+    jp = join_parallelism(n_partitions,
+                          size_bytes=datasets_size_bytes(left_ds, right_ds))
+    left_cols = list(left_ds.schema().names)
+    return left_ds.join(
+        right, "inner", jp, on=(on,), right_on=(right_on,),
+        aggregator_ray_remote_args=join_remote_args(),
+    ).select_columns(left_cols + payload)  # same contract as broadcast path
