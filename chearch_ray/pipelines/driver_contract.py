@@ -596,6 +596,30 @@ def q_lang_counts(sf_dir: str) -> pa.Table:
 #: hybrid retrieval: fuse this many candidates from each retriever
 HYBRID_LIST_K = 30
 
+#: Count-Min point-query key set (fixed, deterministic)
+CM_QUERY_USERS = tuple(range(20))
+
+
+def q_cm_counts(sf_dir: str) -> pa.Table:
+    """Count-Min sketch over events.user_id (depth 4 x width 2048),
+    point estimates for 20 fixed users — deterministic integer
+    multiplicative hashes, so the DuckDB oracle reproduces every
+    counter (and therefore every min-estimate) exactly."""
+    import ray.data
+
+    from chearch_ray.stages.sketch import cm_point_estimates, cm_sketch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    sk = cm_sketch(ds, "user_id")
+    keys = np.array(CM_QUERY_USERS, dtype=np.int64)
+    est = cm_point_estimates(sk, keys)
+    return pa.table({
+        "user_id": pa.array(keys, type=pa.int64()),
+        "est": pa.array(est, type=pa.int64()),
+    })
+
 #: deterministic multi-line derived corpus for the boilerplate-removal
 #: row (the base documents are single-line): body re-wrapped at 8
 #: words/line, a shared header on even doc_ids, a shared footer on
@@ -1671,6 +1695,7 @@ QUERIES = {
     # --- the round-4 additions --------------------------------------
     "hybrid_rrf": q_hybrid_rrf,
     "line_dedup": q_line_dedup,
+    "cm_counts": q_cm_counts,
     "decontaminate": q_decontaminate,
     "substring_dedup": q_substring_dedup,
     "hash_split": q_hash_split,
@@ -2727,6 +2752,30 @@ fused AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
 SELECT row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT AS rank,
        doc_id::BIGINT AS doc_id
 FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+    # Count-Min mirror: cell_i(k) = (k * A_i mod 2^64) >> 53 in HUGEINT
+    # integer arithmetic (the KMV trick), estimate = least over the 4
+    # rows of the cell's total count — bit-identical to cm_sketch
+    "cm_counts": f"""
+WITH qk AS (SELECT unnest(range(0, {len(CM_QUERY_USERS)}))::BIGINT AS user_id),
+cells AS (SELECT user_id,
+  ((user_id::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 9007199254740992 AS c0,
+  ((user_id::HUGEINT * 14029467366897019727::HUGEINT) % 18446744073709551616::HUGEINT) // 9007199254740992 AS c1,
+  ((user_id::HUGEINT * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT) // 9007199254740992 AS c2,
+  ((user_id::HUGEINT * 11562461410679940143::HUGEINT) % 18446744073709551616::HUGEINT) // 9007199254740992 AS c3
+  FROM events),
+qc AS (SELECT user_id,
+  ((user_id::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) // 9007199254740992 AS c0,
+  ((user_id::HUGEINT * 14029467366897019727::HUGEINT) % 18446744073709551616::HUGEINT) // 9007199254740992 AS c1,
+  ((user_id::HUGEINT * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT) // 9007199254740992 AS c2,
+  ((user_id::HUGEINT * 11562461410679940143::HUGEINT) % 18446744073709551616::HUGEINT) // 9007199254740992 AS c3
+  FROM qk)
+SELECT q.user_id,
+  least((SELECT count(*) FROM cells e WHERE e.c0 = q.c0),
+        (SELECT count(*) FROM cells e WHERE e.c1 = q.c1),
+        (SELECT count(*) FROM cells e WHERE e.c2 = q.c2),
+        (SELECT count(*) FROM cells e WHERE e.c3 = q.c3))::BIGINT AS est
+FROM qc q ORDER BY q.user_id
 """,
     # reads the deterministic on-disk derived table the Ray pipeline
     # consumed (media_features pattern); a line in >= 50 distinct docs

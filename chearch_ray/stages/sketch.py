@@ -419,3 +419,94 @@ def exact_group_quantiles(ds, column: str, qs, by: str,
             column: pa.array([j["done"] for j in jobs], type=pa.int64()),
         }
     )
+
+
+# ------------------------------------------------ Count-Min sketch
+#: default sketch geometry: depth x width counters (error <= 2N/w with
+#: probability 1 - 2^-depth over the hash choices)
+CM_DEPTH = 4
+CM_WIDTH = 2048
+#: per-row odd multipliers (public mixing constants: splitmix64 /
+#: xxhash / wyhash primes) — odd, so k -> k*A mod 2^64 is a bijection
+#: and the row hash is cell = (k*A mod 2^64) >> (64 - log2(width)),
+#: reproducible in SQL with HUGEINT arithmetic (the KMV trick)
+CM_MULTS = (
+    np.uint64(0x9E3779B97F4A7C15),
+    np.uint64(0xC2B2AE3D27D4EB4F),
+    np.uint64(0xFF51AFD7ED558CCD),
+    np.uint64(0xA0761D6478BD642F),
+)
+
+
+def _cm_shift(width: int) -> int:
+    lb = int(width).bit_length() - 1
+    if (1 << lb) != width:
+        raise ValueError("CM width must be a power of two")
+    return 64 - lb
+
+
+def cm_cells(keys: np.ndarray, depth: int = CM_DEPTH,
+             width: int = CM_WIDTH) -> np.ndarray:
+    """(depth, len(keys)) int64 cell ids — one top-bits multiplicative
+    hash per sketch row."""
+    if depth > len(CM_MULTS):
+        raise ValueError(f"depth > {len(CM_MULTS)} needs more multipliers")
+    sh = np.uint64(_cm_shift(width))
+    k = keys.astype(np.uint64)
+    return np.stack([((k * CM_MULTS[i]) >> sh).astype(np.int64)
+                     for i in range(depth)])
+
+
+def _cm_partial(batch: pa.Table, column: str, depth: int, width: int) -> pa.Table:
+    """one block's sketch as sparse (cell = i*width + j, n) rows —
+    at most depth x distinct-keys-in-block of them."""
+    k = batch[column].to_numpy()
+    if len(k) == 0:
+        return pa.table({"cell": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64())})
+    cells = cm_cells(k, depth, width)  # (depth, n)
+    rows = cells + (np.arange(depth, dtype=np.int64) * width)[:, None]
+    uniq, cnt = np.unique(rows.ravel(), return_counts=True)
+    return pa.table({"cell": pa.array(uniq, type=pa.int64()),
+                     "n": pa.array(cnt.astype(np.int64), type=pa.int64())})
+
+
+def cm_sketch(ds, column: str, depth: int = CM_DEPTH, width: int = CM_WIDTH,
+              driver_merge_limit: int | None = None) -> np.ndarray:
+    """Count-Min sketch of an integer key column: a (depth, width)
+    int64 counter table.  Sketches merge by elementwise ADD, so block
+    partials (sparse, <= depth x distinct rows each) sum through the
+    gated driver/groupby pattern and the result is partition-invariant
+    and deterministic — a SQL oracle reproduces every counter exactly
+    (integer multiplicative hashes, HUGEINT arithmetic)."""
+    from functools import partial as _partial
+
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    limit = DRIVER_MERGE_LIMIT if driver_merge_limit is None else driver_merge_limit
+    partials = ds.map_batches(
+        _partial(_cm_partial, column=column, depth=depth, width=width),
+        batch_format="pyarrow",
+    ).materialize()
+    sk = np.zeros(depth * width, dtype=np.int64)
+    if partials.count() <= limit:
+        for t in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if len(t):
+                np.add.at(sk, t["cell"].to_numpy(), t["n"].to_numpy())
+    else:
+        from ray.data.aggregate import Sum
+
+        merged = partials.groupby("cell").aggregate(Sum("n", alias_name="n"))
+        for t in merged.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if len(t):
+                np.add.at(sk, t["cell"].to_numpy(), t["n"].to_numpy())
+    return sk.reshape(depth, width)
+
+
+def cm_point_estimates(sketch: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """min-over-rows point estimates for `keys` (classic CM upper
+    bound: never below the true count)."""
+    depth, width = sketch.shape
+    cells = cm_cells(np.asarray(keys, dtype=np.int64), depth, width)
+    ests = np.stack([sketch[i][cells[i]] for i in range(depth)])
+    return ests.min(axis=0).astype(np.int64)

@@ -2383,3 +2383,27 @@ def test_boilerplate_line_dedup_paths_and_semantics(ray_session):
         .iter_batches(batch_size=None, batch_format="pyarrow")
     ).sort_by("doc_id").to_pandas()
     assert out.equals(out2)
+
+
+def test_cm_sketch_properties(ray_session):
+    """Count-Min: partition-invariant, both merge paths identical,
+    estimates never below true counts, and exact when the column's
+    distinct universe is far below width (no collisions)."""
+    import ray.data
+
+    from chearch_ray.stages.sketch import cm_point_estimates, cm_sketch
+
+    rng = np.random.default_rng(83)
+    keys = rng.integers(0, 50, 30_000).astype(np.int64)  # 50 << 2048
+    t = pa.table({"k": pa.array(keys)})
+    sk6 = cm_sketch(ray.data.from_arrow(t).repartition(6), "k")
+    sk1 = cm_sketch(ray.data.from_arrow(t).repartition(1), "k")
+    skg = cm_sketch(ray.data.from_arrow(t).repartition(6), "k",
+                    driver_merge_limit=0)
+    assert np.array_equal(sk6, sk1) and np.array_equal(sk6, skg)
+    q = np.arange(60, dtype=np.int64)  # includes 10 absent keys
+    est = cm_point_estimates(sk6, q)
+    true = np.array([(keys == x).sum() for x in q], dtype=np.int64)
+    assert (est >= true).all()
+    # tiny universe: whp collision-free at width 2048 -> exact
+    assert (est == true).all(), (est - true).max()
