@@ -1195,21 +1195,72 @@ def _state_signature(state) -> tuple[int, int]:
     return n, chk
 
 
+def _cc_driver_union_find(state) -> "pa.Table":
+    """bounded-pair fallback: a path-compressed union-find over the
+    gathered edge set — O(E α(E)), exact, no exchange rounds."""
+    import ray.data  # noqa: F401
+
+    parts = [t for t in state.iter_batches(batch_size=None, batch_format="pyarrow")
+             if len(t)]
+    if not parts:
+        return pa.table({"doc_id": pa.array([], type=pa.uint64()),
+                         "keep_id": pa.array([], type=pa.uint64())})
+    edges = pa.concat_tables(parts)
+    a = edges["doc_a"].to_numpy().astype(np.uint64)
+    b = edges["doc_b"].to_numpy().astype(np.uint64)
+    nodes = np.unique(np.concatenate([a, b]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, int(parent[x])
+        return root
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(idx[x]), find(idx[y])
+        if rx != ry:
+            # union by MIN doc id so every root IS its component's min
+            if nodes[rx] < nodes[ry]:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    keep = np.array([nodes[find(i)] for i in range(len(nodes))], dtype=np.uint64)
+    return pa.table({"doc_id": pa.array(nodes, type=pa.uint64()),
+                     "keep_id": pa.array(keep, type=pa.uint64())})
+
+
 def connected_components(pairs_ds, coarse_partitions: int = COARSE_PARTITIONS,
-                         max_iters: int = 25):
-    """Distributed connected components over a candidate-pair set via
-    hash-to-min label propagation (Rastogi et al., "Finding Connected
-    Components in Map-Reduce in Logarithmic Rounds"): no driver
-    union-find — each round is one coarse groupby (expand) plus one
-    distinct pass, converging in O(log diameter) rounds to stars
-    centered at each component's minimum doc id.
+                         max_iters: int = 25,
+                         driver_merge_limit: int | None = None):
+    """Connected components over a candidate-pair set.
+
+    Below the edge-count gate (pack.DRIVER_MERGE_LIMIT) the deduped
+    edge set gathers once and a path-compressed driver union-find
+    labels it — exact, zero exchange rounds (each label-propagation
+    round costs seconds of fixed exchange scheduling however few the
+    pairs).  Above the gate: hash-to-min label propagation (Rastogi
+    et al., "Finding Connected Components in Map-Reduce in Logarithmic
+    Rounds") — no driver state, one coarse groupby (expand) plus one
+    distinct pass per round, converging in O(log diameter) rounds to
+    stars centered at each component's minimum doc id.
 
     -> Dataset (doc_id uint64, keep_id uint64): one row per doc
     appearing in any pair, keep_id = min doc id of its component."""
     from functools import partial
 
+    import ray.data
+
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    limit = DRIVER_MERGE_LIMIT if driver_merge_limit is None else driver_merge_limit
     state = pairs_ds.map_batches(_cc_seed, batch_format="pyarrow")
     state = dedup_pairs(state, coarse_partitions).materialize()
+    if state.count() <= limit:
+        return ray.data.from_arrow(_cc_driver_union_find(state))
     prev_sig = _state_signature(state)
     for _ in range(max_iters):
         parted = state.map_batches(

@@ -2407,3 +2407,33 @@ def test_cm_sketch_properties(ray_session):
     assert (est >= true).all()
     # tiny universe: whp collision-free at width 2048 -> exact
     assert (est == true).all(), (est - true).max()
+
+
+def test_connected_components_gated_paths_identical(ray_session):
+    """driver union-find (default at test scale) and forced label
+    propagation (driver_merge_limit=0) must produce identical labels
+    on an adversarial graph (long chain + star + singleton pairs)."""
+    import ray.data
+
+    from chearch_ray.stages.dedup import connected_components
+
+    # chain 0-1-2-...-30 (diameter stress), star around 100, pairs
+    edges = ([(i, i + 1) for i in range(30)]
+             + [(100, 100 + i) for i in range(1, 8)]
+             + [(500, 501), (600, 601)])
+    t = pa.table({
+        "doc_a": pa.array([a for a, _ in edges], type=pa.uint64()),
+        "doc_b": pa.array([b for _, b in edges], type=pa.uint64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    def collect(out):
+        return (pa.concat_tables(out.iter_batches(batch_size=None,
+                                                  batch_format="pyarrow"))
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    uf = collect(connected_components(ds))
+    lp = collect(connected_components(ds, driver_merge_limit=0))
+    assert uf.equals(lp)
+    assert (uf.loc[uf["doc_id"] <= 30, "keep_id"] == 0).all()
+    assert (uf.loc[(uf["doc_id"] >= 100) & (uf["doc_id"] < 200), "keep_id"] == 100).all()
