@@ -108,6 +108,39 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fsck(args: argparse.Namespace) -> int:
+    """Verify an index directory against its manifest: every postings
+    and docmap part must exist with the recorded sha256 (the lineage
+    contract merge/resume rely on), and the term-stats file must load.
+    Exit 0 = consistent, 1 = corruption/missing parts (listed)."""
+    import os
+
+    from chearch_ray.state.segment import Manifest, file_sha256
+
+    m = Manifest.load(args.index)
+    bad: list[str] = []
+    n_ok = 0
+    for kind, parts in (("postings", m.postings_parts), ("docmap", m.docmap_parts)):
+        for p in parts:
+            full = os.path.join(args.index, p["path"])
+            if not os.path.exists(full):
+                bad.append(f"{kind} {p['path']}: MISSING")
+            elif file_sha256(full) != p["sha"]:
+                bad.append(f"{kind} {p['path']}: sha mismatch")
+            else:
+                n_ok += 1
+    stats = os.path.join(args.index, m.term_stats_path)
+    if not os.path.exists(stats):
+        bad.append(f"stats {m.term_stats_path}: MISSING")
+    else:
+        n_ok += 1
+    for line in bad:
+        print(f"FSCK FAIL {line}")
+    print(f"fsck: {n_ok} parts ok, {len(bad)} bad, "
+          f"{m.num_docs} docs, manifest v{m.version}")
+    return 1 if bad else 0
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     _ensure_ray()
     from chearch_ray.serve import TcpQueryServer, WireEngine
@@ -160,6 +193,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="128 = two-column (hi, lo) external ids with "
                         "segment-local posting ordinals")
     b.set_defaults(fn=cmd_build)
+
+    fs = sub.add_parser("fsck", help="verify index files against manifest shas")
+    fs.add_argument("--index", required=True)
+    fs.set_defaults(fn=cmd_fsck)
 
     mg = sub.add_parser("merge")
     mg.add_argument("--inputs", nargs="+", required=True)

@@ -319,3 +319,35 @@ def test_upsert_byte_identical_to_rebuild(ray_session, built, tmp_path):
     rb = eng_b.search("def return", k=20)
     assert ra["doc_id"].to_pylist() == rb["doc_id"].to_pylist()
     assert ra["score"].to_pylist() == rb["score"].to_pylist()
+
+
+def test_cli_fsck_detects_corruption(ray_session, tmp_path):
+    """`python -m chearch_ray fsck`: exit 0 + all parts ok on a clean
+    index; exit 1 naming the damaged part after a byte flip."""
+    import glob
+    import os
+    import subprocess
+    import sys
+
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.sources.corpus import synthetic_corpus
+
+    idx = str(tmp_path / "fsck")
+    cfg = EngineConfig(num_segments=1, num_term_shards=2)
+    build_index(ray.data.from_arrow(synthetic_corpus(30, seed=42)), idx, cfg)
+    env = dict(os.environ, PYTHONPATH=os.path.join(os.path.dirname(__file__), ".."))
+    r = subprocess.run([sys.executable, "-m", "chearch_ray", "fsck", "--index", idx],
+                       capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "0 bad" in r.stdout
+    f = sorted(glob.glob(f"{idx}/segments/*.parquet"))[0]
+    with open(f, "r+b") as fh:
+        fh.seek(10)
+        fh.write(b"XX")
+    r2 = subprocess.run([sys.executable, "-m", "chearch_ray", "fsck", "--index", idx],
+                        capture_output=True, text=True, env=env)
+    assert r2.returncode == 1
+    assert "sha mismatch" in r2.stdout

@@ -14,6 +14,7 @@ from __future__ import annotations
 import ast
 import glob
 import os
+import re
 
 STAGES_DIR = os.path.join(os.path.dirname(__file__), "..", "chearch_ray", "stages")
 
@@ -79,3 +80,70 @@ def test_whitelist_has_no_stale_entries():
     live = {(f, fn) for f, fn, _, _ in _gather_sites()}
     stale = [k for k in ALLOWED_GATHERS if k not in live]
     assert not stale, f"whitelisted gather sites no longer exist: {stale}"
+
+
+def test_driver_rotation_covers_unchecked_queries():
+    """The driver harness checks the FIRST 50 QUERIES entries; the
+    round-4 rotation must keep every query that has never appeared in
+    a CORRECTNESS_r*.json inside that window (VERDICT r3 #1).  Guards
+    against accidental re-ordering."""
+    import json
+
+    from chearch_ray.pipelines.driver_contract import QUERIES
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    checked: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        checked |= set(json.load(open(f)).keys())
+    names = list(QUERIES)
+    never = [n for n in names if n not in checked]
+    window = set(names[:50])
+    missing = [n for n in never if n not in window]
+    assert not missing, (
+        f"never-driver-checked queries outside the first-50 window: {missing}"
+    )
+
+
+GATHERING_AFTER_COUNT = re.compile(
+    r"if\s+(\w+)\.count\(\)", re.MULTILINE)
+
+
+def test_no_lazy_count_then_reuse():
+    """`if ds.count()` on a LAZY dataset executes the whole plan once
+    for the count and again when the dataset is consumed (the
+    inactive_customers 2x bug).  Every `<name>.count()` call in
+    pipelines/stages must be on a name bound via `.materialize()`
+    in the same file."""
+    base = os.path.join(os.path.dirname(__file__), "..", "chearch_ray")
+    offenders = []
+    for path in sorted(glob.glob(os.path.join(base, "stages", "*.py"))
+                       + glob.glob(os.path.join(base, "pipelines", "*.py"))):
+        tree = ast.parse(open(path).read())
+        materialized: set[str] = set()
+        count_calls: list[tuple[str, int]] = []
+
+        class V(ast.NodeVisitor):
+            def visit_Assign(self, node):
+                v = node.value
+                if (isinstance(v, ast.Call) and isinstance(v.func, ast.Attribute)
+                        and v.func.attr == "materialize"):
+                    for t in node.targets:
+                        if isinstance(t, ast.Name):
+                            materialized.add(t.id)
+                self.generic_visit(node)
+
+            def visit_Call(self, node):
+                f = node.func
+                if (isinstance(f, ast.Attribute) and f.attr == "count"
+                        and isinstance(f.value, ast.Name)):
+                    count_calls.append((f.value.id, node.lineno))
+                self.generic_visit(node)
+
+        V().visit(tree)
+        for name, line in count_calls:
+            if name not in materialized:
+                offenders.append((os.path.basename(path), name, line))
+    assert not offenders, (
+        "count() on a possibly-lazy dataset (double execution): "
+        f"{offenders} — materialize first or whitelist with a reason"
+    )
