@@ -2437,3 +2437,78 @@ def test_connected_components_gated_paths_identical(ray_session):
     assert uf.equals(lp)
     assert (uf.loc[uf["doc_id"] <= 30, "keep_id"] == 0).all()
     assert (uf.loc[(uf["doc_id"] >= 100) & (uf["doc_id"] < 200), "keep_id"] == 100).all()
+
+
+def test_rrf_property_vs_reference():
+    """hypothesis: RRF over random unique-id ranked lists must equal an
+    independent dict-based reference (scores, tie-break, k cap)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chearch_ray.stages.similarity import reciprocal_rank_fusion
+
+    ids = st.lists(st.integers(0, 200), min_size=0, max_size=25, unique=True)
+
+    @settings(max_examples=200, deadline=None)
+    @given(lists=st.lists(ids, min_size=1, max_size=4), k=st.integers(1, 15))
+    def check(lists, k):
+        arrs = [np.array(lst, dtype=np.int64) for lst in lists]
+        got = reciprocal_rank_fusion(arrs, k=k).to_pandas()
+        ref: dict[int, float] = {}
+        for lst in lists:
+            for r0, d in enumerate(lst):
+                ref[d] = ref.get(d, 0.0) + 1.0 / (60 + r0 + 1)
+        order = sorted(ref, key=lambda d: (-ref[d], d))[:k]
+        assert got["doc_id"].tolist() == order
+        assert got["rank"].tolist() == list(range(1, len(order) + 1))
+
+    check()
+
+
+def test_union_find_property_vs_bfs():
+    """hypothesis: the gated driver union-find labels random graphs
+    identically to a plain BFS component search with min-id labels."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chearch_ray.stages.dedup import _cc_driver_union_find
+
+    class FakeState:
+        def __init__(self, table):
+            self._t = table
+
+        def iter_batches(self, batch_size=None, batch_format=None):
+            return [self._t]
+
+    edge = st.tuples(st.integers(0, 60), st.integers(0, 60))
+
+    @settings(max_examples=150, deadline=None)
+    @given(edges=st.lists(edge, min_size=1, max_size=80))
+    def check(edges):
+        t = pa.table({
+            "doc_a": pa.array([a for a, _ in edges], type=pa.uint64()),
+            "doc_b": pa.array([b for _, b in edges], type=pa.uint64()),
+        })
+        got = _cc_driver_union_find(FakeState(t)).to_pandas()
+        # BFS reference
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want: dict[int, int] = {}
+        seen: set[int] = set()
+        for start in sorted(adj):
+            if start in seen:
+                continue
+            comp, frontier = set(), {start}
+            while frontier:
+                comp |= frontier
+                frontier = {n for v in frontier for n in adj[v]} - comp
+            mn = min(comp)
+            for v in comp:
+                want[v] = mn
+            seen |= comp
+        got_map = dict(zip(got["doc_id"].astype(int), got["keep_id"].astype(int)))
+        assert got_map == want
+
+    check()
