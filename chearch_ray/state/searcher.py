@@ -1217,15 +1217,27 @@ class SegmentSearcher:
         anchor = base + pos_a
         lo = np.maximum(anchor + (1 if ordered else -slop), base)
         hi = np.minimum(anchor + slop, base + (stride - 1))
-        left = np.searchsorted(keys_b, lo, side="left")
-        right = np.searchsorted(keys_b, hi, side="right")
+        if m * stride * 4 <= _PHRASE_FLAG_BUDGET_BYTES:
+            # prefix-sum window count (see _near_all_survivor_rows):
+            # count of b-occurrences in [lo, hi] from one cumsum + two
+            # gathers, O(occ) instead of O(anchors log occ)
+            size = m * stride
+            pres = np.zeros(size, dtype=np.int32)
+            pres[keys_b] = 1
+            cum = np.cumsum(pres)
+            n_in = (cum[np.minimum(hi, size - 1)]
+                    - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0))
+        else:
+            left = np.searchsorted(keys_b, lo, side="left")
+            right = np.searchsorted(keys_b, hi, side="right")
+            n_in = right - left
         if term_a == term_b and not ordered:
             # keys_b contains the anchor itself exactly once (same
             # term): "another occurrence within slop" needs >= 2 keys
             # in the window
-            hit = (right - left) >= 2
+            hit = n_in >= 2
         else:
-            hit = left < right
+            hit = n_in > 0
         hitrows = rows_a[hit]
         if len(hitrows) == 0:
             return _EMPTY_I64
@@ -1308,10 +1320,26 @@ class SegmentSearcher:
         anchors = np.concatenate(keys)
         anchor_rows = np.concatenate(rows_l)
         ok = np.ones(len(anchors), dtype=bool)
-        for kt in keys:
-            left = np.searchsorted(kt, anchors, side="left")
-            right = np.searchsorted(kt, anchors + slop, side="right")
-            ok &= left < right
+        if m * stride * 4 <= _PHRASE_FLAG_BUDGET_BYTES:
+            # prefix-sum window check: O(occurrences) scatter + one
+            # cumsum per term, then two gathers per (term, anchor) —
+            # replaces the O(anchors log occ) searchsorted pass, which
+            # dominated the hot 3-term span-near (~28 ms/query at 100k
+            # docs).  stride > max_pos + slop keeps [q, q+slop] inside
+            # its row's block, so no window crosses a row boundary.
+            size = m * stride
+            for kt in keys:
+                pres = np.zeros(size, dtype=np.int32)
+                pres[kt] = 1
+                cum = np.cumsum(pres)
+                hi = cum[np.minimum(anchors + slop, size - 1)]
+                lo = np.where(anchors > 0, cum[np.maximum(anchors - 1, 0)], 0)
+                ok &= (hi - lo) > 0
+        else:
+            for kt in keys:
+                left = np.searchsorted(kt, anchors, side="left")
+                right = np.searchsorted(kt, anchors + slop, side="right")
+                ok &= left < right
         hitrows = anchor_rows[ok]
         if len(hitrows) == 0:
             return _EMPTY_I64
