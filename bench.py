@@ -327,6 +327,38 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     dc.q_ivfpq_refine(sf_dir)
     timings["sf_ivfpq_refine_sec"] = time.perf_counter() - t0
+    # ANN quality/speed tradeoff: recall@10 of pruned IVF (nprobe=4 of
+    # 16 centroids) against brute-force cosine over the sf embeddings
+    try:
+        import numpy as _np
+        import pyarrow.parquet as _pq
+        import pyarrow.compute as _pc
+
+        from chearch_ray.stages.similarity import (ivf_build, ivf_search,
+                                                   knn_brute_force)
+
+        _emb = os.path.join(sf_dir, "embeddings.parquet")
+        _first = _pq.read_table(_emb, columns=["vec_id", "embedding"])
+        _qids = [0, 7, 21, 33, 40]
+        _qmat = np.asarray(
+            [_first.filter(_pc.equal(_first["vec_id"], q))["embedding"][0].as_py()
+             for q in _qids], dtype=np.float64)
+        _ds = ray.data.read_parquet(_emb, columns=["vec_id", "embedding"])
+        _cent, _asg = ivf_build(_ds, n_centroids=16, sample_size=2048)
+        _asg = _asg.materialize()
+        t0 = time.perf_counter()
+        _appr = ivf_search(_asg, _cent, _qmat, k=10, nprobe=4)
+        timings["ivf_nprobe4_search_sec"] = time.perf_counter() - t0
+        _hits = 0
+        for _qi, _qid in enumerate(_qids):
+            _true = set(
+                knn_brute_force(_ds, _qmat[_qi:_qi + 1], k=10)["vec_id"].to_pylist())
+            _got = set(
+                _appr.filter(_pc.equal(_appr["query_id"], _qi))["vec_id"].to_pylist())
+            _hits += len(_true & _got)
+        timings["ivf_nprobe4_recall_at10"] = _hits / (10 * len(_qids))
+    except Exception as exc:  # recall row must never sink the bench
+        print(f"ivf recall row skipped: {exc}", file=sys.stderr)
     t0 = time.perf_counter()
     dc.q_suggest_indexed(sf_dir)
     timings["sf_suggest_index_sec"] = time.perf_counter() - t0
@@ -354,6 +386,13 @@ def run_bench() -> dict:
     dc.q_order_priority(sf_dir)
     dc.q_inactive_customers(sf_dir)
     timings["sf_semijoin_sec"] = time.perf_counter() - t0
+    # round-4 additions: RRF hybrid retrieval, boilerplate line dedup,
+    # Count-Min point queries
+    t0 = time.perf_counter()
+    dc.q_hybrid_rrf(sf_dir)
+    dc.q_line_dedup(sf_dir)
+    dc.q_cm_counts(sf_dir)
+    timings["sf_round4_ops_sec"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     dc.q_quality_gate(sf_dir)
     dc.q_top_quality_per_lang(sf_dir)
