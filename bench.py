@@ -340,9 +340,9 @@ def run_bench() -> dict:
         _emb = os.path.join(sf_dir, "embeddings.parquet")
         _first = _pq.read_table(_emb, columns=["vec_id", "embedding"])
         _qids = [0, 7, 21, 33, 40]
-        _qmat = np.asarray(
+        _qmat = _np.asarray(
             [_first.filter(_pc.equal(_first["vec_id"], q))["embedding"][0].as_py()
-             for q in _qids], dtype=np.float64)
+             for q in _qids], dtype=_np.float64)
         _ds = ray.data.read_parquet(_emb, columns=["vec_id", "embedding"])
         _cent, _asg = ivf_build(_ds, n_centroids=16, sample_size=2048)
         _asg = _asg.materialize()
