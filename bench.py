@@ -75,7 +75,7 @@ def run_bench() -> dict:
             while f.read(1 << 22):
                 pass
 
-    cfg = EngineConfig(num_segments=4, num_term_shards=16, tokenize_batch_size=256)
+    cfg = EngineConfig(num_segments=4, num_term_shards=16, tokenize_batch_size=1024)
     index_dir = os.path.join(INDEX_BASE, f"chearch_bench_index_{num_cpus}_{BENCH_DOCS}_{os.getpid()}")
 
     t0 = time.perf_counter()
