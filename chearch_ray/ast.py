@@ -77,7 +77,24 @@ class Fuzzy:
     dist: int = 1
 
 
-Node = Union[Term, And, Or, AndNot, Prefix, Fuzzy]
+@dataclass(frozen=True)
+class Phrase:
+    """Exact-phrase leaf inside a boolean tree (engine extension,
+    §2.10 — absent from the reference's CHASM opcode set, so it never
+    appears on the wire).  Produced by the query-string grammar
+    (`"hash join"` in functions/queryparse.py); QueryEngine evaluates
+    it set-algebraically at the engine level (the COMPLETE phrase doc
+    set via the positional verify path), so segment searchers never
+    see Phrase nodes.  Boolean-only — ranked phrase search stays
+    `search_phrase`."""
+
+    terms: tuple
+
+    def __post_init__(self):  # tolerate list input from parsers
+        object.__setattr__(self, "terms", tuple(self.terms))
+
+
+Node = Union[Term, And, Or, AndNot, Prefix, Fuzzy, Phrase]
 
 
 def terms_of(node: Node) -> list[TermT]:

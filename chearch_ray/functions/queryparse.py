@@ -1,0 +1,219 @@
+"""Lucene-style query-string grammar -> engine AST.
+
+The reference's only query surface is programmatic CHASM bytecode
+construction (chasm.chpl:10-13: HALT/PUSH/AND/OR postfix) — there is
+no textual query language.  This module is the §2.10 extension that
+gives users one, layered strictly ON TOP of the existing AST: the
+parser emits the same `chearch_ray.ast` nodes the engine already
+plans, so everything downstream (CHASM round-trip for pure boolean
+trees, skip-block lazy evaluation, prefix/fuzzy expansion) is reused
+unchanged.
+
+Grammar (recursive descent; UPPERCASE keywords are operators,
+anything else is a term — the Lucene convention, so `and` the word is
+searchable):
+
+    query    := or_expr
+    or_expr  := and_expr ( OR and_expr )*
+    and_expr := unary ( [AND] unary )*        # juxtaposition = AND
+    unary    := (NOT | '-') unary | atom
+    atom     := '(' or_expr ')' | '"' words '"' | term
+    term     := word | word'*' | word'~'[12]  # prefix / fuzzy leaves
+
+Semantics notes:
+
+* Negation is positive-anchored (`ast.AndNot`, the engine's
+  evaluation never materializes a complement), so NOT factors are
+  only legal inside a conjunction that has at least one positive
+  factor: `a AND NOT b` parses, `NOT b` and `a OR NOT b` raise.
+  Double negation cancels (`NOT NOT a` == `a`).
+* `"quoted words"` is an exact-phrase leaf (`ast.Phrase`) — legal in
+  boolean context only (QueryEngine.search_boolean); the BM25 path
+  rejects it (ranked phrase search remains `search_phrase`).
+* Precedence: NOT > AND (and juxtaposition) > OR, i.e.
+  `a OR b AND c` == `a OR (b AND c)` — the Lucene/SQL convention.
+* Terms are lowercased through the same leaf rules as the flat
+  parser (engine.parse_query): trailing `*` = prefix, `~1`/`~2` =
+  fuzzy.  Phrase words are split by the index tokenizer's regex so a
+  quoted phrase matches exactly what the positional index stored.
+"""
+
+from __future__ import annotations
+
+import re
+
+from chearch_ray import ast
+
+#: one token: parenthesis, quoted phrase, or a bare word (anything up
+#: to whitespace / paren / quote — leaf rules refine it afterwards)
+_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|[^\s()"]+')
+
+#: keeps [a-z0-9_] runs — MUST match functions.tokenizer
+#: DEFAULT_SPLIT_REGEX so phrase words align with stored positions
+_WORD_RE = re.compile(r"[a-z0-9_]+")
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _leaf(tok: str) -> ast.Node:
+    """Bare-word leaf: same rules as the flat parser
+    (engine.parse_query) — trailing `*` prefix, `~1`/`~2` fuzzy."""
+    t = tok.lower()
+    if len(t) > 1 and t.endswith("*") and "*" not in t[:-1]:
+        return ast.Prefix(t[:-1])
+    if len(t) > 2 and t[-2] == "~" and t[-1] in "12" and "~" not in t[:-2]:
+        return ast.Fuzzy(t[:-2], int(t[-1]))
+    if not _WORD_RE.fullmatch(t):
+        raise QueryParseError(f"cannot tokenize query term {tok!r}")
+    return ast.Term(t)
+
+
+class _Neg:
+    """Parse-time negation wrapper, resolved at the conjunction
+    level (never escapes the parser)."""
+
+    __slots__ = ("node",)
+
+    def __init__(self, node):
+        self.node = node
+
+
+class _Parser:
+    def __init__(self, query: str):
+        self.toks = _TOKEN_RE.findall(query)
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    # query := or_expr EOF
+    def parse(self) -> ast.Node:
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise QueryParseError(f"unexpected {self.peek()!r} after query")
+        if isinstance(node, _Neg):
+            raise QueryParseError(
+                "pure negation is an unbounded complement and cannot be "
+                "evaluated — anchor it: `positive AND NOT negative`"
+            )
+        return node
+
+    # or_expr := and_expr (OR and_expr)*
+    def or_expr(self) -> ast.Node | _Neg:
+        node = self.and_expr()
+        while self.peek() == "OR":
+            self.next()
+            rhs = self.and_expr()
+            if isinstance(node, _Neg) or isinstance(rhs, _Neg):
+                raise QueryParseError(
+                    "NOT under OR is an unbounded complement — rewrite as "
+                    "`a AND NOT b` (negation must anchor to a conjunction)"
+                )
+            node = ast.Or(node, rhs)
+        return node
+
+    # and_expr := unary ([AND] unary)* — juxtaposition = AND
+    def and_expr(self) -> ast.Node | _Neg:
+        factors = [self.unary()]
+        while True:
+            tok = self.peek()
+            if tok == "AND":
+                self.next()
+                factors.append(self.unary())
+            elif tok is not None and tok not in (")", "OR"):
+                factors.append(self.unary())
+            else:
+                break
+        pos = [f for f in factors if not isinstance(f, _Neg)]
+        neg = [f.node for f in factors if isinstance(f, _Neg)]
+        if not pos:
+            if len(factors) == 1:
+                return factors[0]  # bare _Neg — or_expr/parse rejects it
+            raise QueryParseError(
+                "conjunction of pure negations is an unbounded complement "
+                "— include at least one positive factor"
+            )
+        node = pos[0]
+        for f in pos[1:]:
+            node = ast.And(node, f)
+        if neg:
+            n = neg[0]
+            for f in neg[1:]:
+                n = ast.Or(n, f)
+            node = ast.AndNot(node, n)
+        return node
+
+    # unary := (NOT | '-') unary | atom
+    def unary(self) -> ast.Node | _Neg:
+        tok = self.peek()
+        if tok == "NOT":
+            self.next()
+            inner = self.unary()
+            return inner.node if isinstance(inner, _Neg) else _Neg(inner)
+        if tok is not None and len(tok) > 1 and tok[0] == "-" and tok not in ("(", ")"):
+            # `-term` sugar == NOT term (flat-parser continuity)
+            self.next()
+            return _Neg(_leaf(tok[1:]))
+        return self.atom()
+
+    # atom := '(' or_expr ')' | phrase | term
+    def atom(self) -> ast.Node | _Neg:
+        tok = self.peek()
+        if tok is None:
+            raise QueryParseError("unexpected end of query")
+        if tok == "(":
+            self.next()
+            node = self.or_expr()
+            if self.peek() != ")":
+                raise QueryParseError("unbalanced '(' in query")
+            self.next()
+            return node
+        if tok == ")":
+            raise QueryParseError("unbalanced ')' in query")
+        if tok.startswith('"'):
+            self.next()
+            words = _WORD_RE.findall(tok[1:-1].lower())
+            if not words:
+                raise QueryParseError("empty phrase in query")
+            if len(words) == 1:  # one-word phrase == plain term
+                return ast.Term(words[0])
+            return ast.Phrase(tuple(words))
+        self.next()
+        if tok in ("AND", "OR"):
+            raise QueryParseError(f"operator {tok} is missing an operand")
+        return _leaf(tok)
+
+
+def parse(query: str) -> ast.Node:
+    """Parse a grammar query string into an engine AST."""
+    if not query or not query.strip():
+        raise QueryParseError("empty query")
+    if '"' in query and query.count('"') % 2:
+        raise QueryParseError("unbalanced '\"' in query")
+    return _Parser(query).parse()
+
+
+def is_grammar_query(query: str) -> bool:
+    """True when the string uses grammar syntax the flat parser
+    (engine.parse_query) cannot express: parens, quoted phrases, or
+    UPPERCASE boolean keywords.  Legacy flat strings (lowercased
+    terms, `-neg`, `pre*`, `t~1`) return False, so routing on this
+    predicate changes no existing query's meaning."""
+    if "(" in query or ")" in query or '"' in query:
+        return True
+    return any(t in ("AND", "OR", "NOT") for t in query.split())
+
+
+def contains_phrase(node: ast.Node) -> bool:
+    if isinstance(node, ast.Phrase):
+        return True
+    if isinstance(node, (ast.And, ast.Or, ast.AndNot)):
+        return contains_phrase(node.a) or contains_phrase(node.b)
+    return False

@@ -411,6 +411,20 @@ def q_phrase(sf_dir: str) -> pa.Table:
     return _ranked(engine_for(sf_dir).search_phrase(" ".join(PHRASE_TERMS), k=10))
 
 
+#: grammar query string (functions/queryparse.py): parens override
+#: the OR<AND precedence, a quoted phrase is an exact-positional
+#: boolean leaf, NOT anchors to the conjunction — one row exercising
+#: the recursive-descent parser AND the engine's phrase-in-boolean
+#: set-algebra path end-to-end.  The SQL mirror composes the same
+#: set ops over the shared tokenization CTEs.
+PARSED_QUERY = '(merge OR sort) AND "table hash" AND NOT stream'
+
+
+def q_parsed_query(sf_dir: str) -> pa.Table:
+    t = engine_for(sf_dir).search_boolean(PARSED_QUERY)
+    return pa.table({"doc_id": t["doc_id"].cast(pa.int64())})
+
+
 #: proximity query parameters — common corpus terms so both rows are
 #: non-empty at every sf
 NEAR_TERMS = ("sort", "merge")
@@ -1696,6 +1710,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "line_dedup": q_line_dedup,
     "cm_counts": q_cm_counts,
+    "parsed_query": q_parsed_query,
     "decontaminate": q_decontaminate,
     "substring_dedup": q_substring_dedup,
     "hash_split": q_hash_split,
@@ -2153,6 +2168,20 @@ SELECT doc_id FROM tok WHERE term = '__never_present__'
         cand_sql=_phrase_cand_sql(PHRASE_TERMS),
         extra_ctes=POS_TOK_CTE,
     ),
+    # mirrors PARSED_QUERY = '(merge OR sort) AND "table hash" AND NOT
+    # stream' — same set ops over the shared positional tokenization
+    "parsed_query": f"""
+WITH {POS_TOK_CTE}
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id FROM (
+    SELECT DISTINCT doc_id FROM ptok WHERE term IN ('merge', 'sort')
+    INTERSECT
+    {_phrase_cand_sql(("table", "hash"))}
+  )
+  EXCEPT
+  SELECT DISTINCT doc_id FROM ptok WHERE term = 'stream'
+)
+""",
     "near": _bm25_sql(
         NEAR_TERMS,
         "near",

@@ -43,10 +43,19 @@ def _merge_tie_key(merged: "pa.Table"):
 
 
 def parse_query(query: str | ast.Node, default_op: str = "or") -> ast.Node:
-    """whitespace-separated terms -> left-deep Or/And tree (terms are
-    lowercased to match the tokenizer)."""
+    """Query string -> AST.  Grammar syntax (parens, quoted phrases,
+    UPPERCASE AND/OR/NOT — functions/queryparse.py) routes to the
+    recursive-descent parser; anything else is the legacy flat form:
+    whitespace-separated terms -> left-deep Or/And tree (terms are
+    lowercased to match the tokenizer), `-term` negation, `pre*`
+    prefix, `term~d` fuzzy.  The routing predicate matches nothing a
+    flat query can contain, so existing strings keep their meaning."""
     if not isinstance(query, str):
         return query
+    from chearch_ray.functions import queryparse
+
+    if queryparse.is_grammar_query(query):
+        return queryparse.parse(query)
     raw = [t for t in query.lower().split() if t]
     if not raw:
         raise ValueError("empty query")
@@ -256,6 +265,15 @@ class QueryEngine:
         conjunction; inside Or it yields the other side."""
         if isinstance(node, ast.Term):
             return node
+        if isinstance(node, ast.Phrase):
+            # boolean-only leaf: search_boolean intercepts Phrase trees
+            # BEFORE planning (set-algebra path), so reaching _rewrite
+            # means a ranked/BM25 entry point got one
+            raise ValueError(
+                'phrase leaves ("...") are boolean-only — use '
+                "search_boolean for boolean phrase filters or "
+                "search_phrase for ranked phrase retrieval"
+            )
         if isinstance(node, (ast.Prefix, ast.Fuzzy)):
             if isinstance(node, ast.Prefix):
                 terms = self.expand_prefix(node.prefix)
@@ -369,8 +387,17 @@ class QueryEngine:
         uncapped match set — analytics like significant_terms need the
         FULL foreground, not a result window).  `with_meta=False`
         skips the metadata-column projection (id-only results — the
-        wire handler's path).  `filter` as in `search`."""
-        node = self._plan(parse_query(query, default_op))
+        wire handler's path).  `filter` as in `search`.
+
+        Phrase-bearing trees (from the grammar parser's `"..."`
+        leaves) evaluate set-algebraically at the engine level over
+        COMPLETE subtree doc sets — see _boolean_with_phrases."""
+        parsed = parse_query(query, default_op)
+        from chearch_ray.functions.queryparse import contains_phrase
+
+        if contains_phrase(parsed):
+            return self._boolean_with_phrases(parsed, filter=filter, limit=limit)
+        node = self._plan(parsed)
         if self.use_actors:
             import ray
 
@@ -392,6 +419,70 @@ class QueryEngine:
             return merged
         order = np.argsort(_merge_tie_key(merged), kind="stable")
         return merged.take(pa.array(order, type=pa.int64()))
+
+    # ------------------------------------------- phrase-in-boolean
+    def _id_columns(self) -> list[str]:
+        return (["doc_id_hi", "doc_id"] if self.cfg.doc_id_bits == 128
+                else ["doc_id"])
+
+    def _boolean_with_phrases(self, node: ast.Node, filter=None,
+                              limit: int | None = None) -> pa.Table:
+        """Boolean tree with Phrase leaves, evaluated set-algebraically
+        at the engine: maximal phrase-free subtrees run through the
+        normal (skip-block lazy) boolean path UNCAPPED, phrase leaves
+        through the positional verify path uncapped, and And/Or/AndNot
+        above them combine sorted doc-key arrays with vectorized set
+        ops.  Uncapped subtree sets are required for soundness — a
+        result-window cap on either side of an AndNot/And would make
+        the algebra wrong — so `limit` applies to the FINAL set only
+        (ascending-id prefix).  Results are id-only (no metadata
+        projection).  State is bounded by the matching doc sets, the
+        same bound search_boolean(limit=None-cap-override) already has.
+        """
+        if filter is not None:
+            raise NotImplementedError(
+                "metadata filters with phrase leaves are not supported — "
+                "apply the filter to the phrase-free part via "
+                "search_boolean(filter=...) and intersect"
+            )
+        uncap = int(self.n_docs) + 1
+        cols = self._id_columns()
+
+        def ids_of(t: pa.Table) -> pa.Table:
+            return t.select(cols)
+
+        def eval_node(n: ast.Node) -> tuple[np.ndarray, pa.Table]:
+            from chearch_ray.functions.queryparse import contains_phrase
+
+            if isinstance(n, ast.Phrase):
+                t = ids_of(self.search_phrase(list(n.terms), k=uncap))
+            elif not contains_phrase(n):
+                t = ids_of(self.search_boolean(n, limit=uncap, with_meta=False))
+            else:
+                ka, ta = eval_node(n.a)
+                kb, tb = eval_node(n.b)
+                if isinstance(n, ast.And):
+                    m = np.isin(ka, kb)
+                    return ka[m], ta.take(pa.array(np.nonzero(m)[0], type=pa.int64()))
+                if isinstance(n, ast.AndNot):
+                    m = ~np.isin(ka, kb)
+                    return ka[m], ta.take(pa.array(np.nonzero(m)[0], type=pa.int64()))
+                # Or: a, plus b-rows not in a, re-sorted
+                m = ~np.isin(kb, ka)
+                keys = np.concatenate([ka, kb[m]])
+                tab = pa.concat_tables(
+                    [ta, tb.take(pa.array(np.nonzero(m)[0], type=pa.int64()))]
+                )
+                order = np.argsort(keys, kind="stable")
+                return keys[order], tab.take(pa.array(order, type=pa.int64()))
+            keys = _merge_tie_key(t)
+            order = np.argsort(keys, kind="stable")
+            return keys[order], t.take(pa.array(order, type=pa.int64()))
+
+        _, out = eval_node(node)
+        if limit is not None and len(out) > limit:
+            out = out.slice(0, limit)
+        return out
 
     def close(self) -> None:
         if self.use_actors:

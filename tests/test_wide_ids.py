@@ -399,3 +399,16 @@ def test_wide_mode_near_parity(engines):
     assert a64["doc_id"].to_pylist() == a128["doc_id"].to_pylist()
     assert a64["score"].to_pylist() == a128["score"].to_pylist()
     assert set(a128["doc_id_hi"].to_pylist()) <= {0}
+
+
+def test_wide_mode_phrase_boolean_parity(engines):
+    """grammar phrase-in-boolean set algebra in doc_id_bits=128 mode:
+    the S16 (hi, lo) key path must produce the same sets as 64-bit."""
+    e64, e128 = engines
+    for q in ('"def return" AND class', 'def AND NOT "def return"',
+              '"def return" OR "def if"'):
+        b64 = e64.search_boolean(q)
+        b128 = e128.search_boolean(q)
+        assert b64["doc_id"].to_pylist() == b128["doc_id"].to_pylist(), q
+        assert set(b128["doc_id_hi"].to_pylist()) <= {0}
+        assert len(b64) > 0, q
