@@ -21,6 +21,7 @@ from functools import partial
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from chearch_ray.stages.events import _round_half_away
 from chearch_ray.stages.partition import (datasets_size_bytes,
@@ -564,3 +565,345 @@ def inactive_customer_segments(customer_ds, orders_ds,
                          "acctbal_cents": pa.array([], type=pa.int64())})
     return pa.concat_tables(parts)
 
+
+
+# ------------------------------------------------------------- Q5 shape
+def _date_range_orders(batch: pa.Table, d1_us: int, d2_us: int) -> pa.Table:
+    od = batch["o_orderdate"]
+    if isinstance(od, pa.ChunkedArray):
+        od = od.combine_chunks()
+    us = np.asarray(od.cast(pa.int64()))
+    b = batch.filter(pa.array((us >= d1_us) & (us < d2_us)))
+    return pa.table(
+        {
+            "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+            "o_custkey": b["o_custkey"].cast(pa.int64()),
+        }
+    )
+
+
+def _rev_cents_partial(batch: pa.Table, key_col: str, out_key: str) -> pa.Table:
+    """(key, rev_cents) per-block partial: integer-cent revenue
+    `round(extendedprice * (1-discount) * 100)` grouped by key — the
+    join/merge moves one row per (block, key), never one per lineitem."""
+    price = batch["l_extendedprice"].to_numpy().astype(np.float64)
+    disc = batch["l_discount"].to_numpy().astype(np.float64)
+    t = pa.table(
+        {
+            out_key: batch[key_col].cast(pa.int64()),
+            "rev_cents": pa.array(
+                _round_half_away(price * (1.0 - disc) * 100), type=pa.int64()
+            ),
+        }
+    )
+    agg = t.group_by(out_key, use_threads=False).aggregate([("rev_cents", "sum")])
+    return agg.rename_columns([out_key, "rev_cents"])
+
+
+def local_supplier_volume(lineitem_ds, orders_ds, customer_ds, supplier_ds,
+                          nation_table: pa.Table, region_table: pa.Table,
+                          region: str = "ASIA", d1: str = "1996-01-01",
+                          d2: str = "1997-01-01",
+                          join_partitions: int | None = None) -> pa.Table:
+    """TPC-H Q5 shape: revenue per nation from lineitems whose customer
+    and supplier share a nation inside `region`, orders within [d1,d2)
+    -> (n_name, revenue_cents), revenue desc then n_name asc.
+
+    Scale shape: region⨝nation is driver algebra (<=25+5 rows);
+    customer and supplier are unique-key DIMENSION sides riding the
+    gated broadcast_lookup_join; the one big-big edge
+    (lineitem ⨝ orders) carries a date-filtered (o_orderkey,
+    c_nationkey) right side, and rows leave each lineitem block
+    pre-reduced to (nationkey, cents) partials (<=|nations| rows per
+    block) before the gated rollup merge."""
+    from chearch_ray.stages.joins import broadcast_lookup_join
+
+    rk = region_table.filter(
+        pc.equal(region_table["r_name"], region)
+    )["r_regionkey"].to_numpy().astype(np.int64)
+    nat = nation_table.filter(
+        pa.array(np.isin(nation_table["n_regionkey"].to_numpy().astype(np.int64), rk))
+    )
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(nkeys)
+    nkeys = nkeys[order]
+    nnames = (nat["n_name"].combine_chunks()
+              if isinstance(nat["n_name"], pa.ChunkedArray) else nat["n_name"]
+              ).take(pa.array(order, type=pa.int64()))
+
+    d1_us = int(np.datetime64(d1, "us").astype(np.int64))
+    d2_us = int(np.datetime64(d2, "us").astype(np.int64))
+    orders_f = orders_ds.map_batches(
+        partial(_date_range_orders, d1_us=d1_us, d2_us=d2_us),
+        batch_format="pyarrow",
+    )
+    cust = customer_ds.map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"].cast(pa.int64()),
+                            "c_nationkey": b["c_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    orders_n = broadcast_lookup_join(
+        orders_f, cust, on="o_custkey", right_on="c_custkey",
+        payload=["c_nationkey"], n_partitions=join_partitions,
+    )
+
+    def in_region(b: pa.Table, keys=nkeys) -> pa.Table:
+        # prune to in-region customers BEFORE the lineitem edge
+        m = np.isin(b["c_nationkey"].to_numpy(), keys)
+        b = b.filter(pa.array(m))
+        return b.select(["o_orderkey", "c_nationkey"])
+
+    orders_n = orders_n.map_batches(in_region, batch_format="pyarrow")
+
+    line = lineitem_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "l_suppkey": b["l_suppkey"].cast(pa.int64()),
+                "l_extendedprice": b["l_extendedprice"],
+                "l_discount": b["l_discount"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    l2 = broadcast_lookup_join(
+        line, orders_n, on="l_orderkey", right_on="o_orderkey",
+        payload=["c_nationkey"], n_partitions=join_partitions,
+    )
+    supp = supplier_ds.map_batches(
+        lambda b: pa.table({"s_suppkey": b["s_suppkey"].cast(pa.int64()),
+                            "s_nationkey": b["s_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    l3 = broadcast_lookup_join(
+        l2, supp, on="l_suppkey", right_on="s_suppkey",
+        payload=["s_nationkey"], n_partitions=join_partitions,
+    )
+
+    def same_nation_partial(b: pa.Table) -> pa.Table:
+        m = b["c_nationkey"].to_numpy() == b["s_nationkey"].to_numpy()
+        b = b.filter(pa.array(m))
+        return _rev_cents_partial(b, "s_nationkey", "nationkey")
+
+    partials = l3.map_batches(same_nation_partial, batch_format="pyarrow")
+    merged = _gated_group_sum(partials, ["nationkey"], ["rev_cents"])
+    # attach names driver-side (<=25 rows) and order (revenue desc, name asc)
+    k = merged["nationkey"].to_numpy().astype(np.int64)
+    pos = np.searchsorted(nkeys, k)
+    out = pa.table(
+        {
+            "n_name": nnames.take(pa.array(pos, type=pa.int64())),
+            "revenue_cents": merged["rev_cents"].cast(pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("revenue_cents", "descending"), ("n_name", "ascending")]
+    ))
+
+
+# ------------------------------------------------------------ Q10 shape
+def returned_item_revenue(lineitem_ds, orders_ds, customer_ds,
+                          nation_table: pa.Table, d1: str = "1996-10-01",
+                          d2: str = "1997-01-01", k: int = 20,
+                          join_partitions: int | None = None) -> pa.Table:
+    """TPC-H Q10 shape: top-k customers by revenue from RETURNED items
+    (l_returnflag='R') on orders within [d1,d2) -> (c_custkey, c_name,
+    revenue_cents, acctbal_cents, n_name), revenue desc then custkey.
+
+    Scale shape: lineitem reduces per block to (orderkey, cents)
+    partials before the gated join against date-filtered orders; the
+    per-customer rollup merges gated (<= |customers| rows); only the
+    k winners' customer rows are fetched (bounded k-row gather) and
+    nation attaches driver-side from the 25-row table."""
+    from chearch_ray.stages.joins import broadcast_lookup_join
+
+    d1_us = int(np.datetime64(d1, "us").astype(np.int64))
+    d2_us = int(np.datetime64(d2, "us").astype(np.int64))
+    orders_f = orders_ds.map_batches(
+        partial(_date_range_orders, d1_us=d1_us, d2_us=d2_us),
+        batch_format="pyarrow",
+    )
+
+    def returned_partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["l_returnflag"], "R")
+        return _rev_cents_partial(b.filter(m), "l_orderkey", "l_orderkey")
+
+    line = lineitem_ds.map_batches(returned_partial, batch_format="pyarrow")
+    l2 = broadcast_lookup_join(
+        line, orders_f, on="l_orderkey", right_on="o_orderkey",
+        payload=["o_custkey"], n_partitions=join_partitions,
+    )
+
+    def per_cust_partial(b: pa.Table) -> pa.Table:
+        agg = b.select(["o_custkey", "rev_cents"]).group_by(
+            "o_custkey", use_threads=False
+        ).aggregate([("rev_cents", "sum")])
+        return agg.rename_columns(["o_custkey", "rev_cents"])
+
+    partials = l2.map_batches(per_cust_partial, batch_format="pyarrow")
+    merged = _gated_group_sum(partials, ["o_custkey"], ["rev_cents"])
+    order = pc.sort_indices(
+        merged, sort_keys=[("rev_cents", "descending"), ("o_custkey", "ascending")]
+    )
+    top = merged.take(order[:k])
+    winners = top["o_custkey"].to_numpy().astype(np.int64)
+
+    # bounded gather: exactly the k winners' customer rows
+    def winner_rows(b: pa.Table, keys=winners) -> pa.Table:
+        m = np.isin(b["c_custkey"].to_numpy().astype(np.int64), keys)
+        b = b.filter(pa.array(m))
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"].cast(pa.int64()),
+                "c_name": b["c_name"],
+                "c_acctbal": b["c_acctbal"],
+                "c_nationkey": b["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    parts = [t for t in customer_ds.map_batches(winner_rows, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow") if len(t)]
+    cust = (pa.concat_tables(parts).combine_chunks() if parts
+            else pa.table({"c_custkey": pa.array([], pa.int64()),
+                           "c_name": pa.array([], pa.string()),
+                           "c_acctbal": pa.array([], pa.float64()),
+                           "c_nationkey": pa.array([], pa.int64())}))
+    ckeys = cust["c_custkey"].to_numpy().astype(np.int64)
+    corder = np.argsort(ckeys)
+    pos = corder[np.searchsorted(ckeys[corder], winners)]
+    cust = cust.take(pa.array(pos, type=pa.int64()))
+
+    nkeys = nation_table["n_nationkey"].to_numpy().astype(np.int64)
+    norder = np.argsort(nkeys)
+    nnames = (nation_table["n_name"].combine_chunks()
+              if isinstance(nation_table["n_name"], pa.ChunkedArray)
+              else nation_table["n_name"])
+    npos = norder[np.searchsorted(
+        nkeys[norder], cust["c_nationkey"].to_numpy().astype(np.int64)
+    )]
+    return pa.table(
+        {
+            "c_custkey": top["o_custkey"].cast(pa.int64()),
+            "c_name": cust["c_name"],
+            "revenue_cents": top["rev_cents"].cast(pa.int64()),
+            "acctbal_cents": pa.array(
+                _cents(cust["c_acctbal"].to_numpy().astype(np.float64)),
+                type=pa.int64(),
+            ),
+            "n_name": nnames.take(pa.array(npos, type=pa.int64())),
+        }
+    )
+
+
+# ------------------------------------------------------------ Q14 shape
+def promo_revenue(lineitem_ds, part_ds, d1: str = "1996-09-01",
+                  d2: str = "1996-10-01",
+                  join_partitions: int | None = None) -> pa.Table:
+    """TPC-H Q14 shape: share of revenue from promotional parts over
+    lineitems shipped within [d1,d2) -> ONE row (promo_cents,
+    total_cents, promo_pct).  Integer-cent sums keep the row exact;
+    promo_pct is the single float division 100*promo/total of the two
+    exact int64s, so the SQL mirror is bit-identical.
+
+    Scale shape: part is a unique-key dimension riding the gated
+    broadcast_lookup_join; each joined block reduces to ONE (promo,
+    total) partial row, merged by the Q6-style bounded driver sum."""
+    from chearch_ray.stages.joins import broadcast_lookup_join
+
+    d1_us = int(np.datetime64(d1, "us").astype(np.int64))
+    d2_us = int(np.datetime64(d2, "us").astype(np.int64))
+
+    def ship_window(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"]
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        us = np.asarray(ship.cast(pa.int64()))
+        b = b.filter(pa.array((us >= d1_us) & (us < d2_us)))
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"].cast(pa.int64()),
+                "l_extendedprice": b["l_extendedprice"],
+                "l_discount": b["l_discount"],
+            }
+        )
+
+    line = lineitem_ds.map_batches(ship_window, batch_format="pyarrow")
+    part_proj = part_ds.map_batches(
+        lambda b: pa.table({"p_partkey": b["p_partkey"].cast(pa.int64()),
+                            "p_type": b["p_type"]}),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_lookup_join(
+        line, part_proj, on="l_partkey", right_on="p_partkey",
+        payload=["p_type"], n_partitions=join_partitions,
+    )
+
+    def promo_partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy().astype(np.float64)
+        disc = b["l_discount"].to_numpy().astype(np.float64)
+        cents = _round_half_away(price * (1.0 - disc) * 100)
+        promo = np.asarray(pc.equal(b["p_type"], "PROMO"))
+        return pa.table(
+            {
+                "promo_cents": pa.array([int(cents[promo].sum())], type=pa.int64()),
+                "total_cents": pa.array([int(cents.sum())], type=pa.int64()),
+            }
+        )
+
+    partials = joined.map_batches(promo_partial, batch_format="pyarrow")
+    promo = total = 0
+    # Q6-style bounded driver merge: one 2-int row per block
+    for t in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(t):
+            promo += int(np.sum(t["promo_cents"].to_numpy()))
+            total += int(np.sum(t["total_cents"].to_numpy()))
+    pct = 100.0 * promo / total if total else 0.0
+    return pa.table(
+        {
+            "promo_cents": pa.array([promo], type=pa.int64()),
+            "total_cents": pa.array([total], type=pa.int64()),
+            "promo_pct": pa.array([pct], type=pa.float64()),
+        }
+    )
+
+
+# ----------------------------------------------------------- rollup
+def rollup_counts(ds, keys: list[str], sum_columns: list[str] | None = None,
+                  sentinel: str = "ALL") -> pa.Table:
+    """Multi-level aggregate (SQL GROUP BY ROLLUP): counts + sums at
+    every prefix level of `keys`, subtotal rows carrying `sentinel`
+    in the rolled-up key columns (callers must pick a sentinel absent
+    from the data; the key columns must be strings).
+
+    Scale shape: each block emits its partials for ALL len(keys)+1
+    levels at once (<= (levels * |groups|) rows per block — the
+    grand-total level is ONE row), then one gated rollup merge; no
+    per-level re-scan of the input and never an exchange per level."""
+    sums = list(sum_columns or [])
+
+    def level_partials(b: pa.Table) -> pa.Table:
+        cols = {k: b[k] for k in keys}
+        cols["n_rows"] = pa.array(np.ones(len(b), dtype=np.int64))
+        for c in sums:
+            cols[c] = b[c].cast(pa.int64())
+        base = pa.table(cols)
+        out = []
+        for level in range(len(keys), -1, -1):
+            t = base
+            for k in keys[level:]:
+                t = t.set_column(
+                    t.schema.get_field_index(k), k,
+                    pa.array(np.full(len(t), sentinel, dtype=object),
+                             type=pa.string()),
+                )
+            agg = t.group_by(keys, use_threads=False).aggregate(
+                [("n_rows", "sum")] + [(c, "sum") for c in sums]
+            )
+            out.append(agg.rename_columns(keys + ["n_rows"] + sums))
+        return pa.concat_tables(out)
+
+    partials = ds.map_batches(level_partials, batch_format="pyarrow")
+    merged = _gated_group_sum(partials, keys, ["n_rows"] + sums)
+    return merged.take(pc.sort_indices(
+        merged, sort_keys=[(k, "ascending") for k in keys]
+    ))

@@ -1057,6 +1057,138 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pricing_summary(ds).to_pandas(), preserve_index=False)
 
 
+#: directed containment threshold — one-sided near-dup (excerpt /
+#: boilerplate-block) detection the symmetric Jaccard row misses
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def q_containment_pairs(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.dedup import containment_join
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = containment_join(docs, threshold=CONTAINMENT_THRESHOLD).to_pandas()
+    out["doc_a"] = out["doc_a"].astype("int64")
+    out["doc_b"] = out["doc_b"].astype("int64")
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_rollup_docs(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(lang, source) over documents: counts + char
+    sums at every prefix level, 'ALL' sentinels in rolled-up keys
+    (the synthetic corpus never contains 'ALL' as a lang/source)."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import rollup_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source", "n_chars"],
+    )
+    out = rollup_counts(ds, ["lang", "source"], sum_columns=["n_chars"])
+    out = out.rename_columns(["lang", "source", "n_docs", "chars_total"])
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_top_orders_per_cust(sf_dir: str) -> pa.Table:
+    """window-rank top-N per group (row_number <= 3): each customer's
+    3 biggest orders by (totalprice cents desc, orderkey asc) — the
+    generic top_per_group two-level prune applied to a relational
+    table instead of the quality corpus."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import _cents
+    from chearch_ray.stages.sample import top_per_group
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "doc_id": b["o_orderkey"].cast(pa.int64()),
+                "total_cents": pa.array(
+                    _cents(b["o_totalprice"].to_numpy().astype(np.float64)),
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = top_per_group(orders, "o_custkey", "total_cents", n=3).to_pandas()
+    out = out.rename(columns={"doc_id": "o_orderkey"})
+    out = out.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_local_supplier_volume(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import local_supplier_volume
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    supplier = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    out = local_supplier_volume(lineitem, orders, customer, supplier, nation, region)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_returned_item_revenue(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import returned_item_revenue
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    out = returned_item_revenue(lineitem, orders, customer, nation)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_promo_revenue(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import promo_revenue
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    out = promo_revenue(lineitem, part)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def q_revenue_by_nation(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1711,6 +1843,12 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "cm_counts": q_cm_counts,
     "parsed_query": q_parsed_query,
+    "local_supplier_volume": q_local_supplier_volume,
+    "returned_item_revenue": q_returned_item_revenue,
+    "promo_revenue": q_promo_revenue,
+    "rollup_docs": q_rollup_docs,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "containment_pairs": q_containment_pairs,
     "decontaminate": q_decontaminate,
     "substring_dedup": q_substring_dedup,
     "hash_split": q_hash_split,
@@ -2346,6 +2484,23 @@ SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b,
 FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= {JACCARD_JOIN_THRESHOLD}
 """,
+    # directed containment |Sa ∩ Sb| / |Sa| — same shingle CTEs as
+    # jaccard_pairs, same single int/int double division both sides
+    "containment_pairs": f"""
+WITH {POS_TOK_CTE},
+sh AS (SELECT DISTINCT t0.doc_id, t0.term || ' ' || t1.term || ' ' || t2.term AS shingle
+       FROM ptok t0 JOIN ptok t1 ON t1.doc_id = t0.doc_id AND t1.ord = t0.ord + 1
+                    JOIN ptok t2 ON t2.doc_id = t0.doc_id AND t2.ord = t0.ord + 2),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b,
+       i::DOUBLE / sa.n AS containment
+FROM inter JOIN sz sa ON sa.doc_id = da
+WHERE i::DOUBLE / sa.n >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
     "neardup_keep": f"""
 WITH RECURSIVE {POS_TOK_CTE},
 sh AS (SELECT DISTINCT t0.doc_id, t0.term || ' ' || t1.term || ' ' || t2.term AS shingle
@@ -2483,6 +2638,82 @@ SELECT n.n_name, count(*)::BIGINT AS n_orders,
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name
+""",
+    # GROUP BY ROLLUP mirror — 'ALL' sentinels match the Ray side's
+    # subtotal rows (lang/source are never NULL in the corpus)
+    "rollup_docs": """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars_total
+FROM documents
+GROUP BY ROLLUP(lang, source)
+ORDER BY lang, source
+""",
+    "top_orders_per_cust": """
+SELECT o_custkey::BIGINT AS o_custkey, o_orderkey::BIGINT AS o_orderkey,
+       total_cents, rn::BIGINT AS rn
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+         ) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+    # TPC-H Q5 shape — same per-row integer-cent rounding as the Ray
+    # pipeline, so the grouped sums are exact
+    "local_supplier_volume": """
+SELECT n.n_name,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))::BIGINT AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue_cents DESC, n_name
+""",
+    # TPC-H Q10 shape — top-20 by (revenue desc, custkey asc), exact
+    "returned_item_revenue": """
+SELECT c.c_custkey::BIGINT AS c_custkey, c.c_name,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))::BIGINT AS revenue_cents,
+       CAST(round(c.c_acctbal * 100) AS BIGINT)::BIGINT AS acctbal_cents,
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+""",
+    # TPC-H Q14 shape — exact integer-cent sums; promo_pct is the one
+    # float division 100*promo/total of the two exact BIGINTs, so the
+    # double math is bit-identical on both sides
+    "promo_revenue": """
+WITH j AS (
+  SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents,
+         (p.p_type = 'PROMO') AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+)
+SELECT coalesce(sum(CASE WHEN is_promo THEN cents END), 0)::BIGINT AS promo_cents,
+       coalesce(sum(cents), 0)::BIGINT AS total_cents,
+       CASE WHEN coalesce(sum(cents), 0) = 0 THEN 0.0
+            ELSE 100.0 * coalesce(sum(CASE WHEN is_promo THEN cents END), 0)::DOUBLE
+                 / sum(cents)::DOUBLE END AS promo_pct
+FROM j
 """,
     "forecast_revenue": """
 SELECT coalesce(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)), 0)::BIGINT AS revenue_cents,

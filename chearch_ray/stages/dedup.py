@@ -1784,3 +1784,192 @@ def boilerplate_line_dedup(ds, text_column: str = "text",
         _pp(_strip_boilerplate, text_column=text_column, boil_ref=boil_ref),
         batch_format="pyarrow",
     )
+
+
+# ------------------------- exact containment join (asymmetric SSJoin)
+def _containment_sides(batch: pa.Table, threshold: float, df_ref=None) -> pa.Table:
+    """payload batch -> stacked PROBE + INDEX rows for the asymmetric
+    containment join: probe rows are each doc's prefix (same
+    |S| - ceil(t|S|) + 1 guarantee as _prefix_rows — if C(A,B) >= t
+    then >= ceil(t|A|) of A's shingles are in B, so A's prefix cannot
+    miss B entirely), index rows are the doc's FULL shingle set (the
+    containing side must expose everything — containment has no
+    symmetric prefix).  Hot shingles only explode the index side;
+    with df ordering the probe prefixes hold rare shingles, keeping
+    bucket cross-products near |probe| * df."""
+    pref = _prefix_rows(batch, threshold, df_ref=df_ref)
+    vals, off = _unpack_shingle_rows(batch["shingles"])
+    counts = np.diff(off)
+    doc_col = batch["doc_id"]
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    doc_np = doc_col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    full = pa.table(
+        {
+            "bucket": pa.array(vals, type=pa.uint64()),
+            "doc_id": pa.array(np.repeat(doc_np, counts), type=pa.uint64()),
+            "nsh": pa.array(np.repeat(counts.astype(np.int32), counts), type=pa.int32()),
+            "side": pa.array(np.ones(len(vals), dtype=np.int8), type=pa.int8()),
+        }
+    )
+    probe = pa.table(
+        {
+            "bucket": pref["bucket"],
+            "doc_id": pref["doc_id"],
+            "nsh": pref["nsh"],
+            "side": pa.array(np.zeros(len(pref), dtype=np.int8), type=pa.int8()),
+        }
+    )
+    return pa.concat_tables([probe, full])
+
+
+def _containment_candidates_partition(group: pa.Table, threshold: float) -> pa.Table:
+    """one coarse bucket partition -> DIRECTED candidate pairs
+    (doc_a=probe, doc_b=index): per bucket run, probe x index rows with
+    a != b and the size filter |B| >= ceil(t*|A|) (the intersection
+    can never exceed |B|, exact-safe)."""
+    import pyarrow.compute as pc
+
+    if len(group) == 0:
+        return pa.table(
+            {"doc_a": pa.array([], type=pa.uint64()), "doc_b": pa.array([], type=pa.uint64())}
+        )
+    order = pc.sort_indices(
+        group,
+        sort_keys=[("bucket", "ascending"), ("side", "ascending"),
+                   ("doc_id", "ascending")],
+    )
+    g = group.take(order)
+    bucket = g["bucket"].to_numpy().astype(np.uint64)
+    side = g["side"].to_numpy().astype(np.int8)
+    docs = g["doc_id"].to_numpy().astype(np.uint64)
+    nsh = g["nsh"].to_numpy().astype(np.int64)
+    new_bucket = np.empty(len(g), dtype=bool)
+    new_bucket[0] = True
+    new_bucket[1:] = bucket[1:] != bucket[:-1]
+    # dedupe (bucket, side, doc) — a doc appears once per side per bucket
+    dup = np.zeros(len(g), dtype=bool)
+    dup[1:] = (~new_bucket[1:]) & (side[1:] == side[:-1]) & (docs[1:] == docs[:-1])
+    keep = np.flatnonzero(~dup)
+    bucket, side, docs, nsh = bucket[keep], side[keep], docs[keep], nsh[keep]
+    starts = np.flatnonzero(new_bucket[keep])
+    bounds = np.append(starts, len(keep))
+    out_a, out_b, out_na = [], [], []
+    for i in range(len(starts)):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        if e - s < 2:
+            continue
+        sd = side[s:e]
+        nprobe = int(np.searchsorted(sd, 1))  # side-sorted: probes first
+        if nprobe == 0 or nprobe == e - s:
+            continue
+        pd_, pn = docs[s:s + nprobe], nsh[s:s + nprobe]
+        xd, xn = docs[s + nprobe:e], nsh[s + nprobe:e]
+        ia = np.repeat(np.arange(nprobe), len(xd))
+        ib = np.tile(np.arange(len(xd)), nprobe)
+        ok = (pd_[ia] != xd[ib]) & (
+            xn[ib] >= np.ceil(threshold * pn[ia] - 1e-9).astype(np.int64)
+        )
+        out_a.append(pd_[ia][ok])
+        out_b.append(xd[ib][ok])
+    if not out_a:
+        return pa.table(
+            {"doc_a": pa.array([], type=pa.uint64()), "doc_b": pa.array([], type=pa.uint64())}
+        )
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(out_a), type=pa.uint64()),
+            "doc_b": pa.array(np.concatenate(out_b), type=pa.uint64()),
+        }
+    )
+
+
+def _exact_containment_packed(batch: pa.Table, threshold: float) -> pa.Table:
+    """candidate pairs with packed payloads -> exact containment
+    C(A,B) = |A ∩ B| / |A| (one int/int double division — the SQL
+    mirror computes the identical i::DOUBLE / na)."""
+    a_vals, a_off = _unpack_shingle_rows(batch["shingles_a"])
+    b_vals, b_off = _unpack_shingle_rows(batch["shingles"])
+    n = len(batch)
+    from chearch_ray.state.searcher import intersect_sorted
+
+    cont = np.empty(n, dtype=np.float64)
+    for i in range(n):  # per-PAIR loop over the small candidate set
+        sa = a_vals[a_off[i]: a_off[i + 1]]
+        sb = b_vals[b_off[i]: b_off[i + 1]]
+        na = len(sa)
+        cont[i] = len(intersect_sorted(sa, sb)) / na if na else 0.0
+    keep = cont >= threshold
+    mask = pa.array(keep)
+    return pa.table(
+        {
+            "doc_a": batch["doc_a"].filter(mask) if n else pa.array([], type=pa.uint64()),
+            "doc_b": batch["doc_b"].filter(mask) if n else pa.array([], type=pa.uint64()),
+            "containment": pa.array(cont[keep], type=pa.float64()),
+        }
+    )
+
+
+def containment_join(ds, threshold: float = 0.6, text_column: str = "text",
+                     w: int = 3, join_partitions: int | None = None,
+                     coarse_partitions: int = COARSE_PARTITIONS,
+                     df_broadcast_limit: int = 5_000_000):
+    """EXACT directed n-gram containment self-join: every ordered pair
+    (a, b), a != b, with |shingles(a) ∩ shingles(b)| / |shingles(a)|
+    >= threshold — the one-sided near-dup relation (a quote, excerpt
+    or boilerplate block contained in a larger doc) that symmetric
+    Jaccard misses when |b| >> |a|.
+
+    Shape: shingle payloads once -> asymmetric prefix filter (probe
+    prefixes vs FULL index sets — _containment_sides) -> one coarse
+    bucket exchange -> directed candidates with the |B| >= t|A| size
+    cut -> distinct pairs -> exact verification against the packed
+    payloads.  Same scale contract as jaccard_similarity_join; the
+    index side carries every shingle, so hot-shingle buckets are the
+    cost of exactness (frequency-ordered probe prefixes keep the
+    cross-products small)."""
+    from functools import partial
+
+    import ray.data
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.uint64()),
+            "doc_b": pa.array([], type=pa.uint64()),
+            "containment": pa.array([], type=pa.float64()),
+        }
+    )
+    payload = ds.map_batches(
+        partial(shingle_payload, text_column=text_column, w=w),
+        batch_format="pyarrow",
+        batch_size=4096,
+    ).materialize()
+    if payload.count() == 0:
+        return ray.data.from_arrow(empty)
+    df_ref = _shingle_df_broadcast(payload, max_distinct=df_broadcast_limit)
+    sides = payload.map_batches(
+        partial(_containment_sides, threshold=threshold, df_ref=df_ref),
+        batch_format="pyarrow",
+    )
+    parted = sides.map_batches(
+        partial(add_pgrp_column, n_partitions=coarse_partitions, key="bucket"),
+        batch_format="pyarrow",
+    )
+    pairs = parted.groupby("pgrp").map_groups(
+        partial(
+            drop_pgrp_then,
+            fn=partial(_containment_candidates_partition, threshold=threshold),
+        ),
+        batch_format="pyarrow",
+    )
+    deduped = dedup_pairs(pairs, coarse_partitions).materialize()
+    if deduped.count() == 0:
+        return ray.data.from_arrow(empty)
+    out = verify_pairs_by_join(
+        deduped,
+        payload,
+        partial(_exact_containment_packed, threshold=threshold),
+        payload_col="shingles",
+        join_partitions=join_partitions,
+    )
+    return out if out is not None else ray.data.from_arrow(empty)

@@ -15,8 +15,8 @@ import __ray_entry__ as entrymod
 
 def _duck(sf_dir):
     con = duckdb.connect()
-    for name in ("documents", "embeddings", "events",
-                 "lineitem", "orders", "customer", "nation", "region"):
+    for name in ("documents", "embeddings", "events", "lineitem", "orders",
+                 "customer", "nation", "region", "supplier", "part"):
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
         )

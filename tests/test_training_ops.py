@@ -2512,3 +2512,55 @@ def test_union_find_property_vs_bfs():
         assert got_map == want
 
     check()
+
+
+def test_containment_join_exact_vs_bruteforce(ray_session):
+    """containment_join is EXACT and DIRECTED: over the sf0.001
+    documents it must report exactly the brute-force set of ordered
+    pairs with |Sa ∩ Sb| / |Sa| >= t, bit-identical values (asymmetric
+    prefix filter + size cut are candidate pruning only)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from chearch_ray.stages.dedup import containment_join
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = containment_join(ray.data.from_arrow(docs), threshold=0.6).to_pandas()
+    got = {
+        (int(a), int(b)): float(c)
+        for a, b, c in zip(out["doc_a"], out["doc_b"], out["containment"])
+    }
+    sets = _shingle_sets(docs)
+    want = {}
+    for a, b in itertools.permutations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa:
+            continue
+        c = len(sa & sb) / len(sa)
+        if c >= 0.6:
+            want[(a, b)] = c
+    assert got == want
+    assert len(want) > 0  # non-vacuous at sf0.001
+
+
+def test_containment_join_asymmetric(ray_session):
+    """a short doc fully inside a long one: (short -> long) qualifies
+    at t=1.0 while (long -> short) does not — and Jaccard would miss
+    the pair entirely at the same threshold."""
+    import ray.data
+
+    from chearch_ray.stages.dedup import containment_join
+
+    rows = [
+        {"doc_id": 1, "text": "a b c d e"},  # 3 shingles, all inside doc 2
+        {"doc_id": 2, "text": "a b c d e f g h i j k l m n o p q r s t"},
+        {"doc_id": 3, "text": "x y z w v u"},
+    ]
+    docs = pa.Table.from_pylist(rows)
+    out = containment_join(ray.data.from_arrow(docs), threshold=1.0).to_pandas()
+    pairs = {(int(a), int(b)): float(c)
+             for a, b, c in zip(out["doc_a"], out["doc_b"], out["containment"])}
+    assert pairs == {(1, 2): 1.0}
