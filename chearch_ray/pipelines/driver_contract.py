@@ -1057,6 +1057,30 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pricing_summary(ds).to_pandas(), preserve_index=False)
 
 
+def q_tfidf_keywords(sf_dir: str) -> pa.Table:
+    """top-3 TF-IDF keywords per document: (df, N) come from the
+    PREBUILT index term stats (computed once at build — reference
+    TODO docs/TODO.txt:5), broadcast once per actor; score =
+    tf * ln(N/df) with the exact SQL operation order so floats are
+    bit-identical.  df==N terms (idf 0) carry no signal and are
+    excluded on both sides."""
+    import ray.data
+
+    from chearch_ray.stages.textstats import tfidf_keywords
+
+    eng = engine_for(sf_dir)
+    stats = _term_stats(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = tfidf_keywords(
+        ds, pa.table({"term": stats["term"], "df": stats["df"].cast(pa.int64())}),
+        int(eng.manifest.num_docs), k=3,
+    ).to_pandas()
+    out = out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 #: directed containment threshold — one-sided near-dup (excerpt /
 #: boilerplate-block) detection the symmetric Jaccard row misses
 CONTAINMENT_THRESHOLD = 0.6
@@ -1849,6 +1873,7 @@ QUERIES = {
     "rollup_docs": q_rollup_docs,
     "top_orders_per_cust": q_top_orders_per_cust,
     "containment_pairs": q_containment_pairs,
+    "tfidf_keywords": q_tfidf_keywords,
     "decontaminate": q_decontaminate,
     "substring_dedup": q_substring_dedup,
     "hash_split": q_hash_split,
@@ -2483,6 +2508,24 @@ SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b,
        i::DOUBLE / (sa.n + sb.n - i) AS jaccard
 FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= {JACCARD_JOIN_THRESHOLD}
+""",
+    # TF-IDF keyword extraction — score = tf * ln(N/df), identical
+    # operation order both sides (int->double, divide, ln, multiply);
+    # df==N (idf 0) rows excluded on both sides
+    "tfidf_keywords": f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n::DOUBLE / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE df.df < n.n),
+r AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM s)
+SELECT doc_id, term, rank::BIGINT AS rank, score FROM r WHERE rank <= 3
+ORDER BY doc_id, rank
 """,
     # directed containment |Sa ∩ Sb| / |Sa| — same shingle CTEs as
     # jaccard_pairs, same single int/int double division both sides

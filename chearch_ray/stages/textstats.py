@@ -972,3 +972,112 @@ def significant_terms(docs_ds, fg_doc_ids, term_stats: pa.Table, bg_n: int,
         out, sort_keys=[("score", "descending"), ("term", "ascending")]
     )
     return out.take(order.slice(0, k))
+
+
+# ------------------------------------------------------ TF-IDF keywords
+def _tfidf_batch(batch: pa.Table, stats_ref, k: int, text_column: str) -> pa.Table:
+    """text -> each document's top-k keywords by tf·idf.  `stats_ref`
+    is a ray.put (sorted terms, idf) pair — fetched per batch but
+    plasma-local after the first get (the repo's standard broadcast
+    shape; a stateless fn avoids actor-pool CPU reservations that
+    starve upstream reads on small clusters).
+
+    Float contract for the SQL mirror: idf = ln(N_double / df) —
+    one int->double promotion, one double division, one libm log —
+    and score = tf_double * idf, the operation order DuckDB
+    evaluates, so values are bit-identical."""
+    import ray
+
+    terms, idf = (ray.get(stats_ref)
+                  if not isinstance(stats_ref, tuple) else stats_ref)
+    values, rows, _ = explode(tokenize(batch[text_column]))
+    doc_col = batch["doc_id"]
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    doc_np = doc_col.to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "rank": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        }
+    )
+    if len(values) == 0:
+        return empty
+    toks = np.asarray(values.to_numpy(zero_copy_only=False))
+    # tf per (row, term): one lexsort + run-length on the exploded
+    # tokens (vectorized — no Python loop over rows)
+    order = np.lexsort((toks, rows))
+    r_s, t_s = rows[order], toks[order]
+    first = np.empty(len(r_s), dtype=bool)
+    first[0] = True
+    first[1:] = (r_s[1:] != r_s[:-1]) | (t_s[1:] != t_s[:-1])
+    starts = np.flatnonzero(first)
+    tf = np.diff(np.append(starts, len(r_s))).astype(np.int64)
+    g_rows, g_terms = r_s[starts], t_s[starts]
+    pos = np.searchsorted(terms, g_terms)
+    pos = np.minimum(pos, max(len(terms) - 1, 0))
+    hit = terms[pos] == g_terms if len(terms) else np.zeros(len(pos), bool)
+    score = np.where(hit, tf.astype(np.float64) * idf[pos], 0.0)
+    keep = hit & (score > 0.0)  # df==N terms (idf 0) carry no signal
+    g_rows, g_terms, score = g_rows[keep], g_terms[keep], score[keep]
+    if len(g_rows) == 0:
+        return empty
+    # top-k per row by (score desc, term asc): grouped lexsort +
+    # per-run rank cutoff
+    order2 = np.lexsort((g_terms, -score, g_rows))
+    r2 = g_rows[order2]
+    newrow = np.empty(len(r2), dtype=bool)
+    newrow[0] = True
+    newrow[1:] = r2[1:] != r2[:-1]
+    run_start = np.flatnonzero(newrow)
+    rank = np.arange(len(r2), dtype=np.int64) - np.repeat(
+        run_start, np.diff(np.append(run_start, len(r2)))
+    ) + 1
+    m = rank <= k
+    sel = order2[m]
+    sc = score[sel]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_np[g_rows[sel]], type=pa.int64()),
+            "term": pa.array(g_terms[sel], type=pa.string()),
+            "rank": pa.array(rank[m], type=pa.int64()),
+            "score": pa.array(sc, type=pa.float64()),
+        }
+    )
+
+
+def tfidf_keywords(ds, df_table: pa.Table, n_docs: int, k: int = 3,
+                   text_column: str = "text"):
+    """corpus Dataset + (term, df) stats table -> (doc_id, term, rank,
+    score) top-k TF-IDF keywords per document, rank ordered by
+    (score desc, term asc).  (df, N) come from the PREBUILT index term
+    stats (pipelines.build computes them once; reference TODO
+    docs/TODO.txt:5 'TF-IDF') and broadcast ONCE via ray.put —
+    vocabulary-scale, the same class as the MinHash verify broadcast;
+    per batch everything is one lexsort over the exploded tokens plus
+    segmented reductions, no shuffle at all."""
+    import ray
+
+    terms_col = df_table["term"]
+    if isinstance(terms_col, pa.ChunkedArray):
+        terms_col = terms_col.combine_chunks()
+    terms = np.asarray(terms_col.to_numpy(zero_copy_only=False))
+    dfs = df_table["df"].to_numpy().astype(np.int64)
+    order = np.argsort(terms, kind="stable")
+    # libm log via math.log, once per DISTINCT df (bounded by the doc
+    # count, Zipf-small in practice): numpy's SIMD np.log rounds the
+    # last bit differently from the libm log DuckDB's ln() calls, so
+    # the bit-identical float contract needs the scalar path
+    import math
+
+    uniq_df, inv = np.unique(dfs[order], return_inverse=True)
+    ln_tab = np.array([math.log(float(n_docs) / float(d)) for d in uniq_df],
+                      dtype=np.float64)
+    idf = ln_tab[inv]
+    ref = ray.put((terms[order], idf))
+    return ds.map_batches(
+        partial(_tfidf_batch, stats_ref=ref, k=k, text_column=text_column),
+        batch_format="pyarrow",
+    )

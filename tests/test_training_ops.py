@@ -2564,3 +2564,41 @@ def test_containment_join_asymmetric(ray_session):
     pairs = {(int(a), int(b)): float(c)
              for a, b, c in zip(out["doc_a"], out["doc_b"], out["containment"])}
     assert pairs == {(1, 2): 1.0}
+
+
+def test_tfidf_keywords_bruteforce(ray_session):
+    """tfidf_keywords == brute-force tf*ln(N/df) top-k per doc with
+    (score desc, term asc) ranking; df==N terms excluded."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from chearch_ray.stages.textstats import tfidf_keywords
+
+    rows = [
+        {"doc_id": 1, "text": "apple banana apple cherry"},
+        {"doc_id": 2, "text": "banana cherry cherry date"},
+        {"doc_id": 3, "text": "apple banana cherry date egg egg"},
+    ]
+    docs = pa.Table.from_pylist(rows)
+    toks = {r["doc_id"]: r["text"].split() for r in rows}
+    df = Counter()
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] += 1
+    n = len(rows)
+    df_table = pa.table({"term": list(df), "df": pa.array([df[t] for t in df], pa.int64())})
+    out = tfidf_keywords(ray.data.from_arrow(docs), df_table, n, k=2).to_pandas()
+    got = {(int(r.doc_id), r.term): (int(r.rank), float(r.score))
+           for r in out.itertuples()}
+    want = {}
+    for did, ts in toks.items():
+        tf = Counter(ts)
+        scored = sorted(
+            ((t, c * math.log(n / df[t])) for t, c in tf.items() if df[t] < n),
+            key=lambda x: (-x[1], x[0]),
+        )[:2]
+        for i, (t, s) in enumerate(scored, 1):
+            want[(did, t)] = (i, s)
+    assert got == want
