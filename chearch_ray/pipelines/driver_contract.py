@@ -1057,6 +1057,22 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pricing_summary(ds).to_pandas(), preserve_index=False)
 
 
+def q_distinct_users_by_type(sf_dir: str) -> pa.Table:
+    """EXACT count(DISTINCT user_id) per event_type — the exact
+    companion of the KMV sketch rows (kmv_distinct_by_type answers
+    approximately); blocks pre-reduce to unique pairs, the merge is
+    gated (driver below the limit, one pair-keyed exchange above)."""
+    import ray.data
+
+    from chearch_ray.stages.sketch import exact_distinct_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    out = exact_distinct_by(ds, "user_id", "event_type")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def q_tfidf_keywords(sf_dir: str) -> pa.Table:
     """top-3 TF-IDF keywords per document: (df, N) come from the
     PREBUILT index term stats (computed once at build — reference
@@ -1874,6 +1890,7 @@ QUERIES = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "containment_pairs": q_containment_pairs,
     "tfidf_keywords": q_tfidf_keywords,
+    "distinct_users_by_type": q_distinct_users_by_type,
     "decontaminate": q_decontaminate,
     "substring_dedup": q_substring_dedup,
     "hash_split": q_hash_split,
@@ -2508,6 +2525,10 @@ SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b,
        i::DOUBLE / (sa.n + sb.n - i) AS jaccard
 FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= {JACCARD_JOIN_THRESHOLD}
+""",
+    "distinct_users_by_type": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
 """,
     # TF-IDF keyword extraction — score = tf * ln(N/df), identical
     # operation order both sides (int->double, divide, ln, multiply);

@@ -19,6 +19,7 @@ request, connection kept open for further requests.
 
 from __future__ import annotations
 
+from chearch_ray import ast
 from chearch_ray.conformance.memory_index import MemoryIndex, QueryResult
 from chearch_ray.functions import chasm
 
@@ -88,6 +89,38 @@ def build_request(program: bytes) -> bytes:
         if op == chasm.OP_HALT:
             break
     return bytes([n]) + program
+
+
+def compile_wire_query(query: str, default_op: str = "and",
+                       size: int = 256) -> bytes:
+    """Text query -> CHASM postfix program bytes, ready for
+    build_request: the full path from the user-facing query language
+    (grammar or flat — state/engine.parse_query routes) to the
+    reference's wire format (chasm.chpl:10-13).  Only Term/And/Or
+    trees compile — the engine extensions (prefix, fuzzy, negation,
+    phrase) never appear on the wire (ast.py docstrings), so they
+    raise here with a pointer at the engine-side entry points.  Terms
+    map to uint32 ids via the stable term hash (the reference engine
+    is integer-termed, search.chpl:7)."""
+    from chearch_ray.sources.queries import _int_tree
+    from chearch_ray.state.engine import parse_query
+
+    node = parse_query(query, default_op=default_op)
+
+    def check(n: ast.Node) -> None:
+        if isinstance(n, ast.Term):
+            return
+        if isinstance(n, (ast.And, ast.Or)):
+            check(n.a)
+            check(n.b)
+            return
+        raise ValueError(
+            f"{type(n).__name__} is an engine-side extension and has no "
+            "CHASM opcode — query it via QueryEngine.search/search_boolean"
+        )
+
+    check(node)
+    return chasm.emit_chasm(_int_tree(node), size=size)
 
 
 class WireServer:

@@ -510,3 +510,75 @@ def cm_point_estimates(sketch: np.ndarray, keys: np.ndarray) -> np.ndarray:
     cells = cm_cells(np.asarray(keys, dtype=np.int64), depth, width)
     ests = np.stack([sketch[i][cells[i]] for i in range(depth)])
     return ests.min(axis=0).astype(np.int64)
+
+
+# --------------------------------------------- exact distinct counts
+def _distinct_pairs_partial(batch: pa.Table, column: str, by: str) -> pa.Table:
+    """block-local UNIQUE (by, value) pairs — the map-side combiner:
+    the merge sees at most |distinct pairs in block| rows, never the
+    raw event stream."""
+    t = pa.table({by: batch[by], column: batch[column]})
+    return t.group_by([by, column], use_threads=False).aggregate([]).select([by, column])
+
+
+def exact_distinct_by(ds, column: str, by: str,
+                      driver_merge_limit: int | None = None,
+                      coarse_partitions: int = 64) -> pa.Table:
+    """EXACT count(DISTINCT column) per `by` group -> (by, n_distinct),
+    ascending by group — the exact companion of kmv_distinct_by (KMV
+    answers the same question approximately with k values per group).
+
+    Scale shape: blocks pre-reduce to unique (by, value) pairs; below
+    the driver gate the pair partials merge driver-side (one unique
+    pass), above it each pair lands in exactly ONE coarse hash
+    partition (keyed on the pair), partitions dedupe and count
+    per-group partials, and the <= partitions * |groups| count rows
+    merge through the gated rollup — the pair stream crosses the
+    exchange once and nothing driver-side scales with data size."""
+    from chearch_ray.pipelines.analytics import _gated_group_sum
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    limit = DRIVER_MERGE_LIMIT if driver_merge_limit is None else driver_merge_limit
+    partials = ds.map_batches(
+        partial(_distinct_pairs_partial, column=column, by=by),
+        batch_format="pyarrow",
+    ).materialize()
+    if partials.count() <= limit:
+        parts = [t for t in partials.iter_batches(batch_size=None,
+                                                  batch_format="pyarrow") if len(t)]
+        if not parts:
+            return pa.table({by: pa.array([], type=pa.string()),
+                             "n_distinct": pa.array([], type=pa.int64())})
+        uniq = pa.concat_tables(parts).group_by(
+            [by, column], use_threads=False).aggregate([])
+        agg = uniq.group_by(by, use_threads=False).aggregate([(column, "count")])
+        out = agg.rename_columns([by, "n_distinct"])
+    else:
+        # one exchange keyed on the PAIR: every duplicate pair lands in
+        # the same partition, so per-partition dedup is global dedup
+        import pyarrow.compute as pc_
+
+        from chearch_ray.stages.partition import coarse_partition_ids
+        from chearch_ray.stages.sample import _group_hash64
+
+        def pair_key(b: pa.Table) -> pa.Table:
+            key = pc_.binary_join_element_wise(
+                pc_.cast(b[by], pa.string()), pc_.cast(b[column], pa.string()), "\x1f"
+            )
+            ids = coarse_partition_ids(_group_hash64(key), coarse_partitions)
+            return b.append_column("pgrp", pa.array(ids, type=pa.int32()))
+
+        def count_partition(g: pa.Table) -> pa.Table:
+            u = g.select([by, column]).group_by(
+                [by, column], use_threads=False).aggregate([])
+            agg = u.group_by(by, use_threads=False).aggregate([(column, "count")])
+            return agg.rename_columns([by, "n_distinct"])
+
+        counts = partials.map_batches(pair_key, batch_format="pyarrow") \
+            .groupby("pgrp").map_groups(count_partition, batch_format="pyarrow")
+        out = _gated_group_sum(counts, [by], ["n_distinct"],
+                               driver_merge_limit=driver_merge_limit)
+    import pyarrow.compute as pc2
+
+    out = pa.table({by: out[by], "n_distinct": out["n_distinct"].cast(pa.int64())})
+    return out.take(pc2.sort_indices(out, sort_keys=[(by, "ascending")]))

@@ -754,3 +754,41 @@ def test_wire_engine_id_only_projection_matches_full(ray_session, tmp_path):
         assert len(lean) == min(16, len(full))  # 8 per segment x 2
     finally:
         eng.close()
+
+
+def test_compile_wire_query_roundtrip(ray_session, tmp_path):
+    """grammar query string -> CHASM wire bytes -> WireEngine over a
+    built index: the doc set must equal the engine's own boolean
+    evaluation of the same string (up to the wire's result window)."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.serve import (WireEngine, build_request,
+                                   compile_wire_query, decode_response)
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.engine import QueryEngine
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    corpus = synthetic_corpus(120, seed=42)
+    build_index(ray.data.from_arrow(corpus), str(tmp_path / "cwq"), cfg)
+    eng = QueryEngine(str(tmp_path / "cwq"), use_actors=False)
+    wire = WireEngine(eng)
+
+    q = "(def OR class) AND return"
+    prog = compile_wire_query(q)
+    rows = decode_response(wire.handle(build_request(prog)))
+    got = sorted({r.external_doc_id for r in rows})
+    want = sorted(eng.search_boolean(q, limit=10**9)["doc_id"].to_pylist())
+    # wire responses are record-capped; got must be a prefix-closed subset
+    assert got and set(got) <= set(want)
+    if len(rows) < 8:  # uncapped -> exact set
+        assert got == want
+
+
+def test_compile_wire_query_rejects_extensions():
+    from chearch_ray.serve import compile_wire_query
+
+    for q in ("def AND NOT class", "pre* AND def", "part~2", '"def return"'):
+        with pytest.raises(ValueError):
+            compile_wire_query(q)

@@ -2602,3 +2602,27 @@ def test_tfidf_keywords_bruteforce(ray_session):
         for i, (t, s) in enumerate(scored, 1):
             want[(did, t)] = (i, s)
     assert got == want
+
+
+def test_exact_distinct_by_both_paths(ray_session):
+    """exact_distinct_by: driver-merge path and the pair-keyed
+    exchange path (forced with driver_merge_limit=0) are row-identical
+    and equal to a pandas groupby-nunique oracle."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from chearch_ray.stages.sketch import exact_distinct_by
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["event_type", "user_id"])
+    want = (
+        ev.to_pandas().groupby("event_type")["user_id"].nunique()
+        .sort_index()
+    )
+    fast = exact_distinct_by(ray.data.from_arrow(ev), "user_id", "event_type")
+    scale = exact_distinct_by(ray.data.from_arrow(ev), "user_id", "event_type",
+                              driver_merge_limit=0)
+    for out in (fast, scale):
+        got = dict(zip(out["event_type"].to_pylist(), out["n_distinct"].to_pylist()))
+        assert got == want.to_dict()
+    assert fast.equals(scale)
