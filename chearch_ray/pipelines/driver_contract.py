@@ -1057,6 +1057,27 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pricing_summary(ds).to_pandas(), preserve_index=False)
 
 
+#: interval-join parameters: all purchases within an hour AFTER a view
+#: by the same user (attribution window)
+INTERVAL_JOIN_TYPES = ("view", "purchase")
+INTERVAL_JOIN_WINDOW_SEC = 3600
+
+
+def q_interval_join(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from chearch_ray.stages.events import interval_join
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    a, b = INTERVAL_JOIN_TYPES
+    out = interval_join(ds, a, b, INTERVAL_JOIN_WINDOW_SEC).to_pandas()
+    out = out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_distinct_users_by_type(sf_dir: str) -> pa.Table:
     """EXACT count(DISTINCT user_id) per event_type — the exact
     companion of the KMV sketch rows (kmv_distinct_by_type answers
@@ -1891,6 +1912,7 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "tfidf_keywords": q_tfidf_keywords,
     "distinct_users_by_type": q_distinct_users_by_type,
+    "interval_join": q_interval_join,
     "decontaminate": q_decontaminate,
     "substring_dedup": q_substring_dedup,
     "hash_split": q_hash_split,
@@ -2529,6 +2551,16 @@ WHERE i::DOUBLE / (sa.n + sb.n - i) >= {JACCARD_JOIN_THRESHOLD}
     "distinct_users_by_type": """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "interval_join": f"""
+SELECT a.event_id::BIGINT AS a_id, b.event_id::BIGINT AS b_id,
+       (epoch_us(b.ts) - epoch_us(a.ts))::BIGINT AS gap_us
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = '{INTERVAL_JOIN_TYPES[0]}'
+  AND b.event_type = '{INTERVAL_JOIN_TYPES[1]}'
+  AND b.ts >= a.ts
+  AND epoch_us(b.ts) - epoch_us(a.ts) <= {INTERVAL_JOIN_WINDOW_SEC}::BIGINT * 1000000
+ORDER BY a_id, b_id
 """,
     # TF-IDF keyword extraction — score = tf * ln(N/df), identical
     # operation order both sides (int->double, divide, ln, multiply);

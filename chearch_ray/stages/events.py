@@ -601,3 +601,120 @@ def retention(ds, period_sec: int = 86_400, key: str = "user_id",
     return partials.groupby(["cohort", "k"]).aggregate(
         Sum("n_active", alias_name="n_active")
     )
+
+
+# ------------------------------------------------------- interval join
+def _interval_partition(group: pa.Table, window_us: int) -> pa.Table:
+    """one coarse user partition of tagged (side 0=left / 1=right)
+    events -> all (left, right) pairs of the SAME user with
+    0 <= ts_right - ts_left <= window_us.  Vectorized: one sort, per
+    user-run searchsorted window bounds over the right side, one
+    np.repeat/arange expansion — no Python loop over events."""
+    if len(group) == 0:
+        return pa.table(
+            {
+                "a_id": pa.array([], type=pa.int64()),
+                "b_id": pa.array([], type=pa.int64()),
+                "gap_us": pa.array([], type=pa.int64()),
+            }
+        )
+    order = pc.sort_indices(
+        group,
+        sort_keys=[("user_id", "ascending"), ("side", "ascending"),
+                   ("ts_us", "ascending"), ("event_id", "ascending")],
+    )
+    g = group.take(order)
+    users = g["user_id"].to_numpy()
+    side = g["side"].to_numpy()
+    ts = g["ts_us"].to_numpy()
+    eid = g["event_id"].to_numpy()
+    new_user = _run_starts(users)
+    u_starts = np.flatnonzero(new_user)
+    u_bounds = np.append(u_starts, len(g))
+    out_a, out_b, out_gap = [], [], []
+    for i in range(len(u_starts)):  # per-user loop: bounded by the
+        s, e = int(u_bounds[i]), int(u_bounds[i + 1])  # partition's users
+        sd = side[s:e]
+        nl = int(np.searchsorted(sd, 1))
+        if nl == 0 or nl == e - s:
+            continue
+        lt, lid = ts[s:s + nl], eid[s:s + nl]
+        rt, rid = ts[s + nl:e], eid[s + nl:e]
+        lo = np.searchsorted(rt, lt, side="left")
+        hi = np.searchsorted(rt, lt + window_us, side="right")
+        counts = hi - lo
+        m = counts > 0
+        if not m.any():
+            continue
+        la = np.repeat(np.arange(nl)[m], counts[m])
+        rb = (np.repeat(lo[m], counts[m])
+              + (np.arange(int(counts[m].sum()))
+                 - np.repeat(np.cumsum(counts[m]) - counts[m], counts[m])))
+        out_a.append(lid[la])
+        out_b.append(rid[rb])
+        out_gap.append(rt[rb] - lt[la])
+    if not out_a:
+        return pa.table(
+            {
+                "a_id": pa.array([], type=pa.int64()),
+                "b_id": pa.array([], type=pa.int64()),
+                "gap_us": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "a_id": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "b_id": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "gap_us": pa.array(np.concatenate(out_gap), type=pa.int64()),
+        }
+    )
+
+
+def interval_join(ds, left_type: str, right_type: str, window_sec: int,
+                  coarse_partitions: int = USER_PARTITIONS):
+    """Stream-stream interval join: every (left, right) event pair of
+    the same user with right in [left.ts, left.ts + window] ->
+    (a_id, b_id, gap_us).  The WITHIN-WINDOW companion of asof_join
+    (which keeps only the nearest preceding match): funnels want the
+    first match, attribution wants ALL matches inside the window.
+
+    Same shape as sessionize/asof: both sides filter map-side (only
+    the two event types survive the read), ONE hash(user)%N coarse
+    exchange co-locates each user's rows, and each partition runs one
+    vectorized sort + per-user searchsorted window expansion.  Output
+    size is data-dependent (a hot user with k left x m right in-window
+    events emits k*m pairs) — the join's semantics, not a shuffle
+    artifact; aggregate inside the partition when only counts are
+    needed."""
+    from functools import partial
+
+    window_us = int(window_sec) * 1_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        isl = pc.equal(et, left_type)
+        isr = pc.equal(et, right_type)
+        keep = pc.or_(isl, isr)
+        b = batch.filter(keep)
+        sd = np.where(
+            np.asarray(pc.equal(b["event_type"], left_type)), 0, 1
+        ).astype(np.int8)
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "ts_us": pa.array(_epoch_us(b["ts"]), type=pa.int64()),
+                "side": pa.array(sd, type=pa.int8()),
+            }
+        )
+
+    parted = ds.map_batches(tag, batch_format="pyarrow").map_batches(
+        partial(_user_partition_column, n_partitions=coarse_partitions,
+                key="user_id"),
+        batch_format="pyarrow",
+    )
+    return parted.groupby("pgrp").map_groups(
+        partial(_drop_pgrp_then,
+                fn=partial(_interval_partition, window_us=window_us)),
+        batch_format="pyarrow",
+    )

@@ -331,3 +331,55 @@ ORDER BY cohort, k""").df()
             .to_pandas().sort_values(["cohort", "k"]).reset_index(drop=True))
     got2["n_active"] = got2["n_active"].astype("int64")
     assert got.equals(got2)
+
+
+def test_interval_join_bruteforce(ray_session):
+    """interval_join == brute-force all same-user (left, right) pairs
+    with 0 <= gap <= window, including boundary gaps and multi-match
+    expansion."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from chearch_ray.stages.events import interval_join
+
+    us = 1_000_000
+    rows = [
+        # user 1: one view, purchases at 0s, 10s, 3600s (boundary), 3601s (out)
+        {"event_id": 1, "user_id": 1, "event_type": "view", "ts": 0},
+        {"event_id": 2, "user_id": 1, "event_type": "purchase", "ts": 0},
+        {"event_id": 3, "user_id": 1, "event_type": "purchase", "ts": 10 * us},
+        {"event_id": 4, "user_id": 1, "event_type": "purchase", "ts": 3600 * us},
+        {"event_id": 5, "user_id": 1, "event_type": "purchase", "ts": 3601 * us},
+        # user 2: purchase BEFORE the view (excluded), one after
+        {"event_id": 6, "user_id": 2, "event_type": "purchase", "ts": 5 * us},
+        {"event_id": 7, "user_id": 2, "event_type": "view", "ts": 10 * us},
+        {"event_id": 8, "user_id": 2, "event_type": "purchase", "ts": 20 * us},
+        # user 3: other types only
+        {"event_id": 9, "user_id": 3, "event_type": "click", "ts": 0},
+        # user 4: two views sharing one purchase (fan-out both ways)
+        {"event_id": 10, "user_id": 4, "event_type": "view", "ts": 0},
+        {"event_id": 11, "user_id": 4, "event_type": "view", "ts": 1 * us},
+        {"event_id": 12, "user_id": 4, "event_type": "purchase", "ts": 2 * us},
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in rows]),
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = interval_join(ray.data.from_arrow(t), "view", "purchase", 3600).to_pandas()
+    got = {(a, b): g for a, b, g in zip(out["a_id"], out["b_id"], out["gap_us"])}
+    want = {}
+    for a, b in itertools.product(rows, rows):
+        if (a["event_type"] == "view" and b["event_type"] == "purchase"
+                and a["user_id"] == b["user_id"]
+                and 0 <= b["ts"] - a["ts"] <= 3600 * us):
+            want[(a["event_id"], b["event_id"])] = b["ts"] - a["ts"]
+    assert got == want
+    assert (1, 4) in want and (1, 5) not in want  # boundary in, past out
+    assert (7, 6) not in want                     # earlier purchase out
+    assert (10, 12) in want and (11, 12) in want  # fan-out
