@@ -869,17 +869,28 @@ def promo_revenue(lineitem_ds, part_ds, d1: str = "1996-09-01",
 
 # ----------------------------------------------------------- rollup
 def rollup_counts(ds, keys: list[str], sum_columns: list[str] | None = None,
-                  sentinel: str = "ALL") -> pa.Table:
-    """Multi-level aggregate (SQL GROUP BY ROLLUP): counts + sums at
-    every prefix level of `keys`, subtotal rows carrying `sentinel`
-    in the rolled-up key columns (callers must pick a sentinel absent
-    from the data; the key columns must be strings).
+                  sentinel: str = "ALL", mode: str = "rollup") -> pa.Table:
+    """Multi-level aggregate (SQL GROUP BY ROLLUP / CUBE): counts +
+    sums at every prefix level of `keys` (mode="rollup") or every key
+    SUBSET (mode="cube"), subtotal rows carrying `sentinel` in the
+    rolled-up key columns (callers must pick a sentinel absent from
+    the data; the key columns must be strings).
 
-    Scale shape: each block emits its partials for ALL len(keys)+1
-    levels at once (<= (levels * |groups|) rows per block — the
-    grand-total level is ONE row), then one gated rollup merge; no
-    per-level re-scan of the input and never an exchange per level."""
+    Scale shape: each block emits its partials for ALL grouping sets
+    at once (<= (sets * |groups|) rows per block — len(keys)+1 sets
+    for rollup, 2^len(keys) for cube; the grand-total set is ONE row),
+    then one gated rollup merge; no per-set re-scan of the input and
+    never an exchange per set."""
+    from itertools import combinations
+
     sums = list(sum_columns or [])
+    if mode == "rollup":
+        grouping_sets = [tuple(keys[:level]) for level in range(len(keys), -1, -1)]
+    elif mode == "cube":
+        grouping_sets = [s for n in range(len(keys), -1, -1)
+                         for s in combinations(keys, n)]
+    else:
+        raise ValueError(f"mode must be 'rollup' or 'cube', not {mode!r}")
 
     def level_partials(b: pa.Table) -> pa.Table:
         cols = {k: b[k] for k in keys}
@@ -888,9 +899,11 @@ def rollup_counts(ds, keys: list[str], sum_columns: list[str] | None = None,
             cols[c] = b[c].cast(pa.int64())
         base = pa.table(cols)
         out = []
-        for level in range(len(keys), -1, -1):
+        for kept in grouping_sets:
             t = base
-            for k in keys[level:]:
+            for k in keys:
+                if k in kept:
+                    continue
                 t = t.set_column(
                     t.schema.get_field_index(k), k,
                     pa.array(np.full(len(t), sentinel, dtype=object),

@@ -1155,6 +1155,24 @@ def q_rollup_docs(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def q_cube_docs(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(lang, source): all four grouping sets in the same
+    one-pass partial emission as the rollup row (adds the (source)
+    marginal the rollup lacks)."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import rollup_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source", "n_chars"],
+    )
+    out = rollup_counts(ds, ["lang", "source"], sum_columns=["n_chars"],
+                        mode="cube")
+    out = out.rename_columns(["lang", "source", "n_docs", "chars_total"])
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def q_top_orders_per_cust(sf_dir: str) -> pa.Table:
     """window-rank top-N per group (row_number <= 3): each customer's
     3 biggest orders by (totalprice cents desc, orderkey asc) — the
@@ -1908,6 +1926,7 @@ QUERIES = {
     "returned_item_revenue": q_returned_item_revenue,
     "promo_revenue": q_promo_revenue,
     "rollup_docs": q_rollup_docs,
+    "cube_docs": q_cube_docs,
     "top_orders_per_cust": q_top_orders_per_cust,
     "containment_pairs": q_containment_pairs,
     "tfidf_keywords": q_tfidf_keywords,
@@ -2742,6 +2761,13 @@ SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
        count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars_total
 FROM documents
 GROUP BY ROLLUP(lang, source)
+ORDER BY lang, source
+""",
+    "cube_docs": """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars_total
+FROM documents
+GROUP BY CUBE(lang, source)
 ORDER BY lang, source
 """,
     "top_orders_per_cust": """
