@@ -100,7 +100,10 @@ def _gated_group_sum(partials_ds, keys: list[str], sums: list[str],
         parts = [t for t in mat.iter_batches(batch_size=None, batch_format="pyarrow")
                  if len(t)]
         if not parts:
-            return mat.schema().empty_table()
+            sch = mat.schema()
+            if sch is None:  # zero-batch input: no schema to project
+                return None
+            return sch.empty_table()
         agg = pa.concat_tables(parts).group_by(keys, use_threads=False).aggregate(
             [(c, "sum") for c in sums]
         )
@@ -920,3 +923,392 @@ def rollup_counts(ds, keys: list[str], sum_columns: list[str] | None = None,
     return merged.take(pc.sort_indices(
         merged, sort_keys=[(k, "ascending") for k in keys]
     ))
+
+
+# ------------------------------------------- Q13 shape (distribution)
+def _custkey_count_partial(batch: pa.Table) -> pa.Table:
+    t = pa.table(
+        {
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "n_orders": pa.array(np.ones(len(batch), dtype=np.int64)),
+        }
+    )
+    agg = t.group_by("o_custkey", use_threads=False).aggregate([("n_orders", "sum")])
+    return agg.rename_columns(["o_custkey", "n_orders"])
+
+
+def _count_hist_partial(batch: pa.Table) -> pa.Table:
+    vals, cnt = np.unique(batch["n_orders"].to_numpy().astype(np.int64),
+                          return_counts=True)
+    return pa.table(
+        {
+            "c_count": pa.array(vals, type=pa.int64()),
+            "custdist": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def order_count_distribution(customer_ds, orders_ds,
+                             driver_merge_limit: int | None = None) -> pa.Table:
+    """TPC-H Q13 shape (LEFT OUTER count distribution): how many
+    customers placed exactly k orders, INCLUDING the zero bucket —
+    (c_count, custdist), custdist desc / c_count desc.
+
+    Scale shape: per-block (custkey, n) partials; below the driver
+    gate they merge driver-side, above it a Ray groupby-Sum produces
+    the per-customer counts AS A DATASET and a second bounded partial
+    (one histogram row per distinct count per block) merges through
+    the usual gated pattern — the unbounded per-customer table never
+    lands on the driver.  The zero bucket is |customer| minus the
+    matched-customer total (orders' custkeys are a foreign key into
+    customer, enforced by the oracle comparison)."""
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    limit = DRIVER_MERGE_LIMIT if driver_merge_limit is None else driver_merge_limit
+    partials = orders_ds.map_batches(_custkey_count_partial,
+                                     batch_format="pyarrow").materialize()
+    if partials.count() <= limit:
+        parts = [t for t in partials.iter_batches(batch_size=None,
+                                                  batch_format="pyarrow") if len(t)]
+        if parts:
+            per_cust = pa.concat_tables(parts).group_by(
+                "o_custkey", use_threads=False).aggregate([("n_orders", "sum")])
+            counts = per_cust["n_orders_sum"].to_numpy().astype(np.int64)
+        else:
+            counts = np.empty(0, dtype=np.int64)
+        vals, cnt = np.unique(counts, return_counts=True)
+        hist = pa.table({"c_count": pa.array(vals, type=pa.int64()),
+                         "custdist": pa.array(cnt.astype(np.int64))})
+    else:
+        from ray.data.aggregate import Sum
+
+        per_cust_ds = partials.groupby("o_custkey").aggregate(
+            Sum("n_orders", alias_name="n_orders"))
+        hist_partials = per_cust_ds.map_batches(_count_hist_partial,
+                                                batch_format="pyarrow")
+        hist = _gated_group_sum(hist_partials, ["c_count"], ["custdist"],
+                                driver_merge_limit=driver_merge_limit)
+    matched = int(pc.sum(hist["custdist"]).as_py() or 0)
+    # .materialize().count() — metadata count, single execution (the
+    # customer side is consumed ONLY for its row count)
+    zero = customer_ds.materialize().count() - matched
+    if zero > 0:  # the LEFT JOIN mirror emits no 0 bucket when empty
+        hist = pa.concat_tables([
+            hist.select(["c_count", "custdist"]),
+            pa.table({"c_count": pa.array([0], type=pa.int64()),
+                      "custdist": pa.array([zero], type=pa.int64())}),
+        ])
+    else:
+        hist = hist.select(["c_count", "custdist"])
+    return hist.take(pc.sort_indices(
+        hist, sort_keys=[("custdist", "descending"), ("c_count", "descending")]
+    ))
+
+
+# ------------------------------------------- Q15 shape (equals-max)
+def top_revenue_suppliers(lineitem_ds, supplier_ds,
+                          d1: str = "1996-01-01", d2: str = "1996-04-01",
+                          driver_merge_limit: int | None = None) -> pa.Table:
+    """TPC-H Q15 shape: the supplier(s) with MAX total revenue in
+    [d1, d2) — aggregate, then keep rows equal to the max (ties kept,
+    the reference query's correlated `= (SELECT max(...))`).
+
+    Scale shape: per-block (suppkey, rev_cents) partials merge through
+    the gated pattern (supplier is a bounded dimension); the winner
+    set (ties at max — a handful of rows) broadcasts via `ray.put`
+    and supplier attributes attach in one vectorized map over the
+    supplier table."""
+    import ray
+
+    d1_us = int(np.datetime64(d1, "us").astype(np.int64))
+    d2_us = int(np.datetime64(d2, "us").astype(np.int64))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"]
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        us = np.asarray(ship.cast(pa.int64()))
+        b = batch.filter(pa.array((us >= d1_us) & (us < d2_us)))
+        return _rev_cents_partial(b, "l_suppkey", "s_suppkey")
+
+    partials = lineitem_ds.map_batches(rev_partial, batch_format="pyarrow")
+    per_supp = _gated_group_sum(partials, ["s_suppkey"], ["rev_cents"],
+                                driver_merge_limit=driver_merge_limit)
+    if not len(per_supp):
+        return pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                         "s_name": pa.array([], type=pa.string()),
+                         "total_cents": pa.array([], type=pa.int64())})
+    rev = per_supp["rev_cents"].to_numpy().astype(np.int64)
+    best = int(rev.max())
+    win_keys = per_supp["s_suppkey"].to_numpy().astype(np.int64)[rev == best]
+    ref = ray.put(np.sort(win_keys))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        k = batch["s_suppkey"].to_numpy().astype(np.int64)
+        out = batch.filter(pa.array(np.isin(k, keys)))
+        return pa.table(
+            {
+                "s_suppkey": out["s_suppkey"].cast(pa.int64()),
+                "s_name": out["s_name"],
+                "total_cents": pa.array(
+                    np.full(len(out), best, dtype=np.int64)),
+            }
+        )
+
+    winners = supplier_ds.map_batches(attach, batch_format="pyarrow")
+    parts = [t for t in winners.iter_batches(batch_size=None,
+                                             batch_format="pyarrow") if len(t)]
+    out = pa.concat_tables(parts)
+    return out.take(pc.sort_indices(out, sort_keys=[("s_suppkey", "ascending")]))
+
+
+# ------------------------------------------- Q18 shape (having-sum)
+def large_volume_orders(lineitem_ds, orders_ds, customer_ds,
+                        min_qty: float = 300.0, k: int = 100,
+                        driver_merge_limit: int | None = None) -> pa.Table:
+    """TPC-H Q18 shape (GROUP BY ... HAVING SUM > t, then join + top-k):
+    orders whose total lineitem quantity exceeds `min_qty`, joined to
+    customer, top `k` by (o_totalprice desc, o_orderkey asc).
+
+    Scale shape: per-block (orderkey, qty_cents) partials; below the
+    driver gate they merge driver-side, above it a Ray groupby-Sum +
+    filter keeps the per-order table distributed and only the
+    QUALIFYING keys (HAVING-filtered, a tiny set by construction)
+    gather.  Qualifiers broadcast via `ray.put` into one orders map
+    pass; customer attaches via the gated dimension lookup join; the
+    final top-k is per-block partial top-k then one bounded driver
+    merge (<= k rows per block)."""
+    import ray
+
+    from chearch_ray.stages.joins import broadcast_lookup_join
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    limit = DRIVER_MERGE_LIMIT if driver_merge_limit is None else driver_merge_limit
+    min_cents = int(round(min_qty * 100))
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "qty_cents": pa.array(
+                    _cents(batch["l_quantity"].to_numpy().astype(np.float64)),
+                    type=pa.int64(),
+                ),
+            }
+        )
+        agg = t.group_by("l_orderkey", use_threads=False).aggregate(
+            [("qty_cents", "sum")])
+        return agg.rename_columns(["l_orderkey", "qty_cents"])
+
+    partials = lineitem_ds.map_batches(qty_partial,
+                                       batch_format="pyarrow").materialize()
+    if partials.count() <= limit:
+        parts = [t for t in partials.iter_batches(batch_size=None,
+                                                  batch_format="pyarrow") if len(t)]
+        if parts:
+            per_order = pa.concat_tables(parts).group_by(
+                "l_orderkey", use_threads=False).aggregate([("qty_cents", "sum")])
+            keys = per_order["l_orderkey"].to_numpy().astype(np.int64)
+            qty = per_order["qty_cents_sum"].to_numpy().astype(np.int64)
+        else:
+            keys = qty = np.empty(0, dtype=np.int64)
+    else:
+        from ray.data.aggregate import Sum
+
+        per_order_ds = partials.groupby("l_orderkey").aggregate(
+            Sum("qty_cents", alias_name="qty_cents"))
+        big = per_order_ds.filter(expr=f"qty_cents > {min_cents}")
+        parts = [t for t in big.iter_batches(batch_size=None,
+                                             batch_format="pyarrow") if len(t)]
+        tbl = (pa.concat_tables(parts) if parts
+               else pa.table({"l_orderkey": pa.array([], type=pa.int64()),
+                              "qty_cents": pa.array([], type=pa.int64())}))
+        keys = tbl["l_orderkey"].to_numpy().astype(np.int64)
+        qty = tbl["qty_cents"].to_numpy().astype(np.int64)
+    sel = qty > min_cents
+    keys, qty = keys[sel], qty[sel]
+    order = np.argsort(keys, kind="stable")
+    keys, qty = keys[order], qty[order]
+    ref = ray.put((keys, qty))
+
+    def orders_hit(batch: pa.Table) -> pa.Table:
+        bk, bq = ray.get(ref) if not isinstance(ref, tuple) else ref
+        k_ = batch["o_orderkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(bk, k_)
+        posc = np.minimum(pos, max(len(bk) - 1, 0))
+        hit = (bk[posc] == k_) if len(bk) else np.zeros(len(k_), dtype=bool)
+        out = batch.filter(pa.array(hit))
+        return pa.table(
+            {
+                "o_orderkey": out["o_orderkey"].cast(pa.int64()),
+                "o_custkey": out["o_custkey"].cast(pa.int64()),
+                "total_cents": pa.array(
+                    _cents(out["o_totalprice"].to_numpy().astype(np.float64)),
+                    type=pa.int64(),
+                ),
+                "sum_qty_cents": pa.array(bq[posc[hit]] if len(bk)
+                                          else np.empty(0, np.int64),
+                                          type=pa.int64()),
+            }
+        )
+
+    hits = orders_ds.map_batches(orders_hit, batch_format="pyarrow")
+    named = broadcast_lookup_join(hits, customer_ds, on="o_custkey",
+                                  right_on="c_custkey", payload=["c_name"])
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        if len(batch) <= k:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=[("total_cents", "descending"),
+                                                ("o_orderkey", "ascending")])
+        return batch.take(idx.slice(0, k))
+
+    parts = [t for t in named.map_batches(topk_block, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow") if len(t)]
+    cols = ["c_name", "o_custkey", "o_orderkey", "total_cents", "sum_qty_cents"]
+    if not parts:
+        return pa.table({"c_name": pa.array([], type=pa.string()),
+                         "o_custkey": pa.array([], type=pa.int64()),
+                         "o_orderkey": pa.array([], type=pa.int64()),
+                         "total_cents": pa.array([], type=pa.int64()),
+                         "sum_qty_cents": pa.array([], type=pa.int64())})
+    merged = pa.concat_tables([t.select(cols) for t in parts])
+    idx = pc.sort_indices(merged, sort_keys=[("total_cents", "descending"),
+                                             ("o_orderkey", "ascending")])
+    return merged.take(idx.slice(0, min(k, len(merged))))
+
+
+# ------------------------------------------- Q19 shape (disjunctive)
+#: (brand, qty_min, qty_max, size_min, size_max) inclusive windows
+DISJUNCTIVE_SPECS = (
+    ("Brand#1", 1.0, 11.0, 1, 5),
+    ("Brand#2", 10.0, 20.0, 1, 10),
+    ("Brand#3", 20.0, 30.0, 1, 15),
+)
+
+
+def disjunctive_revenue(lineitem_ds, part_ds,
+                        specs=DISJUNCTIVE_SPECS) -> pa.Table:
+    """TPC-H Q19 shape (OR of conjunctive predicate windows across a
+    join): revenue over lineitems whose part matches ANY
+    (brand, quantity window, size window) spec — one output row
+    (n_items, rev_cents).
+
+    Scale shape: part attributes attach via the gated dimension
+    lookup join (broadcast below 2M rows, Dataset.join above); the
+    disjunction evaluates vectorized per block; partials are ONE row
+    per block, merged driver-side (whitelisted bounded gather)."""
+    from chearch_ray.stages.joins import broadcast_lookup_join
+
+    joined = broadcast_lookup_join(lineitem_ds, part_ds, on="l_partkey",
+                                   right_on="p_partkey",
+                                   payload=["p_brand", "p_size"])
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy().astype(np.float64)
+        size = batch["p_size"].to_numpy().astype(np.int64)
+        brand = batch["p_brand"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(batch), dtype=bool)
+        for b, q1, q2, s1, s2 in specs:
+            mask |= ((brand == b) & (qty >= q1) & (qty <= q2)
+                     & (size >= s1) & (size <= s2))
+        price = batch["l_extendedprice"].to_numpy().astype(np.float64)[mask]
+        disc = batch["l_discount"].to_numpy().astype(np.float64)[mask]
+        rev = int(_round_half_away(price * (1.0 - disc) * 100).sum())
+        return pa.table({"n_items": pa.array([int(mask.sum())], type=pa.int64()),
+                         "rev_cents": pa.array([rev], type=pa.int64())})
+
+    parts = [t for t in joined.map_batches(block_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow") if len(t)]
+    if not parts:
+        return pa.table({"n_items": pa.array([0], type=pa.int64()),
+                         "rev_cents": pa.array([0], type=pa.int64())})
+    merged = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "n_items": pa.array([int(pc.sum(merged["n_items"]).as_py() or 0)],
+                                type=pa.int64()),
+            "rev_cents": pa.array([int(pc.sum(merged["rev_cents"]).as_py() or 0)],
+                                  type=pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------- Q22 shape (scalar subquery)
+def wealthy_inactive_customers(customer_ds, orders_ds,
+                               since: str = "1999-01-01",
+                               n_partitions: int | None = None) -> pa.Table:
+    """TPC-H Q22 shape (scalar AVG subquery + NOT EXISTS): customers
+    whose account balance exceeds the positive-balance average AND who
+    placed no order on/after `since` (Q22's seven-year window), rolled
+    up per market segment as (n_customers, acctbal_cents).
+
+    The average never materializes as a float: the filter compares
+    cents * n > sum_cents in exact int64 cross-multiplication (the
+    significant_terms trick), and the SQL mirror is written the same
+    way, so both sides are bit-exact.  Scale shape: pass 1 emits ONE
+    (sum, count) row per block (whitelisted bounded gather); pass 2 is
+    the standard map-side-deduped anti-join + gated segment rollup."""
+    from chearch_ray.stages.joins import hash_anti_join
+
+    def avg_partial(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy().astype(np.float64)
+        pos = bal > 0.0
+        return pa.table(
+            {
+                "sum_cents": pa.array([int(_cents(bal[pos]).sum())],
+                                      type=pa.int64()),
+                "n_pos": pa.array([int(pos.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = [t for t in customer_ds.map_batches(avg_partial,
+                                                batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow") if len(t)]
+    merged = pa.concat_tables(parts) if parts else None
+    s = int(pc.sum(merged["sum_cents"]).as_py() or 0) if merged is not None else 0
+    n = int(pc.sum(merged["n_pos"]).as_py() or 0) if merged is not None else 0
+
+    def wealthy_filter(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"].to_numpy().astype(np.float64))
+        keep = cents * n > s
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "c_custkey": out["c_custkey"].cast(pa.int64()),
+                "c_mktsegment": out["c_mktsegment"],
+                "acctbal_cents": pa.array(cents[keep], type=pa.int64()),
+            }
+        )
+
+    wealthy = customer_ds.map_batches(wealthy_filter, batch_format="pyarrow")
+    since_us = int(np.datetime64(since, "us").astype(np.int64))
+    order_keys = orders_ds.map_batches(
+        partial(_recent_custkeys, since_us=since_us), batch_format="pyarrow",
+    )
+    silent = hash_anti_join(wealthy, order_keys, on="c_custkey",
+                            right_on="o_custkey",
+                            payload=["c_mktsegment", "acctbal_cents"],
+                            n_partitions=n_partitions)
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_customers": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "acctbal_cents": batch["acctbal_cents"].cast(pa.int64()),
+            }
+        )
+        agg = t.group_by("c_mktsegment", use_threads=False).aggregate(
+            [("n_customers", "sum"), ("acctbal_cents", "sum")])
+        return agg.rename_columns(["c_mktsegment", "n_customers", "acctbal_cents"])
+
+    partials = silent.map_batches(seg_partial, batch_format="pyarrow")
+    out = _gated_group_sum(partials, ["c_mktsegment"],
+                           ["n_customers", "acctbal_cents"])
+    if out is None or not len(out):
+        return pa.table({"c_mktsegment": pa.array([], type=pa.string()),
+                         "n_customers": pa.array([], type=pa.int64()),
+                         "acctbal_cents": pa.array([], type=pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[("c_mktsegment", "ascending")]))

@@ -1908,6 +1908,87 @@ def q_media_features(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_order_count_distribution(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape: LEFT OUTER order-count histogram including the
+    zero bucket."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import order_count_distribution
+
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    return order_count_distribution(customer, orders)
+
+
+def q_top_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H Q15 shape: supplier(s) with MAX revenue in a quarter
+    (aggregate + equals-max, ties kept)."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import top_revenue_suppliers
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    supplier = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"])
+    return top_revenue_suppliers(lineitem, supplier)
+
+
+def q_large_volume_orders(sf_dir: str) -> pa.Table:
+    """TPC-H Q18 shape: HAVING SUM(qty) > t, join customer, top-100 by
+    (totalprice desc, orderkey asc)."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import large_volume_orders
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"])
+    return large_volume_orders(lineitem, orders, customer)
+
+
+def q_disjunctive_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape: OR of (brand, qty window, size window)
+    conjunctions across the lineitem x part dimension join."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import disjunctive_revenue
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"])
+    return disjunctive_revenue(lineitem, part)
+
+
+def q_wealthy_inactive(sf_dir: str) -> pa.Table:
+    """TPC-H Q22 shape: scalar positive-balance-average subquery (exact
+    int64 cross-multiplication on both sides) + NOT EXISTS anti-join,
+    per market segment."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import wealthy_inactive_customers
+
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+    return wealthy_inactive_customers(customer, orders)
+
+
 # DRIVER ROTATION — the driver harness checks the FIRST 50 entries of
 # this dict (insertion order).  CORRECTNESS_r01–r03 covered the 56
 # queries listed in the "round 1–3 re-checks" sections below; the 36
@@ -2028,6 +2109,13 @@ QUERIES = {
     "quality": q_quality,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
+    # --- late round-4 additions (driver-check candidates for the
+    # --- round-5 rotation; oracle-exact in tests/test_entry.py) -----
+    "order_count_distribution": q_order_count_distribution,
+    "top_supplier": q_top_supplier,
+    "large_volume_orders": q_large_volume_orders,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "wealthy_inactive": q_wealthy_inactive,
 }
 
 
@@ -3198,6 +3286,59 @@ ranked AS (
   FROM embeddings e CROSS JOIN qs q)
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id::BIGINT AS vec_id
 FROM ranked WHERE rank <= 10
+""",
+    "order_count_distribution": """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey::BIGINT AS s_suppkey, s.s_name, r.total_cents
+FROM supplier s JOIN rev r ON s.s_suppkey = r.s_suppkey
+WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+ORDER BY s_suppkey
+""",
+    "large_volume_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty_cents
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(round(l_quantity * 100)::BIGINT) > 30000)
+SELECT c_name, o_custkey::BIGINT AS o_custkey, o_orderkey::BIGINT AS o_orderkey,
+       round(o_totalprice * 100)::BIGINT AS total_cents, sum_qty_cents
+FROM orders JOIN customer ON c_custkey = o_custkey
+            JOIN big ON big.l_orderkey = o_orderkey
+ORDER BY total_cents DESC, o_orderkey ASC
+LIMIT 100
+""",
+    "disjunctive_revenue": """
+SELECT count(*)::BIGINT AS n_items,
+       sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS rev_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+""",
+    "wealthy_inactive": """
+WITH pos AS (
+  SELECT sum(round(c_acctbal * 100)::BIGINT) AS s, count(*)::BIGINT AS n
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+       sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS acctbal_cents
+FROM customer, pos
+WHERE round(c_acctbal * 100)::BIGINT * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= DATE '1999-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """,
 }
 

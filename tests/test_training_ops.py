@@ -2626,3 +2626,108 @@ def test_exact_distinct_by_both_paths(ray_session):
         got = dict(zip(out["event_type"].to_pylist(), out["n_distinct"].to_pylist()))
         assert got == want.to_dict()
     assert fast.equals(scale)
+
+
+def test_tpch_shape_gated_paths_identical(ray_session):
+    """Q13/Q15/Q18 custom gated merges: driver_merge_limit=0 forces the
+    distributed (Ray groupby) path; output must be row-identical to the
+    driver-merge path on the same input."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import (
+        large_volume_orders,
+        order_count_distribution,
+        top_revenue_suppliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def cust():
+        return ray.data.read_parquet(f"{sf}/customer.parquet",
+                                     columns=["c_custkey", "c_name"])
+
+    def orders():
+        return ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def li(cols):
+        return ray.data.read_parquet(f"{sf}/lineitem.parquet", columns=cols)
+
+    a = order_count_distribution(cust(),
+                                 ray.data.read_parquet(
+                                     f"{sf}/orders.parquet",
+                                     columns=["o_custkey"]).repartition(6))
+    b = order_count_distribution(cust(),
+                                 ray.data.read_parquet(
+                                     f"{sf}/orders.parquet",
+                                     columns=["o_custkey"]).repartition(6),
+                                 driver_merge_limit=0)
+    assert a.to_pandas().equals(b.to_pandas())
+
+    lv_cols = ["l_orderkey", "l_quantity"]
+    a = large_volume_orders(li(lv_cols).repartition(6), orders(), cust(),
+                            min_qty=250.0, k=20)
+    b = large_volume_orders(li(lv_cols).repartition(6), orders(), cust(),
+                            min_qty=250.0, k=20, driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
+
+    ts_cols = ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    sup = ray.data.read_parquet(f"{sf}/supplier.parquet",
+                                columns=["s_suppkey", "s_name"])
+    a = top_revenue_suppliers(li(ts_cols).repartition(6), sup)
+    b = top_revenue_suppliers(li(ts_cols).repartition(6), sup,
+                              driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
+
+
+def test_wealthy_inactive_empty_and_window(ray_session):
+    """Q22 shape: a `since` earlier than every order makes the result
+    empty with a stable schema; a late `since` yields rows matching the
+    int64 cross-multiplied average filter computed in pandas."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import wealthy_inactive_customers
+
+    sf = "/root/testdata/sf0.001"
+
+    def cust():
+        return ray.data.read_parquet(
+            f"{sf}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def orders():
+        return ray.data.read_parquet(f"{sf}/orders.parquet",
+                                     columns=["o_custkey", "o_orderdate"])
+
+    empty = wealthy_inactive_customers(cust(), orders(), since="1990-01-01")
+    assert len(empty) == 0
+    assert empty.column_names == ["c_mktsegment", "n_customers",
+                                  "acctbal_cents"]
+
+    got = wealthy_inactive_customers(cust(), orders(),
+                                     since="2000-01-01").to_pandas()
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    c = pq_.read_table(f"{sf}/customer.parquet").to_pandas()
+    o = pq_.read_table(f"{sf}/orders.parquet").to_pandas()
+    from chearch_ray.stages.events import _round_half_away
+    cents = _round_half_away(c["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    pos = c["c_acctbal"].to_numpy() > 0
+    s, n = int(cents[pos].sum()), int(pos.sum())
+    recent = set(o.loc[o["o_orderdate"] >= pd.Timestamp("2000-01-01"),
+                       "o_custkey"])
+    keep = (cents * n > s) & ~c["c_custkey"].isin(recent).to_numpy()
+    want = (pd.DataFrame({"c_mktsegment": c["c_mktsegment"][keep],
+                          "cents": cents[keep]})
+            .groupby("c_mktsegment", as_index=False)
+            .agg(n_customers=("cents", "size"), acctbal_cents=("cents", "sum"))
+            .sort_values("c_mktsegment").reset_index(drop=True))
+    g = got.sort_values("c_mktsegment").reset_index(drop=True)
+    assert len(g) > 0
+    assert (g["c_mktsegment"].tolist() == want["c_mktsegment"].tolist()
+            and g["n_customers"].tolist() == want["n_customers"].tolist()
+            and g["acctbal_cents"].tolist() == want["acctbal_cents"].tolist())
