@@ -393,6 +393,16 @@ def run_bench() -> dict:
     dc.q_line_dedup(sf_dir)
     dc.q_cm_counts(sf_dir)
     timings["sf_round4_ops_sec"] = time.perf_counter() - t0
+    # late-round-4 TPC-H shapes: Q13 outer-count histogram, Q15
+    # equals-max, Q18 having-sum + top-k, Q19 disjunctive windows,
+    # Q22 scalar-subquery anti-join
+    t0 = time.perf_counter()
+    dc.q_order_count_distribution(sf_dir)
+    dc.q_top_supplier(sf_dir)
+    dc.q_large_volume_orders(sf_dir)
+    dc.q_disjunctive_revenue(sf_dir)
+    dc.q_wealthy_inactive(sf_dir)
+    timings["sf_relational3_sec"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     dc.q_quality_gate(sf_dir)
     dc.q_top_quality_per_lang(sf_dir)

@@ -1312,3 +1312,134 @@ def wealthy_inactive_customers(customer_ds, orders_ds,
                          "n_customers": pa.array([], type=pa.int64()),
                          "acctbal_cents": pa.array([], type=pa.int64())})
     return out.take(pc.sort_indices(out, sort_keys=[("c_mktsegment", "ascending")]))
+
+
+# ------------------------------------------- statistical aggregates
+def grouped_value_stats(ds, key: str, value: str,
+                        driver_merge_limit: int | None = None) -> pa.Table:
+    """Per-group descriptive statistics (n, sum_cents, sumsq_cents2,
+    mean_value, var_pop) with an EXACT float contract: the integer
+    cent sums merge exactly (order-independent), and mean/variance are
+    each ONE float expression over those int64s, written identically
+    in the SQL mirror — so the doubles are bit-identical.
+
+    Scale shape: one partial row per (block, group), gated merge.
+    int64 bound: sum(cents^2) overflows past ~2^63 / max_cents^2 rows
+    per group (~4e9 rows at cents<=5e4); callers with larger groups
+    should bucket first."""
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch[value].to_numpy().astype(np.float64))
+        t = pa.table(
+            {
+                key: batch[key],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "sum_cents": pa.array(cents, type=pa.int64()),
+                "sumsq_cents2": pa.array(cents * cents, type=pa.int64()),
+            }
+        )
+        agg = t.group_by(key, use_threads=False).aggregate(
+            [("n", "sum"), ("sum_cents", "sum"), ("sumsq_cents2", "sum")])
+        return agg.rename_columns([key, "n", "sum_cents", "sumsq_cents2"])
+
+    partials = ds.map_batches(stats_partial, batch_format="pyarrow")
+    out = _gated_group_sum(partials, [key], ["n", "sum_cents", "sumsq_cents2"],
+                           driver_merge_limit=driver_merge_limit)
+    if out is None or not len(out):
+        return pa.table({key: pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64()),
+                         "sum_cents": pa.array([], type=pa.int64()),
+                         "sumsq_cents2": pa.array([], type=pa.int64()),
+                         "mean_value": pa.array([], type=pa.float64()),
+                         "var_pop": pa.array([], type=pa.float64())})
+    n = out["n"].to_numpy().astype(np.int64)
+    s = out["sum_cents"].to_numpy().astype(np.int64)
+    q = out["sumsq_cents2"].to_numpy().astype(np.int64)
+    # EXACT float contract: same expressions, same order, as the SQL
+    # mirror (int64/int64 -> float64 division on both sides)
+    mean = s / n / 100.0
+    var = q / n / 10000.0 - (s / n / 100.0) * (s / n / 100.0)
+    out = out.append_column("mean_value", pa.array(mean, type=pa.float64()))
+    out = out.append_column("var_pop", pa.array(var, type=pa.float64()))
+    return out.take(pc.sort_indices(out, sort_keys=[(key, "ascending")]))
+
+
+def pearson_corr_cents(ds, x: str, y: str) -> pa.Table:
+    """Pearson correlation of two numeric columns with an EXACT float
+    contract: per-block int64 moment partials (n, sx, sy, sxx, syy,
+    sxy over integer cents) merge in arbitrary-precision Python ints
+    driver-side (one row per block — whitelisted bounded gather); the
+    SQL mirror carries the same moments in HUGEINT; both sides then
+    evaluate ONE identical float expression
+    (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2)),
+    so the double is bit-identical (IEEE sqrt/division are exact)."""
+    import math
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        xc = _cents(batch[x].to_numpy().astype(np.float64))
+        yc = _cents(batch[y].to_numpy().astype(np.float64))
+        return pa.table(
+            {
+                "n": pa.array([len(batch)], type=pa.int64()),
+                "sx": pa.array([int(xc.sum())], type=pa.int64()),
+                "sy": pa.array([int(yc.sum())], type=pa.int64()),
+                "sxx": pa.array([int((xc * xc).sum())], type=pa.int64()),
+                "syy": pa.array([int((yc * yc).sum())], type=pa.int64()),
+                "sxy": pa.array([int((xc * yc).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = [t for t in ds.map_batches(moment_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow") if len(t)]
+    n = sx = sy = sxx = syy = sxy = 0
+    for t in parts:  # Python ints: no overflow at any block count
+        n += int(pc.sum(t["n"]).as_py())
+        sx += int(pc.sum(t["sx"]).as_py())
+        sy += int(pc.sum(t["sy"]).as_py())
+        sxx += int(pc.sum(t["sxx"]).as_py())
+        syy += int(pc.sum(t["syy"]).as_py())
+        sxy += int(pc.sum(t["sxy"]).as_py())
+    den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+    r = float(n * sxy - sx * sy) / den if den else 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "sx_cents": pa.array([sx], type=pa.int64()),
+            "sy_cents": pa.array([sy], type=pa.int64()),
+            "corr": pa.array([r], type=pa.float64()),
+        }
+    )
+
+
+# ------------------------------------------------------------- pivot
+def pivot_counts(ds, row_key: str, col_key: str, col_values: list[str],
+                 driver_merge_limit: int | None = None) -> pa.Table:
+    """Crosstab (SQL PIVOT / conditional aggregation): one row per
+    `row_key` value, one int64 count column per entry of `col_values`
+    (a FIXED enumeration the caller supplies — at scale the column set
+    must be known up front, not discovered) plus a `total` column.
+    Column names are `n_<value>`.
+
+    Scale shape: each block emits <= |row groups| rows with the full
+    count-column set (vectorized == comparisons per col value), then
+    one gated merge keyed by row_key."""
+    count_cols = [f"n_{v}" for v in col_values] + ["total"]
+
+    def pivot_partial(batch: pa.Table) -> pa.Table:
+        col = batch[col_key].to_numpy(zero_copy_only=False)
+        cols = {row_key: batch[row_key]}
+        for v, name in zip(col_values, count_cols):
+            cols[name] = pa.array((col == v).astype(np.int64))
+        cols["total"] = pa.array(np.ones(len(batch), dtype=np.int64))
+        t = pa.table(cols)
+        agg = t.group_by(row_key, use_threads=False).aggregate(
+            [(c, "sum") for c in count_cols])
+        return agg.rename_columns([row_key] + count_cols)
+
+    partials = ds.map_batches(pivot_partial, batch_format="pyarrow")
+    out = _gated_group_sum(partials, [row_key], count_cols,
+                           driver_merge_limit=driver_merge_limit)
+    if out is None or not len(out):
+        return pa.table({row_key: pa.array([], type=pa.string()),
+                         **{c: pa.array([], type=pa.int64())
+                            for c in count_cols}})
+    return out.take(pc.sort_indices(out, sort_keys=[(row_key, "ascending")]))

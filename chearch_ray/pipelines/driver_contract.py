@@ -1989,6 +1989,48 @@ def q_wealthy_inactive(sf_dir: str) -> pa.Table:
     return wealthy_inactive_customers(customer, orders)
 
 
+def q_event_value_stats(sf_dir: str) -> pa.Table:
+    """grouped descriptive statistics (n/sum/mean/var_pop) with the
+    exact-int-sums-then-one-float-expression contract."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import grouped_value_stats
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    return grouped_value_stats(ds, "event_type", "value")
+
+
+def q_qty_discount_corr(sf_dir: str) -> pa.Table:
+    """Pearson correlation from exact integer moment sums (HUGEINT on
+    the SQL side, Python ints here), one identical float expression
+    both sides."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import pearson_corr_cents
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_quantity", "l_discount"])
+    return pearson_corr_cents(ds, "l_quantity", "l_discount")
+
+
+#: the documents table's fixed source enumeration (TESTDATA.md;
+#: identical across scale factors) — pivot column sets must be known
+#: up front at scale, not discovered
+PIVOT_SOURCES = [f"src{i}" for i in range(20)]
+
+
+def q_lang_source_pivot(sf_dir: str) -> pa.Table:
+    """crosstab: one row per lang, one count column per source."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import pivot_counts
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "source"])
+    return pivot_counts(ds, "lang", "source", PIVOT_SOURCES)
+
+
 # DRIVER ROTATION — the driver harness checks the FIRST 50 entries of
 # this dict (insertion order).  CORRECTNESS_r01–r03 covered the 56
 # queries listed in the "round 1–3 re-checks" sections below; the 36
@@ -2116,6 +2158,9 @@ QUERIES = {
     "large_volume_orders": q_large_volume_orders,
     "disjunctive_revenue": q_disjunctive_revenue,
     "wealthy_inactive": q_wealthy_inactive,
+    "event_value_stats": q_event_value_stats,
+    "qty_discount_corr": q_qty_discount_corr,
+    "lang_source_pivot": q_lang_source_pivot,
 }
 
 
@@ -3340,6 +3385,44 @@ WHERE round(c_acctbal * 100)::BIGINT * pos.n > pos.s
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """,
+    "event_value_stats": """
+WITH g AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+         sum((round(value * 100)::BIGINT) * (round(value * 100)::BIGINT))::BIGINT
+           AS sumsq_cents2
+  FROM events GROUP BY event_type)
+SELECT event_type, n, sum_cents, sumsq_cents2,
+       sum_cents / n / 100.0 AS mean_value,
+       sumsq_cents2 / n / 10000.0
+         - (sum_cents / n / 100.0) * (sum_cents / n / 100.0) AS var_pop
+FROM g ORDER BY event_type
+""",
+    "qty_discount_corr": """
+WITH m AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(round(l_quantity * 100)::BIGINT)::HUGEINT AS sx,
+         sum(round(l_discount * 100)::BIGINT)::HUGEINT AS sy,
+         sum((round(l_quantity * 100)::BIGINT)
+             * (round(l_quantity * 100)::BIGINT))::HUGEINT AS sxx,
+         sum((round(l_discount * 100)::BIGINT)
+             * (round(l_discount * 100)::BIGINT))::HUGEINT AS syy,
+         sum((round(l_quantity * 100)::BIGINT)
+             * (round(l_discount * 100)::BIGINT))::HUGEINT AS sxy
+  FROM lineitem)
+SELECT n::BIGINT AS n, sx::BIGINT AS sx_cents, sy::BIGINT AS sy_cents,
+       ((n * sxy - sx * sy)::DOUBLE)
+         / (sqrt((n * sxx - sx * sx)::DOUBLE)
+            * sqrt((n * syy - sy * sy)::DOUBLE)) AS corr
+FROM m
+""",
+    "lang_source_pivot": (
+        "SELECT lang, "
+        + ", ".join(
+            f"sum(CASE WHEN source = '{v}' THEN 1 ELSE 0 END)::BIGINT AS n_{v}"
+            for v in PIVOT_SOURCES)
+        + ", count(*)::BIGINT AS total FROM documents GROUP BY lang ORDER BY lang"
+    ),
 }
 
 

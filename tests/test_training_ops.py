@@ -2731,3 +2731,40 @@ def test_wealthy_inactive_empty_and_window(ray_session):
     assert (g["c_mktsegment"].tolist() == want["c_mktsegment"].tolist()
             and g["n_customers"].tolist() == want["n_customers"].tolist()
             and g["acctbal_cents"].tolist() == want["acctbal_cents"].tolist())
+
+
+def test_stats_pivot_gated_paths_identical(ray_session):
+    """grouped_value_stats / pivot_counts: driver_merge_limit=0 (Ray
+    groupby merge) must be row-identical to the driver-merge path,
+    including the bit-exact float columns."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import (grouped_value_stats,
+                                                 pivot_counts)
+
+    sf = "/root/testdata/sf0.001"
+
+    def ev():
+        return ray.data.read_parquet(f"{sf}/events.parquet",
+                                     columns=["event_type", "value"]
+                                     ).repartition(6)
+
+    a = grouped_value_stats(ev(), "event_type", "value")
+    b = grouped_value_stats(ev(), "event_type", "value",
+                            driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
+
+    def docs():
+        return ray.data.read_parquet(f"{sf}/documents.parquet",
+                                     columns=["lang", "source"]
+                                     ).repartition(6)
+
+    vals = [f"src{i}" for i in range(20)]
+    a = pivot_counts(docs(), "lang", "source", vals)
+    b = pivot_counts(docs(), "lang", "source", vals, driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
+    # every row's count columns sum to its total
+    pdf = a.to_pandas()
+    assert (pdf[[f"n_{v}" for v in vals]].sum(axis=1) == pdf["total"]).all()
