@@ -1443,3 +1443,142 @@ def pivot_counts(ds, row_key: str, col_key: str, col_values: list[str],
                          **{c: pa.array([], type=pa.int64())
                             for c in count_cols}})
     return out.take(pc.sort_indices(out, sort_keys=[(row_key, "ascending")]))
+
+
+# ------------------------------------------------- JSON field extract
+def json_int_field_agg(ds, json_column: str, field: str, by: str,
+                       driver_merge_limit: int | None = None) -> pa.Table:
+    """Extract an integer field from a JSON-string column (RE2
+    `"<field>"\\s*:\\s*(-?\\d+)` — the vectorized scale path for flat
+    numeric props; the SQL mirror uses real json_extract, equal on
+    well-formed input) and aggregate per `by` group:
+    (by, n_with_field, sum_field, min_field, max_field).
+
+    Scale shape: one extract + groupby partial per block (<= |groups|
+    rows), gated merge; min/max merge as min-of-mins / max-of-maxes."""
+    pattern = f'"{field}"\\s*:\\s*(?P<v>-?\\d+)'
+
+    def extract_partial(batch: pa.Table) -> pa.Table:
+        col = batch[json_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = pc.extract_regex(col, pattern)
+        vals = pc.struct_field(m, "v")
+        ok = pc.is_valid(vals)
+        v = np.asarray(vals.to_pandas().fillna("0")).astype(np.int64)
+        keep = np.asarray(ok.to_pandas()).astype(bool)
+        t = pa.table(
+            {
+                by: batch[by].filter(pa.array(keep)) if not keep.all() else batch[by],
+                "n_with_field": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+                "sum_field": pa.array(v[keep], type=pa.int64()),
+                "min_field": pa.array(v[keep], type=pa.int64()),
+                "max_field": pa.array(v[keep], type=pa.int64()),
+            }
+        )
+        agg = t.group_by(by, use_threads=False).aggregate(
+            [("n_with_field", "sum"), ("sum_field", "sum"),
+             ("min_field", "min"), ("max_field", "max")])
+        return agg.rename_columns([by, "n_with_field", "sum_field",
+                                   "min_field", "max_field"])
+
+    partials = ds.map_batches(extract_partial, batch_format="pyarrow")
+    # min/max need min/max-merge, not sum: merge driver-side below the
+    # gate, Ray groupby with per-aggregate functions above it
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    limit = DRIVER_MERGE_LIMIT if driver_merge_limit is None else driver_merge_limit
+    mat = partials.materialize()
+    if mat.count() <= limit:
+        parts = [t for t in mat.iter_batches(batch_size=None,
+                                             batch_format="pyarrow") if len(t)]
+        if not parts:
+            return pa.table({by: pa.array([], type=pa.string()),
+                             "n_with_field": pa.array([], type=pa.int64()),
+                             "sum_field": pa.array([], type=pa.int64()),
+                             "min_field": pa.array([], type=pa.int64()),
+                             "max_field": pa.array([], type=pa.int64())})
+        agg = pa.concat_tables(parts).group_by(by, use_threads=False).aggregate(
+            [("n_with_field", "sum"), ("sum_field", "sum"),
+             ("min_field", "min"), ("max_field", "max")])
+        out = agg.rename_columns([by, "n_with_field", "sum_field",
+                                  "min_field", "max_field"])
+    else:
+        from ray.data.aggregate import Max, Min, Sum
+
+        merged = mat.groupby(by).aggregate(
+            Sum("n_with_field", alias_name="n_with_field"),
+            Sum("sum_field", alias_name="sum_field"),
+            Min("min_field", alias_name="min_field"),
+            Max("max_field", alias_name="max_field"),
+        )
+        out = pa.concat_tables(
+            merged.iter_batches(batch_size=None, batch_format="pyarrow")
+        ).select([by, "n_with_field", "sum_field", "min_field", "max_field"])
+    return out.take(pc.sort_indices(out, sort_keys=[(by, "ascending")]))
+
+
+# ------------------------------------------------------ mode per group
+def mode_per_group(ds, by: str, col: str,
+                   driver_merge_limit: int | None = None) -> pa.Table:
+    """Most frequent `col` value per `by` group (ties -> smallest
+    value): (by, mode_value, n_occurrences).
+
+    Scale shape: (by, col) pair-count partials per block (bounded by
+    the pair cardinality — callers use this for categorical columns),
+    gated merge, then a vectorized per-group argmax."""
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({by: batch[by], col: batch[col],
+                      "n": pa.array(np.ones(len(batch), dtype=np.int64))})
+        agg = t.group_by([by, col], use_threads=False).aggregate([("n", "sum")])
+        return agg.rename_columns([by, col, "n"])
+
+    partials = ds.map_batches(pair_partial, batch_format="pyarrow")
+    pairs = _gated_group_sum(partials, [by, col], ["n"],
+                             driver_merge_limit=driver_merge_limit)
+    if pairs is None or not len(pairs):
+        return pa.table({by: pa.array([], type=pa.string()),
+                         "mode_value": pa.array([], type=pa.string()),
+                         "n_occurrences": pa.array([], type=pa.int64())})
+    # per-group argmax: sort (by asc, n desc, col asc), keep first of
+    # each group — vectorized, |pairs| rows total
+    idx = pc.sort_indices(pairs, sort_keys=[(by, "ascending"),
+                                            ("n", "descending"),
+                                            (col, "ascending")])
+    s = pairs.take(idx)
+    g = s[by].to_numpy(zero_copy_only=False)
+    first = np.ones(len(s), dtype=bool)
+    first[1:] = g[1:] != g[:-1]
+    out = s.filter(pa.array(first))
+    return pa.table({by: out[by], "mode_value": out[col],
+                     "n_occurrences": out["n"].cast(pa.int64())})
+
+
+# ------------------------------------------------- fixed-width histogram
+def value_histogram(ds, value: str, width: float,
+                    driver_merge_limit: int | None = None) -> pa.Table:
+    """Fixed-width binned histogram: bin = floor(value / width)
+    (IEEE division + floor, mirrored verbatim in SQL), per bin
+    (bin, n_rows, sum_cents).  One bounded partial per block, gated
+    merge."""
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch[value].to_numpy().astype(np.float64)
+        t = pa.table(
+            {
+                "bin": pa.array(np.floor(v / width).astype(np.int64)),
+                "n_rows": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "sum_cents": pa.array(_cents(v), type=pa.int64()),
+            }
+        )
+        agg = t.group_by("bin", use_threads=False).aggregate(
+            [("n_rows", "sum"), ("sum_cents", "sum")])
+        return agg.rename_columns(["bin", "n_rows", "sum_cents"])
+
+    partials = ds.map_batches(hist_partial, batch_format="pyarrow")
+    out = _gated_group_sum(partials, ["bin"], ["n_rows", "sum_cents"],
+                           driver_merge_limit=driver_merge_limit)
+    if out is None or not len(out):
+        return pa.table({"bin": pa.array([], type=pa.int64()),
+                         "n_rows": pa.array([], type=pa.int64()),
+                         "sum_cents": pa.array([], type=pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[("bin", "ascending")]))

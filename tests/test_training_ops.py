@@ -2768,3 +2768,41 @@ def test_stats_pivot_gated_paths_identical(ray_session):
     # every row's count columns sum to its total
     pdf = a.to_pandas()
     assert (pdf[[f"n_{v}" for v in vals]].sum(axis=1) == pdf["total"]).all()
+
+
+def test_json_mode_hist_gated_paths_identical(ray_session):
+    """json_int_field_agg (min/max-aware merge), mode_per_group and
+    value_histogram: groupby merge path (driver_merge_limit=0) ==
+    driver merge path."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import (json_int_field_agg,
+                                                 mode_per_group,
+                                                 value_histogram)
+
+    sf = "/root/testdata/sf0.001"
+
+    def ev(cols):
+        return ray.data.read_parquet(f"{sf}/events.parquet",
+                                     columns=cols).repartition(6)
+
+    a = json_int_field_agg(ev(["event_type", "props"]), "props", "k",
+                           by="event_type")
+    b = json_int_field_agg(ev(["event_type", "props"]), "props", "k",
+                           by="event_type", driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
+
+    def docs():
+        return ray.data.read_parquet(f"{sf}/documents.parquet",
+                                     columns=["lang", "source"]).repartition(6)
+
+    a = mode_per_group(docs(), "lang", "source")
+    b = mode_per_group(docs(), "lang", "source", driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
+
+    a = value_histogram(ev(["value"]), "value", 25.0)
+    b = value_histogram(ev(["value"]), "value", 25.0, driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
