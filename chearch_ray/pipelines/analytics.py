@@ -1582,3 +1582,48 @@ def value_histogram(ds, value: str, width: float,
                          "n_rows": pa.array([], type=pa.int64()),
                          "sum_cents": pa.array([], type=pa.int64())})
     return out.take(pc.sort_indices(out, sort_keys=[("bin", "ascending")]))
+
+
+# ----------------------------------------------------- ordered collect
+def sorted_distinct_concat(ds, by: str, col: str, sep: str = ",",
+                           driver_merge_limit: int | None = None) -> pa.Table:
+    """Ordered collect (SQL string_agg(DISTINCT col ORDER BY col)):
+    per group, the sorted distinct `col` values joined with `sep`,
+    plus the distinct count — (by, n_distinct, concat_values).
+
+    Scale shape: per-block DISTINCT (by, col) pairs (bounded by pair
+    cardinality — categorical columns only, like mode_per_group), one
+    gated merge, then a vectorized segmented join over the sorted pair
+    table."""
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({by: batch[by], col: batch[col],
+                      "n": pa.array(np.ones(len(batch), dtype=np.int64))})
+        agg = t.group_by([by, col], use_threads=False).aggregate([("n", "sum")])
+        return agg.rename_columns([by, col, "n"])
+
+    partials = ds.map_batches(pair_partial, batch_format="pyarrow")
+    pairs = _gated_group_sum(partials, [by, col], ["n"],
+                             driver_merge_limit=driver_merge_limit)
+    if pairs is None or not len(pairs):
+        return pa.table({by: pa.array([], type=pa.string()),
+                         "n_distinct": pa.array([], type=pa.int64()),
+                         "concat_values": pa.array([], type=pa.string())})
+    idx = pc.sort_indices(pairs, sort_keys=[(by, "ascending"),
+                                            (col, "ascending")])
+    s = pairs.take(idx)
+    g = s[by].to_numpy(zero_copy_only=False)
+    v = s[col].to_numpy(zero_copy_only=False)
+    first = np.ones(len(s), dtype=bool)
+    first[1:] = g[1:] != g[:-1]
+    starts = np.flatnonzero(first)
+    ends = np.append(starts[1:], len(s))
+    groups = g[starts]
+    return pa.table(
+        {
+            by: pa.array(groups, type=pa.string()),
+            "n_distinct": pa.array(ends - starts, type=pa.int64()),
+            "concat_values": pa.array(
+                [sep.join(v[a:b]) for a, b in zip(starts, ends)],
+                type=pa.string()),
+        }
+    )

@@ -2066,6 +2066,17 @@ def q_event_value_hist(sf_dir: str) -> pa.Table:
     return value_histogram(ds, "value", 25.0)
 
 
+def q_sources_concat_by_lang(sf_dir: str) -> pa.Table:
+    """ordered collect: sorted distinct sources per lang, joined."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import sorted_distinct_concat
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "source"])
+    return sorted_distinct_concat(ds, "lang", "source")
+
+
 # DRIVER ROTATION — the driver harness checks the FIRST 50 entries of
 # this dict (insertion order).  CORRECTNESS_r01–r03 covered the 56
 # queries listed in the "round 1–3 re-checks" sections below; the 36
@@ -2199,6 +2210,7 @@ QUERIES = {
     "props_field_agg": q_props_field_agg,
     "mode_source_by_lang": q_mode_source_by_lang,
     "event_value_hist": q_event_value_hist,
+    "sources_concat_by_lang": q_sources_concat_by_lang,
 }
 
 
@@ -3481,6 +3493,11 @@ WHERE rn = 1 ORDER BY lang
 SELECT floor(value / 25.0)::BIGINT AS bin, count(*)::BIGINT AS n_rows,
        sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
 FROM events GROUP BY 1 ORDER BY 1
+""",
+    "sources_concat_by_lang": """
+SELECT lang, count(DISTINCT source)::BIGINT AS n_distinct,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS concat_values
+FROM documents GROUP BY lang ORDER BY lang
 """,
 }
 
