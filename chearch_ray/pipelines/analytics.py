@@ -1627,3 +1627,127 @@ def sorted_distinct_concat(ds, by: str, col: str, sep: str = ",",
                 type=pa.string()),
         }
     )
+
+
+# ------------------------------------------- Q16 shape (distinct-per-group)
+def brand_supplier_counts(lineitem_ds, part_ds,
+                          driver_merge_limit: int | None = None) -> pa.Table:
+    """TPC-H Q16 shape (count DISTINCT across a dimension join):
+    distinct suppliers per part brand — (p_brand, n_suppliers).
+
+    Scale shape: part attributes attach via the gated dimension lookup
+    join; each block then emits its DISTINCT (brand, suppkey) pairs
+    (bounded by |brands| x |suppliers|), one gated pair merge, then a
+    vectorized per-brand distinct count over the pair table."""
+    from chearch_ray.stages.joins import broadcast_lookup_join
+
+    joined = broadcast_lookup_join(lineitem_ds, part_ds, on="l_partkey",
+                                   right_on="p_partkey", payload=["p_brand"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"p_brand": batch["p_brand"],
+                      "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+                      "n": pa.array(np.ones(len(batch), dtype=np.int64))})
+        agg = t.group_by(["p_brand", "l_suppkey"], use_threads=False).aggregate(
+            [("n", "sum")])
+        return agg.rename_columns(["p_brand", "l_suppkey", "n"])
+
+    partials = joined.map_batches(pair_partial, batch_format="pyarrow")
+    pairs = _gated_group_sum(partials, ["p_brand", "l_suppkey"], ["n"],
+                             driver_merge_limit=driver_merge_limit)
+    if pairs is None or not len(pairs):
+        return pa.table({"p_brand": pa.array([], type=pa.string()),
+                         "n_suppliers": pa.array([], type=pa.int64())})
+    agg = pairs.group_by("p_brand", use_threads=False).aggregate(
+        [("l_suppkey", "count")])
+    out = agg.rename_columns(["p_brand", "n_suppliers"])
+    out = out.set_column(out.schema.get_field_index("n_suppliers"),
+                         "n_suppliers", out["n_suppliers"].cast(pa.int64()))
+    return out.take(pc.sort_indices(out, sort_keys=[("p_brand", "ascending")]))
+
+
+# ------------------------------------------- Q11 shape (global-scalar HAVING)
+def part_revenue_concentration(lineitem_ds, num: int = 1, denom: int = 1000,
+                               driver_merge_limit: int | None = None) -> pa.Table:
+    """TPC-H Q11 shape (GROUP BY ... HAVING SUM > fraction * global
+    scalar subquery): parts whose revenue exceeds num/denom of TOTAL
+    revenue — (l_partkey, rev_cents), rev desc / partkey asc.
+
+    The fraction compare is exact int64 cross-multiplication
+    (rev_cents * denom > total_cents * num), mirrored verbatim in the
+    SQL.  Scale shape: per-block (partkey, rev_cents) partials; below
+    the driver gate they merge driver-side; above it a Ray groupby-Sum
+    keeps the per-part table distributed, the global total rides the
+    SAME partials as a one-row-per-block driver sum, and only the
+    HAVING-qualifying rows (a tiny set by construction) gather."""
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    limit = DRIVER_MERGE_LIMIT if driver_merge_limit is None else driver_merge_limit
+    partials = lineitem_ds.map_batches(
+        partial(_rev_cents_partial, key_col="l_partkey", out_key="l_partkey"),
+        batch_format="pyarrow").materialize()
+
+    # global total: one int per block off the SAME partials
+    total = 0
+    for t in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(t):
+            total += int(pc.sum(t["rev_cents"]).as_py())
+
+    if partials.count() <= limit:
+        parts = [t for t in partials.iter_batches(batch_size=None,
+                                                  batch_format="pyarrow") if len(t)]
+        if not parts:
+            return pa.table({"l_partkey": pa.array([], type=pa.int64()),
+                             "rev_cents": pa.array([], type=pa.int64())})
+        per_part = pa.concat_tables(parts).group_by(
+            "l_partkey", use_threads=False).aggregate([("rev_cents", "sum")])
+        keys = per_part["l_partkey"].to_numpy().astype(np.int64)
+        rev = per_part["rev_cents_sum"].to_numpy().astype(np.int64)
+    else:
+        from ray.data.aggregate import Sum
+
+        per_part_ds = partials.groupby("l_partkey").aggregate(
+            Sum("rev_cents", alias_name="rev_cents"))
+        # rev*denom > total*num  <=>  rev > (total*num)//denom exactly
+        # (both divisible and non-divisible cases), and the simple
+        # compare is what Dataset.filter's expr parser supports
+        big = per_part_ds.filter(
+            expr=f"rev_cents > {(total * num) // denom}")
+        parts = [t for t in big.iter_batches(batch_size=None,
+                                             batch_format="pyarrow") if len(t)]
+        tbl = (pa.concat_tables(parts) if parts
+               else pa.table({"l_partkey": pa.array([], type=pa.int64()),
+                              "rev_cents": pa.array([], type=pa.int64())}))
+        keys = tbl["l_partkey"].to_numpy().astype(np.int64)
+        rev = tbl["rev_cents"].to_numpy().astype(np.int64)
+    sel = rev * denom > total * num
+    keys, rev = keys[sel], rev[sel]
+    out = pa.table({"l_partkey": pa.array(keys, type=pa.int64()),
+                    "rev_cents": pa.array(rev, type=pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[("rev_cents", "descending"),
+                                                    ("l_partkey", "ascending")]))
+
+
+# ------------------------------------------------------------- melt
+def melt(ds, id_col: str, value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """UNPIVOT: widen-to-long — each input row becomes len(value_cols)
+    rows (id_col, var_name=<column name>, value_name=<cell>).  A
+    stateless vectorized map (np.repeat + tile), streaming, no
+    shuffle.  Returns a Dataset."""
+    def melt_batch(batch: pa.Table) -> pa.Table:
+        k = len(value_cols)
+        n = len(batch)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        names = pa.array(np.tile(np.array(value_cols, dtype=object), n),
+                         type=pa.string())
+        vals = np.empty(n * k, dtype=np.int64)
+        for j, c in enumerate(value_cols):
+            vals[j::k] = batch[c].to_numpy().astype(np.int64)
+        return pa.table({id_col: ids.take(rep), var_name: names,
+                         value_name: pa.array(vals, type=pa.int64())})
+
+    return ds.map_batches(melt_batch, batch_format="pyarrow")

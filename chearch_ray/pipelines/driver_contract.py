@@ -17,6 +17,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from chearch_ray import ast
@@ -2077,6 +2078,51 @@ def q_sources_concat_by_lang(sf_dir: str) -> pa.Table:
     return sorted_distinct_concat(ds, "lang", "source")
 
 
+def q_brand_supplier_counts(sf_dir: str) -> pa.Table:
+    """TPC-H Q16 shape: count(DISTINCT supplier) per brand across the
+    part dimension join."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import brand_supplier_counts
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"])
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"])
+    return brand_supplier_counts(lineitem, part)
+
+
+def q_part_revenue_concentration(sf_dir: str) -> pa.Table:
+    """TPC-H Q11 shape: HAVING SUM > fraction of a global scalar
+    subquery, compared in exact int64 cross-multiplication."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import part_revenue_concentration
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+    return part_revenue_concentration(lineitem, num=1, denom=1800)
+
+
+def q_unpivot_sources(sf_dir: str) -> pa.Table:
+    """UNPIVOT round-trip: melt the lang x source crosstab back to
+    long form (the SQL mirror literally uses UNPIVOT)."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import melt, pivot_counts
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "source"])
+    wide = pivot_counts(ds, "lang", "source", PIVOT_SOURCES)
+    long = melt(ray.data.from_arrow(wide), "lang",
+                [f"n_{v}" for v in PIVOT_SOURCES] + ["total"])
+    out = pa.Table.from_pandas(long.to_pandas(), preserve_index=False)
+    return out.take(pc.sort_indices(out, sort_keys=[("lang", "ascending"),
+                                                    ("variable", "ascending")]))
+
+
 # DRIVER ROTATION — the driver harness checks the FIRST 50 entries of
 # this dict (insertion order).  CORRECTNESS_r01–r03 covered the 56
 # queries listed in the "round 1–3 re-checks" sections below; the 36
@@ -2211,6 +2257,9 @@ QUERIES = {
     "mode_source_by_lang": q_mode_source_by_lang,
     "event_value_hist": q_event_value_hist,
     "sources_concat_by_lang": q_sources_concat_by_lang,
+    "brand_supplier_counts": q_brand_supplier_counts,
+    "part_revenue_concentration": q_part_revenue_concentration,
+    "unpivot_sources": q_unpivot_sources,
 }
 
 
@@ -3499,6 +3548,33 @@ SELECT lang, count(DISTINCT source)::BIGINT AS n_distinct,
        string_agg(DISTINCT source, ',' ORDER BY source) AS concat_values
 FROM documents GROUP BY lang ORDER BY lang
 """,
+    "brand_supplier_counts": """
+SELECT p_brand, count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand ORDER BY p_brand
+""",
+    "part_revenue_concentration": """
+WITH pr AS (
+  SELECT l_partkey,
+         sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+           AS rev_cents
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(rev_cents)::BIGINT AS t FROM pr)
+SELECT l_partkey::BIGINT AS l_partkey, rev_cents
+FROM pr, tot
+WHERE rev_cents * 1800 > t * 1
+ORDER BY rev_cents DESC, l_partkey ASC
+""",
+    "unpivot_sources": (
+        "SELECT lang, variable, value FROM (SELECT lang, "
+        + ", ".join(
+            f"sum(CASE WHEN source = '{v}' THEN 1 ELSE 0 END)::BIGINT AS n_{v}"
+            for v in PIVOT_SOURCES)
+        + ", count(*)::BIGINT AS total FROM documents GROUP BY lang) "
+        + "UNPIVOT (value FOR variable IN ("
+        + ", ".join(f"n_{v}" for v in PIVOT_SOURCES)
+        + ", total)) ORDER BY lang, variable"
+    ),
 }
 
 

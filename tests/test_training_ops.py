@@ -2806,3 +2806,36 @@ def test_json_mode_hist_gated_paths_identical(ray_session):
     b = value_histogram(ev(["value"]), "value", 25.0, driver_merge_limit=0)
     assert len(a) > 0
     assert a.to_pandas().equals(b.to_pandas())
+
+
+def test_q16_q11_gated_paths_identical(ray_session):
+    """brand_supplier_counts / part_revenue_concentration: groupby
+    merge path (driver_merge_limit=0) == driver merge path."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import (
+        brand_supplier_counts,
+        part_revenue_concentration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def li(cols):
+        return ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                                     columns=cols).repartition(6)
+
+    part = lambda: ray.data.read_parquet(  # noqa: E731
+        f"{sf}/part.parquet", columns=["p_partkey", "p_brand"])
+
+    a = brand_supplier_counts(li(["l_partkey", "l_suppkey"]), part())
+    b = brand_supplier_counts(li(["l_partkey", "l_suppkey"]), part(),
+                              driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
+
+    cols = ["l_partkey", "l_extendedprice", "l_discount"]
+    a = part_revenue_concentration(li(cols), num=1, denom=1800)
+    b = part_revenue_concentration(li(cols), num=1, denom=1800,
+                                   driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
