@@ -872,12 +872,15 @@ def promo_revenue(lineitem_ds, part_ds, d1: str = "1996-09-01",
 
 # ----------------------------------------------------------- rollup
 def rollup_counts(ds, keys: list[str], sum_columns: list[str] | None = None,
-                  sentinel: str = "ALL", mode: str = "rollup") -> pa.Table:
-    """Multi-level aggregate (SQL GROUP BY ROLLUP / CUBE): counts +
-    sums at every prefix level of `keys` (mode="rollup") or every key
-    SUBSET (mode="cube"), subtotal rows carrying `sentinel` in the
-    rolled-up key columns (callers must pick a sentinel absent from
-    the data; the key columns must be strings).
+                  sentinel: str = "ALL", mode: str = "rollup",
+                  sets: list[tuple[str, ...]] | None = None) -> pa.Table:
+    """Multi-level aggregate (SQL GROUP BY ROLLUP / CUBE / GROUPING
+    SETS): counts + sums at every prefix level of `keys`
+    (mode="rollup"), every key SUBSET (mode="cube"), or exactly the
+    caller-supplied `sets` (mode="sets" — each a tuple of kept keys),
+    subtotal rows carrying `sentinel` in the rolled-up key columns
+    (callers must pick a sentinel absent from the data; the key
+    columns must be strings).
 
     Scale shape: each block emits its partials for ALL grouping sets
     at once (<= (sets * |groups|) rows per block — len(keys)+1 sets
@@ -892,8 +895,15 @@ def rollup_counts(ds, keys: list[str], sum_columns: list[str] | None = None,
     elif mode == "cube":
         grouping_sets = [s for n in range(len(keys), -1, -1)
                          for s in combinations(keys, n)]
+    elif mode == "sets":
+        if not sets:
+            raise ValueError("mode='sets' requires a non-empty `sets` list")
+        unknown = {k for s in sets for k in s} - set(keys)
+        if unknown:
+            raise ValueError(f"sets reference keys not in `keys`: {unknown}")
+        grouping_sets = [tuple(s) for s in sets]
     else:
-        raise ValueError(f"mode must be 'rollup' or 'cube', not {mode!r}")
+        raise ValueError(f"mode must be 'rollup', 'cube' or 'sets', not {mode!r}")
 
     def level_partials(b: pa.Table) -> pa.Table:
         cols = {k: b[k] for k in keys}

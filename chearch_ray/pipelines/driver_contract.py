@@ -2123,6 +2123,37 @@ def q_unpivot_sources(sf_dir: str) -> pa.Table:
                                                     ("variable", "ascending")]))
 
 
+def q_event_lag_gaps(sf_dir: str) -> pa.Table:
+    """LAG() OVER (PARTITION BY user ORDER BY ts): microseconds since
+    each user's previous event (first events drop, as SQL LAG NULLs)."""
+    import ray.data
+
+    from chearch_ray.stages.events import event_lag_gaps
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts"])
+    out = event_lag_gaps(ds).to_pandas().sort_values("event_id",
+                                                     ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_grouping_sets_docs(sf_dir: str) -> pa.Table:
+    """GROUP BY GROUPING SETS ((lang), (source)): exactly the two
+    marginals, same one-pass partial emission as ROLLUP/CUBE."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import rollup_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source", "n_chars"],
+    )
+    out = rollup_counts(ds, ["lang", "source"], sum_columns=["n_chars"],
+                        mode="sets", sets=[("lang",), ("source",)])
+    out = out.rename_columns(["lang", "source", "n_docs", "chars_total"])
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 # DRIVER ROTATION — the driver harness checks the FIRST 50 entries of
 # this dict (insertion order).  CORRECTNESS_r01–r03 covered the 56
 # queries listed in the "round 1–3 re-checks" sections below; the 36
@@ -2260,6 +2291,8 @@ QUERIES = {
     "brand_supplier_counts": q_brand_supplier_counts,
     "part_revenue_concentration": q_part_revenue_concentration,
     "unpivot_sources": q_unpivot_sources,
+    "event_lag_gaps": q_event_lag_gaps,
+    "grouping_sets_docs": q_grouping_sets_docs,
 }
 
 
@@ -3575,6 +3608,23 @@ ORDER BY rev_cents DESC, l_partkey ASC
         + ", ".join(f"n_{v}" for v in PIVOT_SOURCES)
         + ", total)) ORDER BY lang, variable"
     ),
+    "event_lag_gaps": """
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+       (epoch_us(ts) - epoch_us(prev_ts))::BIGINT AS gap_us
+FROM (SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+WHERE prev_ts IS NOT NULL
+ORDER BY event_id
+""",
+    "grouping_sets_docs": """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars_total
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source))
+ORDER BY lang, source
+""",
 }
 
 

@@ -718,3 +718,60 @@ def interval_join(ds, left_type: str, right_type: str, window_sec: int,
                 fn=partial(_interval_partition, window_us=window_us)),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------------ LAG gaps
+_LAG_SCHEMA = pa.schema([
+    pa.field("event_id", pa.int64()),
+    pa.field("user_id", pa.int64()),
+    pa.field("gap_us", pa.int64()),
+])
+
+
+def _lag_partition(group: pa.Table) -> pa.Table:
+    """one coarse partition -> per-event LAG gap rows: for every event
+    with a same-user predecessor (ordered by ts, event_id), the
+    microseconds since that predecessor.  First events per user drop
+    (SQL LAG yields NULL there).  One sort + one vectorized diff for
+    ALL users in the partition."""
+    if len(group) == 0:
+        return _LAG_SCHEMA.empty_table()
+    order = pc.sort_indices(
+        group,
+        sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                   ("event_id", "ascending")],
+    )
+    g = group.take(order)
+    us = _epoch_us(g["ts"])
+    users = g["user_id"].to_numpy()
+    new_user = _run_starts(users)
+    keep = ~new_user
+    gaps = np.empty(len(g), dtype=np.int64)
+    gaps[0] = 0
+    gaps[1:] = us[1:] - us[:-1]
+    return pa.table(
+        {
+            "event_id": pa.array(
+                g["event_id"].to_numpy().astype(np.int64)[keep], type=pa.int64()),
+            "user_id": pa.array(users.astype(np.int64)[keep], type=pa.int64()),
+            "gap_us": pa.array(gaps[keep], type=pa.int64()),
+        }
+    )
+
+
+def event_lag_gaps(ds, coarse_partitions: int = USER_PARTITIONS):
+    """SQL LAG() OVER (PARTITION BY user ORDER BY ts, event_id): time
+    since each user's previous event.  Same coarse hash(user)%N
+    single-shuffle shape as sessionize — one vectorized segmented scan
+    per partition, never per-user Python."""
+    from functools import partial
+
+    parted = ds.map_batches(
+        partial(_user_partition_column, n_partitions=coarse_partitions,
+                key="user_id"),
+        batch_format="pyarrow",
+    )
+    return parted.groupby("pgrp").map_groups(
+        partial(_drop_pgrp_then, fn=_lag_partition),
+        batch_format="pyarrow",
+    )
