@@ -1761,3 +1761,42 @@ def melt(ds, id_col: str, value_cols: list[str],
                          value_name: pa.array(vals, type=pa.int64())})
 
     return ds.map_batches(melt_batch, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- date-part group
+def revenue_by_year(lineitem_ds,
+                    driver_merge_limit: int | None = None) -> pa.Table:
+    """Revenue grouped by calendar YEAR of the ship date — the
+    date-part aggregation shape.  Year extraction is calendar-exact on
+    both sides (numpy datetime64[Y] here, SQL year() in the mirror).
+    One bounded partial per block (<= |years| rows), gated merge."""
+    def year_partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"]
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        us = np.asarray(ship.cast(pa.int64()))
+        years = (us.astype("datetime64[us]").astype("datetime64[Y]")
+                 .astype(np.int64) + 1970)
+        price = batch["l_extendedprice"].to_numpy().astype(np.float64)
+        disc = batch["l_discount"].to_numpy().astype(np.float64)
+        t = pa.table(
+            {
+                "year": pa.array(years, type=pa.int64()),
+                "n_items": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "rev_cents": pa.array(
+                    _round_half_away(price * (1.0 - disc) * 100),
+                    type=pa.int64()),
+            }
+        )
+        agg = t.group_by("year", use_threads=False).aggregate(
+            [("n_items", "sum"), ("rev_cents", "sum")])
+        return agg.rename_columns(["year", "n_items", "rev_cents"])
+
+    partials = lineitem_ds.map_batches(year_partial, batch_format="pyarrow")
+    out = _gated_group_sum(partials, ["year"], ["n_items", "rev_cents"],
+                           driver_merge_limit=driver_merge_limit)
+    if out is None or not len(out):
+        return pa.table({"year": pa.array([], type=pa.int64()),
+                         "n_items": pa.array([], type=pa.int64()),
+                         "rev_cents": pa.array([], type=pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[("year", "ascending")]))

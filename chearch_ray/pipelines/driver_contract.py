@@ -2154,6 +2154,33 @@ def q_grouping_sets_docs(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def q_revenue_by_year(sf_dir: str) -> pa.Table:
+    """date-part aggregation: revenue per calendar ship year."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import revenue_by_year
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_extendedprice", "l_discount"])
+    return revenue_by_year(ds)
+
+
+def q_latest_event_per_user(sf_dir: str) -> pa.Table:
+    """latest-record dedup: each user's most recent event
+    (row_number() = 1 over ts desc, event_id desc)."""
+    import ray.data
+
+    from chearch_ray.stages.events import latest_event_per_user
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"])
+    out = latest_event_per_user(ds).to_pandas().sort_values(
+        "user_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # DRIVER ROTATION — the driver harness checks the FIRST 50 entries of
 # this dict (insertion order).  CORRECTNESS_r01–r03 covered the 56
 # queries listed in the "round 1–3 re-checks" sections below; the 36
@@ -2293,6 +2320,8 @@ QUERIES = {
     "unpivot_sources": q_unpivot_sources,
     "event_lag_gaps": q_event_lag_gaps,
     "grouping_sets_docs": q_grouping_sets_docs,
+    "revenue_by_year": q_revenue_by_year,
+    "latest_event_per_user": q_latest_event_per_user,
 }
 
 
@@ -3624,6 +3653,21 @@ SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
 FROM documents
 GROUP BY GROUPING SETS ((lang), (source))
 ORDER BY lang, source
+""",
+    "revenue_by_year": """
+SELECT year(l_shipdate)::BIGINT AS year, count(*)::BIGINT AS n_items,
+       sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+         AS rev_cents
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+    "latest_event_per_user": """
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+       ts, event_type
+FROM (SELECT event_id, user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id
 """,
 }
 

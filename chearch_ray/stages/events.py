@@ -775,3 +775,42 @@ def event_lag_gaps(ds, coarse_partitions: int = USER_PARTITIONS):
         partial(_drop_pgrp_then, fn=_lag_partition),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------- latest per group
+def _latest_partial(batch: pa.Table) -> pa.Table:
+    """per-block latest event per user: sort (user, ts desc, event_id
+    desc), keep each user's first row — <= |users in block| rows out."""
+    if len(batch) == 0:
+        return batch
+    order = pc.sort_indices(
+        batch,
+        sort_keys=[("user_id", "ascending"), ("ts", "descending"),
+                   ("event_id", "descending")],
+    )
+    g = batch.take(order)
+    users = g["user_id"].to_numpy()
+    return g.filter(pa.array(_run_starts(users)))
+
+
+def latest_event_per_user(ds, coarse_partitions: int = USER_PARTITIONS):
+    """The "latest record" dedup (SQL row_number() OVER (PARTITION BY
+    user ORDER BY ts DESC, event_id DESC) = 1): each user's most
+    recent event row.
+
+    Scale shape: each block first reduces to its own per-user latest
+    (bounded by users-per-block), then ONE coarse hash(user) exchange
+    and the same vectorized keep-first pass per partition — the
+    shuffle carries per-(block, user) winner rows, never raw events."""
+    from functools import partial
+
+    partials = ds.map_batches(_latest_partial, batch_format="pyarrow")
+    parted = partials.map_batches(
+        partial(_user_partition_column, n_partitions=coarse_partitions,
+                key="user_id"),
+        batch_format="pyarrow",
+    )
+    return parted.groupby("pgrp").map_groups(
+        partial(_drop_pgrp_then, fn=_latest_partial),
+        batch_format="pyarrow",
+    )
