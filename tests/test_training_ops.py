@@ -2839,3 +2839,52 @@ def test_q16_q11_gated_paths_identical(ray_session):
                                    driver_merge_limit=0)
     assert len(a) > 0
     assert a.to_pandas().equals(b.to_pandas())
+
+
+def test_write_resumable_parquet_resume_byte_identical(ray_session, tmp_path):
+    """resumable partitioned sink: interrupt (delete 3 partition
+    dirs), resume — only the missing shards rewrite, and the final
+    directory content is byte-identical to an uninterrupted run."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+
+    import ray.data
+
+    from chearch_ray.sources.sink import (finished_partitions,
+                                          write_resumable_parquet)
+
+    sf = "/root/testdata/sf0.001"
+
+    def ds():
+        return ray.data.read_parquet(f"{sf}/documents.parquet",
+                                     columns=["doc_id", "lang", "n_chars"]
+                                     ).repartition(5)
+
+    def tree_hash(root):
+        h = hashlib.sha256()
+        for p in sorted(_glob.glob(os.path.join(root, "**", "*.parquet"),
+                                   recursive=True)):
+            h.update(os.path.relpath(p, root).encode())
+            h.update(open(p, "rb").read())
+        return h.hexdigest()
+
+    full = str(tmp_path / "full")
+    r = write_resumable_parquet(ds(), full, key="doc_id", n_partitions=8)
+    assert r["skipped"] == [] and len(r["written"]) > 0
+
+    resumed = str(tmp_path / "resumed")
+    r1 = write_resumable_parquet(ds(), resumed, key="doc_id", n_partitions=8)
+    killed = r1["written"][:3]
+    for pid in killed:
+        shutil.rmtree(os.path.join(resumed, f"part-{pid:05d}"))
+    assert finished_partitions(resumed) == set(r1["written"]) - set(killed)
+    r2 = write_resumable_parquet(ds(), resumed, key="doc_id", n_partitions=8)
+    assert r2["written"] == sorted(killed)  # ONLY the missing shards
+    assert set(r2["skipped"]) == set(r1["written"]) - set(killed)
+    assert tree_hash(full) == tree_hash(resumed)
+
+    # fully-complete re-run writes nothing
+    r3 = write_resumable_parquet(ds(), resumed, key="doc_id", n_partitions=8)
+    assert r3["written"] == []
