@@ -103,7 +103,11 @@ def _gated_group_sum(partials_ds, keys: list[str], sums: list[str],
             sch = mat.schema()
             if sch is None:  # zero-batch input: no schema to project
                 return None
-            return sch.empty_table()
+            # ray.data.Schema wraps the Arrow schema as .base_schema
+            base = getattr(sch, "base_schema", sch)
+            if not isinstance(base, pa.Schema):
+                return None
+            return base.empty_table().select(keys + sums)
         agg = pa.concat_tables(parts).group_by(keys, use_threads=False).aggregate(
             [(c, "sum") for c in sums]
         )
@@ -1800,3 +1804,271 @@ def revenue_by_year(lineitem_ds,
                          "n_items": pa.array([], type=pa.int64()),
                          "rev_cents": pa.array([], type=pa.int64())})
     return out.take(pc.sort_indices(out, sort_keys=[("year", "ascending")]))
+
+
+# ------------------------------------------- Q7 shape (volume shipping)
+def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
+                    nation_table: pa.Table, nation_a: str = "NATION_1",
+                    nation_b: str = "NATION_2",
+                    driver_merge_limit: int | None = None) -> pa.Table:
+    """TPC-H Q7 shape: revenue shipped between two nations, grouped by
+    (supp_nation, cust_nation, ship year) — either direction kept,
+    same-nation traffic excluded.  Mirrors chearch's multi-join
+    analytics surface (reference has no relational layer; SURVEY §2.9).
+
+    Scale shape: nation is driver algebra (25 rows); supplier and
+    customer are unique-key dimensions on the gated broadcast lookup
+    join; the one big-big edge (lineitem ⨝ orders) rides the same
+    gated join, with the orders side pre-shrunk to in-pair customers
+    BEFORE the edge; rows leave each lineitem block pre-reduced to
+    (supp_nat, cust_nat, year) partials (<= 2·|years| rows per block)
+    ahead of the gated rollup merge."""
+    from chearch_ray.stages.joins import broadcast_lookup_join
+
+    names = nation_table["n_name"].to_pylist()
+    keys = nation_table["n_nationkey"].to_numpy().astype(np.int64)
+    by_name = dict(zip(names, keys))
+    ka, kb = int(by_name[nation_a]), int(by_name[nation_b])
+    name_of = {ka: nation_a, kb: nation_b}
+
+    cust = customer_ds.map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"].cast(pa.int64()),
+                            "c_nationkey": b["c_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    orders = orders_ds.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                            "o_custkey": b["o_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    orders_n = broadcast_lookup_join(orders, cust, on="o_custkey",
+                                     right_on="c_custkey",
+                                     payload=["c_nationkey"])
+
+    def pair_cust(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy()
+        b = b.filter(pa.array((nk == ka) | (nk == kb)))
+        return b.select(["o_orderkey", "c_nationkey"])
+
+    orders_n = orders_n.map_batches(pair_cust, batch_format="pyarrow")
+
+    line = lineitem_ds.map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": b["l_orderkey"].cast(pa.int64()),
+             "l_suppkey": b["l_suppkey"].cast(pa.int64()),
+             "l_shipdate": b["l_shipdate"],
+             "l_extendedprice": b["l_extendedprice"],
+             "l_discount": b["l_discount"]}),
+        batch_format="pyarrow",
+    )
+    l2 = broadcast_lookup_join(line, orders_n, on="l_orderkey",
+                               right_on="o_orderkey", payload=["c_nationkey"])
+    supp = supplier_ds.map_batches(
+        lambda b: pa.table({"s_suppkey": b["s_suppkey"].cast(pa.int64()),
+                            "s_nationkey": b["s_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    l3 = broadcast_lookup_join(l2, supp, on="l_suppkey",
+                               right_on="s_suppkey", payload=["s_nationkey"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        sn = b["s_nationkey"].to_numpy()
+        cn = b["c_nationkey"].to_numpy()
+        b = b.filter(pa.array(((sn == ka) & (cn == kb))
+                              | ((sn == kb) & (cn == ka))))
+        ship = b["l_shipdate"]
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        us = np.asarray(ship.cast(pa.int64()))
+        years = (us.astype("datetime64[us]").astype("datetime64[Y]")
+                 .astype(np.int64) + 1970)
+        price = b["l_extendedprice"].to_numpy().astype(np.float64)
+        disc = b["l_discount"].to_numpy().astype(np.float64)
+        t = pa.table(
+            {"supp_nat": b["s_nationkey"].cast(pa.int64()),
+             "cust_nat": b["c_nationkey"].cast(pa.int64()),
+             "l_year": pa.array(years, type=pa.int64()),
+             "rev_cents": pa.array(_round_half_away(price * (1.0 - disc) * 100),
+                                   type=pa.int64())})
+        agg = t.group_by(["supp_nat", "cust_nat", "l_year"],
+                         use_threads=False).aggregate([("rev_cents", "sum")])
+        return agg.rename_columns(["supp_nat", "cust_nat", "l_year", "rev_cents"])
+
+    partials = l3.map_batches(pair_partial, batch_format="pyarrow")
+    merged = _gated_group_sum(partials, ["supp_nat", "cust_nat", "l_year"],
+                              ["rev_cents"], driver_merge_limit=driver_merge_limit)
+    if merged is None or not len(merged):
+        return pa.table({"supp_nation": pa.array([], type=pa.string()),
+                         "cust_nation": pa.array([], type=pa.string()),
+                         "l_year": pa.array([], type=pa.int64()),
+                         "rev_cents": pa.array([], type=pa.int64())})
+    out = pa.table(
+        {"supp_nation": pa.array([name_of[int(x)] for x in
+                                  merged["supp_nat"].to_pylist()]),
+         "cust_nation": pa.array([name_of[int(x)] for x in
+                                  merged["cust_nat"].to_pylist()]),
+         "l_year": merged["l_year"].cast(pa.int64()),
+         "rev_cents": merged["rev_cents"].cast(pa.int64())})
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("supp_nation", "ascending"),
+                        ("cust_nation", "ascending"), ("l_year", "ascending")]))
+
+
+# ------------------------------------------- Q9 shape (product profit)
+def product_type_profit(lineitem_ds, part_ds, supplier_ds,
+                        nation_table: pa.Table, name_substr: str = "red",
+                        driver_merge_limit: int | None = None) -> pa.Table:
+    """TPC-H Q9 shape, adapted: the driver tables carry no partsupp /
+    ps_supplycost, so profit is the integer-cent revenue
+    round(extendedprice·(1−discount)·100) — the JOIN/GROUP shape
+    (part name LIKE, supplier→nation, group by nation × ship year)
+    is Q9's; only the profit expression is simplified.
+
+    Scale shape: the p_name LIKE '%substr%' part-key set broadcasts
+    once (`ray.put`) and prunes lineitem blocks map-side; supplier is
+    a unique-key dimension lookup; partials are bounded by
+    |nations|·|years| rows per block before the gated merge."""
+    import ray
+
+    from chearch_ray.stages.joins import broadcast_lookup_join
+
+    names = nation_table["n_name"].to_pylist()
+    nkeys = nation_table["n_nationkey"].to_numpy().astype(np.int64)
+    name_of = dict(zip((int(k) for k in nkeys), names))
+
+    pkeys_parts = part_ds.map_batches(
+        lambda b: pa.table({"p_partkey": b.filter(
+            pc.match_substring(b["p_name"], name_substr)
+        )["p_partkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    parts = [t for t in pkeys_parts.iter_batches(batch_size=None,
+                                                 batch_format="pyarrow") if len(t)]
+    pkeys = (np.sort(pa.concat_tables(parts)["p_partkey"].to_numpy()
+                     .astype(np.int64)) if parts else np.empty(0, np.int64))
+    pref = ray.put(pkeys)
+
+    def prune(b: pa.Table) -> pa.Table:
+        keys = ray.get(pref) if not isinstance(pref, np.ndarray) else pref
+        m = np.isin(b["l_partkey"].to_numpy().astype(np.int64), keys)
+        b = b.filter(pa.array(m))
+        return pa.table({"l_suppkey": b["l_suppkey"].cast(pa.int64()),
+                         "l_shipdate": b["l_shipdate"],
+                         "l_extendedprice": b["l_extendedprice"],
+                         "l_discount": b["l_discount"]})
+
+    line = lineitem_ds.map_batches(prune, batch_format="pyarrow")
+    supp = supplier_ds.map_batches(
+        lambda b: pa.table({"s_suppkey": b["s_suppkey"].cast(pa.int64()),
+                            "s_nationkey": b["s_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    l2 = broadcast_lookup_join(line, supp, on="l_suppkey",
+                               right_on="s_suppkey", payload=["s_nationkey"])
+
+    def profit_partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"]
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        us = np.asarray(ship.cast(pa.int64()))
+        years = (us.astype("datetime64[us]").astype("datetime64[Y]")
+                 .astype(np.int64) + 1970)
+        price = b["l_extendedprice"].to_numpy().astype(np.float64)
+        disc = b["l_discount"].to_numpy().astype(np.float64)
+        t = pa.table(
+            {"nationkey": b["s_nationkey"].cast(pa.int64()),
+             "o_year": pa.array(years, type=pa.int64()),
+             "profit_cents": pa.array(
+                 _round_half_away(price * (1.0 - disc) * 100),
+                 type=pa.int64())})
+        agg = t.group_by(["nationkey", "o_year"], use_threads=False).aggregate(
+            [("profit_cents", "sum")])
+        return agg.rename_columns(["nationkey", "o_year", "profit_cents"])
+
+    partials = l2.map_batches(profit_partial, batch_format="pyarrow")
+    merged = _gated_group_sum(partials, ["nationkey", "o_year"],
+                              ["profit_cents"],
+                              driver_merge_limit=driver_merge_limit)
+    if merged is None or not len(merged):
+        return pa.table({"n_name": pa.array([], type=pa.string()),
+                         "o_year": pa.array([], type=pa.int64()),
+                         "profit_cents": pa.array([], type=pa.int64())})
+    out = pa.table(
+        {"n_name": pa.array([name_of[int(x)] for x in
+                             merged["nationkey"].to_pylist()]),
+         "o_year": merged["o_year"].cast(pa.int64()),
+         "profit_cents": merged["profit_cents"].cast(pa.int64())})
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("n_name", "ascending"), ("o_year", "descending")]))
+
+
+# ------------------------------------------- Q12 shape (late shipping)
+def late_shipment_priority(lineitem_ds, orders_ds, late_days: int = 60,
+                           d1: str = "1996-01-01", d2: str = "1998-01-01",
+                           driver_merge_limit: int | None = None) -> pa.Table:
+    """TPC-H Q12 shape, adapted: the driver tables carry no
+    l_shipmode / l_commitdate / l_receiptdate, so "late" means
+    l_shipdate >= o_orderdate + late_days and the grouping key is
+    l_linestatus — Q12's join + conditional two-way count shape
+    (URGENT/HIGH vs other order priorities) is preserved exactly.
+
+    Scale shape: lineitem blocks are date-windowed map-side, the
+    lineitem ⨝ orders edge rides the gated lookup join (payload =
+    orderdate + priority), and each block pre-reduces to
+    <= |linestatus| rows before the gated merge."""
+    from chearch_ray.stages.joins import broadcast_lookup_join
+
+    d1_us = int(np.datetime64(d1, "us").astype(np.int64))
+    d2_us = int(np.datetime64(d2, "us").astype(np.int64))
+    late_us = int(late_days) * 86_400_000_000
+
+    def window(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"]
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        us = np.asarray(ship.cast(pa.int64()))
+        b = b.filter(pa.array((us >= d1_us) & (us < d2_us)))
+        return pa.table({"l_orderkey": b["l_orderkey"].cast(pa.int64()),
+                         "l_linestatus": b["l_linestatus"],
+                         "l_shipdate": b["l_shipdate"]})
+
+    line = lineitem_ds.map_batches(window, batch_format="pyarrow")
+    orders = orders_ds.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                            "o_orderdate": b["o_orderdate"],
+                            "o_orderpriority": b["o_orderpriority"]}),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_lookup_join(line, orders, on="l_orderkey",
+                                   right_on="o_orderkey",
+                                   payload=["o_orderdate", "o_orderpriority"])
+
+    def late_partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"]
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        od = b["o_orderdate"]
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        late = (np.asarray(ship.cast(pa.int64()))
+                >= np.asarray(od.cast(pa.int64())) + late_us)
+        b = b.filter(pa.array(late))
+        pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = np.isin(pr, ("1-URGENT", "2-HIGH")).astype(np.int64)
+        t = pa.table({"l_linestatus": b["l_linestatus"],
+                      "high_count": pa.array(high),
+                      "low_count": pa.array(1 - high)})
+        agg = t.group_by("l_linestatus", use_threads=False).aggregate(
+            [("high_count", "sum"), ("low_count", "sum")])
+        return agg.rename_columns(["l_linestatus", "high_count", "low_count"])
+
+    partials = joined.map_batches(late_partial, batch_format="pyarrow")
+    out = _gated_group_sum(partials, ["l_linestatus"],
+                           ["high_count", "low_count"],
+                           driver_merge_limit=driver_merge_limit)
+    if out is None or not len(out):
+        return pa.table({"l_linestatus": pa.array([], type=pa.string()),
+                         "high_count": pa.array([], type=pa.int64()),
+                         "low_count": pa.array([], type=pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[("l_linestatus",
+                                                     "ascending")]))

@@ -2181,6 +2181,64 @@ def q_latest_event_per_user(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_volume_shipping(sf_dir: str) -> pa.Table:
+    """TPC-H Q7 shape: revenue between two nations by direction × year."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import volume_shipping
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    supplier = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    return volume_shipping(lineitem, orders, customer, supplier, nation)
+
+
+def q_product_type_profit(sf_dir: str) -> pa.Table:
+    """TPC-H Q9 shape (adapted: no partsupp — revenue as profit)."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import product_type_profit
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"])
+    supplier = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    return product_type_profit(lineitem, part, supplier, nation)
+
+
+def q_late_shipment_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q12 shape (adapted: late = shipdate ≥ orderdate + 60d,
+    grouped by linestatus)."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import late_shipment_priority
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    return late_shipment_priority(lineitem, orders)
+
+
 # DRIVER ROTATION — the driver harness checks the FIRST 50 entries of
 # this dict (insertion order).  CORRECTNESS_r01–r03 covered the 56
 # queries listed in the "round 1–3 re-checks" sections below; the 36
@@ -2322,6 +2380,9 @@ QUERIES = {
     "grouping_sets_docs": q_grouping_sets_docs,
     "revenue_by_year": q_revenue_by_year,
     "latest_event_per_user": q_latest_event_per_user,
+    "volume_shipping": q_volume_shipping,
+    "product_type_profit": q_product_type_profit,
+    "late_shipment_priority": q_late_shipment_priority,
 }
 
 
@@ -3668,6 +3729,51 @@ FROM (SELECT event_id, user_id, ts, event_type,
                                 ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1 ORDER BY user_id
+""",
+    # TPC-H Q7 shape — either direction between the two nations, exact
+    # integer-cent sums, calendar year() ≡ numpy datetime64[Y]
+    "volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS l_year,
+       sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)::BIGINT
+         AS rev_cents
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+    # TPC-H Q9 shape (adapted: no partsupp table, so profit is the
+    # integer-cent revenue; the LIKE + multi-join + nation×year group
+    # is Q9's)
+    "product_type_profit": """
+SELECT n.n_name, year(l.l_shipdate)::BIGINT AS o_year,
+       sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)::BIGINT
+         AS profit_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY n_name, o_year DESC
+""",
+    # TPC-H Q12 shape (adapted: no shipmode/commitdate — late means
+    # shipdate >= orderdate + 60 days; group by linestatus)
+    "late_shipment_priority": """
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_count,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1 ORDER BY 1
 """,
 }
 

@@ -2888,3 +2888,65 @@ def test_write_resumable_parquet_resume_byte_identical(ray_session, tmp_path):
     # fully-complete re-run writes nothing
     r3 = write_resumable_parquet(ds(), resumed, key="doc_id", n_partitions=8)
     assert r3["written"] == []
+
+
+def test_q7_q9_q12_gated_paths_identical(ray_session):
+    """Q7/Q9/Q12 shapes: driver_merge_limit=0 forces the distributed
+    (Ray groupby) merge; output must be row-identical to the
+    driver-merge path on the same repartitioned input."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import (
+        late_shipment_priority,
+        product_type_profit,
+        volume_shipping,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    nation = pq.read_table(f"{sf}/nation.parquet")
+
+    def li(cols):
+        return ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                                     columns=cols).repartition(6)
+
+    vs_cols = ["l_orderkey", "l_suppkey", "l_shipdate",
+               "l_extendedprice", "l_discount"]
+    orders = lambda: ray.data.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = lambda: ray.data.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    supp = lambda: ray.data.read_parquet(
+        f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    # NATION_18/NATION_19 have traffic at sf0.001 (the default pair
+    # does not); also pin the empty-pair schema path
+    a = volume_shipping(li(vs_cols), orders(), cust(), supp(), nation,
+                        nation_a="NATION_18", nation_b="NATION_19")
+    b = volume_shipping(li(vs_cols), orders(), cust(), supp(), nation,
+                        nation_a="NATION_18", nation_b="NATION_19",
+                        driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
+    empty = volume_shipping(li(vs_cols), orders(), cust(), supp(), nation)
+    assert len(empty) == 0
+    assert empty.column_names == ["supp_nation", "cust_nation",
+                                  "l_year", "rev_cents"]
+
+    pp_cols = ["l_partkey", "l_suppkey", "l_shipdate",
+               "l_extendedprice", "l_discount"]
+    part = lambda: ray.data.read_parquet(
+        f"{sf}/part.parquet", columns=["p_partkey", "p_name"])
+    a = product_type_profit(li(pp_cols), part(), supp(), nation)
+    b = product_type_profit(li(pp_cols), part(), supp(), nation,
+                            driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
+
+    ls_cols = ["l_orderkey", "l_linestatus", "l_shipdate"]
+    ord2 = lambda: ray.data.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    a = late_shipment_priority(li(ls_cols), ord2())
+    b = late_shipment_priority(li(ls_cols), ord2(), driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
