@@ -2072,3 +2072,209 @@ def late_shipment_priority(lineitem_ds, orders_ds, late_days: int = 60,
                          "low_count": pa.array([], type=pa.int64())})
     return out.take(pc.sort_indices(out, sort_keys=[("l_linestatus",
                                                      "ascending")]))
+
+
+# ------------------------------------------- Q8 shape (market share)
+def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
+                 part_ds, nation_table: pa.Table, region_table: pa.Table,
+                 region: str = "ASIA", p_type: str = "PROMO",
+                 share_nation: str = "NATION_3",
+                 driver_merge_limit: int | None = None) -> pa.Table:
+    """TPC-H Q8 shape: for orders from customers in `region` buying
+    parts of `p_type`, the per-order-year fraction of revenue supplied
+    by `share_nation`.  The share is ONE float division of two exact
+    integer-cent sums, so the double is bit-identical to the SQL
+    mirror.
+
+    Scale shape: nation⨝region is driver algebra; the p_type part-key
+    set broadcasts and prunes lineitem map-side; customer and supplier
+    are unique-key dimension lookups; the lineitem ⨝ orders edge rides
+    the gated lookup join with the orders side pre-shrunk to in-region
+    customers; partials are <= |years| rows per block."""
+    import ray
+
+    from chearch_ray.stages.joins import broadcast_lookup_join
+
+    rk = region_table.filter(
+        pc.equal(region_table["r_name"], region)
+    )["r_regionkey"].to_numpy().astype(np.int64)
+    in_region_nations = nation_table.filter(
+        pa.array(np.isin(nation_table["n_regionkey"].to_numpy().astype(np.int64),
+                         rk))
+    )["n_nationkey"].to_numpy().astype(np.int64)
+    share_key = int(nation_table.filter(
+        pc.equal(nation_table["n_name"], share_nation)
+    )["n_nationkey"].to_numpy().astype(np.int64)[0])
+
+    pkeys_parts = part_ds.map_batches(
+        lambda b: pa.table({"p_partkey": b.filter(
+            pc.equal(b["p_type"], p_type))["p_partkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    parts = [t for t in pkeys_parts.iter_batches(batch_size=None,
+                                                 batch_format="pyarrow") if len(t)]
+    pkeys = (np.sort(pa.concat_tables(parts)["p_partkey"].to_numpy()
+                     .astype(np.int64)) if parts else np.empty(0, np.int64))
+    pref = ray.put(pkeys)
+
+    cust = customer_ds.map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"].cast(pa.int64()),
+                            "c_nationkey": b["c_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    orders = orders_ds.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                            "o_custkey": b["o_custkey"].cast(pa.int64()),
+                            "o_orderdate": b["o_orderdate"]}),
+        batch_format="pyarrow",
+    )
+    orders_n = broadcast_lookup_join(orders, cust, on="o_custkey",
+                                     right_on="c_custkey",
+                                     payload=["c_nationkey"])
+
+    def region_orders(b: pa.Table, nats=in_region_nations) -> pa.Table:
+        m = np.isin(b["c_nationkey"].to_numpy(), nats)
+        b = b.filter(pa.array(m))
+        od = b["o_orderdate"]
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        us = np.asarray(od.cast(pa.int64()))
+        years = (us.astype("datetime64[us]").astype("datetime64[Y]")
+                 .astype(np.int64) + 1970)
+        return pa.table({"o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                         "o_year": pa.array(years, type=pa.int64())})
+
+    orders_n = orders_n.map_batches(region_orders, batch_format="pyarrow")
+
+    def prune(b: pa.Table) -> pa.Table:
+        keys = ray.get(pref) if not isinstance(pref, np.ndarray) else pref
+        m = np.isin(b["l_partkey"].to_numpy().astype(np.int64), keys)
+        b = b.filter(pa.array(m))
+        return pa.table({"l_orderkey": b["l_orderkey"].cast(pa.int64()),
+                         "l_suppkey": b["l_suppkey"].cast(pa.int64()),
+                         "l_extendedprice": b["l_extendedprice"],
+                         "l_discount": b["l_discount"]})
+
+    line = lineitem_ds.map_batches(prune, batch_format="pyarrow")
+    l2 = broadcast_lookup_join(line, orders_n, on="l_orderkey",
+                               right_on="o_orderkey", payload=["o_year"])
+    supp = supplier_ds.map_batches(
+        lambda b: pa.table({"s_suppkey": b["s_suppkey"].cast(pa.int64()),
+                            "s_nationkey": b["s_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    l3 = broadcast_lookup_join(l2, supp, on="l_suppkey",
+                               right_on="s_suppkey", payload=["s_nationkey"])
+
+    def share_partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy().astype(np.float64)
+        disc = b["l_discount"].to_numpy().astype(np.float64)
+        rev = _round_half_away(price * (1.0 - disc) * 100)
+        is_nat = (b["s_nationkey"].to_numpy() == share_key)
+        t = pa.table({"o_year": b["o_year"].cast(pa.int64()),
+                      "nation_cents": pa.array(np.where(is_nat, rev, 0),
+                                               type=pa.int64()),
+                      "total_cents": pa.array(rev, type=pa.int64())})
+        agg = t.group_by("o_year", use_threads=False).aggregate(
+            [("nation_cents", "sum"), ("total_cents", "sum")])
+        return agg.rename_columns(["o_year", "nation_cents", "total_cents"])
+
+    partials = l3.map_batches(share_partial, batch_format="pyarrow")
+    out = _gated_group_sum(partials, ["o_year"],
+                           ["nation_cents", "total_cents"],
+                           driver_merge_limit=driver_merge_limit)
+    if out is None or not len(out):
+        return pa.table({"o_year": pa.array([], type=pa.int64()),
+                         "nation_cents": pa.array([], type=pa.int64()),
+                         "total_cents": pa.array([], type=pa.int64()),
+                         "mkt_share": pa.array([], type=pa.float64())})
+    nc = out["nation_cents"].to_numpy().astype(np.int64)
+    tc = out["total_cents"].to_numpy().astype(np.int64)
+    out = pa.table({"o_year": out["o_year"].cast(pa.int64()),
+                    "nation_cents": pa.array(nc, type=pa.int64()),
+                    "total_cents": pa.array(tc, type=pa.int64()),
+                    "mkt_share": pa.array(nc.astype(np.float64)
+                                          / tc.astype(np.float64),
+                                          type=pa.float64())})
+    return out.take(pc.sort_indices(out, sort_keys=[("o_year", "ascending")]))
+
+
+# ------------------------------------------- Q17 shape (avg-qty gate)
+def small_qty_revenue(lineitem_ds, part_ds, brand: str = "Brand#5",
+                      driver_merge_limit: int | None = None) -> pa.Table:
+    """TPC-H Q17 shape: revenue from lineitems of `brand` parts whose
+    quantity is below 0.2 × that part's average quantity — the
+    correlated per-part AVG subquery.  The comparison is exact integer
+    cross-multiplication (5·qty·count < sum_qty in quantity-cents), so
+    no float average appears on either side.
+
+    Scale shape: the brand part-key set broadcasts and prunes BOTH
+    lineitem passes map-side; pass 1 pre-reduces each block to
+    <= |brand parts| (sum_qty, count) partials ahead of the gated
+    per-part merge; the per-part thresholds broadcast back (bounded by
+    brand selectivity, ~1/|brands| of parts) and pass 2 reduces each
+    block to ONE (rev, n) row, merged on the driver — the same
+    block-count-bounded class as Q6."""
+    import ray
+
+    pkeys_parts = part_ds.map_batches(
+        lambda b: pa.table({"p_partkey": b.filter(
+            pc.equal(b["p_brand"], brand))["p_partkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    parts = [t for t in pkeys_parts.iter_batches(batch_size=None,
+                                                 batch_format="pyarrow") if len(t)]
+    pkeys = (np.sort(pa.concat_tables(parts)["p_partkey"].to_numpy()
+                     .astype(np.int64)) if parts else np.empty(0, np.int64))
+    pref = ray.put(pkeys)
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        keys = ray.get(pref) if not isinstance(pref, np.ndarray) else pref
+        m = np.isin(b["l_partkey"].to_numpy().astype(np.int64), keys)
+        b = b.filter(pa.array(m))
+        t = pa.table({"l_partkey": b["l_partkey"].cast(pa.int64()),
+                      "sum_qty_c": pa.array(
+                          _cents(b["l_quantity"].to_numpy().astype(np.float64)),
+                          type=pa.int64()),
+                      "cnt": pa.array(np.ones(len(b), dtype=np.int64))})
+        agg = t.group_by("l_partkey", use_threads=False).aggregate(
+            [("sum_qty_c", "sum"), ("cnt", "sum")])
+        return agg.rename_columns(["l_partkey", "sum_qty_c", "cnt"])
+
+    per_part = _gated_group_sum(
+        lineitem_ds.map_batches(qty_partial, batch_format="pyarrow"),
+        ["l_partkey"], ["sum_qty_c", "cnt"],
+        driver_merge_limit=driver_merge_limit)
+    if per_part is None or not len(per_part):
+        return pa.table({"rev_cents": pa.array([0], type=pa.int64()),
+                         "n_lines": pa.array([0], type=pa.int64())})
+    tk = per_part["l_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(tk, kind="stable")
+    tref = ray.put((tk[order],
+                    per_part["sum_qty_c"].to_numpy().astype(np.int64)[order],
+                    per_part["cnt"].to_numpy().astype(np.int64)[order]))
+
+    def gate_partial(b: pa.Table) -> pa.Table:
+        keys, sums, cnts = ray.get(tref) if not isinstance(tref, tuple) else tref
+        k = b["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, k)
+        posc = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (keys[posc] == k) if len(keys) else np.zeros(len(k), dtype=bool)
+        b = b.filter(pa.array(hit))
+        posh = posc[hit]
+        qty_c = _cents(b["l_quantity"].to_numpy().astype(np.float64))
+        ok = 5 * qty_c * cnts[posh] < sums[posh]
+        price_c = _cents(b["l_extendedprice"].to_numpy().astype(np.float64))
+        return pa.table({"rev_cents": pa.array([int(price_c[ok].sum())],
+                                               type=pa.int64()),
+                         "n_lines": pa.array([int(ok.sum())],
+                                             type=pa.int64())})
+
+    rev = n = 0
+    gated = lineitem_ds.map_batches(gate_partial, batch_format="pyarrow")
+    for t in gated.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(t):
+            rev += int(np.sum(t["rev_cents"].to_numpy()))
+            n += int(np.sum(t["n_lines"].to_numpy()))
+    return pa.table({"rev_cents": pa.array([rev], type=pa.int64()),
+                     "n_lines": pa.array([n], type=pa.int64())})

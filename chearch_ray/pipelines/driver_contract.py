@@ -2239,6 +2239,47 @@ def q_late_shipment_priority(sf_dir: str) -> pa.Table:
     return late_shipment_priority(lineitem, orders)
 
 
+def q_market_share(sf_dir: str) -> pa.Table:
+    """TPC-H Q8 shape: per-year revenue share of one supplier nation."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import market_share
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    supplier = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    return market_share(lineitem, orders, customer, supplier, part,
+                        nation, region)
+
+
+def q_small_qty_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q17 shape: correlated per-part AVG-quantity gate."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import small_qty_revenue
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"])
+    return small_qty_revenue(lineitem, part)
+
+
 # DRIVER ROTATION — the driver harness checks the FIRST 50 entries of
 # this dict (insertion order).  CORRECTNESS_r01–r03 covered the 56
 # queries listed in the "round 1–3 re-checks" sections below; the 36
@@ -2383,6 +2424,8 @@ QUERIES = {
     "volume_shipping": q_volume_shipping,
     "product_type_profit": q_product_type_profit,
     "late_shipment_priority": q_late_shipment_priority,
+    "market_share": q_market_share,
+    "small_qty_revenue": q_small_qty_revenue,
 }
 
 
@@ -3774,6 +3817,51 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
   AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
 GROUP BY 1 ORDER BY 1
+""",
+    # TPC-H Q8 shape — mkt_share is ONE double division of two exact
+    # BIGINT sums, bit-identical on both sides
+    "market_share": """
+WITH j AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT AS rev_cents,
+         s.s_nationkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+),
+g AS (
+  SELECT o_year,
+         sum(CASE WHEN s_nationkey = (SELECT n_nationkey FROM nation
+                                      WHERE n_name = 'NATION_3')
+                  THEN rev_cents ELSE 0 END)::BIGINT AS nation_cents,
+         sum(rev_cents)::BIGINT AS total_cents
+  FROM j GROUP BY o_year
+)
+SELECT o_year::BIGINT AS o_year, nation_cents, total_cents,
+       nation_cents::DOUBLE / total_cents::DOUBLE AS mkt_share
+FROM g ORDER BY o_year
+""",
+    # TPC-H Q17 shape — the 0.2·avg gate as exact integer
+    # cross-multiplication (5·qty·count < sum_qty), quantity in cents
+    "small_qty_revenue": """
+WITH li AS (
+  SELECT l.l_partkey, round(l.l_quantity * 100)::BIGINT AS qty_c,
+         round(l.l_extendedprice * 100)::BIGINT AS price_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#5'
+),
+g AS (SELECT l_partkey, sum(qty_c)::BIGINT AS sum_qty_c,
+             count(*)::BIGINT AS cnt
+      FROM li GROUP BY 1)
+SELECT coalesce(sum(li.price_c), 0)::BIGINT AS rev_cents,
+       count(*)::BIGINT AS n_lines
+FROM li JOIN g USING (l_partkey)
+WHERE 5 * li.qty_c * g.cnt < g.sum_qty_c
 """,
 }
 

@@ -2950,3 +2950,46 @@ def test_q7_q9_q12_gated_paths_identical(ray_session):
     b = late_shipment_priority(li(ls_cols), ord2(), driver_merge_limit=0)
     assert len(a) > 0
     assert a.to_pandas().equals(b.to_pandas())
+
+
+def test_q8_q17_gated_paths_identical(ray_session):
+    """Q8/Q17 shapes: distributed-merge path (driver_merge_limit=0)
+    row-identical to the driver-merge path."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import market_share, small_qty_revenue
+
+    sf = "/root/testdata/sf0.001"
+    nation = pq.read_table(f"{sf}/nation.parquet")
+    region = pq.read_table(f"{sf}/region.parquet")
+
+    def li(cols):
+        return ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                                     columns=cols).repartition(6)
+
+    ms_cols = ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount"]
+    orders = lambda: ray.data.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = lambda: ray.data.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    supp = lambda: ray.data.read_parquet(
+        f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    part = lambda cols: ray.data.read_parquet(f"{sf}/part.parquet",
+                                              columns=cols)
+    a = market_share(li(ms_cols), orders(), cust(), supp(),
+                     part(["p_partkey", "p_type"]), nation, region)
+    b = market_share(li(ms_cols), orders(), cust(), supp(),
+                     part(["p_partkey", "p_type"]), nation, region,
+                     driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
+
+    sq_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    a = small_qty_revenue(li(sq_cols), part(["p_partkey", "p_brand"]))
+    b = small_qty_revenue(li(sq_cols), part(["p_partkey", "p_brand"]),
+                          driver_merge_limit=0)
+    assert a["n_lines"][0].as_py() > 0
+    assert a.to_pandas().equals(b.to_pandas())
