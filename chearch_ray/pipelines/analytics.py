@@ -2278,3 +2278,345 @@ def small_qty_revenue(lineitem_ds, part_ds, brand: str = "Brand#5",
             n += int(np.sum(t["n_lines"].to_numpy()))
     return pa.table({"rev_cents": pa.array([rev], type=pa.int64()),
                      "n_lines": pa.array([n], type=pa.int64())})
+
+
+# ------------------------------------------- Q20 shape (nested-in qty)
+def promo_part_suppliers(lineitem_ds, supplier_ds, part_ds,
+                         nation_table: pa.Table, name_prefix: str = "red",
+                         nation: str = "NATION_1",
+                         d1: str = "1997-01-01", d2: str = "1998-01-01",
+                         driver_merge_limit: int | None = None) -> pa.Table:
+    """TPC-H Q20 shape, adapted: no partsupp/ps_availqty in the driver
+    tables, so the nested quantity test is "shipped quantity of the
+    (part, supplier) pair inside [d1, d2) exceeds HALF the pair's
+    all-time shipped quantity" — Q20's nested-IN + correlated-sum
+    structure with an exact 2·window > total integer comparison.
+
+    Scale shape: the name-prefix part-key set broadcasts and prunes
+    lineitem map-side; per-block partials are (part, supp, window,
+    total) pair sums ahead of the gated two-key merge (pair count is
+    bounded by the prefix selectivity × suppliers-per-part, the same
+    class as the Q16 brand × supplier distinct-count); the qualifying
+    supplier-key set is tiny and filters the supplier dimension in one
+    vectorized pass."""
+    import ray
+
+    nkey = int(nation_table.filter(
+        pc.equal(nation_table["n_name"], nation)
+    )["n_nationkey"].to_numpy().astype(np.int64)[0])
+    d1_us = int(np.datetime64(d1, "us").astype(np.int64))
+    d2_us = int(np.datetime64(d2, "us").astype(np.int64))
+
+    pkeys_parts = part_ds.map_batches(
+        lambda b: pa.table({"p_partkey": b.filter(
+            pc.starts_with(b["p_name"], name_prefix)
+        )["p_partkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    parts = [t for t in pkeys_parts.iter_batches(batch_size=None,
+                                                 batch_format="pyarrow") if len(t)]
+    pkeys = (np.sort(pa.concat_tables(parts)["p_partkey"].to_numpy()
+                     .astype(np.int64)) if parts else np.empty(0, np.int64))
+    pref = ray.put(pkeys)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        keys = ray.get(pref) if not isinstance(pref, np.ndarray) else pref
+        m = np.isin(b["l_partkey"].to_numpy().astype(np.int64), keys)
+        b = b.filter(pa.array(m))
+        ship = b["l_shipdate"]
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        us = np.asarray(ship.cast(pa.int64()))
+        qty_c = _cents(b["l_quantity"].to_numpy().astype(np.float64))
+        in_win = (us >= d1_us) & (us < d2_us)
+        t = pa.table({"l_partkey": b["l_partkey"].cast(pa.int64()),
+                      "l_suppkey": b["l_suppkey"].cast(pa.int64()),
+                      "win_c": pa.array(np.where(in_win, qty_c, 0),
+                                        type=pa.int64()),
+                      "tot_c": pa.array(qty_c, type=pa.int64())})
+        agg = t.group_by(["l_partkey", "l_suppkey"],
+                         use_threads=False).aggregate(
+            [("win_c", "sum"), ("tot_c", "sum")])
+        return agg.rename_columns(["l_partkey", "l_suppkey", "win_c", "tot_c"])
+
+    pairs = _gated_group_sum(
+        lineitem_ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], ["win_c", "tot_c"],
+        driver_merge_limit=driver_merge_limit)
+    if pairs is None or not len(pairs):
+        return pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                         "s_name": pa.array([], type=pa.string())})
+    win = pairs["win_c"].to_numpy().astype(np.int64)
+    tot = pairs["tot_c"].to_numpy().astype(np.int64)
+    hot = np.unique(pairs["l_suppkey"].to_numpy().astype(np.int64)[2 * win > tot])
+    sref = ray.put(hot)
+
+    def supp_rows(b: pa.Table) -> pa.Table:
+        keys = ray.get(sref) if not isinstance(sref, np.ndarray) else sref
+        k = b["s_suppkey"].to_numpy().astype(np.int64)
+        m = np.isin(k, keys) & (b["s_nationkey"].to_numpy().astype(np.int64)
+                                == nkey)
+        b = b.filter(pa.array(m))
+        return pa.table({"s_suppkey": b["s_suppkey"].cast(pa.int64()),
+                         "s_name": b["s_name"]})
+
+    rows = [t for t in supplier_ds.map_batches(supp_rows, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow") if len(t)]
+    if not rows:
+        return pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                         "s_name": pa.array([], type=pa.string())})
+    out = pa.concat_tables(rows)
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("s_name", "ascending"), ("s_suppkey", "ascending")]))
+
+
+# ------------------------------------------- Q2 shape (correlated min)
+def min_cost_supplier(lineitem_ds, supplier_ds, part_ds,
+                      nation_table: pa.Table, region_table: pa.Table,
+                      region: str = "EUROPE", p_size: int = 10,
+                      p_type: str = "SMALL", k: int = 100,
+                      driver_merge_limit: int | None = None) -> pa.Table:
+    """TPC-H Q2 shape, adapted: no partsupp/ps_supplycost, so "cost"
+    is the supplier's total integer-cent lineitem revenue for the part
+    and the correlated `= (SELECT min(...))` picks the cheapest
+    in-region supplier per part (ties broken by the smaller suppkey —
+    the SQL mirror's row_number ORDER BY cost, suppkey).
+
+    Scale shape: part keys (size+type filter) and in-region supplier
+    keys both broadcast and prune lineitem map-side; per-block
+    (part, supp) cost partials ride the gated two-key merge; the
+    per-part argmin is a driver lexsort over the bounded pair table
+    (filtered-part × in-region-supplier selectivity); supplier
+    attributes attach in one vectorized dimension pass."""
+    import ray
+
+    rk = region_table.filter(
+        pc.equal(region_table["r_name"], region)
+    )["r_regionkey"].to_numpy().astype(np.int64)
+    nat = nation_table.filter(
+        pa.array(np.isin(nation_table["n_regionkey"].to_numpy().astype(np.int64),
+                         rk)))
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    name_of = dict(zip((int(x) for x in nkeys), nat["n_name"].to_pylist()))
+
+    pkeys_parts = part_ds.map_batches(
+        lambda b: pa.table({"p_partkey": b.filter(
+            pc.and_(pc.equal(b["p_size"], p_size),
+                    pc.equal(b["p_type"], p_type))
+        )["p_partkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    parts = [t for t in pkeys_parts.iter_batches(batch_size=None,
+                                                 batch_format="pyarrow") if len(t)]
+    pkeys = (np.sort(pa.concat_tables(parts)["p_partkey"].to_numpy()
+                     .astype(np.int64)) if parts else np.empty(0, np.int64))
+    pref = ray.put(pkeys)
+
+    def region_supp(b: pa.Table) -> pa.Table:
+        m = np.isin(b["s_nationkey"].to_numpy().astype(np.int64), nkeys)
+        b = b.filter(pa.array(m))
+        return pa.table({"s_suppkey": b["s_suppkey"].cast(pa.int64()),
+                         "s_name": b["s_name"],
+                         "s_acctbal": b["s_acctbal"],
+                         "s_nationkey": b["s_nationkey"].cast(pa.int64())})
+
+    supp_dim = supplier_ds.map_batches(region_supp, batch_format="pyarrow")
+    srows = [t for t in supp_dim.iter_batches(batch_size=None,
+                                              batch_format="pyarrow") if len(t)]
+    supp_tbl = (pa.concat_tables(srows).combine_chunks() if srows
+                else pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                               "s_name": pa.array([], type=pa.string()),
+                               "s_acctbal": pa.array([], type=pa.float64()),
+                               "s_nationkey": pa.array([], type=pa.int64())}))
+    skeys = supp_tbl["s_suppkey"].to_numpy().astype(np.int64)
+    sorder = np.argsort(skeys, kind="stable")
+    skeys = skeys[sorder]
+    supp_tbl = supp_tbl.take(pa.array(sorder, type=pa.int64()))
+    sref = ray.put(skeys)
+
+    def cost_partial(b: pa.Table) -> pa.Table:
+        keys = ray.get(pref) if not isinstance(pref, np.ndarray) else pref
+        sk = ray.get(sref) if not isinstance(sref, np.ndarray) else sref
+        m = (np.isin(b["l_partkey"].to_numpy().astype(np.int64), keys)
+             & np.isin(b["l_suppkey"].to_numpy().astype(np.int64), sk))
+        b = b.filter(pa.array(m))
+        price = b["l_extendedprice"].to_numpy().astype(np.float64)
+        disc = b["l_discount"].to_numpy().astype(np.float64)
+        t = pa.table({"l_partkey": b["l_partkey"].cast(pa.int64()),
+                      "l_suppkey": b["l_suppkey"].cast(pa.int64()),
+                      "cost_cents": pa.array(
+                          _round_half_away(price * (1.0 - disc) * 100),
+                          type=pa.int64())})
+        agg = t.group_by(["l_partkey", "l_suppkey"],
+                         use_threads=False).aggregate([("cost_cents", "sum")])
+        return agg.rename_columns(["l_partkey", "l_suppkey", "cost_cents"])
+
+    pairs = _gated_group_sum(
+        lineitem_ds.map_batches(cost_partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], ["cost_cents"],
+        driver_merge_limit=driver_merge_limit)
+    empty = pa.table({"s_acctbal_cents": pa.array([], type=pa.int64()),
+                      "s_name": pa.array([], type=pa.string()),
+                      "n_name": pa.array([], type=pa.string()),
+                      "p_partkey": pa.array([], type=pa.int64()),
+                      "s_suppkey": pa.array([], type=pa.int64()),
+                      "cost_cents": pa.array([], type=pa.int64())})
+    if pairs is None or not len(pairs):
+        return empty
+    pk = pairs["l_partkey"].to_numpy().astype(np.int64)
+    sk = pairs["l_suppkey"].to_numpy().astype(np.int64)
+    cost = pairs["cost_cents"].to_numpy().astype(np.int64)
+    order = np.lexsort((sk, cost, pk))  # part, then cost, then suppkey
+    pk, sk, cost = pk[order], sk[order], cost[order]
+    first = np.ones(len(pk), dtype=bool)
+    first[1:] = pk[1:] != pk[:-1]
+    pk, sk, cost = pk[first], sk[first], cost[first]
+    pos = np.searchsorted(skeys, sk)
+    bal = _cents(supp_tbl["s_acctbal"].to_numpy().astype(np.float64))[pos]
+    natk = supp_tbl["s_nationkey"].to_numpy().astype(np.int64)[pos]
+    out = pa.table(
+        {"s_acctbal_cents": pa.array(bal, type=pa.int64()),
+         "s_name": supp_tbl["s_name"].take(pa.array(pos, type=pa.int64())),
+         "n_name": pa.array([name_of[int(x)] for x in natk]),
+         "p_partkey": pa.array(pk, type=pa.int64()),
+         "s_suppkey": pa.array(sk, type=pa.int64()),
+         "cost_cents": pa.array(cost, type=pa.int64())})
+    idx = pc.sort_indices(out, sort_keys=[
+        ("s_acctbal_cents", "descending"), ("n_name", "ascending"),
+        ("s_name", "ascending"), ("p_partkey", "ascending")])
+    return out.take(idx.slice(0, min(k, len(out))))
+
+
+# ------------------------------------------- Q21 shape (multi-exists)
+def waiting_orders_suppliers(lineitem_ds, orders_ds, supplier_ds,
+                             nation_table: pa.Table,
+                             nation: str = "NATION_2", k: int = 100,
+                             driver_merge_limit: int | None = None) -> pa.Table:
+    """TPC-H Q21 shape, adapted: no l_commitdate/l_receiptdate, so the
+    "kept waiting" line predicate is l_returnflag = 'R'.  The
+    EXISTS / NOT-EXISTS pair survives exactly: count, per supplier in
+    `nation`, the 'F'-status orders with >= 2 distinct suppliers where
+    this supplier is the ONLY one whose lines were returned.
+
+    Scale shape: the 'F'-order filter is the gated semi-join; stage 1
+    dedupes (order, supplier, returned) pairs (per-block group_by, then
+    driver merge below the gate / Ray two-key groupby-Max above);
+    stage 2 reduces pairs to per-order sums where the sole returned
+    supplier is recoverable as sum(is_r·suppkey) because n_r == 1 is
+    required; qualifying suppliers then count through the gated
+    supplier-key merge — the unbounded per-order table never gathers
+    on the driver in the scale path."""
+    from chearch_ray.stages.joins import hash_semi_join
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    limit = DRIVER_MERGE_LIMIT if driver_merge_limit is None else driver_merge_limit
+    nkey = int(nation_table.filter(
+        pc.equal(nation_table["n_name"], nation)
+    )["n_nationkey"].to_numpy().astype(np.int64)[0])
+
+    f_orders = orders_ds.map_batches(
+        lambda b: pa.table({"o_orderkey": b.filter(
+            pc.equal(b["o_orderstatus"], "F"))["o_orderkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    line = hash_semi_join(
+        lineitem_ds, f_orders, on="l_orderkey", right_on="o_orderkey",
+        payload=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": b["l_orderkey"].cast(pa.int64()),
+                      "l_suppkey": b["l_suppkey"].cast(pa.int64()),
+                      "is_r": pc.cast(pc.equal(b["l_returnflag"], "R"),
+                                      pa.int64())})
+        agg = t.group_by(["l_orderkey", "l_suppkey"],
+                         use_threads=False).aggregate([("is_r", "max")])
+        return agg.rename_columns(["l_orderkey", "l_suppkey", "is_r"])
+
+    pair_partials = line.map_batches(pair_partial,
+                                     batch_format="pyarrow").materialize()
+
+    def order_stats(pairs: pa.Table) -> pa.Table:
+        """(order, supp, is_r) pairs -> per-order partial sums; exact
+        after a per-order merge because every column is a sum."""
+        is_r = pairs["is_r"].to_numpy().astype(np.int64)
+        t = pa.table({"l_orderkey": pairs["l_orderkey"].cast(pa.int64()),
+                      "n_supp": pa.array(np.ones(len(pairs), dtype=np.int64)),
+                      "n_r": pa.array(is_r),
+                      "r_supp_sum": pa.array(
+                          is_r * pairs["l_suppkey"].to_numpy().astype(np.int64),
+                          type=pa.int64())})
+        agg = t.group_by("l_orderkey", use_threads=False).aggregate(
+            [("n_supp", "sum"), ("n_r", "sum"), ("r_supp_sum", "sum")])
+        return agg.rename_columns(["l_orderkey", "n_supp", "n_r", "r_supp_sum"])
+
+    def count_partial(per_order: pa.Table) -> pa.Table:
+        n_supp = per_order["n_supp"].to_numpy().astype(np.int64)
+        n_r = per_order["n_r"].to_numpy().astype(np.int64)
+        sel = (n_supp >= 2) & (n_r == 1)
+        supp = per_order["r_supp_sum"].to_numpy().astype(np.int64)[sel]
+        vals, cnt = np.unique(supp, return_counts=True)
+        return pa.table({"s_suppkey": pa.array(vals, type=pa.int64()),
+                         "numwait": pa.array(cnt.astype(np.int64))})
+
+    if pair_partials.count() <= limit:
+        rows = [t for t in pair_partials.iter_batches(batch_size=None,
+                                                      batch_format="pyarrow")
+                if len(t)]
+        if not rows:
+            counts = pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                               "numwait": pa.array([], type=pa.int64())})
+        else:
+            pairs = pa.concat_tables(rows).group_by(
+                ["l_orderkey", "l_suppkey"], use_threads=False).aggregate(
+                [("is_r", "max")]).rename_columns(
+                ["l_orderkey", "l_suppkey", "is_r"])
+            counts = count_partial(order_stats(pairs))
+    else:
+        from ray.data.aggregate import Max, Sum
+
+        pairs_ds = pair_partials.groupby(["l_orderkey", "l_suppkey"]).aggregate(
+            Max("is_r", alias_name="is_r"))
+        stat_partials = pairs_ds.map_batches(order_stats, batch_format="pyarrow")
+        per_order_ds = stat_partials.groupby("l_orderkey").aggregate(
+            Sum("n_supp", alias_name="n_supp"),
+            Sum("n_r", alias_name="n_r"),
+            Sum("r_supp_sum", alias_name="r_supp_sum"))
+        cnt_partials = per_order_ds.map_batches(count_partial,
+                                                batch_format="pyarrow")
+        counts = _gated_group_sum(cnt_partials, ["s_suppkey"], ["numwait"],
+                                  driver_merge_limit=driver_merge_limit)
+        if counts is None:
+            counts = pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                               "numwait": pa.array([], type=pa.int64())})
+
+    import ray
+
+    ck = counts["s_suppkey"].to_numpy().astype(np.int64)
+    cn = counts["numwait"].to_numpy().astype(np.int64)
+    order = np.argsort(ck, kind="stable")
+    cref = ray.put((ck[order], cn[order]))
+
+    def attach(b: pa.Table) -> pa.Table:
+        ck_, cn_ = ray.get(cref) if not isinstance(cref, tuple) else cref
+        sk = b["s_suppkey"].to_numpy().astype(np.int64)
+        m = (np.isin(sk, ck_)
+             & (b["s_nationkey"].to_numpy().astype(np.int64) == nkey))
+        b = b.filter(pa.array(m))
+        pos = np.searchsorted(ck_, b["s_suppkey"].to_numpy().astype(np.int64))
+        return pa.table({"s_name": b["s_name"],
+                         "s_suppkey": b["s_suppkey"].cast(pa.int64()),
+                         "numwait": pa.array(cn_[pos] if len(ck_)
+                                             else np.empty(0, np.int64),
+                                             type=pa.int64())})
+
+    rows = [t for t in supplier_ds.map_batches(attach, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow") if len(t)]
+    if not rows:
+        return pa.table({"s_name": pa.array([], type=pa.string()),
+                         "s_suppkey": pa.array([], type=pa.int64()),
+                         "numwait": pa.array([], type=pa.int64())})
+    out = pa.concat_tables(rows)
+    idx = pc.sort_indices(out, sort_keys=[
+        ("numwait", "descending"), ("s_name", "ascending"),
+        ("s_suppkey", "ascending")])
+    return out.take(idx.slice(0, min(k, len(out))))

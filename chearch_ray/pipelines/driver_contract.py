@@ -2280,6 +2280,64 @@ def q_small_qty_revenue(sf_dir: str) -> pa.Table:
     return small_qty_revenue(lineitem, part)
 
 
+def q_promo_part_suppliers(sf_dir: str) -> pa.Table:
+    """TPC-H Q20 shape (adapted): nested quantity test 2·window > total."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import promo_part_suppliers
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    supplier = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"])
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    return promo_part_suppliers(lineitem, supplier, part, nation)
+
+
+def q_min_cost_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H Q2 shape (adapted): per-part correlated-min supplier."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import min_cost_supplier
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    supplier = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_size", "p_type"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    return min_cost_supplier(lineitem, supplier, part, nation, region)
+
+
+def q_waiting_orders_suppliers(sf_dir: str) -> pa.Table:
+    """TPC-H Q21 shape (adapted): sole returned supplier on multi-
+    supplier 'F' orders."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import waiting_orders_suppliers
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"])
+    supplier = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    return waiting_orders_suppliers(lineitem, orders, supplier, nation)
+
+
 # DRIVER ROTATION — the driver harness checks the FIRST 50 entries of
 # this dict (insertion order).  CORRECTNESS_r01–r03 covered the 56
 # queries listed in the "round 1–3 re-checks" sections below; the 36
@@ -2426,6 +2484,9 @@ QUERIES = {
     "late_shipment_priority": q_late_shipment_priority,
     "market_share": q_market_share,
     "small_qty_revenue": q_small_qty_revenue,
+    "promo_part_suppliers": q_promo_part_suppliers,
+    "min_cost_supplier": q_min_cost_supplier,
+    "waiting_orders_suppliers": q_waiting_orders_suppliers,
 }
 
 
@@ -3862,6 +3923,84 @@ SELECT coalesce(sum(li.price_c), 0)::BIGINT AS rev_cents,
        count(*)::BIGINT AS n_lines
 FROM li JOIN g USING (l_partkey)
 WHERE 5 * li.qty_c * g.cnt < g.sum_qty_c
+""",
+    # TPC-H Q20 shape (adapted: no ps_availqty — nested test is
+    # 2·window-qty > total-qty per (part, supplier) pair, exact ints)
+    "promo_part_suppliers": """
+WITH li AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         round(l.l_quantity * 100)::BIGINT AS qty_c,
+         CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+               AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              THEN round(l.l_quantity * 100)::BIGINT ELSE 0 END AS win_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red%'
+),
+g AS (SELECT l_partkey, l_suppkey, sum(win_c)::BIGINT AS win_c,
+             sum(qty_c)::BIGINT AS tot_c
+      FROM li GROUP BY 1, 2),
+hot AS (SELECT DISTINCT l_suppkey FROM g WHERE 2 * win_c > tot_c)
+SELECT s.s_suppkey::BIGINT AS s_suppkey, s.s_name
+FROM supplier s
+JOIN hot ON hot.l_suppkey = s.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_1'
+ORDER BY s_name, s_suppkey
+""",
+    # TPC-H Q2 shape (adapted: no ps_supplycost — cost is the pair's
+    # total revenue cents; correlated min per part, ties to the
+    # smaller suppkey)
+    "min_cost_supplier": """
+WITH pk AS (SELECT p_partkey FROM part
+            WHERE p_size = 10 AND p_type = 'SMALL'),
+rs AS (SELECT s.s_suppkey, s.s_name,
+              round(s.s_acctbal * 100)::BIGINT AS s_acctbal_cents, n.n_name
+       FROM supplier s
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       JOIN region r ON r.r_regionkey = n.n_regionkey
+       WHERE r.r_name = 'EUROPE'),
+cost AS (SELECT l.l_partkey, l.l_suppkey,
+                sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)::BIGINT
+                  AS cost_cents
+         FROM lineitem l
+         JOIN pk ON pk.p_partkey = l.l_partkey
+         JOIN rs ON rs.s_suppkey = l.l_suppkey
+         GROUP BY 1, 2),
+win AS (SELECT l_partkey, l_suppkey, cost_cents,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY cost_cents, l_suppkey) AS rn
+        FROM cost)
+SELECT rs.s_acctbal_cents, rs.s_name, rs.n_name,
+       w.l_partkey::BIGINT AS p_partkey, w.l_suppkey::BIGINT AS s_suppkey,
+       w.cost_cents
+FROM win w JOIN rs ON rs.s_suppkey = w.l_suppkey
+WHERE w.rn = 1
+ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    # TPC-H Q21 shape (adapted: no receipt/commit dates — "waiting"
+    # line = returnflag 'R'; EXISTS(other supplier) AND NOT
+    # EXISTS(other returned supplier) on 'F' orders)
+    "waiting_orders_suppliers": """
+WITH fo AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+per AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l.l_returnflag = 'R'
+                             THEN l.l_suppkey END) AS n_r,
+         max(CASE WHEN l.l_returnflag = 'R' THEN l.l_suppkey END) AS r_supp
+  FROM lineitem l JOIN fo ON fo.o_orderkey = l.l_orderkey
+  GROUP BY 1
+),
+sel AS (SELECT r_supp AS s_suppkey, count(*)::BIGINT AS numwait
+        FROM per WHERE n_supp >= 2 AND n_r = 1 GROUP BY 1)
+SELECT s.s_name, sel.s_suppkey::BIGINT AS s_suppkey, sel.numwait
+FROM sel
+JOIN supplier s ON s.s_suppkey = sel.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_2'
+ORDER BY numwait DESC, s_name, s_suppkey
+LIMIT 100
 """,
 }
 

@@ -2993,3 +2993,63 @@ def test_q8_q17_gated_paths_identical(ray_session):
                           driver_merge_limit=0)
     assert a["n_lines"][0].as_py() > 0
     assert a.to_pandas().equals(b.to_pandas())
+
+
+def test_q2_q20_q21_gated_paths_identical(ray_session):
+    """Q2/Q20/Q21 shapes: distributed-merge paths (driver_merge_limit=0,
+    which also forces Q21's two-level Ray groupby) row-identical to the
+    driver-merge paths."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import (
+        min_cost_supplier,
+        promo_part_suppliers,
+        waiting_orders_suppliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    nation = pq.read_table(f"{sf}/nation.parquet")
+    region = pq.read_table(f"{sf}/region.parquet")
+
+    def li(cols):
+        return ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                                     columns=cols).repartition(6)
+
+    supp = lambda: ray.data.read_parquet(
+        f"{sf}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+    part = lambda cols: ray.data.read_parquet(f"{sf}/part.parquet",
+                                              columns=cols)
+
+    pp_cols = ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    a = promo_part_suppliers(li(pp_cols), supp(), part(["p_partkey", "p_name"]),
+                             nation)
+    b = promo_part_suppliers(li(pp_cols), supp(), part(["p_partkey", "p_name"]),
+                             nation, driver_merge_limit=0)
+    assert a.to_pandas().equals(b.to_pandas())
+
+    # (p_size=1, ECONOMY) is populated at sf0.001; the sf0.01 default
+    # (10, SMALL) is covered by the oracle row in test_entry
+    mc_cols = ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    a = min_cost_supplier(li(mc_cols), supp(),
+                          part(["p_partkey", "p_size", "p_type"]),
+                          nation, region, p_size=1, p_type="ECONOMY")
+    b = min_cost_supplier(li(mc_cols), supp(),
+                          part(["p_partkey", "p_size", "p_type"]),
+                          nation, region, p_size=1, p_type="ECONOMY",
+                          driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
+
+    wo_cols = ["l_orderkey", "l_suppkey", "l_returnflag"]
+    orders = lambda: ray.data.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_orderstatus"])
+    # NATION_13 has a qualifying supplier at sf0.001 (the default
+    # NATION_2 only does at sf0.01, covered by the oracle row)
+    a = waiting_orders_suppliers(li(wo_cols), orders(), supp(), nation,
+                                 nation="NATION_13")
+    b = waiting_orders_suppliers(li(wo_cols), orders(), supp(), nation,
+                                 nation="NATION_13", driver_merge_limit=0)
+    assert len(a) > 0
+    assert a.to_pandas().equals(b.to_pandas())
