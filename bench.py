@@ -403,6 +403,15 @@ def run_bench() -> dict:
     dc.q_disjunctive_revenue(sf_dir)
     dc.q_wealthy_inactive(sf_dir)
     timings["sf_relational3_sec"] = time.perf_counter() - t0
+    # TPC-H completion batch: Q7 two-nation direction×year, Q8 market
+    # share (division of exact int sums), Q17 correlated avg-qty gate
+    # (two pruned lineitem passes), Q21 multi-EXISTS two-level groupby
+    t0 = time.perf_counter()
+    dc.q_volume_shipping(sf_dir)
+    dc.q_market_share(sf_dir)
+    dc.q_small_qty_revenue(sf_dir)
+    dc.q_waiting_orders_suppliers(sf_dir)
+    timings["sf_relational4_sec"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     dc.q_quality_gate(sf_dir)
     dc.q_top_quality_per_lang(sf_dir)

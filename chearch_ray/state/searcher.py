@@ -1053,7 +1053,6 @@ class SegmentSearcher:
             # a one-term "phrase" is just the term: every candidate
             # (they all contain it) matches — no position work at all
             return np.arange(m, dtype=np.int64)
-        import pyarrow.compute as pc
 
         # Two key representations, same semantics (key identifies a
         # phrase START slot (candidate_row, position - i)):
@@ -1074,12 +1073,12 @@ class SegmentSearcher:
             # lazy positions: decode only the skip blocks the candidate
             # rows live in (packed pos_blob + per-block pos_off) — a
             # hot term's positions never fully decode for a sparse
-            # candidate set
-            taken = reader.positions_for_rows(t, idx)
-            if taken is None:
+            # candidate set; the flat variant skips the Arrow
+            # take/flatten/convert round-trip entirely
+            res = reader.positions_rows_flat(t, idx)
+            if res is None:
                 return _EMPTY_I64  # positions unavailable -> no exact match
-            lengths = pc.list_value_length(taken).to_numpy().astype(np.int64)
-            vals = taken.flatten().to_numpy()  # uint32, ascending per row
+            lengths, vals = res  # int64, ascending per row
             if i == 0:
                 if len(vals) == 0:
                     return _EMPTY_I64
@@ -1188,18 +1187,16 @@ class SegmentSearcher:
         m = len(candidates)
         if m == 0:
             return _EMPTY_I64
-        import pyarrow.compute as pc
 
         def _occurrences(term: str) -> tuple[np.ndarray, np.ndarray] | None:
             reader = self.shards.get(self._sharder.shard_of(term))
             if reader is None:
                 return None
             idx = self._posting_row_indices(term, candidates)
-            taken = reader.positions_for_rows(term, idx)
-            if taken is None:
+            res = reader.positions_rows_flat(term, idx)
+            if res is None:
                 return None  # positions unavailable -> no exact match
-            lengths = pc.list_value_length(taken).to_numpy().astype(np.int64)
-            vals = taken.flatten().to_numpy().astype(np.int64)
+            lengths, vals = res
             rows = np.repeat(np.arange(m, dtype=np.int64), lengths)
             return rows, vals
 
@@ -1217,7 +1214,11 @@ class SegmentSearcher:
         anchor = base + pos_a
         lo = np.maximum(anchor + (1 if ordered else -slop), base)
         hi = np.minimum(anchor + slop, base + (stride - 1))
-        if m * stride * 4 <= _PHRASE_FLAG_BUDGET_BYTES:
+        # work-based gate (see _near_all_survivor_rows): dense
+        # prefix-sum only when the table is comparable to the work
+        # searchsorted would do
+        if (m * stride * 4 <= _PHRASE_FLAG_BUDGET_BYTES
+                and m * stride <= 8 * (len(anchor) + len(keys_b))):
             # prefix-sum window count (see _near_all_survivor_rows):
             # count of b-occurrences in [lo, hi] from one cumsum + two
             # gathers, O(occ) instead of O(anchors log occ)
@@ -1297,7 +1298,6 @@ class SegmentSearcher:
         m = len(candidates)
         if m == 0:
             return _EMPTY_I64
-        import pyarrow.compute as pc
 
         rows_l: list[np.ndarray] = []
         pos_l: list[np.ndarray] = []
@@ -1306,11 +1306,10 @@ class SegmentSearcher:
             if reader is None:
                 return _EMPTY_I64
             idx = self._posting_row_indices(t, candidates)
-            taken = reader.positions_for_rows(t, idx)
-            if taken is None:
+            res = reader.positions_rows_flat(t, idx)
+            if res is None:
                 return _EMPTY_I64  # positions unavailable -> no match
-            lengths = pc.list_value_length(taken).to_numpy().astype(np.int64)
-            vals = taken.flatten().to_numpy().astype(np.int64)
+            lengths, vals = res
             if len(vals) == 0:
                 return _EMPTY_I64
             rows_l.append(np.repeat(np.arange(m, dtype=np.int64), lengths))
@@ -1320,7 +1319,12 @@ class SegmentSearcher:
         anchors = np.concatenate(keys)
         anchor_rows = np.concatenate(rows_l)
         ok = np.ones(len(anchors), dtype=bool)
-        if m * stride * 4 <= _PHRASE_FLAG_BUDGET_BYTES:
+        # dense prefix-sum does O(m·stride) zeros+cumsum per term vs
+        # searchsorted's O(anchors·log occ): worth it only when the
+        # table is comparable to the anchor count (exhaustive verifies)
+        # — the lazy top-k path (m ~ 64) always prefers searchsorted
+        if (m * stride * 4 <= _PHRASE_FLAG_BUDGET_BYTES
+                and m * stride <= 8 * len(anchors)):
             # prefix-sum window check: O(occurrences) scatter + one
             # cumsum per term, then two gathers per (term, anchor) —
             # replaces the O(anchors log occ) searchsorted pass, which

@@ -242,6 +242,15 @@ class PostingsPartReader:
         #: uncached decode re-paid ~13 ms per term per segment per
         #: query (the round-4 bench phrase regression)
         self._pos_blk_cache: dict[str, dict[int, tuple[np.ndarray, np.ndarray]]] = {}
+        #: numpy (offsets int64, flat int64) mirror of _pos_decoded —
+        #: the verify hot path gathers straight from these instead of
+        #: paying an Arrow take + flatten + to_numpy per chunk
+        self._pos_np: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        #: flat-path call counts: a term verified TWICE is hot — from
+        #: the second call on it promotes to the full numpy mirror
+        #: (per-block assembly costs ~0.5 ms/call in Python loops; a
+        #: one-off query on a cold huge term never pays a full decode)
+        self._pos_flat_hits: dict[str, int] = {}
         self._pos_counts_cache: dict[str, np.ndarray] = {}
 
     def __contains__(self, term: str) -> bool:
@@ -346,16 +355,7 @@ class PostingsPartReader:
         rows = np.asarray(rows, dtype=np.int64)
         counts = self._pos_counts(term)
         n_post = len(counts)
-        full = self._pos_decoded.get(term)
-        if full is None and self._pos_blob is None:
-            full = self.positions_arrow(term)  # legacy nested path
-        if full is None and len(np.unique(rows // self.block_size)) * self.block_size * 2 >= n_post:
-            # the gate is on BLOCKS touched, not row count: a few
-            # hundred rank-ordered (scattered) phrase candidates touch
-            # most blocks of a hot term, so per-block decode would cost
-            # nearly a full decode per call — one full vectorized
-            # decode (cached across chunks and queries) beats it
-            full = self.positions_arrow(term)
+        full = self._full_positions_if_cheap(term, rows, n_post)
         if full is not None:
             if len(rows) == n_post and (
                 n_post == 0
@@ -371,6 +371,76 @@ class PostingsPartReader:
                 # equal length alone does not imply identity.
                 return full
             return full.take(pa.array(rows, type=pa.int64()))
+        l, flat = self._positions_rows_blocks(term, rows, counts, n_post)
+        return pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(l)]).astype(np.int32),
+                     type=pa.int32()),
+            pa.array(flat, type=pa.uint32()),
+        )
+
+    def _full_positions_if_cheap(self, term: str, rows: np.ndarray,
+                                 n_post: int):
+        """the cached full decode when it exists / is legacy-only / is
+        cheaper than touching most skip blocks anyway (the gate is on
+        BLOCKS touched, not row count: a few hundred rank-ordered
+        scattered candidates touch most blocks of a hot term, so
+        per-block decode would cost nearly a full decode per call)."""
+        full = self._pos_decoded.get(term)
+        if full is None and self._pos_blob is None:
+            full = self.positions_arrow(term)  # legacy nested path
+        if full is None and (len(np.unique(rows // self.block_size))
+                             * self.block_size * 2 >= n_post):
+            full = self.positions_arrow(term)
+        return full
+
+    def positions_rows_flat(self, term: str, rows: np.ndarray):
+        """(lengths int64, flat positions int64) for the given POSTING
+        ROW indices — the verify hot path.  Same decode strategy as
+        positions_for_rows, but gathers straight from a cached numpy
+        (offsets, values) mirror instead of paying an Arrow take +
+        flatten + to_numpy round-trip per verification chunk (~60% of
+        span-near latency on hot terms).  Returns None when positions
+        are unavailable."""
+        i = self._terms.get(term)
+        if i is None:
+            return None
+        rows = np.asarray(rows, dtype=np.int64)
+        counts = self._pos_counts(term)
+        n_post = len(counts)
+        seen = self._pos_flat_hits.get(term, 0)
+        self._pos_flat_hits[term] = seen + 1
+        full = self._full_positions_if_cheap(term, rows, n_post)
+        if full is None and seen >= 1:
+            full = self.positions_arrow(term)  # hot-term promotion
+        if full is not None:
+            hit = self._pos_np.get(term)
+            if hit is None:
+                # NB .offsets entries index into .values correctly even
+                # for sliced arrays (raw child offsets)
+                hit = (np.asarray(full.offsets).astype(np.int64),
+                       np.asarray(full.values).astype(np.int64))
+                if len(self._pos_np) > 1024:
+                    self._pos_np.clear()
+                self._pos_np[term] = hit
+            off, v = hit
+            lo = off[rows]
+            lengths = off[rows + 1] - lo
+            total = int(lengths.sum())
+            idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.concatenate([[0], np.cumsum(lengths)])[:-1],
+                            lengths)
+                + np.repeat(lo, lengths)
+            )
+            return lengths, v[idx]
+        l, flat = self._positions_rows_blocks(term, rows, counts, n_post)
+        return l, flat.astype(np.int64)
+
+    def _positions_rows_blocks(self, term: str, rows: np.ndarray,
+                               counts: np.ndarray, n_post: int):
+        """per-skip-block decode path shared by the Arrow and flat
+        variants: (lengths int64, flat uint32) aligned with `rows`."""
+        i = self._terms[term]
         from chearch_ray.functions.codec import unpack_position_blob
 
         bs = self.block_size
@@ -434,10 +504,7 @@ class PostingsPartReader:
             - np.repeat(np.concatenate([[0], np.cumsum(l)])[:-1], l)
             + np.repeat(starts_b, l)
         )
-        return pa.ListArray.from_arrays(
-            pa.array(np.concatenate([[0], np.cumsum(l)]).astype(np.int32), type=pa.int32()),
-            pa.array(vals[idx].astype(np.uint32), type=pa.uint32()),
-        )
+        return l.astype(np.int64), vals[idx].astype(np.uint32)
 
     def positions_packed_column(self):
         """per-POSTING packed position cells (binary array, term-major
