@@ -2620,3 +2620,36 @@ def waiting_orders_suppliers(lineitem_ds, orders_ds, supplier_ds,
         ("numwait", "descending"), ("s_name", "ascending"),
         ("s_suppkey", "ascending")])
     return out.take(idx.slice(0, min(k, len(out))))
+
+
+# ------------------------------------------- ORDER BY … LIMIT/OFFSET
+def ordered_page(ds, sort_keys: list[tuple[str, str]], limit: int,
+                 offset: int = 0, columns: list[str] | None = None) -> pa.Table:
+    """distributed ORDER BY … LIMIT k OFFSET m: each block pre-reduces
+    to its own top-(offset+limit) under the sort order, the bounded
+    partials (≤ offset+limit rows per block) merge on the driver, and
+    one final sort slices the page.  Correct for any total order the
+    keys define; ties must be broken by a unique trailing key for a
+    deterministic page (the callers append the table's key column).
+    No global sort — the all-to-all a `ds.sort` would pay buys nothing
+    when only one page leaves the pipeline."""
+    need = offset + limit
+
+    def topn_block(b: pa.Table) -> pa.Table:
+        if columns is not None:
+            b = b.select(columns)
+        if len(b) <= need:
+            return b
+        idx = pc.sort_indices(b, sort_keys=sort_keys)
+        return b.take(idx.slice(0, need))
+
+    parts = [t for t in ds.map_batches(topn_block, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow") if len(t)]
+    if not parts:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        return (base.empty_table() if isinstance(base, pa.Schema)
+                else pa.table({}))
+    merged = pa.concat_tables(parts)
+    idx = pc.sort_indices(merged, sort_keys=sort_keys)
+    return merged.take(idx.slice(offset, limit))

@@ -814,3 +814,64 @@ def latest_event_per_user(ds, coarse_partitions: int = USER_PARTITIONS):
         partial(_drop_pgrp_then, fn=_latest_partial),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------- moving window
+_MOVING_SCHEMA = pa.schema([
+    pa.field("event_id", pa.int64()),
+    pa.field("user_id", pa.int64()),
+    pa.field("w_sum_cents", pa.int64()),
+    pa.field("w_count", pa.int64()),
+])
+
+
+def _moving_partition(group: pa.Table, window_rows: int) -> pa.Table:
+    """one coarse partition -> per-event moving-frame rows: the SQL
+    `ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW` sum/count
+    per user (ordered by ts, event_id).  One sort, one cumsum, and
+    per-user frame clamping via a segment-start maximum-accumulate —
+    never per-user Python."""
+    if len(group) == 0:
+        return _MOVING_SCHEMA.empty_table()
+    order = pc.sort_indices(
+        group,
+        sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                   ("event_id", "ascending")],
+    )
+    g = group.take(order)
+    users = g["user_id"].to_numpy()
+    cents = _round_half_away(g["value"].to_numpy().astype(np.float64) * 100)
+    n = len(g)
+    i = np.arange(n, dtype=np.int64)
+    seg_start = np.maximum.accumulate(np.where(_run_starts(users), i, 0))
+    lo = np.maximum(seg_start, i - (window_rows - 1))
+    cum = np.concatenate([[0], np.cumsum(cents)])
+    return pa.table(
+        {
+            "event_id": pa.array(g["event_id"].to_numpy().astype(np.int64),
+                                 type=pa.int64()),
+            "user_id": pa.array(users.astype(np.int64), type=pa.int64()),
+            "w_sum_cents": pa.array(cum[i + 1] - cum[lo], type=pa.int64()),
+            "w_count": pa.array(i - lo + 1, type=pa.int64()),
+        }
+    )
+
+
+def event_moving_sum(ds, window_rows: int = 4,
+                     coarse_partitions: int = USER_PARTITIONS):
+    """SQL windowed-frame aggregate SUM/COUNT OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS BETWEEN window_rows-1 PRECEDING AND
+    CURRENT ROW), in integer cents (exact).  Same coarse hash(user)%N
+    single-shuffle shape as sessionize/lag."""
+    from functools import partial
+
+    parted = ds.map_batches(
+        partial(_user_partition_column, n_partitions=coarse_partitions,
+                key="user_id"),
+        batch_format="pyarrow",
+    )
+    return parted.groupby("pgrp").map_groups(
+        partial(_drop_pgrp_then,
+                fn=partial(_moving_partition, window_rows=window_rows)),
+        batch_format="pyarrow",
+    )

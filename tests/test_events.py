@@ -383,3 +383,60 @@ def test_interval_join_bruteforce(ray_session):
     assert (1, 4) in want and (1, 5) not in want  # boundary in, past out
     assert (7, 6) not in want                     # earlier purchase out
     assert (10, 12) in want and (11, 12) in want  # fan-out
+
+
+def test_event_moving_sum_partition_independent(ray_session):
+    """event_moving_sum must be identical for any coarse partition
+    count (frames never cross users, users never split), and match a
+    pandas rolling mirror."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import numpy as np
+    from chearch_ray.stages.events import _round_half_away, event_moving_sum
+
+    tbl = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_id", "user_id", "ts", "value"])
+
+    def run(n_parts):
+        out = event_moving_sum(ray.data.from_arrow(tbl).repartition(5),
+                               window_rows=4, coarse_partitions=n_parts)
+        return out.to_pandas().sort_values("event_id", ignore_index=True)
+
+    a, b = run(3), run(17)
+    assert a.equals(b)
+
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                     ignore_index=True)
+    df["cents"] = _round_half_away(df["value"].to_numpy() * 100)
+    g = df.groupby("user_id")["cents"]
+    want_sum = g.rolling(4, min_periods=1).sum().reset_index(level=0, drop=True)
+    want_cnt = g.rolling(4, min_periods=1).count().reset_index(level=0, drop=True)
+    df["w_sum_cents"] = want_sum.astype(np.int64)
+    df["w_count"] = want_cnt.astype(np.int64)
+    want = df[["event_id", "user_id", "w_sum_cents", "w_count"]].sort_values(
+        "event_id", ignore_index=True)
+    assert a.equals(want)
+
+
+def test_ordered_page_matches_single_block(ray_session):
+    """ordered_page over many blocks == the page of a driver-side full
+    sort (unique trailing key makes the page deterministic)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import ordered_page
+
+    tbl = pq.read_table("/root/testdata/sf0.001/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    keys = [("o_orderdate", "ascending"), ("o_orderkey", "ascending")]
+    got = ordered_page(ray.data.from_arrow(tbl).repartition(9),
+                       sort_keys=keys, limit=20, offset=7)
+    want = tbl.take(pc.sort_indices(tbl, sort_keys=keys).slice(7, 20))
+    assert got.to_pandas().equals(want.to_pandas())
+    # offset past the end -> empty page, stable schema
+    empty = ordered_page(ray.data.from_arrow(tbl).repartition(9),
+                         sort_keys=keys, limit=5, offset=len(tbl) + 10)
+    assert len(empty) == 0
+    assert empty.column_names == ["o_orderkey", "o_custkey", "o_orderdate"]
