@@ -1909,6 +1909,40 @@ def q_media_features(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_media_resize(sf_dir: str) -> pa.Table:
+    """actor-pool resize over opaque media payloads (stub decode):
+    fit-in-box metadata + deterministic stride-sampled payload."""
+    import ray.data
+
+    from chearch_ray.stages.multimodal import resize_media, synthesize_media_table
+
+    media = synthesize_media_table(64, kind="image", seed=42)
+    out = resize_media(ray.data.from_arrow(media), max_side=32)
+    pdf = out.to_pandas()
+    pdf["payload_bytes"] = pdf["payload"].map(len)
+    return pa.Table.from_pandas(
+        pdf.drop(columns=["payload"]).sort_values("media_id",
+                                                  ignore_index=True),
+        preserve_index=False)
+
+
+def q_media_frames(sf_dir: str) -> pa.Table:
+    """actor-pool frame sampling (explode shape): n evenly spaced
+    stub frames per video payload."""
+    import ray.data
+
+    from chearch_ray.stages.multimodal import sample_frames, synthesize_media_table
+
+    media = synthesize_media_table(48, kind="video", seed=7)
+    out = sample_frames(ray.data.from_arrow(media), n_frames=4)
+    pdf = out.to_pandas()
+    pdf["payload_bytes"] = pdf["payload"].map(len)
+    return pa.Table.from_pandas(
+        pdf.drop(columns=["payload"]).sort_values(["media_id", "frame_no"],
+                                                  ignore_index=True),
+        preserve_index=False)
+
+
 def q_order_count_distribution(sf_dir: str) -> pa.Table:
     """TPC-H Q13 shape: LEFT OUTER order-count histogram including the
     zero bucket."""
@@ -2520,6 +2554,9 @@ QUERIES = {
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "event_moving_sum": q_event_moving_sum,
     "orders_page": q_orders_page,
+    # rows-only (stub-decode multimodal plumbing; no SQL analogue)
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
 }
 
 

@@ -124,3 +124,143 @@ def extract_media_features(ds, backend: str = "stub", concurrency: int = 2,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaResize:
+    """Actor-pool stage: image/video payload -> resized payload with
+    updated (width, height) metadata.
+
+    `backend="stub"` performs a REAL deterministic byte-level
+    downsample (stride sampling of the payload to the target pixel
+    budget) so output sizes, schema, and determinism are testable
+    without codecs; `backend="pil"` raises NotImplementedError until
+    the codec libs exist in the runtime.  Aspect ratio is preserved by
+    the usual fit-in-box rule (identical rounding both metadata and
+    stub payload)."""
+
+    def __init__(self, max_side: int = 64, backend: str = "stub"):
+        if backend not in ("stub", "pil"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if max_side < 1:
+            raise ValueError("max_side must be >= 1")
+        self.max_side = max_side
+        self.backend = backend
+
+    def _resize_stub(self, payload: bytes, w: int, h: int,
+                     new_w: int, new_h: int) -> bytes:
+        if w <= 0 or h <= 0 or len(payload) == 0:
+            return b""
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        n_out = max(1, int(len(arr) * (new_w * new_h) / (w * h)))
+        idx = (np.arange(n_out, dtype=np.int64) * len(arr)) // n_out
+        return arr[idx].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend != "stub":
+            raise NotImplementedError(
+                f"{self.backend} decode unavailable in this container; "
+                "use backend='stub'")
+        w = batch["width"].to_numpy().astype(np.int64)
+        h = batch["height"].to_numpy().astype(np.int64)
+        side = np.maximum(np.maximum(w, h), 1)
+        scale = np.minimum(1.0, self.max_side / side)
+        new_w = np.maximum(1, (w * scale).astype(np.int64))
+        new_h = np.maximum(1, (h * scale).astype(np.int64))
+        payloads = batch["payload"].to_pylist()
+        out = [self._resize_stub(p, int(a), int(b), int(na), int(nb))
+               for p, a, b, na, nb in zip(payloads, w, h, new_w, new_h)]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "format": batch["format"],
+                "width": pa.array(new_w.astype(np.int32), type=pa.int32()),
+                "height": pa.array(new_h.astype(np.int32), type=pa.int32()),
+                "duration_ms": batch["duration_ms"],
+                "payload": pa.array(out, type=pa.binary()),
+            }
+        )
+
+
+def resize_media(ds, max_side: int = 64, concurrency: int = 2,
+                 batch_size: int = 128):
+    """MEDIA_SCHEMA rows -> MEDIA_SCHEMA rows resized to fit
+    `max_side` (actor pool, small batches — payload rows are wide)."""
+    return ds.map_batches(
+        MediaResize,
+        fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("frame_no", pa.int32()),
+        ("frame_ms", pa.int32()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+class FrameSample:
+    """Actor-pool stage: video payload -> `n_frames` evenly spaced
+    frame rows (the explode shape: one input row -> many output rows,
+    still one vectorized map_batches pass — Ray Data needs no
+    flat_map for Arrow output with more rows than input).
+
+    `backend="stub"` slices the payload into n_frames equal spans
+    (deterministic stand-ins for decoded frames); a real ffmpeg
+    backend raises until the codec exists.  Non-video rows drop."""
+
+    def __init__(self, n_frames: int = 4, backend: str = "stub"):
+        if backend not in ("stub", "ffmpeg"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if n_frames < 1:
+            raise ValueError("n_frames must be >= 1")
+        self.n_frames = n_frames
+        self.backend = backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend != "stub":
+            raise NotImplementedError(
+                f"{self.backend} decode unavailable in this container; "
+                "use backend='stub'")
+        import pyarrow.compute as pc
+
+        vids = batch.filter(pc.equal(batch["kind"], "video"))
+        ids, frames, stamps, payloads = [], [], [], []
+        n = self.n_frames
+        for mid, dur, p in zip(vids["media_id"].to_pylist(),
+                               vids["duration_ms"].to_pylist(),
+                               vids["payload"].to_pylist()):
+            span = max(1, len(p) // n)
+            for f in range(n):
+                ids.append(mid)
+                frames.append(f)
+                stamps.append(int(max(dur, 0) * f // n))
+                payloads.append(p[f * span:(f + 1) * span])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_no": pa.array(frames, type=pa.int32()),
+                "frame_ms": pa.array(stamps, type=pa.int32()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds, n_frames: int = 4, concurrency: int = 2,
+                  batch_size: int = 64):
+    """MEDIA_SCHEMA video rows -> FRAME_SCHEMA rows, n_frames per
+    video (actor pool; the output has n x the rows of the input, so
+    the batch size stays small to bound block growth)."""
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

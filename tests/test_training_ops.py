@@ -3053,3 +3053,75 @@ def test_q2_q20_q21_gated_paths_identical(ray_session):
                                  nation="NATION_13", driver_merge_limit=0)
     assert len(a) > 0
     assert a.to_pandas().equals(b.to_pandas())
+
+
+def test_media_resize_stub(ray_session):
+    """MediaResize: fit-in-box metadata, payload shrunk to the pixel
+    budget, deterministic across runs, schema preserved."""
+    import ray.data
+
+    from chearch_ray.stages.multimodal import (MEDIA_SCHEMA, MediaResize,
+                                               resize_media,
+                                               synthesize_media_table)
+
+    media = synthesize_media_table(32, kind="image", seed=3)
+    out = resize_media(ray.data.from_arrow(media), max_side=16)
+    t = pa.concat_tables(out.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"))
+    t = t.take(pa.compute.sort_indices(t, sort_keys=[("media_id",
+                                                      "ascending")]))
+    assert t.schema.names == MEDIA_SCHEMA.names
+    assert len(t) == 32
+    w = t["width"].to_numpy()
+    h = t["height"].to_numpy()
+    assert (np.maximum(w, h) <= 16).all() and (w >= 1).all() and (h >= 1).all()
+    # single-actor mirror is identical (determinism + actor-pool parity)
+    mirror = MediaResize(max_side=16)(media)
+    assert t.equals(mirror.take(pa.compute.sort_indices(
+        mirror, sort_keys=[("media_id", "ascending")])))
+    # aspect ratio: scaling never enlarges
+    ow = media.take(pa.compute.sort_indices(
+        media, sort_keys=[("media_id", "ascending")]))["width"].to_numpy()
+    assert (w <= np.maximum(ow, 1)).all()
+    # shrunk payloads
+    orig = {m: len(p) for m, p in zip(media["media_id"].to_pylist(),
+                                      media["payload"].to_pylist())}
+    for m, p in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+        assert 0 < len(p) <= orig[m]
+
+
+def test_frame_sample_stub(ray_session):
+    """FrameSample: exactly n_frames rows per video, evenly spaced
+    timestamps, concatenated spans reassemble a payload prefix; non-
+    video rows drop."""
+    import ray.data
+
+    from chearch_ray.stages.multimodal import (FRAME_SCHEMA, FrameSample,
+                                               sample_frames,
+                                               synthesize_media_table)
+
+    vids = synthesize_media_table(12, kind="video", seed=5)
+    imgs = synthesize_media_table(5, kind="image", seed=6)
+    imgs = imgs.set_column(0, "media_id",
+                           pa.array(np.arange(100, 105), type=pa.int64()))
+    both = pa.concat_tables([vids, imgs])
+    out = sample_frames(ray.data.from_arrow(both), n_frames=3)
+    t = pa.concat_tables(out.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"))
+    assert t.schema.names == FRAME_SCHEMA.names
+    assert len(t) == 12 * 3  # images dropped
+    df = t.to_pandas().sort_values(["media_id", "frame_no"],
+                                   ignore_index=True)
+    payload = {m: p for m, p in zip(vids["media_id"].to_pylist(),
+                                    vids["payload"].to_pylist())}
+    dur = {m: d for m, d in zip(vids["media_id"].to_pylist(),
+                                vids["duration_ms"].to_pylist())}
+    for mid, grp in df.groupby("media_id"):
+        assert list(grp["frame_no"]) == [0, 1, 2]
+        assert list(grp["frame_ms"]) == [dur[mid] * f // 3 for f in range(3)]
+        joined = b"".join(grp["payload"])
+        assert payload[mid].startswith(joined) and len(joined) > 0
+    # single-actor mirror identical
+    mirror = FrameSample(n_frames=3)(both).to_pandas().sort_values(
+        ["media_id", "frame_no"], ignore_index=True)
+    assert df.equals(mirror)
