@@ -26,6 +26,19 @@ from chearch_ray.pipelines.build import build_index
 from chearch_ray.sources.corpus import read_documents_corpus
 from chearch_ray.state.engine import QueryEngine
 
+
+def _ts_between(column: str, d1: str, d2: str):
+    """pyarrow row filter `d1 <= column < d2` for read_parquet(filter=):
+    the static date window pushes into the scan (row-group pruning +
+    row filtering at the read — at 100 TB only matching row groups
+    leave storage).  The downstream vectorized window re-applies for
+    exactness on arbitrary sources."""
+    import datetime as _dt
+
+    lo = pa.scalar(_dt.datetime.fromisoformat(d1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime.fromisoformat(d2), type=pa.timestamp("us"))
+    return (pc.field(column) >= lo) & (pc.field(column) < hi)
+
 DRIVER_CFG = EngineConfig(num_segments=2, num_term_shards=4)
 
 #: SQL tokenizer fragment — must match functions.tokenizer default mode
@@ -1218,6 +1231,7 @@ def q_local_supplier_volume(sf_dir: str) -> pa.Table:
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=_ts_between("o_orderdate", "1996-01-01", "1997-01-01"),
     )
     customer = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
@@ -1239,10 +1253,12 @@ def q_returned_item_revenue(sf_dir: str) -> pa.Table:
     lineitem = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R",  # pruned at the read
     )
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=_ts_between("o_orderdate", "1996-10-01", "1997-01-01"),
     )
     customer = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
@@ -1261,6 +1277,7 @@ def q_promo_revenue(sf_dir: str) -> pa.Table:
     lineitem = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=_ts_between("l_shipdate", "1996-09-01", "1996-10-01"),
     )
     part = ray.data.read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
@@ -1293,6 +1310,7 @@ def q_forecast_revenue(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=_ts_between("l_shipdate", "2001-01-01", "2002-01-01"),
     )
     return pa.Table.from_pandas(forecast_revenue(ds).to_pandas(), preserve_index=False)
 
@@ -1966,7 +1984,8 @@ def q_top_supplier(sf_dir: str) -> pa.Table:
 
     lineitem = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=_ts_between("l_shipdate", "1996-01-01", "1996-04-01"))
     supplier = ray.data.read_parquet(
         os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"])
     return top_revenue_suppliers(lineitem, supplier)
@@ -2266,7 +2285,8 @@ def q_late_shipment_priority(sf_dir: str) -> pa.Table:
 
     lineitem = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=_ts_between("l_shipdate", "1996-01-01", "1998-01-01"))
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
@@ -2364,7 +2384,8 @@ def q_waiting_orders_suppliers(sf_dir: str) -> pa.Table:
         columns=["l_orderkey", "l_suppkey", "l_returnflag"])
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_orderstatus"])
+        columns=["o_orderkey", "o_orderstatus"],
+        filter=pc.field("o_orderstatus") == "F")  # pruned at the read
     supplier = ray.data.read_parquet(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_name", "s_nationkey"])
