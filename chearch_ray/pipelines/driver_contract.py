@@ -1927,6 +1927,47 @@ def q_media_features(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+URLDOC_TABLE_PATH = "/tmp/chearch_ray_driver_cache/urldocs-42.parquet"
+
+
+def _urldoc_table(sf_dir: str) -> pa.Table:
+    """documents with deterministically injected URL tokens (the base
+    corpus carries none) — written to a fixed path so the DuckDB
+    mirror reads the identical table."""
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = []
+    for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        extra = []
+        if i % 3 == 0:
+            extra.append(f"http://site{i % 37}.example.com/p{i}")
+        if i % 7 == 0:
+            extra.append(f"https://cdn{i % 11}.example.org/x?q={i}")
+        if i % 13 == 0:
+            extra.append("http://MIXED.Case.Net/skip")  # domain class is
+            # lowercase-only: the capture stops at the first uppercase
+            # char on BOTH sides (RE2 here and in DuckDB)
+        out.append(" ".join([t] + extra) if extra else t)
+    t = pa.table({"doc_id": docs["doc_id"],
+                  "text": pa.array(out, type=pa.string())})
+    os.makedirs(os.path.dirname(URLDOC_TABLE_PATH), exist_ok=True)
+    tmp = f"{URLDOC_TABLE_PATH}.tmp-{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, URLDOC_TABLE_PATH)
+    return t
+
+
+def q_domain_counts(sf_dir: str) -> pa.Table:
+    """URL domain histogram over the derived URL-bearing corpus."""
+    import ray.data
+
+    from chearch_ray.stages.textstats import domain_counts
+
+    t = _urldoc_table(sf_dir)
+    return domain_counts(ray.data.from_arrow(t).repartition(4))
+
+
 def q_media_resize(sf_dir: str) -> pa.Table:
     """actor-pool resize over opaque media payloads (stub decode):
     fit-in-box metadata + deterministic stride-sampled payload."""
@@ -2575,6 +2616,7 @@ QUERIES = {
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "event_moving_sum": q_event_moving_sum,
     "orders_page": q_orders_page,
+    "domain_counts": q_domain_counts,
     # rows-only (stub-decode multimodal plumbing; no SQL analogue)
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
@@ -4108,6 +4150,19 @@ ORDER BY event_id
 SELECT o_orderkey::BIGINT AS o_orderkey, o_custkey::BIGINT AS o_custkey,
        o_orderdate
 FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 50 OFFSET 100
+""",
+    # URL domain histogram — identical RE2 patterns on both sides
+    "domain_counts": f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM read_parquet('{URLDOC_TABLE_PATH}')
+),
+urls AS (
+  SELECT regexp_extract(tok, '^https?://([a-z0-9.-]+)', 1) AS domain
+  FROM toks WHERE regexp_matches(tok, '^https?://')
+)
+SELECT domain, count(*)::BIGINT AS n FROM urls WHERE domain <> ''
+GROUP BY 1 ORDER BY n DESC, domain
 """,
 }
 

@@ -1081,3 +1081,52 @@ def tfidf_keywords(ds, df_table: pa.Table, n_docs: int, k: int = 3,
         partial(_tfidf_batch, stats_ref=ref, k=k, text_column=text_column),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------ URL domains
+URL_DOMAIN_RE = r"^https?://(?P<d>[a-z0-9.-]+)"
+
+
+def _domain_partial(batch: pa.Table, text_column: str) -> pa.Table:
+    """per-block (domain, n) counts: one vectorized whitespace split,
+    one RE2 prefix match, one RE2 capture — no Python loop over rows
+    or tokens."""
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.list_flatten(pc.split_pattern_regex(col, r"\s+"))
+    urls = toks.filter(pc.match_substring_regex(toks, r"^https?://"))
+    if len(urls) == 0:
+        return pa.table({"domain": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    dom = pc.struct_field(pc.extract_regex(urls, URL_DOMAIN_RE), "d")
+    dom = dom.drop_null()
+    if len(dom) == 0:
+        return pa.table({"domain": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    t = pa.table({"domain": dom,
+                  "n": pa.array(np.ones(len(dom), dtype=np.int64))})
+    agg = t.group_by("domain", use_threads=False).aggregate([("n", "sum")])
+    return agg.rename_columns(["domain", "n"])
+
+
+def domain_counts(ds, text_column: str = "text",
+                  driver_merge_limit: int | None = None) -> pa.Table:
+    """URL domain histogram over a text corpus — the per-domain stats a
+    pretraining pipeline filters on.  EXACT contract: both sides run
+    the SAME RE2 patterns (Arrow kernels here, DuckDB regexp_* in the
+    mirror).  Per-block partials are bounded by distinct domains per
+    block; the merge is the usual gated driver/groupby pattern."""
+    from chearch_ray.pipelines.analytics import _gated_group_sum
+
+    partials = ds.map_batches(
+        partial(_domain_partial, text_column=text_column),
+        batch_format="pyarrow",
+    )
+    out = _gated_group_sum(partials, ["domain"], ["n"],
+                           driver_merge_limit=driver_merge_limit)
+    if out is None or not len(out):
+        return pa.table({"domain": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("n", "descending"), ("domain", "ascending")]))
