@@ -2653,3 +2653,46 @@ def ordered_page(ds, sort_keys: list[tuple[str, str]], limit: int,
     merged = pa.concat_tables(parts)
     idx = pc.sort_indices(merged, sort_keys=sort_keys)
     return merged.take(idx.slice(offset, limit))
+
+
+# ------------------------------------------- DENSE_RANK per group
+def dense_rank_values(ds, by: str, value_col: str,
+                      driver_merge_limit: int | None = None) -> pa.Table:
+    """DENSE_RANK() OVER (PARTITION BY `by` ORDER BY value): the
+    distinct (group, value-cents) pairs with their dense rank — equal
+    to the window function over the full table because dense rank
+    depends only on the distinct value set.
+
+    Scale shape: per-block distinct pairs (bounded by |groups| ×
+    |distinct values|, tiny for categorical/price-grid columns) merge
+    through the gated pattern; ranking the merged distinct set is
+    driver algebra."""
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by],
+                      "value_cents": pa.array(
+                          _cents(b[value_col].to_numpy().astype(np.float64)),
+                          type=pa.int64()),
+                      "n": pa.array(np.ones(len(b), dtype=np.int64))})
+        agg = t.group_by([by, "value_cents"], use_threads=False).aggregate(
+            [("n", "sum")])
+        return agg.rename_columns([by, "value_cents", "n"])
+
+    pairs = _gated_group_sum(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        [by, "value_cents"], ["n"], driver_merge_limit=driver_merge_limit)
+    if pairs is None or not len(pairs):
+        return pa.table({by: pa.array([], type=pa.string()),
+                         "value_cents": pa.array([], type=pa.int64()),
+                         "rnk": pa.array([], type=pa.int64())})
+    idx = pc.sort_indices(pairs, sort_keys=[(by, "ascending"),
+                                            ("value_cents", "ascending")])
+    pairs = pairs.take(idx)
+    keys = pairs[by].to_numpy(zero_copy_only=False)
+    new_grp = np.ones(len(pairs), dtype=bool)
+    new_grp[1:] = keys[1:] != keys[:-1]
+    # dense rank = position within group + 1 over the distinct sorted set
+    i = np.arange(len(pairs), dtype=np.int64)
+    grp_start = np.maximum.accumulate(np.where(new_grp, i, 0))
+    return pa.table({by: pairs[by],
+                     "value_cents": pairs["value_cents"].cast(pa.int64()),
+                     "rnk": pa.array(i - grp_start + 1, type=pa.int64())})

@@ -1968,6 +1968,18 @@ def q_domain_counts(sf_dir: str) -> pa.Table:
     return domain_counts(ray.data.from_arrow(t).repartition(4))
 
 
+def q_qty_dense_rank(sf_dir: str) -> pa.Table:
+    """DENSE_RANK of quantity within returnflag (distinct value set)."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import dense_rank_values
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity"])
+    return dense_rank_values(ds, by="l_returnflag", value_col="l_quantity")
+
+
 def q_media_resize(sf_dir: str) -> pa.Table:
     """actor-pool resize over opaque media payloads (stub decode):
     fit-in-box metadata + deterministic stride-sampled payload."""
@@ -2617,6 +2629,7 @@ QUERIES = {
     "event_moving_sum": q_event_moving_sum,
     "orders_page": q_orders_page,
     "domain_counts": q_domain_counts,
+    "qty_dense_rank": q_qty_dense_rank,
     # rows-only (stub-decode multimodal plumbing; no SQL analogue)
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
@@ -4163,6 +4176,16 @@ urls AS (
 )
 SELECT domain, count(*)::BIGINT AS n FROM urls WHERE domain <> ''
 GROUP BY 1 ORDER BY n DESC, domain
+""",
+    # DENSE_RANK over the distinct (group, value) set == the window
+    # function over the full table
+    "qty_dense_rank": """
+SELECT DISTINCT l_returnflag,
+       round(l_quantity * 100)::BIGINT AS value_cents,
+       dense_rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY round(l_quantity * 100)::BIGINT)::BIGINT
+         AS rnk
+FROM lineitem ORDER BY l_returnflag, value_cents
 """,
 }
 
