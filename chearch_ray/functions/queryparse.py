@@ -217,3 +217,59 @@ def contains_phrase(node: ast.Node) -> bool:
     if isinstance(node, (ast.And, ast.Or, ast.AndNot)):
         return contains_phrase(node.a) or contains_phrase(node.b)
     return False
+
+
+#: `field:value` filter token — Lucene field syntax restricted to the
+#: docmap metadata filter surface (top-level conjunctive only)
+_FIELD_RE = re.compile(r"^([a-z_][a-z0-9_]*):([^\s()\"]+)$")
+
+
+def parse_with_filters(query: str) -> tuple[ast.Node, dict[str, list[str]] | None]:
+    """Lucene-style `field:value` extension over `parse`: top-level
+    (paren-depth-0, non-negated) `field:value` tokens become the
+    engine's docmap metadata filter — repeated same-field tokens OR
+    together (`lang:py lang:go` == lang IN (py, go)), distinct fields
+    AND, exactly the `QueryEngine.search(filter=...)` contract.  The
+    rest of the string parses through the unchanged grammar.
+
+    Field tokens inside parentheses, under NOT/-, or as the only
+    content raise: a metadata filter narrows a candidate set, it is
+    not a term (the engine never materializes all docs of a lang)."""
+    if not query or not query.strip():
+        raise QueryParseError("empty query")
+    if '"' in query and query.count('"') % 2:
+        raise QueryParseError("unbalanced '\"' in query")
+    toks = _TOKEN_RE.findall(query)
+    depth = 0
+    rest: list[str] = []
+    filters: dict[str, list[str]] = {}
+    prev: str | None = None
+    for tok in toks:
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        m = None if tok.startswith('"') else _FIELD_RE.match(tok)
+        if m:
+            if depth > 0:
+                raise QueryParseError(
+                    f"field filter {tok!r} must be top-level (conjunctive), "
+                    "not inside a group")
+            if prev == "NOT":
+                raise QueryParseError(f"field filter {tok!r} cannot be negated")
+            field, value = m.group(1), m.group(2)
+            if value.startswith("-"):
+                raise QueryParseError(f"field filter {tok!r} cannot be negated")
+            vals = filters.setdefault(field, [])
+            if value not in vals:
+                vals.append(value)
+        else:
+            if tok.startswith("-") and _FIELD_RE.match(tok[1:]):
+                raise QueryParseError(f"field filter {tok!r} cannot be negated")
+            rest.append(tok)
+        prev = tok
+    if not rest:
+        raise QueryParseError(
+            "query is only field filters — add at least one term")
+    node = _Parser(" ".join(rest)).parse()
+    return node, (filters or None)

@@ -1968,6 +1968,15 @@ def q_domain_counts(sf_dir: str) -> pa.Table:
     return domain_counts(ray.data.from_arrow(t).repartition(4))
 
 
+def q_parsed_filter_query(sf_dir: str) -> pa.Table:
+    """grammar query WITH Lucene field:value filters: `lang:es lang:de
+    merge OR sort` == BM25 over (merge OR sort) filtered to the two
+    langs — must equal the programmatic bm25_filtered row's oracle."""
+    q = f"lang:{FILTER_LANGS[0]} lang:{FILTER_LANGS[1]} " \
+        f"{BM25_FILTERED_TERMS[0]} OR {BM25_FILTERED_TERMS[1]}"
+    return _ranked(engine_for(sf_dir).search_parsed(q, k=10))
+
+
 def q_qty_dense_rank(sf_dir: str) -> pa.Table:
     """DENSE_RANK of quantity within returnflag (distinct value set)."""
     import ray.data
@@ -2630,6 +2639,7 @@ QUERIES = {
     "orders_page": q_orders_page,
     "domain_counts": q_domain_counts,
     "qty_dense_rank": q_qty_dense_rank,
+    "parsed_filter_query": q_parsed_filter_query,
     # rows-only (stub-decode multimodal plumbing; no SQL analogue)
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
@@ -2954,6 +2964,17 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id
 FROM scored WHERE doc_id <> {MLT_SRC} ORDER BY score DESC, doc_id LIMIT {MLT_K}
 """,
     "bm25_filtered": _bm25_sql(
+        BM25_FILTERED_TERMS,
+        "or",
+        cand_sql=(
+            f"SELECT DISTINCT t.doc_id FROM tok t JOIN documents d USING (doc_id) "
+            f"WHERE t.term IN ('{BM25_FILTERED_TERMS[0]}', '{BM25_FILTERED_TERMS[1]}') "
+            f"AND d.lang IN ('{FILTER_LANGS[0]}', '{FILTER_LANGS[1]}')"
+        ),
+    ),
+    # same oracle as bm25_filtered — the grammar string must compile to
+    # the identical (node, filter) pair
+    "parsed_filter_query": _bm25_sql(
         BM25_FILTERED_TERMS,
         "or",
         cand_sql=(

@@ -300,6 +300,18 @@ class QueryEngine:
         return ast.Or(a, b)
 
     # ----------------------------------------------------------- search
+    def search_parsed(self, query: str, k: int | None = None) -> pa.Table:
+        """BM25 over the full query-string grammar INCLUDING Lucene
+        `field:value` metadata filters (functions/queryparse.py
+        `parse_with_filters`): top-level field tokens become the
+        docmap filter (`lang:py lang:go merge` == search "merge" with
+        filter {"lang": ["py", "go"]}), the rest is the usual
+        grammar."""
+        from chearch_ray.functions.queryparse import parse_with_filters
+
+        node, filters = parse_with_filters(query)
+        return self.search(node, k=k, filter=filters)
+
     def search(self, query: str | ast.Node, k: int | None = None, default_op: str = "or",
                filter: dict[str, list[str]] | None = None) -> pa.Table:
         """BM25 top-k, globally merged, ordered (score desc, doc_id asc).

@@ -239,3 +239,28 @@ def test_grammar_via_search_bm25_pure_boolean(eng):
     )
     assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
     assert got["score"].to_pylist() == want["score"].to_pylist()
+
+
+def test_parse_with_filters():
+    from chearch_ray import ast
+    from chearch_ray.functions.queryparse import (QueryParseError,
+                                                  parse_with_filters)
+
+    node, f = parse_with_filters("lang:py lang:go merge sort OR join source:web")
+    assert f == {"lang": ["py", "go"], "source": ["web"]}
+    assert node == ast.Or(ast.And(ast.Term("merge"), ast.Term("sort")),
+                          ast.Term("join"))
+    # no field tokens -> plain grammar, None filter
+    node, f = parse_with_filters('"merge sort" AND join')
+    assert f is None and isinstance(node, ast.And)
+    # duplicates collapse, order preserved
+    _, f = parse_with_filters("lang:py lang:py lang:go x")
+    assert f == {"lang": ["py", "go"]}
+    # phrases may contain colons without becoming filters
+    node, f = parse_with_filters('"a b" x')
+    assert f is None
+    import pytest
+    for bad in ("lang:py", "(lang:py merge)", "merge NOT lang:py",
+                "merge -lang:py", "lang:py lang:go"):
+        with pytest.raises(QueryParseError):
+            parse_with_filters(bad)
