@@ -1977,6 +1977,28 @@ def q_parsed_filter_query(sf_dir: str) -> pa.Table:
     return _ranked(engine_for(sf_dir).search_parsed(q, k=10))
 
 
+def q_value_quantiles_cont(sf_dir: str) -> pa.Table:
+    """SQL percentile_cont over event value cents: exact adjacent
+    order statistics + ONE identical float interpolation expression
+    both sides."""
+    import ray.data
+
+    from chearch_ray.stages.sketch import quantiles_cont
+
+    from chearch_ray.stages.events import _round_half_away
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = _round_half_away(batch["value"].to_numpy().astype(np.float64) * 100)
+        return pa.table({"cents": pa.array(cents, type=pa.int64())})
+
+    def mk():
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["value"])
+        return ds.map_batches(to_cents, batch_format="pyarrow")
+
+    return quantiles_cont(mk, "cents", qs=(0.25, 0.5, 0.9))
+
+
 def q_qty_dense_rank(sf_dir: str) -> pa.Table:
     """DENSE_RANK of quantity within returnflag (distinct value set)."""
     import ray.data
@@ -2640,6 +2662,7 @@ QUERIES = {
     "domain_counts": q_domain_counts,
     "qty_dense_rank": q_qty_dense_rank,
     "parsed_filter_query": q_parsed_filter_query,
+    "value_quantiles_cont": q_value_quantiles_cont,
     # rows-only (stub-decode multimodal plumbing; no SQL analogue)
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
@@ -2972,6 +2995,31 @@ FROM scored WHERE doc_id <> {MLT_SRC} ORDER BY score DESC, doc_id LIMIT {MLT_K}
             f"AND d.lang IN ('{FILTER_LANGS[0]}', '{FILTER_LANGS[1]}')"
         ),
     ),
+    # percentile_cont as manual interpolation over exact order stats —
+    # the SAME float64 expression as stages.sketch.quantiles_cont
+    "value_quantiles_cont": """
+WITH v AS (SELECT round(value * 100)::BIGINT AS c FROM events),
+s AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS r FROM v),
+n AS (SELECT count(*)::BIGINT AS n FROM v)
+SELECT 0.25::DOUBLE AS q,
+       lo.c::DOUBLE + ((n.n - 1) * 0.25::DOUBLE - floor((n.n - 1) * 0.25::DOUBLE)) * (hi.c::DOUBLE - lo.c::DOUBLE) AS value
+FROM n, s lo, s hi
+WHERE lo.r = floor((n.n - 1) * 0.25::DOUBLE)::BIGINT
+  AND hi.r = least(floor((n.n - 1) * 0.25::DOUBLE)::BIGINT + 1, n.n - 1)
+UNION ALL
+SELECT 0.5::DOUBLE AS q,
+       lo.c::DOUBLE + ((n.n - 1) * 0.5::DOUBLE - floor((n.n - 1) * 0.5::DOUBLE)) * (hi.c::DOUBLE - lo.c::DOUBLE) AS value
+FROM n, s lo, s hi
+WHERE lo.r = floor((n.n - 1) * 0.5::DOUBLE)::BIGINT
+  AND hi.r = least(floor((n.n - 1) * 0.5::DOUBLE)::BIGINT + 1, n.n - 1)
+UNION ALL
+SELECT 0.9::DOUBLE AS q,
+       lo.c::DOUBLE + ((n.n - 1) * 0.9::DOUBLE - floor((n.n - 1) * 0.9::DOUBLE)) * (hi.c::DOUBLE - lo.c::DOUBLE) AS value
+FROM n, s lo, s hi
+WHERE lo.r = floor((n.n - 1) * 0.9::DOUBLE)::BIGINT
+  AND hi.r = least(floor((n.n - 1) * 0.9::DOUBLE)::BIGINT + 1, n.n - 1)
+ORDER BY q
+""",
     # same oracle as bm25_filtered — the grammar string must compile to
     # the identical (node, filter) pair
     "parsed_filter_query": _bm25_sql(

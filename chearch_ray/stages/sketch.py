@@ -582,3 +582,114 @@ def exact_distinct_by(ds, column: str, by: str,
 
     out = pa.table({by: out[by], "n_distinct": out["n_distinct"].cast(pa.int64())})
     return out.take(pc2.sort_indices(out, sort_keys=[(by, "ascending")]))
+
+
+def exact_order_stats(ds, column: str, ranks, n_buckets: int = QUANTILE_BUCKETS,
+                      gather_limit: int = QUANTILE_GATHER_LIMIT,
+                      driver_merge_limit: int | None = None):
+    """EXACT 0-based order statistics of an int64 column — the same
+    histogram-narrowing distributed selection as exact_quantiles but
+    parameterized directly by rank, so callers can ask for adjacent
+    ranks (percentile_cont interpolation needs k and k+1).
+
+    Returns (n, {rank: value}); gathers are the same bounded classes
+    as exact_quantiles (one 3-int row per block for min/max/count;
+    <= gather_limit rows for the final range)."""
+    from functools import partial as _partial
+
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    if driver_merge_limit is None:
+        driver_merge_limit = DRIVER_MERGE_LIMIT
+    mm = ds.map_batches(
+        lambda b: pa.table({"mn": pa.array([int(b[column].to_numpy().min())], type=pa.int64()),
+                            "mx": pa.array([int(b[column].to_numpy().max())], type=pa.int64()),
+                            "cnt": pa.array([len(b)], type=pa.int64())})
+        if len(b) else
+        pa.table({"mn": pa.array([], type=pa.int64()),
+                  "mx": pa.array([], type=pa.int64()),
+                  "cnt": pa.array([], type=pa.int64())}),
+        batch_format="pyarrow",
+    ).take_all()
+    n = sum(r["cnt"] for r in mm)
+    if n == 0:
+        return 0, {}
+    n_blocks = max(1, len(mm))
+    g_lo = min(r["mn"] for r in mm)
+    g_hi = max(r["mx"] for r in mm)
+    out: dict[int, int] = {}
+    for want in ranks:
+        if not (0 <= want < n):
+            raise ValueError(f"rank {want} outside [0, {n})")
+        rank, lo, hi, in_range = int(want), g_lo, g_hi, n
+        while in_range > gather_limit and lo < hi:
+            hist = _merge_hist(
+                ds.map_batches(
+                    _partial(_range_hist, column=column, lo=lo, hi=hi, nb=n_buckets),
+                    batch_format="pyarrow",
+                ),
+                n_buckets, n_blocks, driver_merge_limit,
+            )
+            counts = np.zeros(n_buckets, dtype=np.int64)
+            for r in hist:
+                counts[r["bucket"]] += r["n"]
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, rank + 1))
+            rank -= int(cum[b - 1]) if b else 0
+            width = max(1, (hi - lo + n_buckets) // n_buckets)
+            lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+            in_range = int(counts[b])
+        if lo == hi:
+            out[int(want)] = int(lo)
+            continue
+        vals = np.concatenate(
+            [t[column].to_numpy() for t in
+             (ds.map_batches(_partial(_gather_range, column=column, lo=lo, hi=hi),
+                             batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")) if len(t)]
+            or [np.empty(0, dtype=np.int64)]
+        )
+        vals.sort()
+        out[int(want)] = int(vals[rank])
+    return n, out
+
+
+def quantiles_cont(ds_factory, column: str, qs,
+                   n_buckets: int = QUANTILE_BUCKETS,
+                   gather_limit: int = QUANTILE_GATHER_LIMIT,
+                   driver_merge_limit: int | None = None) -> pa.Table:
+    """EXACT interpolated quantiles (SQL percentile_cont): for each q,
+    value = lo + ((n-1)·q − k)·(hi − lo) where k = floor((n-1)·q) and
+    lo/hi are the k-th / (k+1)-th order statistics — ONE float64
+    expression over exact integers, written identically in the SQL
+    mirror, so the doubles are bit-identical.
+
+    `ds_factory` is a zero-arg callable returning a fresh Dataset
+    (the selection makes several passes).  Returns (q, value)."""
+    ds = ds_factory()
+    # probe n first so the rank list is known
+    n, _ = exact_order_stats(ds, column, ranks=[0], n_buckets=n_buckets,
+                             gather_limit=gather_limit,
+                             driver_merge_limit=driver_merge_limit)
+    if n == 0:
+        return pa.table({"q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
+    ranks: set[int] = set()
+    ks = []
+    for q in qs:
+        k = int(np.floor((n - 1) * float(q)))
+        k2 = min(k + 1, n - 1)
+        ks.append((float(q), k, k2))
+        ranks.update((k, k2))
+    _, sel = exact_order_stats(ds_factory(), column, ranks=sorted(ranks),
+                               n_buckets=n_buckets, gather_limit=gather_limit,
+                               driver_merge_limit=driver_merge_limit)
+    out_q, out_v = [], []
+    for q, k, k2 in ks:
+        lo = np.float64(sel[k])
+        hi = np.float64(sel[k2])
+        frac = np.float64(n - 1) * np.float64(q) - np.float64(k)
+        out_q.append(q)
+        out_v.append(float(lo + frac * (hi - lo)))
+    return pa.table({"q": pa.array(out_q, type=pa.float64()),
+                     "value": pa.array(out_v, type=pa.float64())})

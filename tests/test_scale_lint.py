@@ -29,6 +29,9 @@ ALLOWED_GATHERS = {
         "gated: groupby-Sum above driver_merge_limit, <= n_buckets rows after",
     ("sketch.py", "exact_quantiles"):
         "min/max/count: one row per block; final gather <= gather_limit rows",
+    ("sketch.py", "exact_order_stats"):
+        "min/max/count: one 3-int row per block; final gather <= "
+        "gather_limit rows per rank (same classes as exact_quantiles)",
     ("sketch.py", "exact_group_quantiles"):
         "hist rounds gated on jb-key groupby above driver_merge_limit; "
         "final gather <= gather_limit rows per job",
