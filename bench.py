@@ -235,6 +235,14 @@ def run_bench() -> dict:
     out = query_pipelined("127.0.0.1", srv2.port, [_prog] * n_pipe)
     timings["tcp_pipelined_qps"] = n_pipe / (time.perf_counter() - t)
     assert len(out) == n_pipe
+    # TEXT frames: server-side grammar parse + BM25 per request
+    from chearch_ray.serve import query_text_pipelined
+
+    query_text_pipelined("127.0.0.1", srv2.port, ["def return"] * 8)  # warm
+    t = time.perf_counter()
+    out = query_text_pipelined("127.0.0.1", srv2.port, ["def return"] * n_pipe)
+    timings["tcp_text_qps"] = n_pipe / (time.perf_counter() - t)
+    assert len(out) == n_pipe and out[0]
     srv2.stop()
 
     # ---- reference-workload ingest (synthdataindexer.chpl shape:

@@ -185,6 +185,8 @@ class WireEngine:
         from chearch_ray.functions import chasm as chasm_mod
         from chearch_ray.sources.queries import term_id32
 
+        if request and request[0] == TEXT_MAGIC:
+            return self._handle_text(request)
         program = parse_request(request)
         int_tree = chasm_mod.parse_chasm(program)
         tree = self._resolve(int_tree)
@@ -227,6 +229,23 @@ class WireEngine:
                 if len(records) >= MAX_RESPONSE_RECORDS:
                     return encode_response(records)
         return encode_response(records)
+
+    def _handle_text(self, request: bytes) -> bytes:
+        """TEXT frame (0xFF | k | utf-8 query): BM25 through the full
+        grammar incl. `field:value` filters; 16-byte (doc_id, score)
+        records.  Wide-id indexes serve the LOW word, like v1."""
+        if len(request) < 3:
+            raise ValueError("truncated text request")
+        k = request[1]
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        try:
+            query = request[2:].decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise ValueError("text request is not utf-8") from exc
+        t = self.engine.search_parsed(query, k=k)
+        return encode_text_response(t["doc_id"].to_pylist(),
+                                    t["score"].to_pylist())
 
     def _first_position(self, term: str, doc: int, searchers, doc_hi: int | None = None):
         seg = int(doc) % self.engine.cfg.num_segments
@@ -589,4 +608,81 @@ def query_pipelined(host: str, port: int, programs: list[bytes],
             if rid in pending:
                 pending.discard(rid)
                 out[rid] = decode_response(payload) if status == V2_OK else None
+        return out
+
+
+# ------------------------------------------------- text-query frames
+#: ENGINE EXTENSION: a v2 request payload whose first byte is 0xFF is
+#: a TEXT query — `0xFF | u8 k | utf-8 query string` — parsed
+#: server-side through the full query grammar INCLUDING Lucene
+#: `field:value` metadata filters (functions/queryparse.py).  0xFF can
+#: never open a valid v1 frame: 255 instructions need >= 5·254+1
+#: bytes of program, over MAX_REQUEST_BYTES.  Text responses carry
+#: BM25 scores, so they use their own 16-byte record (u64 BE doc_id |
+#: f64 BE score) and REQUIRE the v2 length framing — the v1 loop has
+#: no length prefix and its client reassembles on the 13-byte grid.
+TEXT_MAGIC = 0xFF
+TEXT_RECORD = _struct.Struct(">Qd")
+
+
+def build_text_request(query: str, k: int = 10) -> bytes:
+    """text query -> inner payload bytes (v1-frame position inside the
+    v2 framing)."""
+    if not (1 <= k <= 255):
+        raise ValueError("k must be in [1, 255]")
+    raw = query.encode("utf-8")
+    if len(raw) > MAX_REQUEST_BYTES:
+        raise ValueError(f"query too long: {len(raw)} > {MAX_REQUEST_BYTES}")
+    return bytes([TEXT_MAGIC, k]) + raw
+
+
+def encode_text_response(doc_ids, scores) -> bytes:
+    return b"".join(TEXT_RECORD.pack(int(d), float(s))
+                    for d, s in zip(doc_ids, scores))
+
+
+def decode_text_response(data: bytes) -> list[tuple[int, float]]:
+    if len(data) % TEXT_RECORD.size:
+        raise ValueError("torn text response")
+    return [TEXT_RECORD.unpack(data[i : i + TEXT_RECORD.size])
+            for i in range(0, len(data), TEXT_RECORD.size)]
+
+
+def build_text_request_v2(request_id: int, query: str, k: int = 10) -> bytes:
+    payload = build_text_request(query, k)
+    return V2_REQ.pack(request_id, len(payload)) + payload
+
+
+def query_text_pipelined(host: str, port: int, queries: list[str],
+                         k: int = 10, timeout: float = 10.0
+                         ) -> list[list[tuple[int, float]] | None]:
+    """Send text queries over the v2 pipelined framing; results come
+    back as (doc_id, score) lists in QUERY order (None for a rejected
+    query).  Mixable on the same socket with CHASM frames — the server
+    dispatches per payload magic."""
+    import socket
+
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        sock.sendall(b"".join(build_text_request_v2(i, q, k)
+                              for i, q in enumerate(queries)))
+        sock.settimeout(timeout)
+        out: list[list[tuple[int, float]] | None] = [None] * len(queries)
+        pending = set(range(len(queries)))
+
+        def read_exactly(n: int) -> bytes:
+            buf = b""
+            while len(buf) < n:
+                chunk = sock.recv(n - len(buf))
+                if not chunk:
+                    raise ConnectionError("server closed mid-frame")
+                buf += chunk
+            return buf
+
+        while pending:
+            rid, status, ln = V2_RESP.unpack(read_exactly(V2_RESP.size))
+            payload = read_exactly(ln) if ln else b""
+            if rid in pending:
+                pending.discard(rid)
+                out[rid] = (decode_text_response(payload)
+                            if status == V2_OK else None)
         return out

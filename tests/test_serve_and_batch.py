@@ -792,3 +792,78 @@ def test_compile_wire_query_rejects_extensions():
     for q in ("def AND NOT class", "pre* AND def", "part~2", '"def return"'):
         with pytest.raises(ValueError):
             compile_wire_query(q)
+
+
+def test_tcp_text_query_frames(ray_session, tmp_path):
+    """TEXT frames over the v2 pipelined transport: the query string
+    (grammar + field:value filters) parses server-side; (doc_id,
+    score) records come back length-framed and equal the engine's own
+    search_parsed, interleaved with CHASM frames on the same socket."""
+    import socket
+
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.serve import (TcpQueryServer, V2_OK, V2_RESP, WireEngine,
+                                   build_request_v2, build_text_request_v2,
+                                   decode_response, decode_text_response,
+                                   query_text_pipelined)
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.sources.queries import term_id32
+    from chearch_ray.state.engine import QueryEngine
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    build_index(ray.data.from_arrow(synthetic_corpus(150, seed=42)),
+                str(tmp_path / "t"), cfg)
+    eng = QueryEngine(str(tmp_path / "t"), use_actors=False)
+    try:
+        srv = TcpQueryServer(WireEngine(eng), port=0,
+                             pipelined=True).start_background()
+        try:
+            queries = ["def return", "lang:py def OR class", "return -def"]
+            out = query_text_pipelined("127.0.0.1", srv.port, queries, k=10)
+            for q, got in zip(queries, out):
+                want = eng.search_parsed(q, k=10)
+                assert got == list(zip(want["doc_id"].to_pylist(),
+                                       want["score"].to_pylist()))
+            assert len(out[0]) > 0 and len(out[1]) > 0
+            # malformed text query -> status=1 (None), connection lives
+            bad = query_text_pipelined("127.0.0.1", srv.port,
+                                       ["lang:py"], k=10)
+            assert bad == [None]
+            # mixed CHASM + TEXT frames on ONE socket
+            from chearch_ray.functions import chasm
+
+            buf = chasm.InstructionBuffer(16)
+            w = chasm.InstructionWriter(buf)
+            w.write_push_term(term_id32("def"))
+            prog = buf.to_bytes()
+            with socket.create_connection(("127.0.0.1", srv.port), timeout=10) as sock:
+                sock.sendall(build_request_v2(0, prog)
+                             + build_text_request_v2(1, "def return", 5))
+                got = {}
+
+                def read_exactly(n):
+                    b = b""
+                    while len(b) < n:
+                        c = sock.recv(n - len(b))
+                        assert c, "server closed"
+                        b += c
+                    return b
+
+                while len(got) < 2:
+                    rid, status, ln = V2_RESP.unpack(read_exactly(V2_RESP.size))
+                    payload = read_exactly(ln) if ln else b""
+                    assert status == V2_OK
+                    got[rid] = payload
+            assert [r.external_doc_id for r in decode_response(got[0])] \
+                == eng.search_boolean(ast.Term("def"), with_meta=False,
+                                      limit=8)["doc_id"].to_pylist()[:8]
+            want = eng.search_parsed("def return", k=5)
+            assert decode_text_response(got[1]) == list(
+                zip(want["doc_id"].to_pylist(), want["score"].to_pylist()))
+        finally:
+            srv.stop()
+    finally:
+        eng.close()
