@@ -1999,6 +1999,78 @@ def q_value_quantiles_cont(sf_dir: str) -> pa.Table:
     return quantiles_cont(mk, "cents", qs=(0.25, 0.5, 0.9))
 
 
+RERANK_TERMS = ("merge", "sort")
+RERANK_CANDIDATES = 30
+RERANK_K = 10
+
+
+class _OverlapRerank:
+    """Actor-pool rerank stage (the batched model-inference shape with
+    a deterministic stand-in scorer): per candidate doc, the number of
+    DISTINCT query terms present.  Tokenization is the index tokenizer
+    (vectorized), so the count is exact vs the TOK_CTE mirror."""
+
+    def __init__(self, terms: tuple, ids):
+        import numpy as _np
+
+        self.terms = tuple(terms)
+        self.ids = _np.sort(_np.asarray(ids, dtype=_np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from chearch_ray.functions.tokenizer import explode, tokenize
+
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        m = np.isin(ids, self.ids)
+        batch = batch.filter(pa.array(m))
+        if len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_matched": pa.array([], type=pa.int64())})
+        toks = tokenize(batch["text"])
+        flat, rows, _ = explode(toks)
+        tok_np = np.asarray(flat, dtype=object)
+        n = np.zeros(len(batch), dtype=np.int64)
+        for t in self.terms:
+            hit_rows = np.unique(rows[tok_np == t])
+            n[hit_rows] += 1
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "n_matched": pa.array(n, type=pa.int64())})
+
+
+def q_rerank(sf_dir: str) -> pa.Table:
+    """retrieve -> fetch -> rerank: BM25 OR top-30 candidates, an
+    actor-pool overlap scorer over the documents table, final order
+    (n_matched desc, score desc, doc_id asc) top-10 — the two-stage
+    retrieval shape with a deterministic (SQL-mirrorable) reranker."""
+    import ray.data
+
+    a, b = RERANK_TERMS
+    t = engine_for(sf_dir).search(ast.Or(ast.Term(a), ast.Term(b)),
+                                  k=RERANK_CANDIDATES)
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    scored = docs.map_batches(
+        _OverlapRerank,
+        fn_constructor_kwargs={"terms": RERANK_TERMS, "ids": ids},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    parts = [x for x in scored.iter_batches(batch_size=None,
+                                            batch_format="pyarrow") if len(x)]
+    nm = pa.concat_tables(parts) if parts else pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "n_matched": pa.array([], type=pa.int64())})
+    lut = dict(zip(nm["doc_id"].to_pylist(), nm["n_matched"].to_pylist()))
+    matched = np.array([lut.get(int(d), 0) for d in ids], dtype=np.int64)
+    scores = t["score"].to_numpy()
+    order = np.lexsort((ids, -scores, -matched))[:RERANK_K]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        "doc_id": pa.array(ids[order], type=pa.int64()),
+        "n_matched": pa.array(matched[order], type=pa.int64()),
+    })
+
+
 def q_qty_dense_rank(sf_dir: str) -> pa.Table:
     """DENSE_RANK of quantity within returnflag (distinct value set)."""
     import ray.data
@@ -2663,6 +2735,7 @@ QUERIES = {
     "qty_dense_rank": q_qty_dense_rank,
     "parsed_filter_query": q_parsed_filter_query,
     "value_quantiles_cont": q_value_quantiles_cont,
+    "rerank": q_rerank,
     # rows-only (stub-decode multimodal plumbing; no SQL analogue)
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
@@ -3019,6 +3092,37 @@ FROM n, s lo, s hi
 WHERE lo.r = floor((n.n - 1) * 0.9::DOUBLE)::BIGINT
   AND hi.r = least(floor((n.n - 1) * 0.9::DOUBLE)::BIGINT + 1, n.n - 1)
 ORDER BY q
+""",
+    # retrieve->rerank: the SAME BM25 CTE body as _bm25_sql (exact
+    # float contract), then (n_matched desc, score desc, doc_id) top-10
+    "rerank": f"""
+WITH {TOK_CTE},
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('{RERANK_TERMS[0]}', '{RERANK_TERMS[1]}') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({K1} + 1)) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats s
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+top AS (SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM scored),
+cand AS (SELECT doc_id, score FROM top WHERE rk <= {RERANK_CANDIDATES}),
+matched AS (SELECT doc_id, count(DISTINCT term)::BIGINT AS n_matched
+            FROM tok WHERE term IN ('{RERANK_TERMS[0]}', '{RERANK_TERMS[1]}')
+            GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY m.n_matched DESC, c.score DESC, c.doc_id)::BIGINT
+         AS rank,
+       c.doc_id, m.n_matched
+FROM cand c JOIN matched m USING (doc_id)
+ORDER BY rank LIMIT {RERANK_K}
 """,
     # same oracle as bm25_filtered — the grammar string must compile to
     # the identical (node, filter) pair
