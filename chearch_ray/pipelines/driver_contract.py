@@ -1999,6 +1999,28 @@ def q_value_quantiles_cont(sf_dir: str) -> pa.Table:
     return quantiles_cont(mk, "cents", qs=(0.25, 0.5, 0.9))
 
 
+def q_group_quantiles_cont(sf_dir: str) -> pa.Table:
+    """per-group percentile_cont of events.value cents (exact order
+    stats + one mirrored float interpolation)."""
+    import ray.data
+
+    from chearch_ray.stages.events import _round_half_away
+    from chearch_ray.stages.sketch import exact_group_quantiles_cont
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = _round_half_away(batch["value"].to_numpy().astype(np.float64) * 100)
+        return pa.table({"event_type": batch["event_type"],
+                         "cents": pa.array(cents, type=pa.int64())})
+
+    def mk():
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_type", "value"])
+        return ds.map_batches(to_cents, batch_format="pyarrow")
+
+    return exact_group_quantiles_cont(mk, "cents", qs=(0.5, 0.9),
+                                      by="event_type")
+
+
 RERANK_TERMS = ("merge", "sort")
 RERANK_CANDIDATES = 30
 RERANK_K = 10
@@ -2736,6 +2758,7 @@ QUERIES = {
     "parsed_filter_query": q_parsed_filter_query,
     "value_quantiles_cont": q_value_quantiles_cont,
     "rerank": q_rerank,
+    "group_quantiles_cont": q_group_quantiles_cont,
     # rows-only (stub-decode multimodal plumbing; no SQL analogue)
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
@@ -3092,6 +3115,31 @@ FROM n, s lo, s hi
 WHERE lo.r = floor((n.n - 1) * 0.9::DOUBLE)::BIGINT
   AND hi.r = least(floor((n.n - 1) * 0.9::DOUBLE)::BIGINT + 1, n.n - 1)
 ORDER BY q
+""",
+    # per-group percentile_cont: manual interpolation over per-group
+    # ranked values — the SAME float64 expression as the Ray side
+    "group_quantiles_cont": """
+WITH v AS (SELECT event_type, round(value * 100)::BIGINT AS c FROM events),
+s AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) - 1 AS r
+      FROM v),
+g AS (SELECT event_type, count(*)::BIGINT AS n FROM v GROUP BY 1)
+SELECT g.event_type, 0.5::DOUBLE AS q,
+       lo.c::DOUBLE + ((g.n - 1) * 0.5::DOUBLE - floor((g.n - 1) * 0.5::DOUBLE)) * (hi.c::DOUBLE - lo.c::DOUBLE) AS value
+FROM g
+JOIN s lo ON lo.event_type = g.event_type
+         AND lo.r = floor((g.n - 1) * 0.5::DOUBLE)::BIGINT
+JOIN s hi ON hi.event_type = g.event_type
+         AND hi.r = least(floor((g.n - 1) * 0.5::DOUBLE)::BIGINT + 1, g.n - 1)
+UNION ALL
+SELECT g.event_type, 0.9::DOUBLE AS q,
+       lo.c::DOUBLE + ((g.n - 1) * 0.9::DOUBLE - floor((g.n - 1) * 0.9::DOUBLE)) * (hi.c::DOUBLE - lo.c::DOUBLE) AS value
+FROM g
+JOIN s lo ON lo.event_type = g.event_type
+         AND lo.r = floor((g.n - 1) * 0.9::DOUBLE)::BIGINT
+JOIN s hi ON hi.event_type = g.event_type
+         AND hi.r = least(floor((g.n - 1) * 0.9::DOUBLE)::BIGINT + 1, g.n - 1)
+ORDER BY event_type, q
 """,
     # retrieve->rerank: the SAME BM25 CTE body as _bm25_sql (exact
     # float contract), then (n_matched desc, score desc, doc_id) top-10

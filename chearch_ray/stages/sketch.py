@@ -308,50 +308,14 @@ def _group_jobs_gather(batch: pa.Table, column: str, by: str,
                      "val": pa.array(np.concatenate(out_v), type=pa.int64())})
 
 
-def exact_group_quantiles(ds, column: str, qs, by: str,
-                          n_buckets: int = QUANTILE_BUCKETS,
-                          gather_limit: int = QUANTILE_GATHER_LIMIT,
-                          driver_merge_limit: int | None = None) -> pa.Table:
-    """EXACT per-group discrete quantiles of an int64 column — the
-    grouped form of `exact_quantiles`, still with NO global sort and
-    no per-group data shuffle.  Every (group, q) pair is an
-    independent selection job; ONE histogram pass per round serves all
-    still-active jobs simultaneously (each job narrows its own value
-    range), so the pass count stays log_nb(range) whatever the group
-    count.  The shuffle carries per-(block, job, bucket) count rows
-    only.  Intended for enumerable group columns (lang, split,
-    event_type — |groups| x |qs| jobs held in driver state); rank
-    convention matches DuckDB's quantile_disc per group.
-
-    Returns (by, q double, <column> int64) sorted by (group, q)."""
+def _drive_rank_jobs(ds, column: str, by: str, jobs: list,
+                     n_buckets: int, gather_limit: int,
+                     driver_merge_limit: int) -> None:
+    """drive (group, rank) selection jobs to completion (sets
+    j["done"]): one shared histogram pass per round serves every
+    still-active job; final ranges gather bounded by gather_limit rows
+    per job.  Shared by the disc and cont grouped quantile forms."""
     from functools import partial as _partial
-
-    from ray.data.aggregate import Count, Max, Min
-
-    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
-
-    if driver_merge_limit is None:
-        driver_merge_limit = DRIVER_MERGE_LIMIT
-    stats = ds.groupby(by).aggregate(
-        Count(alias_name="n"), Min(column, alias_name="mn"), Max(column, alias_name="mx")
-    )
-    rows = []
-    for t in stats.iter_batches(batch_size=None, batch_format="pyarrow"):
-        rows.extend(t.to_pylist())
-    jobs = []
-    for r in sorted(rows, key=lambda x: str(x[by])):
-        for q in qs:
-            jobs.append(
-                {
-                    "group": r[by],
-                    "q": float(q),
-                    "rank": max(0, int(np.ceil(q * r["n"])) - 1),
-                    "lo": int(r["mn"]),
-                    "hi": int(r["mx"]),
-                    "in_range": int(r["n"]),
-                    "done": None,
-                }
-            )
 
     def active(js):
         return [j for j in js if j["done"] is None
@@ -412,6 +376,56 @@ def exact_group_quantiles(ds, column: str, qs, by: str,
         for ji, job in enumerate(remaining):
             vv = np.sort(np.array(vals.get(ji, []), dtype=np.int64))
             job["done"] = int(vv[job["rank"]])
+
+
+
+def exact_group_quantiles(ds, column: str, qs, by: str,
+                          n_buckets: int = QUANTILE_BUCKETS,
+                          gather_limit: int = QUANTILE_GATHER_LIMIT,
+                          driver_merge_limit: int | None = None) -> pa.Table:
+    """EXACT per-group discrete quantiles of an int64 column — the
+    grouped form of `exact_quantiles`, still with NO global sort and
+    no per-group data shuffle.  Every (group, q) pair is an
+    independent selection job; ONE histogram pass per round serves all
+    still-active jobs simultaneously (each job narrows its own value
+    range), so the pass count stays log_nb(range) whatever the group
+    count.  The shuffle carries per-(block, job, bucket) count rows
+    only.  Intended for enumerable group columns (lang, split,
+    event_type — |groups| x |qs| jobs held in driver state); rank
+    convention matches DuckDB's quantile_disc per group.
+
+    Returns (by, q double, <column> int64) sorted by (group, q)."""
+    from functools import partial as _partial
+
+    from ray.data.aggregate import Count, Max, Min
+
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    if driver_merge_limit is None:
+        driver_merge_limit = DRIVER_MERGE_LIMIT
+    stats = ds.groupby(by).aggregate(
+        Count(alias_name="n"), Min(column, alias_name="mn"), Max(column, alias_name="mx")
+    )
+    rows = []
+    for t in stats.iter_batches(batch_size=None, batch_format="pyarrow"):
+        rows.extend(t.to_pylist())
+    jobs = []
+    for r in sorted(rows, key=lambda x: str(x[by])):
+        for q in qs:
+            jobs.append(
+                {
+                    "group": r[by],
+                    "q": float(q),
+                    "rank": max(0, int(np.ceil(q * r["n"])) - 1),
+                    "lo": int(r["mn"]),
+                    "hi": int(r["mx"]),
+                    "in_range": int(r["n"]),
+                    "done": None,
+                }
+            )
+
+    _drive_rank_jobs(ds, column, by, jobs, n_buckets, gather_limit,
+                     driver_merge_limit)
     return pa.table(
         {
             by: pa.array([j["group"] for j in jobs]),
@@ -692,4 +706,59 @@ def quantiles_cont(ds_factory, column: str, qs,
         out_q.append(q)
         out_v.append(float(lo + frac * (hi - lo)))
     return pa.table({"q": pa.array(out_q, type=pa.float64()),
+                     "value": pa.array(out_v, type=pa.float64())})
+
+
+def exact_group_quantiles_cont(ds_factory, column: str, qs, by: str,
+                               n_buckets: int = QUANTILE_BUCKETS,
+                               gather_limit: int = QUANTILE_GATHER_LIMIT,
+                               driver_merge_limit: int | None = None) -> pa.Table:
+    """EXACT per-group interpolated quantiles (SQL percentile_cont
+    ... GROUP BY): per group and q, value = lo + ((n-1)·q − k)·(hi −
+    lo) with k = floor((n-1)·q) and lo/hi the k-th/(k+1)-th group
+    order statistics — ONE float64 expression mirrored verbatim in
+    SQL.  Jobs are (group, rank) selections on the shared
+    `_drive_rank_jobs` narrowing loop (one histogram pass per round
+    for ALL jobs).  `ds_factory` returns a fresh Dataset per pass.
+
+    Returns (by, q double, value double) sorted by (group, q)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from chearch_ray.stages.pack import DRIVER_MERGE_LIMIT
+
+    if driver_merge_limit is None:
+        driver_merge_limit = DRIVER_MERGE_LIMIT
+    stats = ds_factory().groupby(by).aggregate(
+        Count(alias_name="n"), Min(column, alias_name="mn"),
+        Max(column, alias_name="mx"))
+    rows = []
+    for t in stats.iter_batches(batch_size=None, batch_format="pyarrow"):
+        rows.extend(t.to_pylist())
+    jobs, plan = [], []
+    job_of: dict[tuple, int] = {}
+    for r in sorted(rows, key=lambda x: str(x[by])):
+        n = int(r["n"])
+        for q in qs:
+            k = int(np.floor((n - 1) * float(q)))
+            k2 = min(k + 1, n - 1)
+            for rank in (k, k2):
+                key = (r[by], rank)
+                if key not in job_of:
+                    job_of[key] = len(jobs)
+                    jobs.append({"group": r[by], "q": float(q), "rank": rank,
+                                 "lo": int(r["mn"]), "hi": int(r["mx"]),
+                                 "in_range": n, "done": None})
+            plan.append((r[by], float(q), n, k, k2))
+    _drive_rank_jobs(ds_factory(), column, by, jobs, n_buckets,
+                     gather_limit, driver_merge_limit)
+    out_g, out_q, out_v = [], [], []
+    for g, q, n, k, k2 in plan:
+        lo = np.float64(jobs[job_of[(g, k)]]["done"])
+        hi = np.float64(jobs[job_of[(g, k2)]]["done"])
+        frac = np.float64(n - 1) * np.float64(q) - np.float64(k)
+        out_g.append(g)
+        out_q.append(q)
+        out_v.append(float(lo + frac * (hi - lo)))
+    return pa.table({by: pa.array(out_g),
+                     "q": pa.array(out_q, type=pa.float64()),
                      "value": pa.array(out_v, type=pa.float64())})

@@ -32,9 +32,10 @@ ALLOWED_GATHERS = {
     ("sketch.py", "exact_order_stats"):
         "min/max/count: one 3-int row per block; final gather <= "
         "gather_limit rows per rank (same classes as exact_quantiles)",
-    ("sketch.py", "exact_group_quantiles"):
+    ("sketch.py", "_drive_rank_jobs"):
         "hist rounds gated on jb-key groupby above driver_merge_limit; "
-        "final gather <= gather_limit rows per job",
+        "final gather <= gather_limit rows per job (shared by the disc "
+        "and cont grouped quantile forms)",
 }
 
 GATHER_METHODS = {"take_all", "iter_rows", "to_pandas"}
