@@ -2071,11 +2071,15 @@ def q_rerank(sf_dir: str) -> pa.Table:
     ids = t["doc_id"].to_numpy().astype(np.int64)
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    # fractional CPUs: the engine's own searcher actors hold 0.5 CPU
+    # each, so a full-CPU actor pool can deadlock a small (4-cpu test)
+    # session — same sizing rule as SearcherGroup
     scored = docs.map_batches(
         _OverlapRerank,
         fn_constructor_kwargs={"terms": RERANK_TERMS, "ids": ids},
         batch_format="pyarrow",
         concurrency=2,
+        num_cpus=0.25,
     )
     parts = [x for x in scored.iter_batches(batch_size=None,
                                             batch_format="pyarrow") if len(x)]
