@@ -123,6 +123,7 @@ def extract_media_features(ds, backend: str = "stub", concurrency: int = 2,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=0.25,  # stub decode is cheap; full-CPU actors can starve small sessions
     )
 
 
@@ -192,6 +193,7 @@ def resize_media(ds, max_side: int = 64, concurrency: int = 2,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=0.25,  # stub decode is cheap; full-CPU actors can starve small sessions
     )
 
 
@@ -263,4 +265,5 @@ def sample_frames(ds, n_frames: int = 4, concurrency: int = 2,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=0.25,  # stub decode is cheap; full-CPU actors can starve small sessions
     )
