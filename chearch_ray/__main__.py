@@ -99,6 +99,11 @@ def cmd_search(args: argparse.Namespace) -> int:
     try:
         if args.boolean:
             out = eng.search_boolean(args.query, default_op=args.op)
+        elif ":" in args.query:
+            # Lucene field:value filters ride the grammar parser; a
+            # colon can't appear in a flat/grammar term, so this
+            # changes no previously-valid query's meaning
+            out = eng.search_parsed(args.query, k=args.k)
         else:
             out = eng.search(args.query, k=args.k, default_op=args.op)
         for row in out.to_pylist():
