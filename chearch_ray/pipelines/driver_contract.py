@@ -1999,6 +1999,85 @@ def q_value_quantiles_cont(sf_dir: str) -> pa.Table:
     return quantiles_cont(mk, "cents", qs=(0.25, 0.5, 0.9))
 
 
+def q_docs_intersect(sf_dir: str) -> pa.Table:
+    """SQL INTERSECT: doc ids both in lang 'en' and source 'src7'."""
+    import ray.data
+
+    from chearch_ray.stages.joins import set_op_keys
+
+    docs = lambda: ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source"])
+    a = docs().map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], "en")).select(["doc_id"]),
+        batch_format="pyarrow")
+    b = docs().map_batches(
+        lambda t: t.filter(pc.equal(t["source"], "src7")).select(["doc_id"]),
+        batch_format="pyarrow")
+    return set_op_keys(a, b, on="doc_id", op="intersect")
+
+
+def q_docs_except(sf_dir: str) -> pa.Table:
+    """SQL EXCEPT: lang-'en' doc ids not in source 'src7'."""
+    import ray.data
+
+    from chearch_ray.stages.joins import set_op_keys
+
+    docs = lambda: ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source"])
+    a = docs().map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], "en")).select(["doc_id"]),
+        batch_format="pyarrow")
+    b = docs().map_batches(
+        lambda t: t.filter(pc.equal(t["source"], "src7")).select(["doc_id"]),
+        batch_format="pyarrow")
+    return set_op_keys(a, b, on="doc_id", op="except")
+
+
+def q_monthly_revenue(sf_dir: str) -> pa.Table:
+    """date_trunc('month') revenue aggregation (calendar-exact)."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import _gated_group_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_extendedprice", "l_discount"])
+
+    from chearch_ray.stages.events import _round_half_away
+
+    def month_partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"]
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        us = np.asarray(ship.cast(pa.int64()))
+        months = us.astype("datetime64[us]").astype("datetime64[M]")
+        year = months.astype("datetime64[Y]").astype(np.int64) + 1970
+        month = (months.astype(np.int64) % 12) + 1
+        price = b["l_extendedprice"].to_numpy().astype(np.float64)
+        disc = b["l_discount"].to_numpy().astype(np.float64)
+        t = pa.table({"year": pa.array(year, type=pa.int64()),
+                      "month": pa.array(month, type=pa.int64()),
+                      "n_items": pa.array(np.ones(len(b), dtype=np.int64)),
+                      "rev_cents": pa.array(
+                          _round_half_away(price * (1.0 - disc) * 100),
+                          type=pa.int64())})
+        agg = t.group_by(["year", "month"], use_threads=False).aggregate(
+            [("n_items", "sum"), ("rev_cents", "sum")])
+        return agg.rename_columns(["year", "month", "n_items", "rev_cents"])
+
+    out = _gated_group_sum(ds.map_batches(month_partial, batch_format="pyarrow"),
+                           ["year", "month"], ["n_items", "rev_cents"])
+    if out is None or not len(out):
+        return pa.table({"year": pa.array([], type=pa.int64()),
+                         "month": pa.array([], type=pa.int64()),
+                         "n_items": pa.array([], type=pa.int64()),
+                         "rev_cents": pa.array([], type=pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[("year", "ascending"),
+                                                    ("month", "ascending")]))
+
+
 def q_group_quantiles_cont(sf_dir: str) -> pa.Table:
     """per-group percentile_cont of events.value cents (exact order
     stats + one mirrored float interpolation)."""
@@ -2763,6 +2842,9 @@ QUERIES = {
     "value_quantiles_cont": q_value_quantiles_cont,
     "rerank": q_rerank,
     "group_quantiles_cont": q_group_quantiles_cont,
+    "docs_intersect": q_docs_intersect,
+    "docs_except": q_docs_except,
+    "monthly_revenue": q_monthly_revenue,
     # rows-only (stub-decode multimodal plumbing; no SQL analogue)
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
@@ -3119,6 +3201,27 @@ FROM n, s lo, s hi
 WHERE lo.r = floor((n.n - 1) * 0.9::DOUBLE)::BIGINT
   AND hi.r = least(floor((n.n - 1) * 0.9::DOUBLE)::BIGINT + 1, n.n - 1)
 ORDER BY q
+""",
+    # SQL set operations over key sets
+    "docs_intersect": """
+SELECT doc_id FROM documents WHERE lang = 'en'
+INTERSECT
+SELECT doc_id FROM documents WHERE source = 'src7'
+ORDER BY doc_id
+""",
+    "docs_except": """
+SELECT doc_id FROM documents WHERE lang = 'en'
+EXCEPT
+SELECT doc_id FROM documents WHERE source = 'src7'
+ORDER BY doc_id
+""",
+    # date_trunc('month') aggregation — calendar-exact both sides
+    "monthly_revenue": """
+SELECT year(l_shipdate)::BIGINT AS year, month(l_shipdate)::BIGINT AS month,
+       count(*)::BIGINT AS n_items,
+       sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+         AS rev_cents
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 """,
     # per-group percentile_cont: manual interpolation over per-group
     # ranked values — the SAME float64 expression as the Ray side

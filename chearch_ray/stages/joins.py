@@ -235,3 +235,36 @@ def broadcast_lookup_join(left_ds, right_ds, on: str, right_on: str | None = Non
         right, "inner", jp, on=(on,), right_on=(right_on,),
         aggregator_ray_remote_args=join_remote_args(),
     ).select_columns(left_cols + payload)  # same contract as broadcast path
+
+
+def set_op_keys(left_ds, right_ds, on: str, op: str = "intersect",
+                right_on: str | None = None,
+                driver_merge_limit: int | None = None) -> pa.Table:
+    """SQL INTERSECT / EXCEPT over key columns: the DISTINCT keys of
+    `left_ds[on]` that are (intersect) / are not (except) present in
+    `right_ds[right_on]`, ascending.
+
+    Scale shape: membership rides the gated semi/anti join (broadcast
+    probe set below the key gate, coarse hash-partition exchange
+    above); the surviving keys dedup map-side (per-block distinct)
+    before ONE gated merge bounded by the distinct-result size."""
+    from chearch_ray.pipelines.analytics import _gated_group_sum
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unknown set op {op!r}")
+    member = hash_semi_join(left_ds, right_ds, on=on,
+                            right_on=right_on or on,
+                            payload=[on], anti=(op == "except"))
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        k = np.unique(b[on].to_numpy().astype(np.int64))
+        return pa.table({on: pa.array(k, type=pa.int64()),
+                         "n": pa.array(np.ones(len(k), dtype=np.int64))})
+
+    out = _gated_group_sum(member.map_batches(distinct_partial,
+                                              batch_format="pyarrow"),
+                           [on], ["n"], driver_merge_limit=driver_merge_limit)
+    if out is None or not len(out):
+        return pa.table({on: pa.array([], type=pa.int64())})
+    keys = np.sort(out[on].to_numpy().astype(np.int64))
+    return pa.table({on: pa.array(keys, type=pa.int64())})

@@ -3125,3 +3125,33 @@ def test_frame_sample_stub(ray_session):
     mirror = FrameSample(n_frames=3)(both).to_pandas().sort_values(
         ["media_id", "frame_no"], ignore_index=True)
     assert df.equals(mirror)
+
+
+def test_set_op_keys_paths_identical(ray_session):
+    """set_op_keys: distributed-merge path (driver_merge_limit=0)
+    row-identical to the driver path; intersect + except partition the
+    left distinct set."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from chearch_ray.stages.joins import set_op_keys
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "lang", "source"])
+    a = lambda: ray.data.from_arrow(t).repartition(5).map_batches(
+        lambda b: b.filter(pa.compute.equal(b["lang"], "en")).select(["doc_id"]),
+        batch_format="pyarrow")
+    b = lambda: ray.data.from_arrow(t).repartition(5).map_batches(
+        lambda x: x.filter(pa.compute.equal(x["source"], "src7")).select(["doc_id"]),
+        batch_format="pyarrow")
+    for op in ("intersect", "except"):
+        fast = set_op_keys(a(), b(), on="doc_id", op=op)
+        scale = set_op_keys(a(), b(), on="doc_id", op=op,
+                            driver_merge_limit=0)
+        assert fast.to_pandas().equals(scale.to_pandas())
+    inter = set_op_keys(a(), b(), on="doc_id", op="intersect")
+    exc = set_op_keys(a(), b(), on="doc_id", op="except")
+    df = t.to_pandas()
+    n_left = df[df.lang == "en"].doc_id.nunique()
+    assert len(inter) + len(exc) == n_left
+    assert len(inter) > 0 and len(exc) > 0
