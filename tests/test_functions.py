@@ -338,3 +338,97 @@ def test_decode_blocks_matches_full_decode_property():
         np.testing.assert_array_equal(got_t, want_t)
 
     run()
+
+
+# ---------------------------------------- property tests: new kernels
+def test_moving_partition_property():
+    """_moving_partition == pandas rolling sum/count per user for
+    random frames (hypothesis over sizes/values/users)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from chearch_ray.stages.events import _moving_partition, _round_half_away
+
+    @settings(deadline=None, max_examples=30)
+    @given(st.lists(st.tuples(st.integers(0, 5),          # user
+                              st.integers(0, 10**9),      # ts us
+                              st.floats(-100, 100, allow_nan=False)),
+                    min_size=1, max_size=60),
+           st.integers(1, 6))
+    def check(rows, w):
+        tbl = pa.table({
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], type=pa.float64()),
+        })
+        got = _moving_partition(tbl, w).to_pandas().sort_values(
+            "event_id", ignore_index=True)
+        df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                         ignore_index=True)
+        df["c"] = _round_half_away(df["value"].to_numpy() * 100)
+        g = df.groupby("user_id")["c"]
+        df["w_sum_cents"] = g.rolling(w, min_periods=1).sum().reset_index(
+            level=0, drop=True).astype(np.int64)
+        df["w_count"] = g.rolling(w, min_periods=1).count().reset_index(
+            level=0, drop=True).astype(np.int64)
+        want = df[["event_id", "user_id", "w_sum_cents", "w_count"]
+                  ].sort_values("event_id", ignore_index=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    check()
+
+
+def test_dense_rank_algebra_property():
+    """the driver dense-rank algebra (sorted distinct pairs +
+    segment-start accumulate) == pandas Series.rank(method='dense')."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+    import pandas as pd
+
+    @settings(deadline=None, max_examples=40)
+    @given(st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                              st.integers(-50, 50)),
+                    min_size=1, max_size=80))
+    def check(pairs):
+        df = pd.DataFrame(pairs, columns=["g", "v"]).drop_duplicates()
+        df = df.sort_values(["g", "v"], ignore_index=True)
+        keys = df["g"].to_numpy()
+        i = np.arange(len(df), dtype=np.int64)
+        new_grp = np.ones(len(df), dtype=bool)
+        new_grp[1:] = keys[1:] != keys[:-1]
+        grp_start = np.maximum.accumulate(np.where(new_grp, i, 0))
+        got = i - grp_start + 1
+        want = df.groupby("g")["v"].rank(method="dense").astype(np.int64)
+        assert (got == want.to_numpy()).all()
+
+    check()
+
+
+def test_set_op_semantics_property():
+    """set_op_keys distinct/sort/membership algebra == python set ops
+    (pure kernel level: per-block distinct + np.isin membership)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    @settings(deadline=None, max_examples=40)
+    @given(st.lists(st.integers(0, 30), max_size=60),
+           st.lists(st.integers(0, 30), max_size=60))
+    def check(a, b):
+        aa = np.array(sorted(set(a)), dtype=np.int64)
+        bb = np.unique(np.array(b, dtype=np.int64)) if b else np.empty(0, np.int64)
+        inter = aa[np.isin(aa, bb)]
+        exc = aa[~np.isin(aa, bb)]
+        assert set(inter.tolist()) == set(a) & set(b)
+        assert set(exc.tolist()) == set(a) - set(b)
+        assert len(inter) + len(exc) == len(set(a))
+
+    check()
