@@ -2696,3 +2696,46 @@ def dense_rank_values(ds, by: str, value_col: str,
     return pa.table({by: pairs[by],
                      "value_cents": pairs["value_cents"].cast(pa.int64()),
                      "rnk": pa.array(i - grp_start + 1, type=pa.int64())})
+
+
+def least_squares_cents(ds, x: str, y: str) -> pa.Table:
+    """Simple linear regression y = a·x + b over integer-cent columns
+    with an EXACT float contract: the same per-block int64 moment
+    partials / Python-int driver merge as `pearson_corr_cents`, then
+    the TWO float expressions
+        slope     = (n·sxy − sx·sy) / (n·sxx − sx²)
+        intercept = (sy − slope·sx) / n     (as doubles, this order)
+    mirrored verbatim in SQL from the HUGEINT moments — IEEE division
+    and multiply make the doubles bit-identical."""
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        xc = _cents(batch[x].to_numpy().astype(np.float64))
+        yc = _cents(batch[y].to_numpy().astype(np.float64))
+        return pa.table(
+            {
+                "n": pa.array([len(batch)], type=pa.int64()),
+                "sx": pa.array([int(xc.sum())], type=pa.int64()),
+                "sy": pa.array([int(yc.sum())], type=pa.int64()),
+                "sxx": pa.array([int((xc * xc).sum())], type=pa.int64()),
+                "sxy": pa.array([int((xc * yc).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = [t for t in ds.map_batches(moment_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow") if len(t)]
+    n = sx = sy = sxx = sxy = 0
+    for t in parts:  # Python ints: no overflow at any block count
+        n += int(pc.sum(t["n"]).as_py())
+        sx += int(pc.sum(t["sx"]).as_py())
+        sy += int(pc.sum(t["sy"]).as_py())
+        sxx += int(pc.sum(t["sxx"]).as_py())
+        sxy += int(pc.sum(t["sxy"]).as_py())
+    den = n * sxx - sx * sx
+    slope = float(n * sxy - sx * sy) / float(den) if den else 0.0
+    intercept = (float(sy) - slope * float(sx)) / float(n) if n else 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "slope": pa.array([slope], type=pa.float64()),
+            "intercept": pa.array([intercept], type=pa.float64()),
+        }
+    )

@@ -2078,6 +2078,19 @@ def q_monthly_revenue(sf_dir: str) -> pa.Table:
                                                     ("month", "ascending")]))
 
 
+def q_qty_price_regression(sf_dir: str) -> pa.Table:
+    """least-squares slope/intercept of price-on-quantity (exact
+    HUGEINT moments, one mirrored float expression pair)."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import least_squares_cents
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice"])
+    return least_squares_cents(ds, x="l_quantity", y="l_extendedprice")
+
+
 def q_group_quantiles_cont(sf_dir: str) -> pa.Table:
     """per-group percentile_cont of events.value cents (exact order
     stats + one mirrored float interpolation)."""
@@ -2845,6 +2858,7 @@ QUERIES = {
     "docs_intersect": q_docs_intersect,
     "docs_except": q_docs_except,
     "monthly_revenue": q_monthly_revenue,
+    "qty_price_regression": q_qty_price_regression,
     # rows-only (stub-decode multimodal plumbing; no SQL analogue)
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
@@ -3201,6 +3215,25 @@ FROM n, s lo, s hi
 WHERE lo.r = floor((n.n - 1) * 0.9::DOUBLE)::BIGINT
   AND hi.r = least(floor((n.n - 1) * 0.9::DOUBLE)::BIGINT + 1, n.n - 1)
 ORDER BY q
+""",
+    # least squares from HUGEINT moments — the SAME two float
+    # expressions as analytics.least_squares_cents
+    "qty_price_regression": """
+WITH m AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(round(l_quantity * 100)::BIGINT)::HUGEINT AS sx,
+         sum(round(l_extendedprice * 100)::BIGINT)::HUGEINT AS sy,
+         sum((round(l_quantity * 100)::BIGINT)::HUGEINT
+             * (round(l_quantity * 100)::BIGINT)::HUGEINT) AS sxx,
+         sum((round(l_quantity * 100)::BIGINT)::HUGEINT
+             * (round(l_extendedprice * 100)::BIGINT)::HUGEINT) AS sxy
+  FROM lineitem
+)
+SELECT n::BIGINT AS n,
+       ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) AS slope,
+       ((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
+         * sx::DOUBLE) / n::DOUBLE) AS intercept
+FROM m
 """,
     # SQL set operations over key sets
     "docs_intersect": """
