@@ -2078,6 +2078,27 @@ def q_monthly_revenue(sf_dir: str) -> pa.Table:
                                                     ("month", "ascending")]))
 
 
+def q_order_ntile(sf_dir: str) -> pa.Table:
+    """NTILE(4) of order totalprice cents summarized per bucket
+    (count + boundary order statistics; no global sort)."""
+    import ray.data
+
+    from chearch_ray.stages.events import _round_half_away
+    from chearch_ray.stages.sketch import ntile_summary
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = _round_half_away(batch["o_totalprice"].to_numpy()
+                                 .astype(np.float64) * 100)
+        return pa.table({"cents": pa.array(cents, type=pa.int64())})
+
+    def mk():
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_totalprice"])
+        return ds.map_batches(to_cents, batch_format="pyarrow")
+
+    return ntile_summary(mk, "cents", n_tiles=4)
+
+
 def q_qty_price_regression(sf_dir: str) -> pa.Table:
     """least-squares slope/intercept of price-on-quantity (exact
     HUGEINT moments, one mirrored float expression pair)."""
@@ -2859,6 +2880,7 @@ QUERIES = {
     "docs_except": q_docs_except,
     "monthly_revenue": q_monthly_revenue,
     "qty_price_regression": q_qty_price_regression,
+    "order_ntile": q_order_ntile,
     # rows-only (stub-decode multimodal plumbing; no SQL analogue)
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
@@ -3215,6 +3237,16 @@ FROM n, s lo, s hi
 WHERE lo.r = floor((n.n - 1) * 0.9::DOUBLE)::BIGINT
   AND hi.r = least(floor((n.n - 1) * 0.9::DOUBLE)::BIGINT + 1, n.n - 1)
 ORDER BY q
+""",
+    # NTILE(4) bucket summary — tie-break-independent
+    "order_ntile": """
+WITH v AS (SELECT round(o_totalprice * 100)::BIGINT AS c,
+                  o_orderkey
+           FROM orders),
+t AS (SELECT c, ntile(4) OVER (ORDER BY c, o_orderkey) AS tile FROM v)
+SELECT tile::BIGINT AS tile, count(*)::BIGINT AS n_rows,
+       min(c)::BIGINT AS min_value, max(c)::BIGINT AS max_value
+FROM t GROUP BY 1 ORDER BY 1
 """,
     # least squares from HUGEINT moments — the SAME two float
     # expressions as analytics.least_squares_cents

@@ -762,3 +762,43 @@ def exact_group_quantiles_cont(ds_factory, column: str, qs, by: str,
     return pa.table({by: pa.array(out_g),
                      "q": pa.array(out_q, type=pa.float64()),
                      "value": pa.array(out_v, type=pa.float64())})
+
+
+def ntile_summary(ds_factory, column: str, n_tiles: int,
+                  n_buckets: int = QUANTILE_BUCKETS,
+                  gather_limit: int = QUANTILE_GATHER_LIMIT,
+                  driver_merge_limit: int | None = None) -> pa.Table:
+    """SQL NTILE(n) summarized per bucket: (tile, n_rows, min_value,
+    max_value) — well-defined whatever the tie-break inside equal
+    values, because NTILE bucket SIZES are fixed (first n % tiles
+    buckets get one extra row) and each bucket's min/max are the order
+    statistics at its rank boundaries.  2·n_tiles exact order stats
+    through one `exact_order_stats` call — no global sort."""
+    n, _ = exact_order_stats(ds_factory(), column, ranks=[0],
+                             n_buckets=n_buckets, gather_limit=gather_limit,
+                             driver_merge_limit=driver_merge_limit)
+    if n == 0:
+        return pa.table({"tile": pa.array([], type=pa.int64()),
+                         "n_rows": pa.array([], type=pa.int64()),
+                         "min_value": pa.array([], type=pa.int64()),
+                         "max_value": pa.array([], type=pa.int64())})
+    base, extra = divmod(n, n_tiles)
+    bounds, start = [], 0
+    for i in range(n_tiles):
+        size = base + (1 if i < extra else 0)
+        if size == 0:
+            continue
+        bounds.append((i + 1, size, start, start + size - 1))
+        start += size
+    ranks = sorted({r for _, _, lo, hi in bounds for r in (lo, hi)})
+    _, sel = exact_order_stats(ds_factory(), column, ranks=ranks,
+                               n_buckets=n_buckets, gather_limit=gather_limit,
+                               driver_merge_limit=driver_merge_limit)
+    return pa.table({
+        "tile": pa.array([t for t, _, _, _ in bounds], type=pa.int64()),
+        "n_rows": pa.array([s for _, s, _, _ in bounds], type=pa.int64()),
+        "min_value": pa.array([sel[lo] for _, _, lo, _ in bounds],
+                              type=pa.int64()),
+        "max_value": pa.array([sel[hi] for _, _, _, hi in bounds],
+                              type=pa.int64()),
+    })
