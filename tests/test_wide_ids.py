@@ -412,3 +412,40 @@ def test_wide_mode_phrase_boolean_parity(engines):
         assert b64["doc_id"].to_pylist() == b128["doc_id"].to_pylist(), q
         assert set(b128["doc_id_hi"].to_pylist()) <= {0}
         assert len(b64) > 0, q
+
+
+def test_text_serve_and_parsed_over_wide_ids(ray_session, tmp_path):
+    """search_parsed and the TCP TEXT frame over a 128-bit index: the
+    response carries the LOW word (like v1) and matches the engine's
+    own ranked lo-ids; the grammar filter surface works unchanged."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.serve import (TcpQueryServer, WireEngine,
+                                   query_text_pipelined)
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.engine import QueryEngine
+
+    t = synthetic_corpus(120, seed=42).append_column(
+        "doc_id", pa.array(np.arange(120, dtype=np.uint64), type=pa.uint64()))
+    t = t.append_column(
+        "doc_id_hi", pa.array((np.arange(120) % 3).astype(np.uint64),
+                              type=pa.uint64()))
+    cfg = EngineConfig(num_segments=2, num_term_shards=2, doc_id_bits=128)
+    build_index(ray.data.from_arrow(t), str(tmp_path / "w"), cfg)
+    eng = QueryEngine(str(tmp_path / "w"), use_actors=False)
+    try:
+        want = eng.search_parsed("def return", k=10)
+        assert "doc_id_hi" in want.column_names
+        srv = TcpQueryServer(WireEngine(eng), port=0,
+                             pipelined=True).start_background()
+        try:
+            out = query_text_pipelined("127.0.0.1", srv.port,
+                                       ["def return"], k=10)
+            assert out[0] == list(zip(want["doc_id"].to_pylist(),
+                                      want["score"].to_pylist()))
+        finally:
+            srv.stop()
+    finally:
+        eng.close()
