@@ -213,8 +213,18 @@ def broadcast_lookup_join(left_ds, right_ds, on: str, right_on: str | None = Non
     if right.count() <= broadcast_limit:
         parts = [t for t in right.iter_batches(batch_size=None, batch_format="pyarrow")
                  if len(t)]
-        tbl = (pa.concat_tables(parts).combine_chunks() if parts
-               else right.schema().empty_table())
+        if parts:
+            tbl = pa.concat_tables(parts).combine_chunks()
+        else:
+            # zero-row right side: Ray may report no schema at all for
+            # a materialized empty map output — the join result is
+            # empty either way, so null-typed placeholders suffice
+            sch = right.schema()
+            base = getattr(sch, "base_schema", None) if sch is not None else None
+            cols_needed = [right_on] + [c for c in payload if c != right_on]
+            tbl = (base.empty_table() if isinstance(base, pa.Schema)
+                   else pa.table({c: pa.array([], type=pa.null())
+                                  for c in cols_needed}))
         keys = tbl[right_on].to_numpy().astype(np.int64) if len(tbl) else np.empty(0, np.int64)
         order = np.argsort(keys, kind="stable")
         keys = keys[order]

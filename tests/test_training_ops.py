@@ -3155,3 +3155,62 @@ def test_set_op_keys_paths_identical(ray_session):
     n_left = df[df.lang == "en"].doc_id.nunique()
     assert len(inter) + len(exc) == n_left
     assert len(inter) > 0 and len(exc) > 0
+
+
+def test_relational_ops_on_empty_inputs(ray_session):
+    """every continuation relational operator must survive zero-row
+    inputs with a stable schema (the broadcast join's right side may
+    be a schema-less materialized empty — a real crash class)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import (
+        late_shipment_priority,
+        market_share,
+        min_cost_supplier,
+        product_type_profit,
+        promo_part_suppliers,
+        small_qty_revenue,
+        volume_shipping,
+        waiting_orders_suppliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    nation = pq.read_table(f"{sf}/nation.parquet")
+    region = pq.read_table(f"{sf}/region.parquet")
+
+    def empty(cols):
+        return ray.data.from_arrow(
+            pa.table({c: pa.array([], type=t) for c, t in cols}))
+
+    li = [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+          ("l_suppkey", pa.int64()), ("l_quantity", pa.float64()),
+          ("l_extendedprice", pa.float64()), ("l_discount", pa.float64()),
+          ("l_shipdate", pa.timestamp("us")), ("l_linestatus", pa.string()),
+          ("l_returnflag", pa.string())]
+    orders = [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+              ("o_orderdate", pa.timestamp("us")),
+              ("o_orderpriority", pa.string()),
+              ("o_orderstatus", pa.string())]
+    cust = [("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+    supp = [("s_suppkey", pa.int64()), ("s_nationkey", pa.int64()),
+            ("s_name", pa.string()), ("s_acctbal", pa.float64())]
+    part = [("p_partkey", pa.int64()), ("p_name", pa.string()),
+            ("p_type", pa.string()), ("p_size", pa.int32()),
+            ("p_brand", pa.string())]
+
+    assert len(volume_shipping(empty(li), empty(orders), empty(cust),
+                               empty(supp), nation)) == 0
+    assert len(product_type_profit(empty(li), empty(part), empty(supp),
+                                   nation)) == 0
+    assert len(late_shipment_priority(empty(li), empty(orders))) == 0
+    assert len(market_share(empty(li), empty(orders), empty(cust),
+                            empty(supp), empty(part), nation, region)) == 0
+    sq = small_qty_revenue(empty(li), empty(part))
+    assert sq["rev_cents"][0].as_py() == 0 and sq["n_lines"][0].as_py() == 0
+    assert len(promo_part_suppliers(empty(li), empty(supp), empty(part),
+                                    nation)) == 0
+    assert len(min_cost_supplier(empty(li), empty(supp), empty(part),
+                                 nation, region)) == 0
+    assert len(waiting_orders_suppliers(empty(li), empty(orders),
+                                        empty(supp), nation)) == 0
