@@ -273,3 +273,39 @@ def parse_with_filters(query: str) -> tuple[ast.Node, dict[str, list[str]] | Non
             "query is only field filters — add at least one term")
     node = _Parser(" ".join(rest)).parse()
     return node, (filters or None)
+
+
+#: `term^boost` token — boost is a positive int/float literal
+_BOOST_RE = re.compile(r"^([^\s()\"^]+)\^(\d+(?:\.\d+)?)$")
+
+
+def parse_full(query: str) -> tuple["ast.Node", dict | None, dict | None]:
+    """The whole query-string surface in one call: (node, field
+    filters, per-term boosts).  `term^2` / `term^1.5` multiplies that
+    TERM's BM25 idf (Lucene boost semantics — linear in the score
+    contribution); the token otherwise parses as its bare leaf, so
+    boosts compose with the grammar anywhere a term may appear.
+    Boosting non-term leaves (prefix/fuzzy/phrase/field filters)
+    raises — their expansions own their weights."""
+    if not query or not query.strip():
+        raise QueryParseError("empty query")
+    if '"' in query and query.count('"') % 2:
+        raise QueryParseError("unbalanced '\"' in query")
+    boosts: dict[str, float] = {}
+    out_toks: list[str] = []
+    for tok in _TOKEN_RE.findall(query):
+        m = None if tok.startswith('"') else _BOOST_RE.match(tok)
+        if m:
+            word, w = m.group(1), float(m.group(2))
+            t = word.lower()
+            if not _WORD_RE.fullmatch(t):
+                raise QueryParseError(
+                    f"only plain terms take a ^boost, not {word!r}")
+            if w <= 0:
+                raise QueryParseError("boost must be positive")
+            boosts[t] = w
+            out_toks.append(word)
+        else:
+            out_toks.append(tok)
+    node, filters = parse_with_filters(" ".join(out_toks))
+    return node, filters, (boosts or None)

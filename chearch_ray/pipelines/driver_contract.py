@@ -2078,6 +2078,19 @@ def q_monthly_revenue(sf_dir: str) -> pa.Table:
                                                     ("month", "ascending")]))
 
 
+def q_synonym_bm25(sf_dir: str) -> pa.Table:
+    """query-time synonym expansion: 'merge' with synonym 'join' ==
+    BM25 OR over both terms."""
+    return _ranked(engine_for(sf_dir).search_with_synonyms(
+        ast.Term("merge"), {"merge": ["join"]}, k=10))
+
+
+def q_boosted_bm25(sf_dir: str) -> pa.Table:
+    """per-term ^boost: merge^2 OR sort — the boost multiplies merge's
+    idf (Lucene semantics, linear in the contribution)."""
+    return _ranked(engine_for(sf_dir).search_parsed("merge^2 OR sort", k=10))
+
+
 def q_order_ntile(sf_dir: str) -> pa.Table:
     """NTILE(4) of order totalprice cents summarized per bucket
     (count + boundary order statistics; no global sort)."""
@@ -2881,6 +2894,8 @@ QUERIES = {
     "monthly_revenue": q_monthly_revenue,
     "qty_price_regression": q_qty_price_regression,
     "order_ntile": q_order_ntile,
+    "synonym_bm25": q_synonym_bm25,
+    "boosted_bm25": q_boosted_bm25,
     # rows-only (stub-decode multimodal plumbing; no SQL analogue)
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
@@ -3237,6 +3252,31 @@ FROM n, s lo, s hi
 WHERE lo.r = floor((n.n - 1) * 0.9::DOUBLE)::BIGINT
   AND hi.r = least(floor((n.n - 1) * 0.9::DOUBLE)::BIGINT + 1, n.n - 1)
 ORDER BY q
+""",
+    # synonym expansion == plain OR over the variant set
+    "synonym_bm25": _bm25_sql(("merge", "join"), "or"),
+    # ^boost multiplies that term's idf: ((ln·boost)·num)/den — the
+    # same left-assoc float order as bm25_component with idf' = idf·w
+    "boosted_bm25": f"""
+WITH {TOK_CTE},
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('merge', 'sort') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * (CASE WHEN tf.term = 'merge' THEN 2.0 ELSE 1.0 END)
+           * (tf.tf * ({K1} + 1)) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats s
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+ranked AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk, doc_id
+           FROM scored)
+SELECT rk::BIGINT AS rank, doc_id FROM ranked WHERE rk <= 10 ORDER BY rk
 """,
     # NTILE(4) bucket summary — tie-break-independent
     "order_ntile": """

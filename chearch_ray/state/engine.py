@@ -300,30 +300,46 @@ class QueryEngine:
         return ast.Or(a, b)
 
     # ----------------------------------------------------------- search
+    def search_with_synonyms(self, query: str | ast.Node,
+                             synonyms: dict, k: int | None = None,
+                             default_op: str = "or") -> pa.Table:
+        """BM25 with query-time synonym expansion: Term leaves listed
+        in `synonyms` become ORs over their variants before planning
+        (module function `expand_synonyms`); scoring is the usual
+        disjunctive BM25 over the expanded tree."""
+        node = expand_synonyms(parse_query(query, default_op), synonyms)
+        return self.search(node, k=k)
+
     def search_parsed(self, query: str, k: int | None = None) -> pa.Table:
         """BM25 over the full query-string grammar INCLUDING Lucene
-        `field:value` metadata filters (functions/queryparse.py
-        `parse_with_filters`): top-level field tokens become the
-        docmap filter (`lang:py lang:go merge` == search "merge" with
-        filter {"lang": ["py", "go"]}), the rest is the usual
-        grammar."""
-        from chearch_ray.functions.queryparse import parse_with_filters
+        `field:value` metadata filters and `term^boost` weights
+        (functions/queryparse.py `parse_full`): top-level field tokens
+        become the docmap filter (`lang:py lang:go merge` == search
+        "merge" with filter {"lang": ["py", "go"]}), boosts multiply
+        the boosted term's idf, the rest is the usual grammar."""
+        from chearch_ray.functions.queryparse import parse_full
 
-        node, filters = parse_with_filters(query)
-        return self.search(node, k=k, filter=filters)
+        node, filters, boosts = parse_full(query)
+        return self.search(node, k=k, filter=filters, boosts=boosts)
 
     def search(self, query: str | ast.Node, k: int | None = None, default_op: str = "or",
-               filter: dict[str, list[str]] | None = None) -> pa.Table:
+               filter: dict[str, list[str]] | None = None,
+               boosts: dict[str, float] | None = None) -> pa.Table:
         """BM25 top-k, globally merged, ordered (score desc, doc_id asc).
 
         `filter` restricts results to docs whose docmap metadata
         matches {column: allowed values} (AND across columns) — e.g.
         {"lang": ["py", "rs"]}.  Scores are unchanged by the filter
         (global corpus stats), but top-k is taken over the restricted
-        candidate set, not post-filtered."""
+        candidate set, not post-filtered.  `boosts` multiplies a
+        term's idf (Lucene boost semantics — BM25 contributions are
+        linear in idf, so the boost scales that term's share of the
+        score exactly)."""
         node = self._plan(parse_query(query, default_op))
         k = k or self.cfg.default_k
         idfs = self.idfs_for(node)
+        if boosts:
+            idfs = {t: v * float(boosts.get(t, 1.0)) for t, v in idfs.items()}
         if self.use_actors:
             import ray
 
@@ -843,3 +859,31 @@ class FieldedEngine:
                 "score": pa.array(scores[order], type=pa.float64()),
             }
         )
+
+
+def expand_synonyms(node: ast.Node, synonyms: dict) -> ast.Node:
+    """Query-time synonym expansion: every Term leaf with an entry in
+    `synonyms` becomes an OR over (term, *synonyms[term]) — scoring
+    then follows the usual disjunctive BM25, so a doc matching any
+    variant scores it.  Non-Term leaves (prefix, fuzzy, phrase) pass
+    through unchanged; the dict values are plain lowercase terms."""
+    def walk(n):
+        if isinstance(n, ast.Term):
+            alts = synonyms.get(n.term)
+            if not alts:
+                return n
+            out = n
+            for a in alts:
+                out = ast.Or(out, ast.Term(str(a).lower()))
+            return out
+        if isinstance(n, ast.And):
+            return ast.And(walk(n.a), walk(n.b))
+        if isinstance(n, ast.Or):
+            return ast.Or(walk(n.a), walk(n.b))
+        if isinstance(n, ast.AndNot):
+            # negated side expands too: excluding a concept excludes
+            # its variants
+            return ast.AndNot(walk(n.a), walk(n.b))
+        return n
+
+    return walk(node)
