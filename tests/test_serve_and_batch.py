@@ -867,3 +867,64 @@ def test_tcp_text_query_frames(ray_session, tmp_path):
             srv.stop()
     finally:
         eng.close()
+
+
+def test_tcp_server_survives_malformed_frames(server):
+    """random garbage payloads (both transports) must never wedge the
+    server: v2 answers status=1 per id (or the connection drops), v1
+    drops the connection — and a fresh valid query still works after."""
+    import random
+    import socket
+    import struct
+
+    from chearch_ray.serve import (TcpQueryServer, V2_RESP,
+                                   query_over_socket, query_pipelined)
+
+    rng = random.Random(7)
+
+    srv1 = TcpQueryServer(server, port=0).start_background()
+    try:
+        for _ in range(5):
+            junk = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 60)))
+            with socket.create_connection(("127.0.0.1", srv1.port),
+                                          timeout=5) as s:
+                s.sendall(junk)
+                s.settimeout(1.0)
+                try:
+                    s.recv(256)  # either data or clean close
+                except socket.timeout:
+                    pass
+        # server still serves valid v1 frames afterwards
+        rows = query_over_socket("127.0.0.1", srv1.port, _program(2, 3, "and"))
+        assert rows
+    finally:
+        srv1.stop()
+
+    srv2 = TcpQueryServer(server, port=0, pipelined=True).start_background()
+    try:
+        with socket.create_connection(("127.0.0.1", srv2.port), timeout=5) as s:
+            for rid in range(6):
+                junk = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+                s.sendall(struct.pack(">IH", rid, len(junk)) + junk)
+            s.settimeout(5.0)
+            got = {}
+
+            def read_exactly(n):
+                b = b""
+                while len(b) < n:
+                    c = s.recv(n - len(b))
+                    assert c, "server closed mid-frame"
+                    b += c
+                return b
+
+            while len(got) < 6:
+                rid, status, ln = V2_RESP.unpack(read_exactly(V2_RESP.size))
+                payload = read_exactly(ln) if ln else b""
+                got[rid] = status
+            assert set(got) == set(range(6))
+            assert all(st == 1 for st in got.values())
+        # the same listener still answers a valid pipelined batch
+        out = query_pipelined("127.0.0.1", srv2.port, [_program(2, 3, "and")])
+        assert out[0]
+    finally:
+        srv2.stop()
