@@ -2622,6 +2622,34 @@ def waiting_orders_suppliers(lineitem_ds, orders_ds, supplier_ds,
     return out.take(idx.slice(0, min(k, len(out))))
 
 
+def percent_rank_values(ds, by: str, value_col: str,
+                        driver_merge_limit: int | None = None) -> pa.Table:
+    """PERCENT_RANK() over the distinct (group, value) set — dense
+    position scaled to [0, 1]: (rnk − 1) / (n_distinct − 1) as ONE
+    float division of exact ints, mirrored verbatim.  Same bounded
+    distinct-pair shape as dense_rank_values."""
+    ranked = dense_rank_values(ds, by, value_col,
+                               driver_merge_limit=driver_merge_limit)
+    if not len(ranked):
+        return pa.table({by: pa.array([], type=pa.string()),
+                         "value_cents": pa.array([], type=pa.int64()),
+                         "pct_rank": pa.array([], type=pa.float64())})
+    keys = ranked[by].to_numpy(zero_copy_only=False)
+    rnk = ranked["rnk"].to_numpy().astype(np.int64)
+    # distinct count per group = max rank per group (ranked is sorted
+    # by (group, value) and rnk restarts at 1)
+    n_by_key: dict = {}
+    for k, r in zip(keys, rnk):
+        if r > n_by_key.get(k, 0):
+            n_by_key[k] = int(r)
+    n = np.array([n_by_key[k] for k in keys], dtype=np.int64)
+    pct = np.where(n > 1, (rnk - 1).astype(np.float64)
+                   / np.maximum(n - 1, 1).astype(np.float64), 0.0)
+    return pa.table({by: ranked[by],
+                     "value_cents": ranked["value_cents"].cast(pa.int64()),
+                     "pct_rank": pa.array(pct, type=pa.float64())})
+
+
 # ------------------------------------------- ORDER BY … LIMIT/OFFSET
 def ordered_page(ds, sort_keys: list[tuple[str, str]], limit: int,
                  offset: int = 0, columns: list[str] | None = None) -> pa.Table:

@@ -2091,6 +2091,18 @@ def q_boosted_bm25(sf_dir: str) -> pa.Table:
     return _ranked(engine_for(sf_dir).search_parsed("merge^2 OR sort", k=10))
 
 
+def q_qty_percent_rank(sf_dir: str) -> pa.Table:
+    """PERCENT_RANK over the distinct (returnflag, quantity) set."""
+    import ray.data
+
+    from chearch_ray.pipelines.analytics import percent_rank_values
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity"])
+    return percent_rank_values(ds, by="l_returnflag", value_col="l_quantity")
+
+
 def q_order_ntile(sf_dir: str) -> pa.Table:
     """NTILE(4) of order totalprice cents summarized per bucket
     (count + boundary order statistics; no global sort)."""
@@ -2896,6 +2908,7 @@ QUERIES = {
     "order_ntile": q_order_ntile,
     "synonym_bm25": q_synonym_bm25,
     "boosted_bm25": q_boosted_bm25,
+    "qty_percent_rank": q_qty_percent_rank,
     # rows-only (stub-decode multimodal plumbing; no SQL analogue)
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
@@ -3252,6 +3265,23 @@ FROM n, s lo, s hi
 WHERE lo.r = floor((n.n - 1) * 0.9::DOUBLE)::BIGINT
   AND hi.r = least(floor((n.n - 1) * 0.9::DOUBLE)::BIGINT + 1, n.n - 1)
 ORDER BY q
+""",
+    # PERCENT_RANK over distinct values — the dense position scaled
+    # by ONE float division of exact ints (identical both sides)
+    "qty_percent_rank": """
+WITH d AS (SELECT DISTINCT l_returnflag,
+                  round(l_quantity * 100)::BIGINT AS value_cents
+           FROM lineitem),
+r AS (SELECT l_returnflag, value_cents,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY value_cents) AS rnk,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM d)
+SELECT l_returnflag, value_cents,
+       CASE WHEN n > 1
+            THEN (rnk - 1)::DOUBLE / (n - 1)::DOUBLE ELSE 0.0 END
+         AS pct_rank
+FROM r ORDER BY l_returnflag, value_cents
 """,
     # synonym expansion == plain OR over the variant set
     "synonym_bm25": _bm25_sql(("merge", "join"), "or"),
