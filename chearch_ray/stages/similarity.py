@@ -1221,6 +1221,25 @@ def exact_rerank(shortlist: pa.Table, ds, query_matrix: np.ndarray, k: int,
     )
 
 
+def pq_search_refined(codes_ds, books: np.ndarray, raw_ds,
+                      query_matrix: np.ndarray, k: int = 10,
+                      refine_k: int | None = None,
+                      id_column: str = "vec_id",
+                      embedding_column: str = "embedding") -> pa.Table:
+    """plain-PQ ADC shortlist of `refine_k` (default 4k) per query,
+    then exact_rerank to the true top-k.  With refine_k = corpus size
+    the result is exactly brute-force cosine kNN (the whole
+    train -> encode -> ADC -> rerank machinery runs, but the rerank
+    sees every row), which is what pins the driver row against the
+    SQL cosine-rank oracle; smaller refine_k is the production
+    shape where ADC prunes and the rerank recovers shortlist
+    recall@k."""
+    shortlist = pq_search(codes_ds, books, query_matrix,
+                          k=refine_k or 4 * k, id_column=id_column)
+    return exact_rerank(shortlist, raw_ds, query_matrix, k,
+                        id_column=id_column, embedding_column=embedding_column)
+
+
 def ivfpq_search_refined(codes_ds, centroids: np.ndarray, books: np.ndarray,
                          raw_ds, query_matrix: np.ndarray, k: int = 10,
                          nprobe: int = 4, refine_k: int | None = None,
