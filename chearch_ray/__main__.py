@@ -102,8 +102,10 @@ def cmd_search(args: argparse.Namespace) -> int:
         elif ":" in args.query:
             # Lucene field:value filters ride the grammar parser; a
             # colon can't appear in a flat/grammar term, so this
-            # changes no previously-valid query's meaning
-            out = eng.search_parsed(args.query, k=args.k)
+            # changes no previously-valid query's meaning.  --op still
+            # applies: it sets the implicit operator joining the
+            # residual (non-filter) juxtaposed terms
+            out = eng.search_parsed(args.query, k=args.k, default_op=args.op)
         else:
             out = eng.search(args.query, k=args.k, default_op=args.op)
         for row in out.to_pylist():

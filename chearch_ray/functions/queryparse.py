@@ -81,9 +81,12 @@ class _Neg:
 
 
 class _Parser:
-    def __init__(self, query: str):
+    def __init__(self, query: str, default_op: str = "and"):
+        if default_op not in ("and", "or"):
+            raise QueryParseError(f"default_op must be 'and' or 'or', not {default_op!r}")
         self.toks = _TOKEN_RE.findall(query)
         self.i = 0
+        self.default_op = default_op
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -105,8 +108,41 @@ class _Parser:
             )
         return node
 
-    # or_expr := and_expr (OR and_expr)*
+    # or_expr := and_expr (OR and_expr)*         (default_op == "and")
+    # or_expr := and_expr ([OR] and_expr)*       (default_op == "or":
+    #   juxtaposition joins HERE, Lucene default-operator semantics —
+    #   positives OR together, `-`/NOT factors anchor under one AndNot
+    #   exactly like the flat parser's or-default)
     def or_expr(self) -> ast.Node | _Neg:
+        if self.default_op == "or":
+            factors = [self.and_expr()]
+            while True:
+                tok = self.peek()
+                if tok == "OR":
+                    self.next()
+                    factors.append(self.and_expr())
+                elif tok is not None and tok != ")":
+                    factors.append(self.and_expr())
+                else:
+                    break
+            pos = [f for f in factors if not isinstance(f, _Neg)]
+            neg = [f.node for f in factors if isinstance(f, _Neg)]
+            if not pos:
+                if len(factors) == 1:
+                    return factors[0]  # bare _Neg — parse() rejects it
+                raise QueryParseError(
+                    "disjunction of pure negations is an unbounded "
+                    "complement — include at least one positive factor"
+                )
+            node = pos[0]
+            for f in pos[1:]:
+                node = ast.Or(node, f)
+            if neg:
+                n = neg[0]
+                for f in neg[1:]:
+                    n = ast.Or(n, f)
+                node = ast.AndNot(node, n)
+            return node
         node = self.and_expr()
         while self.peek() == "OR":
             self.next()
@@ -119,7 +155,9 @@ class _Parser:
             node = ast.Or(node, rhs)
         return node
 
-    # and_expr := unary ([AND] unary)* — juxtaposition = AND
+    # and_expr := unary ([AND] unary)* — juxtaposition = AND only when
+    # default_op == "and"; under an "or" default juxtaposition belongs
+    # to or_expr and only the explicit AND keyword conjoins
     def and_expr(self) -> ast.Node | _Neg:
         factors = [self.unary()]
         while True:
@@ -127,7 +165,8 @@ class _Parser:
             if tok == "AND":
                 self.next()
                 factors.append(self.unary())
-            elif tok is not None and tok not in (")", "OR"):
+            elif (self.default_op == "and" and tok is not None
+                  and tok not in (")", "OR")):
                 factors.append(self.unary())
             else:
                 break
@@ -191,13 +230,16 @@ class _Parser:
         return _leaf(tok)
 
 
-def parse(query: str) -> ast.Node:
-    """Parse a grammar query string into an engine AST."""
+def parse(query: str, default_op: str = "and") -> ast.Node:
+    """Parse a grammar query string into an engine AST.  `default_op`
+    sets the implicit operator for juxtaposed terms (Lucene default-
+    operator semantics): "and" (the grammar's documented default) or
+    "or" (positives OR, negations anchor under one AndNot)."""
     if not query or not query.strip():
         raise QueryParseError("empty query")
     if '"' in query and query.count('"') % 2:
         raise QueryParseError("unbalanced '\"' in query")
-    return _Parser(query).parse()
+    return _Parser(query, default_op).parse()
 
 
 def is_grammar_query(query: str) -> bool:
@@ -224,7 +266,7 @@ def contains_phrase(node: ast.Node) -> bool:
 _FIELD_RE = re.compile(r"^([a-z_][a-z0-9_]*):([^\s()\"]+)$")
 
 
-def parse_with_filters(query: str) -> tuple[ast.Node, dict[str, list[str]] | None]:
+def parse_with_filters(query: str, default_op: str = "and") -> tuple[ast.Node, dict[str, list[str]] | None]:
     """Lucene-style `field:value` extension over `parse`: top-level
     (paren-depth-0, non-negated) `field:value` tokens become the
     engine's docmap metadata filter — repeated same-field tokens OR
@@ -271,7 +313,7 @@ def parse_with_filters(query: str) -> tuple[ast.Node, dict[str, list[str]] | Non
     if not rest:
         raise QueryParseError(
             "query is only field filters — add at least one term")
-    node = _Parser(" ".join(rest)).parse()
+    node = _Parser(" ".join(rest), default_op).parse()
     return node, (filters or None)
 
 
@@ -279,7 +321,7 @@ def parse_with_filters(query: str) -> tuple[ast.Node, dict[str, list[str]] | Non
 _BOOST_RE = re.compile(r"^([^\s()\"^]+)\^(\d+(?:\.\d+)?)$")
 
 
-def parse_full(query: str) -> tuple["ast.Node", dict | None, dict | None]:
+def parse_full(query: str, default_op: str = "and") -> tuple["ast.Node", dict | None, dict | None]:
     """The whole query-string surface in one call: (node, field
     filters, per-term boosts).  `term^2` / `term^1.5` multiplies that
     TERM's BM25 idf (Lucene boost semantics — linear in the score
@@ -307,5 +349,5 @@ def parse_full(query: str) -> tuple["ast.Node", dict | None, dict | None]:
             out_toks.append(word)
         else:
             out_toks.append(tok)
-    node, filters = parse_with_filters(" ".join(out_toks))
+    node, filters = parse_with_filters(" ".join(out_toks), default_op)
     return node, filters, (boosts or None)

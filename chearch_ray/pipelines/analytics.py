@@ -35,6 +35,38 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return _round_half_away(np.asarray(x, dtype=np.float64) * 100)
 
 
+#: arbitrary-precision per-block moments travel as decimal128(38,0) —
+#: the Arrow analogue of the SQL mirrors' HUGEINT; int64 partials would
+#: silently wrap for price-scale cents (~1.1e7) squared over ~8e4 rows
+_MOMENT_TYPE = pa.decimal128(38, 0)
+
+
+def _exact_sum_prod(a: np.ndarray, b: np.ndarray | None = None) -> int:
+    """Exact sum(a) (b=None) or sum(a*b) over int64 arrays at ANY
+    magnitude: chunks sized so no int64 partial can overflow are
+    summed vectorized, chunk results merge in Python ints.  Falls back
+    to a Python-int loop only when a single product already exceeds
+    int64 (cents beyond ~3e9 squared — never in the benchmark data)."""
+    a = np.asarray(a, dtype=np.int64)
+    if len(a) == 0:
+        return 0
+    ma = int(np.abs(a).max())
+    if b is None:
+        bound = max(ma, 1)
+    else:
+        b = np.asarray(b, dtype=np.int64)
+        mb = int(np.abs(b).max())
+        bound = max(ma, 1) * max(mb, 1)
+        if bound >= (1 << 62):  # even one product can wrap int64
+            return sum(int(x) * int(y) for x, y in zip(a.tolist(), b.tolist()))
+    step = max(1, (1 << 62) // bound)
+    total = 0
+    for i in range(0, len(a), step):
+        ca = a[i:i + step]
+        total += int(ca.sum() if b is None else np.dot(ca, b[i:i + step]))
+    return total
+
+
 def _pricing_partial(batch: pa.Table, cutoff_us: int) -> pa.Table:
     ship = batch["l_shipdate"]
     if isinstance(ship, pa.ChunkedArray):
@@ -1379,10 +1411,12 @@ def grouped_value_stats(ds, key: str, value: str,
 
 def pearson_corr_cents(ds, x: str, y: str) -> pa.Table:
     """Pearson correlation of two numeric columns with an EXACT float
-    contract: per-block int64 moment partials (n, sx, sy, sxx, syy,
-    sxy over integer cents) merge in arbitrary-precision Python ints
-    driver-side (one row per block — whitelisted bounded gather); the
-    SQL mirror carries the same moments in HUGEINT; both sides then
+    contract: per-block moment partials (n, sx, sy, sxx, syy, sxy over
+    integer cents — accumulated exactly via `_exact_sum_prod` and
+    carried as decimal128(38,0), so no magnitude wraps int64) merge in
+    arbitrary-precision Python ints driver-side (one row per block —
+    whitelisted bounded gather); the SQL mirror carries the same
+    moments in HUGEINT; both sides then
     evaluate ONE identical float expression
     (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2)),
     so the double is bit-identical (IEEE sqrt/division are exact)."""
@@ -1394,11 +1428,11 @@ def pearson_corr_cents(ds, x: str, y: str) -> pa.Table:
         return pa.table(
             {
                 "n": pa.array([len(batch)], type=pa.int64()),
-                "sx": pa.array([int(xc.sum())], type=pa.int64()),
-                "sy": pa.array([int(yc.sum())], type=pa.int64()),
-                "sxx": pa.array([int((xc * xc).sum())], type=pa.int64()),
-                "syy": pa.array([int((yc * yc).sum())], type=pa.int64()),
-                "sxy": pa.array([int((xc * yc).sum())], type=pa.int64()),
+                "sx": pa.array([_exact_sum_prod(xc)], type=_MOMENT_TYPE),
+                "sy": pa.array([_exact_sum_prod(yc)], type=_MOMENT_TYPE),
+                "sxx": pa.array([_exact_sum_prod(xc, xc)], type=_MOMENT_TYPE),
+                "syy": pa.array([_exact_sum_prod(yc, yc)], type=_MOMENT_TYPE),
+                "sxy": pa.array([_exact_sum_prod(xc, yc)], type=_MOMENT_TYPE),
             }
         )
 
@@ -1479,8 +1513,10 @@ def json_int_field_agg(ds, json_column: str, field: str, by: str,
         m = pc.extract_regex(col, pattern)
         vals = pc.struct_field(m, "v")
         ok = pc.is_valid(vals)
-        v = np.asarray(vals.to_pandas().fillna("0")).astype(np.int64)
-        keep = np.asarray(ok.to_pandas()).astype(bool)
+        # pure Arrow: null slots become "0" then cast (they are dropped
+        # by `keep` anyway) — no pandas round-trip in the hot kernel
+        v = pc.cast(pc.if_else(ok, vals, "0"), pa.int64()).to_numpy()
+        keep = ok.to_numpy(zero_copy_only=False)
         t = pa.table(
             {
                 by: batch[by].filter(pa.array(keep)) if not keep.all() else batch[by],
@@ -2728,8 +2764,9 @@ def dense_rank_values(ds, by: str, value_col: str,
 
 def least_squares_cents(ds, x: str, y: str) -> pa.Table:
     """Simple linear regression y = a·x + b over integer-cent columns
-    with an EXACT float contract: the same per-block int64 moment
-    partials / Python-int driver merge as `pearson_corr_cents`, then
+    with an EXACT float contract: the same per-block exact decimal128
+    moment partials / Python-int driver merge as `pearson_corr_cents`
+    (overflow-proof at any cents magnitude x block size), then
     the TWO float expressions
         slope     = (n·sxy − sx·sy) / (n·sxx − sx²)
         intercept = (sy − slope·sx) / n     (as doubles, this order)
@@ -2741,10 +2778,10 @@ def least_squares_cents(ds, x: str, y: str) -> pa.Table:
         return pa.table(
             {
                 "n": pa.array([len(batch)], type=pa.int64()),
-                "sx": pa.array([int(xc.sum())], type=pa.int64()),
-                "sy": pa.array([int(yc.sum())], type=pa.int64()),
-                "sxx": pa.array([int((xc * xc).sum())], type=pa.int64()),
-                "sxy": pa.array([int((xc * yc).sum())], type=pa.int64()),
+                "sx": pa.array([_exact_sum_prod(xc)], type=_MOMENT_TYPE),
+                "sy": pa.array([_exact_sum_prod(yc)], type=_MOMENT_TYPE),
+                "sxx": pa.array([_exact_sum_prod(xc, xc)], type=_MOMENT_TYPE),
+                "sxy": pa.array([_exact_sum_prod(xc, yc)], type=_MOMENT_TYPE),
             }
         )
 

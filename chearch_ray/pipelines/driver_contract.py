@@ -1923,36 +1923,48 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
-#: deterministic on-disk copy of the synthesized media table; the
-#: media_features oracle SQL reads this file, making the row an
-#: EXACT-checked query (payload_sha / payload_bytes via DuckDB sha256)
+#: deterministic on-disk copies of the synthesized media tables; the
+#: media_* oracle SQLs read these files, making the rows EXACT-checked
+#: queries (payload_sha / payload_bytes via DuckDB sha256).  The
+#: content depends only on the (n, kind, seed) constants — never on
+#: sf_dir — so fixed paths cannot go stale across data scales.
 MEDIA_TABLE_PATH = "/tmp/chearch_ray_driver_cache/media-64-image-42.parquet"
+VIDEO_TABLE_PATH = "/tmp/chearch_ray_driver_cache/media-48-video-7.parquet"
+
+
+def _media_table_on_disk(n: int, kind: str, seed: int, path: str) -> pa.Table:
+    """Synthesize the media fixture and mirror it to `path` for the
+    DuckDB oracle.  Written unconditionally (atomic replace): an
+    exists-check would serve a stale cached table if the synthesizer
+    ever changes."""
+    from chearch_ray.stages.multimodal import synthesize_media_table
+
+    media = synthesize_media_table(n, kind=kind, seed=seed)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(media, tmp)
+    os.replace(tmp, path)
+    return media
 
 
 def q_media_features(sf_dir: str) -> pa.Table:
     import ray.data
 
-    from chearch_ray.stages.multimodal import extract_media_features, synthesize_media_table
+    from chearch_ray.stages.multimodal import extract_media_features
 
-    media = synthesize_media_table(64, kind="image", seed=42)
-    # written unconditionally (atomic replace): an exists-check would
-    # serve a stale cached table if the synthesizer ever changes
-    os.makedirs(os.path.dirname(MEDIA_TABLE_PATH), exist_ok=True)
-    tmp = f"{MEDIA_TABLE_PATH}.tmp-{os.getpid()}"
-    pq.write_table(media, tmp)
-    os.replace(tmp, MEDIA_TABLE_PATH)
+    media = _media_table_on_disk(64, "image", 42, MEDIA_TABLE_PATH)
     out = extract_media_features(ray.data.from_arrow(media), backend="stub")
     pdf = out.to_pandas().drop(columns=["features"])
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
-URLDOC_TABLE_PATH = "/tmp/chearch_ray_driver_cache/urldocs-42.parquet"
-
-
 def _urldoc_table(sf_dir: str) -> pa.Table:
     """documents with deterministically injected URL tokens (the base
-    corpus carries none) — written to a fixed path so the DuckDB
-    mirror reads the identical table."""
+    corpus carries none).  The injection is a pure function of
+    (doc_id, text), so the DuckDB mirror reconstructs the identical
+    table INLINE from the `documents` view (see the domain_counts
+    oracle SQL) — no cached side file, so query and oracle can never
+    disagree on data scale."""
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -1968,13 +1980,8 @@ def _urldoc_table(sf_dir: str) -> pa.Table:
             # lowercase-only: the capture stops at the first uppercase
             # char on BOTH sides (RE2 here and in DuckDB)
         out.append(" ".join([t] + extra) if extra else t)
-    t = pa.table({"doc_id": docs["doc_id"],
-                  "text": pa.array(out, type=pa.string())})
-    os.makedirs(os.path.dirname(URLDOC_TABLE_PATH), exist_ok=True)
-    tmp = f"{URLDOC_TABLE_PATH}.tmp-{os.getpid()}"
-    pq.write_table(t, tmp)
-    os.replace(tmp, URLDOC_TABLE_PATH)
-    return t
+    return pa.table({"doc_id": docs["doc_id"],
+                     "text": pa.array(out, type=pa.string())})
 
 
 def q_domain_counts(sf_dir: str) -> pa.Table:
@@ -2268,15 +2275,21 @@ def q_qty_dense_rank(sf_dir: str) -> pa.Table:
 
 def q_media_resize(sf_dir: str) -> pa.Table:
     """actor-pool resize over opaque media payloads (stub decode):
-    fit-in-box metadata + deterministic stride-sampled payload."""
+    fit-in-box metadata + deterministic stride-sampled payload,
+    EXACT-checked via sha256 of the resized bytes (the DuckDB oracle
+    reconstructs the same stride sample from the on-disk fixture)."""
+    import hashlib
+
     import ray.data
 
-    from chearch_ray.stages.multimodal import resize_media, synthesize_media_table
+    from chearch_ray.stages.multimodal import resize_media
 
-    media = synthesize_media_table(64, kind="image", seed=42)
+    media = _media_table_on_disk(64, "image", 42, MEDIA_TABLE_PATH)
     out = resize_media(ray.data.from_arrow(media), max_side=32)
     pdf = out.to_pandas()
     pdf["payload_bytes"] = pdf["payload"].map(len)
+    pdf["payload_sha"] = pdf["payload"].map(
+        lambda p: hashlib.sha256(p).hexdigest())
     return pa.Table.from_pandas(
         pdf.drop(columns=["payload"]).sort_values("media_id",
                                                   ignore_index=True),
@@ -2285,15 +2298,21 @@ def q_media_resize(sf_dir: str) -> pa.Table:
 
 def q_media_frames(sf_dir: str) -> pa.Table:
     """actor-pool frame sampling (explode shape): n evenly spaced
-    stub frames per video payload."""
+    stub frames per video payload, EXACT-checked via sha256 of each
+    frame's bytes (the DuckDB oracle slices the same spans from the
+    on-disk fixture)."""
+    import hashlib
+
     import ray.data
 
-    from chearch_ray.stages.multimodal import sample_frames, synthesize_media_table
+    from chearch_ray.stages.multimodal import sample_frames
 
-    media = synthesize_media_table(48, kind="video", seed=7)
+    media = _media_table_on_disk(48, "video", 7, VIDEO_TABLE_PATH)
     out = sample_frames(ray.data.from_arrow(media), n_frames=4)
     pdf = out.to_pandas()
     pdf["payload_bytes"] = pdf["payload"].map(len)
+    pdf["payload_sha"] = pdf["payload"].map(
+        lambda p: hashlib.sha256(p).hexdigest())
     return pa.Table.from_pandas(
         pdf.drop(columns=["payload"]).sort_values(["media_id", "frame_no"],
                                                   ignore_index=True),
@@ -3520,6 +3539,51 @@ SELECT media_id, kind, sha256(decode(payload)) AS payload_sha,
        octet_length(payload)::BIGINT AS payload_bytes
 FROM read_parquet('{MEDIA_TABLE_PATH}')
 """,
+    # stub resize reconstructed in SQL: fit-in-box dims (floor, min
+    # side clamp 1) and the stride sample idx = (i*plen)//n_out over
+    # the ASCII payload — byte-identical to MediaResize._resize_stub
+    "media_resize": f"""
+WITH m AS (
+  SELECT media_id, kind, format, width::BIGINT AS w, height::BIGINT AS h,
+         duration_ms, decode(payload) AS s,
+         octet_length(payload)::BIGINT AS plen
+  FROM read_parquet('{MEDIA_TABLE_PATH}')
+), dims AS (
+  SELECT *, greatest(1, CAST(floor(w * least(1.0, 32.0 / greatest(greatest(w, h), 1))) AS BIGINT)) AS new_w,
+            greatest(1, CAST(floor(h * least(1.0, 32.0 / greatest(greatest(w, h), 1))) AS BIGINT)) AS new_h
+  FROM m
+), sized AS (
+  SELECT *, CASE WHEN w <= 0 OR h <= 0 OR plen = 0 THEN 0
+                 ELSE greatest(1, CAST(floor(plen * (new_w * new_h) / (w * h)) AS BIGINT)) END AS n_out
+  FROM dims
+), exploded AS (
+  SELECT media_id, kind, format, new_w, new_h, duration_ms, plen, n_out, s,
+         unnest(generate_series(0, n_out - 1)) AS i
+  FROM sized
+)
+SELECT media_id, kind, format, new_w::INT AS width, new_h::INT AS height,
+       duration_ms,
+       sha256(string_agg(substr(s, CAST((i * plen) // n_out AS BIGINT) + 1, 1),
+                         '' ORDER BY i)) AS payload_sha,
+       n_out AS payload_bytes
+FROM exploded
+GROUP BY media_id, kind, format, new_w, new_h, duration_ms, n_out
+""",
+    # stub frame sampling reconstructed in SQL: span = max(1, plen//4),
+    # frame f = payload[f*span:(f+1)*span], stamp = dur*f//4 —
+    # byte-identical to FrameSample.__call__
+    "media_frames": f"""
+WITH v AS (
+  SELECT media_id, duration_ms::BIGINT AS dur, decode(payload) AS s,
+         greatest(1, octet_length(payload)::BIGINT // 4) AS span
+  FROM read_parquet('{VIDEO_TABLE_PATH}') WHERE kind = 'video'
+)
+SELECT media_id, i::INT AS frame_no,
+       CAST(greatest(dur, 0) * i // 4 AS INT) AS frame_ms,
+       sha256(substr(s, i * span + 1, span)) AS payload_sha,
+       length(substr(s, i * span + 1, span))::BIGINT AS payload_bytes
+FROM v, generate_series(0, 3) AS g(i)
+""",
     "dedup_exact": "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY sha256(text)",
     "dedup_incremental": """
 SELECT n.doc_id, sha256(n.text) AS content_sha
@@ -4659,11 +4723,26 @@ SELECT o_orderkey::BIGINT AS o_orderkey, o_custkey::BIGINT AS o_custkey,
        o_orderdate
 FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 50 OFFSET 100
 """,
-    # URL domain histogram — identical RE2 patterns on both sides
-    "domain_counts": f"""
-WITH toks AS (
+    # URL domain histogram — identical RE2 patterns on both sides; the
+    # URL injection is reconstructed INLINE from `documents` (the same
+    # pure function of (doc_id, text) as _urldoc_table), so the oracle
+    # is pinned to the suite's own scale with no cached side file
+    "domain_counts": """
+WITH urldocs AS (
+  SELECT text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' http://site' || (doc_id % 37)::VARCHAR
+                 || '.example.com/p' || doc_id::VARCHAR ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' https://cdn' || (doc_id % 11)::VARCHAR
+                 || '.example.org/x?q=' || doc_id::VARCHAR ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' http://MIXED.Case.Net/skip' ELSE '' END AS text
+  FROM documents
+),
+toks AS (
   SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
-  FROM read_parquet('{URLDOC_TABLE_PATH}')
+  FROM urldocs
 ),
 urls AS (
   SELECT regexp_extract(tok, '^https?://([a-z0-9.-]+)', 1) AS domain

@@ -189,7 +189,8 @@ def _lookup_attach(batch: pa.Table, key: str, payload: list[str], ref) -> pa.Tab
 def broadcast_lookup_join(left_ds, right_ds, on: str, right_on: str | None = None,
                           payload: list[str] | None = None,
                           n_partitions: int | None = None,
-                          broadcast_limit: int = LOOKUP_BROADCAST_ROWS):
+                          broadcast_limit: int = LOOKUP_BROADCAST_ROWS,
+                          payload_types: dict | None = None):
     """INNER equi-join against a UNIQUE-KEY lookup table (dimension
     join): left rows keep every left column plus the right `payload`
     columns; rows with no match drop.  Below `broadcast_limit` rows
@@ -199,7 +200,10 @@ def broadcast_lookup_join(left_ds, right_ds, on: str, right_on: str | None = Non
     hash-join exchange pays seconds of fixed actor cost.  Above the
     gate it falls back to Dataset.join.  Duplicate right keys raise
     (a lookup table with repeated keys would silently multiply rows
-    in the broadcast path but not the hash path)."""
+    in the broadcast path but not the hash path).  `payload_types`
+    optionally pins {column: pa.DataType} for the zero-row right-side
+    fallback so empty join outputs keep real payload types instead of
+    pa.null() when Ray reports no schema."""
     import ray
 
     from chearch_ray.stages.partition import (datasets_size_bytes,
@@ -217,14 +221,25 @@ def broadcast_lookup_join(left_ds, right_ds, on: str, right_on: str | None = Non
             tbl = pa.concat_tables(parts).combine_chunks()
         else:
             # zero-row right side: Ray may report no schema at all for
-            # a materialized empty map output — the join result is
-            # empty either way, so null-typed placeholders suffice
+            # a materialized empty map output.  The join result is
+            # empty either way, but downstream consumers (typed
+            # concats, schema assertions) still see the payload column
+            # TYPES — prefer, in order: the caller's `payload_types`
+            # hint, Ray's declared base schema, null-typed last resort
             sch = right.schema()
             base = getattr(sch, "base_schema", None) if sch is not None else None
             cols_needed = [right_on] + [c for c in payload if c != right_on]
-            tbl = (base.empty_table() if isinstance(base, pa.Schema)
-                   else pa.table({c: pa.array([], type=pa.null())
-                                  for c in cols_needed}))
+            if isinstance(base, pa.Schema):
+                tbl = base.empty_table()
+            else:
+                hints = payload_types or {}
+                tbl = pa.table({c: pa.array([], type=hints.get(c, pa.null()))
+                                for c in cols_needed})
+            if payload_types:  # hint wins even over a declared schema
+                tbl = pa.table({
+                    c: (pa.array([], type=payload_types[c])
+                        if c in payload_types else tbl[c])
+                    for c in tbl.column_names})
         keys = tbl[right_on].to_numpy().astype(np.int64) if len(tbl) else np.empty(0, np.int64)
         order = np.argsort(keys, kind="stable")
         keys = keys[order]

@@ -128,8 +128,9 @@ def extract_media_features(ds, backend: str = "stub", concurrency: int = 2,
 
 
 class MediaResize:
-    """Actor-pool stage: image/video payload -> resized payload with
-    updated (width, height) metadata.
+    """Actor-pool stage: image payload -> resized payload with updated
+    (width, height) metadata; non-image rows (audio/video carry -1
+    sentinel dims) pass through unchanged.
 
     `backend="stub"` performs a REAL deterministic byte-level
     downsample (stride sampling of the payload to the target pixel
@@ -161,15 +162,23 @@ class MediaResize:
             raise NotImplementedError(
                 f"{self.backend} decode unavailable in this container; "
                 "use backend='stub'")
+        import pyarrow.compute as pc
+
+        # only images resize; audio/video rows (width == height == -1)
+        # pass through untouched — clamping their sentinel dims would
+        # silently "resize" them to 1x1 with an empty payload
+        is_img = pc.equal(batch["kind"], "image").to_numpy(zero_copy_only=False)
         w = batch["width"].to_numpy().astype(np.int64)
         h = batch["height"].to_numpy().astype(np.int64)
         side = np.maximum(np.maximum(w, h), 1)
         scale = np.minimum(1.0, self.max_side / side)
-        new_w = np.maximum(1, (w * scale).astype(np.int64))
-        new_h = np.maximum(1, (h * scale).astype(np.int64))
+        new_w = np.where(is_img, np.maximum(1, (w * scale).astype(np.int64)), w)
+        new_h = np.where(is_img, np.maximum(1, (h * scale).astype(np.int64)), h)
         payloads = batch["payload"].to_pylist()
         out = [self._resize_stub(p, int(a), int(b), int(na), int(nb))
-               for p, a, b, na, nb in zip(payloads, w, h, new_w, new_h)]
+               if img else p
+               for p, a, b, na, nb, img
+               in zip(payloads, w, h, new_w, new_h, is_img)]
         return pa.table(
             {
                 "media_id": batch["media_id"],

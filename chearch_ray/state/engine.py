@@ -310,16 +310,19 @@ class QueryEngine:
         node = expand_synonyms(parse_query(query, default_op), synonyms)
         return self.search(node, k=k)
 
-    def search_parsed(self, query: str, k: int | None = None) -> pa.Table:
+    def search_parsed(self, query: str, k: int | None = None,
+                      default_op: str = "and") -> pa.Table:
         """BM25 over the full query-string grammar INCLUDING Lucene
         `field:value` metadata filters and `term^boost` weights
         (functions/queryparse.py `parse_full`): top-level field tokens
         become the docmap filter (`lang:py lang:go merge` == search
         "merge" with filter {"lang": ["py", "go"]}), boosts multiply
-        the boosted term's idf, the rest is the usual grammar."""
+        the boosted term's idf, the rest is the usual grammar.
+        `default_op` sets the implicit operator joining juxtaposed
+        residual terms ("and" = the grammar's documented default)."""
         from chearch_ray.functions.queryparse import parse_full
 
-        node, filters, boosts = parse_full(query)
+        node, filters, boosts = parse_full(query, default_op)
         return self.search(node, k=k, filter=filters, boosts=boosts)
 
     def search(self, query: str | ast.Node, k: int | None = None, default_op: str = "or",

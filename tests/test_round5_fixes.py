@@ -1,0 +1,109 @@
+"""Round-5 review fixes (ADVICE r4): default-op threading through the
+grammar parser, exact overflow-proof moment accumulation, MediaResize
+mixed-kind passthrough, broadcast_lookup_join zero-row type hints."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from chearch_ray import ast
+from chearch_ray.functions.queryparse import QueryParseError, parse, parse_full
+
+
+def test_parse_default_op_or_juxtaposition():
+    # juxtaposed terms join with the chosen default operator
+    assert parse("merge sort", "or") == ast.Or(ast.Term("merge"),
+                                               ast.Term("sort"))
+    # the default default stays AND (grammar's documented behavior)
+    assert parse("merge sort") == ast.And(ast.Term("merge"),
+                                          ast.Term("sort"))
+    # explicit AND binds tighter than the implicit OR joins
+    assert parse("a b AND c", "or") == ast.Or(
+        ast.Term("a"), ast.And(ast.Term("b"), ast.Term("c")))
+    # parens inherit the default op
+    assert parse("(a b) OR c", "or") == ast.Or(
+        ast.Or(ast.Term("a"), ast.Term("b")), ast.Term("c"))
+
+
+def test_parse_default_op_or_negation_anchors():
+    # flat-parser parity: positives OR, negations anchor under AndNot
+    assert parse("a -b c", "or") == ast.AndNot(
+        ast.Or(ast.Term("a"), ast.Term("c")), ast.Term("b"))
+    with pytest.raises(QueryParseError):
+        parse("-a -b", "or")  # pure negation stays unbounded
+    with pytest.raises(QueryParseError):
+        parse("x", "xor")
+
+
+def test_parse_full_threads_default_op():
+    node, filters, boosts = parse_full("lang:py lang:go merge sort", "or")
+    assert node == ast.Or(ast.Term("merge"), ast.Term("sort"))
+    assert filters == {"lang": ["py", "go"]}
+    assert boosts is None
+    # default unchanged: residual terms AND together
+    node, _, _ = parse_full("lang:py merge sort")
+    assert node == ast.And(ast.Term("merge"), ast.Term("sort"))
+
+
+def test_exact_sum_prod_no_int64_wrap():
+    from chearch_ray.pipelines.analytics import _exact_sum_prod
+
+    # price-scale cents squared over a large block wraps int64
+    # ((1.1e7)^2 * 1e5 = 1.21e19 > 2^63) — the exact path must not
+    a = np.full(100_000, 11_000_000, dtype=np.int64)
+    assert _exact_sum_prod(a, a) == 100_000 * 11_000_000 ** 2
+    assert _exact_sum_prod(a) == 100_000 * 11_000_000
+    # single-product overflow falls back to the Python-int loop
+    b = np.full(3, 4_000_000_000, dtype=np.int64)
+    assert _exact_sum_prod(b, b) == 3 * 4_000_000_000 ** 2
+    # mixed signs and empty
+    c = np.array([5, -7, 11], dtype=np.int64)
+    assert _exact_sum_prod(c, c) == 25 + 49 + 121
+    assert _exact_sum_prod(np.array([], dtype=np.int64)) == 0
+
+
+def test_media_resize_passes_non_images_through():
+    from chearch_ray.stages.multimodal import MediaResize, synthesize_media_table
+
+    imgs = synthesize_media_table(8, kind="image", seed=1)
+    vids = synthesize_media_table(8, kind="video", seed=2)
+    mixed = pa.concat_tables([imgs, vids])
+    out = MediaResize(max_side=16)(mixed)
+    assert len(out) == 16
+    kinds = out["kind"].to_pylist()
+    for i, kind in enumerate(kinds):
+        if kind == "video":
+            # sentinel dims and payload untouched — NOT clamped to 1x1/b''
+            assert out["width"][i].as_py() == -1
+            assert out["height"][i].as_py() == -1
+            assert out["payload"][i].as_py() == mixed["payload"][i].as_py()
+        else:
+            assert max(out["width"][i].as_py(), out["height"][i].as_py()) <= 16
+            assert len(out["payload"][i].as_py()) > 0
+
+
+def test_broadcast_lookup_join_zero_row_type_hint(ray_session):
+    import ray.data
+
+    from chearch_ray.stages.joins import broadcast_lookup_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], type=pa.int64()),
+        "x": pa.array(["a", "b"])}))
+    # a right side whose every block filters to zero rows: Ray may
+    # lose the schema, so the hint must pin the payload types
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([9], type=pa.int64()),
+        "name": pa.array(["z"])})).map_batches(
+            lambda b: b.filter(pa.array([False] * len(b))),
+            batch_format="pyarrow")
+    out = broadcast_lookup_join(
+        left, right, on="k", payload=["name"],
+        payload_types={"name": pa.string()})
+    assert out.count() == 0
+    assert out.schema().base_schema.field("name").type == pa.string()
+    # the hint wins even when Ray does report a declared schema —
+    # proves the hint path is live, not shadowed by base_schema
+    out2 = broadcast_lookup_join(left, right, on="k", payload=["name"],
+                                 payload_types={"name": pa.large_string()})
+    assert out2.schema().base_schema.field("name").type == pa.large_string()

@@ -159,3 +159,28 @@ def test_no_lazy_count_then_reuse():
         "count() on a possibly-lazy dataset (double execution): "
         f"{offenders} — materialize first or whitelist with a reason"
     )
+
+
+def test_no_pandas_roundtrip_in_library_code():
+    """VERDICT r4 #7: per-batch kernels must stay Arrow-native — a
+    `.to_pandas()` / `.fillna(` round-trip inside a hot kernel copies
+    every column.  Library pipeline modules (everything except the
+    driver contract, whose to_pandas calls sit on final bounded
+    results the contract must return) must contain NONE; stages/ are
+    already covered by the gather whitelist above."""
+    base = os.path.join(os.path.dirname(__file__), "..", "chearch_ray")
+    offenders = []
+    for path in sorted(glob.glob(os.path.join(base, "pipelines", "*.py"))):
+        if os.path.basename(path) == "driver_contract.py":
+            continue
+        tree = ast.parse(open(path).read())
+        for node in ast.walk(tree):
+            if (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr in ("to_pandas", "fillna")):
+                offenders.append((os.path.basename(path), node.func.attr,
+                                  node.lineno))
+    assert not offenders, (
+        "pandas round-trip in a library pipeline module — use pure "
+        f"Arrow (pc.if_else/fill_null + cast): {offenders}"
+    )
