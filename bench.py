@@ -367,6 +367,39 @@ def run_bench() -> dict:
         timings["ivf_nprobe4_recall_at10"] = _hits / (10 * len(_qids))
     except Exception as exc:  # recall row must never sink the bench
         print(f"ivf recall row skipped: {exc}", file=sys.stderr)
+    # Same measurement on CLUSTERABLE embeddings (mixture of
+    # Gaussians): the sf embeddings are near-uniform noise, so their
+    # recall number says nothing about the index.  This is the row
+    # that demonstrates IVF works where clusters exist; the noise row
+    # above stays for contrast (VERDICT r4 #3).
+    try:
+        import numpy as _np
+        import pyarrow.compute as _pc
+
+        from chearch_ray.sources.corpus import clusterable_embeddings
+        from chearch_ray.stages.similarity import (ivf_build, ivf_search,
+                                                   knn_brute_force)
+
+        _tbl = clusterable_embeddings(4096, dim=64, n_clusters=16, seed=123)
+        _qids = [3, 257, 1111, 2048, 4000]
+        _emb_np = _np.asarray(_tbl["embedding"].to_pylist(), dtype=_np.float64)
+        _qmat = _emb_np[_qids]
+        _ds = ray.data.from_arrow(_tbl.select(["vec_id", "embedding"]))
+        _cent, _asg = ivf_build(_ds, n_centroids=16, sample_size=2048)
+        _asg = _asg.materialize()
+        t0 = time.perf_counter()
+        _appr = ivf_search(_asg, _cent, _qmat, k=10, nprobe=4)
+        timings["ivf_clusterable_search_sec"] = time.perf_counter() - t0
+        _hits = 0
+        for _qi in range(len(_qids)):
+            _true = set(
+                knn_brute_force(_ds, _qmat[_qi:_qi + 1], k=10)["vec_id"].to_pylist())
+            _got = set(
+                _appr.filter(_pc.equal(_appr["query_id"], _qi))["vec_id"].to_pylist())
+            _hits += len(_true & _got)
+        timings["ivf_clusterable_recall_at10"] = _hits / (10 * len(_qids))
+    except Exception as exc:
+        print(f"clusterable ivf recall row skipped: {exc}", file=sys.stderr)
     t0 = time.perf_counter()
     dc.q_suggest_indexed(sf_dir)
     timings["sf_suggest_index_sec"] = time.perf_counter() - t0

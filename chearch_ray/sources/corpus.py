@@ -341,3 +341,33 @@ def reference_shape_corpus(n_docs: int, seed: int = 17, num_shards: int = 16) ->
             "content": content,
         }
     )
+
+
+def clusterable_embeddings(n: int, dim: int = 64, n_clusters: int = 16,
+                           seed: int = 123, noise: float = 0.08) -> pa.Table:
+    """Mixture-of-Gaussians embedding fixture (same schema as the
+    driver `embeddings` table: vec_id int64, embedding list<float32>,
+    label int32 = the true cluster).
+
+    The driver testdata embeddings are near-uniform noise — measured
+    barely clusterable — so IVF recall on them says nothing about the
+    index (VERDICT r4 #3).  This fixture has real cluster structure:
+    unit-norm cluster centers with small isotropic noise, renormalized,
+    so an IVF probe of the right centroid recovers a query's true
+    neighbors.  Fully vectorized; content is a pure function of the
+    parameters."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, n_clusters, size=n)
+    pts = centers[labels] + noise * rng.normal(size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    flat = pa.array(pts.astype(np.float32).ravel(), type=pa.float32())
+    offsets = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.ListArray.from_arrays(offsets, flat),
+            "label": pa.array(labels.astype(np.int32)),
+        }
+    )

@@ -141,12 +141,29 @@ class QueryEngine:
             # balanced when segment sizes are hash-uniform.
             n_groups = max(1, min(max_actors, len(self.segments)))
             self.actor_segments = [self.segments[i::n_groups] for i in range(n_groups)]
-            cls = ray.remote(num_cpus=num_cpus_per_actor)(SearcherGroup)
+            # SPREAD: locale-resident searchers belong one-per-node
+            # (reference searchindex.chpl:25-28 runs one index shard
+            # per locale) — Ray's default packing would pile every
+            # group onto the first worker of a multi-node cluster and
+            # serve all queries through one node's memory bandwidth.
+            # Single-node sessions are unaffected (only one target).
+            cls = ray.remote(num_cpus=num_cpus_per_actor,
+                             scheduling_strategy="SPREAD")(SearcherGroup)
             self._actors = [
                 cls.remote(index_dir, segs, self.cfg) for segs in self.actor_segments
             ]
         else:
             self._local = [SegmentSearcher(index_dir, seg, self.cfg) for seg in self.segments]
+
+    def actor_nodes(self) -> list[str]:
+        """Ray node id per searcher-group actor (placement diagnostic:
+        on a multi-node cluster the SPREAD strategy should yield more
+        than one distinct id).  Empty when use_actors=False."""
+        if not self.use_actors:
+            return []
+        import ray
+
+        return ray.get([a.node_id.remote() for a in self._actors])
 
     # ------------------------------------------------------------ stats
     def df(self, term: str) -> int:

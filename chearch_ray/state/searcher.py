@@ -1379,6 +1379,13 @@ class SearcherGroup:
         self.segs = list(segs)
         self.members = [SegmentSearcher(index_dir, s, cfg) for s in segs]
 
+    def node_id(self) -> str:
+        """The Ray node hosting this group — the 'locale id' analogue;
+        lets callers verify placement spans a cluster's workers."""
+        import ray
+
+        return ray.get_runtime_context().get_node_id()
+
     def search_bm25(self, node, k, idfs, avgdl, after=None) -> pa.Table:
         return pa.concat_tables(
             [m.search_bm25(node, k, idfs, avgdl, after=after) for m in self.members]

@@ -46,6 +46,9 @@ def main() -> int:
     ap.add_argument("--format", default="parquet", choices=["parquet", "json", "csv", "text"])
     ap.add_argument("--text-column", default=None,
                     help="rename this column to `content` (e.g. `text` for the documents table)")
+    ap.add_argument("--segments", type=int, default=0,
+                    help="override planned segment count (0 = auto from corpus "
+                         "size; >1 lets small test corpora span searcher actors)")
     args = ap.parse_args()
 
     import ray
@@ -99,6 +102,8 @@ def main() -> int:
     )
     n_est = args.num_docs_estimate or corpus.count()
     num_segments, num_term_shards = plan_partitions(n_est)
+    if args.segments:
+        num_segments = args.segments
     cfg = EngineConfig(
         num_segments=num_segments, num_term_shards=num_term_shards, codec=args.codec
     )
