@@ -241,9 +241,50 @@ def run_bench() -> dict:
     query_text_pipelined("127.0.0.1", srv2.port, ["def return"] * 8)  # warm
     t = time.perf_counter()
     out = query_text_pipelined("127.0.0.1", srv2.port, ["def return"] * n_pipe)
+    # hot-query row: after warmup this serves from the WireEngine text
+    # LRU (immutable-index query cache) — the production hot path
     timings["tcp_text_qps"] = n_pipe / (time.perf_counter() - t)
     assert len(out) == n_pipe and out[0]
+    # distinct-query row: every request misses the cache, so this is
+    # the honest BM25-scoring floor of the text path (profiled:
+    # postings intersection + doc-length gather dominate)
+    from chearch_ray.sources.corpus import vocab as _vocab
+
+    _terms = _vocab(42)
+    _distinct = [f"{_terms[i % 97]} {_terms[(i * 13 + 1) % 211]}"
+                 for i in range(n_pipe)]
+    # no warm pass: the code path is already hot from the row above,
+    # and pre-sending any of these would turn misses into cache hits
+    t = time.perf_counter()
+    out = query_text_pipelined("127.0.0.1", srv2.port, _distinct)
+    timings["tcp_text_distinct_qps"] = n_pipe / (time.perf_counter() - t)
+    assert len(out) == n_pipe
     srv2.stop()
+
+    # fork-per-listener analogue (tcp/tcp_server.c:24
+    # MIN_CHILD_PROCESS_COUNT 4): 4 SO_REUSEPORT processes each load
+    # the index and share the port; 16 pipelined client connections
+    # spread across them.  Measured on CACHE-MISSING term pairs over
+    # pre-warmed postings, so the row is the multi-process scoring
+    # floor, not a cache artifact.
+    try:
+        from chearch_ray.serve import query_text_multi, serve_multiprocess
+
+        mprocs, mport = serve_multiprocess(index_dir, procs=4, workers=2)
+        try:
+            for _ in range(3):  # warm every child's postings shards
+                query_text_multi("127.0.0.1", mport, _terms[:211], conns=16)
+            _mp_q = [f"{_terms[(i * 7 + 3) % 97]} {_terms[(i * 29 + 5) % 211]}"
+                     for i in range(n_pipe)]
+            t = time.perf_counter()
+            out = query_text_multi("127.0.0.1", mport, _mp_q, conns=16)
+            timings["tcp_text_mp4_qps"] = n_pipe / (time.perf_counter() - t)
+            assert len(out) == n_pipe and all(r is not None for r in out)
+        finally:
+            for p in mprocs:
+                p.terminate()
+    except Exception as exc:  # mp row must never sink the bench
+        print(f"tcp_text_mp4 row skipped: {exc}", file=sys.stderr)
 
     # ---- reference-workload ingest (synthdataindexer.chpl shape:
     # 1M tiny docs, 1-10 uniform terms from a 16,384 vocab) -----------

@@ -149,6 +149,23 @@ def cmd_fsck(args: argparse.Namespace) -> int:
 
 
 def cmd_serve(args: argparse.Namespace) -> int:
+    if getattr(args, "procs", 0) and args.procs > 1:
+        # reference fork model (tcp/tcp_server.c:24): N processes
+        # share the listen port via SO_REUSEPORT; no Ray in children
+        from chearch_ray.serve import serve_multiprocess
+
+        procs, port = serve_multiprocess(
+            args.index, host=args.host, port=args.port, procs=args.procs
+        )
+        print(f"serving v2 pipelined protocol on {args.host}:{port} "
+              f"across {len(procs)} processes", flush=True)
+        try:
+            for p in procs:
+                p.join()
+        except KeyboardInterrupt:
+            for p in procs:
+                p.terminate()
+        return 0
     _ensure_ray()
     from chearch_ray.serve import TcpQueryServer, WireEngine
     from chearch_ray.state.engine import QueryEngine
@@ -238,6 +255,9 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--port", type=int, default=3033)  # chearch_srv.chpl:15
     v.add_argument("--pipelined", action="store_true",
                    help="v2 id-framed protocol (many in-flight requests per connection)")
+    v.add_argument("--procs", type=int, default=1,
+                   help=">1: SO_REUSEPORT multi-process serving (the "
+                        "reference's fork-per-listener model, tcp_server.c:24)")
     v.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

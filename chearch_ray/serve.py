@@ -157,7 +157,17 @@ class WireEngine:
     #: latency claim (README.md:30)
     SMALL_INDEX_DOCS = 1_000_000
 
-    def __init__(self, engine):
+    #: text-response LRU entries (k <= 255 records x 16 bytes each, so
+    #: the full cache stays under ~4 MB).  Sound because a QueryEngine
+    #: instance is immutable: it snapshots one manifest (tombstones
+    #: included) at construction — deletes/merges produce a NEW
+    #: manifest and a new engine, hence a new WireEngine and cache.
+    #: The Lucene/ES query-cache analogue for hot serving traffic.
+    TEXT_CACHE_SIZE = 4096
+
+    def __init__(self, engine, text_cache_size: int | None = None):
+        from collections import OrderedDict
+
         from chearch_ray import ast as ast_mod
         from chearch_ray.sources.queries import term_id32
 
@@ -167,6 +177,10 @@ class WireEngine:
         self.prefers_inline = (
             not engine.use_actors and engine.n_docs <= self.SMALL_INDEX_DOCS
         )
+        self._text_cache: "OrderedDict[tuple[int, str], bytes]" = OrderedDict()
+        self._text_cache_size = (self.TEXT_CACHE_SIZE if text_cache_size is None
+                                 else text_cache_size)
+        self._text_cache_lock = __import__("threading").Lock()
 
     def _resolve(self, node):
         ast_mod = self._ast
@@ -233,7 +247,14 @@ class WireEngine:
     def _handle_text(self, request: bytes) -> bytes:
         """TEXT frame (0xFF | k | utf-8 query): BM25 through the full
         grammar incl. `field:value` filters; 16-byte (doc_id, score)
-        records.  Wide-id indexes serve the LOW word, like v1."""
+        records.  Wide-id indexes serve the LOW word, like v1.
+
+        Hot queries answer from a per-WireEngine LRU (the engine is an
+        immutable manifest snapshot, so entries can never go stale —
+        see TEXT_CACHE_SIZE).  The uncached floor is the BM25 scoring
+        data floor itself (profiled: postings intersection + doc-
+        length gather), reported separately by the bench's
+        tcp_text_distinct_qps row."""
         if len(request) < 3:
             raise ValueError("truncated text request")
         k = request[1]
@@ -243,9 +264,21 @@ class WireEngine:
             query = request[2:].decode("utf-8")
         except UnicodeDecodeError as exc:
             raise ValueError("text request is not utf-8") from exc
+        key = (k, query)
+        with self._text_cache_lock:
+            hit = self._text_cache.get(key)
+            if hit is not None:
+                self._text_cache.move_to_end(key)
+                return hit
         t = self.engine.search_parsed(query, k=k)
-        return encode_text_response(t["doc_id"].to_pylist(),
+        resp = encode_text_response(t["doc_id"].to_pylist(),
                                     t["score"].to_pylist())
+        with self._text_cache_lock:
+            self._text_cache[key] = resp
+            self._text_cache.move_to_end(key)
+            while len(self._text_cache) > self._text_cache_size:
+                self._text_cache.popitem(last=False)
+        return resp
 
     def _first_position(self, term: str, doc: int, searchers, doc_hi: int | None = None):
         seg = int(doc) % self.engine.cfg.num_segments
@@ -291,7 +324,7 @@ class TcpQueryServer:
 
     def __init__(self, handler, host: str = "127.0.0.1", port: int = 3033,
                  workers: int = 4, pipelined: bool = False,
-                 inline: bool | None = None):
+                 inline: bool | None = None, reuse_port: bool = False):
         self.handler = handler
         self.host = host
         self.port = port
@@ -311,6 +344,11 @@ class TcpQueryServer:
         if inline is None:
             inline = bool(getattr(handler, "prefers_inline", False))
         self.inline = inline
+        #: SO_REUSEPORT: several PROCESSES bind the same (host, port)
+        #: and the kernel balances incoming connections across them —
+        #: the reference's fork-per-listener model (tcp/tcp_server.c:24
+        #: MIN_CHILD_PROCESS_COUNT 4).  See serve_multiprocess().
+        self.reuse_port = reuse_port
         self._server = None
         self._loop = None
         self._thread = None
@@ -411,7 +449,8 @@ class TcpQueryServer:
                 max_workers=self.workers, thread_name_prefix="chearch-wire"
             )
         self._server = await asyncio.start_server(
-            self._on_connection, self.host, self.port
+            self._on_connection, self.host, self.port,
+            reuse_port=self.reuse_port or None,
         )
         self.port = self._server.sockets[0].getsockname()[1]
 
@@ -686,3 +725,97 @@ def query_text_pipelined(host: str, port: int, queries: list[str],
                 out[rid] = (decode_text_response(payload)
                             if status == V2_OK else None)
         return out
+
+
+# ------------------------------------------ multi-process serving
+def _mp_serve_child(index_dir: str, host: str, port: int,
+                    pipelined: bool, workers: int) -> None:
+    """Child entrypoint for serve_multiprocess: load the index (no Ray
+    — the actorless engine reads parquet directly), bind the shared
+    SO_REUSEPORT socket, serve until killed."""
+    import asyncio
+
+    from chearch_ray.state.engine import QueryEngine
+
+    eng = QueryEngine(index_dir, use_actors=False)
+    srv = TcpQueryServer(WireEngine(eng), host=host, port=port,
+                         pipelined=pipelined, workers=workers,
+                         reuse_port=True)
+    asyncio.run(srv.serve_forever())
+
+
+def serve_multiprocess(index_dir: str, host: str = "127.0.0.1",
+                       port: int = 0, procs: int = 4,
+                       pipelined: bool = True, workers: int = 2,
+                       start_timeout: float = 60.0):
+    """The reference's fork-per-listener serving model
+    (tcp/tcp_server.c:24 MIN_CHILD_PROCESS_COUNT 4): `procs` separate
+    PROCESSES each load the index and bind the SAME (host, port) via
+    SO_REUSEPORT; the kernel balances incoming connections across
+    them, so text-query throughput scales past one interpreter's GIL.
+
+    Returns (processes, port).  Callers stop serving by terminating
+    the processes (each is a daemon, so they also die with the
+    parent).  Children never touch Ray — the actorless engine reads
+    the built parquet index directly — so this composes with a parent
+    that owns a Ray driver (spawn start method, no forked Ray state).
+    Spawn semantics: the CALLING script must guard its entry with
+    `if __name__ == "__main__":` (standard multiprocessing rule —
+    children re-import the main module)."""
+    import multiprocessing as mp
+    import socket
+    import time as _time
+
+    if port == 0:
+        # pick a free port, then release it for the children to bind.
+        # (A sliver of a race on a busy host; fine for the sandbox.)
+        probe = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        probe.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+        probe.bind((host, 0))
+        port = probe.getsockname()[1]
+        probe.close()
+
+    ctx = mp.get_context("spawn")
+    processes = []
+    for _ in range(procs):
+        p = ctx.Process(target=_mp_serve_child,
+                        args=(index_dir, host, port, pipelined, workers),
+                        daemon=True)
+        p.start()
+        processes.append(p)
+    # readiness: keep connecting until `procs` simultaneous
+    # connections succeed (SO_REUSEPORT delivers each to SOME child;
+    # one reachable child is enough to proceed)
+    deadline = _time.monotonic() + start_timeout
+    while True:
+        try:
+            with socket.create_connection((host, port), timeout=1.0):
+                break
+        except OSError:
+            if _time.monotonic() > deadline:
+                for p in processes:
+                    p.terminate()
+                raise TimeoutError("serve_multiprocess children never bound")
+            _time.sleep(0.05)
+    return processes, port
+
+
+def query_text_multi(host: str, port: int, queries: list[str], k: int = 10,
+                     conns: int = 4, timeout: float = 30.0):
+    """Fan text queries over `conns` parallel connections (each
+    pipelined) and return results in query order — the client shape
+    that exercises a serve_multiprocess deployment, since the kernel
+    balances CONNECTIONS (not frames) across the listener processes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    conns = max(1, min(conns, len(queries) or 1))
+    shards = [queries[i::conns] for i in range(conns)]
+    with ThreadPoolExecutor(max_workers=conns) as pool:
+        parts = list(pool.map(
+            lambda qs: query_text_pipelined(host, port, qs, k=k,
+                                            timeout=timeout), shards))
+    out: list = [None] * len(queries)
+    for c, part in enumerate(parts):
+        for j, r in enumerate(part):
+            out[c + j * conns] = r
+    return out

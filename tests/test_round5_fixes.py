@@ -137,3 +137,70 @@ def test_ivf_recall_on_clusterable_embeddings(ray_session):
                                        qi))["vec_id"].to_pylist())
         hits += len(true & got)
     assert hits / (10 * len(qids)) >= 0.9
+
+
+def test_wire_text_cache_hit_identical_and_bounded(ray_session, tmp_path):
+    """The text-serving LRU must return byte-identical responses on
+    hits, key on (k, query), and stay bounded by eviction."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.serve import WireEngine, build_text_request
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.engine import QueryEngine
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    corpus = synthetic_corpus(120, seed=42)
+    build_index(ray.data.from_arrow(corpus), str(tmp_path / "tidx"), cfg)
+    eng = QueryEngine(str(tmp_path / "tidx"), use_actors=False)
+    wire = WireEngine(eng, text_cache_size=3)
+
+    req = build_text_request("def return", k=5)
+    cold = wire.handle(req)
+    assert len(wire._text_cache) == 1
+    assert wire.handle(req) == cold  # hit, byte-identical
+    # a different k is a different cache entry (different result set)
+    req3 = build_text_request("def return", k=3)
+    assert len(wire.handle(req3)) < len(cold)
+    # eviction keeps the cache bounded at its size
+    for q in ("merge sort", "filter join", "hash scan"):
+        wire.handle(build_text_request(q, k=5))
+    assert len(wire._text_cache) == 3
+    # evicted entries recompute to the same bytes
+    assert wire.handle(req) == cold
+    eng.close()
+
+
+def test_serve_multiprocess_reuseport(ray_session, tmp_path):
+    """SO_REUSEPORT fork-model serving (reference tcp_server.c:24):
+    multiple processes share the port; text queries over several
+    connections all answer, matching the in-process engine."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.serve import (WireEngine, build_text_request,
+                                   decode_text_response, query_text_multi,
+                                   serve_multiprocess)
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.engine import QueryEngine
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    corpus = synthetic_corpus(120, seed=42)
+    build_index(ray.data.from_arrow(corpus), str(tmp_path / "mpidx"), cfg)
+    procs, port = serve_multiprocess(str(tmp_path / "mpidx"), procs=2,
+                                     workers=1)
+    try:
+        queries = ["def return", "merge sort", "filter join", "hash scan"] * 4
+        out = query_text_multi("127.0.0.1", port, queries, k=5, conns=4)
+        assert all(r is not None for r in out)
+        # parity with the in-process engine through the same codec
+        eng = QueryEngine(str(tmp_path / "mpidx"), use_actors=False)
+        want = decode_text_response(
+            WireEngine(eng).handle(build_text_request("def return", k=5)))
+        assert out[0] == want
+        eng.close()
+    finally:
+        for p in procs:
+            p.terminate()
