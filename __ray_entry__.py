@@ -34,12 +34,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for the SQL-expressible queries (incl.
-    phrase via positional tokenization, media_features via
-    sha256(decode(payload)), quality and langid as exact float
-    mirrors); the remaining keys (minhash_pairs, simhash_pairs,
-    fingerprint, embedding_neardup) are intentionally omitted ->
-    rows-only checks."""
+    """DuckDB-equivalent SQL for EVERY queries() entry — 151/151.
+    Highlights: phrase via positional tokenization; media_* via
+    sha256 of byte-exact stub reconstructions; quality/langid as
+    exact float mirrors; fingerprint/minhash_pairs/simhash_pairs via
+    a recursive-CTE FNV-1a fold with HUGEINT mod-2^64 arithmetic
+    (numpy uint64 wraparound, reproduced bit-exactly in SQL)."""
     from chearch_ray.pipelines.driver_contract import ORACLE_SQL
 
     return dict(ORACLE_SQL)

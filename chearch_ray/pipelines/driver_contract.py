@@ -1914,13 +1914,21 @@ def q_weighted_sample(sf_dir: str) -> pa.Table:
 
 
 def q_fingerprint(sf_dir: str) -> pa.Table:
+    """winnowing-style doc fingerprint (min rolling hash over FNV
+    token-trigram windows).  EXACT-oracled: the DuckDB mirror folds
+    the same FNV-1a per token (recursive CTE over bytes, HUGEINT
+    mod-2^64 arithmetic) and the same window/min/xor rules.  The
+    uint64 fingerprint ships as its int64 BIT PATTERN on both sides so
+    the driver's integer canonicalization hashes identically."""
     import ray.data
 
     from chearch_ray.stages.textstats import Fingerprint
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     out = ds.map_batches(Fingerprint(), batch_format="pyarrow", batch_size=1024)
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    pdf = out.to_pandas()
+    pdf["fingerprint"] = pdf["fingerprint"].to_numpy().view(np.int64)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
 #: deterministic on-disk copies of the synthesized media tables; the
@@ -3102,6 +3110,71 @@ FROM s
 """
 
 
+#: shared CTE: positional tokens + FNV-1a uint64 token hashes (the
+#: recursive CTE folds each unique token's bytes with HUGEINT
+#: mod-2^64 arithmetic — exactly numpy uint64 wraparound).  Feeds the
+#: fingerprint / minhash_pairs / simhash_pairs oracles.
+_FNV_TOKS_CTE = """
+docs_t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM docs_t
+),
+uniq AS (SELECT DISTINCT tok FROM toks),
+fnv AS (
+  WITH RECURSIVE r AS (
+    SELECT tok, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM uniq
+    UNION ALL
+    SELECT tok, i + 1,
+           (xor(h, CAST(ord(substr(tok, i + 1, 1)) AS HUGEINT))
+             * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+    FROM r WHERE i < length(tok)
+  )
+  SELECT tok, h FROM r WHERE i = length(tok)
+),
+th AS (SELECT t.doc_id, t.pos, f.h FROM toks t JOIN fnv f USING (tok))
+"""
+
+#: trigram rolling-hash windows over th (Horner fold with the FNV
+#: prime, stepwise mod 2^64 == numpy uint64 wrap) — the shared shingle
+#: hash of Fingerprint and MinHashSignatures (_doc_shingle_hashes)
+_WINS_CTE = """
+wins AS (
+  SELECT a.doc_id,
+         ( ((a.h * 1099511628211 % CAST(18446744073709551616 AS HUGEINT))
+             * 1099511628211 % CAST(18446744073709551616 AS HUGEINT))
+           + (b.h * 1099511628211 % CAST(18446744073709551616 AS HUGEINT))
+           + c.h
+         ) % CAST(18446744073709551616 AS HUGEINT) AS win
+  FROM th a
+  JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+)
+"""
+
+
+def _minhash_perm_values() -> str:
+    """the 128 (a, b) universal-family constants of
+    MinHashSignatures(seed=42), as HUGEINT literals for the oracle."""
+    from chearch_ray.stages.dedup import MinHashSignatures
+
+    st = MinHashSignatures()
+    return ",\n    ".join(
+        f"({j}, CAST({int(a)} AS HUGEINT), CAST({int(b)} AS HUGEINT))"
+        for j, (a, b) in enumerate(zip(st.a, st.b)))
+
+
+_POW2_VALUES = ",\n    ".join(
+    f"({b}, CAST({1 << b} AS HUGEINT))" for b in range(64))
+_BANDPOW_VALUES = ",\n    ".join(
+    f"({b}, CAST({1 << (16 * b)} AS HUGEINT))" for b in range(4))
+
+
 ORACLE_SQL = {
     "token_counts": f"""
 WITH {TOK_CTE},
@@ -3583,6 +3656,119 @@ SELECT media_id, i::INT AS frame_no,
        sha256(substr(s, i * span + 1, span)) AS payload_sha,
        length(substr(s, i * span + 1, span))::BIGINT AS payload_bytes
 FROM v, generate_series(0, 3) AS g(i)
+""",
+    # winnowing fingerprint: FNV-1a per token folded in a recursive
+    # CTE (HUGEINT mod-2^64 == numpy uint64 wraparound), trigram
+    # window hash h0*P^2 + h1*P + h2 stepwise-mod, min per doc; docs
+    # with 1-2 tokens xor their token hashes; 0 tokens -> 0.  Output
+    # is the int64 BIT PATTERN of the uint64 value (both sides).
+    "fingerprint": f"""
+WITH {_FNV_TOKS_CTE},
+{_WINS_CTE},
+mins AS (SELECT doc_id, min(win) AS v FROM wins GROUP BY doc_id),
+xors AS (
+  SELECT doc_id, bit_xor(h) AS v
+  FROM th GROUP BY doc_id HAVING count(*) < 3
+),
+fp AS (
+  SELECT d.doc_id, COALESCE(m.v, x.v, CAST(0 AS HUGEINT)) AS v
+  FROM documents d
+  LEFT JOIN mins m ON m.doc_id = d.doc_id
+  LEFT JOIN xors x ON x.doc_id = d.doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN v - CAST(18446744073709551616 AS HUGEINT)
+                 ELSE v END AS BIGINT) AS fingerprint
+FROM fp
+""",
+    # MinHash+LSH near-dup pairs, EXACT mirror: 128 (a*x+b) mod 2^64
+    # permutations over the trigram shingle hashes (x = win mod
+    # 2^61-1), min per (doc, perm); candidates = equal Horner bucket
+    # fold of any 4-row band; est_jaccard = matching coords / 128.0
+    # (a power of two — the double is exact); threshold 0.5
+    "minhash_pairs": f"""
+WITH {_FNV_TOKS_CTE},
+{_WINS_CTE},
+xs AS (SELECT doc_id, win % CAST(2305843009213693951 AS HUGEINT) AS x FROM wins),
+perms(j, a, b) AS (VALUES
+    {_minhash_perm_values()}
+),
+sig AS (
+  SELECT doc_id, p.j,
+         min((p.a * xs.x % CAST(18446744073709551616 AS HUGEINT) + p.b)
+             % CAST(18446744073709551616 AS HUGEINT)) AS s
+  FROM xs, perms p GROUP BY doc_id, p.j
+),
+bvals AS (
+  SELECT doc_id, j // 4 AS band, list(s ORDER BY j) AS v
+  FROM sig GROUP BY doc_id, j // 4
+),
+bkeys AS (
+  SELECT doc_id, band,
+    (( (( (v[1] * 1099511628211 + v[2]) % CAST(18446744073709551616 AS HUGEINT) )
+        * 1099511628211 + v[3]) % CAST(18446744073709551616 AS HUGEINT) )
+     * 1099511628211 + v[4]) % CAST(18446744073709551616 AS HUGEINT) AS bucket
+  FROM bvals
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bkeys a JOIN bkeys b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 128.0 AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+GROUP BY c.doc_a, c.doc_b
+HAVING sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 128.0 >= 0.5
+""",
+    # SimHash near-dup pairs, EXACT mirror: per-bit majority over
+    # token-occurrence FNV hashes -> 64-bit simhash; candidates share
+    # any 16-bit band; hamming = bit_count over int64 bit patterns
+    "simhash_pairs": f"""
+WITH {_FNV_TOKS_CTE},
+pows(bit, p) AS (VALUES
+    {_POW2_VALUES}
+),
+bits AS (
+  SELECT t.doc_id, pw.bit,
+         sum(CASE WHEN (t.h // pw.p) % 2 = 1 THEN 1 ELSE 0 END) AS s,
+         count(*) AS c
+  FROM th t, pows pw
+  GROUP BY t.doc_id, pw.bit
+),
+sims AS (
+  SELECT b.doc_id,
+         sum(CASE WHEN 2 * b.s > b.c THEN pw.p ELSE CAST(0 AS HUGEINT) END) AS sh
+  FROM bits b JOIN pows pw USING (bit)
+  GROUP BY b.doc_id
+),
+bandpow(band, bp) AS (VALUES
+    {_BANDPOW_VALUES}
+),
+bnd AS (
+  SELECT s.doc_id, b.band, (s.sh // b.bp) % 65536 AS bucket, s.sh
+  FROM sims s, bandpow b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS ha, b.sh AS hb
+  FROM bnd a JOIN bnd b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT doc_a, doc_b,
+         bit_count(xor(
+           CAST(CASE WHEN ha >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN ha - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE ha END AS BIGINT),
+           CAST(CASE WHEN hb >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN hb - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE hb END AS BIGINT)))::BIGINT AS hamming
+  FROM cand
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
 """,
     "dedup_exact": "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY sha256(text)",
     "dedup_incremental": """

@@ -65,8 +65,10 @@ class MediaFeatureExtract:
     `backend="stub"` (default in this container) computes deterministic
     fake features (normalized byte histogram + length stats) so the
     pipeline shape — batch size, actor signature, output layout — is
-    real and testable.  `backend="pil"`/`"ffmpeg"` raise
-    NotImplementedError until the codec libs exist in the runtime.
+    real and testable.  `backend="pil"` does a REAL decode (normalized
+    grayscale pixel histogram) when Pillow exists in the runtime and
+    raises NotImplementedError at construction otherwise; `"ffmpeg"`
+    raises until a video codec exists.
     """
 
     FEATURE_DIM = 32
@@ -75,10 +77,28 @@ class MediaFeatureExtract:
         if backend not in ("stub", "pil", "ffmpeg"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
+        self._pil = None
+        if backend == "pil":
+            try:  # extras import: the sandbox container ships no codecs
+                from PIL import Image  # type: ignore
+
+                self._pil = Image
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "backend='pil' needs Pillow, which this container "
+                    "does not ship; use backend='stub'") from exc
 
     def _decode_real(self, payload: bytes, kind: str):
+        if self.backend == "pil" and kind == "image":
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            px = np.asarray(img, dtype=np.uint8).ravel()
+            hist = np.bincount(px >> 3, minlength=32).astype(np.float32)
+            total = hist.sum()
+            return hist / total if total else hist
         raise NotImplementedError(
-            f"{self.backend} decode unavailable in this container; "
+            f"{self.backend} decode unavailable for kind={kind!r}; "
             "use backend='stub' (deterministic fake features)"
         )
 
@@ -135,10 +155,11 @@ class MediaResize:
     `backend="stub"` performs a REAL deterministic byte-level
     downsample (stride sampling of the payload to the target pixel
     budget) so output sizes, schema, and determinism are testable
-    without codecs; `backend="pil"` raises NotImplementedError until
-    the codec libs exist in the runtime.  Aspect ratio is preserved by
-    the usual fit-in-box rule (identical rounding both metadata and
-    stub payload)."""
+    without codecs; `backend="pil"` does a real decode -> thumbnail ->
+    re-encode when Pillow exists in the runtime and raises
+    NotImplementedError at construction otherwise.  Aspect ratio is
+    preserved by the usual fit-in-box rule (identical rounding both
+    metadata and stub payload)."""
 
     def __init__(self, max_side: int = 64, backend: str = "stub"):
         if backend not in ("stub", "pil"):
@@ -147,6 +168,27 @@ class MediaResize:
             raise ValueError("max_side must be >= 1")
         self.max_side = max_side
         self.backend = backend
+        self._pil = None
+        if backend == "pil":
+            try:  # extras import: the sandbox container ships no codecs
+                from PIL import Image  # type: ignore
+
+                self._pil = Image
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "backend='pil' needs Pillow, which this container "
+                    "does not ship; use backend='stub'") from exc
+
+    def _resize_pil(self, payload: bytes, fmt: str) -> tuple[bytes, int, int]:
+        """Real decode -> fit-in-box thumbnail -> re-encode (same
+        format).  Exercised only when Pillow exists in the runtime."""
+        import io
+
+        img = self._pil.open(io.BytesIO(payload))
+        img.thumbnail((self.max_side, self.max_side))
+        buf = io.BytesIO()
+        img.save(buf, format=fmt.upper() if fmt != "jpg" else "JPEG")
+        return buf.getvalue(), img.width, img.height
 
     def _resize_stub(self, payload: bytes, w: int, h: int,
                      new_w: int, new_h: int) -> bytes:
@@ -158,10 +200,6 @@ class MediaResize:
         return arr[idx].tobytes()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.backend != "stub":
-            raise NotImplementedError(
-                f"{self.backend} decode unavailable in this container; "
-                "use backend='stub'")
         import pyarrow.compute as pc
 
         # only images resize; audio/video rows (width == height == -1)
@@ -170,15 +208,26 @@ class MediaResize:
         is_img = pc.equal(batch["kind"], "image").to_numpy(zero_copy_only=False)
         w = batch["width"].to_numpy().astype(np.int64)
         h = batch["height"].to_numpy().astype(np.int64)
-        side = np.maximum(np.maximum(w, h), 1)
-        scale = np.minimum(1.0, self.max_side / side)
-        new_w = np.where(is_img, np.maximum(1, (w * scale).astype(np.int64)), w)
-        new_h = np.where(is_img, np.maximum(1, (h * scale).astype(np.int64)), h)
         payloads = batch["payload"].to_pylist()
-        out = [self._resize_stub(p, int(a), int(b), int(na), int(nb))
-               if img else p
-               for p, a, b, na, nb, img
-               in zip(payloads, w, h, new_w, new_h, is_img)]
+        if self.backend == "pil":
+            fmts = batch["format"].to_pylist()
+            out, new_w, new_h = [], w.copy(), h.copy()
+            for i, (p, img) in enumerate(zip(payloads, is_img)):
+                if img:
+                    r, rw, rh = self._resize_pil(p, fmts[i])
+                    out.append(r)
+                    new_w[i], new_h[i] = rw, rh
+                else:
+                    out.append(p)
+        else:
+            side = np.maximum(np.maximum(w, h), 1)
+            scale = np.minimum(1.0, self.max_side / side)
+            new_w = np.where(is_img, np.maximum(1, (w * scale).astype(np.int64)), w)
+            new_h = np.where(is_img, np.maximum(1, (h * scale).astype(np.int64)), h)
+            out = [self._resize_stub(p, int(a), int(b), int(na), int(nb))
+                   if img else p
+                   for p, a, b, na, nb, img
+                   in zip(payloads, w, h, new_w, new_h, is_img)]
         return pa.table(
             {
                 "media_id": batch["media_id"],

@@ -137,11 +137,23 @@ def test_media_feature_extract_stub(ray_session):
 def test_media_real_backend_raises():
     from chearch_ray.stages.multimodal import MediaFeatureExtract, synthesize_media_table
 
-    stage = MediaFeatureExtract(backend="pil")
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: the pil backend is live "
+                    "(covered by test_media_pil_backend_real_decode)")
+    except ImportError:
+        pass
+    # no Pillow in the runtime: requesting the real backend must fail
+    # LOUDLY at construction, never fall back to fake features
     with pytest.raises(NotImplementedError):
-        stage(synthesize_media_table(2))
+        MediaFeatureExtract(backend="pil")
     with pytest.raises(ValueError):
         MediaFeatureExtract(backend="nope")
+    # ffmpeg stays construction-ok / call-raising (no import to gate)
+    stage = MediaFeatureExtract(backend="ffmpeg")
+    with pytest.raises(NotImplementedError):
+        stage(synthesize_media_table(2))
 
 
 def test_wire_engine_over_built_index(ray_session, tmp_path):
