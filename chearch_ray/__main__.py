@@ -170,7 +170,23 @@ def cmd_serve(args: argparse.Namespace) -> int:
     from chearch_ray.serve import TcpQueryServer, WireEngine
     from chearch_ray.state.engine import QueryEngine
 
+    # the index always loads from partitioned parquet segments — the
+    # realized form of the reference's (declared, never-consumed)
+    # `load_from_partitions` knob (chearch_srv.chpl:17)
     eng = QueryEngine(args.index, use_actors=not args.local)
+    if getattr(args, "post_load_test", False):
+        # chearch_srv.chpl:16 `post_load_test` (intent): prove the
+        # loaded index answers before accepting traffic — query the
+        # highest-df term and require at least one hit
+        probe = max(eng._df, key=eng._df.get) if eng._df else None
+        if probe is not None:
+            hits = eng.search(probe, k=1)
+            print(f"post-load test: '{probe}' -> {len(hits)} hit(s) "
+                  f"(df={eng.df(probe)})", flush=True)
+            if eng.df(probe) > 0 and len(hits) == 0:
+                eng.close()
+                raise SystemExit(
+                    "post-load test FAILED: indexed term returned no hits")
     wire = WireEngine(eng)
     if args.tcp:
         import asyncio
@@ -258,6 +274,9 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--procs", type=int, default=1,
                    help=">1: SO_REUSEPORT multi-process serving (the "
                         "reference's fork-per-listener model, tcp_server.c:24)")
+    v.add_argument("--post-load-test", action="store_true",
+                   help="prove the loaded index answers a known-term query "
+                        "before serving (chearch_srv.chpl:16 intent)")
     v.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

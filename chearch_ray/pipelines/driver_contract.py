@@ -1828,22 +1828,35 @@ def q_substring_dedup(sf_dir: str) -> pa.Table:
 
 
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    """MinHash+LSH candidate pairs, EXACT-oracled (the SQL mirror
+    reproduces the 128 wrapping-uint64 permutations, band bucket folds
+    and est_jaccard bit-for-bit).  Pair ids cast to int64 — the corpus
+    ids are small, and the oracle's BIGINT columns must match."""
     import ray.data
 
     from chearch_ray.stages.dedup import minhash_dedup_pairs
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     out = minhash_dedup_pairs(ds, threshold=0.5)
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    pdf = out.to_pandas()
+    pdf["doc_a"] = pdf["doc_a"].astype("int64")
+    pdf["doc_b"] = pdf["doc_b"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
 def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs, EXACT-oracled (per-bit majority +
+    band buckets + bit_count hamming mirrored in SQL).  Pair ids cast
+    to int64 to match the oracle's BIGINT columns."""
     import ray.data
 
     from chearch_ray.stages.dedup import simhash_pairs
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return pa.Table.from_pandas(simhash_pairs(ds, max_hamming=3).to_pandas(), preserve_index=False)
+    pdf = simhash_pairs(ds, max_hamming=3).to_pandas()
+    pdf["doc_a"] = pdf["doc_a"].astype("int64")
+    pdf["doc_b"] = pdf["doc_b"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
 def q_langid(sf_dir: str) -> pa.Table:
