@@ -151,6 +151,7 @@ class SegmentSearcher:
         # manifest until compaction, the standard live-docs contract.
         self.deleted = _load_tombstones(index_dir, self.docmap)
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._rows_cache: dict[str, np.ndarray] = {}
         self._enc_cache: dict[str, object] = {}
         self._blk_cache: dict[str, dict[int, tuple[np.ndarray, np.ndarray]]] = {}
         self._pos_cache: dict[str, list | None] = {}
@@ -181,6 +182,25 @@ class SegmentSearcher:
             self._decoded.clear()
         self._decoded[term] = out
         return out
+
+    def postings_rows(self, term: str) -> np.ndarray:
+        """docmap ROW INDICES aligned with postings(term)[0], cached
+        per term.  Scoring needs each candidate's doc length; mapping
+        ids -> docmap rows is a searchsorted over the FULL postings
+        list — the profiled hot cost of BM25 on common terms.  A
+        segment is immutable, so the mapping never goes stale; repeat
+        queries on a hot term replace O(n log n) searchsorted with an
+        O(k) gather."""
+        hit = self._rows_cache.get(term)
+        if hit is not None:
+            return hit
+        docs, _ = self.postings(term)
+        rows = (self.docmap._indices_for(docs) if len(docs)
+                else np.empty(0, dtype=np.int64))
+        if len(self._rows_cache) > 4096:  # bound like _decoded
+            self._rows_cache.clear()
+        self._rows_cache[term] = rows
+        return rows
 
     def df(self, term: str) -> int:
         reader = self.shards.get(self._sharder.shard_of(term))
@@ -531,14 +551,15 @@ class SegmentSearcher:
             # would searchsorted the list into itself to re-find tfs
             term = str(node.term)
             docs, tfs = self.postings(term)
+            rows = self.postings_rows(term)  # cached id->docmap rows
             if len(self.deleted):
                 keep = self._not_deleted(docs)
-                docs, tfs = docs[keep], tfs[keep]
+                docs, tfs, rows = docs[keep], tfs[keep], rows[keep]
             if len(docs) == 0:
                 return self._project(docs, scores=np.empty(0))
             cfg = self.cfg
             scores = bm25_component(
-                tfs.astype(np.float64), self.docmap.lengths_for(docs),
+                tfs.astype(np.float64), self.docmap.doc_len[rows],
                 idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b,
             )
             if after is not None:
@@ -553,15 +574,15 @@ class SegmentSearcher:
             # path (every candidate has tf > 0 in every term, and the
             # accumulation runs in the same query-term order).
             terms = [str(t) for t in ast.terms_of(node)]
-            docs, tf_by_term = self._conjunctive_eval(terms)
+            docs, tf_by_term, rows = self._conjunctive_eval(terms)
             if len(self.deleted) and len(docs):
                 keep = self._not_deleted(docs)
-                docs = docs[keep]
+                docs, rows = docs[keep], rows[keep]
                 tf_by_term = {t: v[keep] for t, v in tf_by_term.items()}
             if len(docs) == 0:
                 return self._project(docs, scores=np.empty(0))
             cfg = self.cfg
-            dl_all = self.docmap.lengths_for(docs)
+            dl_all = self.docmap.doc_len[rows]
             scores = np.zeros(len(docs), dtype=np.float64)
             for term in terms:
                 scores += bm25_component(
@@ -585,13 +606,18 @@ class SegmentSearcher:
 
     def _conjunctive_eval(
         self, terms: list[str]
-    ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
-        """intersection docs of `terms` plus each term's tf aligned to
-        the surviving docs.  Decodes the rarest term fully, then
-        narrows by skip-block probing the others in ascending-df order
-        (the lazy AND shape of _eval_sets, keeping the tfs it finds)."""
+    ) -> tuple[np.ndarray, dict[str, np.ndarray], np.ndarray]:
+        """intersection docs of `terms`, each term's tf aligned to the
+        surviving docs, and the surviving docs' docmap ROW indices
+        (threaded through the narrowing from the rarest term's cached
+        postings_rows — scoring then gathers doc lengths without a
+        searchsorted over the candidate set).  Decodes the rarest term
+        fully, then narrows by skip-block probing the others in
+        ascending-df order (the lazy AND shape of _eval_sets, keeping
+        the tfs it finds)."""
         order = sorted(terms, key=lambda t: self.df(t))
         docs, tf0 = self.postings(order[0])
+        rows = self.postings_rows(order[0])
         tf_by_term: dict[str, np.ndarray] = {order[0]: tf0}
         for term in order[1:]:
             if len(docs) == 0:
@@ -599,12 +625,14 @@ class SegmentSearcher:
             tf_all = self.probe_tfs(term, docs)
             keep = tf_all > 0
             docs = docs[keep]
+            rows = rows[keep]
             for t in tf_by_term:
                 tf_by_term[t] = tf_by_term[t][keep]
             tf_by_term[term] = tf_all[keep]
         if len(docs) == 0:
-            return docs, {t: np.empty(0, dtype=np.uint64) for t in terms}
-        return docs, tf_by_term
+            return (docs, {t: np.empty(0, dtype=np.uint64) for t in terms},
+                    np.empty(0, dtype=np.int64))
+        return docs, tf_by_term, rows
 
     def _score_docs(
         self,
@@ -948,15 +976,15 @@ class SegmentSearcher:
         every conjunctive candidate has tf > 0 in every term, so the
         masked accumulation degenerates to this unmasked one in the
         same term order."""
-        candidates, tf_by_term = self._conjunctive_eval(uniq_terms)
+        candidates, tf_by_term, rows = self._conjunctive_eval(uniq_terms)
         if len(self.deleted) and len(candidates):
             keep = self._not_deleted(candidates)
-            candidates = candidates[keep]
+            candidates, rows = candidates[keep], rows[keep]
             tf_by_term = {t: v[keep] for t, v in tf_by_term.items()}
         if len(candidates) == 0:
             return candidates, np.empty(0)
         cfg = self.cfg
-        dl_all = self.docmap.lengths_for(candidates)
+        dl_all = self.docmap.doc_len[rows]
         scores = np.zeros(len(candidates), dtype=np.float64)
         for t in uniq_terms:
             scores += bm25_component(
