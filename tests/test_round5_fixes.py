@@ -169,6 +169,14 @@ def test_wire_text_cache_hit_identical_and_bounded(ray_session, tmp_path):
     assert len(wire._text_cache) == 3
     # evicted entries recompute to the same bytes
     assert wire.handle(req) == cold
+    # malformed TEXT frames raise ValueError (the v2 loop answers
+    # V2_MALFORMED for that id) and never poison the cache
+    n_cached = len(wire._text_cache)
+    for bad in (b"\xff", b"\xff\x00", b"\xff\x05\xff\xfe\xfd",
+                b"\xff\x05"):
+        with pytest.raises(ValueError):
+            wire.handle(bad)
+    assert len(wire._text_cache) == n_cached
     eng.close()
 
 
@@ -237,3 +245,51 @@ def test_media_pil_backend_real_decode():
     feats = MediaFeatureExtract(backend="pil")(media)
     v = np.asarray(feats["features"][0].as_py())
     assert abs(v.sum() - 1.0) < 1e-5  # normalized pixel histogram
+
+
+def test_parse_grammar_property_never_crashes():
+    """Property: over a fuzz grammar of terms/operators/parens, parse
+    either returns a well-formed AST (no parse-time wrapper leaks,
+    terms lowercased) or raises QueryParseError — never anything else
+    — under BOTH default operators; and for plain term juxtaposition
+    the grammar agrees with the flat parser's shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chearch_ray.state.engine import parse_query
+
+    TOK = st.sampled_from(
+        ["alpha", "Beta", "g0_x", "AND", "OR", "NOT", "(", ")",
+         "-neg", '"two words"', "pre*", "fuz~1", "lang:py", "t^2"])
+
+    def well_formed(n):
+        if isinstance(n, (ast.Term,)):
+            assert n.term == str(n.term).lower()
+            return True
+        for attr in ("a", "b"):
+            if hasattr(n, attr):
+                well_formed(getattr(n, attr))
+        return True
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(TOK, min_size=1, max_size=7), st.sampled_from(["and", "or"]))
+    def run(toks, op):
+        q = " ".join(toks)
+        try:
+            node = parse(q, op)
+        except QueryParseError:
+            return
+        well_formed(node)
+
+    run()
+
+    # plain juxtaposition: grammar with default_op == flat parser shape
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                    min_size=1, max_size=5),
+           st.sampled_from(["and", "or"]))
+    def parity(terms, op):
+        q = " ".join(terms)
+        assert parse(q, op) == parse_query(q, op)
+
+    parity()
