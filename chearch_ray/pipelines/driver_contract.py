@@ -2860,11 +2860,14 @@ QUERIES = {
     "media_frames": q_media_frames,
     # --- slot 46: r04's only no-oracle row, now value-exact ----------
     "pq_knn": q_pq_knn,
-    # --- core-surface re-checks (slots 47–50) ------------------------
-    "token_counts": q_token_counts,
+    # --- slots 47–49: the last three former rows-only queries, now
+    # --- carrying brand-new exact FNV/minhash/simhash SQL mirrors —
+    # --- the driver should prove them, not re-prove green rows -------
+    "fingerprint": q_fingerprint,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    # --- slot 50: core-surface re-check ------------------------------
     "bm25_single": q_bm25_single,
-    "phrase": q_phrase,
-    "knn_cosine": q_knn_cosine,
     # --- round 1–4 re-checks (beyond the driver's 50-cap; still run
     # --- by tests/test_entry.py against the same oracles) ------------
     "hybrid_rrf": q_hybrid_rrf,
@@ -2962,12 +2965,11 @@ QUERIES = {
     "neardup_keep": q_neardup_keep,
     "pack_sequences": q_pack_sequences,
     "pack_sequences_hash": q_pack_sequences_hash,
-    # rows-only (non-SQL-expressible)
-    "minhash_pairs": q_minhash_pairs,
-    "simhash_pairs": q_simhash_pairs,
+    "token_counts": q_token_counts,
+    "phrase": q_phrase,
+    "knn_cosine": q_knn_cosine,
     "langid": q_langid,
     "quality": q_quality,
-    "fingerprint": q_fingerprint,
     "media_features": q_media_features,
 }
 
