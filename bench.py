@@ -444,6 +444,47 @@ def run_bench() -> dict:
         timings["ivf_clusterable_recall_at10"] = _hits / (10 * len(_qids))
     except Exception as exc:
         print(f"clusterable ivf recall row skipped: {exc}", file=sys.stderr)
+    # The 100-TB ANN configuration on the same clusterable fixture:
+    # IVF-PQ residual coding (IVFADC, m=8 x 256 codes = 8-byte codes,
+    # 32x compression) probing 4/16 partitions, then exact re-rank of
+    # a refine_k=100 shortlist (2.4% of the corpus) — codes stay in
+    # RAM, raw vectors are fetched only for the shortlist.  Measured
+    # sweep (BASELINE.md round 5): recall collapses to 0.62 without
+    # the re-rank window at 64 codes; 256 codes + refine_k=100 holds
+    # 0.96-1.0.  Regression-pinned in tests/test_round5_fixes.py.
+    try:
+        import numpy as _np
+        import pyarrow.compute as _pc
+
+        from chearch_ray.sources.corpus import clusterable_embeddings
+        from chearch_ray.stages.similarity import (ivfpq_build,
+                                                   ivfpq_search_refined,
+                                                   knn_brute_force)
+
+        _tbl = clusterable_embeddings(4096, dim=64, n_clusters=16, seed=123)
+        _qids = [3, 257, 1111, 2048, 4000]
+        _emb_np = _np.asarray(_tbl["embedding"].to_pylist(), dtype=_np.float64)
+        _qmat = _emb_np[_qids]
+        _ds = ray.data.from_arrow(_tbl.select(["vec_id", "embedding"]))
+        _cents, _books, _codes = ivfpq_build(
+            _ds, n_centroids=16, m=8, n_codes=256, sample_size=2048,
+            residual=True)
+        _codes = _codes.materialize()
+        t0 = time.perf_counter()
+        _appr = ivfpq_search_refined(
+            _codes, _cents, _books, _ds, _qmat, k=10, nprobe=4,
+            refine_k=100, residual=True)
+        timings["ivfpq_clusterable_search_sec"] = time.perf_counter() - t0
+        _hits = 0
+        for _qi in range(len(_qids)):
+            _true = set(
+                knn_brute_force(_ds, _qmat[_qi:_qi + 1], k=10)["vec_id"].to_pylist())
+            _got = set(
+                _appr.filter(_pc.equal(_appr["query_id"], _qi))["vec_id"].to_pylist())
+            _hits += len(_true & _got)
+        timings["ivfpq_clusterable_recall_at10"] = _hits / (10 * len(_qids))
+    except Exception as exc:
+        print(f"clusterable ivfpq recall row skipped: {exc}", file=sys.stderr)
     t0 = time.perf_counter()
     dc.q_suggest_indexed(sf_dir)
     timings["sf_suggest_index_sec"] = time.perf_counter() - t0

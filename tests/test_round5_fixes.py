@@ -139,6 +139,43 @@ def test_ivf_recall_on_clusterable_embeddings(ray_session):
     assert hits / (10 * len(qids)) >= 0.9
 
 
+def test_ivfpq_recall_on_clusterable_embeddings(ray_session):
+    """The 100-TB ANN configuration (IVFADC: residual PQ codes, m=8 x
+    256 codes = 32x compression, nprobe=4/16, exact re-rank of a
+    refine_k=100 shortlist) must recover the true neighbors on
+    clusterable data.  Measured sweep (BASELINE.md round 5): 0.62
+    recall without an adequate re-rank window (64 codes, refine_k=50)
+    vs 0.96-1.0 at this config — the refine window is what makes PQ's
+    lossy codes safe, so pin it."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from chearch_ray.sources.corpus import clusterable_embeddings
+    from chearch_ray.stages.similarity import (ivfpq_build,
+                                               ivfpq_search_refined,
+                                               knn_brute_force)
+
+    tbl = clusterable_embeddings(2048, dim=64, n_clusters=16, seed=123)
+    qids = [3, 257, 1111, 1500, 2000]
+    emb = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    qmat = emb[qids]
+    ds = ray.data.from_arrow(tbl.select(["vec_id", "embedding"]))
+    cents, books, codes = ivfpq_build(
+        ds, n_centroids=16, m=8, n_codes=256, sample_size=2048,
+        residual=True)
+    codes = codes.materialize()
+    appr = ivfpq_search_refined(codes, cents, books, ds, qmat, k=10,
+                                nprobe=4, refine_k=100, residual=True)
+    hits = 0
+    for qi in range(len(qids)):
+        true = set(knn_brute_force(ds, qmat[qi:qi + 1],
+                                   k=10)["vec_id"].to_pylist())
+        got = set(appr.filter(pc.equal(appr["query_id"],
+                                       qi))["vec_id"].to_pylist())
+        hits += len(true & got)
+    assert hits / (10 * len(qids)) >= 0.9
+
+
 def test_wire_text_cache_hit_identical_and_bounded(ray_session, tmp_path):
     """The text-serving LRU must return byte-identical responses on
     hits, key on (k, query), and stay bounded by eviction."""
