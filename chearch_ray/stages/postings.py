@@ -169,6 +169,20 @@ def _maybe_fail_injection(index_dir: str) -> None:
         raise RuntimeError(f"fail injection: {len(done)} postings parts committed")
 
 
+def _maybe_sleep_injection(index_dir: str) -> None:
+    """Test hook, same pattern as `fail_after_parts`: a
+    `_control/sleep_per_part` file holding a float stretches every
+    partition commit by that many seconds, so chaos tests (SIGKILL a
+    worker / the driver mid-shuffle) get a deterministic window on a
+    small corpus instead of racing a sub-second build."""
+    ctrl = os.path.join(index_dir, "_control", "sleep_per_part")
+    if os.path.exists(ctrl):
+        import time
+
+        with open(ctrl) as f:
+            time.sleep(float(f.read().strip()))
+
+
 def _combine(col) -> pa.Array:
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
@@ -186,6 +200,7 @@ class PostingPartWriter:
         if len(group) == 0:
             return _empty_summary()
         _maybe_fail_injection(self.index_dir)
+        _maybe_sleep_injection(self.index_dir)
         order = pc.sort_indices(
             group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
         )
@@ -458,6 +473,7 @@ class RunMergeWriter:
         if len(group) == 0:
             return _empty_summary()
         _maybe_fail_injection(self.index_dir)
+        _maybe_sleep_injection(self.index_dir)
         part = int(group["part"][0].as_py())
         doc_lists = _combine(group["doc_ids"])
         lengths = np.asarray(pc.list_value_length(doc_lists)).astype(np.int64)
