@@ -54,6 +54,15 @@ def cmd_build(args: argparse.Namespace) -> int:
         f"built {manifest.num_docs} docs, {len(manifest.postings_parts)} posting "
         f"partitions, avgdl={manifest.avgdl:.2f} -> {args.index}"
     )
+    if args.docstore:
+        from chearch_ray.state.docstore import build_docstore
+
+        corpus = read_corpus(args.input, fmt=args.format,
+                             text_column=args.text_column)
+        r = build_docstore(corpus, args.index,
+                           wide=(cfg.doc_id_bits == 128))
+        print(f"docstore: {len(r['written'])} partitions written, "
+              f"{len(r['skipped'])} resumed -> {args.index}/docstore")
     return 0
 
 
@@ -97,7 +106,11 @@ def cmd_search(args: argparse.Namespace) -> int:
 
     eng = QueryEngine(args.index, use_actors=not args.local)
     try:
-        if args.boolean:
+        if args.snippets:
+            out = eng.search_with_snippets(args.query, k=args.k,
+                                           window=args.window,
+                                           default_op=args.op)
+        elif args.boolean:
             out = eng.search_boolean(args.query, default_op=args.op)
         elif ":" in args.query:
             # Lucene field:value filters ride the grammar parser; a
@@ -229,6 +242,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--segments", type=int, default=1)
     b.add_argument("--shards", type=int, default=4)
     b.add_argument("--dedup", default="none", choices=["none", "exact"])
+    b.add_argument("--docstore", action="store_true",
+                   help="also write the <index>/docstore text sidecar "
+                        "(result snippets / fetch serving)")
     b.add_argument("--doc-id-bits", type=int, default=64, choices=[64, 128],
                    help="128 = two-column (hi, lo) external ids with "
                         "segment-local posting ordinals")
@@ -260,6 +276,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--op", default="or", choices=["or", "and"])
     s.add_argument("--boolean", action="store_true")
+    s.add_argument("--snippets", action="store_true",
+                   help="BM25 + docstore snippets (needs build --docstore)")
+    s.add_argument("--window", type=int, default=2,
+                   help="snippet context tokens on each side")
     s.add_argument("--local", action="store_true", help="in-process searchers (no actors)")
     s.set_defaults(fn=cmd_search)
 

@@ -1617,6 +1617,30 @@ def q_snippets(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def q_search_snippets(sf_dir: str) -> pa.Table:
+    """The serving composition behind the 0xFE wire frame: BM25 top-10
+    OR over BOOL_OR_TERMS + docstore fetch + earliest-any-term
+    ±SNIPPET_WINDOW-token snippet (engine.search_with_snippets).
+    Exercises the docstore sidecar end-to-end (build is resumable and
+    cached with the driver index)."""
+    from chearch_ray.state.docstore import build_docstore, has_docstore
+
+    eng = engine_for(sf_dir)
+    if not has_docstore(eng.index_dir):
+        build_docstore(read_documents_corpus(sf_dir), eng.index_dir)
+    t = eng.search_with_snippets(
+        f"{BM25_OR_TERMS[0]} {BM25_OR_TERMS[1]}", k=10,
+        window=SNIPPET_WINDOW, default_op="or")
+    # rank (not raw float score) — the BM25 oracle family's contract:
+    # engine order is already (score desc, doc_id asc)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(t) + 1), type=pa.int64()),
+        "doc_id": t["doc_id"].cast(pa.int64()),
+        "pos": t["pos"],
+        "snippet": t["snippet"],
+    })
+
+
 def q_repetition_filter(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -2858,7 +2882,10 @@ QUERIES = {
     "qty_percent_rank": q_qty_percent_rank,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
-    # --- slot 46: r04's only no-oracle row, now value-exact ----------
+    # --- slot 46 (round-5 final session, never checked): the 0xFE
+    # --- search-and-display composition — BM25 + docstore snippet ----
+    "search_snippets": q_search_snippets,
+    # --- slot 47: r04's only no-oracle row, now value-exact ----------
     "pq_knn": q_pq_knn,
     # --- slots 47–49: the last three former rows-only queries, now
     # --- carrying brand-new exact FNV/minhash/simhash SQL mirrors —
@@ -2866,10 +2893,9 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
-    # --- slot 50: core-surface re-check ------------------------------
-    "bm25_single": q_bm25_single,
     # --- round 1–4 re-checks (beyond the driver's 50-cap; still run
     # --- by tests/test_entry.py against the same oracles) ------------
+    "bm25_single": q_bm25_single,
     "hybrid_rrf": q_hybrid_rrf,
     "line_dedup": q_line_dedup,
     "cm_counts": q_cm_counts,
@@ -4061,6 +4087,37 @@ p AS (SELECT doc_id, n_tokens,
 SELECT doc_id, n_tokens, (pre // {PACK_MAX_TOKENS})::BIGINT AS bin,
        (pre % {PACK_MAX_TOKENS})::BIGINT AS bin_offset
 FROM p
+""",
+    # the 0xFE search-and-display composition: BM25 OR top-10 rank +
+    # earliest-any-term ±window snippet over the docstore text — the
+    # anchor is min(first occurrence) across BOTH query terms
+    "search_snippets": f"""
+WITH {TOK_CTE}, {POS_TOK_CTE},
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('{BM25_OR_TERMS[0]}', '{BM25_OR_TERMS[1]}') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({K1} + 1)) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats s),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+topk AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk, doc_id
+         FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+first AS (SELECT doc_id, min(ord) - 1 AS pos FROM ptok
+          WHERE term IN ('{BM25_OR_TERMS[0]}', '{BM25_OR_TERMS[1]}')
+            AND doc_id IN (SELECT doc_id FROM topk)
+          GROUP BY doc_id)
+SELECT t.rk::BIGINT AS rank, f.doc_id, f.pos::BIGINT AS pos,
+       string_agg(p.term, ' ' ORDER BY p.ord) AS snippet
+FROM topk t JOIN first f ON t.doc_id = f.doc_id
+     JOIN ptok p ON p.doc_id = f.doc_id
+     AND p.ord - 1 BETWEEN f.pos - {SNIPPET_WINDOW} AND f.pos + {SNIPPET_WINDOW}
+GROUP BY t.rk, f.doc_id, f.pos
 """,
     "snippets": f"""
 WITH {TOK_CTE}, {POS_TOK_CTE},

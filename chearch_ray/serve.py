@@ -201,6 +201,8 @@ class WireEngine:
 
         if request and request[0] == TEXT_MAGIC:
             return self._handle_text(request)
+        if request and request[0] == SNIPPET_MAGIC:
+            return self._handle_snippet(request)
         program = parse_request(request)
         int_tree = chasm_mod.parse_chasm(program)
         tree = self._resolve(int_tree)
@@ -273,6 +275,55 @@ class WireEngine:
         t = self.engine.search_parsed(query, k=k)
         resp = encode_text_response(t["doc_id"].to_pylist(),
                                     t["score"].to_pylist())
+        with self._text_cache_lock:
+            self._text_cache[key] = resp
+            self._text_cache.move_to_end(key)
+            while len(self._text_cache) > self._text_cache_size:
+                self._text_cache.popitem(last=False)
+        return resp
+
+    def _handle_snippet(self, request: bytes) -> bytes:
+        """SNIPPET frame (0xFE | k | window | utf-8 query): the
+        search-and-display path — BM25 through the full grammar, then
+        a docstore fetch of just the k hits and a ±window-token
+        snippet anchored at the earliest first occurrence of any
+        query term (engine.search_with_snippets).  Response records
+        are variable-length: doc_id u64 BE + score f64 BE + pos i32
+        BE + len u8 + snippet utf-8 (truncated to 255 bytes on a
+        character boundary).  Wide-id indexes serve the LOW word,
+        like the text frames.  Requires the index to carry a docstore
+        sidecar (state/docstore.py) — without one the request answers
+        as malformed, the connection stays up.  k caps at 64 so the
+        worst-case response stays far inside the v2 u16 length field.
+        Cached in the same immutable-manifest LRU as text frames."""
+        if len(request) < 4:
+            raise ValueError("truncated snippet request")
+        k, window = request[1], request[2]
+        if not (1 <= k <= MAX_SNIPPET_K):
+            raise ValueError(f"snippet k must be in [1, {MAX_SNIPPET_K}]")
+        if window > MAX_SNIPPET_WINDOW:
+            raise ValueError(f"window must be <= {MAX_SNIPPET_WINDOW}")
+        try:
+            query = request[3:].decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise ValueError("snippet request is not utf-8") from exc
+        key = (SNIPPET_MAGIC, k, window, query)
+        with self._text_cache_lock:
+            hit = self._text_cache.get(key)
+            if hit is not None:
+                self._text_cache.move_to_end(key)
+                return hit
+        t = self.engine.search_with_snippets(query, k=k, window=window)
+        out = []
+        for d, s, p, snip in zip(t["doc_id"].to_pylist(),
+                                 t["score"].to_pylist(),
+                                 t["pos"].to_pylist(),
+                                 t["snippet"].to_pylist()):
+            raw = snip.encode("utf-8")[:255]
+            while raw and (raw[-1] & 0xC0) == 0x80:  # don't tear a char
+                raw = raw[:-1]
+            out.append(SNIPPET_HEAD.pack(int(d), float(s), int(p), len(raw)) + raw)
+        resp = b"".join(out)
         with self._text_cache_lock:
             self._text_cache[key] = resp
             self._text_cache.move_to_end(key)
@@ -663,6 +714,56 @@ def query_pipelined(host: str, port: int, programs: list[bytes],
 TEXT_MAGIC = 0xFF
 TEXT_RECORD = _struct.Struct(">Qd")
 
+#: a SNIPPET query — `0xFE | u8 k | u8 window | utf-8 query` — the
+#: search-and-display frame: BM25 top-k plus a docstore-backed
+#: ±window-token context per hit.  0xFE cannot open a valid v1 frame
+#: for the same size argument as 0xFF.  Records are variable-length
+#: (SNIPPET_HEAD + u8-length utf-8 snippet), v2 framing only.  k caps
+#: at 64 and snippets at 255 bytes so the worst response (~17.7 KB)
+#: stays far inside the v2 u16 response-length field.
+SNIPPET_MAGIC = 0xFE
+SNIPPET_HEAD = _struct.Struct(">QdiB")
+MAX_SNIPPET_K = 64
+MAX_SNIPPET_WINDOW = 15
+
+
+def build_snippet_request(query: str, k: int = 10, window: int = 2) -> bytes:
+    if not (1 <= k <= MAX_SNIPPET_K):
+        raise ValueError(f"k must be in [1, {MAX_SNIPPET_K}]")
+    if not (0 <= window <= MAX_SNIPPET_WINDOW):
+        raise ValueError(f"window must be in [0, {MAX_SNIPPET_WINDOW}]")
+    raw = query.encode("utf-8")
+    if len(raw) > MAX_REQUEST_BYTES:
+        raise ValueError(f"query too long: {len(raw)} > {MAX_REQUEST_BYTES}")
+    return bytes([SNIPPET_MAGIC, k, window]) + raw
+
+
+def decode_snippet_response(data: bytes) -> list[tuple[int, float, int, str]]:
+    """-> [(doc_id, score, pos, snippet), ...] in rank order."""
+    out = []
+    i = 0
+    while i < len(data):
+        if i + SNIPPET_HEAD.size > len(data):
+            raise ValueError("torn snippet response")
+        doc, score, pos, ln = SNIPPET_HEAD.unpack_from(data, i)
+        i += SNIPPET_HEAD.size
+        if i + ln > len(data):
+            raise ValueError("torn snippet payload")
+        out.append((doc, score, pos, data[i : i + ln].decode("utf-8")))
+        i += ln
+    return out
+
+
+def query_snippets_pipelined(host: str, port: int, queries: list[str],
+                             k: int = 10, window: int = 2,
+                             timeout: float = 10.0):
+    """Send snippet queries over the v2 pipelined framing; results come
+    back as [(doc_id, score, pos, snippet), ...] lists in query order
+    (None for a rejected query — e.g. the index has no docstore)."""
+    payloads = [build_snippet_request(q, k, window) for q in queries]
+    raw = _pipelined_roundtrip(host, port, payloads, timeout)
+    return [decode_snippet_response(r) if r is not None else None for r in raw]
+
 
 def build_text_request(query: str, k: int = 10) -> bytes:
     """text query -> inner payload bytes (v1-frame position inside the
@@ -692,21 +793,19 @@ def build_text_request_v2(request_id: int, query: str, k: int = 10) -> bytes:
     return V2_REQ.pack(request_id, len(payload)) + payload
 
 
-def query_text_pipelined(host: str, port: int, queries: list[str],
-                         k: int = 10, timeout: float = 10.0
-                         ) -> list[list[tuple[int, float]] | None]:
-    """Send text queries over the v2 pipelined framing; results come
-    back as (doc_id, score) lists in QUERY order (None for a rejected
-    query).  Mixable on the same socket with CHASM frames — the server
-    dispatches per payload magic."""
+def _pipelined_roundtrip(host: str, port: int, payloads: list[bytes],
+                         timeout: float = 10.0) -> list[bytes | None]:
+    """Send all payloads on ONE v2 connection, collect completion-order
+    responses, return raw payload bytes in REQUEST order (None for a
+    status!=OK response)."""
     import socket
 
     with socket.create_connection((host, port), timeout=timeout) as sock:
-        sock.sendall(b"".join(build_text_request_v2(i, q, k)
-                              for i, q in enumerate(queries)))
+        sock.sendall(b"".join(V2_REQ.pack(i, len(p)) + p
+                              for i, p in enumerate(payloads)))
         sock.settimeout(timeout)
-        out: list[list[tuple[int, float]] | None] = [None] * len(queries)
-        pending = set(range(len(queries)))
+        out: list[bytes | None] = [None] * len(payloads)
+        pending = set(range(len(payloads)))
 
         def read_exactly(n: int) -> bytes:
             buf = b""
@@ -722,9 +821,20 @@ def query_text_pipelined(host: str, port: int, queries: list[str],
             payload = read_exactly(ln) if ln else b""
             if rid in pending:
                 pending.discard(rid)
-                out[rid] = (decode_text_response(payload)
-                            if status == V2_OK else None)
+                out[rid] = payload if status == V2_OK else None
         return out
+
+
+def query_text_pipelined(host: str, port: int, queries: list[str],
+                         k: int = 10, timeout: float = 10.0
+                         ) -> list[list[tuple[int, float]] | None]:
+    """Send text queries over the v2 pipelined framing; results come
+    back as (doc_id, score) lists in QUERY order (None for a rejected
+    query).  Mixable on the same socket with CHASM frames — the server
+    dispatches per payload magic."""
+    raw = _pipelined_roundtrip(
+        host, port, [build_text_request(q, k) for q in queries], timeout)
+    return [decode_text_response(r) if r is not None else None for r in raw]
 
 
 # ------------------------------------------ multi-process serving

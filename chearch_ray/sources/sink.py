@@ -52,7 +52,8 @@ def finished_partitions(out_dir: str) -> set[int]:
 
 
 def _write_one_partition(group: pa.Table, out_dir: str,
-                         order_by: list[str]) -> pa.Table:
+                         order_by: list[str],
+                         row_group_size: int | None = None) -> pa.Table:
     """map_groups body: write this partition's rows as ONE sorted
     parquet file via tmp-dir + atomic replace; returns a receipt row.
     Runs on whatever worker owns the partition — the write itself is
@@ -66,8 +67,9 @@ def _write_one_partition(group: pa.Table, out_dir: str,
     dest = _partition_dir(out_dir, pid)
     tmp = f"{dest}.tmp-{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
+    kw = {"row_group_size": row_group_size} if row_group_size else {}
     pq.write_table(rows, os.path.join(tmp, "data.parquet"),
-                   compression="snappy")
+                   compression="snappy", **kw)
     if os.path.isdir(dest):  # lost a race to another attempt: keep first
         shutil.rmtree(tmp, ignore_errors=True)
     else:
@@ -78,14 +80,18 @@ def _write_one_partition(group: pa.Table, out_dir: str,
 
 def write_resumable_parquet(ds, out_dir: str, key: str,
                             n_partitions: int = 64,
-                            order_by: list[str] | None = None) -> dict:
+                            order_by: list[str] | None = None,
+                            row_group_size: int | None = None) -> dict:
     """Write `ds` as `out_dir/part-NNNNN/data.parquet`, partitioned by
     hash(key) % n_partitions, skipping partitions that already exist.
 
     Returns {"written": [pid...], "skipped": [pid...]}.  The skip
     filter is pushed INTO the pipeline (rows of finished partitions
     drop map-side before the exchange), so a resume re-reads the input
-    but re-shuffles and re-writes only the missing shards."""
+    but re-shuffles and re-writes only the missing shards.
+    `row_group_size` caps rows per parquet row group — point-lookup
+    consumers (state/docstore.py) keep it small so sorted row-group
+    statistics prune fetches to O(k) groups."""
     order_by = order_by or [key]
     done = finished_partitions(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -106,7 +112,8 @@ def write_resumable_parquet(ds, out_dir: str, key: str,
         parted = parted.map_batches(drop_done, batch_format="pyarrow")
 
     receipts = parted.groupby("pgrp").map_groups(
-        partial(_write_one_partition, out_dir=out_dir, order_by=order_by),
+        partial(_write_one_partition, out_dir=out_dir, order_by=order_by,
+                row_group_size=row_group_size),
         batch_format="pyarrow",
     )
     written = sorted(

@@ -31,16 +31,55 @@ _SNIPPET_SCHEMA = pa.schema(
 )
 
 
+def snippet_rows(batch: pa.Table, terms, window: int,
+                 text_column: str = "text") -> pa.Table:
+    """Multi-term snippets over an in-memory table (the SERVING shape:
+    k fetched docs, not a corpus scan): the anchor is the EARLIEST
+    first occurrence of ANY of `terms` in the doc — "the first place
+    any query term appears" — and the snippet is the ±window-token
+    context around it.  Id columns (doc_id, and doc_id_hi when
+    present) pass through with their INPUT types (serving ids are
+    uint64 hashes past int64 range); rows where no term occurs drop.
+    With one term and an int64 doc_id this matches `_snippet_batch`
+    verbatim."""
+    return _snippet_core(batch, list(terms), window, text_column)
+
+
 def _snippet_batch(batch: pa.Table, term: str, window: int, text_column: str) -> pa.Table:
+    out = _snippet_core(batch, [term], window, text_column)
+    if len(out) == 0:
+        return _SNIPPET_SCHEMA.empty_table()
+    # dataset-path compat: the corpus-scan pipeline (and its SQL
+    # oracle) declares int64 doc ids
+    return pa.table({"doc_id": out["doc_id"].cast(pa.int64()),
+                     "pos": out["pos"], "snippet": out["snippet"]})
+
+
+def _snippet_core(batch: pa.Table, terms: list[str], window: int,
+                  text_column: str) -> pa.Table:
+    id_cols = [c for c in ("doc_id", "doc_id_hi") if c in batch.column_names]
+
+    def _empty() -> pa.Table:
+        cols = {c: pa.array([], type=batch.schema.field(c).type)
+                for c in id_cols}
+        cols["pos"] = pa.array([], type=pa.int64())
+        cols["snippet"] = pa.array([], type=pa.string())
+        return pa.table(cols)
+
     lists = tokenize(batch[text_column])
     values, rows, positions = explode(lists)
-    hit = np.asarray(pc.equal(values, term)).astype(bool)
+    if len(terms) == 1:
+        hit = np.asarray(pc.equal(values, terms[0])).astype(bool)
+    else:
+        hit = np.asarray(
+            pc.is_in(values, value_set=pa.array(terms, type=values.type))
+        ).astype(bool)
     n = len(batch)
     first = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
     np.minimum.at(first, rows[hit], positions[hit])
     has = first != np.iinfo(np.int64).max
     if not has.any():
-        return _SNIPPET_SCHEMA.empty_table()
+        return _empty()
     lo = first[rows] - window
     hi = first[rows] + window
     keep = has[rows] & (positions >= lo) & (positions <= hi)
@@ -56,13 +95,11 @@ def _snippet_batch(batch: pa.Table, term: str, window: int, text_column: str) ->
         pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept_vals),
         " ",
     )
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"].cast(pa.int64()).filter(pa.array(has)),
-            "pos": pa.array(first[has], type=pa.int64()),
-            "snippet": snips.cast(pa.string()),
-        }
-    )
+    has_arr = pa.array(has)
+    cols = {c: batch[c].filter(has_arr) for c in id_cols}
+    cols["pos"] = pa.array(first[has], type=pa.int64())
+    cols["snippet"] = snips.cast(pa.string())
+    return pa.table(cols)
 
 
 def extract_snippets(ds, term: str, window: int = 2, text_column: str = "text"):

@@ -89,3 +89,174 @@ def docstore_pruned_fragments(store_dir: str, doc_ids,
         list(dataset.get_fragments(filter=pads.field("dpart").isin([int(p) for p in parts])))
     )
     return touched, total
+
+
+# ===================================================================
+# Index SIDECAR docstore — the engine/serving-path variant
+# ===================================================================
+# The standalone store above (docstore_build/docstore_fetch) is the
+# index-independent, int64-id hive store the `docstore_fetch` driver
+# row exercises.  The sidecar below lives INSIDE an index directory
+# (`<index_dir>/docstore`), speaks the engine's uint64 (and wide
+# 128-bit) external-id space, is written with the RESUMABLE atomic
+# sink (sources/sink.py — per-partition rename, re-runs skip finished
+# partitions, deterministic bytes), and returns fetched rows in the
+# REQUESTED order — the contract `QueryEngine.search_with_snippets`
+# and the 0xFE snippet wire frame (serve.py) build on.  A k-doc fetch
+# reads O(k) row groups: ids route to hash partitions
+# (stages/partition.coarse_partition_ids, the build's own hash) and
+# doc-sorted `row_group_docs`-row groups prune by statistics.
+
+import glob
+import os
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+DOCSTORE_DIRNAME = "docstore"
+#: docs per parquet row group — the pruning granule: a k-doc fetch
+#: reads <= k groups of this many doc-sorted rows
+DEFAULT_ROW_GROUP_DOCS = 1024
+DEFAULT_PARTITIONS = 64
+
+
+def docstore_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, DOCSTORE_DIRNAME)
+
+
+def has_docstore(index_dir: str) -> bool:
+    return bool(glob.glob(os.path.join(docstore_dir(index_dir), "part-*",
+                                       "data.parquet")))
+
+
+def build_docstore(corpus_ds, index_dir: str, text_column: str = "content",
+                   n_partitions: int = DEFAULT_PARTITIONS,
+                   row_group_docs: int = DEFAULT_ROW_GROUP_DOCS,
+                   wide: bool = False) -> dict:
+    """Write `<index_dir>/docstore` from the SAME corpus dataset the
+    index was built over.  Keeps (doc_id[, doc_id_hi], text); ids are
+    derived exactly like the build's.  Resumable: finished partitions
+    are skipped on re-run (sources/sink semantics)."""
+    from chearch_ray.sources.sink import write_resumable_parquet
+    from chearch_ray.stages.tokenize import _doc_ids_of, _doc_ids_wide_of
+
+    def project(batch: pa.Table) -> pa.Table:
+        text = batch[text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if wide:
+            hi, lo = _doc_ids_wide_of(batch)
+            return pa.table({
+                "doc_id": pa.array(lo, type=pa.uint64()),
+                "doc_id_hi": pa.array(hi, type=pa.uint64()),
+                "text": text.cast(pa.string()),
+            })
+        return pa.table({
+            "doc_id": pa.array(_doc_ids_of(batch), type=pa.uint64()),
+            "text": text.cast(pa.string()),
+        })
+
+    projected = corpus_ds.map_batches(project, batch_format="pyarrow")
+    out = write_resumable_parquet(
+        projected, docstore_dir(index_dir), key="doc_id",
+        n_partitions=n_partitions, order_by=["doc_id"],
+        row_group_size=row_group_docs,
+    )
+    # the hash modulus must survive for fetch-time routing (the sink
+    # writes only NON-EMPTY partitions, so it can't be recovered from
+    # the directory listing)
+    import json
+
+    meta_path = os.path.join(docstore_dir(index_dir), "_meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_partitions": n_partitions, "wide": wide}, f)
+    os.replace(tmp, meta_path)
+    return out
+
+
+class DocstoreReader:
+    """Point-fetch over the docstore partitions.
+
+    Holds no data — only the partition list; every fetch opens just
+    the partitions its ids hash to and relies on parquet row-group
+    statistics (rows are doc-sorted) to skip everything else."""
+
+    def __init__(self, index_dir: str):
+        base = docstore_dir(index_dir)
+        paths = sorted(glob.glob(os.path.join(base, "part-*", "data.parquet")))
+        if not paths:
+            raise FileNotFoundError(
+                f"no docstore under {base} — build one with "
+                "build_docstore(corpus_ds, index_dir) or CLI "
+                "`build --docstore`")
+        self.paths: dict[int, str] = {}
+        for p in paths:
+            pid = int(os.path.basename(os.path.dirname(p)).split("-")[1])
+            self.paths[pid] = p
+        # the hash modulus used at write time (the sink writes only
+        # NON-EMPTY partitions, so the directory listing alone can't
+        # recover it)
+        meta_path = os.path.join(base, "_meta.json")
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                self.n_partitions = int(json.load(f)["n_partitions"])
+        else:  # meta-less store (partial build): best-effort routing
+            self.n_partitions = max(self.paths) + 1
+
+    def _empty(self, wide: bool) -> pa.Table:
+        cols = {"doc_id": pa.array([], type=pa.uint64())}
+        if wide:
+            cols["doc_id_hi"] = pa.array([], type=pa.uint64())
+        cols["text"] = pa.array([], type=pa.string())
+        return pa.table(cols)
+
+    def fetch(self, doc_ids: np.ndarray,
+              doc_his: np.ndarray | None = None) -> pa.Table:
+        """rows for the given ids, in THEIR order (missing ids drop).
+        Wide mode passes the hi words too and matches exact (hi, lo)
+        pairs — lo-64 collisions inside one partition resolve through
+        the same 'S16' byte keys the docmap uses."""
+        from chearch_ray.stages.partition import coarse_partition_ids
+
+        ids = np.asarray(doc_ids).astype(np.uint64)
+        wide = doc_his is not None
+        if len(ids) == 0:
+            return self._empty(wide)
+        pids = coarse_partition_ids(ids, self.n_partitions)
+        parts = []
+        for pid in np.unique(pids).tolist():
+            path = self.paths.get(int(pid))
+            if path is None:
+                continue
+            want = np.unique(ids[pids == pid])
+            # row-group pruning: sorted rows -> stats straddle checks.
+            # the value set must be a TYPED uint64 array — a python
+            # list would coerce through int64 and overflow on hash ids
+            # past 2^63
+            expr = pads.field("doc_id").isin(pa.array(want, type=pa.uint64()))
+            parts.append(pq.read_table(path, filters=expr))
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return self._empty(wide)
+        got = pa.concat_tables(parts).combine_chunks()
+        got_ids = got["doc_id"].to_numpy().astype(np.uint64)
+        if wide and "doc_id_hi" in got.column_names:
+            from chearch_ray.functions.hashing import key16
+
+            got_keys = key16(got["doc_id_hi"].to_numpy().astype(np.uint64),
+                             got_ids)
+            want_keys = key16(np.asarray(doc_his).astype(np.uint64), ids)
+            order = np.argsort(got_keys, kind="stable")
+            pos = np.searchsorted(got_keys[order], want_keys)
+            pos_c = np.minimum(pos, len(order) - 1)
+            hit = got_keys[order][pos_c] == want_keys
+        else:
+            order = np.argsort(got_ids, kind="stable")
+            pos = np.searchsorted(got_ids[order], ids)
+            pos_c = np.minimum(pos, len(order) - 1)
+            hit = got_ids[order][pos_c] == ids
+        take = pa.array(order[pos_c[hit]], type=pa.int64())
+        return got.take(take)

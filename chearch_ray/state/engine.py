@@ -342,6 +342,84 @@ class QueryEngine:
         node, filters, boosts = parse_full(query, default_op)
         return self.search(node, k=k, filter=filters, boosts=boosts)
 
+    @property
+    def docstore(self):
+        """Lazy `DocstoreReader` over `<index_dir>/docstore` (the
+        optional text sidecar — state/docstore.py); raises
+        FileNotFoundError when the index was built without one."""
+        ds = getattr(self, "_docstore", None)
+        if ds is None:
+            from chearch_ray.state.docstore import DocstoreReader
+
+            ds = self._docstore = DocstoreReader(self.index_dir)
+        return ds
+
+    def fetch_docs(self, doc_ids, doc_his=None) -> pa.Table:
+        """Text rows for result ids via the docstore (O(k) row groups,
+        never a corpus scan); rows come back in the ids' order."""
+        return self.docstore.fetch(
+            np.asarray(doc_ids, dtype=np.uint64),
+            None if doc_his is None else np.asarray(doc_his, dtype=np.uint64),
+        )
+
+    def search_with_snippets(self, query: str, k: int | None = None,
+                             window: int = 2,
+                             default_op: str = "and") -> pa.Table:
+        """The user-facing search-and-display composition: BM25 top-k
+        through the full grammar (search_parsed semantics), docstore
+        fetch of just those k docs, then a ±`window`-token snippet
+        anchored at the EARLIEST first occurrence of any (planned,
+        positive) query term — columns (doc_id[, doc_id_hi], score,
+        pos, snippet), rank order preserved.  Scores and ranks are
+        EXACTLY search_parsed's; a result doc missing from the
+        docstore (never, when it was built from the index's corpus)
+        degrades to pos=-1 / snippet='' rather than dropping the hit."""
+        from chearch_ray.functions.queryparse import parse_full
+        from chearch_ray.stages.snippets import snippet_rows
+
+        node, filters, boosts = parse_full(query, default_op)
+        planned = self._plan(parse_query(node, default_op))
+        t = self.search(planned, k=k, filter=filters, boosts=boosts)
+        wide = "doc_id_hi" in t.column_names
+        base_cols = (["doc_id_hi", "doc_id"] if wide else ["doc_id"])
+        out_cols = {c: t[c] for c in base_cols}
+        out_cols["score"] = t["score"]
+        if len(t) == 0:
+            out_cols["pos"] = pa.array([], type=pa.int64())
+            out_cols["snippet"] = pa.array([], type=pa.string())
+            return pa.table(out_cols)
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        his = t["doc_id_hi"].to_numpy().astype(np.uint64) if wide else None
+        docs = self.docstore.fetch(ids, his)
+        terms = [str(x) for x in ast.terms_of(planned)]
+        snips = snippet_rows(docs, terms, window)
+        # align snippet rows (a subset, in fetch order) back onto the
+        # ranked results; misses degrade, never drop
+        pos_out = np.full(len(t), -1, dtype=np.int64)
+        snip_out = np.full(len(t), "", dtype=object)
+        if len(snips):
+            s_ids = snips["doc_id"].to_numpy().astype(np.uint64)
+            if wide:
+                from chearch_ray.functions.hashing import key16
+
+                s_keys = key16(
+                    snips["doc_id_hi"].to_numpy().astype(np.uint64), s_ids)
+                t_keys = key16(his, ids)
+            else:
+                s_keys, t_keys = s_ids, ids
+            order = np.argsort(s_keys, kind="stable")
+            loc = np.searchsorted(s_keys[order], t_keys)
+            loc_c = np.minimum(loc, len(order) - 1)
+            hit = s_keys[order][loc_c] == t_keys
+            src = order[loc_c[hit]]
+            pos_out[hit] = snips["pos"].to_numpy()[src]
+            snip_vals = snips["snippet"].to_pylist()
+            for dst, s in zip(np.flatnonzero(hit).tolist(), src.tolist()):
+                snip_out[dst] = snip_vals[s]
+        out_cols["pos"] = pa.array(pos_out, type=pa.int64())
+        out_cols["snippet"] = pa.array(snip_out.tolist(), type=pa.string())
+        return pa.table(out_cols)
+
     def search(self, query: str | ast.Node, k: int | None = None, default_op: str = "or",
                filter: dict[str, list[str]] | None = None,
                boosts: dict[str, float] | None = None) -> pa.Table:

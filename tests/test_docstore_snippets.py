@@ -1,0 +1,205 @@
+"""Index-sidecar docstore + search-and-display path.
+
+Covers the round-5 serving composition: the resumable docstore
+sidecar (state/docstore.py build_docstore/DocstoreReader),
+QueryEngine.search_with_snippets (BM25 ranks/scores EXACTLY
+search_parsed's; snippets exactly the pure-python tokenizer oracle),
+wide 128-bit ids with adversarial lo-collisions, and the 0xFE snippet
+wire frame over a real socket (pipelined, LRU-cached, per-id
+malformed handling, mixed with 0xFF text frames on one connection).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chearch_ray.config import EngineConfig
+from chearch_ray.functions.tokenizer import tokenize
+from chearch_ray.pipelines.build import build_index
+from chearch_ray.sources.corpus import synthetic_corpus
+from chearch_ray.state.docstore import DocstoreReader, build_docstore, has_docstore
+from chearch_ray.state.engine import QueryEngine
+
+CFG = EngineConfig(num_segments=2, num_term_shards=4)
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synthetic_corpus(N_DOCS, seed=11, min_lines=5, max_lines=20)
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, corpus, tmp_path_factory):
+    import ray.data
+
+    idx = str(tmp_path_factory.mktemp("snip_idx"))
+    build_index(ray.data.from_arrow(corpus), idx, CFG)
+    r = build_docstore(ray.data.from_arrow(corpus), idx,
+                       n_partitions=8, row_group_docs=64)
+    assert r["written"] and not r["skipped"]
+    eng = QueryEngine(idx, use_actors=False)
+    yield eng
+
+
+def _tokens_by_doc(corpus):
+    ids = corpus["doc_id"].to_pylist() if "doc_id" in corpus.column_names else None
+    out = {}
+    for i, txt in enumerate(corpus["content"].to_pylist()):
+        out[i if ids is None else ids[i]] = tokenize(pa.array([txt]))[0].as_py()
+    return out
+
+
+# ------------------------------------------------------------ sidecar
+def test_docstore_fetch_order_and_misses(engine, corpus):
+    dsr = DocstoreReader(engine.index_dir)
+    # docstore ids come from (repo, path, commit) — read them back via
+    # a search so we use REAL engine ids
+    t = engine.search("def", k=8, default_op="or")
+    ids = t["doc_id"].to_numpy().astype(np.uint64)
+    got = dsr.fetch(ids)
+    assert got["doc_id"].to_numpy().astype(np.uint64).tolist() == ids.tolist()
+    # unknown ids drop silently, known keep request order
+    mixed = np.array([ids[2], np.uint64(12345), ids[0]], dtype=np.uint64)
+    got = dsr.fetch(mixed)
+    assert got["doc_id"].to_numpy().astype(np.uint64).tolist() == [ids[2], ids[0]]
+    # empty fetch
+    assert len(dsr.fetch(np.empty(0, dtype=np.uint64))) == 0
+
+
+def test_docstore_resume_skips_everything(engine, corpus):
+    import ray.data
+
+    r2 = build_docstore(ray.data.from_arrow(corpus), engine.index_dir,
+                        n_partitions=8, row_group_docs=64)
+    assert not r2["written"] and r2["skipped"]
+    assert has_docstore(engine.index_dir)
+
+
+# ------------------------------------------------- engine composition
+@pytest.mark.parametrize("q,op", [("def", "and"), ("def return", "or"),
+                                  ("def return", "and")])
+def test_search_with_snippets_exact(engine, corpus, q, op):
+    t = engine.search_with_snippets(q, k=6, window=3, default_op=op)
+    sp = engine.search_parsed(q, k=6, default_op=op)
+    assert len(t) > 0
+    assert t["doc_id"].to_pylist() == sp["doc_id"].to_pylist()
+    assert t["score"].to_pylist() == sp["score"].to_pylist()
+    dsr = DocstoreReader(engine.index_dir)
+    docs = dsr.fetch(t["doc_id"].to_numpy().astype(np.uint64))
+    txts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    terms = q.split()
+    for row in t.to_pylist():
+        toks = tokenize(pa.array([txts[row["doc_id"]]]))[0].as_py()
+        firsts = [toks.index(x) for x in terms if x in toks]
+        pos = min(firsts)
+        want = " ".join(toks[max(0, pos - 3):pos + 4])
+        assert row["pos"] == pos
+        assert row["snippet"] == want
+
+
+def test_snippets_without_docstore_raises(ray_session, corpus, tmp_path):
+    import ray.data
+
+    idx = str(tmp_path / "bare")
+    build_index(ray.data.from_arrow(corpus), idx, CFG)
+    eng = QueryEngine(idx, use_actors=False)
+    with pytest.raises(FileNotFoundError):
+        eng.search_with_snippets("def", k=3)
+
+
+# ------------------------------------------------------- wide 128-bit
+def test_wide_id_snippets_resolve_lo_collisions(ray_session, tmp_path):
+    import ray.data
+
+    base = synthetic_corpus(60, seed=5, min_lines=4, max_lines=10)
+    # adversarial ids: every lo shared by up to 3 docs
+    n = len(base)
+    lo = pa.array([np.uint64(i // 3) for i in range(n)], type=pa.uint64())
+    hi = pa.array([np.uint64(i % 3) for i in range(n)], type=pa.uint64())
+    corpus = base.append_column("doc_id", lo).append_column("doc_id_hi", hi)
+    idx = str(tmp_path / "wide")
+    cfg = EngineConfig(num_segments=2, num_term_shards=4, doc_id_bits=128)
+    build_index(ray.data.from_arrow(corpus), idx, cfg)
+    build_docstore(ray.data.from_arrow(corpus), idx, n_partitions=4,
+                   row_group_docs=16, wide=True)
+    eng = QueryEngine(idx, use_actors=False)
+    t = eng.search_with_snippets("def return", k=8, default_op="or", window=2)
+    assert len(t) > 0 and "doc_id_hi" in t.column_names
+    # every snippet must come from ITS doc's text, not a lo-sibling's
+    texts = {}
+    for i in range(n):
+        texts[(i % 3, i // 3)] = base["content"][i].as_py()
+    for row in t.to_pylist():
+        toks = tokenize(pa.array([texts[(row["doc_id_hi"], row["doc_id"])]]))[0].as_py()
+        firsts = [toks.index(x) for x in ("def", "return") if x in toks]
+        assert row["pos"] == min(firsts)
+        want_pos = min(firsts)
+        assert row["snippet"] == " ".join(toks[max(0, want_pos - 2):want_pos + 3])
+
+
+# ------------------------------------------------------------ 0xFE TCP
+def test_snippet_wire_frame(engine):
+    from chearch_ray.serve import (TcpQueryServer, WireEngine,
+                                   build_snippet_request,
+                                   query_snippets_pipelined,
+                                   query_text_pipelined,
+                                   _pipelined_roundtrip)
+
+    srv = TcpQueryServer(WireEngine(engine), port=0,
+                         pipelined=True).start_background()
+    try:
+        out = query_snippets_pipelined("127.0.0.1", srv.port,
+                                       ["def return", "def"], k=5, window=3)
+        assert out[0] is not None and out[1] is not None
+        want = engine.search_with_snippets("def return", k=5, window=3)
+        got = out[0]
+        assert [r[0] for r in got] == want["doc_id"].to_pylist()
+        assert [r[1] for r in got] == want["score"].to_pylist()
+        assert [r[2] for r in got] == want["pos"].to_pylist()
+        assert [r[3] for r in got] == want["snippet"].to_pylist()
+        # LRU: identical bytes on a repeat
+        again = query_snippets_pipelined("127.0.0.1", srv.port,
+                                         ["def return"], k=5, window=3)[0]
+        assert again == got
+        # malformed k / window answer per-id as None, connection lives
+        bad_k = bytes([0xFE, 0, 3]) + b"def"
+        bad_w = bytes([0xFE, 5, 99]) + b"def"
+        raw = _pipelined_roundtrip("127.0.0.1", srv.port,
+                                   [bad_k, bad_w,
+                                    build_snippet_request("def", 3, 2)])
+        assert raw[0] is None and raw[1] is None and raw[2]
+        # 0xFE and 0xFF frames mix on one connection
+        texts = query_text_pipelined("127.0.0.1", srv.port, ["def"], k=5)
+        assert texts[0]
+    finally:
+        srv.stop()
+
+
+def test_snippet_frame_without_docstore_is_per_id_malformed(
+        ray_session, corpus, tmp_path):
+    import ray.data
+
+    from chearch_ray.serve import (TcpQueryServer, WireEngine,
+                                   query_snippets_pipelined,
+                                   query_text_pipelined)
+
+    idx = str(tmp_path / "bare_srv")
+    build_index(ray.data.from_arrow(corpus), idx, CFG)
+    eng = QueryEngine(idx, use_actors=False)
+    srv = TcpQueryServer(WireEngine(eng), port=0,
+                         pipelined=True).start_background()
+    try:
+        out = query_snippets_pipelined("127.0.0.1", srv.port, ["def"], k=3)
+        assert out == [None]  # no docstore -> malformed answer, no crash
+        # and the server still serves other frames afterwards
+        assert query_text_pipelined("127.0.0.1", srv.port, ["def"], k=3)[0]
+    finally:
+        srv.stop()
