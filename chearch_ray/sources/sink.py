@@ -53,7 +53,8 @@ def finished_partitions(out_dir: str) -> set[int]:
 
 def _write_one_partition(group: pa.Table, out_dir: str,
                          order_by: list[str],
-                         row_group_size: int | None = None) -> pa.Table:
+                         row_group_size: int | None = None,
+                         row_group_bytes: int | None = None) -> pa.Table:
     """map_groups body: write this partition's rows as ONE sorted
     parquet file via tmp-dir + atomic replace; returns a receipt row.
     Runs on whatever worker owns the partition — the write itself is
@@ -67,6 +68,11 @@ def _write_one_partition(group: pa.Table, out_dir: str,
     dest = _partition_dir(out_dir, pid)
     tmp = f"{dest}.tmp-{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
+    if row_group_bytes and len(rows):
+        # point-fetch stores bound the DECODE granule in bytes — a
+        # fixed row count makes KB-scale docs produce MB-scale groups
+        by_bytes = max(4, int(row_group_bytes * len(rows) / max(1, rows.nbytes)))
+        row_group_size = min(row_group_size or by_bytes, by_bytes)
     kw = {"row_group_size": row_group_size} if row_group_size else {}
     pq.write_table(rows, os.path.join(tmp, "data.parquet"),
                    compression="snappy", **kw)
@@ -81,7 +87,8 @@ def _write_one_partition(group: pa.Table, out_dir: str,
 def write_resumable_parquet(ds, out_dir: str, key: str,
                             n_partitions: int = 64,
                             order_by: list[str] | None = None,
-                            row_group_size: int | None = None) -> dict:
+                            row_group_size: int | None = None,
+                            row_group_bytes: int | None = None) -> dict:
     """Write `ds` as `out_dir/part-NNNNN/data.parquet`, partitioned by
     hash(key) % n_partitions, skipping partitions that already exist.
 
@@ -113,7 +120,8 @@ def write_resumable_parquet(ds, out_dir: str, key: str,
 
     receipts = parted.groupby("pgrp").map_groups(
         partial(_write_one_partition, out_dir=out_dir, order_by=order_by,
-                row_group_size=row_group_size),
+                row_group_size=row_group_size,
+                row_group_bytes=row_group_bytes),
         batch_format="pyarrow",
     )
     written = sorted(

@@ -110,13 +110,22 @@ def docstore_pruned_fragments(store_dir: str, doc_ids,
 import glob
 import os
 
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 DOCSTORE_DIRNAME = "docstore"
 #: docs per parquet row group — the pruning granule: a k-doc fetch
-#: reads <= k groups of this many doc-sorted rows
-DEFAULT_ROW_GROUP_DOCS = 1024
+#: DECODES <= k groups of this many doc-sorted rows, so the group is
+#: sized like a stored-fields block (tens of KB), not like a scan
+#: granule (a 1024-doc group of KB-scale docs is megabytes, and a
+#: 10-doc fetch was decoding ~100 MB).  Footer metadata grows with
+#: group count but is parsed ONCE per partition (DocstoreReader
+#: caches handles + fences).
+DEFAULT_ROW_GROUP_DOCS = 32
+#: byte bound on the same granule: per-partition the sink derives
+#: rows-per-group from the ACTUAL row width and takes the min with
+#: DEFAULT_ROW_GROUP_DOCS, so KB-scale code files get ~8-row groups
+#: while tweet-scale rows keep 32
+DEFAULT_ROW_GROUP_BYTES = 64 * 1024
 DEFAULT_PARTITIONS = 64
 
 
@@ -132,6 +141,7 @@ def has_docstore(index_dir: str) -> bool:
 def build_docstore(corpus_ds, index_dir: str, text_column: str = "content",
                    n_partitions: int = DEFAULT_PARTITIONS,
                    row_group_docs: int = DEFAULT_ROW_GROUP_DOCS,
+                   row_group_bytes: int = DEFAULT_ROW_GROUP_BYTES,
                    wide: bool = False) -> dict:
     """Write `<index_dir>/docstore` from the SAME corpus dataset the
     index was built over.  Keeps (doc_id[, doc_id_hi], text); ids are
@@ -160,7 +170,7 @@ def build_docstore(corpus_ds, index_dir: str, text_column: str = "content",
     out = write_resumable_parquet(
         projected, docstore_dir(index_dir), key="doc_id",
         n_partitions=n_partitions, order_by=["doc_id"],
-        row_group_size=row_group_docs,
+        row_group_size=row_group_docs, row_group_bytes=row_group_bytes,
     )
     # the hash modulus must survive for fetch-time routing (the sink
     # writes only NON-EMPTY partitions, so it can't be recovered from
@@ -178,11 +188,21 @@ def build_docstore(corpus_ds, index_dir: str, text_column: str = "content",
 class DocstoreReader:
     """Point-fetch over the docstore partitions.
 
-    Holds no data — only the partition list; every fetch opens just
-    the partitions its ids hash to and relies on parquet row-group
-    statistics (rows are doc-sorted) to skip everything else."""
+    Holds no row data — only the partition list plus, lazily, one open
+    `ParquetFile` handle and the row-group doc_id [min, max] fences per
+    touched partition (a few hundred bytes each; the docstore is
+    immutable once built, like the manifest snapshot an engine holds).
+    A fetch routes ids to partitions by the build's hash, binary-
+    searches the fences (rows are doc-sorted) and decodes ONLY the
+    candidate row groups — O(k) groups per k-doc fetch, no metadata
+    re-parse per call.  Thread-safe: serving pools call fetch
+    concurrently and Arrow file readers aren't re-entrant, so per-call
+    reads serialize under a lock (reads are sub-ms; the lock is not
+    the bottleneck)."""
 
     def __init__(self, index_dir: str):
+        import threading
+
         base = docstore_dir(index_dir)
         paths = sorted(glob.glob(os.path.join(base, "part-*", "data.parquet")))
         if not paths:
@@ -194,6 +214,9 @@ class DocstoreReader:
         for p in paths:
             pid = int(os.path.basename(os.path.dirname(p)).split("-")[1])
             self.paths[pid] = p
+        #: pid -> (ParquetFile, group_mins, group_maxs) — lazy
+        self._files: dict[int, tuple] = {}
+        self._lock = threading.Lock()
         # the hash modulus used at write time (the sink writes only
         # NON-EMPTY partitions, so the directory listing alone can't
         # recover it)
@@ -205,6 +228,30 @@ class DocstoreReader:
                 self.n_partitions = int(json.load(f)["n_partitions"])
         else:  # meta-less store (partial build): best-effort routing
             self.n_partitions = max(self.paths) + 1
+
+    def _file(self, pid: int):
+        """(ParquetFile, row-group doc_id mins, maxs) for a partition;
+        opened once, fences from footer statistics (the sink writes
+        plain uint64 stats).  Caller holds self._lock."""
+        ent = self._files.get(pid)
+        if ent is not None:
+            return ent
+        f = pq.ParquetFile(self.paths[pid], memory_map=True)
+        md = f.metadata
+        col = md.schema.to_arrow_schema().get_field_index("doc_id")
+        mins = np.empty(md.num_row_groups, dtype=np.uint64)
+        maxs = np.empty(md.num_row_groups, dtype=np.uint64)
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(col).statistics
+            if st is None or not st.has_min_max:
+                # stats missing (shouldn't happen for our own sink):
+                # fence the group wide-open so it's always a candidate
+                mins[g], maxs[g] = 0, np.iinfo(np.uint64).max
+            else:
+                mins[g], maxs[g] = np.uint64(st.min), np.uint64(st.max)
+        ent = (f, mins, maxs)
+        self._files[pid] = ent
+        return ent
 
     def _empty(self, wide: bool) -> pa.Table:
         cols = {"doc_id": pa.array([], type=pa.uint64())}
@@ -227,18 +274,33 @@ class DocstoreReader:
             return self._empty(wide)
         pids = coarse_partition_ids(ids, self.n_partitions)
         parts = []
-        for pid in np.unique(pids).tolist():
-            path = self.paths.get(int(pid))
-            if path is None:
-                continue
-            want = np.unique(ids[pids == pid])
-            # row-group pruning: sorted rows -> stats straddle checks.
-            # the value set must be a TYPED uint64 array — a python
-            # list would coerce through int64 and overflow on hash ids
-            # past 2^63
-            expr = pads.field("doc_id").isin(pa.array(want, type=pa.uint64()))
-            parts.append(pq.read_table(path, filters=expr))
-        parts = [p for p in parts if len(p)]
+        with self._lock:
+            for pid in np.unique(pids).tolist():
+                if int(pid) not in self.paths:
+                    continue
+                f, mins, maxs = self._file(int(pid))
+                want = np.unique(ids[pids == pid])
+                # row-group pruning against the cached fences: rows
+                # are doc-sorted, so the groups form disjoint ordered
+                # [min, max] ranges — the only candidate for an id is
+                # the first group whose max >= id (searchsorted on the
+                # uint64 fences; no int64 coercion anywhere, hash ids
+                # past 2^63 stay exact)
+                cand = np.searchsorted(maxs, want, side="left")
+                ok = cand < len(maxs)
+                cand = cand[ok]
+                hit_groups = np.unique(cand[mins[cand] <= want[ok]])
+                if len(hit_groups) == 0:
+                    continue
+                # tiny point reads: arrow's per-call thread fan-out
+                # costs more than the decode itself
+                tbl = f.read_row_groups(hit_groups.tolist(),
+                                        use_threads=False)
+                keep = pc.is_in(tbl["doc_id"],
+                                value_set=pa.array(want, type=pa.uint64()))
+                tbl = tbl.filter(keep)
+                if len(tbl):
+                    parts.append(tbl)
         if not parts:
             return self._empty(wide)
         got = pa.concat_tables(parts).combine_chunks()
