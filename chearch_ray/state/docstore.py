@@ -196,9 +196,10 @@ class DocstoreReader:
     searches the fences (rows are doc-sorted) and decodes ONLY the
     candidate row groups — O(k) groups per k-doc fetch, no metadata
     re-parse per call.  Thread-safe: serving pools call fetch
-    concurrently and Arrow file readers aren't re-entrant, so per-call
-    reads serialize under a lock (reads are sub-ms; the lock is not
-    the bottleneck)."""
+    concurrently and Arrow file readers aren't re-entrant, so reads of
+    the SAME partition serialize under that partition's lock while
+    different partitions read in parallel (pyarrow releases the GIL
+    during the decode); the global lock only guards cache mutation."""
 
     def __init__(self, index_dir: str):
         import threading
@@ -214,7 +215,7 @@ class DocstoreReader:
         for p in paths:
             pid = int(os.path.basename(os.path.dirname(p)).split("-")[1])
             self.paths[pid] = p
-        #: pid -> (ParquetFile, group_mins, group_maxs) — lazy
+        #: pid -> (ParquetFile, group_mins, group_maxs, per-file lock)
         self._files: dict[int, tuple] = {}
         self._lock = threading.Lock()
         # the hash modulus used at write time (the sink writes only
@@ -230,28 +231,37 @@ class DocstoreReader:
             self.n_partitions = max(self.paths) + 1
 
     def _file(self, pid: int):
-        """(ParquetFile, row-group doc_id mins, maxs) for a partition;
-        opened once, fences from footer statistics (the sink writes
-        plain uint64 stats).  Caller holds self._lock."""
+        """(ParquetFile, row-group doc_id mins, maxs, lock) for a
+        partition; opened once, fences from footer statistics (the
+        sink writes plain uint64 stats).  Takes self._lock itself —
+        double-checked so warm calls skip straight to the cached
+        entry (dict reads are atomic under the GIL)."""
         ent = self._files.get(pid)
         if ent is not None:
             return ent
-        f = pq.ParquetFile(self.paths[pid], memory_map=True)
-        md = f.metadata
-        col = md.schema.to_arrow_schema().get_field_index("doc_id")
-        mins = np.empty(md.num_row_groups, dtype=np.uint64)
-        maxs = np.empty(md.num_row_groups, dtype=np.uint64)
-        for g in range(md.num_row_groups):
-            st = md.row_group(g).column(col).statistics
-            if st is None or not st.has_min_max:
-                # stats missing (shouldn't happen for our own sink):
-                # fence the group wide-open so it's always a candidate
-                mins[g], maxs[g] = 0, np.iinfo(np.uint64).max
-            else:
-                mins[g], maxs[g] = np.uint64(st.min), np.uint64(st.max)
-        ent = (f, mins, maxs)
-        self._files[pid] = ent
-        return ent
+        import threading
+
+        with self._lock:
+            ent = self._files.get(pid)
+            if ent is not None:
+                return ent
+            f = pq.ParquetFile(self.paths[pid], memory_map=True)
+            md = f.metadata
+            col = md.schema.to_arrow_schema().get_field_index("doc_id")
+            mins = np.empty(md.num_row_groups, dtype=np.uint64)
+            maxs = np.empty(md.num_row_groups, dtype=np.uint64)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(col).statistics
+                if st is None or not st.has_min_max:
+                    # stats missing (shouldn't happen for our own
+                    # sink): fence the group wide-open so it's always
+                    # a candidate
+                    mins[g], maxs[g] = 0, np.iinfo(np.uint64).max
+                else:
+                    mins[g], maxs[g] = np.uint64(st.min), np.uint64(st.max)
+            ent = (f, mins, maxs, threading.Lock())
+            self._files[pid] = ent
+            return ent
 
     def _empty(self, wide: bool) -> pa.Table:
         cols = {"doc_id": pa.array([], type=pa.uint64())}
@@ -274,33 +284,33 @@ class DocstoreReader:
             return self._empty(wide)
         pids = coarse_partition_ids(ids, self.n_partitions)
         parts = []
-        with self._lock:
-            for pid in np.unique(pids).tolist():
-                if int(pid) not in self.paths:
-                    continue
-                f, mins, maxs = self._file(int(pid))
-                want = np.unique(ids[pids == pid])
-                # row-group pruning against the cached fences: rows
-                # are doc-sorted, so the groups form disjoint ordered
-                # [min, max] ranges — the only candidate for an id is
-                # the first group whose max >= id (searchsorted on the
-                # uint64 fences; no int64 coercion anywhere, hash ids
-                # past 2^63 stay exact)
-                cand = np.searchsorted(maxs, want, side="left")
-                ok = cand < len(maxs)
-                cand = cand[ok]
-                hit_groups = np.unique(cand[mins[cand] <= want[ok]])
-                if len(hit_groups) == 0:
-                    continue
+        for pid in np.unique(pids).tolist():
+            if int(pid) not in self.paths:
+                continue
+            f, mins, maxs, flock = self._file(int(pid))
+            want = np.unique(ids[pids == pid])
+            # row-group pruning against the cached fences: rows
+            # are doc-sorted, so the groups form disjoint ordered
+            # [min, max] ranges — the only candidate for an id is
+            # the first group whose max >= id (searchsorted on the
+            # uint64 fences; no int64 coercion anywhere, hash ids
+            # past 2^63 stay exact)
+            cand = np.searchsorted(maxs, want, side="left")
+            ok = cand < len(maxs)
+            cand = cand[ok]
+            hit_groups = np.unique(cand[mins[cand] <= want[ok]])
+            if len(hit_groups) == 0:
+                continue
+            with flock:
                 # tiny point reads: arrow's per-call thread fan-out
                 # costs more than the decode itself
                 tbl = f.read_row_groups(hit_groups.tolist(),
                                         use_threads=False)
-                keep = pc.is_in(tbl["doc_id"],
-                                value_set=pa.array(want, type=pa.uint64()))
-                tbl = tbl.filter(keep)
-                if len(tbl):
-                    parts.append(tbl)
+            keep = pc.is_in(tbl["doc_id"],
+                            value_set=pa.array(want, type=pa.uint64()))
+            tbl = tbl.filter(keep)
+            if len(tbl):
+                parts.append(tbl)
         if not parts:
             return self._empty(wide)
         got = pa.concat_tables(parts).combine_chunks()

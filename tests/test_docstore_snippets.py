@@ -42,8 +42,10 @@ def engine(ray_session, corpus, tmp_path_factory):
 
     idx = str(tmp_path_factory.mktemp("snip_idx"))
     build_index(ray.data.from_arrow(corpus), idx, CFG)
+    # row groups of 8 docs: each ~37-doc partition gets several, so
+    # the reader's fence pruning is actually exercised
     r = build_docstore(ray.data.from_arrow(corpus), idx,
-                       n_partitions=8, row_group_docs=64)
+                       n_partitions=8, row_group_docs=8)
     assert r["written"] and not r["skipped"]
     eng = QueryEngine(idx, use_actors=False)
     yield eng
@@ -203,3 +205,49 @@ def test_snippet_frame_without_docstore_is_per_id_malformed(
         assert query_text_pipelined("127.0.0.1", srv.port, ["def"], k=3)[0]
     finally:
         srv.stop()
+
+
+def test_fence_pruning_exact_at_group_boundaries(engine, corpus):
+    """The reader's row-group fences must resolve EVERY id — including
+    the exact first/last id of each row group and uint64 hash ids past
+    2^63 — and a fetch must decode only the candidate groups."""
+    store = DocstoreReader(engine.index_dir)
+    # collect the true per-group boundary ids straight from the files
+    import pyarrow.parquet as pq
+
+    boundary = []
+    for pid, path in sorted(store.paths.items()):
+        f = pq.ParquetFile(path)
+        col = f.metadata.schema.to_arrow_schema().get_field_index("doc_id")
+        for g in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(g).column(col).statistics
+            boundary.extend([st.min, st.max])
+    boundary = np.unique(np.array(boundary, dtype=np.uint64))
+    got = store.fetch(boundary)
+    assert got["doc_id"].to_numpy().astype(np.uint64).tolist() == \
+        boundary.tolist()
+    # and decode volume stays point-shaped: the byte-bounded sink must
+    # have split every multi-KB partition into >1 groups, so pruning
+    # has something to skip
+    multi = [p for p in store.paths
+             if pq.ParquetFile(store.paths[p]).metadata.num_row_groups > 1]
+    assert multi, "docstore wrote single-group partitions; fences untested"
+
+
+def test_fetch_is_thread_safe_under_concurrency(engine, corpus):
+    """Serving pools hit fetch from several threads; per-partition
+    locking must keep results exact (same rows as the serial call)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    store = DocstoreReader(engine.index_dir)
+    all_ids = corpus["doc_id"].to_numpy().astype(np.uint64) \
+        if "doc_id" in corpus.column_names \
+        else np.arange(N_DOCS, dtype=np.uint64)
+    rng = np.random.default_rng(5)
+    batches = [rng.choice(all_ids, size=10, replace=False) for _ in range(32)]
+    serial = [store.fetch(b)["text"].to_pylist() for b in batches]
+    fresh = DocstoreReader(engine.index_dir)  # cold cache, opened in-race
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        threaded = list(ex.map(lambda b: fresh.fetch(b)["text"].to_pylist(),
+                               batches))
+    assert threaded == serial
