@@ -38,7 +38,7 @@ RAY_ADDRESS="127.0.0.1:$PORT" PYTHONPATH="$REPO" \
     --segments 4
 
 # serve queries on the SAME live 2-worker cluster and check placement
-RAY_ADDRESS="127.0.0.1:$PORT" PYTHONPATH="$REPO" python - "$WORK" <<'PY'
+RAY_ADDRESS="127.0.0.1:$PORT" PYTHONPATH="$REPO" python - "$WORK" "$CORPUS" <<'PY'
 import sys
 
 import ray
@@ -63,9 +63,37 @@ hits = eng.search("merge sort", k=5)
 assert len(hits) == 5
 local = QueryEngine(f"{work}/cluster_idx", use_actors=False)
 assert hits.equals(local.search("merge sort", k=5)), "actor/local diverged"
+
+# search-and-display across the same cluster: the docstore sidecar
+# builds THROUGH the 2-worker exchange (head has 0 CPUs, so the
+# shuffle + partition writes all run on the workers), then the 0xFE
+# snippet wire frame serves BM25 + fetch + snippet over a real socket
+# with the actor-pool engine behind it
+import ray.data
+
+from chearch_ray.serve import (TcpQueryServer, WireEngine,
+                               query_snippets_pipelined)
+from chearch_ray.state.docstore import build_docstore
+
+corpus_path = sys.argv[2]
+r = build_docstore(ray.data.read_parquet(corpus_path),
+                   f"{work}/cluster_idx", text_column="text")
+assert r["written"], "cluster docstore wrote nothing"
+srv = TcpQueryServer(WireEngine(eng), port=0, pipelined=True).start_background()
+try:
+    wire = query_snippets_pipelined("127.0.0.1", srv.port,
+                                    ["merge sort", "table scan"], k=5)
+finally:
+    srv.stop()
+want = local.search_with_snippets("merge sort", k=5, default_op="and")
+assert wire[0] is not None and [h[0] for h in wire[0]] == \
+    want["doc_id"].to_pylist(), "cluster snippet serving diverged"
+assert [h[3] for h in wire[0]] == want["snippet"].to_pylist()
 eng.close()
 print(f"OK: {len(nodes)} searcher actors across {len(set(nodes))} workers; "
-      f"cross-node query results identical to in-process")
+      f"cross-node query results identical to in-process; docstore built "
+      f"on-cluster ({len(r['written'])} partitions) and 0xFE snippet "
+      f"serving matches the local engine")
 PY
 cleanup
 
@@ -74,7 +102,9 @@ RAY_ADDRESS=local PYTHONPATH="$REPO" \
     --input "$CORPUS" --index "$WORK/local_idx" --text-column text \
     --segments 4
 
-PYTHONPATH="$REPO" python - "$WORK" <<'PY'
+PYTHONPATH="$REPO" python - "$WORK" "$CORPUS" <<'PY'
+import glob
+import hashlib
 import sys
 
 from chearch_ray.state.segment import Manifest
@@ -87,6 +117,27 @@ for field in ("postings_parts", "docmap_parts"):
     sa = {p["part"]: p["sha"] for p in getattr(a, field)}
     sb = {p["part"]: p["sha"] for p in getattr(b, field)}
     assert sa == sb, f"{field} diverged"
+
+# docstore determinism across schedulers: rebuild the sidecar locally
+# and compare every partition file byte-for-byte with the on-cluster
+# build (the sink sorts per partition, so bytes are plan-independent)
+import ray
+import ray.data
+
+ray.init(address="local", num_cpus=4, include_dashboard=False)
+from chearch_ray.state.docstore import build_docstore
+
+build_docstore(ray.data.read_parquet(sys.argv[2]),
+               f"{work}/local_idx", text_column="text")
+ray.shutdown()
+
+def shas(idx):
+    return {p.split(idx, 1)[1]: hashlib.sha256(open(p, "rb").read()).hexdigest()
+            for p in sorted(glob.glob(f"{idx}/docstore/part-*/data.parquet"))}
+
+da, db = shas(f"{work}/cluster_idx"), shas(f"{work}/local_idx")
+assert da and da == db, "docstore bytes diverged between cluster and local"
 print(f"OK: two-worker build byte-identical to in-process build "
-      f"({a.num_docs} docs, {len(a.postings_parts)} posting parts)")
+      f"({a.num_docs} docs, {len(a.postings_parts)} posting parts, "
+      f"{len(da)} docstore partitions)")
 PY
