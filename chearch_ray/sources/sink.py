@@ -51,6 +51,20 @@ def finished_partitions(out_dir: str) -> set[int]:
     return out
 
 
+def point_row_group_size(rows: pa.Table, row_group_size: int | None,
+                         row_group_bytes: int | None) -> int | None:
+    """Rows-per-group for a point-fetch store: bound the DECODE
+    granule in bytes from the table's ACTUAL row width (a fixed row
+    count makes KB-scale docs produce MB-scale groups), capped by the
+    caller's row count.  Shared by the sink and docstore merge so
+    merged partitions re-derive the identical split a fresh build
+    would."""
+    if row_group_bytes and len(rows):
+        by_bytes = max(4, int(row_group_bytes * len(rows) / max(1, rows.nbytes)))
+        return min(row_group_size or by_bytes, by_bytes)
+    return row_group_size
+
+
 def _write_one_partition(group: pa.Table, out_dir: str,
                          order_by: list[str],
                          row_group_size: int | None = None,
@@ -68,11 +82,8 @@ def _write_one_partition(group: pa.Table, out_dir: str,
     dest = _partition_dir(out_dir, pid)
     tmp = f"{dest}.tmp-{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
-    if row_group_bytes and len(rows):
-        # point-fetch stores bound the DECODE granule in bytes — a
-        # fixed row count makes KB-scale docs produce MB-scale groups
-        by_bytes = max(4, int(row_group_bytes * len(rows) / max(1, rows.nbytes)))
-        row_group_size = min(row_group_size or by_bytes, by_bytes)
+    row_group_size = point_row_group_size(rows, row_group_size,
+                                          row_group_bytes)
     kw = {"row_group_size": row_group_size} if row_group_size else {}
     pq.write_table(rows, os.path.join(tmp, "data.parquet"),
                    compression="snappy", **kw)

@@ -177,12 +177,109 @@ def build_docstore(corpus_ds, index_dir: str, text_column: str = "content",
     # the directory listing)
     import json
 
+    _write_docstore_meta(index_dir, n_partitions, wide)
+    return out
+
+
+def _write_docstore_meta(index_dir: str, n_partitions: int,
+                         wide: bool) -> None:
+    import json
+
     meta_path = os.path.join(docstore_dir(index_dir), "_meta.json")
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"n_partitions": n_partitions, "wide": wide}, f)
     os.replace(tmp, meta_path)
-    return out
+
+
+def _read_docstore_meta(index_dir: str) -> dict | None:
+    import json
+
+    meta_path = os.path.join(docstore_dir(index_dir), "_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def merge_docstores(src_index_dirs: list[str], dst_index_dir: str,
+                    row_group_docs: int = DEFAULT_ROW_GROUP_DOCS,
+                    row_group_bytes: int = DEFAULT_ROW_GROUP_BYTES) -> dict:
+    """Union several indexes' docstore sidecars into
+    `<dst_index_dir>/docstore` — the sidecar analogue of
+    `pipelines/merge.merge_indexes`, used by `OnlineIndexer.flush_roll`
+    so streaming-ingested docs stay snippet-servable after a segment
+    roll.  BYTE-IDENTICAL to `build_docstore` over the concatenated
+    corpora: all sources must share one hash modulus, each destination
+    partition is the doc_id-sorted concat of the sources' same-pid
+    partitions, and row groups re-derive from the merged width via the
+    sink's own sizing.  One Ray task per destination partition
+    (`ray.data.from_items(pids).map_batches`); resumable — existing
+    destination partitions are kept, like the sink."""
+    import shutil
+
+    import ray.data
+
+    from chearch_ray.sources.sink import (finished_partitions,
+                                          point_row_group_size)
+
+    metas = []
+    for src in src_index_dirs:
+        m = _read_docstore_meta(src)
+        if m is None:
+            raise FileNotFoundError(f"no docstore meta under {src}")
+        metas.append(m)
+    n_partitions = metas[0]["n_partitions"]
+    wide = bool(metas[0].get("wide", False))
+    if any(m["n_partitions"] != n_partitions for m in metas) or \
+            any(bool(m.get("wide", False)) != wide for m in metas):
+        raise ValueError(
+            f"docstore merge needs one hash modulus / id width across "
+            f"sources, got {metas}")
+
+    out_dir = docstore_dir(dst_index_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    done = finished_partitions(out_dir)
+    src_stores = [docstore_dir(s) for s in src_index_dirs]
+    todo = sorted({
+        int(os.path.basename(os.path.dirname(p)).split("-")[1])
+        for s in src_stores
+        for p in glob.glob(os.path.join(s, "part-*", "data.parquet"))
+    } - done)
+
+    def merge_one(batch: pa.Table) -> pa.Table:
+        outs = []
+        for pid in batch["pid"].to_pylist():
+            srcs = [os.path.join(s, f"part-{pid:05d}", "data.parquet")
+                    for s in src_stores]
+            tabs = [pq.read_table(p) for p in srcs if os.path.exists(p)]
+            rows = pa.concat_tables(tabs).combine_chunks()
+            rows = rows.take(pc.sort_indices(rows["doc_id"]))
+            dest = os.path.join(out_dir, f"part-{pid:05d}")
+            tmp = f"{dest}.tmp-{os.getpid()}"
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(
+                rows, os.path.join(tmp, "data.parquet"),
+                compression="snappy",
+                row_group_size=point_row_group_size(
+                    rows, row_group_docs, row_group_bytes))
+            if os.path.isdir(dest):  # lost a race: keep first
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                os.replace(tmp, dest)
+            outs.append(pid)
+        return pa.table({"pid": pa.array(outs, type=pa.int64())})
+
+    written = []
+    if todo:
+        res = ray.data.from_items([{"pid": p} for p in todo]).map_batches(
+            merge_one, batch_format="pyarrow", batch_size=1)
+        written = sorted(
+            int(p)
+            for t in res.iter_batches(batch_size=None, batch_format="pyarrow")
+            for p in t["pid"].to_pylist())
+    _write_docstore_meta(dst_index_dir, n_partitions, wide)
+    return {"written": written, "skipped": sorted(done)}
 
 
 class DocstoreReader:
@@ -221,12 +318,9 @@ class DocstoreReader:
         # the hash modulus used at write time (the sink writes only
         # NON-EMPTY partitions, so the directory listing alone can't
         # recover it)
-        meta_path = os.path.join(base, "_meta.json")
-        if os.path.exists(meta_path):
-            import json
-
-            with open(meta_path) as f:
-                self.n_partitions = int(json.load(f)["n_partitions"])
+        meta = _read_docstore_meta(index_dir)
+        if meta is not None:
+            self.n_partitions = int(meta["n_partitions"])
         else:  # meta-less store (partial build): best-effort routing
             self.n_partitions = max(self.paths) + 1
 

@@ -68,9 +68,12 @@ class OnlineIndexer:
         oracle = OracleIndex(pa.Table.from_pylist(self._rows), self.cfg)
         return oracle.bm25_search(node, k)
 
-    def flush(self, index_dir: str):
+    def flush(self, index_dir: str, docstore: bool = False):
         """Batch-build the buffer into `index_dir` (manifest commit is
-        the atomic publish); clears the buffer.  Returns the Manifest."""
+        the atomic publish); clears the buffer.  Returns the Manifest.
+        `docstore=True` also writes the text sidecar
+        (state/docstore.py) so the flushed docs serve snippets (0xFE
+        frames / search_with_snippets) immediately."""
         import ray.data
 
         from chearch_ray.pipelines.build import build_index
@@ -79,6 +82,11 @@ class OnlineIndexer:
             raise ValueError("nothing to flush")
         table = pa.Table.from_pylist(self._rows)
         manifest = build_index(ray.data.from_arrow(table), index_dir, self.cfg, resume=False)
+        if docstore:
+            from chearch_ray.state.docstore import build_docstore
+
+            build_docstore(ray.data.from_arrow(table), index_dir,
+                           wide=(self.cfg.doc_id_bits == 128))
         self._rows = []
         return manifest
 
@@ -92,11 +100,16 @@ class OnlineIndexer:
         return self._completed
 
 
-    def flush_roll(self, main_index_dir: str, scratch_dir: str | None = None):
+    def flush_roll(self, main_index_dir: str, scratch_dir: str | None = None,
+                   docstore: bool = False):
         """Segment roll: flush the buffer to a fresh batch index, then
         fold it into the main index with merge_indexes (byte-identical
         to having built main+buffer together).  Creates the main index
-        on first roll.  Returns the merged Manifest."""
+        on first roll.  Returns the merged Manifest.  `docstore=True`
+        rolls the text sidecar along with the segments —
+        merge_docstores keeps it byte-identical to a one-shot
+        build_docstore over everything ingested so far, so snippet
+        serving never lags the index."""
         import os
         import shutil
         import tempfile
@@ -106,7 +119,7 @@ class OnlineIndexer:
 
         scratch = scratch_dir or tempfile.mkdtemp(prefix="chearch_roll_")
         batch_dir = os.path.join(scratch, "batch")
-        self.flush(batch_dir)
+        self.flush(batch_dir, docstore=docstore)
         if not manifest_exists(main_index_dir):
             # first roll: the batch IS the main index
             shutil.rmtree(main_index_dir, ignore_errors=True)
@@ -116,6 +129,10 @@ class OnlineIndexer:
             return Manifest.load(main_index_dir)
         merged_dir = os.path.join(scratch, "merged")
         manifest = merge_indexes([main_index_dir, batch_dir], merged_dir)
+        if docstore:
+            from chearch_ray.state.docstore import merge_docstores
+
+            merge_docstores([main_index_dir, batch_dir], merged_dir)
         # atomic-ish swap: replace main with merged
         old = main_index_dir.rstrip("/") + ".old"
         shutil.rmtree(old, ignore_errors=True)

@@ -251,3 +251,59 @@ def test_fetch_is_thread_safe_under_concurrency(engine, corpus):
         threaded = list(ex.map(lambda b: fresh.fetch(b)["text"].to_pylist(),
                                batches))
     assert threaded == serial
+
+
+def test_flush_roll_rolls_docstore_byte_identical(ray_session, tmp_path):
+    """Streaming ingest keeps the sidecar: two flush_roll(docstore=True)
+    generations must leave <index>/docstore byte-identical to a single
+    build_docstore over everything ingested, and snippets served from
+    the rolled index must match a one-shot build's."""
+    import glob as _glob
+    import hashlib
+
+    import ray.data
+
+    from chearch_ray.state.online import OnlineIndexer
+
+    corpus = synthetic_corpus(200, seed=23, min_lines=3, max_lines=12)
+    rows = corpus.to_pylist()
+    main = str(tmp_path / "roll_idx")
+
+    ing = OnlineIndexer(CFG)
+    for r in rows[:120]:
+        assert ing.enqueue_index_request(r)
+    ing.flush_roll(main, docstore=True)
+    for r in rows[120:]:
+        assert ing.enqueue_index_request(r)
+    ing.flush_roll(main, docstore=True)
+
+    oneshot = str(tmp_path / "oneshot_idx")
+    build_index(ray.data.from_arrow(corpus), oneshot, CFG)
+    build_docstore(ray.data.from_arrow(corpus), oneshot)
+
+    def shas(idx):
+        return {p.split(idx, 1)[1]: hashlib.sha256(
+                    open(p, "rb").read()).hexdigest()
+                for p in sorted(_glob.glob(
+                    f"{idx}/docstore/part-*/data.parquet"))}
+
+    assert shas(main) and shas(main) == shas(oneshot)
+
+    rolled = QueryEngine(main, use_actors=False)
+    ref = QueryEngine(oneshot, use_actors=False)
+    got = rolled.search_with_snippets("merge sort", k=8, default_op="or")
+    want = ref.search_with_snippets("merge sort", k=8, default_op="or")
+    assert got.equals(want)
+
+
+def test_merge_docstores_rejects_mismatched_modulus(ray_session, tmp_path):
+    import ray.data
+
+    from chearch_ray.state.docstore import merge_docstores
+
+    corpus = synthetic_corpus(40, seed=3)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_docstore(ray.data.from_arrow(corpus), a, n_partitions=4)
+    build_docstore(ray.data.from_arrow(corpus), b, n_partitions=8)
+    with pytest.raises(ValueError, match="hash modulus"):
+        merge_docstores([a, b], str(tmp_path / "out"))

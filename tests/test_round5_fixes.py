@@ -231,9 +231,14 @@ def test_serve_multiprocess_reuseport(ray_session, tmp_path):
     from chearch_ray.sources.corpus import synthetic_corpus
     from chearch_ray.state.engine import QueryEngine
 
+    from chearch_ray.serve import query_snippets_pipelined
+    from chearch_ray.state.docstore import build_docstore
+
     cfg = EngineConfig(num_segments=2, num_term_shards=2)
     corpus = synthetic_corpus(120, seed=42)
     build_index(ray.data.from_arrow(corpus), str(tmp_path / "mpidx"), cfg)
+    build_docstore(ray.data.from_arrow(corpus), str(tmp_path / "mpidx"),
+                   n_partitions=4)
     procs, port = serve_multiprocess(str(tmp_path / "mpidx"), procs=2,
                                      workers=1)
     try:
@@ -245,6 +250,14 @@ def test_serve_multiprocess_reuseport(ray_session, tmp_path):
         want = decode_text_response(
             WireEngine(eng).handle(build_text_request("def return", k=5)))
         assert out[0] == want
+        # 0xFE search-and-display frames work through the fork model
+        # too: each child opens its own DocstoreReader over the sidecar
+        snips = query_snippets_pipelined("127.0.0.1", port,
+                                         ["merge sort"], k=5)[0]
+        loc = eng.search_with_snippets("merge sort", k=5, default_op="and")
+        assert snips is not None
+        assert [h[0] for h in snips] == loc["doc_id"].to_pylist()
+        assert [h[3] for h in snips] == loc["snippet"].to_pylist()
         eng.close()
     finally:
         for p in procs:
