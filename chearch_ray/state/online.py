@@ -142,17 +142,19 @@ class OnlineIndexer:
         shutil.rmtree(scratch, ignore_errors=True)
         return manifest
 
-    def flush_tiered(self, tier_set) -> None:
+    def flush_tiered(self, tier_set, docstore: bool = False) -> None:
         """Flush the buffer as a new index into a `TieredIndexSet`
         (state/tiered.py): the scale ingest path.  flush_roll rewrites
         the WHOLE main index every roll (O(N^2) bytes over N rolls);
         the tiered set merges only same-size-class indexes, so each
         document is rewritten O(log N) times.  Serve by `collapse()`
         (one dir) or by opening each live dir in its own QueryEngine
-        and merging top-k client-side."""
+        and merging top-k client-side.  `docstore=True` attaches the
+        text sidecar to each flush; the tier set's compaction and
+        collapse carry it through merges (state/tiered.py)."""
         import os
         import tempfile
 
         batch_dir = os.path.join(tempfile.mkdtemp(prefix="chearch_tier_"), "b")
-        self.flush(batch_dir)
+        self.flush(batch_dir, docstore=docstore)
         tier_set.add(batch_dir)

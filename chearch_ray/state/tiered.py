@@ -120,6 +120,22 @@ class TieredIndexSet:
         shutil.move(index_dir, dest)
         self._compact()
 
+    @staticmethod
+    def _merge_sidecars(inputs: list[str], out_dir: str) -> None:
+        """Carry the docstore sidecar through a merge: all-or-none —
+        a mixed set would silently serve snippets for only part of the
+        corpus, so it refuses instead."""
+        from chearch_ray.state.docstore import has_docstore, merge_docstores
+
+        with_store = [has_docstore(d) for d in inputs]
+        if not any(with_store):
+            return
+        if not all(with_store):
+            raise ValueError(
+                f"mixed docstore presence across merge inputs {inputs}; "
+                "flush every index with docstore=True or none")
+        merge_docstores(inputs, out_dir)
+
     def _compact(self) -> None:
         from chearch_ray.pipelines.merge import merge_indexes
 
@@ -134,6 +150,7 @@ class TieredIndexSet:
             out_tmp = os.path.join(self.root, "tmp", f"merge-{name.split('-')[1]}")
             shutil.rmtree(out_tmp, ignore_errors=True)
             m = merge_indexes(inputs, out_tmp)
+            self._merge_sidecars(inputs, out_tmp)
             dest = os.path.join(self.root, "live", name)
             if os.path.exists(dest):
                 raise RuntimeError(f"tiered dest already occupied: {dest}")
@@ -154,6 +171,8 @@ class TieredIndexSet:
             raise ValueError("empty index set")
         if len(dirs) == 1:
             shutil.rmtree(out_dir, ignore_errors=True)
-            shutil.copytree(dirs[0], out_dir)
+            shutil.copytree(dirs[0], out_dir)  # sidecar rides along
             return Manifest.load(out_dir)
-        return merge_indexes(dirs, out_dir)
+        m = merge_indexes(dirs, out_dir)
+        self._merge_sidecars(dirs, out_dir)
+        return m

@@ -307,3 +307,63 @@ def test_merge_docstores_rejects_mismatched_modulus(ray_session, tmp_path):
     build_docstore(ray.data.from_arrow(corpus), b, n_partitions=8)
     with pytest.raises(ValueError, match="hash modulus"):
         merge_docstores([a, b], str(tmp_path / "out"))
+
+
+def test_tiered_ingest_carries_docstore(ray_session, tmp_path):
+    """The scale ingest path: several flush_tiered(docstore=True)
+    batches, compaction merges included, then collapse() — the final
+    docstore must be byte-identical to a one-shot build over the whole
+    corpus, and snippets must match a one-shot index's."""
+    import glob as _glob
+    import hashlib
+
+    import ray.data
+
+    from chearch_ray.state.online import OnlineIndexer
+    from chearch_ray.state.tiered import TieredIndexSet
+
+    corpus = synthetic_corpus(240, seed=31, min_lines=3, max_lines=10)
+    rows = corpus.to_pylist()
+    tiers = TieredIndexSet(str(tmp_path / "tiers"), fanout=2, base_docs=60)
+    ing = OnlineIndexer(CFG)
+    for lo in range(0, 240, 60):  # 4 batches -> forces >= 1 compaction
+        for r in rows[lo:lo + 60]:
+            assert ing.enqueue_index_request(r)
+        ing.flush_tiered(tiers, docstore=True)
+    assert tiers.merge_log, "compaction never ran; fixture too small"
+    final = str(tmp_path / "served")
+    tiers.collapse(final)
+
+    oneshot = str(tmp_path / "oneshot")
+    build_index(ray.data.from_arrow(corpus), oneshot, CFG)
+    build_docstore(ray.data.from_arrow(corpus), oneshot)
+
+    def shas(idx):
+        return {p.split(idx, 1)[1]: hashlib.sha256(
+                    open(p, "rb").read()).hexdigest()
+                for p in sorted(_glob.glob(
+                    f"{idx}/docstore/part-*/data.parquet"))}
+
+    assert shas(final) and shas(final) == shas(oneshot)
+    got = QueryEngine(final, use_actors=False).search_with_snippets(
+        "merge sort", k=8, default_op="or")
+    want = QueryEngine(oneshot, use_actors=False).search_with_snippets(
+        "merge sort", k=8, default_op="or")
+    assert got.equals(want)
+
+
+def test_tiered_mixed_docstore_presence_refuses(ray_session, tmp_path):
+    from chearch_ray.state.online import OnlineIndexer
+    from chearch_ray.state.tiered import TieredIndexSet
+
+    corpus = synthetic_corpus(80, seed=7, min_lines=3, max_lines=8)
+    rows = corpus.to_pylist()
+    tiers = TieredIndexSet(str(tmp_path / "tiers"), fanout=2, base_docs=30)
+    ing = OnlineIndexer(CFG)
+    for r in rows[:40]:
+        ing.enqueue_index_request(r)
+    ing.flush_tiered(tiers, docstore=True)
+    for r in rows[40:]:
+        ing.enqueue_index_request(r)
+    with pytest.raises(ValueError, match="mixed docstore"):
+        ing.flush_tiered(tiers, docstore=False)  # same size class -> merge
