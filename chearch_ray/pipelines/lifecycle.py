@@ -89,9 +89,17 @@ def compact_index(index_dir: str, out_dir: str) -> Manifest:
     an empty tombstone set.  A no-op copy-shaped compact (no
     tombstones) is also valid — it re-finalizes every partition."""
     from chearch_ray.pipelines.merge import merge_indexes
+    from chearch_ray.state.docstore import gc_docstore, has_docstore
 
     drop = load_tombstone_ids(index_dir)
     manifest = merge_indexes([index_dir], out_dir, drop_ids=drop)
+    if has_docstore(index_dir):
+        # the sidecar compacts with the segments: tombstoned docs'
+        # TEXT leaves disk too, byte-identical to a fresh sidecar
+        # build over the survivors
+        gc_docstore(index_dir, out_dir,
+                    drop_lo=None if drop is None else drop["lo"],
+                    drop_hi=None if drop is None else drop["hi"])
     return manifest
 
 
@@ -158,6 +166,25 @@ def upsert_docs(index_dir: str, corpus, cfg=None, scratch_dir: str | None = None
         [index_dir, delta_dir], merged_dir,
         drop_ids=[{"lo": ids, "hi": his}, None],
     )
+    from chearch_ray.state.docstore import (_read_docstore_meta,
+                                            build_docstore, gc_docstore,
+                                            has_docstore, merge_docstores)
+
+    if has_docstore(index_dir):
+        # the sidecar upserts with the segments: replaced versions'
+        # text leaves, incoming text enters — (old − incoming ids) ∪
+        # incoming, byte-identical to a fresh sidecar over the final
+        # corpus.  Incoming text column mirrors the corpus contract;
+        # the delta inherits the old store's hash modulus so the
+        # merge's per-partition union lines up.
+        schema_names = ds.schema().names
+        text_col = "content" if "content" in schema_names else "text"
+        survivors_dir = os.path.join(scratch, "oldgc")
+        gc_docstore(index_dir, survivors_dir, drop_lo=ids, drop_hi=his)
+        meta = _read_docstore_meta(index_dir) or {}
+        build_docstore(ds, delta_dir, text_column=text_col, wide=wide,
+                       n_partitions=int(meta.get("n_partitions", 64)))
+        merge_docstores([survivors_dir, delta_dir], merged_dir)
     old = index_dir.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     shutil.move(index_dir, old)

@@ -282,6 +282,106 @@ def merge_docstores(src_index_dirs: list[str], dst_index_dir: str,
     return {"written": written, "skipped": sorted(done)}
 
 
+def gc_docstore(src_index_dir: str, dst_index_dir: str,
+                drop_lo=None, drop_hi=None,
+                row_group_docs: int = DEFAULT_ROW_GROUP_DOCS,
+                row_group_bytes: int = DEFAULT_ROW_GROUP_BYTES) -> dict:
+    """Rewrite `<src>/docstore` into `<dst>/docstore` WITHOUT the
+    dropped external ids — the sidecar analogue of
+    `pipelines/lifecycle.compact_index`: after a delete+compact the
+    tombstoned docs' text must leave disk too, and after an upsert the
+    replaced versions must.  Byte-identical to `build_docstore` over
+    the surviving corpus (same routing, order, and row-group sizing —
+    filtering a doc-sorted partition preserves both).  One Ray task
+    per partition; the drop set ships once via `ray.put` and each
+    task narrows it to its own hash bucket.  An empty drop set is a
+    valid copy-shaped rewrite.  Resumable like the sink."""
+    import shutil
+
+    import ray
+    import ray.data
+
+    from chearch_ray.sources.sink import (finished_partitions,
+                                          point_row_group_size)
+    from chearch_ray.stages.partition import coarse_partition_ids
+
+    meta = _read_docstore_meta(src_index_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no docstore meta under {src_index_dir}")
+    n_partitions = int(meta["n_partitions"])
+    wide = bool(meta.get("wide", False))
+    lo = (np.asarray(list(drop_lo), dtype=np.uint64)
+          if drop_lo is not None else np.empty(0, np.uint64))
+    hi = None
+    if wide:
+        hi = (np.asarray(list(drop_hi), dtype=np.uint64)
+              if drop_hi is not None else np.empty(0, np.uint64))
+        if len(hi) != len(lo):
+            raise ValueError("drop_lo and drop_hi length mismatch")
+    elif drop_hi is not None:
+        raise ValueError("drop_hi given for a 64-bit docstore")
+    drop_pids = coarse_partition_ids(lo, n_partitions) if len(lo) else \
+        np.empty(0, np.int64)
+    drop_ref = ray.put((lo, hi, drop_pids))
+
+    src_store = docstore_dir(src_index_dir)
+    out_dir = docstore_dir(dst_index_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    done = finished_partitions(out_dir)
+    todo = sorted({
+        int(os.path.basename(os.path.dirname(p)).split("-")[1])
+        for p in glob.glob(os.path.join(src_store, "part-*", "data.parquet"))
+    } - done)
+
+    def gc_one(batch: pa.Table) -> pa.Table:
+        d_lo, d_hi, d_pids = ray.get(drop_ref)
+        outs = []
+        for pid in batch["pid"].to_pylist():
+            rows = pq.read_table(
+                os.path.join(src_store, f"part-{pid:05d}", "data.parquet"))
+            mine = d_pids == pid
+            if mine.any():
+                got = rows["doc_id"].to_numpy().astype(np.uint64)
+                if d_hi is not None:
+                    from chearch_ray.functions.hashing import key16
+
+                    dead = np.isin(
+                        key16(rows["doc_id_hi"].to_numpy().astype(np.uint64),
+                              got),
+                        key16(d_hi[mine], d_lo[mine]))
+                else:
+                    dead = np.isin(got, d_lo[mine])
+                rows = rows.filter(pa.array(~dead))
+            dest = os.path.join(out_dir, f"part-{pid:05d}")
+            if len(rows) == 0:  # sink writes only non-empty partitions
+                outs.append(pid)
+                continue
+            tmp = f"{dest}.tmp-{os.getpid()}"
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(
+                rows, os.path.join(tmp, "data.parquet"),
+                compression="snappy",
+                row_group_size=point_row_group_size(
+                    rows, row_group_docs, row_group_bytes))
+            if os.path.isdir(dest):  # lost a race: keep first
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                os.replace(tmp, dest)
+            outs.append(pid)
+        return pa.table({"pid": pa.array(outs, type=pa.int64())})
+
+    written = []
+    if todo:
+        res = ray.data.from_items([{"pid": p} for p in todo]).map_batches(
+            gc_one, batch_format="pyarrow", batch_size=1)
+        written = sorted(
+            int(p)
+            for t in res.iter_batches(batch_size=None, batch_format="pyarrow")
+            for p in t["pid"].to_pylist())
+    _write_docstore_meta(dst_index_dir, n_partitions, wide)
+    return {"written": written, "skipped": sorted(done)}
+
+
 class DocstoreReader:
     """Point-fetch over the docstore partitions.
 

@@ -367,3 +367,103 @@ def test_tiered_mixed_docstore_presence_refuses(ray_session, tmp_path):
         ing.enqueue_index_request(r)
     with pytest.raises(ValueError, match="mixed docstore"):
         ing.flush_tiered(tiers, docstore=False)  # same size class -> merge
+
+
+def test_compact_gcs_docstore_byte_identical(ray_session, tmp_path):
+    """Delete + compact must take the tombstoned docs' TEXT off disk
+    too: the compacted sidecar is byte-identical to a fresh
+    build_docstore over the surviving corpus, and the compacted index
+    serves snippets identical to a fresh build's."""
+    import glob as _glob
+    import hashlib
+
+    import ray.data
+
+    from chearch_ray.pipelines.lifecycle import compact_index, delete_docs
+    from chearch_ray.stages.tokenize import _doc_ids_of
+
+    corpus = synthetic_corpus(160, seed=13, min_lines=3, max_lines=10)
+    idx = str(tmp_path / "del_idx")
+    build_index(ray.data.from_arrow(corpus), idx, CFG)
+    build_docstore(ray.data.from_arrow(corpus), idx)
+
+    ids = _doc_ids_of(corpus)
+    dead = ids[::5]
+    delete_docs(idx, dead)
+    compacted = str(tmp_path / "compacted")
+    compact_index(idx, compacted)
+
+    survivors = corpus.filter(pa.array(~np.isin(ids, dead)))
+    fresh = str(tmp_path / "fresh")
+    build_index(ray.data.from_arrow(survivors), fresh, CFG)
+    build_docstore(ray.data.from_arrow(survivors), fresh)
+
+    def shas(d):
+        return {p.split(d, 1)[1]: hashlib.sha256(
+                    open(p, "rb").read()).hexdigest()
+                for p in sorted(_glob.glob(
+                    f"{d}/docstore/part-*/data.parquet"))}
+
+    assert shas(compacted) and shas(compacted) == shas(fresh)
+    # dead ids no longer fetchable; snippet serving matches fresh
+    got = QueryEngine(compacted, use_actors=False)
+    assert len(got.docstore.fetch(dead[:8].astype(np.uint64))) == 0
+    want = QueryEngine(fresh, use_actors=False)
+    a = got.search_with_snippets("merge sort", k=8, default_op="or")
+    b = want.search_with_snippets("merge sort", k=8, default_op="or")
+    assert a.equals(b)
+
+
+def test_upsert_refreshes_docstore_text(ray_session, tmp_path):
+    """Upserting a doc must serve the NEW text's snippet (the replaced
+    version physically leaves the sidecar), and the whole sidecar must
+    equal a fresh build over the final corpus byte-for-byte."""
+    import glob as _glob
+    import hashlib
+
+    import ray.data
+
+    from chearch_ray.pipelines.lifecycle import upsert_docs
+
+    corpus = synthetic_corpus(120, seed=17, min_lines=3, max_lines=8)
+    idx = str(tmp_path / "ups_idx")
+    build_index(ray.data.from_arrow(corpus), idx, CFG)
+    build_docstore(ray.data.from_arrow(corpus), idx)
+
+    # replace 10 docs with a marker text + insert 3 brand-new docs
+    # (upsert_docs takes explicit doc_id columns; ids are the same
+    # key-derived hashes the key-less corpora get, so the fresh
+    # reference build below lines up)
+    from chearch_ray.stages.tokenize import _doc_ids_of
+
+    repl = corpus.slice(0, 10).to_pylist()
+    for i, r in enumerate(repl):
+        r["content"] = f"zzzmarker upserted document {i} merge sort"
+    new = [{"repo": "newrepo", "path": f"n{i}.py", "commit": "c0",
+            "lang": "py", "content": f"zzzmarker fresh doc {i}"}
+           for i in range(3)]
+    incoming = pa.Table.from_pylist(repl + new)
+    incoming_ids = pa.array(_doc_ids_of(incoming), type=pa.uint64())
+    upsert_docs(idx, incoming.append_column("doc_id", incoming_ids), cfg=CFG)
+
+    # final corpus = originals minus replaced, plus incoming (key-less:
+    # ids re-derive identically)
+    keep = corpus.slice(10)
+    final = pa.concat_tables([
+        keep.select(incoming.column_names),
+        incoming.select(incoming.column_names)])
+    fresh = str(tmp_path / "fresh_ups")
+    build_index(ray.data.from_arrow(final), fresh, CFG)
+    build_docstore(ray.data.from_arrow(final), fresh)
+
+    def shas(d):
+        return {p.split(d, 1)[1]: hashlib.sha256(
+                    open(p, "rb").read()).hexdigest()
+                for p in sorted(_glob.glob(
+                    f"{d}/docstore/part-*/data.parquet"))}
+
+    assert shas(idx) and shas(idx) == shas(fresh)
+    eng = QueryEngine(idx, use_actors=False)
+    t = eng.search_with_snippets("zzzmarker", k=13, default_op="or")
+    assert len(t) == 13  # 10 replaced + 3 new
+    assert all("zzzmarker" in s for s in t["snippet"].to_pylist())
