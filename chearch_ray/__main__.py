@@ -91,11 +91,21 @@ def cmd_compact(args: argparse.Namespace) -> int:
 def cmd_merge(args: argparse.Namespace) -> int:
     _ensure_ray()
     from chearch_ray.pipelines.merge import merge_indexes
+    from chearch_ray.state.docstore import has_docstore, merge_docstores
 
     manifest = merge_indexes(args.inputs, args.output)
+    extra = ""
+    if all(has_docstore(d) for d in args.inputs):
+        r = merge_docstores(args.inputs, args.output)
+        extra = f", docstore merged ({len(r['written'])} partitions)"
+    elif any(has_docstore(d) for d in args.inputs):
+        extra = ", docstore SKIPPED (mixed presence across inputs)"
+        print("warning: some inputs carry a docstore and some do not; "
+              "the merged index has none", file=sys.stderr)
     print(
         f"merged {len(args.inputs)} indexes -> {args.output}: "
-        f"{manifest.num_docs} docs, {len(manifest.postings_parts)} posting partitions"
+        f"{manifest.num_docs} docs, {len(manifest.postings_parts)} posting "
+        f"partitions{extra}"
     )
     return 0
 
