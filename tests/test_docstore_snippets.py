@@ -467,3 +467,84 @@ def test_upsert_refreshes_docstore_text(ray_session, tmp_path):
     t = eng.search_with_snippets("zzzmarker", k=13, default_op="or")
     assert len(t) == 13  # 10 replaced + 3 new
     assert all("zzzmarker" in s for s in t["snippet"].to_pylist())
+
+
+def test_fetch_property_random_ids(engine, corpus):
+    """Property: for ANY request vector (hits, misses, duplicates,
+    values past 2^63), fetch == the obvious per-id python reference:
+    one row per requested id that exists, in request order."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    store = DocstoreReader(engine.index_dir)
+    live = QueryEngine(engine.index_dir, use_actors=False).search(
+        "def return", k=50, default_op="or")["doc_id"].to_numpy().astype(np.uint64)
+    all_rows = pa.concat_tables(
+        [pq_read(p) for p in store.paths.values()])
+    truth = dict(zip(all_rows["doc_id"].to_numpy().astype(np.uint64).tolist(),
+                     all_rows["text"].to_pylist()))
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(
+        st.one_of(
+            st.sampled_from(live.tolist()),
+            st.integers(min_value=0, max_value=2**64 - 1)),
+        max_size=30))
+    def check(req):
+        got = store.fetch(np.array(req, dtype=np.uint64))
+        want = [(i, truth[i]) for i in req if i in truth]
+        assert list(zip(got["doc_id"].to_numpy().astype(np.uint64).tolist(),
+                        got["text"].to_pylist())) == want
+
+    check()
+
+
+def pq_read(path):
+    import pyarrow.parquet as _pq
+
+    return _pq.read_table(path)
+
+
+def test_snippet_frame_fuzz_random_payloads(engine):
+    """0xFE frames with random garbage after the magic byte must
+    answer every request id (ok or malformed) without wedging the
+    connection, and a valid snippet query still works afterwards."""
+    import random
+    import socket
+    import struct
+
+    from chearch_ray.serve import (TcpQueryServer, V2_RESP, WireEngine,
+                                   query_snippets_pipelined)
+
+    rng = random.Random(99)
+    srv = TcpQueryServer(WireEngine(engine), port=0,
+                         pipelined=True).start_background()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=5) as s:
+            n = 12
+            for rid in range(n):
+                junk = bytes([0xFE]) + bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(0, 30)))
+                s.sendall(struct.pack(">IH", rid, len(junk)) + junk)
+            s.settimeout(5.0)
+            got = {}
+
+            def read_exactly(k):
+                b = b""
+                while len(b) < k:
+                    c = s.recv(k - len(b))
+                    assert c, "server closed mid-frame"
+                    b += c
+                return b
+
+            while len(got) < n:
+                rid, status, ln = V2_RESP.unpack(read_exactly(V2_RESP.size))
+                payload = read_exactly(ln) if ln else b""
+                got[rid] = status
+            assert set(got) == set(range(n))
+        out = query_snippets_pipelined("127.0.0.1", srv.port,
+                                       ["def return"], k=5)
+        assert out[0] is not None
+    finally:
+        srv.stop()
