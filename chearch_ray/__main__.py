@@ -117,9 +117,15 @@ def cmd_search(args: argparse.Namespace) -> int:
     eng = QueryEngine(args.index, use_actors=not args.local)
     try:
         if args.snippets:
-            out = eng.search_with_snippets(args.query, k=args.k,
-                                           window=args.window,
-                                           default_op=args.op)
+            try:
+                out = eng.search_with_snippets(args.query, k=args.k,
+                                               window=args.window,
+                                               default_op=args.op)
+            except FileNotFoundError as exc:
+                # predictable operator mistake (index built without
+                # --docstore): a clean message, not a traceback
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
         elif args.boolean:
             out = eng.search_boolean(args.query, default_op=args.op)
         elif ":" in args.query:
