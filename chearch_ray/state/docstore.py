@@ -396,11 +396,29 @@ class DocstoreReader:
     concurrently and Arrow file readers aren't re-entrant, so reads of
     the SAME partition serialize under that partition's lock while
     different partitions read in parallel (pyarrow releases the GIL
-    during the decode); the global lock only guards cache mutation."""
+    during the decode); the global lock only guards cache mutation.
 
-    def __init__(self, index_dir: str):
+    Decoded-group LRU: document popularity is Zipfian in real serving,
+    and the wire layer's LRU only catches EXACT query repeats — a hot
+    doc referenced by many distinct queries re-decoded its row group
+    every time.  `group_cache_size` bounds a (pid, group) → table LRU
+    (groups are byte-bounded at ~64 KB, so the default 256 entries is
+    ~16 MB); the docstore is immutable, so cached tables never go
+    stale within a reader's lifetime."""
+
+    #: decoded row groups kept hot; ~64 KB each at the default sink
+    #: sizing (state/docstore.DEFAULT_ROW_GROUP_BYTES)
+    GROUP_CACHE_SIZE = 256
+
+    def __init__(self, index_dir: str, group_cache_size: int | None = None):
         import threading
+        from collections import OrderedDict
 
+        self._group_cache: "OrderedDict[tuple[int, int], pa.Table]" = \
+            OrderedDict()
+        self._group_cache_size = (self.GROUP_CACHE_SIZE
+                                  if group_cache_size is None
+                                  else group_cache_size)
         base = docstore_dir(index_dir)
         paths = sorted(glob.glob(os.path.join(base, "part-*", "data.parquet")))
         if not paths:
@@ -495,11 +513,28 @@ class DocstoreReader:
             hit_groups = np.unique(cand[mins[cand] <= want[ok]])
             if len(hit_groups) == 0:
                 continue
-            with flock:
-                # tiny point reads: arrow's per-call thread fan-out
-                # costs more than the decode itself
-                tbl = f.read_row_groups(hit_groups.tolist(),
-                                        use_threads=False)
+            group_tbls = []
+            for g in hit_groups.tolist():
+                key = (int(pid), int(g))
+                with self._lock:
+                    hot = self._group_cache.get(key)
+                    if hot is not None:
+                        self._group_cache.move_to_end(key)
+                if hot is None:
+                    with flock:
+                        # tiny point reads: arrow's per-call thread
+                        # fan-out costs more than the decode itself
+                        hot = f.read_row_groups([g], use_threads=False)
+                    if self._group_cache_size > 0:
+                        with self._lock:
+                            self._group_cache[key] = hot
+                            self._group_cache.move_to_end(key)
+                            while len(self._group_cache) > \
+                                    self._group_cache_size:
+                                self._group_cache.popitem(last=False)
+                group_tbls.append(hot)
+            tbl = (group_tbls[0] if len(group_tbls) == 1
+                   else pa.concat_tables(group_tbls))
             keep = pc.is_in(tbl["doc_id"],
                             value_set=pa.array(want, type=pa.uint64()))
             tbl = tbl.filter(keep)

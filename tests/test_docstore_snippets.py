@@ -548,3 +548,20 @@ def test_snippet_frame_fuzz_random_payloads(engine):
         assert out[0] is not None
     finally:
         srv.stop()
+
+
+def test_group_cache_bounded_and_exact(engine, corpus):
+    """The decoded-group LRU must stay bounded and never change fetch
+    results; a cache-disabled reader is the reference."""
+    live = QueryEngine(engine.index_dir, use_actors=False).search(
+        "def return", k=40, default_op="or")["doc_id"].to_numpy().astype(np.uint64)
+    hot = DocstoreReader(engine.index_dir, group_cache_size=4)
+    cold = DocstoreReader(engine.index_dir, group_cache_size=0)
+    rng = np.random.default_rng(9)
+    for _ in range(25):
+        req = rng.choice(live, size=8, replace=True)
+        a = hot.fetch(req)
+        b = cold.fetch(req)
+        assert a.equals(b)
+        assert len(hot._group_cache) <= 4
+    assert len(cold._group_cache) == 0
