@@ -319,9 +319,11 @@ class WireEngine:
                                  t["score"].to_pylist(),
                                  t["pos"].to_pylist(),
                                  t["snippet"].to_pylist()):
-            raw = snip.encode("utf-8")[:255]
-            while raw and (raw[-1] & 0xC0) == 0x80:  # don't tear a char
-                raw = raw[:-1]
+            raw = snip.encode("utf-8")
+            if len(raw) > 255:
+                # drop a torn trailing char entirely — decode/ignore
+                # eats the partial sequence and nothing else
+                raw = raw[:255].decode("utf-8", "ignore").encode("utf-8")
             out.append(SNIPPET_HEAD.pack(int(d), float(s), int(p), len(raw)) + raw)
         resp = b"".join(out)
         with self._text_cache_lock:

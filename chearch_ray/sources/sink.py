@@ -51,6 +51,24 @@ def finished_partitions(out_dir: str) -> set[int]:
     return out
 
 
+def write_partition_atomic(rows: pa.Table, out_dir: str, pid: int,
+                           row_group_size: int | None = None) -> None:
+    """THE atomic partition write: `out_dir/part-<pid>/data.parquet`
+    via tmp dir + rename, keep-first on a concurrent-attempt race.
+    Single home for the protocol so every writer (sink, docstore
+    merge/GC) keeps identical crash/race guarantees."""
+    dest = _partition_dir(out_dir, pid)
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    kw = {"row_group_size": row_group_size} if row_group_size else {}
+    pq.write_table(rows, os.path.join(tmp, "data.parquet"),
+                   compression="snappy", **kw)
+    if os.path.isdir(dest):  # lost a race to another attempt: keep first
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, dest)
+
+
 def point_row_group_size(rows: pa.Table, row_group_size: int | None,
                          row_group_bytes: int | None) -> int | None:
     """Rows-per-group for a point-fetch store: bound the DECODE
@@ -79,18 +97,9 @@ def _write_one_partition(group: pa.Table, out_dir: str,
     rows = group.drop_columns(["pgrp"])
     idx = pc.sort_indices(rows, sort_keys=[(c, "ascending") for c in order_by])
     rows = rows.take(idx)
-    dest = _partition_dir(out_dir, pid)
-    tmp = f"{dest}.tmp-{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    row_group_size = point_row_group_size(rows, row_group_size,
-                                          row_group_bytes)
-    kw = {"row_group_size": row_group_size} if row_group_size else {}
-    pq.write_table(rows, os.path.join(tmp, "data.parquet"),
-                   compression="snappy", **kw)
-    if os.path.isdir(dest):  # lost a race to another attempt: keep first
-        shutil.rmtree(tmp, ignore_errors=True)
-    else:
-        os.replace(tmp, dest)
+    write_partition_atomic(rows, out_dir, pid,
+                           point_row_group_size(rows, row_group_size,
+                                                row_group_bytes))
     return pa.table({"pid": pa.array([pid], type=pa.int64()),
                      "n_rows": pa.array([len(rows)], type=pa.int64())})
 

@@ -134,8 +134,15 @@ def docstore_dir(index_dir: str) -> str:
 
 
 def has_docstore(index_dir: str) -> bool:
-    return bool(glob.glob(os.path.join(docstore_dir(index_dir), "part-*",
-                                       "data.parquet")))
+    """True only for a COMMITTED docstore: `_meta.json` is written
+    after the last partition (commit-last, like the index manifest),
+    so a build killed mid-write reads as absent — re-running
+    build_docstore resumes the missing partitions and then commits."""
+    return (
+        os.path.exists(os.path.join(docstore_dir(index_dir), "_meta.json"))
+        and bool(glob.glob(os.path.join(docstore_dir(index_dir), "part-*",
+                                        "data.parquet")))
+    )
 
 
 def build_docstore(corpus_ds, index_dir: str, text_column: str = "content",
@@ -174,9 +181,7 @@ def build_docstore(corpus_ds, index_dir: str, text_column: str = "content",
     )
     # the hash modulus must survive for fetch-time routing (the sink
     # writes only NON-EMPTY partitions, so it can't be recovered from
-    # the directory listing)
-    import json
-
+    # the directory listing); written LAST — it is the commit record
     _write_docstore_meta(index_dir, n_partitions, wide)
     return out
 
@@ -216,12 +221,9 @@ def merge_docstores(src_index_dirs: list[str], dst_index_dir: str,
     sink's own sizing.  One Ray task per destination partition
     (`ray.data.from_items(pids).map_batches`); resumable — existing
     destination partitions are kept, like the sink."""
-    import shutil
-
-    import ray.data
-
     from chearch_ray.sources.sink import (finished_partitions,
-                                          point_row_group_size)
+                                          point_row_group_size,
+                                          write_partition_atomic)
 
     metas = []
     for src in src_index_dirs:
@@ -247,39 +249,43 @@ def merge_docstores(src_index_dirs: list[str], dst_index_dir: str,
         for p in glob.glob(os.path.join(s, "part-*", "data.parquet"))
     } - done)
 
-    def merge_one(batch: pa.Table) -> pa.Table:
+    def merge_one(pid: int) -> None:
+        srcs = [os.path.join(s, f"part-{pid:05d}", "data.parquet")
+                for s in src_stores]
+        tabs = [pq.read_table(p) for p in srcs if os.path.exists(p)]
+        rows = pa.concat_tables(tabs).combine_chunks()
+        rows = rows.take(pc.sort_indices(rows["doc_id"]))
+        write_partition_atomic(
+            rows, out_dir, pid,
+            point_row_group_size(rows, row_group_docs, row_group_bytes))
+
+    written = _run_partition_tasks(todo, merge_one)
+    _write_docstore_meta(dst_index_dir, n_partitions, wide)
+    return {"written": written, "skipped": sorted(done)}
+
+
+def _run_partition_tasks(todo: list[int], task) -> list[int]:
+    """One Ray task per partition id (the sidecar merge/GC driver):
+    `task(pid)` runs on whatever worker gets the item; returns the
+    pids processed."""
+    import ray.data
+
+    if not todo:
+        return []
+
+    def run(batch: pa.Table) -> pa.Table:
         outs = []
         for pid in batch["pid"].to_pylist():
-            srcs = [os.path.join(s, f"part-{pid:05d}", "data.parquet")
-                    for s in src_stores]
-            tabs = [pq.read_table(p) for p in srcs if os.path.exists(p)]
-            rows = pa.concat_tables(tabs).combine_chunks()
-            rows = rows.take(pc.sort_indices(rows["doc_id"]))
-            dest = os.path.join(out_dir, f"part-{pid:05d}")
-            tmp = f"{dest}.tmp-{os.getpid()}"
-            os.makedirs(tmp, exist_ok=True)
-            pq.write_table(
-                rows, os.path.join(tmp, "data.parquet"),
-                compression="snappy",
-                row_group_size=point_row_group_size(
-                    rows, row_group_docs, row_group_bytes))
-            if os.path.isdir(dest):  # lost a race: keep first
-                shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                os.replace(tmp, dest)
+            task(int(pid))
             outs.append(pid)
         return pa.table({"pid": pa.array(outs, type=pa.int64())})
 
-    written = []
-    if todo:
-        res = ray.data.from_items([{"pid": p} for p in todo]).map_batches(
-            merge_one, batch_format="pyarrow", batch_size=1)
-        written = sorted(
-            int(p)
-            for t in res.iter_batches(batch_size=None, batch_format="pyarrow")
-            for p in t["pid"].to_pylist())
-    _write_docstore_meta(dst_index_dir, n_partitions, wide)
-    return {"written": written, "skipped": sorted(done)}
+    res = ray.data.from_items([{"pid": p} for p in todo]).map_batches(
+        run, batch_format="pyarrow", batch_size=1)
+    return sorted(
+        int(p)
+        for t in res.iter_batches(batch_size=None, batch_format="pyarrow")
+        for p in t["pid"].to_pylist())
 
 
 def gc_docstore(src_index_dir: str, dst_index_dir: str,
@@ -296,13 +302,11 @@ def gc_docstore(src_index_dir: str, dst_index_dir: str,
     per partition; the drop set ships once via `ray.put` and each
     task narrows it to its own hash bucket.  An empty drop set is a
     valid copy-shaped rewrite.  Resumable like the sink."""
-    import shutil
-
     import ray
-    import ray.data
 
     from chearch_ray.sources.sink import (finished_partitions,
-                                          point_row_group_size)
+                                          point_row_group_size,
+                                          write_partition_atomic)
     from chearch_ray.stages.partition import coarse_partition_ids
 
     meta = _read_docstore_meta(src_index_dir)
@@ -333,51 +337,30 @@ def gc_docstore(src_index_dir: str, dst_index_dir: str,
         for p in glob.glob(os.path.join(src_store, "part-*", "data.parquet"))
     } - done)
 
-    def gc_one(batch: pa.Table) -> pa.Table:
+    def gc_one(pid: int) -> None:
         d_lo, d_hi, d_pids = ray.get(drop_ref)
-        outs = []
-        for pid in batch["pid"].to_pylist():
-            rows = pq.read_table(
-                os.path.join(src_store, f"part-{pid:05d}", "data.parquet"))
-            mine = d_pids == pid
-            if mine.any():
-                got = rows["doc_id"].to_numpy().astype(np.uint64)
-                if d_hi is not None:
-                    from chearch_ray.functions.hashing import key16
+        rows = pq.read_table(
+            os.path.join(src_store, f"part-{pid:05d}", "data.parquet"))
+        mine = d_pids == pid
+        if mine.any():
+            got = rows["doc_id"].to_numpy().astype(np.uint64)
+            if d_hi is not None:
+                from chearch_ray.functions.hashing import key16
 
-                    dead = np.isin(
-                        key16(rows["doc_id_hi"].to_numpy().astype(np.uint64),
-                              got),
-                        key16(d_hi[mine], d_lo[mine]))
-                else:
-                    dead = np.isin(got, d_lo[mine])
-                rows = rows.filter(pa.array(~dead))
-            dest = os.path.join(out_dir, f"part-{pid:05d}")
-            if len(rows) == 0:  # sink writes only non-empty partitions
-                outs.append(pid)
-                continue
-            tmp = f"{dest}.tmp-{os.getpid()}"
-            os.makedirs(tmp, exist_ok=True)
-            pq.write_table(
-                rows, os.path.join(tmp, "data.parquet"),
-                compression="snappy",
-                row_group_size=point_row_group_size(
-                    rows, row_group_docs, row_group_bytes))
-            if os.path.isdir(dest):  # lost a race: keep first
-                shutil.rmtree(tmp, ignore_errors=True)
+                dead = np.isin(
+                    key16(rows["doc_id_hi"].to_numpy().astype(np.uint64),
+                          got),
+                    key16(d_hi[mine], d_lo[mine]))
             else:
-                os.replace(tmp, dest)
-            outs.append(pid)
-        return pa.table({"pid": pa.array(outs, type=pa.int64())})
+                dead = np.isin(got, d_lo[mine])
+            rows = rows.filter(pa.array(~dead))
+        if len(rows) == 0:  # sink writes only non-empty partitions
+            return
+        write_partition_atomic(
+            rows, out_dir, pid,
+            point_row_group_size(rows, row_group_docs, row_group_bytes))
 
-    written = []
-    if todo:
-        res = ray.data.from_items([{"pid": p} for p in todo]).map_batches(
-            gc_one, batch_format="pyarrow", batch_size=1)
-        written = sorted(
-            int(p)
-            for t in res.iter_batches(batch_size=None, batch_format="pyarrow")
-            for p in t["pid"].to_pylist())
+    written = _run_partition_tasks(todo, gc_one)
     _write_docstore_meta(dst_index_dir, n_partitions, wide)
     return {"written": written, "skipped": sorted(done)}
 
@@ -435,12 +418,17 @@ class DocstoreReader:
         self._lock = threading.Lock()
         # the hash modulus used at write time (the sink writes only
         # NON-EMPTY partitions, so the directory listing alone can't
-        # recover it)
+        # recover it).  A meta-less store is an UNCOMMITTED build —
+        # guessing a modulus would silently route most fetches to the
+        # wrong partition and degrade every snippet to a miss
         meta = _read_docstore_meta(index_dir)
-        if meta is not None:
-            self.n_partitions = int(meta["n_partitions"])
-        else:  # meta-less store (partial build): best-effort routing
-            self.n_partitions = max(self.paths) + 1
+        if meta is None:
+            raise FileNotFoundError(
+                f"docstore under {base} has partitions but no "
+                "_meta.json (build was interrupted before commit) — "
+                "re-run build_docstore; resume skips finished "
+                "partitions")
+        self.n_partitions = int(meta["n_partitions"])
 
     def _file(self, pid: int):
         """(ParquetFile, row-group doc_id mins, maxs, lock) for a
@@ -507,12 +495,18 @@ class DocstoreReader:
             # the first group whose max >= id (searchsorted on the
             # uint64 fences; no int64 coercion anywhere, hash ids
             # past 2^63 stay exact)
-            cand = np.searchsorted(maxs, want, side="left")
-            ok = cand < len(maxs)
-            cand = cand[ok]
-            hit_groups = np.unique(cand[mins[cand] <= want[ok]])
-            if len(hit_groups) == 0:
+            # every group whose [min, max] covers the id: groups are
+            # ordered and disjoint EXCEPT that a run of duplicate lo
+            # ids (wide-id lo-collisions, duplicate external ids) can
+            # straddle a boundary — so take the contiguous range
+            # [first max >= id, last min <= id], not just its head
+            lo_g = np.searchsorted(maxs, want, side="left")
+            hi_g = np.searchsorted(mins, want, side="right") - 1
+            spans = [np.arange(a, b + 1)
+                     for a, b in zip(lo_g.tolist(), hi_g.tolist()) if b >= a]
+            if not spans:
                 continue
+            hit_groups = np.unique(np.concatenate(spans))
             group_tbls = []
             for g in hit_groups.tolist():
                 key = (int(pid), int(g))

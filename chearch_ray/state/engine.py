@@ -379,7 +379,8 @@ class QueryEngine:
 
         node, filters, boosts = parse_full(query, default_op)
         planned = self._plan(parse_query(node, default_op))
-        t = self.search(planned, k=k, filter=filters, boosts=boosts)
+        t = self.search(planned, k=k, filter=filters, boosts=boosts,
+                        _planned=True)
         wide = "doc_id_hi" in t.column_names
         base_cols = (["doc_id_hi", "doc_id"] if wide else ["doc_id"])
         out_cols = {c: t[c] for c in base_cols}
@@ -422,7 +423,8 @@ class QueryEngine:
 
     def search(self, query: str | ast.Node, k: int | None = None, default_op: str = "or",
                filter: dict[str, list[str]] | None = None,
-               boosts: dict[str, float] | None = None) -> pa.Table:
+               boosts: dict[str, float] | None = None,
+               _planned: bool = False) -> pa.Table:
         """BM25 top-k, globally merged, ordered (score desc, doc_id asc).
 
         `filter` restricts results to docs whose docmap metadata
@@ -433,7 +435,10 @@ class QueryEngine:
         term's idf (Lucene boost semantics — BM25 contributions are
         linear in idf, so the boost scales that term's share of the
         score exactly)."""
-        node = self._plan(parse_query(query, default_op))
+        # _planned: caller already ran _plan (search_with_snippets
+        # plans once for snippet-term extraction) — re-planning is
+        # idempotent but re-walks the whole expanded tree per request
+        node = query if _planned else self._plan(parse_query(query, default_op))
         k = k or self.cfg.default_k
         idfs = self.idfs_for(node)
         if boosts:

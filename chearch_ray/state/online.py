@@ -115,8 +115,22 @@ class OnlineIndexer:
         import tempfile
 
         from chearch_ray.pipelines.merge import merge_indexes
+        from chearch_ray.state.docstore import has_docstore
         from chearch_ray.state.segment import manifest_exists
 
+        # the sidecar follows the MAIN index's state, not a per-call
+        # flag: a roll that forgot docstore=True must not silently
+        # destroy the existing sidecar, and docstore=True onto a
+        # sidecar-less main has no old text to merge — refuse BEFORE
+        # any work runs
+        if manifest_exists(main_index_dir):
+            if has_docstore(main_index_dir):
+                docstore = True
+            elif docstore:
+                raise ValueError(
+                    f"{main_index_dir} has no docstore to roll; rebuild "
+                    "it with build_docstore over the full corpus first "
+                    "(the buffer alone can't recreate the old docs' text)")
         scratch = scratch_dir or tempfile.mkdtemp(prefix="chearch_roll_")
         batch_dir = os.path.join(scratch, "batch")
         self.flush(batch_dir, docstore=docstore)

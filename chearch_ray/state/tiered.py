@@ -121,23 +121,25 @@ class TieredIndexSet:
         self._compact()
 
     @staticmethod
-    def _merge_sidecars(inputs: list[str], out_dir: str) -> None:
-        """Carry the docstore sidecar through a merge: all-or-none —
-        a mixed set would silently serve snippets for only part of the
-        corpus, so it refuses instead."""
-        from chearch_ray.state.docstore import has_docstore, merge_docstores
+    def _sidecars_present(inputs: list[str]) -> bool:
+        """Whether the group's docstore sidecars should merge:
+        all-or-none — a mixed set would silently serve snippets for
+        only part of the corpus, so it refuses instead.  Called
+        BEFORE the (expensive) index merge so the refusal is free."""
+        from chearch_ray.state.docstore import has_docstore
 
         with_store = [has_docstore(d) for d in inputs]
         if not any(with_store):
-            return
+            return False
         if not all(with_store):
             raise ValueError(
                 f"mixed docstore presence across merge inputs {inputs}; "
                 "flush every index with docstore=True or none")
-        merge_docstores(inputs, out_dir)
+        return True
 
     def _compact(self) -> None:
         from chearch_ray.pipelines.merge import merge_indexes
+        from chearch_ray.state.docstore import merge_docstores
 
         while True:
             dirs = self.live_dirs()
@@ -146,11 +148,13 @@ class TieredIndexSet:
             if group is None:
                 return
             inputs = [dirs[i] for i in group]
+            sidecars = self._sidecars_present(inputs)
             name = self._next_name("idx")
             out_tmp = os.path.join(self.root, "tmp", f"merge-{name.split('-')[1]}")
             shutil.rmtree(out_tmp, ignore_errors=True)
             m = merge_indexes(inputs, out_tmp)
-            self._merge_sidecars(inputs, out_tmp)
+            if sidecars:
+                merge_docstores(inputs, out_tmp)
             dest = os.path.join(self.root, "live", name)
             if os.path.exists(dest):
                 raise RuntimeError(f"tiered dest already occupied: {dest}")
@@ -173,6 +177,10 @@ class TieredIndexSet:
             shutil.rmtree(out_dir, ignore_errors=True)
             shutil.copytree(dirs[0], out_dir)  # sidecar rides along
             return Manifest.load(out_dir)
+        from chearch_ray.state.docstore import merge_docstores
+
+        sidecars = self._sidecars_present(dirs)
         m = merge_indexes(dirs, out_dir)
-        self._merge_sidecars(dirs, out_dir)
+        if sidecars:
+            merge_docstores(dirs, out_dir)
         return m

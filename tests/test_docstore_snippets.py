@@ -565,3 +565,83 @@ def test_group_cache_bounded_and_exact(engine, corpus):
         assert a.equals(b)
         assert len(hot._group_cache) <= 4
     assert len(cold._group_cache) == 0
+
+
+def test_duplicate_lo_run_straddles_row_groups(ray_session, tmp_path):
+    """A run of duplicate lo ids longer than a row group spans several
+    groups inside one partition; fetch must decode the WHOLE covering
+    range, not just the first group whose max >= id."""
+    import ray.data
+
+    n = 20
+    base = synthetic_corpus(n, seed=41, min_lines=2, max_lines=4)
+    lo = pa.array([np.uint64(7)] * n, type=pa.uint64())
+    hi = pa.array([np.uint64(i) for i in range(n)], type=pa.uint64())
+    corpus = base.append_column("doc_id", lo).append_column("doc_id_hi", hi)
+    idx = str(tmp_path / "dup_run")
+    os.makedirs(idx)
+    build_docstore(ray.data.from_arrow(corpus), idx, n_partitions=1,
+                   row_group_docs=4, wide=True)
+    store = DocstoreReader(idx)
+    want_text = {i: base["content"][i].as_py() for i in range(n)}
+    # every (hi, lo=7) pair individually, and all at once
+    for i in range(n):
+        got = store.fetch(np.array([7], dtype=np.uint64),
+                          np.array([i], dtype=np.uint64))
+        assert got["text"].to_pylist() == [want_text[i]], f"hi={i} missed"
+    got = store.fetch(np.full(n, 7, dtype=np.uint64),
+                      np.arange(n, dtype=np.uint64))
+    assert got["text"].to_pylist() == [want_text[i] for i in range(n)]
+
+
+def test_flush_roll_autodetects_existing_sidecar(ray_session, tmp_path):
+    """A roll that forgets docstore=True must NOT destroy the sidecar
+    the previous roll built — the main index's state wins; and
+    docstore=True onto a sidecar-less main refuses before any work."""
+    from chearch_ray.state.online import OnlineIndexer
+
+    rows = synthetic_corpus(120, seed=47, min_lines=3, max_lines=8).to_pylist()
+    main = str(tmp_path / "auto_roll")
+    ing = OnlineIndexer(CFG)
+    for r in rows[:60]:
+        ing.enqueue_index_request(r)
+    ing.flush_roll(main, docstore=True)
+    assert has_docstore(main)
+    for r in rows[60:]:
+        ing.enqueue_index_request(r)
+    ing.flush_roll(main)  # flag forgotten — sidecar must survive
+    assert has_docstore(main)
+    eng = QueryEngine(main, use_actors=False)
+    t = eng.search_with_snippets("def return", k=5, default_op="or")
+    assert len(t) and all(s for s in t["snippet"].to_pylist())
+
+    bare = str(tmp_path / "bare_roll")
+    ing2 = OnlineIndexer(CFG)
+    for r in rows[:60]:
+        ing2.enqueue_index_request(r)
+    ing2.flush_roll(bare)  # no sidecar
+    for r in rows[60:]:
+        ing2.enqueue_index_request(r)
+    with pytest.raises(ValueError, match="no docstore to roll"):
+        ing2.flush_roll(bare, docstore=True)
+    assert ing2.pending() == 60  # refusal happened before the flush
+
+
+def test_uncommitted_docstore_reads_as_absent(ray_session, corpus, tmp_path):
+    """_meta.json is the commit record: a store with partitions but no
+    meta (build killed pre-commit) must read as absent, the reader
+    must refuse it, and a re-run must complete it (resume + commit)."""
+    import ray.data
+
+    idx = str(tmp_path / "crash_win")
+    os.makedirs(idx)
+    build_docstore(ray.data.from_arrow(corpus), idx, n_partitions=4)
+    meta = os.path.join(idx, "docstore", "_meta.json")
+    os.remove(meta)  # simulate the crash window
+    assert not has_docstore(idx)
+    with pytest.raises(FileNotFoundError, match="interrupted before commit"):
+        DocstoreReader(idx)
+    r = build_docstore(ray.data.from_arrow(corpus), idx, n_partitions=4)
+    assert not r["written"] and r["skipped"]  # pure resume
+    assert has_docstore(idx)
+    assert DocstoreReader(idx).n_partitions == 4
