@@ -272,7 +272,7 @@ class WireEngine:
             if hit is not None:
                 self._text_cache.move_to_end(key)
                 return hit
-        t = self.engine.search_parsed(query, k=k)
+        t = self.engine.search_parsed(query, k=k, with_meta=False)
         resp = encode_text_response(t["doc_id"].to_pylist(),
                                     t["score"].to_pylist())
         with self._text_cache_lock:

@@ -328,7 +328,8 @@ class QueryEngine:
         return self.search(node, k=k)
 
     def search_parsed(self, query: str, k: int | None = None,
-                      default_op: str = "and") -> pa.Table:
+                      default_op: str = "and",
+                      with_meta: bool = True) -> pa.Table:
         """BM25 over the full query-string grammar INCLUDING Lucene
         `field:value` metadata filters and `term^boost` weights
         (functions/queryparse.py `parse_full`): top-level field tokens
@@ -340,7 +341,8 @@ class QueryEngine:
         from chearch_ray.functions.queryparse import parse_full
 
         node, filters, boosts = parse_full(query, default_op)
-        return self.search(node, k=k, filter=filters, boosts=boosts)
+        return self.search(node, k=k, filter=filters, boosts=boosts,
+                           with_meta=with_meta)
 
     @property
     def docstore(self):
@@ -380,7 +382,7 @@ class QueryEngine:
         node, filters, boosts = parse_full(query, default_op)
         planned = self._plan(parse_query(node, default_op))
         t = self.search(planned, k=k, filter=filters, boosts=boosts,
-                        _planned=True)
+                        _planned=True, with_meta=False)
         wide = "doc_id_hi" in t.column_names
         base_cols = (["doc_id_hi", "doc_id"] if wide else ["doc_id"])
         out_cols = {c: t[c] for c in base_cols}
@@ -424,7 +426,8 @@ class QueryEngine:
     def search(self, query: str | ast.Node, k: int | None = None, default_op: str = "or",
                filter: dict[str, list[str]] | None = None,
                boosts: dict[str, float] | None = None,
-               _planned: bool = False) -> pa.Table:
+               _planned: bool = False,
+               with_meta: bool = True) -> pa.Table:
         """BM25 top-k, globally merged, ordered (score desc, doc_id asc).
 
         `filter` restricts results to docs whose docmap metadata
@@ -448,18 +451,23 @@ class QueryEngine:
 
             if filter is not None:
                 tables = ray.get(
-                    [a.search_bm25_filtered.remote(node, k, idfs, self.avgdl, filter)
+                    [a.search_bm25_filtered.remote(node, k, idfs, self.avgdl, filter,
+                                                   with_meta=with_meta)
                      for a in self._actors]
                 )
             else:
                 tables = ray.get(
-                    [a.search_bm25.remote(node, k, idfs, self.avgdl) for a in self._actors]
+                    [a.search_bm25.remote(node, k, idfs, self.avgdl,
+                                          with_meta=with_meta)
+                     for a in self._actors]
                 )
         elif filter is not None:
-            tables = [s.search_bm25_filtered(node, k, idfs, self.avgdl, filter)
+            tables = [s.search_bm25_filtered(node, k, idfs, self.avgdl, filter,
+                                             with_meta=with_meta)
                       for s in self._local]
         else:
-            tables = [s.search_bm25(node, k, idfs, self.avgdl) for s in self._local]
+            tables = [s.search_bm25(node, k, idfs, self.avgdl,
+                                    with_meta=with_meta) for s in self._local]
         merged = pa.concat_tables(tables)
         if len(merged) == 0:
             return merged

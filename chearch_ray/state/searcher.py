@@ -467,6 +467,7 @@ class SegmentSearcher:
         idfs: dict[str, float],
         avgdl: float,
         flt: dict[str, list[str]],
+        with_meta: bool = True,
     ) -> pa.Table:
         """BM25 top-k restricted to docs matching the metadata
         predicate.  The filter narrows the CANDIDATE set before
@@ -477,7 +478,7 @@ class SegmentSearcher:
         than the MaxScore/conjunctive fast paths: their pruning
         thresholds would be built from pre-filter accumulations."""
         if self.docmap is None:
-            return self._project(_EMPTY_U64, scores=np.empty(0))
+            return self._project(_EMPTY_U64, scores=np.empty(0), with_meta=with_meta)
         allowed = self._filter_allowed(flt)
         if len(self.deleted):
             allowed = allowed[self._not_deleted(allowed)]
@@ -491,15 +492,15 @@ class SegmentSearcher:
                 docs, scores = self._maxscore_disjunctive(
                     terms, k, idfs, avgdl, allowed=allowed
                 )
-                return self._project(docs, scores=scores)
+                return self._project(docs, scores=scores, with_meta=with_meta)
         candidates = intersect_sorted(self._candidates(node), allowed)
         if len(candidates) == 0:
-            return self._project(candidates, scores=np.empty(0))
+            return self._project(candidates, scores=np.empty(0), with_meta=with_meta)
         scores = self._score_docs(
             candidates, [str(t) for t in ast.terms_of(node)], idfs, avgdl
         )
         order = topk_order(scores, candidates, k)
-        return self._project(candidates[order], scores=scores[order])
+        return self._project(candidates[order], scores=scores[order], with_meta=with_meta)
 
     def search_boolean_filtered(
         self, node: ast.Node, flt: dict[str, list[str]], limit: int | None = None
@@ -523,15 +524,22 @@ class SegmentSearcher:
         idfs: dict[str, float],
         avgdl: float,
         after: tuple | None = None,
+        with_meta: bool = True,
     ) -> pa.Table:
         """BM25 top-k.  `after` = cursor pagination: restrict to docs
         sorting strictly after (score, key) in the global order (see
         _after_mask) and return the segment's top-k of THAT set — the
         global merge over per-segment qualifying top-k is exact, so
         page-n queries keep every fast path instead of the exhaustive
-        all-candidates gather."""
+        all-candidates gather.
+
+        `with_meta=False` skips the docmap metadata projection (the
+        result path's single biggest fixed cost per segment) for
+        callers that only consume (doc_id, score) — the TCP text and
+        snippet frames, and search_with_snippets which re-reads text
+        from the docstore sidecar instead of the docmap."""
         if self.docmap is None:
-            return self._project(_EMPTY_U64, scores=np.empty(0))
+            return self._project(_EMPTY_U64, scores=np.empty(0), with_meta=with_meta)
         if (
             self.cfg.use_maxscore
             and len(self.deleted) == 0  # live-docs: exact top-k needs
@@ -545,7 +553,7 @@ class SegmentSearcher:
                 docs, scores = self._maxscore_disjunctive(
                     terms, k, idfs, avgdl, after=after
                 )
-                return self._project(docs, scores=scores)
+                return self._project(docs, scores=scores, with_meta=with_meta)
         if isinstance(node, ast.Term):
             # a term's candidates ARE its postings — the generic path
             # would searchsorted the list into itself to re-find tfs
@@ -556,7 +564,7 @@ class SegmentSearcher:
                 keep = self._not_deleted(docs)
                 docs, tfs, rows = docs[keep], tfs[keep], rows[keep]
             if len(docs) == 0:
-                return self._project(docs, scores=np.empty(0))
+                return self._project(docs, scores=np.empty(0), with_meta=with_meta)
             cfg = self.cfg
             scores = bm25_component(
                 tfs.astype(np.float64), self.docmap.doc_len[rows],
@@ -566,7 +574,7 @@ class SegmentSearcher:
                 keep = self._after_mask(docs, scores, after)
                 docs, scores = docs[keep], scores[keep]
             order = topk_order(scores, docs, k)
-            return self._project(docs[order], scores=scores[order])
+            return self._project(docs[order], scores=scores[order], with_meta=with_meta)
         if isinstance(node, ast.And) and ast.is_conjunctive(node):
             # pure AND: evaluate and score in one pass — the tfs found
             # while intersecting are exactly the tfs scoring needs, so
@@ -580,7 +588,7 @@ class SegmentSearcher:
                 docs, rows = docs[keep], rows[keep]
                 tf_by_term = {t: v[keep] for t, v in tf_by_term.items()}
             if len(docs) == 0:
-                return self._project(docs, scores=np.empty(0))
+                return self._project(docs, scores=np.empty(0), with_meta=with_meta)
             cfg = self.cfg
             dl_all = self.docmap.doc_len[rows]
             scores = np.zeros(len(docs), dtype=np.float64)
@@ -593,16 +601,16 @@ class SegmentSearcher:
                 keep = self._after_mask(docs, scores, after)
                 docs, scores = docs[keep], scores[keep]
             order = topk_order(scores, docs, k)
-            return self._project(docs[order], scores=scores[order])
+            return self._project(docs[order], scores=scores[order], with_meta=with_meta)
         candidates = self._candidates(node)
         if len(candidates) == 0:
-            return self._project(candidates, scores=np.empty(0))
+            return self._project(candidates, scores=np.empty(0), with_meta=with_meta)
         scores = self._score_docs(candidates, [str(t) for t in ast.terms_of(node)], idfs, avgdl)
         if after is not None:
             keep = self._after_mask(candidates, scores, after)
             candidates, scores = candidates[keep], scores[keep]
         order = topk_order(scores, candidates, k)
-        return self._project(candidates[order], scores=scores[order])
+        return self._project(candidates[order], scores=scores[order], with_meta=with_meta)
 
     def _conjunctive_eval(
         self, terms: list[str]
@@ -1414,9 +1422,11 @@ class SearcherGroup:
 
         return ray.get_runtime_context().get_node_id()
 
-    def search_bm25(self, node, k, idfs, avgdl, after=None) -> pa.Table:
+    def search_bm25(self, node, k, idfs, avgdl, after=None,
+                    with_meta=True) -> pa.Table:
         return pa.concat_tables(
-            [m.search_bm25(node, k, idfs, avgdl, after=after) for m in self.members]
+            [m.search_bm25(node, k, idfs, avgdl, after=after,
+                           with_meta=with_meta) for m in self.members]
         )
 
     def search_boolean(self, node, limit=None, with_meta=True) -> pa.Table:
@@ -1429,9 +1439,11 @@ class SearcherGroup:
             [m.search_bm25_batch(nodes, k, idfs, avgdl) for m in self.members]
         )
 
-    def search_bm25_filtered(self, node, k, idfs, avgdl, flt) -> pa.Table:
+    def search_bm25_filtered(self, node, k, idfs, avgdl, flt,
+                             with_meta=True) -> pa.Table:
         return pa.concat_tables(
-            [m.search_bm25_filtered(node, k, idfs, avgdl, flt) for m in self.members]
+            [m.search_bm25_filtered(node, k, idfs, avgdl, flt,
+                                    with_meta=with_meta) for m in self.members]
         )
 
     def search_boolean_filtered(self, node, flt, limit=None) -> pa.Table:

@@ -343,3 +343,29 @@ def test_parse_grammar_property_never_crashes():
         assert parse(q, op) == parse_query(q, op)
 
     parity()
+
+
+def test_search_with_meta_false_identical_ids_and_scores(ray_session, tmp_path):
+    """`with_meta=False` (the TCP text/snippet serving projection) must
+    return exactly the (doc_id, score) columns of the full projection —
+    same docs, same floats, same order — on both the local and the
+    actor engine, filtered and unfiltered."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.engine import QueryEngine
+
+    cfg = EngineConfig(num_segments=2, num_term_shards=2)
+    corpus = synthetic_corpus(150, seed=7)
+    build_index(ray.data.from_arrow(corpus), str(tmp_path / "midx"), cfg)
+    queries = ["def return", "merge", "lang:py merge sort", "def OR merge"]
+    for use_actors in (False, True):
+        eng = QueryEngine(str(tmp_path / "midx"), use_actors=use_actors)
+        for q in queries:
+            full = eng.search_parsed(q, k=6)
+            slim = eng.search_parsed(q, k=6, with_meta=False)
+            assert set(slim.column_names) == {"doc_id", "score"}
+            assert slim["doc_id"].to_pylist() == full["doc_id"].to_pylist()
+            assert slim["score"].to_pylist() == full["score"].to_pylist()
