@@ -465,19 +465,36 @@ def run_bench() -> dict:
     # recall number says nothing about the index.  This is the row
     # that demonstrates IVF works where clusters exist; the noise row
     # above stays for contrast (VERDICT r4 #3).
+    # shared fixture + ground truth for BOTH clusterable-recall rows:
+    # one corpus build and ONE batched brute-force pass (all 5 queries
+    # in a single knn_brute_force call) instead of each row rebuilding
+    # the table and re-scanning per query
+    _clus = None
     try:
         import numpy as _np
         import pyarrow.compute as _pc
 
         from chearch_ray.sources.corpus import clusterable_embeddings
-        from chearch_ray.stages.similarity import (ivf_build, ivf_search,
-                                                   knn_brute_force)
+        from chearch_ray.stages.similarity import knn_brute_force
 
         _tbl = clusterable_embeddings(4096, dim=64, n_clusters=16, seed=123)
         _qids = [3, 257, 1111, 2048, 4000]
         _emb_np = _np.asarray(_tbl["embedding"].to_pylist(), dtype=_np.float64)
         _qmat = _emb_np[_qids]
         _ds = ray.data.from_arrow(_tbl.select(["vec_id", "embedding"]))
+        _true_tbl = knn_brute_force(_ds, _qmat, k=10)
+        _true_at10 = {
+            _qi: set(_true_tbl.filter(
+                _pc.equal(_true_tbl["query_id"], _qi))["vec_id"].to_pylist())
+            for _qi in range(len(_qids))
+        }
+        _clus = (_np, _pc, _qids, _qmat, _ds, _true_at10)
+    except Exception as exc:
+        print(f"clusterable fixture skipped: {exc}", file=sys.stderr)
+    try:
+        from chearch_ray.stages.similarity import ivf_build, ivf_search
+
+        _np, _pc, _qids, _qmat, _ds, _true_at10 = _clus
         _cent, _asg = ivf_build(_ds, n_centroids=16, sample_size=2048)
         _asg = _asg.materialize()
         t0 = time.perf_counter()
@@ -485,11 +502,9 @@ def run_bench() -> dict:
         timings["ivf_clusterable_search_sec"] = time.perf_counter() - t0
         _hits = 0
         for _qi in range(len(_qids)):
-            _true = set(
-                knn_brute_force(_ds, _qmat[_qi:_qi + 1], k=10)["vec_id"].to_pylist())
             _got = set(
                 _appr.filter(_pc.equal(_appr["query_id"], _qi))["vec_id"].to_pylist())
-            _hits += len(_true & _got)
+            _hits += len(_true_at10[_qi] & _got)
         timings["ivf_clusterable_recall_at10"] = _hits / (10 * len(_qids))
     except Exception as exc:
         print(f"clusterable ivf recall row skipped: {exc}", file=sys.stderr)
@@ -502,19 +517,10 @@ def run_bench() -> dict:
     # the re-rank window at 64 codes; 256 codes + refine_k=100 holds
     # 0.96-1.0.  Regression-pinned in tests/test_round5_fixes.py.
     try:
-        import numpy as _np
-        import pyarrow.compute as _pc
-
-        from chearch_ray.sources.corpus import clusterable_embeddings
         from chearch_ray.stages.similarity import (ivfpq_build,
-                                                   ivfpq_search_refined,
-                                                   knn_brute_force)
+                                                   ivfpq_search_refined)
 
-        _tbl = clusterable_embeddings(4096, dim=64, n_clusters=16, seed=123)
-        _qids = [3, 257, 1111, 2048, 4000]
-        _emb_np = _np.asarray(_tbl["embedding"].to_pylist(), dtype=_np.float64)
-        _qmat = _emb_np[_qids]
-        _ds = ray.data.from_arrow(_tbl.select(["vec_id", "embedding"]))
+        _np, _pc, _qids, _qmat, _ds, _true_at10 = _clus
         _cents, _books, _codes = ivfpq_build(
             _ds, n_centroids=16, m=8, n_codes=256, sample_size=2048,
             residual=True)
@@ -526,11 +532,9 @@ def run_bench() -> dict:
         timings["ivfpq_clusterable_search_sec"] = time.perf_counter() - t0
         _hits = 0
         for _qi in range(len(_qids)):
-            _true = set(
-                knn_brute_force(_ds, _qmat[_qi:_qi + 1], k=10)["vec_id"].to_pylist())
             _got = set(
                 _appr.filter(_pc.equal(_appr["query_id"], _qi))["vec_id"].to_pylist())
-            _hits += len(_true & _got)
+            _hits += len(_true_at10[_qi] & _got)
         timings["ivfpq_clusterable_recall_at10"] = _hits / (10 * len(_qids))
     except Exception as exc:
         print(f"clusterable ivfpq recall row skipped: {exc}", file=sys.stderr)

@@ -177,16 +177,44 @@ def cmd_fsck(args: argparse.Namespace) -> int:
     return 1 if bad else 0
 
 
+def _post_load_test(eng) -> None:
+    """chearch_srv.chpl:16 `post_load_test` (intent): prove the loaded
+    index answers before accepting traffic — query the highest-df term
+    and require at least one hit."""
+    probe = max(eng._df, key=eng._df.get) if eng._df else None
+    if probe is None:
+        return
+    hits = eng.search(probe, k=1)
+    print(f"post-load test: '{probe}' -> {len(hits)} hit(s) "
+          f"(df={eng.df(probe)})", flush=True)
+    if eng.df(probe) > 0 and len(hits) == 0:
+        raise SystemExit(
+            "post-load test FAILED: indexed term returned no hits")
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     if getattr(args, "procs", 0) and args.procs > 1:
         # reference fork model (tcp/tcp_server.c:24): N processes
         # share the listen port via SO_REUSEPORT; no Ray in children
         from chearch_ray.serve import serve_multiprocess
 
+        if getattr(args, "post_load_test", False):
+            # probe BEFORE spawning listeners, with the same actorless
+            # engine the children will build — a broken index must
+            # fail the command, not leave N children serving it
+            from chearch_ray.state.engine import QueryEngine
+
+            probe_eng = QueryEngine(args.index, use_actors=False)
+            try:
+                _post_load_test(probe_eng)
+            finally:
+                probe_eng.close()
         procs, port = serve_multiprocess(
-            args.index, host=args.host, port=args.port, procs=args.procs
+            args.index, host=args.host, port=args.port, procs=args.procs,
+            pipelined=args.pipelined,
         )
-        print(f"serving v2 pipelined protocol on {args.host}:{port} "
+        proto = "v2 pipelined" if args.pipelined else "v1 wire"
+        print(f"serving {proto} protocol on {args.host}:{port} "
               f"across {len(procs)} processes", flush=True)
         try:
             for p in procs:
@@ -204,18 +232,11 @@ def cmd_serve(args: argparse.Namespace) -> int:
     # `load_from_partitions` knob (chearch_srv.chpl:17)
     eng = QueryEngine(args.index, use_actors=not args.local)
     if getattr(args, "post_load_test", False):
-        # chearch_srv.chpl:16 `post_load_test` (intent): prove the
-        # loaded index answers before accepting traffic — query the
-        # highest-df term and require at least one hit
-        probe = max(eng._df, key=eng._df.get) if eng._df else None
-        if probe is not None:
-            hits = eng.search(probe, k=1)
-            print(f"post-load test: '{probe}' -> {len(hits)} hit(s) "
-                  f"(df={eng.df(probe)})", flush=True)
-            if eng.df(probe) > 0 and len(hits) == 0:
-                eng.close()
-                raise SystemExit(
-                    "post-load test FAILED: indexed term returned no hits")
+        try:
+            _post_load_test(eng)
+        except SystemExit:
+            eng.close()
+            raise
     wire = WireEngine(eng)
     if args.tcp:
         import asyncio

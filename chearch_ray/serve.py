@@ -157,13 +157,18 @@ class WireEngine:
     #: latency claim (README.md:30)
     SMALL_INDEX_DOCS = 1_000_000
 
-    #: text-response LRU entries (k <= 255 records x 16 bytes each, so
-    #: the full cache stays under ~4 MB).  Sound because a QueryEngine
+    #: text/snippet-response LRU entries.  Sound because a QueryEngine
     #: instance is immutable: it snapshots one manifest (tombstones
     #: included) at construction — deletes/merges produce a NEW
     #: manifest and a new engine, hence a new WireEngine and cache.
     #: The Lucene/ES query-cache analogue for hot serving traffic.
     TEXT_CACHE_SIZE = 4096
+    #: byte budget on the same cache: text responses are tiny
+    #: (k <= 255 records x 16 B), but SNIPPET responses run to
+    #: ~17.7 KB each (k=64 x 276 B), so an entry cap alone would let
+    #: a snippet-heavy workload grow the cache to ~72 MB — per
+    #: serve_multiprocess child.  Whichever bound trips first evicts.
+    TEXT_CACHE_BYTES = 8 * 1024 * 1024
 
     def __init__(self, engine, text_cache_size: int | None = None):
         from collections import OrderedDict
@@ -177,10 +182,34 @@ class WireEngine:
         self.prefers_inline = (
             not engine.use_actors and engine.n_docs <= self.SMALL_INDEX_DOCS
         )
-        self._text_cache: "OrderedDict[tuple[int, str], bytes]" = OrderedDict()
+        self._text_cache: "OrderedDict[tuple, bytes]" = OrderedDict()
         self._text_cache_size = (self.TEXT_CACHE_SIZE if text_cache_size is None
                                  else text_cache_size)
+        self._text_cache_bytes = 0
         self._text_cache_lock = __import__("threading").Lock()
+
+    # one home for the cache protocol — _handle_text and
+    # _handle_snippet share eviction/locking semantics by construction
+    def _cache_get(self, key) -> bytes | None:
+        with self._text_cache_lock:
+            hit = self._text_cache.get(key)
+            if hit is not None:
+                self._text_cache.move_to_end(key)
+            return hit
+
+    def _cache_put(self, key, resp: bytes) -> None:
+        with self._text_cache_lock:
+            old = self._text_cache.get(key)
+            if old is not None:
+                self._text_cache_bytes -= len(old)
+            self._text_cache[key] = resp
+            self._text_cache.move_to_end(key)
+            self._text_cache_bytes += len(resp)
+            while self._text_cache and (
+                    len(self._text_cache) > self._text_cache_size
+                    or self._text_cache_bytes > self.TEXT_CACHE_BYTES):
+                _, dropped = self._text_cache.popitem(last=False)
+                self._text_cache_bytes -= len(dropped)
 
     def _resolve(self, node):
         ast_mod = self._ast
@@ -267,19 +296,13 @@ class WireEngine:
         except UnicodeDecodeError as exc:
             raise ValueError("text request is not utf-8") from exc
         key = (k, query)
-        with self._text_cache_lock:
-            hit = self._text_cache.get(key)
-            if hit is not None:
-                self._text_cache.move_to_end(key)
-                return hit
+        hit = self._cache_get(key)
+        if hit is not None:
+            return hit
         t = self.engine.search_parsed(query, k=k, with_meta=False)
         resp = encode_text_response(t["doc_id"].to_pylist(),
                                     t["score"].to_pylist())
-        with self._text_cache_lock:
-            self._text_cache[key] = resp
-            self._text_cache.move_to_end(key)
-            while len(self._text_cache) > self._text_cache_size:
-                self._text_cache.popitem(last=False)
+        self._cache_put(key, resp)
         return resp
 
     def _handle_snippet(self, request: bytes) -> bytes:
@@ -308,11 +331,9 @@ class WireEngine:
         except UnicodeDecodeError as exc:
             raise ValueError("snippet request is not utf-8") from exc
         key = (SNIPPET_MAGIC, k, window, query)
-        with self._text_cache_lock:
-            hit = self._text_cache.get(key)
-            if hit is not None:
-                self._text_cache.move_to_end(key)
-                return hit
+        hit = self._cache_get(key)
+        if hit is not None:
+            return hit
         t = self.engine.search_with_snippets(query, k=k, window=window)
         out = []
         for d, s, p, snip in zip(t["doc_id"].to_pylist(),
@@ -326,11 +347,7 @@ class WireEngine:
                 raw = raw[:255].decode("utf-8", "ignore").encode("utf-8")
             out.append(SNIPPET_HEAD.pack(int(d), float(s), int(p), len(raw)) + raw)
         resp = b"".join(out)
-        with self._text_cache_lock:
-            self._text_cache[key] = resp
-            self._text_cache.move_to_end(key)
-            while len(self._text_cache) > self._text_cache_size:
-                self._text_cache.popitem(last=False)
+        self._cache_put(key, resp)
         return resp
 
     def _first_position(self, term: str, doc: int, searchers, doc_hi: int | None = None):
@@ -431,8 +448,16 @@ class TcpQueryServer:
                         response = await loop.run_in_executor(
                             self._pool, self.handler.handle, bytes(data)
                         )
-                except ValueError:
-                    break  # malformed frame: drop the connection
+                except Exception:
+                    # malformed frame OR handler failure (e.g. a 0xFE
+                    # snippet frame on an index without a docstore —
+                    # FileNotFoundError): v1 has no request ids or
+                    # error framing, so the only sound answer is to
+                    # drop the connection — but it must be THIS
+                    # clean close, not an unhandled task exception
+                    # that leaks past the loop (v2 answers per-id
+                    # instead, _serve_one)
+                    break
                 writer.write(response)
                 await writer.drain()
         except (ConnectionResetError, asyncio.IncompleteReadError):

@@ -36,18 +36,32 @@ def _partition_dir(out_dir: str, pid: int) -> str:
     return os.path.join(out_dir, f"{PART_PREFIX}{pid:05d}")
 
 
+def partition_id(name: str) -> int | None:
+    """pid of a COMMITTED partition directory name (`part-NNNNN`);
+    None for anything else — in particular the in-flight
+    `part-NNNNN.tmp-<pid>` staging dirs of write_partition_atomic,
+    which a killed writer legitimately leaves behind.  Every consumer
+    that lists partitions MUST parse names through this (a raw
+    int(split) crashes on the leftovers and breaks crash-resume)."""
+    base = os.path.basename(name.rstrip("/"))
+    if not base.startswith(PART_PREFIX):
+        return None
+    try:
+        return int(base[len(PART_PREFIX):])
+    except ValueError:
+        return None
+
+
 def finished_partitions(out_dir: str) -> set[int]:
     """partition ids already fully written (atomic rename = presence
-    is completion)."""
+    is completion); in-flight `.tmp-<pid>` staging dirs don't count."""
     if not os.path.isdir(out_dir):
         return set()
     out = set()
     for name in os.listdir(out_dir):
-        if name.startswith(PART_PREFIX) and not name.endswith(".tmp"):
-            try:
-                out.add(int(name[len(PART_PREFIX):]))
-            except ValueError:
-                pass
+        pid = partition_id(name)
+        if pid is not None:
+            out.add(pid)
     return out
 
 

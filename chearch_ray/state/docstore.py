@@ -140,9 +140,26 @@ def has_docstore(index_dir: str) -> bool:
     build_docstore resumes the missing partitions and then commits."""
     return (
         os.path.exists(os.path.join(docstore_dir(index_dir), "_meta.json"))
-        and bool(glob.glob(os.path.join(docstore_dir(index_dir), "part-*",
-                                        "data.parquet")))
+        and bool(_committed_partition_files(docstore_dir(index_dir)))
     )
+
+
+def _committed_partition_files(store_dir: str) -> dict[int, str]:
+    """pid -> data.parquet path for COMMITTED partitions only.  A
+    writer killed between pq.write_table and os.replace leaves a
+    `part-NNNNN.tmp-<pid>/data.parquet` staging dir behind (the crash
+    the atomic protocol exists for); parsing names through
+    sink.partition_id skips those instead of crashing the reader /
+    merge / GC that must resume past them."""
+    from chearch_ray.sources.sink import partition_id
+
+    out: dict[int, str] = {}
+    for p in sorted(glob.glob(os.path.join(store_dir, "part-*",
+                                           "data.parquet"))):
+        pid = partition_id(os.path.dirname(p))
+        if pid is not None:
+            out[pid] = p
+    return out
 
 
 def build_docstore(corpus_ds, index_dir: str, text_column: str = "content",
@@ -244,9 +261,7 @@ def merge_docstores(src_index_dirs: list[str], dst_index_dir: str,
     done = finished_partitions(out_dir)
     src_stores = [docstore_dir(s) for s in src_index_dirs]
     todo = sorted({
-        int(os.path.basename(os.path.dirname(p)).split("-")[1])
-        for s in src_stores
-        for p in glob.glob(os.path.join(s, "part-*", "data.parquet"))
+        pid for s in src_stores for pid in _committed_partition_files(s)
     } - done)
 
     def merge_one(pid: int) -> None:
@@ -332,10 +347,7 @@ def gc_docstore(src_index_dir: str, dst_index_dir: str,
     out_dir = docstore_dir(dst_index_dir)
     os.makedirs(out_dir, exist_ok=True)
     done = finished_partitions(out_dir)
-    todo = sorted({
-        int(os.path.basename(os.path.dirname(p)).split("-")[1])
-        for p in glob.glob(os.path.join(src_store, "part-*", "data.parquet"))
-    } - done)
+    todo = sorted(set(_committed_partition_files(src_store)) - done)
 
     def gc_one(pid: int) -> None:
         d_lo, d_hi, d_pids = ray.get(drop_ref)
@@ -403,16 +415,12 @@ class DocstoreReader:
                                   if group_cache_size is None
                                   else group_cache_size)
         base = docstore_dir(index_dir)
-        paths = sorted(glob.glob(os.path.join(base, "part-*", "data.parquet")))
-        if not paths:
+        self.paths: dict[int, str] = _committed_partition_files(base)
+        if not self.paths:
             raise FileNotFoundError(
                 f"no docstore under {base} — build one with "
                 "build_docstore(corpus_ds, index_dir) or CLI "
                 "`build --docstore`")
-        self.paths: dict[int, str] = {}
-        for p in paths:
-            pid = int(os.path.basename(os.path.dirname(p)).split("-")[1])
-            self.paths[pid] = p
         #: pid -> (ParquetFile, group_mins, group_maxs, per-file lock)
         self._files: dict[int, tuple] = {}
         self._lock = threading.Lock()
@@ -450,16 +458,25 @@ class DocstoreReader:
             col = md.schema.to_arrow_schema().get_field_index("doc_id")
             mins = np.empty(md.num_row_groups, dtype=np.uint64)
             maxs = np.empty(md.num_row_groups, dtype=np.uint64)
+            nostat = []
             for g in range(md.num_row_groups):
                 st = md.row_group(g).column(col).statistics
                 if st is None or not st.has_min_max:
-                    # stats missing (shouldn't happen for our own
-                    # sink): fence the group wide-open so it's always
-                    # a candidate
-                    mins[g], maxs[g] = 0, np.iinfo(np.uint64).max
+                    nostat.append(g)
                 else:
                     mins[g], maxs[g] = np.uint64(st.min), np.uint64(st.max)
-            ent = (f, mins, maxs, threading.Lock())
+            # stats missing (shouldn't happen for our own sink): the
+            # group must ALWAYS be a candidate — but a wide-open
+            # [0, max] fence would break the sorted-fences
+            # precondition the searchsorted pruning relies on, sending
+            # OTHER ids to the wrong group.  Give it a degenerate
+            # fence that keeps both arrays monotone (its predecessor's
+            # max; content ordering guarantees its real range sits in
+            # that gap) and force-include it in every fetch instead.
+            for g in nostat:  # ascending, so repaired maxs chain
+                mins[g] = maxs[g] = maxs[g - 1] if g > 0 else np.uint64(0)
+            ent = (f, mins, maxs,
+                   np.asarray(nostat, dtype=np.int64), threading.Lock())
             self._files[pid] = ent
             return ent
 
@@ -520,7 +537,7 @@ class DocstoreReader:
         """rows of ONE partition matching the sorted unique `want` ids
         (None when the fences prune everything) — the per-partition
         body of fetch, safe to run concurrently across partitions."""
-        f, mins, maxs, flock = self._file(int(pid))
+        f, mins, maxs, nostat, flock = self._file(int(pid))
         # row-group pruning against the cached fences: rows
         # are doc-sorted, so the groups form disjoint ordered
         # [min, max] ranges — the only candidate for an id is
@@ -536,6 +553,8 @@ class DocstoreReader:
         hi_g = np.searchsorted(mins, want, side="right") - 1
         spans = [np.arange(a, b + 1)
                  for a, b in zip(lo_g.tolist(), hi_g.tolist()) if b >= a]
+        if len(nostat):  # stat-less groups can hold anything
+            spans.append(nostat)
         if not spans:
             return None
         hit_groups = np.unique(np.concatenate(spans))

@@ -645,3 +645,169 @@ def test_uncommitted_docstore_reads_as_absent(ray_session, corpus, tmp_path):
     assert not r["written"] and r["skipped"]  # pure resume
     assert has_docstore(idx)
     assert DocstoreReader(idx).n_partitions == 4
+
+
+def test_leftover_tmp_staging_dirs_are_ignored(ray_session, corpus, tmp_path):
+    """A writer killed between pq.write_table and os.replace leaves a
+    `part-NNNNN.tmp-<pid>/data.parquet` staging dir (the exact crash
+    the atomic protocol exists for).  Every partition-listing consumer
+    — reader, resume, merge, GC — must skip it, not crash or count it
+    as committed."""
+    import shutil
+
+    import ray.data
+
+    from chearch_ray.sources.sink import finished_partitions
+    from chearch_ray.state.docstore import (docstore_dir, gc_docstore,
+                                            merge_docstores)
+
+    idx = str(tmp_path / "tmpdirs")
+    os.makedirs(idx)
+    build_docstore(ray.data.from_arrow(corpus), idx, n_partitions=4,
+                   row_group_docs=16)
+    store = docstore_dir(idx)
+    # forge the leftover: a real partition's bytes under a staging name
+    src_part = sorted(n for n in os.listdir(store) if n.startswith("part-"))[0]
+    shutil.copytree(os.path.join(store, src_part),
+                    os.path.join(store, "part-00002.tmp-4242"))
+    committed = {0, 1, 2, 3} & finished_partitions(store)
+    assert finished_partitions(store) == committed  # tmp not counted
+    assert has_docstore(idx)
+    # reader opens, routes, and fetches exactly as before
+    dsr = DocstoreReader(idx)
+    assert set(dsr.paths) == committed
+    import pyarrow.parquet as pq
+
+    all_ids = np.sort(np.concatenate([
+        pq.read_table(p, columns=["doc_id"])["doc_id"].to_numpy()
+        .astype(np.uint64) for p in dsr.paths.values()]))
+    ids = all_ids[::7]
+    got = dsr.fetch(ids)
+    assert got["doc_id"].to_numpy().astype(np.uint64).tolist() == ids.tolist()
+    # resume run: skips all committed partitions, ignores the tmp dir
+    r = build_docstore(ray.data.from_arrow(corpus), idx, n_partitions=4,
+                       row_group_docs=16)
+    assert not r["written"] and set(r["skipped"]) == committed
+    # GC and merge both enumerate source partitions — neither may crash
+    dst_gc = str(tmp_path / "tmpdirs_gc")
+    os.makedirs(dst_gc)
+    r = gc_docstore(idx, dst_gc)
+    assert set(r["written"]) == committed
+    dst_mrg = str(tmp_path / "tmpdirs_mrg")
+    os.makedirs(dst_mrg)
+    r = merge_docstores([idx], dst_mrg)
+    assert set(r["written"]) == committed
+    assert len(DocstoreReader(dst_mrg).fetch(ids)) == len(ids)
+
+
+def test_v1_snippet_without_docstore_drops_connection_cleanly(
+        ray_session, corpus, tmp_path):
+    """v1 has no request ids or error framing, so a handler failure
+    (0xFE frame on an index without a docstore -> FileNotFoundError)
+    must CLOSE the connection cleanly — not leak an unhandled task
+    exception with the client left hanging — and the server must keep
+    serving new connections."""
+    import socket
+
+    import ray.data
+
+    from chearch_ray.serve import (TcpQueryServer, WireEngine,
+                                   build_snippet_request,
+                                   build_text_request)
+
+    idx = str(tmp_path / "bare_v1")
+    build_index(ray.data.from_arrow(corpus), idx, CFG)
+    eng = QueryEngine(idx, use_actors=False)
+    srv = TcpQueryServer(WireEngine(eng), port=0).start_background()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=10) as s:
+            s.sendall(build_snippet_request("def", k=3, window=2))
+            s.settimeout(10)
+            assert s.recv(4096) == b""  # clean EOF, not a hang
+        # fresh connection serves normal frames
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=10) as s:
+            s.sendall(build_text_request("def", k=3))
+            assert len(s.recv(4096)) >= 16
+    finally:
+        srv.stop()
+
+
+def test_statless_row_groups_still_fetch_exact(ray_session, tmp_path):
+    """Row groups without doc_id min/max statistics (foreign writers)
+    must still resolve every id: the degenerate-fence fallback keeps
+    the searchsorted arrays monotone and force-includes the stat-less
+    groups instead of fencing them [0, uint64max] (which silently
+    mis-routed OTHER ids)."""
+    import pyarrow.parquet as pq
+
+    from chearch_ray.state.docstore import _write_docstore_meta
+
+    idx = str(tmp_path / "nostat")
+    part = os.path.join(idx, "docstore", "part-00000")
+    os.makedirs(part)
+    ids = np.arange(0, 64, dtype=np.uint64) * np.uint64(3)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, type=pa.uint64()),
+        "text": pa.array([f"doc number {i}" for i in ids.tolist()]),
+    })
+    pq.write_table(tbl, os.path.join(part, "data.parquet"),
+                   row_group_size=8, write_statistics=False)
+    _write_docstore_meta(idx, 1, False)
+    dsr = DocstoreReader(idx)
+    _, mins, maxs, nostat, _ = dsr._file(0)
+    assert len(nostat) == 8  # every group lost its stats
+    assert (np.diff(mins.astype(np.int64)) >= 0).all()
+    assert (np.diff(maxs.astype(np.int64)) >= 0).all()
+    want = np.array([0, 3, 93, 189], dtype=np.uint64)
+    got = dsr.fetch(want)
+    assert got["doc_id"].to_numpy().astype(np.uint64).tolist() == want.tolist()
+    assert len(dsr.fetch(np.array([1], dtype=np.uint64))) == 0  # miss drops
+
+
+def test_mixed_statless_group_does_not_misroute_neighbors(
+        ray_session, corpus, tmp_path):
+    """White-box: one stat-less group in the MIDDLE of a statful
+    partition.  Before the fix its [0, uint64max] fence broke the
+    sorted-fences precondition, sending neighbor ids to the wrong
+    groups; now it gets a degenerate in-gap fence plus force-include."""
+    import ray.data
+
+    idx = str(tmp_path / "mixed")
+    os.makedirs(idx)
+    build_docstore(ray.data.from_arrow(corpus), idx, n_partitions=1,
+                   row_group_docs=8)
+    dsr = DocstoreReader(idx)
+    f, mins, maxs, nostat, lock = dsr._file(0)
+    assert len(mins) >= 3 and len(nostat) == 0
+    g = len(mins) // 2  # simulate a stat-less middle group
+    mins2, maxs2 = mins.copy(), maxs.copy()
+    mins2[g] = maxs2[g] = maxs2[g - 1]
+    dsr._files[0] = (f, mins2, maxs2, np.array([g], dtype=np.int64), lock)
+    import pyarrow.parquet as pq
+
+    all_ids = np.sort(pq.read_table(
+        dsr.paths[0], columns=["doc_id"])["doc_id"].to_numpy()
+        .astype(np.uint64))
+    got = dsr.fetch(all_ids)
+    assert got["doc_id"].to_numpy().astype(np.uint64).tolist() == \
+        all_ids.tolist()
+
+
+def test_wire_cache_byte_budget(engine):
+    """The response LRU evicts on BYTES too: snippet responses are
+    ~KB-scale, so the entry cap alone would let the cache grow far
+    past its documented footprint."""
+    from chearch_ray.serve import WireEngine
+
+    wire = WireEngine(engine, text_cache_size=1000)
+    wire.TEXT_CACHE_BYTES = 150
+    wire._cache_put(("a",), b"x" * 60)
+    wire._cache_put(("b",), b"y" * 60)
+    assert len(wire._text_cache) == 2 and wire._text_cache_bytes == 120
+    wire._cache_put(("c",), b"z" * 60)  # 180 > 150: LRU ("a") evicts
+    assert set(wire._text_cache) == {("b",), ("c",)}
+    assert wire._text_cache_bytes == 120
+    # overwrite replaces, not double-counts
+    wire._cache_put(("c",), b"w" * 10)
+    assert wire._text_cache_bytes == 70
+    assert wire._cache_get(("c",)) == b"w" * 10
