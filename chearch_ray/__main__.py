@@ -170,10 +170,21 @@ def cmd_fsck(args: argparse.Namespace) -> int:
         bad.append(f"stats {m.term_stats_path}: MISSING")
     else:
         n_ok += 1
+    # docstore sidecar, when present: commit record, footers, sorted
+    # ids, hash routing (the DocstoreReader point-fetch contract)
+    from chearch_ray.state.docstore import fsck_docstore
+
+    dsr = fsck_docstore(args.index)
+    bad.extend(dsr["bad"])
+    n_ok += dsr["partitions"]
+    for note in dsr["notes"]:
+        print(f"fsck note: {note}")
     for line in bad:
         print(f"FSCK FAIL {line}")
+    ds_part = (f", docstore {dsr['partitions']} partitions/"
+               f"{dsr['rows']} rows" if dsr["partitions"] else "")
     print(f"fsck: {n_ok} parts ok, {len(bad)} bad, "
-          f"{m.num_docs} docs, manifest v{m.version}")
+          f"{m.num_docs} docs, manifest v{m.version}{ds_part}")
     return 1 if bad else 0
 
 

@@ -377,6 +377,79 @@ def gc_docstore(src_index_dir: str, dst_index_dir: str,
     return {"written": written, "skipped": sorted(done)}
 
 
+def fsck_docstore(index_dir: str) -> dict:
+    """Validate the docstore sidecar's on-disk invariants — the ones
+    DocstoreReader's point-fetch correctness rests on:
+
+    * `_meta.json` commit record parses and its modulus is sane;
+    * every committed partition's parquet footer loads and carries the
+      required columns (doc_id, text[, doc_id_hi when wide]);
+    * doc_id is nondecreasing inside each partition (the sorted-rows
+      precondition behind row-group fence pruning; duplicates are
+      legal — wide builds can collide on the lo-64 id);
+    * every id routes to the partition that holds it under the meta's
+      modulus (the fetch-time hash contract).
+
+    Returns {"partitions": checked, "rows": total, "bad": [msg...],
+    "notes": [msg...]}; an uncommitted build (partitions but no meta)
+    is a note, not corruption — `build_docstore` resumes it.
+    """
+    store = docstore_dir(index_dir)
+    parts = _committed_partition_files(store)
+    meta = _read_docstore_meta(index_dir)
+    bad: list[str] = []
+    notes: list[str] = []
+    if meta is None:
+        if parts:
+            notes.append(
+                f"docstore: {len(parts)} partition(s) without _meta.json "
+                "(uncommitted build — resume with build --docstore)")
+        return {"partitions": 0, "rows": 0, "bad": bad, "notes": notes}
+    from chearch_ray.stages.partition import coarse_partition_ids
+
+    n_partitions = int(meta["n_partitions"])
+    wide = bool(meta.get("wide", False))
+    if n_partitions < 1:
+        bad.append(f"docstore _meta.json: n_partitions {n_partitions} < 1")
+        return {"partitions": 0, "rows": 0, "bad": bad, "notes": notes}
+    required = {"doc_id", "text"} | ({"doc_id_hi"} if wide else set())
+    checked = rows_total = 0
+    for pid, path in sorted(parts.items()):
+        rel = os.path.relpath(path, index_dir)
+        if pid >= n_partitions:
+            bad.append(f"docstore {rel}: pid {pid} >= modulus {n_partitions}")
+            continue
+        try:
+            pf = pq.ParquetFile(path)
+            names = set(pf.schema_arrow.names)
+            missing = required - names
+            if missing:
+                bad.append(f"docstore {rel}: missing columns "
+                           f"{sorted(missing)}")
+                continue
+            ids = pq.read_table(path, columns=["doc_id"])["doc_id"] \
+                .to_numpy().astype(np.uint64)
+        except Exception as exc:
+            bad.append(f"docstore {rel}: unreadable ({exc})")
+            continue
+        if len(ids) == 0:
+            bad.append(f"docstore {rel}: empty partition "
+                       "(sink writes only non-empty ones)")
+            continue
+        if (ids[1:] < ids[:-1]).any():  # uint64: compare, never diff
+            bad.append(f"docstore {rel}: doc_id not sorted ascending")
+        misrouted = coarse_partition_ids(ids, n_partitions) != pid
+        if misrouted.any():
+            bad.append(
+                f"docstore {rel}: {int(misrouted.sum())} id(s) route to "
+                f"other partitions under modulus {n_partitions} "
+                "(wrong n_partitions in _meta.json, or foreign data)")
+        checked += 1
+        rows_total += len(ids)
+    return {"partitions": checked, "rows": rows_total, "bad": bad,
+            "notes": notes}
+
+
 class DocstoreReader:
     """Point-fetch over the docstore partitions.
 

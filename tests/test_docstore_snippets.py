@@ -811,3 +811,85 @@ def test_wire_cache_byte_budget(engine):
     wire._cache_put(("c",), b"w" * 10)
     assert wire._text_cache_bytes == 70
     assert wire._cache_get(("c",)) == b"w" * 10
+
+
+def test_fsck_docstore_validates_and_detects(ray_session, corpus, tmp_path):
+    """fsck_docstore: green on a committed build; flags a wrong
+    routing modulus, an out-of-range pid, unsorted ids, and reports an
+    uncommitted build (no _meta.json) as a note, not corruption."""
+    import json
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from chearch_ray.state.docstore import docstore_dir, fsck_docstore
+
+    idx = str(tmp_path / "fsck_ds")
+    build_index(ray.data.from_arrow(corpus), idx, CFG)
+    build_docstore(ray.data.from_arrow(corpus), idx, n_partitions=4,
+                   row_group_docs=16)
+    r = fsck_docstore(idx)
+    assert not r["bad"] and not r["notes"]
+    assert r["partitions"] == 4 and r["rows"] == N_DOCS
+    # CLI surfaces the sidecar in the summary and stays exit 0
+    env = dict(os.environ,
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    p = subprocess.run([_sys.executable, "-m", "chearch_ray", "fsck",
+                        "--index", idx],
+                       capture_output=True, text=True, env=env)
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "docstore 4 partitions" in p.stdout
+
+    store = docstore_dir(idx)
+    meta = os.path.join(store, "_meta.json")
+    # wrong modulus in the commit record -> every partition misroutes
+    orig = json.load(open(meta))
+    json.dump({**orig, "n_partitions": 8}, open(meta, "w"))
+    r = fsck_docstore(idx)
+    assert any("route to other partitions" in b for b in r["bad"])
+    json.dump(orig, open(meta, "w"))
+    # out-of-range pid
+    src = sorted(n for n in os.listdir(store) if n.startswith("part-"))[0]
+    shutil.copytree(os.path.join(store, src),
+                    os.path.join(store, "part-00009"))
+    r = fsck_docstore(idx)
+    assert any(">= modulus" in b for b in r["bad"])
+    shutil.rmtree(os.path.join(store, "part-00009"))
+    # unsorted ids break the fence-pruning precondition
+    part0 = os.path.join(store, src, "data.parquet")
+    t = pq.read_table(part0)
+    pq.write_table(t.take(list(reversed(range(len(t))))), part0)
+    r = fsck_docstore(idx)
+    assert any("not sorted" in b for b in r["bad"])
+    p = subprocess.run([_sys.executable, "-m", "chearch_ray", "fsck",
+                        "--index", idx],
+                       capture_output=True, text=True, env=env)
+    assert p.returncode == 1 and "not sorted" in p.stdout
+    # uncommitted build (meta removed) is a resumable state: note only
+    os.remove(meta)
+    r = fsck_docstore(idx)
+    assert not r["bad"] and r["partitions"] == 0
+    assert any("uncommitted" in n for n in r["notes"])
+
+
+def test_fsck_docstore_wide_requires_hi_column(ray_session, corpus, tmp_path):
+    """Wide (128-bit id) sidecars must carry doc_id_hi; fsck flags a
+    meta/schema mismatch."""
+    import json
+
+    import ray.data
+
+    from chearch_ray.state.docstore import docstore_dir, fsck_docstore
+
+    idx = str(tmp_path / "fsck_wide")
+    os.makedirs(idx)
+    build_docstore(ray.data.from_arrow(corpus), idx, n_partitions=2,
+                   row_group_docs=16)
+    meta = os.path.join(docstore_dir(idx), "_meta.json")
+    json.dump({**json.load(open(meta)), "wide": True}, open(meta, "w"))
+    r = fsck_docstore(idx)
+    assert any("missing columns ['doc_id_hi']" in b for b in r["bad"])
