@@ -494,6 +494,8 @@ def run_bench() -> dict:
     try:
         from chearch_ray.stages.similarity import ivf_build, ivf_search
 
+        if _clus is None:
+            raise RuntimeError("clusterable fixture skipped (cause above)")
         _np, _pc, _qids, _qmat, _ds, _true_at10 = _clus
         _cent, _asg = ivf_build(_ds, n_centroids=16, sample_size=2048)
         _asg = _asg.materialize()
@@ -520,6 +522,8 @@ def run_bench() -> dict:
         from chearch_ray.stages.similarity import (ivfpq_build,
                                                    ivfpq_search_refined)
 
+        if _clus is None:
+            raise RuntimeError("clusterable fixture skipped (cause above)")
         _np, _pc, _qids, _qmat, _ds, _true_at10 = _clus
         _cents, _books, _codes = ivfpq_build(
             _ds, n_centroids=16, m=8, n_codes=256, sample_size=2048,

@@ -220,11 +220,20 @@ def cmd_serve(args: argparse.Namespace) -> int:
                 _post_load_test(probe_eng)
             finally:
                 probe_eng.close()
+        # --procs has ALWAYS served v2 pipelined by default (existing
+        # pipelined clients depend on it); --v1-wire opts down.  The
+        # single-process path below keeps its own v1 default, so the
+        # two flags are path-specific, not a shared default.
+        pipelined = not getattr(args, "v1_wire", False)
+        if args.pipelined and not pipelined:
+            print("error: --pipelined and --v1-wire are mutually exclusive",
+                  file=sys.stderr)
+            return 2
         procs, port = serve_multiprocess(
             args.index, host=args.host, port=args.port, procs=args.procs,
-            pipelined=args.pipelined,
+            pipelined=pipelined,
         )
-        proto = "v2 pipelined" if args.pipelined else "v1 wire"
+        proto = "v2 pipelined" if pipelined else "v1 wire"
         print(f"serving {proto} protocol on {args.host}:{port} "
               f"across {len(procs)} processes", flush=True)
         try:
@@ -339,6 +348,9 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--port", type=int, default=3033)  # chearch_srv.chpl:15
     v.add_argument("--pipelined", action="store_true",
                    help="v2 id-framed protocol (many in-flight requests per connection)")
+    v.add_argument("--v1-wire", action="store_true",
+                   help="with --procs >1: serve the v1 one-shot wire "
+                        "protocol instead of the default v2 pipelined")
     v.add_argument("--procs", type=int, default=1,
                    help=">1: SO_REUSEPORT multi-process serving (the "
                         "reference's fork-per-listener model, tcp_server.c:24)")

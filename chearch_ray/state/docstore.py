@@ -396,9 +396,13 @@ def fsck_docstore(index_dir: str) -> dict:
     """
     store = docstore_dir(index_dir)
     parts = _committed_partition_files(store)
-    meta = _read_docstore_meta(index_dir)
     bad: list[str] = []
     notes: list[str] = []
+    try:
+        meta = _read_docstore_meta(index_dir)
+    except Exception as exc:  # truncated/garbled json IS the corruption
+        bad.append(f"docstore _meta.json: unreadable ({exc})")
+        return {"partitions": 0, "rows": 0, "bad": bad, "notes": notes}
     if meta is None:
         if parts:
             notes.append(
@@ -407,7 +411,12 @@ def fsck_docstore(index_dir: str) -> dict:
         return {"partitions": 0, "rows": 0, "bad": bad, "notes": notes}
     from chearch_ray.stages.partition import coarse_partition_ids
 
-    n_partitions = int(meta["n_partitions"])
+    try:
+        n_partitions = int(meta["n_partitions"])
+    except (KeyError, TypeError, ValueError):
+        bad.append("docstore _meta.json: missing/non-numeric n_partitions "
+                   f"(got {meta.get('n_partitions')!r})")
+        return {"partitions": 0, "rows": 0, "bad": bad, "notes": notes}
     wide = bool(meta.get("wide", False))
     if n_partitions < 1:
         bad.append(f"docstore _meta.json: n_partitions {n_partitions} < 1")
@@ -494,7 +503,8 @@ class DocstoreReader:
                 f"no docstore under {base} — build one with "
                 "build_docstore(corpus_ds, index_dir) or CLI "
                 "`build --docstore`")
-        #: pid -> (ParquetFile, group_mins, group_maxs, per-file lock)
+        #: pid -> (ParquetFile, group_mins, group_maxs,
+        #:         stat-less group indices, per-file lock)
         self._files: dict[int, tuple] = {}
         self._lock = threading.Lock()
         # the hash modulus used at write time (the sink writes only
@@ -512,9 +522,9 @@ class DocstoreReader:
         self.n_partitions = int(meta["n_partitions"])
 
     def _file(self, pid: int):
-        """(ParquetFile, row-group doc_id mins, maxs, lock) for a
-        partition; opened once, fences from footer statistics (the
-        sink writes plain uint64 stats).  Takes self._lock itself —
+        """(ParquetFile, row-group doc_id mins, maxs, stat-less group
+        indices, lock) for a partition; opened once, fences from
+        footer statistics (the sink writes plain uint64 stats).  Takes self._lock itself —
         double-checked so warm calls skip straight to the cached
         entry (dict reads are atomic under the GIL)."""
         ent = self._files.get(pid)

@@ -666,12 +666,19 @@ def test_leftover_tmp_staging_dirs_are_ignored(ray_session, corpus, tmp_path):
     build_docstore(ray.data.from_arrow(corpus), idx, n_partitions=4,
                    row_group_docs=16)
     store = docstore_dir(idx)
-    # forge the leftover: a real partition's bytes under a staging name
+    committed = finished_partitions(store)  # BEFORE forging leftovers
+    assert committed  # the build really wrote partitions
+    # forge leftovers: real partition bytes under staging names — one
+    # shadowing a committed pid, one under a pid that was NEVER
+    # committed (would change the set if tmp names parsed as pids)
     src_part = sorted(n for n in os.listdir(store) if n.startswith("part-"))[0]
     shutil.copytree(os.path.join(store, src_part),
                     os.path.join(store, "part-00002.tmp-4242"))
-    committed = {0, 1, 2, 3} & finished_partitions(store)
+    never_pid = max(committed) + 1
+    shutil.copytree(os.path.join(store, src_part),
+                    os.path.join(store, f"part-{never_pid:05d}.tmp-77"))
     assert finished_partitions(store) == committed  # tmp not counted
+    assert never_pid not in finished_partitions(store)
     assert has_docstore(idx)
     # reader opens, routes, and fetches exactly as before
     dsr = DocstoreReader(idx)
@@ -869,6 +876,14 @@ def test_fsck_docstore_validates_and_detects(ray_session, corpus, tmp_path):
                         "--index", idx],
                        capture_output=True, text=True, env=env)
     assert p.returncode == 1 and "not sorted" in p.stdout
+    # garbled / truncated meta is corruption to REPORT, not a crash
+    open(meta, "w").write('{"n_partitions": 4')  # truncated json
+    r = fsck_docstore(idx)
+    assert any("unreadable" in b for b in r["bad"])
+    open(meta, "w").write("{}")  # parses, but no modulus
+    r = fsck_docstore(idx)
+    assert any("n_partitions" in b for b in r["bad"])
+    json.dump(orig, open(meta, "w"))
     # uncommitted build (meta removed) is a resumable state: note only
     os.remove(meta)
     r = fsck_docstore(idx)

@@ -369,3 +369,47 @@ def test_search_with_meta_false_identical_ids_and_scores(ray_session, tmp_path):
             assert set(slim.column_names) == {"doc_id", "score"}
             assert slim["doc_id"].to_pylist() == full["doc_id"].to_pylist()
             assert slim["score"].to_pylist() == full["score"].to_pylist()
+
+
+def test_cli_serve_procs_defaults_to_pipelined(ray_session, tmp_path):
+    """`serve --procs N` has always served v2 pipelined; honoring the
+    new --v1-wire opt-down must NOT flip that default (existing
+    pipelined clients would get dropped connections).  Also pins the
+    flag conflict to a clean exit 2."""
+    import os
+    import re
+    import subprocess
+    import sys as _sys
+
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.serve import query_text_pipelined
+    from chearch_ray.sources.corpus import synthetic_corpus
+
+    idx = str(tmp_path / "cliproc")
+    build_index(ray.data.from_arrow(synthetic_corpus(60, seed=7)), idx,
+                EngineConfig(num_segments=1, num_term_shards=2))
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    r = subprocess.run(
+        [_sys.executable, "-m", "chearch_ray", "serve", "--index", idx,
+         "--procs", "2", "--pipelined", "--v1-wire", "--port", "0"],
+        capture_output=True, text=True, env=env, timeout=60)
+    assert r.returncode == 2 and "mutually exclusive" in r.stderr
+    p = subprocess.Popen(
+        [_sys.executable, "-m", "chearch_ray", "serve", "--index", idx,
+         "--procs", "2", "--port", "0"],
+        stdout=subprocess.PIPE, text=True, env=env)
+    try:
+        line = p.stdout.readline()
+        m = re.search(r"serving v2 pipelined protocol on 127\.0\.0\.1:(\d+)",
+                      line)
+        assert m, f"unexpected banner: {line!r}"
+        port = int(m.group(1))
+        out = query_text_pipelined("127.0.0.1", port, ["def return"], k=3)
+        assert out and out[0]  # v2 length-framed client answered
+    finally:
+        p.terminate()
+        p.wait(timeout=30)
