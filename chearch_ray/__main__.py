@@ -204,6 +204,13 @@ def _post_load_test(eng) -> None:
 
 
 def cmd_serve(args: argparse.Namespace) -> int:
+    # the combo is nonsensical on EVERY path, and argument validation
+    # must precede any index load (--post-load-test builds a full
+    # engine; an arg error after minutes of load is hostile)
+    if args.pipelined and getattr(args, "v1_wire", False):
+        print("error: --pipelined and --v1-wire are mutually exclusive",
+              file=sys.stderr)
+        return 2
     if getattr(args, "procs", 0) and args.procs > 1:
         # reference fork model (tcp/tcp_server.c:24): N processes
         # share the listen port via SO_REUSEPORT; no Ray in children
@@ -225,10 +232,6 @@ def cmd_serve(args: argparse.Namespace) -> int:
         # single-process path below keeps its own v1 default, so the
         # two flags are path-specific, not a shared default.
         pipelined = not getattr(args, "v1_wire", False)
-        if args.pipelined and not pipelined:
-            print("error: --pipelined and --v1-wire are mutually exclusive",
-                  file=sys.stderr)
-            return 2
         procs, port = serve_multiprocess(
             args.index, host=args.host, port=args.port, procs=args.procs,
             pipelined=pipelined,

@@ -398,16 +398,23 @@ def fsck_docstore(index_dir: str) -> dict:
     parts = _committed_partition_files(store)
     bad: list[str] = []
     notes: list[str] = []
+    # "uncommitted" means the commit record FILE is absent; a file
+    # that exists but holds garbage (truncated, `null`, a list, …) is
+    # corruption — the distinction fsck exists to draw.
+    if not os.path.exists(os.path.join(store, "_meta.json")):
+        if parts:
+            notes.append(
+                f"docstore: {len(parts)} partition(s) without _meta.json "
+                "(uncommitted build — resume with build --docstore)")
+        return {"partitions": 0, "rows": 0, "bad": bad, "notes": notes}
     try:
         meta = _read_docstore_meta(index_dir)
     except Exception as exc:  # truncated/garbled json IS the corruption
         bad.append(f"docstore _meta.json: unreadable ({exc})")
         return {"partitions": 0, "rows": 0, "bad": bad, "notes": notes}
-    if meta is None:
-        if parts:
-            notes.append(
-                f"docstore: {len(parts)} partition(s) without _meta.json "
-                "(uncommitted build — resume with build --docstore)")
+    if not isinstance(meta, dict):
+        bad.append("docstore _meta.json: expected a JSON object, got "
+                   f"{type(meta).__name__}")
         return {"partitions": 0, "rows": 0, "bad": bad, "notes": notes}
     from chearch_ray.stages.partition import coarse_partition_ids
 

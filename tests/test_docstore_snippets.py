@@ -883,6 +883,16 @@ def test_fsck_docstore_validates_and_detects(ray_session, corpus, tmp_path):
     open(meta, "w").write("{}")  # parses, but no modulus
     r = fsck_docstore(idx)
     assert any("n_partitions" in b for b in r["bad"])
+    # valid JSON of the wrong SHAPE is corruption too — and must not
+    # crash the handler (meta.get on a list) or masquerade as an
+    # uncommitted build (`null` parses to None)
+    open(meta, "w").write("[1]")
+    r = fsck_docstore(idx)
+    assert any("JSON object" in b for b in r["bad"])
+    open(meta, "w").write("null")
+    r = fsck_docstore(idx)
+    assert any("JSON object" in b for b in r["bad"]), r
+    assert not any("uncommitted" in n for n in r["notes"])
     json.dump(orig, open(meta, "w"))
     # uncommitted build (meta removed) is a resumable state: note only
     os.remove(meta)

@@ -378,6 +378,7 @@ def test_cli_serve_procs_defaults_to_pipelined(ray_session, tmp_path):
     flag conflict to a clean exit 2."""
     import os
     import re
+    import signal
     import subprocess
     import sys as _sys
 
@@ -398,6 +399,13 @@ def test_cli_serve_procs_defaults_to_pipelined(ray_session, tmp_path):
          "--procs", "2", "--pipelined", "--v1-wire", "--port", "0"],
         capture_output=True, text=True, env=env, timeout=60)
     assert r.returncode == 2 and "mutually exclusive" in r.stderr
+    # the conflict is nonsensical on EVERY path — the single-process
+    # route must reject it too, and before any index load
+    r1 = subprocess.run(
+        [_sys.executable, "-m", "chearch_ray", "serve", "--index", idx,
+         "--pipelined", "--v1-wire", "--port", "0"],
+        capture_output=True, text=True, env=env, timeout=60)
+    assert r1.returncode == 2 and "mutually exclusive" in r1.stderr
     p = subprocess.Popen(
         [_sys.executable, "-m", "chearch_ray", "serve", "--index", idx,
          "--procs", "2", "--port", "0"],
@@ -411,5 +419,12 @@ def test_cli_serve_procs_defaults_to_pipelined(ray_session, tmp_path):
         out = query_text_pipelined("127.0.0.1", port, ["def return"], k=3)
         assert out and out[0]  # v2 length-framed client answered
     finally:
-        p.terminate()
-        p.wait(timeout=30)
+        # SIGINT, not SIGTERM: the CLI parent blocks in p.join() and
+        # only its KeyboardInterrupt handler terminates the spawned
+        # listener children — a bare terminate() orphans both of them
+        p.send_signal(signal.SIGINT)
+        try:
+            p.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait(timeout=10)
