@@ -643,6 +643,18 @@ def run_bench() -> dict:
     timings["near_all_local_p50_ms"] = p50_fn(
         lambda: eng_local.search_near_all(["def", "return", "if"], slop=8, k=10)
     )
+    # round-5 grammar additions: suffix (reversed-dict route), infix
+    # wildcard, bracket-range filter — all against the same index
+    eng_local.build_suffix_dictionary()
+    timings["suffix_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search("*urn def", k=10, default_op="and")
+    )
+    timings["wildcard_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search("d*f return", k=10, default_op="and")
+    )
+    timings["range_filter_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search_parsed("doc_len:[10 TO 60] def OR return", k=10)
+    )
 
     timings = {k: round(v, 4) for k, v in timings.items()}
     result = {

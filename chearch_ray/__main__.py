@@ -144,6 +144,23 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_suffix_dict(args: argparse.Namespace) -> int:
+    """Build the reversed-term dictionary sidecar at <index>/suffix —
+    leading-wildcard queries (`*ing`) then expand via a range
+    predicate over the rterm-sorted parquet instead of a vocabulary
+    scan (state/suffixdict.py)."""
+    _ensure_ray()
+    from chearch_ray.state.engine import QueryEngine
+
+    eng = QueryEngine(args.index, use_actors=False)
+    try:
+        out = eng.build_suffix_dictionary()
+        print(f"suffix dictionary built at {out}")
+    finally:
+        eng.close()
+    return 0
+
+
 def cmd_fsck(args: argparse.Namespace) -> int:
     """Verify an index directory against its manifest: every postings
     and docmap part must exist with the recorded sha256 (the lineage
@@ -313,6 +330,12 @@ def main(argv: list[str] | None = None) -> int:
     fs = sub.add_parser("fsck", help="verify index files against manifest shas")
     fs.add_argument("--index", required=True)
     fs.set_defaults(fn=cmd_fsck)
+
+    sd = sub.add_parser("suffix-dict",
+                        help="build the reversed-term dictionary sidecar "
+                             "(leading-wildcard `*ing` queries at scale)")
+    sd.add_argument("--index", required=True)
+    sd.set_defaults(fn=cmd_suffix_dict)
 
     mg = sub.add_parser("merge")
     mg.add_argument("--inputs", nargs="+", required=True)

@@ -63,6 +63,39 @@ class Prefix:
 
 
 @dataclass(frozen=True)
+class Suffix:
+    """Term-suffix (leading-wildcard) query `*ing` (engine extension,
+    §2.10 — absent from the reference's CHASM opcode set,
+    chasm.chpl:10-13, so it never appears on the wire).  QueryEngine
+    expands it into a sorted Or chain over the vocabulary terms ENDING
+    with `suffix` BEFORE planning — via a range predicate over the
+    reversed-term dictionary sidecar when one is built
+    (state/suffixdict.py; the web-scale path: only the suffix's row
+    groups are read), else a vocabulary scan — so segment searchers
+    only ever see Term/And/Or."""
+
+    suffix: str
+
+
+@dataclass(frozen=True)
+class Wildcard:
+    """Single-star infix wildcard `a*b` (engine extension, §2.10 —
+    absent from the reference's CHASM opcode set, chasm.chpl:10-13, so
+    it never appears on the wire): matches vocabulary terms that start
+    with `head` AND end with `tail` (non-overlapping, so the term must
+    be at least len(head)+len(tail) long).  Pure-prefix (`a*`) and
+    pure-suffix (`*b`) tokens keep their dedicated leaves; this node
+    covers the both-sides-anchored middle case.  QueryEngine expands
+    it BEFORE planning via the MORE SELECTIVE anchor's sorted
+    dictionary (forward stats parquet for `head`, reversed-term
+    sidecar for `tail` when built) with a post-filter on the other
+    side — segment searchers only ever see Term/And/Or."""
+
+    head: str
+    tail: str
+
+
+@dataclass(frozen=True)
 class Fuzzy:
     """Fuzzy term query `term~d` (engine extension, §2.10 — absent
     from the reference's CHASM opcode set, so it never appears on the
@@ -94,7 +127,7 @@ class Phrase:
         object.__setattr__(self, "terms", tuple(self.terms))
 
 
-Node = Union[Term, And, Or, AndNot, Prefix, Fuzzy, Phrase]
+Node = Union[Term, And, Or, AndNot, Prefix, Suffix, Wildcard, Fuzzy, Phrase]
 
 
 def terms_of(node: Node) -> list[TermT]:
@@ -107,7 +140,7 @@ def terms_of(node: Node) -> list[TermT]:
             if n.term not in seen:
                 seen.add(n.term)
                 out.append(n.term)
-        elif isinstance(n, (Prefix, Fuzzy)):
+        elif isinstance(n, (Prefix, Suffix, Wildcard, Fuzzy)):
             raise TypeError(
                 f"{type(n).__name__} nodes must be expanded (QueryEngine._plan) before terms_of"
             )

@@ -18,7 +18,8 @@ searchable):
     and_expr := unary ( [AND] unary )*        # juxtaposition = AND
     unary    := (NOT | '-') unary | atom
     atom     := '(' or_expr ')' | '"' words '"' | term
-    term     := word | word'*' | word'~'[12]  # prefix / fuzzy leaves
+    term     := word | word'*' | '*'word | word'*'word | word'~'[12]
+               # prefix / suffix (leading) / infix wildcard / fuzzy
 
 Semantics notes:
 
@@ -44,9 +45,16 @@ import re
 
 from chearch_ray import ast
 
-#: one token: parenthesis, quoted phrase, or a bare word (anything up
-#: to whitespace / paren / quote — leaf rules refine it afterwards)
-_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|[^\s()"]+')
+#: one token: parenthesis, quoted phrase, a bracketed range filter
+#: (`field:[lo TO hi]` — spaces inside the brackets stay in ONE token;
+#: parse_with_filters consumes it, parse() rejects it), or a bare word
+#: (anything up to whitespace / paren / quote — leaf rules refine it
+#: afterwards)
+_TOKEN_RE = re.compile(
+    r'\(|\)|"[^"]*"'
+    r"|-?[a-z_][a-z0-9_]*:[\[{][^\]}]*[\]}]"
+    r'|[^\s()"]+'
+)
 
 #: keeps [a-z0-9_] runs — MUST match functions.tokenizer
 #: DEFAULT_SPLIT_REGEX so phrase words align with stored positions
@@ -63,6 +71,14 @@ def _leaf(tok: str) -> ast.Node:
     t = tok.lower()
     if len(t) > 1 and t.endswith("*") and "*" not in t[:-1]:
         return ast.Prefix(t[:-1])
+    if len(t) > 1 and t.startswith("*") and "*" not in t[1:]:
+        return ast.Suffix(t[1:])
+    if "*" in t:
+        head, _, tail = t.partition("*")
+        # single INFIX star (`a*b`) — pure prefix/suffix handled above
+        if (head and tail and "*" not in tail
+                and _WORD_RE.fullmatch(head) and _WORD_RE.fullmatch(tail)):
+            return ast.Wildcard(head, tail)
     if len(t) > 2 and t[-2] == "~" and t[-1] in "12" and "~" not in t[:-2]:
         return ast.Fuzzy(t[:-2], int(t[-1]))
     if not _WORD_RE.fullmatch(t):
@@ -265,13 +281,43 @@ def contains_phrase(node: ast.Node) -> bool:
 #: docmap metadata filter surface (top-level conjunctive only)
 _FIELD_RE = re.compile(r"^([a-z_][a-z0-9_]*):([^\s()\"]+)$")
 
+#: `field:[lo TO hi]` range filter — Lucene bracket syntax: `[`/`]`
+#: inclusive, `{`/`}` exclusive (mixable), `*` = unbounded end
+_RANGE_RE = re.compile(
+    r"^([a-z_][a-z0-9_]*):([\[{])([^\s\]}]+) TO ([^\s\]}]+)([\]}])$"
+)
+#: anything that LOOKS like a range filter (so near-misses raise a
+#: parse error instead of silently becoming an IN-filter on '[lo')
+_RANGEISH_RE = re.compile(r"^-?[a-z_][a-z0-9_]*:[\[{]")
 
-def parse_with_filters(query: str, default_op: str = "and") -> tuple[ast.Node, dict[str, list[str]] | None]:
+
+def _range_spec(m: "re.Match") -> tuple:
+    """RANGE_RE match -> the engine filter spec tuple
+    ("range", lo|None, hi|None, lo_inclusive, hi_inclusive)."""
+    lo = None if m.group(3) == "*" else m.group(3)
+    hi = None if m.group(4) == "*" else m.group(4)
+    if lo is None and hi is None:
+        raise QueryParseError(
+            f"range filter {m.group(0)!r} is unbounded on both ends — "
+            "drop the filter instead")
+    # an open end's inclusivity is meaningless — canonicalize to True
+    # so `{* TO x}` and `[* TO x}` share one filter-cache entry
+    return ("range", lo, hi,
+            lo is None or m.group(2) == "[",
+            hi is None or m.group(5) == "]")
+
+
+def parse_with_filters(query: str, default_op: str = "and") -> tuple[ast.Node, dict[str, list] | None]:
     """Lucene-style `field:value` extension over `parse`: top-level
     (paren-depth-0, non-negated) `field:value` tokens become the
     engine's docmap metadata filter — repeated same-field tokens OR
     together (`lang:py lang:go` == lang IN (py, go)), distinct fields
-    AND, exactly the `QueryEngine.search(filter=...)` contract.  The
+    AND, exactly the `QueryEngine.search(filter=...)` contract.
+    `field:[lo TO hi]` is a RANGE filter over the same columns
+    (inclusive `[]`, exclusive `{}`, `*` = open end; numeric columns
+    compare numerically, string columns lexicographically — the
+    searcher types the bounds from the docmap schema); ranges and
+    values on the same field OR together like repeated values.  The
     rest of the string parses through the unchanged grammar.
 
     Field tokens inside parentheses, under NOT/-, or as the only
@@ -291,23 +337,37 @@ def parse_with_filters(query: str, default_op: str = "and") -> tuple[ast.Node, d
             depth += 1
         elif tok == ")":
             depth -= 1
-        m = None if tok.startswith('"') else _FIELD_RE.match(tok)
-        if m:
+        rm = None if tok.startswith('"') else _RANGE_RE.match(tok)
+        m = None if (tok.startswith('"') or rm) else _FIELD_RE.match(tok)
+        if rm or m:
             if depth > 0:
                 raise QueryParseError(
                     f"field filter {tok!r} must be top-level (conjunctive), "
                     "not inside a group")
             if prev == "NOT":
                 raise QueryParseError(f"field filter {tok!r} cannot be negated")
-            field, value = m.group(1), m.group(2)
-            if value.startswith("-"):
-                raise QueryParseError(f"field filter {tok!r} cannot be negated")
+            if rm:
+                field, value = rm.group(1), _range_spec(rm)
+            else:
+                field, value = m.group(1), m.group(2)
+                if value[0] in "[{":
+                    raise QueryParseError(
+                        f"malformed range filter {tok!r} — expected "
+                        "field:[lo TO hi] (or {...} exclusive, * = open end)")
+                if value.startswith("-"):
+                    raise QueryParseError(f"field filter {tok!r} cannot be negated")
             vals = filters.setdefault(field, [])
             if value not in vals:
                 vals.append(value)
         else:
-            if tok.startswith("-") and _FIELD_RE.match(tok[1:]):
+            if tok.startswith("-") and (
+                _FIELD_RE.match(tok[1:]) or _RANGE_RE.match(tok[1:])
+            ):
                 raise QueryParseError(f"field filter {tok!r} cannot be negated")
+            if not tok.startswith('"') and _RANGEISH_RE.match(tok):
+                raise QueryParseError(
+                    f"malformed range filter {tok!r} — expected "
+                    "field:[lo TO hi] (or {...} exclusive, * = open end)")
             rest.append(tok)
         prev = tok
     if not rest:

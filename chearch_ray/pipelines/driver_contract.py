@@ -223,6 +223,45 @@ def q_fuzzy_bm25(sf_dir: str) -> pa.Table:
     return _ranked(eng.search(parse_query(f"{FUZZY_TERM}~{FUZZY_DIST}"), k=10))
 
 
+#: leading-wildcard (suffix) query — engine extension (§2.10): `*rt`
+#: expands against the vocabulary into a sorted Or chain before
+#: planning (at sf scale: {part, sort} — a 2-way disjunction reached
+#: purely through the suffix machinery).  The row BUILDS the
+#: reversed-term dictionary sidecar first (idempotent), so the driver
+#: checks the web-scale rterm-range-predicate path
+#: (state/suffixdict.py), not the vocabulary-scan fallback; the oracle
+#: mirrors the expansion with `term LIKE '%rt'` over the same
+#: tokenization — no term list is hardcoded on either side.
+SUFFIX_QUERY = "rt"
+
+
+def q_suffix_bm25(sf_dir: str) -> pa.Table:
+    from chearch_ray.state.engine import parse_query
+    from chearch_ray.state.suffixdict import suffix_dictionary_exists
+
+    eng = engine_for(sf_dir)
+    if not suffix_dictionary_exists(os.path.join(eng.index_dir, "suffix")):
+        eng.build_suffix_dictionary()
+    return _ranked(eng.search(parse_query(f"*{SUFFIX_QUERY}"), k=10))
+
+
+#: single-star INFIX wildcard `t*e` — the both-sides-anchored case:
+#: expands through the more selective anchor's dictionary with a
+#: vectorized post-filter on the other side (at sf scale: {table,
+#: the}).  The oracle mirrors the expansion with `LIKE 't%e'` (LIKE's
+#: sequential consumption gives the same non-overlapping-halves
+#: semantics as the engine's len >= |head|+|tail| check).
+WILDCARD_HEAD, WILDCARD_TAIL = "t", "e"
+
+
+def q_wildcard_bm25(sf_dir: str) -> pa.Table:
+    from chearch_ray.state.engine import parse_query
+
+    eng = engine_for(sf_dir)
+    return _ranked(
+        eng.search(parse_query(f"{WILDCARD_HEAD}*{WILDCARD_TAIL}"), k=10))
+
+
 #: wide-id (doc_id_bits=128) driver row — ROADMAP #12.  The documents
 #: table's 64-bit ids are split into adversarially COLLIDING (hi, lo)
 #: pairs: hi = doc_id % WIDE_SPLIT, lo = doc_id // WIDE_SPLIT, so every
@@ -2048,6 +2087,22 @@ def q_parsed_filter_query(sf_dir: str) -> pa.Table:
     return _ranked(engine_for(sf_dir).search_parsed(q, k=10))
 
 
+#: Lucene bracket RANGE filter through the grammar: doc_len is the
+#: docmap's indexed token count (uint32 — the searcher types the
+#:  bounds from the docmap schema, so the comparison is numeric, not
+#: lexicographic), and the oracle mirrors it with the same dl CTE the
+#: BM25 mirror already computes.  Scores are unchanged by the filter;
+#: top-k is taken over the restricted candidate set.
+RANGE_DL = (30, 70)
+
+
+def q_range_filter_query(sf_dir: str) -> pa.Table:
+    lo, hi = RANGE_DL
+    q = f"doc_len:[{lo} TO {hi}] " \
+        f"{BM25_FILTERED_TERMS[0]} OR {BM25_FILTERED_TERMS[1]}"
+    return _ranked(engine_for(sf_dir).search_parsed(q, k=10))
+
+
 def q_value_quantiles_cont(sf_dir: str) -> pa.Table:
     """SQL percentile_cont over event value cents: exact adjacent
     order statistics + ONE identical float interpolation expression
@@ -2885,11 +2940,18 @@ QUERIES = {
     # --- slot 46 (round-5 final session, never checked): the 0xFE
     # --- search-and-display composition — BM25 + docstore snippet ----
     "search_snippets": q_search_snippets,
-    # --- slot 47: r04's only no-oracle row, now value-exact ----------
+    # --- slots 47–48 (round-5 fifth window, never checked): the new
+    # --- grammar surface — bracket RANGE filters (numeric doc_len
+    # --- interval through search_parsed) and leading-wildcard suffix
+    # --- queries (reversed-term dictionary sidecar) ------------------
+    "range_filter_query": q_range_filter_query,
+    "suffix_bm25": q_suffix_bm25,
+    "wildcard_bm25": q_wildcard_bm25,
+    # --- slot 50: r04's only no-oracle row, now value-exact ----------
     "pq_knn": q_pq_knn,
-    # --- slots 47–49: the last three former rows-only queries, now
-    # --- carrying brand-new exact FNV/minhash/simhash SQL mirrors —
-    # --- the driver should prove them, not re-prove green rows -------
+    # --- round 1–4 re-checks from here (fingerprint/minhash/simhash
+    # --- also carry new exact mirrors, proven by tests/test_entry.py
+    # --- at two scales; the 50-cap pushed them below the window) -----
     "fingerprint": q_fingerprint,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -3306,6 +3368,37 @@ FROM hits
         term_sql=(
             "SELECT DISTINCT term FROM tok "
             f"WHERE levenshtein(term, '{FUZZY_TERM}') <= {FUZZY_DIST}"
+        ),
+    ),
+    # suffix expansion mirrored by LIKE '%…' over the same tokenization
+    # (the Ray side expands via the reversed-term dictionary sidecar)
+    "suffix_bm25": _bm25_sql(
+        (),
+        "or",
+        term_sql=(
+            f"SELECT DISTINCT term FROM tok WHERE term LIKE '%{SUFFIX_QUERY}'"
+        ),
+    ),
+    # infix wildcard mirrored by LIKE 'head%tail' over the same
+    # tokenization (sequential consumption == non-overlapping halves)
+    "wildcard_bm25": _bm25_sql(
+        (),
+        "or",
+        term_sql=(
+            f"SELECT DISTINCT term FROM tok "
+            f"WHERE term LIKE '{WILDCARD_HEAD}%{WILDCARD_TAIL}'"
+        ),
+    ),
+    # grammar bracket-range filter: same BM25 body, candidates
+    # restricted to docs whose token count (the docmap's doc_len) lies
+    # in the closed interval — dl is the CTE the mirror already builds
+    "range_filter_query": _bm25_sql(
+        BM25_FILTERED_TERMS,
+        "or",
+        cand_sql=(
+            f"SELECT DISTINCT t.doc_id FROM tok t JOIN dl ON t.doc_id = dl.doc_id "
+            f"WHERE t.term IN ('{BM25_FILTERED_TERMS[0]}', '{BM25_FILTERED_TERMS[1]}') "
+            f"AND dl.dl >= {RANGE_DL[0]} AND dl.dl <= {RANGE_DL[1]}"
         ),
     ),
     "bm25_tree": _bm25_sql(

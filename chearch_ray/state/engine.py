@@ -25,6 +25,11 @@ from chearch_ray import ast
 from chearch_ray.state.searcher import SearcherGroup, SegmentSearcher, bm25_idf, topk_order
 from chearch_ray.state.segment import Manifest
 
+#: bound on the ANCHOR-side candidate gather inside expand_wildcard —
+#: the driver-side list a 1-char anchor could pull from a huge
+#: vocabulary; distinct from (and never below) the final-expansion cap
+WILDCARD_CANDIDATE_CAP = 1 << 20
+
 
 def _merge_tie_key(merged: "pa.Table"):
     """deterministic cross-segment tie-break key: external (hi, lo)
@@ -65,6 +70,15 @@ def parse_query(query: str | ast.Node, default_op: str = "or") -> ast.Node:
         # QueryEngine against the term dictionary before planning
         if len(t) > 1 and t.endswith("*") and "*" not in t[:-1]:
             return ast.Prefix(t[:-1])
+        # leading `*` = term-suffix query (Lucene leading wildcard);
+        # expanded via the reversed-term dictionary before planning
+        if len(t) > 1 and t.startswith("*") and "*" not in t[1:]:
+            return ast.Suffix(t[1:])
+        # single INFIX star (`a*b`): both-sides-anchored wildcard,
+        # expanded via the more selective anchor's dictionary
+        if t.count("*") == 1 and not t.startswith("*") and not t.endswith("*"):
+            head, _, tail = t.partition("*")
+            return ast.Wildcard(head, tail)
         # `term~d` (d = 1 or 2) = fuzzy query (Lucene-style), expanded
         # against the vocabulary by exact edit distance before planning
         if len(t) > 2 and t[-2] == "~" and t[-1] in "12" and "~" not in t[:-2]:
@@ -130,6 +144,8 @@ class QueryEngine:
             self.segments = list(range(self.cfg.num_segments))
         self.use_actors = use_actors
         self._prefix_cache: dict[str, list[str]] = {}
+        self._suffix_cache: dict[str, list[str]] = {}
+        self._wildcard_cache: dict[tuple[str, str], list[str]] = {}
         self._fuzzy_cache: dict[tuple[str, int], list[str]] = {}
         if use_actors:
             import ray
@@ -216,6 +232,100 @@ class QueryEngine:
         self._prefix_cache[prefix] = terms
         return terms
 
+    # ------------------------------------------------------------ suffix
+    def expand_suffix(self, suffix: str, max_expansions: int = 1024) -> list[str]:
+        """Vocabulary terms ENDING with `suffix` (the `*ing`
+        leading-wildcard leaf), sorted.  When the reversed-term
+        dictionary sidecar exists (<index_dir>/suffix —
+        build_suffix_dictionary), the lookup is a range predicate over
+        the rterm-SORTED parquet (row-group pushdown: only the
+        suffix's groups are read even at a 10^12-doc vocabulary);
+        otherwise a vocabulary scan of the stats parquet — identical
+        results either way (pinned by test).  Memoized per engine;
+        raises above `max_expansions` like expand_prefix (silent
+        truncation would change result sets)."""
+        if not suffix:
+            raise ValueError("empty suffix")
+        hit = self._suffix_cache.get(suffix)
+        if hit is None:
+            from chearch_ray.state.suffixdict import (
+                suffix_dictionary_exists, terms_with_suffix,
+            )
+
+            sdir = os.path.join(self.index_dir, "suffix")
+            if suffix_dictionary_exists(sdir):
+                hit = terms_with_suffix(sdir, suffix)
+            else:
+                stats = pq.read_table(self._stats_path, columns=["term"])
+                hit = sorted(
+                    s for s in stats["term"].to_pylist() if s.endswith(suffix)
+                )
+            if len(self._suffix_cache) > 1024:
+                self._suffix_cache.clear()
+            self._suffix_cache[suffix] = hit
+        if len(hit) > max_expansions:
+            raise ValueError(
+                f"suffix *{suffix!r} expands to {len(hit)} terms (cap {max_expansions})"
+            )
+        return hit
+
+    def expand_wildcard(self, head: str, tail: str,
+                        max_expansions: int = 1024) -> list[str]:
+        """Vocabulary terms matching the single-star wildcard
+        `head*tail` (startswith(head) AND endswith(tail),
+        non-overlapping halves), sorted.  Expansion routes through the
+        MORE SELECTIVE anchor's sorted dictionary — the longer literal
+        wins: `head` via expand_prefix's stats-parquet range predicate,
+        `tail` via the reversed-term sidecar when built — then
+        post-filters the other side; ties and a missing suffix
+        sidecar prefer the prefix side (always available).
+        Memoized; raises above `max_expansions` like expand_prefix."""
+        if not head or not tail:
+            raise ValueError("infix wildcard needs text on both sides of '*'")
+        key = (head, tail)
+        hit = self._wildcard_cache.get(key)
+        if hit is None:
+            from chearch_ray.state.suffixdict import suffix_dictionary_exists
+
+            # the anchor-side gather is the scale risk (a 1-char anchor
+            # over a 10^12-doc vocabulary is millions of candidates):
+            # bound it separately from the final-expansion cap so the
+            # failure is a clear "anchor too unselective", not an OOM
+            cand_cap = max(max_expansions, WILDCARD_CANDIDATE_CAP)
+            sdir = os.path.join(self.index_dir, "suffix")
+            try:
+                if len(tail) > len(head) and suffix_dictionary_exists(sdir):
+                    cands = self.expand_suffix(tail, max_expansions=cand_cap)
+                else:
+                    cands = self.expand_prefix(head, max_expansions=cand_cap)
+            except ValueError as exc:
+                raise ValueError(
+                    f"wildcard {head}*{tail}: anchor too unselective "
+                    f"({exc})") from None
+            min_len = len(head) + len(tail)
+            hit = [t for t in cands
+                   if len(t) >= min_len and t.startswith(head)
+                   and t.endswith(tail)]
+            if len(self._wildcard_cache) > 1024:
+                self._wildcard_cache.clear()
+            self._wildcard_cache[key] = hit
+        if len(hit) > max_expansions:
+            raise ValueError(
+                f"wildcard {head}*{tail} expands to {len(hit)} terms "
+                f"(cap {max_expansions})"
+            )
+        return hit
+
+    def build_suffix_dictionary(self) -> str:
+        """Build (or rebuild) the reversed-term dictionary sidecar at
+        <index_dir>/suffix — expand_suffix uses it automatically.
+        Vocabulary-sized (one Ray sort over the stats parquet)."""
+        from chearch_ray.state.suffixdict import build_suffix_dictionary
+
+        sdir = os.path.join(self.index_dir, "suffix")
+        build_suffix_dictionary(self._stats_path, sdir)
+        return sdir
+
     # ------------------------------------------------------------- fuzzy
     def expand_fuzzy(self, term: str, max_distance: int = 1,
                      max_expansions: int = 1024) -> list[str]:
@@ -291,9 +401,13 @@ class QueryEngine:
                 "search_boolean for boolean phrase filters or "
                 "search_phrase for ranked phrase retrieval"
             )
-        if isinstance(node, (ast.Prefix, ast.Fuzzy)):
+        if isinstance(node, (ast.Prefix, ast.Suffix, ast.Wildcard, ast.Fuzzy)):
             if isinstance(node, ast.Prefix):
                 terms = self.expand_prefix(node.prefix)
+            elif isinstance(node, ast.Suffix):
+                terms = self.expand_suffix(node.suffix)
+            elif isinstance(node, ast.Wildcard):
+                terms = self.expand_wildcard(node.head, node.tail)
             else:
                 terms = self.expand_fuzzy(node.term, node.dist)
             if not terms:
@@ -334,7 +448,9 @@ class QueryEngine:
         `field:value` metadata filters and `term^boost` weights
         (functions/queryparse.py `parse_full`): top-level field tokens
         become the docmap filter (`lang:py lang:go merge` == search
-        "merge" with filter {"lang": ["py", "go"]}), boosts multiply
+        "merge" with filter {"lang": ["py", "go"]}; bracket ranges
+        `doc_len:[40 TO 160]` / `{}` exclusive / `*` open end filter
+        the same columns by interval), boosts multiply
         the boosted term's idf, the rest is the usual grammar.
         `default_op` sets the implicit operator joining juxtaposed
         residual terms ("and" = the grammar's documented default)."""
@@ -432,7 +548,11 @@ class QueryEngine:
 
         `filter` restricts results to docs whose docmap metadata
         matches {column: allowed values} (AND across columns) — e.g.
-        {"lang": ["py", "rs"]}.  Scores are unchanged by the filter
+        {"lang": ["py", "rs"]}; a value may also be a range spec tuple
+        ("range", lo|None, hi|None, lo_incl, hi_incl) — the grammar's
+        `field:[lo TO hi]` — OR-combined with the column's plain
+        values, bounds typed from the docmap schema (numeric columns
+        compare numerically).  Scores are unchanged by the filter
         (global corpus stats), but top-k is taken over the restricted
         candidate set, not post-filtered.  `boosts` multiplies a
         term's idf (Lucene boost semantics — BM25 contributions are

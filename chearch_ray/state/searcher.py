@@ -434,12 +434,17 @@ class SegmentSearcher:
                          "n": pa.array(counts.astype(np.int64), type=pa.int64())})
 
     # ------------------------------------------------- metadata filters
-    def _filter_allowed(self, flt: dict[str, list[str]]) -> np.ndarray:
+    def _filter_allowed(self, flt: dict[str, list]) -> np.ndarray:
         """Sorted doc-id (posting-ordinal in wide mode) array of docmap
-        rows matching a metadata predicate: IN within a column, AND
-        across columns.  Computed once per predicate per actor (the
-        docmap is actor-resident state, so this is a vectorized scan of
-        local Arrow columns, never a network fetch) and cached like the
+        rows matching a metadata predicate: a column's values list
+        holds plain values (IN semantics) and/or range spec tuples
+        ("range", lo|None, hi|None, lo_incl, hi_incl) — OR within a
+        column, AND across columns.  Range bounds arrive as strings
+        from the grammar and are typed from the docmap schema (numeric
+        columns compare numerically, strings lexicographically).
+        Computed once per predicate per actor (the docmap is
+        actor-resident state, so this is a vectorized scan of local
+        Arrow columns, never a network fetch) and cached like the
         postings caches."""
         key = tuple(sorted((c, tuple(v)) for c, v in flt.items()))
         cached = self._filter_cache.get(key)
@@ -447,11 +452,41 @@ class SegmentSearcher:
             return cached
         import pyarrow.compute as pc
 
+        def bound(col: str, t: pa.DataType, s):
+            try:
+                if pa.types.is_integer(t):
+                    return int(s)
+                if pa.types.is_floating(t):
+                    return float(s)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"range bound {s!r} is not valid for numeric filter "
+                    f"column {col!r} ({t})") from None
+            return str(s)
+
         mask = np.ones(len(self.docmap.doc_ids), dtype=bool)
         for col, values in flt.items():
             arr = self.docmap.table[col]
-            hit = pc.fill_null(pc.is_in(arr, value_set=pa.array(list(values))), False)
-            mask &= hit.to_numpy(zero_copy_only=False)
+            ranges = [v for v in values
+                      if isinstance(v, tuple) and v and v[0] == "range"]
+            plain = [v for v in values if v not in ranges]
+            hit = None
+            if plain:
+                hit = pc.is_in(arr, value_set=pa.array(list(plain)))
+            for _, lo, hi, lo_incl, hi_incl in ranges:
+                conds = []
+                if lo is not None:
+                    op = pc.greater_equal if lo_incl else pc.greater
+                    conds.append(op(arr, bound(col, arr.type, lo)))
+                if hi is not None:
+                    op = pc.less_equal if hi_incl else pc.less
+                    conds.append(op(arr, bound(col, arr.type, hi)))
+                rng = conds[0] if len(conds) == 1 else pc.and_kleene(*conds)
+                hit = rng if hit is None else pc.or_kleene(hit, rng)
+            if hit is None:  # empty values list == IN () == nothing
+                mask[:] = False
+                continue
+            mask &= pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
         if getattr(self.docmap, "wide", False):
             # posting values are row ordinals of the (hi, lo)-sorted docmap
             allowed = np.flatnonzero(mask).astype(np.uint64)

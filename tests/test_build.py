@@ -940,11 +940,18 @@ def test_parse_query_prefix_leaves():
 
     n = parse_query("foo* bar", default_op="and")
     assert n == A.And(A.Prefix("foo"), A.Term("bar"))
-    # lone '*', mid-string '*', and bare term stay Term
+    # lone '*' stays Term (a literal '*' term is impossible in the
+    # tokenizer's output space, so this matches nothing — harmless);
+    # mid-string '*' is the round-5 INFIX wildcard leaf, leading '*'
+    # the suffix leaf
     assert parse_query("*") == A.Term("*")
-    assert parse_query("f*o") == A.Term("f*o")
+    assert parse_query("f*o") == A.Wildcard("f", "o")
+    assert parse_query("*oo bar", default_op="and") == A.And(
+        A.Suffix("oo"), A.Term("bar"))
     with pytest.raises(TypeError):
         A.terms_of(A.Prefix("foo"))
+    with pytest.raises(TypeError):
+        A.terms_of(A.Wildcard("f", "o"))
 
 
 def test_expand_prefix_matches_vocabulary(engine, oracle):

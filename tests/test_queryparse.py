@@ -264,3 +264,224 @@ def test_parse_with_filters():
                 "merge -lang:py", "lang:py lang:go"):
         with pytest.raises(QueryParseError):
             parse_with_filters(bad)
+
+
+# ------------------------------------------- range filters + suffix
+
+
+def test_parse_range_filters():
+    from chearch_ray.functions.queryparse import parse_full
+
+    node, f, _ = parse_full("doc_len:[40 TO 160] lang:{a TO fr] merge OR sort")
+    assert f == {"doc_len": [("range", "40", "160", True, True)],
+                 "lang": [("range", "a", "fr", False, True)]}
+    assert node == ast.Or(ast.Term("merge"), ast.Term("sort"))
+    # open ends
+    _, f, _ = parse_full("doc_len:[100 TO *] merge")
+    assert f == {"doc_len": [("range", "100", None, True, True)]}
+    _, f, _ = parse_full("doc_len:{* TO 9} merge")
+    assert f == {"doc_len": [("range", None, "9", True, False)]}
+    # IN values and ranges OR together on the same field, duplicates collapse
+    _, f, _ = parse_full("lang:py lang:[aa TO bb] lang:[aa TO bb] merge")
+    assert f == {"lang": ["py", ("range", "aa", "bb", True, True)]}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "-lang:[a TO b] x",        # negated range
+        "NOT lang:[a TO b] x",     # negated range (keyword)
+        "(lang:[a TO b]) x",       # grouped range
+        "lang:[a TO b]",           # filters only, no terms
+        "lang:[* TO *] x",         # unbounded both ends
+        "lang:[a TO x",            # unclosed bracket
+        "lang:[aTOb] x",           # missing TO separator
+        "lang:[] x",               # empty brackets
+    ],
+)
+def test_parse_range_rejects(bad):
+    from chearch_ray.functions.queryparse import parse_full
+
+    with pytest.raises(QueryParseError):
+        parse_full(bad)
+
+
+def test_parse_suffix_leaf():
+    assert parse("*ing merge") == ast.And(ast.Suffix("ing"), ast.Term("merge"))
+    # flat parser emits the same leaf (routing-independent meaning)
+    from chearch_ray.state.engine import parse_query
+
+    assert parse_query("*ing merge", default_op="and") == ast.And(
+        ast.Suffix("ing"), ast.Term("merge"))
+    # bare '*' and multi-star tokens reject
+    for bad in ("* x", "*a*b x", "a*b*c x", "a**b x", "*ab* x"):
+        with pytest.raises(QueryParseError):
+            parse(bad)
+
+
+def test_parse_infix_wildcard_leaf():
+    assert parse("me*ge x") == ast.And(ast.Wildcard("me", "ge"), ast.Term("x"))
+    from chearch_ray.state.engine import parse_query
+
+    assert parse_query("me*ge x", default_op="and") == ast.And(
+        ast.Wildcard("me", "ge"), ast.Term("x"))
+
+
+def _doc_lens(eng) -> dict:
+    out = {}
+    for s in eng._local:
+        t = s.docmap.table
+        out.update(zip(t["doc_id"].to_pylist(), t["doc_len"].to_pylist()))
+    return out
+
+
+def test_range_filter_numeric(eng):
+    """doc_len:[lo TO hi] == post-filtering the unfiltered ranking by
+    the docmap's doc_len (scores unchanged by the filter)."""
+    full = eng.search_parsed("def OR return", k=10**6)
+    pairs = list(zip(full["doc_id"].to_pylist(), full["score"].to_pylist()))
+    dls = _doc_lens(eng)
+
+    def top(pred, k=10):
+        return [(d, s) for d, s in pairs if pred(dls[d])][:k]
+
+    got = eng.search_parsed("doc_len:[5 TO 30] def OR return", k=10)
+    assert list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist())) \
+        == top(lambda v: 5 <= v <= 30)
+    # exclusive brackets
+    got = eng.search_parsed("doc_len:{5 TO 30} def OR return", k=10)
+    assert list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist())) \
+        == top(lambda v: 5 < v < 30)
+    # open end
+    got = eng.search_parsed("doc_len:[30 TO *] def OR return", k=10)
+    assert list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist())) \
+        == top(lambda v: v >= 30)
+    # IN value + range OR together within the column
+    got = eng.search_parsed("doc_len:7 doc_len:[20 TO 25] def OR return", k=10)
+    assert list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist())) \
+        == top(lambda v: v == 7 or 20 <= v <= 25)
+
+
+def test_range_filter_string_column(eng):
+    """String columns compare lexicographically (docmap schema types
+    the bounds): lang:[go TO py] == lang in the closed lex interval."""
+    from chearch_ray.functions.queryparse import parse_full
+
+    langs = dict(zip(eng._corpus["doc_id"].to_pylist(),
+                     eng._corpus["lang"].to_pylist()))
+    node, filters, _ = parse_full("lang:[go TO py] def")
+    got = eng.search_boolean(node, filter=filters)
+    want = [d for d in _ids(eng.search_boolean("def"))
+            if "go" <= langs[d] <= "py"]
+    assert _ids(got) == sorted(want)
+    assert len(got) > 0  # non-degenerate
+    # and the range really narrows (some lang outside the interval)
+    assert len(got) < len(eng.search_boolean("def"))
+
+
+def test_range_filter_bad_numeric_bound_raises(eng):
+    with pytest.raises(ValueError, match="doc_len"):
+        eng.search_parsed("doc_len:[abc TO 5] def")
+
+
+def test_suffix_expansion_dict_matches_scan(eng):
+    """The reversed-term dictionary sidecar returns EXACTLY the
+    vocabulary-scan expansion (the two paths must be substitutable)."""
+    import pyarrow.parquet as pq
+
+    vocab = pq.read_table(eng._stats_path, columns=["term"])["term"].to_pylist()
+    for suf in ("urn", "s", "e"):
+        want = sorted(t for t in vocab if t.endswith(suf))
+        eng._suffix_cache.clear()
+        assert eng.expand_suffix(suf, max_expansions=10**6) == want
+    eng.build_suffix_dictionary()
+    from chearch_ray.state.suffixdict import suffix_dictionary_exists
+
+    assert suffix_dictionary_exists(f"{eng.index_dir}/suffix")
+    for suf in ("urn", "s", "e", "zzzz_nope"):
+        want = sorted(t for t in vocab if t.endswith(suf))
+        eng._suffix_cache.clear()
+        assert eng.expand_suffix(suf, max_expansions=10**6) == want
+
+
+def test_suffix_query_matches_brute_force(eng):
+    """`*urn def` (flat) and grammar form match the positional brute
+    force: docs containing a token ending 'urn' AND 'def'."""
+    got = eng.search_boolean("*urn def", default_op="and")
+    want = _brute_ids(
+        eng, lambda toks: any(t.endswith("urn") for t in toks) and "def" in toks
+    )
+    assert _ids(got) == want and len(got) > 0
+    # empty expansion annihilates the conjunction, yields the other Or side
+    assert len(eng.search_boolean("*zzzz_nope def", default_op="and")) == 0
+    assert _ids(eng.search_boolean("*zzzz_nope OR def")) \
+        == _ids(eng.search_boolean("def"))
+
+
+def test_suffix_cap_raises(eng):
+    with pytest.raises(ValueError, match="cap"):
+        eng.expand_suffix("e", max_expansions=1)
+
+
+def test_cli_suffix_dict_builds_sidecar(eng):
+    """`python -m chearch_ray suffix-dict --index …` builds the
+    reversed-term dictionary; expansions afterwards equal the scan
+    path (the CLI is how an operator enables `*ing` at scale)."""
+    import os
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    from chearch_ray.state.suffixdict import suffix_dictionary_exists
+
+    sdir = os.path.join(eng.index_dir, "suffix")
+    shutil.rmtree(sdir, ignore_errors=True)
+    env = dict(os.environ,
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    p = subprocess.run([_sys.executable, "-m", "chearch_ray", "suffix-dict",
+                        "--index", eng.index_dir],
+                       capture_output=True, text=True, env=env)
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert suffix_dictionary_exists(sdir)
+    import pyarrow.parquet as pq
+
+    vocab = pq.read_table(eng._stats_path, columns=["term"])["term"].to_pylist()
+    eng._suffix_cache.clear()
+    assert eng.expand_suffix("urn") == sorted(
+        t for t in vocab if t.endswith("urn"))
+
+
+def test_wildcard_expansion_both_routes(eng):
+    """`head*tail` expands identically whether the selective anchor is
+    the prefix (stats range) or the suffix (reversed dictionary) —
+    and both equal the brute vocabulary comprehension."""
+    import pyarrow.parquet as pq
+
+    vocab = pq.read_table(eng._stats_path, columns=["term"])["term"].to_pylist()
+
+    def brute(h, t):
+        return sorted(x for x in vocab
+                      if len(x) >= len(h) + len(t)
+                      and x.startswith(h) and x.endswith(t))
+
+    eng.build_suffix_dictionary()
+    for h, t in (("re", "rn"), ("d", "f"), ("c", "ss"), ("re", "n"),
+                 ("zz", "qq")):
+        eng._wildcard_cache.clear()
+        assert eng.expand_wildcard(h, t, max_expansions=10**6) == brute(h, t)
+    # non-overlap: head+tail longer than the term never matches
+    assert all(len(x) >= 4 for x in eng.expand_wildcard("de", "ef",
+                                                        max_expansions=10**6))
+
+
+def test_wildcard_query_matches_brute_force(eng):
+    got = eng.search_boolean("d*f class", default_op="and")
+    want = _brute_ids(
+        eng,
+        lambda toks: any(t.startswith("d") and t.endswith("f") and len(t) >= 2
+                         for t in toks) and "class" in toks,
+    )
+    assert _ids(got) == want and len(got) > 0
+    with pytest.raises(ValueError, match="both sides"):
+        eng.expand_wildcard("", "x")

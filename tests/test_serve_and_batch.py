@@ -833,7 +833,8 @@ def test_tcp_text_query_frames(ray_session, tmp_path):
         srv = TcpQueryServer(WireEngine(eng), port=0,
                              pipelined=True).start_background()
         try:
-            queries = ["def return", "lang:py def OR class", "return -def"]
+            queries = ["def return", "lang:py def OR class", "return -def",
+                       "doc_len:[5 TO 30] def OR return", "*urn def"]
             out = query_text_pipelined("127.0.0.1", srv.port, queries, k=10)
             for q, got in zip(queries, out):
                 want = eng.search_parsed(q, k=10)
