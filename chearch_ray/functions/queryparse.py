@@ -71,7 +71,9 @@ def _leaf(tok: str) -> ast.Node:
     t = tok.lower()
     if len(t) > 1 and t.endswith("*") and "*" not in t[:-1]:
         return ast.Prefix(t[:-1])
-    if len(t) > 1 and t.startswith("*") and "*" not in t[1:]:
+    # word-shape guard: `*ab~1` must fall through to the fuzzy rule,
+    # not become a match-nothing Suffix("ab~1")
+    if len(t) > 1 and t.startswith("*") and _WORD_RE.fullmatch(t[1:]):
         return ast.Suffix(t[1:])
     if "*" in t:
         head, _, tail = t.partition("*")
@@ -293,7 +295,18 @@ _RANGEISH_RE = re.compile(r"^-?[a-z_][a-z0-9_]*:[\[{]")
 
 def _range_spec(m: "re.Match") -> tuple:
     """RANGE_RE match -> the engine filter spec tuple
-    ("range", lo|None, hi|None, lo_inclusive, hi_inclusive)."""
+    ("range", lo|None, hi|None, lo_inclusive, hi_inclusive).  Bounds
+    are verbatim strings (docmap values may hold paths, dots, case)
+    EXCEPT shapes that are clearly a mistyped range — a bound starting
+    with a bracket or a non-lone '*' — which raise instead of silently
+    filtering on the literal (`lang:[[a TO b]` would otherwise behave
+    as an open lower end: '[' sorts below every tokenizer term)."""
+    for bound in (m.group(3), m.group(4)):
+        if bound != "*" and bound[0] in "[{}]()*":
+            raise QueryParseError(
+                f"malformed range bound {bound!r} in {m.group(0)!r} — "
+                "expected field:[lo TO hi] (or {...} exclusive, "
+                "* = open end)")
     lo = None if m.group(3) == "*" else m.group(3)
     hi = None if m.group(4) == "*" else m.group(4)
     if lo is None and hi is None:

@@ -2940,10 +2940,11 @@ QUERIES = {
     # --- slot 46 (round-5 final session, never checked): the 0xFE
     # --- search-and-display composition — BM25 + docstore snippet ----
     "search_snippets": q_search_snippets,
-    # --- slots 47–48 (round-5 fifth window, never checked): the new
+    # --- slots 47–49 (round-5 fifth window, never checked): the new
     # --- grammar surface — bracket RANGE filters (numeric doc_len
-    # --- interval through search_parsed) and leading-wildcard suffix
-    # --- queries (reversed-term dictionary sidecar) ------------------
+    # --- interval through search_parsed), leading-wildcard suffix
+    # --- queries (reversed-term dictionary sidecar) and the infix
+    # --- single-star wildcard --------------------------------------
     "range_filter_query": q_range_filter_query,
     "suffix_bm25": q_suffix_bm25,
     "wildcard_bm25": q_wildcard_bm25,

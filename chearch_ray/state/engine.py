@@ -71,14 +71,20 @@ def parse_query(query: str | ast.Node, default_op: str = "or") -> ast.Node:
         if len(t) > 1 and t.endswith("*") and "*" not in t[:-1]:
             return ast.Prefix(t[:-1])
         # leading `*` = term-suffix query (Lucene leading wildcard);
-        # expanded via the reversed-term dictionary before planning
-        if len(t) > 1 and t.startswith("*") and "*" not in t[1:]:
+        # expanded via the reversed-term dictionary before planning.
+        # The word-shape guard keeps `*ab~1` falling through to the
+        # fuzzy rule below — SAME leaf rules as the grammar parser
+        if (len(t) > 1 and t.startswith("*")
+                and queryparse._WORD_RE.fullmatch(t[1:])):
             return ast.Suffix(t[1:])
         # single INFIX star (`a*b`): both-sides-anchored wildcard,
-        # expanded via the more selective anchor's dictionary
-        if t.count("*") == 1 and not t.startswith("*") and not t.endswith("*"):
+        # expanded via the more selective anchor's dictionary; both
+        # halves must be word-shaped so `a*b~1` stays a fuzzy token
+        if "*" in t and not t.startswith("*") and not t.endswith("*"):
             head, _, tail = t.partition("*")
-            return ast.Wildcard(head, tail)
+            if (queryparse._WORD_RE.fullmatch(head)
+                    and queryparse._WORD_RE.fullmatch(tail)):
+                return ast.Wildcard(head, tail)
         # `term~d` (d = 1 or 2) = fuzzy query (Lucene-style), expanded
         # against the vocabulary by exact edit distance before planning
         if len(t) > 2 and t[-2] == "~" and t[-1] in "12" and "~" not in t[:-2]:
@@ -260,12 +266,19 @@ class QueryEngine:
                 hit = sorted(
                     s for s in stats["term"].to_pylist() if s.endswith(suffix)
                 )
+            # cap BEFORE caching (expand_prefix's discipline): a
+            # rejected expansion must not pin a huge list in memory
+            if len(hit) > max_expansions:
+                raise ValueError(
+                    f"suffix *{suffix} expands to {len(hit)} terms "
+                    f"(cap {max_expansions})"
+                )
             if len(self._suffix_cache) > 1024:
                 self._suffix_cache.clear()
             self._suffix_cache[suffix] = hit
         if len(hit) > max_expansions:
             raise ValueError(
-                f"suffix *{suffix!r} expands to {len(hit)} terms (cap {max_expansions})"
+                f"suffix *{suffix} expands to {len(hit)} terms (cap {max_expansions})"
             )
         return hit
 
@@ -306,6 +319,12 @@ class QueryEngine:
             hit = [t for t in cands
                    if len(t) >= min_len and t.startswith(head)
                    and t.endswith(tail)]
+            # cap BEFORE caching (expand_prefix's discipline)
+            if len(hit) > max_expansions:
+                raise ValueError(
+                    f"wildcard {head}*{tail} expands to {len(hit)} terms "
+                    f"(cap {max_expansions})"
+                )
             if len(self._wildcard_cache) > 1024:
                 self._wildcard_cache.clear()
             self._wildcard_cache[key] = hit

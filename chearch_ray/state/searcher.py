@@ -474,6 +474,12 @@ class SegmentSearcher:
             if plain:
                 hit = pc.is_in(arr, value_set=pa.array(list(plain)))
             for _, lo, hi, lo_incl, hi_incl in ranges:
+                if lo is None and hi is None:
+                    # the grammar rejects this shape; guard the
+                    # programmatic API with the same clear error
+                    # rather than an opaque kernel TypeError
+                    raise ValueError(
+                        f"range filter on {col!r} needs at least one bound")
                 conds = []
                 if lo is not None:
                     op = pc.greater_equal if lo_incl else pc.greater

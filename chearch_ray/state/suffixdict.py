@@ -66,10 +66,14 @@ def build_suffix_dictionary(stats_path: str, out_dir: str) -> None:
         .sort("rterm")
         .write_parquet(os.path.join(out_dir, "rterms"))
     )
+    # tmp + rename: a crash mid-write must not leave a torn meta file
+    # (readers treat the sidecar as absent until this rename lands)
+    tmp = meta + ".tmp"
     pq.write_table(
         pa.table({"format_version": pa.array([FORMAT_VERSION], type=pa.int64())}),
-        meta,
+        tmp,
     )
+    os.replace(tmp, meta)
 
 
 def suffix_dictionary_exists(out_dir: str) -> bool:
@@ -78,11 +82,17 @@ def suffix_dictionary_exists(out_dir: str) -> bool:
     meta = os.path.join(out_dir, "meta.parquet")
     if not os.path.exists(meta):
         return False
-    t = pq.read_table(meta)
-    return (
-        "format_version" in t.column_names
-        and t["format_version"][0].as_py() == FORMAT_VERSION
-    )
+    try:
+        t = pq.read_table(meta)
+        return (
+            "format_version" in t.column_names
+            and t["format_version"][0].as_py() == FORMAT_VERSION
+        )
+    except Exception:
+        # unreadable/torn meta (e.g. a crash left by an OLD writer, or
+        # filesystem damage) == no dictionary: queries fall back to
+        # the vocabulary scan instead of failing until manual cleanup
+        return False
 
 
 def terms_with_suffix(out_dir: str, suffix: str) -> list[str]:

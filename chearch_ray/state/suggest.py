@@ -116,8 +116,11 @@ def build_suggest_index(stats_path: str, out_dir: str, max_distance: int = 2) ->
                 "prefix_bits": pa.array([PREFIX_BITS], type=pa.int64()),
             }
         ),
-        os.path.join(out_dir, "meta.parquet"),
+        os.path.join(out_dir, "meta.parquet.tmp"),
     )
+    # tmp + rename: a crash mid-write must not leave a torn meta file
+    os.replace(os.path.join(out_dir, "meta.parquet.tmp"),
+               os.path.join(out_dir, "meta.parquet"))
 
 
 def suggest_index_distance(out_dir: str) -> int | None:
@@ -125,10 +128,15 @@ def suggest_index_distance(out_dir: str) -> int | None:
     meta = os.path.join(out_dir, "meta.parquet")
     if not os.path.exists(meta):
         return None
-    t = pq.read_table(meta)
-    if t["prefix_bits"][0].as_py() != PREFIX_BITS:
+    try:
+        t = pq.read_table(meta)
+        if t["prefix_bits"][0].as_py() != PREFIX_BITS:
+            return None
+        return int(t["max_distance"][0].as_py())
+    except Exception:
+        # unreadable/torn meta == no index: suggest() falls back to
+        # the vocabulary scan (identical results) instead of erroring
         return None
-    return int(t["max_distance"][0].as_py())
 
 
 def candidate_terms(out_dir: str, term: str, max_distance: int) -> list[str]:

@@ -485,3 +485,74 @@ def test_wildcard_query_matches_brute_force(eng):
     assert _ids(got) == want and len(got) > 0
     with pytest.raises(ValueError, match="both sides"):
         eng.expand_wildcard("", "x")
+
+
+# --------------------------------------- review-finding regressions
+
+
+def test_star_fuzzy_tokens_stay_fuzzy():
+    """`a*b~1` / `*ab~1` must keep their pre-wildcard meaning (Fuzzy
+    over the literal star-bearing string) in BOTH parsers — the
+    word-shape guards keep the new wildcard leaves from swallowing
+    them into match-nothing nodes."""
+    from chearch_ray.state.engine import parse_query
+
+    for parser in (parse, lambda q: parse_query(q, default_op="and")):
+        assert parser("a*b~1") == ast.Fuzzy("a*b", 1)
+        assert parser("*ab~1") == ast.Fuzzy("*ab", 1)
+
+
+def test_malformed_range_bounds_raise():
+    """near-miss bounds (stray bracket, '*'-prefixed) raise instead of
+    silently filtering on the literal string."""
+    from chearch_ray.functions.queryparse import parse_full
+
+    for bad in ("lang:[[a TO b] x", "lang:[*a TO b] x",
+                "lang:[a TO {b] x", "lang:[a TO *b] x"):
+        with pytest.raises(QueryParseError, match="range"):
+            parse_full(bad)
+    # verbatim non-word bounds stay legal (paths, case, dots)
+    _, f, _ = parse_full("path:[src/a.py TO src/z.py] x")
+    assert f == {"path": [("range", "src/a.py", "src/z.py", True, True)]}
+
+
+def test_programmatic_unbounded_range_raises(eng):
+    with pytest.raises(ValueError, match="at least one bound"):
+        eng.search_boolean(
+            ast.Term("def"),
+            filter={"doc_len": [("range", None, None, True, True)]})
+
+
+def test_torn_sidecar_meta_falls_back_to_scan(eng):
+    """a truncated meta.parquet (crash leftovers / fs damage) must
+    read as 'no dictionary', not poison every suffix query."""
+    import os
+
+    from chearch_ray.state.suffixdict import suffix_dictionary_exists
+
+    eng.build_suffix_dictionary()
+    sdir = os.path.join(eng.index_dir, "suffix")
+    meta = os.path.join(sdir, "meta.parquet")
+    with open(meta, "wb") as fh:
+        fh.write(b"PAR1\x00torn")
+    try:
+        assert not suffix_dictionary_exists(sdir)
+        eng._suffix_cache.clear()
+        got = eng.expand_suffix("urn")  # scan fallback, no raise
+        import pyarrow.parquet as pq
+
+        vocab = pq.read_table(eng._stats_path, columns=["term"])["term"].to_pylist()
+        assert got == sorted(t for t in vocab if t.endswith("urn"))
+    finally:
+        eng.build_suffix_dictionary()  # restore for later tests
+
+
+def test_rejected_expansion_not_cached(eng):
+    eng._suffix_cache.clear()
+    with pytest.raises(ValueError, match="cap"):
+        eng.expand_suffix("e", max_expansions=1)
+    assert "e" not in eng._suffix_cache
+    eng._wildcard_cache.clear()
+    with pytest.raises(ValueError, match="cap"):
+        eng.expand_wildcard("d", "f", max_expansions=0)
+    assert ("d", "f") not in eng._wildcard_cache
