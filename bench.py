@@ -655,6 +655,9 @@ def run_bench() -> dict:
     timings["range_filter_local_p50_ms"] = p50_fn(
         lambda: eng_local.search_parsed("doc_len:[10 TO 60] def OR return", k=10)
     )
+    timings["explain_local_p50_ms"] = p50_fn(
+        lambda: eng_local.explain("def OR return", k=10)
+    )
 
     timings = {k: round(v, 4) for k, v in timings.items()}
     result = {

@@ -235,14 +235,43 @@ def q_fuzzy_bm25(sf_dir: str) -> pa.Table:
 SUFFIX_QUERY = "rt"
 
 
-def q_suffix_bm25(sf_dir: str) -> pa.Table:
+def q_suffix_wildcard_bm25(sf_dir: str) -> pa.Table:
+    """ONE driver row covering BOTH new wildcard machineries (the
+    50-slot window is full: pq_knn's fresh exact oracle needs its
+    slot this round): `*rt OR t*e` routes the suffix leaf through the
+    reversed-term sidecar AND the infix leaf through the anchor
+    dictionary in the same disjunctive BM25 — at sf scale the union
+    expansion is {part, sort} ∪ {table, the}.  The sidecar is built
+    in-row (idempotent) so the driver checks the rterm-range scale
+    path, not the scan fallback."""
     from chearch_ray.state.engine import parse_query
     from chearch_ray.state.suffixdict import suffix_dictionary_exists
 
     eng = engine_for(sf_dir)
     if not suffix_dictionary_exists(os.path.join(eng.index_dir, "suffix")):
         eng.build_suffix_dictionary()
-    return _ranked(eng.search(parse_query(f"*{SUFFIX_QUERY}"), k=10))
+    q = f"*{SUFFIX_QUERY} {WILDCARD_HEAD}*{WILDCARD_TAIL}"
+    return _ranked(eng.search(parse_query(q, default_op="or"), k=10))
+
+
+#: Lucene-style scoring explain: one row per (top-k doc, matching
+#: term) with the integer evidence (tf, dl, df) the BM25 formula
+#: consumed — the oracle reproduces the rows from the same CTEs the
+#: BM25 mirror ranks with.  Float columns (idf/contrib/score) are
+#: exercised by the pytest oracle (test_explain_matches_oracle), not
+#: hashed here, mirroring how every _ranked row drops its score.
+def q_explain_bm25(sf_dir: str) -> pa.Table:
+    eng = engine_for(sf_dir)
+    t = eng.explain(ast.Or(ast.Term(BM25_OR_TERMS[0]),
+                           ast.Term(BM25_OR_TERMS[1])), k=10)
+    return pa.table({
+        "rank": t["rank"],
+        "doc_id": t["doc_id"].cast(pa.int64()),
+        "term": t["term"],
+        "tf": t["tf"],
+        "dl": t["dl"],
+        "df": t["df"],
+    })
 
 
 #: single-star INFIX wildcard `t*e` — the both-sides-anchored case:
@@ -252,14 +281,6 @@ def q_suffix_bm25(sf_dir: str) -> pa.Table:
 #: sequential consumption gives the same non-overlapping-halves
 #: semantics as the engine's len >= |head|+|tail| check).
 WILDCARD_HEAD, WILDCARD_TAIL = "t", "e"
-
-
-def q_wildcard_bm25(sf_dir: str) -> pa.Table:
-    from chearch_ray.state.engine import parse_query
-
-    eng = engine_for(sf_dir)
-    return _ranked(
-        eng.search(parse_query(f"{WILDCARD_HEAD}*{WILDCARD_TAIL}"), k=10))
 
 
 #: wide-id (doc_id_bits=128) driver row — ROADMAP #12.  The documents
@@ -2942,17 +2963,17 @@ QUERIES = {
     "search_snippets": q_search_snippets,
     # --- slots 47–49 (round-5 fifth window, never checked): the new
     # --- grammar surface — bracket RANGE filters (numeric doc_len
-    # --- interval through search_parsed), leading-wildcard suffix
-    # --- queries (reversed-term dictionary sidecar) and the infix
-    # --- single-star wildcard --------------------------------------
+    # --- interval through search_parsed), suffix+infix wildcards in
+    # --- one combined disjunction (sidecar + anchor-dictionary
+    # --- routes), and Lucene-style scoring explain -------------------
     "range_filter_query": q_range_filter_query,
-    "suffix_bm25": q_suffix_bm25,
-    "wildcard_bm25": q_wildcard_bm25,
+    "suffix_wildcard_bm25": q_suffix_wildcard_bm25,
+    "explain_bm25": q_explain_bm25,
     # --- slot 50: r04's only no-oracle row, now value-exact ----------
     "pq_knn": q_pq_knn,
     # --- round 1–4 re-checks from here (fingerprint/minhash/simhash
-    # --- also carry new exact mirrors, proven by tests/test_entry.py
-    # --- at two scales; the 50-cap pushed them below the window) -----
+    # --- carry newer exact mirrors, proven by tests/test_entry.py at
+    # --- two scales; the 50-cap pushed them below the window) --------
     "fingerprint": q_fingerprint,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -3371,25 +3392,48 @@ FROM hits
             f"WHERE levenshtein(term, '{FUZZY_TERM}') <= {FUZZY_DIST}"
         ),
     ),
-    # suffix expansion mirrored by LIKE '%…' over the same tokenization
-    # (the Ray side expands via the reversed-term dictionary sidecar)
-    "suffix_bm25": _bm25_sql(
+    # suffix + infix wildcard expansions mirrored by LIKE over the
+    # same tokenization — '%rt' for the reversed-dictionary suffix
+    # route, 't%e' for the anchor-dictionary infix route (LIKE's
+    # sequential consumption == the engine's non-overlapping-halves
+    # len >= |head|+|tail| check); union == the engine's Or of the
+    # two expanded chains
+    "suffix_wildcard_bm25": _bm25_sql(
         (),
         "or",
         term_sql=(
-            f"SELECT DISTINCT term FROM tok WHERE term LIKE '%{SUFFIX_QUERY}'"
+            f"SELECT DISTINCT term FROM tok WHERE term LIKE '%{SUFFIX_QUERY}' "
+            f"OR term LIKE '{WILDCARD_HEAD}%{WILDCARD_TAIL}'"
         ),
     ),
-    # infix wildcard mirrored by LIKE 'head%tail' over the same
-    # tokenization (sequential consumption == non-overlapping halves)
-    "wildcard_bm25": _bm25_sql(
-        (),
-        "or",
-        term_sql=(
-            f"SELECT DISTINCT term FROM tok "
-            f"WHERE term LIKE '{WILDCARD_HEAD}%{WILDCARD_TAIL}'"
-        ),
-    ),
+    # scoring explain: the BM25 mirror's own CTEs re-emitted as
+    # per-(doc, term) evidence rows — tf/dl/df are the integers the
+    # formula consumed; float idf/contrib stay pytest-verified
+    # (test_explain_matches_oracle) like every _ranked row's score
+    "explain_bm25": f"""
+WITH {TOK_CTE},
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('{BM25_OR_TERMS[0]}', '{BM25_OR_TERMS[1]}') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({K1} + 1)) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats s
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+ranked AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk, doc_id
+           FROM scored)
+SELECT r.rk::BIGINT AS rank, r.doc_id, t.term,
+       t.tf::BIGINT AS tf, d.dl::BIGINT AS dl, f.df::BIGINT AS df
+FROM ranked r JOIN tf t ON r.doc_id = t.doc_id
+JOIN dl d ON r.doc_id = d.doc_id JOIN df f ON t.term = f.term
+WHERE r.rk <= 10 ORDER BY r.rk, t.term
+""",
     # grammar bracket-range filter: same BM25 body, candidates
     # restricted to docs whose token count (the docmap's doc_len) lies
     # in the closed interval — dl is the CTE the mirror already builds

@@ -614,6 +614,81 @@ class QueryEngine:
         order = topk_order(scores, _merge_tie_key(merged), k)
         return merged.take(pa.array(order, type=pa.int64()))
 
+    def explain(self, query: str | ast.Node, k: int | None = None,
+                default_op: str = "or",
+                filter: dict[str, list] | None = None,
+                boosts: dict[str, float] | None = None) -> pa.Table:
+        """Lucene-style scoring explanation: run the query, then break
+        each top-k result's BM25 score into per-term evidence — one
+        row per (result doc, matching term) with columns (rank,
+        doc_id[, doc_id_hi], score, term, tf, dl, df, idf, contrib),
+        ordered (rank asc, term asc).  `contrib` is computed by the
+        scorer's own bm25_component (identical float expression), so
+        per-term values match what the ranking actually summed; tf/dl
+        come from the segments via the same skip-block probe machinery
+        as scoring (no full decode).  Negated terms (AndNot right
+        side) never contribute to scores and are absent here too.
+        `filter` / `boosts` as in `search` — the idf column shows the
+        BOOSTED idf the ranking used."""
+        from chearch_ray.state.searcher import bm25_component
+
+        node = self._plan(parse_query(query, default_op))
+        top = self.search(node, k=k, _planned=True, with_meta=False,
+                          filter=filter, boosts=boosts)
+        terms = sorted({str(t) for t in ast.terms_of(node)})
+        idfs = self.idfs_for(node)
+        if boosts:
+            idfs = {t: v * float(boosts.get(t, 1.0)) for t, v in idfs.items()}
+        lo = top["doc_id"].to_numpy().astype(np.uint64)
+        wide = "doc_id_hi" in top.column_names
+        hi = top["doc_id_hi"].to_numpy().astype(np.uint64) if wide else None
+        if self.use_actors:
+            import ray
+
+            parts = ray.get([a.explain_rows.remote(terms, lo, hi)
+                             for a in self._actors])
+        else:
+            parts = [s.explain_rows(terms, lo, hi) for s in self._local]
+        per = pa.concat_tables(parts)
+        # rank/score lookups keyed by (hi, lo) in wide mode, lo alone
+        # otherwise; each result doc lives in exactly one segment, so
+        # the concat has one row per (doc, matching term)
+        def keys(low, high):
+            return list(zip(high, low)) if wide else list(low)
+
+        scores = top["score"].to_numpy()
+        rank_of = {kk: i + 1 for i, kk in enumerate(keys(lo.tolist(),
+                   hi.tolist() if wide else None))}
+        score_of = dict(zip(rank_of, scores.tolist()))
+        p_lo = per["doc_id"].to_numpy().astype(np.uint64)
+        p_hi = per["doc_id_hi"].to_numpy().astype(np.uint64) if wide else None
+        p_keys = keys(p_lo.tolist(), p_hi.tolist() if wide else None)
+        p_terms = per["term"].to_pylist()
+        tf = per["tf"].to_numpy().astype(np.float64)
+        dl = per["dl"].to_numpy().astype(np.float64)
+        idf = np.array([idfs.get(t, 0.0) for t in p_terms], dtype=np.float64)
+        contrib = bm25_component(tf, dl, idf, self.avgdl, self.cfg.k1,
+                                 self.cfg.b) if len(per) else np.empty(0)
+        out = {"rank": pa.array([rank_of[kk] for kk in p_keys],
+                                type=pa.int64()),
+               "doc_id": per["doc_id"]}
+        if wide:
+            out["doc_id_hi"] = per["doc_id_hi"]
+        out.update({
+            "score": pa.array([score_of[kk] for kk in p_keys],
+                              type=pa.float64()),
+            "term": per["term"],
+            "tf": per["tf"],
+            "dl": per["dl"],
+            "df": pa.array([self.df(t) for t in p_terms], type=pa.int64()),
+            "idf": pa.array(idf, type=pa.float64()),
+            "contrib": pa.array(contrib, type=pa.float64()),
+        })
+        t = pa.table(out)
+        order = sorted(range(len(t)),
+                       key=lambda i: (rank_of[p_keys[i]], p_terms[i]))
+        return t.take(pa.array(order, type=pa.int64()))
+
     def search_after(self, query: str | ast.Node, cursor: tuple, k: int | None = None,
                      default_op: str = "or") -> pa.Table:
         """Exact cursor pagination: the next `k` results STRICTLY after

@@ -368,6 +368,63 @@ class SegmentSearcher:
         pos_c = np.minimum(pos, len(self.deleted) - 1)
         return self.deleted[pos_c] != docs
 
+    def explain_rows(self, terms: list[str], doc_lo, doc_hi=None) -> pa.Table:
+        """Scoring evidence for the docs RESIDENT in this searcher:
+        one row per (doc, term) with tf > 0 — columns (doc_id
+        [, doc_id_hi], term, tf, dl).  Probes ride the same skip-block
+        machinery as scoring (probe_tfs: only straddling blocks
+        decode); docs from other segments and deleted docs contribute
+        nothing, so the engine can fan the SAME id list out to every
+        searcher.  The engine joins idf/df and computes contributions
+        driver-side (QueryEngine.explain)."""
+        lo = np.asarray(doc_lo, dtype=np.uint64)
+        dm = self.docmap
+        if getattr(dm, "wide", False):
+            hi = np.asarray(doc_hi, dtype=np.uint64)
+            ords = dm.ordinals_for(hi, lo)
+            present = ords >= 0
+            probes = ords[present].astype(np.uint64)
+            rows = probes.astype(np.int64)
+            out_hi = hi[present]
+        else:
+            if len(dm.doc_ids):
+                idx = np.searchsorted(dm.doc_ids, lo)
+                idx_c = np.minimum(idx, len(dm.doc_ids) - 1)
+                present = dm.doc_ids[idx_c] == lo
+            else:
+                present = np.zeros(len(lo), dtype=bool)
+            probes = lo[present]
+            rows = np.searchsorted(dm.doc_ids, probes)
+            out_hi = None
+        out_lo = lo[present]
+        if len(self.deleted):
+            live = self._not_deleted(probes)
+            probes, rows, out_lo = probes[live], rows[live], out_lo[live]
+            if out_hi is not None:
+                out_hi = out_hi[live]
+        dl = dm.doc_len[rows]
+        cols_lo, cols_hi, cols_term, cols_tf, cols_dl = [], [], [], [], []
+        for term in terms:
+            tf = self.probe_tfs(str(term), probes)
+            m = tf > 0
+            if not m.any():
+                continue
+            cols_lo.append(out_lo[m])
+            if out_hi is not None:
+                cols_hi.append(out_hi[m])
+            cols_term.extend([str(term)] * int(m.sum()))
+            cols_tf.append(tf[m])
+            cols_dl.append(dl[m])
+        cat = (lambda xs, dt: np.concatenate(xs).astype(dt)
+               if xs else np.empty(0, dtype=dt))
+        out = {"doc_id": pa.array(cat(cols_lo, np.uint64), type=pa.uint64())}
+        if out_hi is not None:
+            out["doc_id_hi"] = pa.array(cat(cols_hi, np.uint64), type=pa.uint64())
+        out["term"] = pa.array(cols_term, type=pa.string())
+        out["tf"] = pa.array(cat(cols_tf, np.int64), type=pa.int64())
+        out["dl"] = pa.array(cat(cols_dl, np.int64), type=pa.int64())
+        return pa.table(out)
+
     def _candidates(self, node: ast.Node) -> np.ndarray:
         """_eval_sets minus tombstoned docs — the single candidate
         source for every non-fast-path search mode."""
@@ -1478,6 +1535,11 @@ class SearcherGroup:
     def search_bm25_batch(self, nodes, k, idfs, avgdl) -> pa.Table:
         return pa.concat_tables(
             [m.search_bm25_batch(nodes, k, idfs, avgdl) for m in self.members]
+        )
+
+    def explain_rows(self, terms, doc_lo, doc_hi=None) -> pa.Table:
+        return pa.concat_tables(
+            [m.explain_rows(terms, doc_lo, doc_hi) for m in self.members]
         )
 
     def search_bm25_filtered(self, node, k, idfs, avgdl, flt,

@@ -1585,3 +1585,63 @@ def test_facet_histogram_vs_boolean_lengths(engine, oracle):
     got_map = dict(zip(got["bucket_lo"].to_pylist(), got["n"].to_pylist()))
     assert got_map == dict(want)
     assert sum(got_map.values()) == len(match_docs)
+
+
+# -------------------------------------------------- scoring explain
+
+
+def test_explain_matches_oracle(engine, oracle):
+    """explain() rows carry EXACTLY the oracle's per-(doc, term)
+    evidence: tf, dl, df, idf — and contribs sum to the ranked
+    score (same bm25_component floats the scorer used)."""
+    import collections
+
+    ex = engine.explain("def OR return OR if", k=8)
+    top = engine.search("def OR return OR if", k=8)
+    assert len(ex) > 0
+    sums = collections.defaultdict(float)
+    seen = set()
+    for r in ex.to_pylist():
+        assert (r["doc_id"], r["term"]) not in seen  # one row per pair
+        seen.add((r["doc_id"], r["term"]))
+        assert r["tf"] == oracle.postings[r["term"]][r["doc_id"]]
+        assert r["dl"] == oracle.doc_len[r["doc_id"]]
+        assert r["df"] == oracle.df(r["term"])
+        assert r["idf"] == oracle.idf(r["term"])
+        sums[r["rank"]] += r["contrib"]
+    for i, s in enumerate(top["score"].to_pylist(), 1):
+        assert abs(sums[i] - s) < 1e-9
+    # output order is (rank asc, term asc)
+    keys = [(r["rank"], r["term"]) for r in ex.to_pylist()]
+    assert keys == sorted(keys)
+    # every ranked doc has at least one evidence row
+    assert {r["rank"] for r in ex.to_pylist()} == set(range(1, len(top) + 1))
+
+
+def test_explain_negated_terms_absent(engine):
+    """AndNot right-side terms never contribute to scores, so they
+    must not appear as evidence either."""
+    ex = engine.explain("def -return", k=5)
+    assert len(ex) > 0
+    assert set(ex["term"].to_pylist()) == {"def"}
+
+
+def test_explain_filter_and_boosts(engine, oracle):
+    """explain composes with search's filter/boosts exactly: rows
+    cover the FILTERED ranking, and the idf column shows the boosted
+    idf the scorer used (contribs still sum to the scores)."""
+    import collections
+
+    flt = {"lang": ["py", "go"]}
+    boosts = {"def": 2.0}
+    ex = engine.explain("def OR return", filter=flt, boosts=boosts, k=6)
+    top = engine.search("def OR return", filter=flt, boosts=boosts, k=6)
+    assert len(ex) > 0
+    sums = collections.defaultdict(float)
+    for r in ex.to_pylist():
+        want_idf = oracle.idf(r["term"]) * (2.0 if r["term"] == "def" else 1.0)
+        assert r["idf"] == want_idf
+        sums[r["rank"]] += r["contrib"]
+    for i, s in enumerate(top["score"].to_pylist(), 1):
+        assert abs(sums[i] - s) < 1e-9
+    assert ex["doc_id"].to_pylist()[:1] == top["doc_id"].to_pylist()[:1]

@@ -449,3 +449,16 @@ def test_text_serve_and_parsed_over_wide_ids(ray_session, tmp_path):
             srv.stop()
     finally:
         eng.close()
+
+
+def test_wide_explain_parity(engines):
+    """explain() in doc_id_bits=128 mode: same evidence rows as the
+    64-bit index (hi=0 corpus), with the doc_id_hi column carried."""
+    e64, e128 = engines
+    q = ast.Or(ast.Term("def"), ast.Term("return"))
+    x64 = e64.explain(q, k=8)
+    x128 = e128.explain(q, k=8)
+    assert "doc_id_hi" in x128.column_names
+    assert set(x128["doc_id_hi"].to_pylist()) <= {0}
+    for col in ("rank", "doc_id", "term", "tf", "dl", "df", "idf", "contrib"):
+        assert x128[col].to_pylist() == x64[col].to_pylist(), col
