@@ -198,8 +198,16 @@ class QueryEngine:
             self._df[term] = int(t["df"][0].as_py()) if len(t) else 0
         return int(self._df.get(term, 0))
 
-    def idfs_for(self, node: ast.Node) -> dict[str, float]:
-        return {str(t): bm25_idf(self.n_docs, self.df(str(t))) for t in ast.terms_of(node)}
+    def idfs_for(self, node: ast.Node,
+                 boosts: dict[str, float] | None = None) -> dict[str, float]:
+        """Per-term idf for the planned tree; `boosts` multiplies a
+        term's idf (Lucene boost semantics) — the ONE place boost
+        application lives, so search and explain cannot diverge."""
+        idfs = {str(t): bm25_idf(self.n_docs, self.df(str(t)))
+                for t in ast.terms_of(node)}
+        if boosts:
+            idfs = {t: v * float(boosts.get(t, 1.0)) for t, v in idfs.items()}
+        return idfs
 
     # ------------------------------------------------------------ prefix
     def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
@@ -582,9 +590,7 @@ class QueryEngine:
         # idempotent but re-walks the whole expanded tree per request
         node = query if _planned else self._plan(parse_query(query, default_op))
         k = k or self.cfg.default_k
-        idfs = self.idfs_for(node)
-        if boosts:
-            idfs = {t: v * float(boosts.get(t, 1.0)) for t, v in idfs.items()}
+        idfs = self.idfs_for(node, boosts)
         if self.use_actors:
             import ray
 
@@ -636,9 +642,7 @@ class QueryEngine:
         top = self.search(node, k=k, _planned=True, with_meta=False,
                           filter=filter, boosts=boosts)
         terms = sorted({str(t) for t in ast.terms_of(node)})
-        idfs = self.idfs_for(node)
-        if boosts:
-            idfs = {t: v * float(boosts.get(t, 1.0)) for t, v in idfs.items()}
+        idfs = self.idfs_for(node, boosts)
         lo = top["doc_id"].to_numpy().astype(np.uint64)
         wide = "doc_id_hi" in top.column_names
         hi = top["doc_id_hi"].to_numpy().astype(np.uint64) if wide else None

@@ -379,7 +379,12 @@ class SegmentSearcher:
         driver-side (QueryEngine.explain)."""
         lo = np.asarray(doc_lo, dtype=np.uint64)
         dm = self.docmap
-        if getattr(dm, "wide", False):
+        wide_out = self.cfg.doc_id_bits == 128
+        if dm is None:  # docmap-less segment (empty corpus): no evidence
+            lo, present = lo[:0], np.zeros(0, dtype=bool)
+            probes = rows = np.empty(0, dtype=np.int64)
+            out_hi = np.empty(0, dtype=np.uint64) if wide_out else None
+        elif getattr(dm, "wide", False):
             hi = np.asarray(doc_hi, dtype=np.uint64)
             ords = dm.ordinals_for(hi, lo)
             present = ords >= 0
@@ -388,21 +393,22 @@ class SegmentSearcher:
             out_hi = hi[present]
         else:
             if len(dm.doc_ids):
-                idx = np.searchsorted(dm.doc_ids, lo)
-                idx_c = np.minimum(idx, len(dm.doc_ids) - 1)
+                idx_c = np.minimum(np.searchsorted(dm.doc_ids, lo),
+                                   len(dm.doc_ids) - 1)
                 present = dm.doc_ids[idx_c] == lo
+                rows = idx_c[present]
             else:
                 present = np.zeros(len(lo), dtype=bool)
+                rows = np.empty(0, dtype=np.int64)
             probes = lo[present]
-            rows = np.searchsorted(dm.doc_ids, probes)
             out_hi = None
         out_lo = lo[present]
-        if len(self.deleted):
+        if dm is not None and len(self.deleted):
             live = self._not_deleted(probes)
             probes, rows, out_lo = probes[live], rows[live], out_lo[live]
             if out_hi is not None:
                 out_hi = out_hi[live]
-        dl = dm.doc_len[rows]
+        dl = dm.doc_len[rows] if dm is not None else np.empty(0, np.float64)
         cols_lo, cols_hi, cols_term, cols_tf, cols_dl = [], [], [], [], []
         for term in terms:
             tf = self.probe_tfs(str(term), probes)

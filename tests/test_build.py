@@ -1645,3 +1645,17 @@ def test_explain_filter_and_boosts(engine, oracle):
     for i, s in enumerate(top["score"].to_pylist(), 1):
         assert abs(sums[i] - s) < 1e-9
     assert ex["doc_id"].to_pylist()[:1] == top["doc_id"].to_pylist()[:1]
+
+
+def test_explain_empty_index(ray_session, tmp_path):
+    """docmap-less segments (empty corpus) return empty evidence, not
+    AttributeError — same guard every other entry point has."""
+    import ray.data
+
+    idx = str(tmp_path / "empty_explain")
+    empty = pa.table({"doc_id": pa.array([], type=pa.uint64()),
+                      "content": pa.array([], type=pa.string())})
+    build_index(ray.data.from_arrow(empty), idx, CFG)
+    eng = QueryEngine(idx, use_actors=False)
+    ex = eng.explain("def OR return", k=5)
+    assert len(ex) == 0

@@ -462,3 +462,37 @@ def test_wide_explain_parity(engines):
     assert set(x128["doc_id_hi"].to_pylist()) <= {0}
     for col in ("rank", "doc_id", "term", "tf", "dl", "df", "idf", "contrib"):
         assert x128[col].to_pylist() == x64[col].to_pylist(), col
+
+
+def test_wide_explain_colliding_lo64(ray_session, tmp_path):
+    """explain keys evidence by the FULL (hi, lo) pair: two docs
+    sharing lo=7 with different hi and different content must each get
+    their own tf/dl rows — a lo-only keying would merge or
+    mis-attribute them."""
+    import ray.data
+
+    cfg = EngineConfig(num_segments=1, num_term_shards=2, doc_id_bits=128,
+                       input_columns=("content",))
+    idx = str(tmp_path / "collide_explain")
+    build_index(ray.data.from_arrow(_collision_corpus()), idx, cfg)
+    eng = QueryEngine(idx, use_actors=False)
+
+    ex = eng.explain(ast.Or(ast.Term("alpha"), ast.Term("zeta")), k=10)
+    rows = {(r["doc_id_hi"], r["doc_id"], r["term"]): r for r in ex.to_pylist()}
+    # doc (1,7): alpha only, dl=4; doc (2,7): zeta only, dl=4;
+    # doc (0,8): both terms, dl=2
+    assert set(rows) == {(1, 7, "alpha"), (2, 7, "zeta"),
+                         (0, 8, "alpha"), (0, 8, "zeta")}
+    assert rows[(1, 7, "alpha")]["dl"] == 4 and rows[(1, 7, "alpha")]["tf"] == 1
+    assert rows[(2, 7, "zeta")]["dl"] == 4
+    assert rows[(0, 8, "alpha")]["dl"] == 2 and rows[(0, 8, "zeta")]["dl"] == 2
+    # contribs sum to each (hi, lo) doc's ranked score
+    top = eng.search(ast.Or(ast.Term("alpha"), ast.Term("zeta")), k=10)
+    import collections
+
+    sums = collections.defaultdict(float)
+    for r in ex.to_pylist():
+        sums[(r["doc_id_hi"], r["doc_id"])] += r["contrib"]
+    for h, l, s in zip(top["doc_id_hi"].to_pylist(),
+                       top["doc_id"].to_pylist(), top["score"].to_pylist()):
+        assert abs(sums[(h, l)] - s) < 1e-9
