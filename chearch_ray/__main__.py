@@ -126,6 +126,17 @@ def cmd_search(args: argparse.Namespace) -> int:
                 # --docstore): a clean message, not a traceback
                 print(f"error: {exc}", file=sys.stderr)
                 return 2
+        elif args.explain:
+            # grammar filters/boosts ride through parse_full like the
+            # colon-routed search path
+            if ":" in args.query or "^" in args.query:
+                from chearch_ray.functions.queryparse import parse_full
+
+                node, filters, boosts = parse_full(args.query, args.op)
+                out = eng.explain(node, k=args.k, filter=filters,
+                                  boosts=boosts)
+            else:
+                out = eng.explain(args.query, k=args.k, default_op=args.op)
         elif args.boolean:
             out = eng.search_boolean(args.query, default_op=args.op)
         elif ":" in args.query:
@@ -359,6 +370,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--op", default="or", choices=["or", "and"])
     s.add_argument("--boolean", action="store_true")
+    s.add_argument("--explain", action="store_true",
+                   help="per-(doc, term) BM25 scoring evidence instead "
+                        "of results (tf/dl/df/idf/contribution rows)")
     s.add_argument("--snippets", action="store_true",
                    help="BM25 + docstore snippets (needs build --docstore)")
     s.add_argument("--window", type=int, default=2,

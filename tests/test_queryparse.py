@@ -556,3 +556,32 @@ def test_rejected_expansion_not_cached(eng):
     with pytest.raises(ValueError, match="cap"):
         eng.expand_wildcard("d", "f", max_expansions=0)
     assert ("d", "f") not in eng._wildcard_cache
+
+
+def test_cli_explain_flag(eng):
+    """`search --explain` prints per-(doc, term) evidence rows whose
+    contribs sum to the engine's own ranked scores."""
+    import ast as pyast
+    import collections
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ,
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    p = subprocess.run([_sys.executable, "-m", "chearch_ray", "search",
+                        "--index", eng.index_dir, "--query", "def OR return",
+                        "--explain", "--k", "5", "--local"],
+                       capture_output=True, text=True, env=env)
+    assert p.returncode == 0, p.stdout + p.stderr
+    rows = [pyast.literal_eval(line) for line in p.stdout.strip().splitlines()]
+    assert rows and {"rank", "term", "tf", "dl", "df", "idf", "contrib"} \
+        <= set(rows[0])
+    sums, scores = collections.defaultdict(float), {}
+    for r in rows:
+        sums[r["rank"]] += r["contrib"]
+        scores[r["rank"]] = r["score"]
+    top = eng.search("def OR return", k=5)
+    for i, s in enumerate(top["score"].to_pylist(), 1):
+        assert abs(sums[i] - s) < 1e-9 and scores[i] == s
