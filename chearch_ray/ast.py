@@ -111,6 +111,26 @@ class Fuzzy:
 
 
 @dataclass(frozen=True)
+class Regexp:
+    """Regular-expression term query `/pattern/` (engine extension,
+    §2.10 — absent from the reference's CHASM opcode set,
+    chasm.chpl:10-13, so it never appears on the wire; the Lucene
+    RegexpQuery analogue).  Matches every vocabulary term whose WHOLE
+    text matches `pattern` (fullmatch — the regexp_full_match /
+    RegexpQuery convention).  The pattern is restricted to a
+    conservative syntax subset (functions/queryparse.validate_regexp)
+    on which Python `re` and DuckDB's RE2 agree exactly, so oracles
+    mirror the expansion with `regexp_full_match(term, pattern)`.
+    QueryEngine expands it into a sorted Or chain over the matching
+    terms BEFORE planning — via expand_prefix's stats-parquet range
+    predicate when the pattern has a literal prefix (the web-scale
+    path), else a vocabulary scan — so segment searchers only ever
+    see Term/And/Or."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
 class Phrase:
     """Exact-phrase leaf inside a boolean tree (engine extension,
     §2.10 — absent from the reference's CHASM opcode set, so it never
@@ -127,7 +147,8 @@ class Phrase:
         object.__setattr__(self, "terms", tuple(self.terms))
 
 
-Node = Union[Term, And, Or, AndNot, Prefix, Suffix, Wildcard, Fuzzy, Phrase]
+Node = Union[Term, And, Or, AndNot, Prefix, Suffix, Wildcard, Fuzzy, Regexp,
+             Phrase]
 
 
 def terms_of(node: Node) -> list[TermT]:
@@ -140,7 +161,7 @@ def terms_of(node: Node) -> list[TermT]:
             if n.term not in seen:
                 seen.add(n.term)
                 out.append(n.term)
-        elif isinstance(n, (Prefix, Suffix, Wildcard, Fuzzy)):
+        elif isinstance(n, (Prefix, Suffix, Wildcard, Fuzzy, Regexp)):
             raise TypeError(
                 f"{type(n).__name__} nodes must be expanded (QueryEngine._plan) before terms_of"
             )

@@ -19,7 +19,9 @@ searchable):
     unary    := (NOT | '-') unary | atom
     atom     := '(' or_expr ')' | '"' words '"' | term
     term     := word | word'*' | '*'word | word'*'word | word'~'[12]
+               | '/'pattern'/'
                # prefix / suffix (leading) / infix wildcard / fuzzy
+               # / regexp (fullmatch, RE2-agreeing subset)
 
 Semantics notes:
 
@@ -51,7 +53,8 @@ from chearch_ray import ast
 #: (anything up to whitespace / paren / quote — leaf rules refine it
 #: afterwards)
 _TOKEN_RE = re.compile(
-    r'\(|\)|"[^"]*"'
+    r"/[^/\s]+/"  # regexp term `/pattern/` — parens inside stay in ONE token
+    r'|\(|\)|"[^"]*"'
     r"|-?[a-z_][a-z0-9_]*:[\[{][^\]}]*[\]}]"
     r'|[^\s()"]+'
 )
@@ -65,10 +68,44 @@ class QueryParseError(ValueError):
     pass
 
 
+#: regexp-pattern syntax subset on which Python `re` and DuckDB's RE2
+#: agree exactly: lowercase literals, `.` any-char, classes (ranges,
+#: `^` negation), quantifiers `* + ?` and bounded `{m,n}`, groups and
+#: alternation.  No backslash escapes (RE2 and `re` diverge on
+#: backreferences), no anchors (fullmatch anchors both engines), no
+#: uppercase (the vocabulary is lowercase by tokenizer contract).
+_REGEXP_ALLOWED_RE = re.compile(r"[a-z0-9_.*+?|()\[\]{}^,-]+")
+
+
+def validate_regexp(pattern: str) -> str:
+    """Validate a `/pattern/` body against the RE2-agreeing subset and
+    compile-check it; returns the pattern unchanged.  Raises
+    QueryParseError with the reason otherwise — silent acceptance of a
+    diverging construct would make engine and oracle disagree."""
+    if not pattern:
+        raise QueryParseError("empty regexp pattern")
+    if not _REGEXP_ALLOWED_RE.fullmatch(pattern):
+        bad = sorted({c for c in pattern if not _REGEXP_ALLOWED_RE.fullmatch(c)})
+        raise QueryParseError(
+            f"regexp /{pattern}/ uses unsupported character(s) {bad} — "
+            "allowed: lowercase literals, . * + ? | ( ) [ ] {m,n} "
+            "classes and ranges (no backslash escapes)")
+    try:
+        re.compile(pattern)
+    except re.error as exc:
+        raise QueryParseError(f"invalid regexp /{pattern}/: {exc}") from None
+    return pattern
+
+
 def _leaf(tok: str) -> ast.Node:
     """Bare-word leaf: same rules as the flat parser
     (engine.parse_query) — trailing `*` prefix, `~1`/`~2` fuzzy."""
     t = tok.lower()
+    # `/pattern/` = regexp term query (Lucene RegexpQuery syntax);
+    # lowercasing first is safe — the validated subset has no
+    # case-sensitive constructs and the vocabulary is lowercase
+    if len(t) > 2 and t[0] == "/" and t[-1] == "/":
+        return ast.Regexp(validate_regexp(t[1:-1]))
     if len(t) > 1 and t.endswith("*") and "*" not in t[:-1]:
         return ast.Prefix(t[:-1])
     # word-shape guard: `*ab~1` must fall through to the fuzzy rule,

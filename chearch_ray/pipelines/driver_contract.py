@@ -254,6 +254,27 @@ def q_suffix_wildcard_bm25(sf_dir: str) -> pa.Table:
     return _ranked(eng.search(parse_query(q, default_op="or"), k=10))
 
 
+#: regexp term query — engine extension (§2.10, the Lucene
+#: RegexpQuery analogue): `/s[ot][a-z]*/` expands against the
+#: vocabulary by Python-re fullmatch over the RE2-agreeing syntax
+#: subset (at sf scale: {sort, stream} — a disjunction reached purely
+#: through the regexp machinery), routed through expand_prefix's
+#: stats-parquet range predicate on the extracted literal prefix
+#: ('s'), so the driver checks the row-group-pushdown scale path.
+#: The oracle mirrors the expansion with `regexp_full_match(term,
+#: pattern)` over the same tokenization — no term list is hardcoded
+#: on either side, and the subset restriction
+#: (queryparse.validate_regexp) is what makes re and RE2 agree.
+REGEXP_PATTERN = "s[ot][a-z]*"
+
+
+def q_regexp_bm25(sf_dir: str) -> pa.Table:
+    from chearch_ray.state.engine import parse_query
+
+    eng = engine_for(sf_dir)
+    return _ranked(eng.search(parse_query(f"/{REGEXP_PATTERN}/"), k=10))
+
+
 #: Lucene-style scoring explain: one row per (top-k doc, matching
 #: term) with the integer evidence (tf, dl, df) the BM25 formula
 #: consumed — the oracle reproduces the rows from the same CTEs the
@@ -2971,6 +2992,11 @@ QUERIES = {
     "explain_bm25": q_explain_bm25,
     # --- slot 50: r04's only no-oracle row, now value-exact ----------
     "pq_knn": q_pq_knn,
+    # --- round-5 sixth-window additions (below the 50-slot driver
+    # --- window — the window's slots all belong to never-checked
+    # --- rows; these are oracle-swept by tests/test_entry*.py at two
+    # --- scales like every registry row) -----------------------------
+    "regexp_bm25": q_regexp_bm25,
     # --- round 1–4 re-checks from here (fingerprint/minhash/simhash
     # --- carry newer exact mirrors, proven by tests/test_entry.py at
     # --- two scales; the 50-cap pushed them below the window) --------
@@ -3404,6 +3430,17 @@ FROM hits
         term_sql=(
             f"SELECT DISTINCT term FROM tok WHERE term LIKE '%{SUFFIX_QUERY}' "
             f"OR term LIKE '{WILDCARD_HEAD}%{WILDCARD_TAIL}'"
+        ),
+    ),
+    # regexp expansion mirrored by RE2 fullmatch over the same
+    # tokenization — the validate_regexp syntax subset is exactly
+    # where Python re (the engine's expansion) and RE2 agree
+    "regexp_bm25": _bm25_sql(
+        (),
+        "or",
+        term_sql=(
+            "SELECT DISTINCT term FROM tok "
+            f"WHERE regexp_full_match(term, '{REGEXP_PATTERN}')"
         ),
     ),
     # scoring explain: the BM25 mirror's own CTEs re-emitted as

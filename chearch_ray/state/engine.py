@@ -15,6 +15,7 @@ document count" the reference lists as TODO (docs/TODO.txt:9-10).
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -29,6 +30,36 @@ from chearch_ray.state.segment import Manifest
 #: the driver-side list a 1-char anchor could pull from a huge
 #: vocabulary; distinct from (and never below) the final-expansion cap
 WILDCARD_CANDIDATE_CAP = 1 << 20
+
+#: literal word chars a regexp pattern may open with — anything else
+#: ends the extractable prefix
+_REGEXP_LITERAL_RE = re.compile(r"[a-z0-9_]+")
+
+
+def _regexp_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix every fullmatch of `pattern` must start
+    with — the expand_prefix pushdown key for expand_regexp ('' = no
+    usable prefix, scan the vocabulary).  Conservative by
+    construction: a top-level (paren-depth-0) `|` anywhere makes the
+    leading literal optional, and a quantifier `* ? {` right after
+    the literal run makes its LAST char optional (`+` keeps it — at
+    least one occurrence is guaranteed)."""
+    depth = 0
+    for c in pattern:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            return ""
+    m = _REGEXP_LITERAL_RE.match(pattern)
+    if not m:
+        return ""
+    lit = m.group(0)
+    nxt = pattern[m.end():m.end() + 1]
+    if nxt in ("*", "?", "{"):
+        lit = lit[:-1]
+    return lit
 
 
 def _merge_tie_key(merged: "pa.Table"):
@@ -66,6 +97,11 @@ def parse_query(query: str | ast.Node, default_op: str = "or") -> ast.Node:
         raise ValueError("empty query")
 
     def leaf(t: str) -> ast.Node:
+        # `/pattern/` = regexp term query (Lucene RegexpQuery syntax),
+        # expanded against the vocabulary (fullmatch) before planning
+        # — SAME leaf rule as the grammar parser
+        if len(t) > 2 and t[0] == "/" and t[-1] == "/":
+            return ast.Regexp(queryparse.validate_regexp(t[1:-1]))
         # trailing `*` = term-prefix query (Lucene-style); expanded by
         # QueryEngine against the term dictionary before planning
         if len(t) > 1 and t.endswith("*") and "*" not in t[:-1]:
@@ -153,6 +189,7 @@ class QueryEngine:
         self._suffix_cache: dict[str, list[str]] = {}
         self._wildcard_cache: dict[tuple[str, str], list[str]] = {}
         self._fuzzy_cache: dict[tuple[str, int], list[str]] = {}
+        self._regexp_cache: dict[str, list[str]] = {}
         if use_actors:
             import ray
 
@@ -404,6 +441,60 @@ class QueryEngine:
             )
         return hit
 
+    # ------------------------------------------------------------ regexp
+    def expand_regexp(self, pattern: str,
+                      max_expansions: int = 1024) -> list[str]:
+        """Vocabulary terms whose WHOLE text matches `pattern`
+        (fullmatch — the Lucene RegexpQuery / DuckDB
+        regexp_full_match convention), sorted — the expansion set of
+        `ast.Regexp`.  The pattern is re-validated against the
+        RE2-agreeing syntax subset (functions/queryparse
+        validate_regexp), so a DuckDB oracle using
+        `regexp_full_match(term, pattern)` mirrors the expansion
+        exactly.  When the pattern starts with a literal run (e.g.
+        `so(rt|urce)` -> "so"), candidates come from expand_prefix's
+        stats-parquet range predicate — only the prefix's row groups
+        are read even at a 10^12-doc vocabulary; a pattern with no
+        usable literal prefix pays a vocabulary scan, the same
+        leading-wildcard reality Lucene documents.  Memoized; raises
+        above `max_expansions` like expand_prefix (silent truncation
+        would change result sets)."""
+        from chearch_ray.functions.queryparse import validate_regexp
+
+        validate_regexp(pattern)
+        hit = self._regexp_cache.get(pattern)
+        if hit is None:
+            rx = re.compile(pattern)
+            lit = _regexp_literal_prefix(pattern)
+            if lit:
+                # anchor-side gather bound, expand_wildcard's discipline
+                cand_cap = max(max_expansions, WILDCARD_CANDIDATE_CAP)
+                try:
+                    cands = self.expand_prefix(lit, max_expansions=cand_cap)
+                except ValueError as exc:
+                    raise ValueError(
+                        f"regexp /{pattern}/: literal prefix too "
+                        f"unselective ({exc})") from None
+            else:
+                stats = pq.read_table(self._stats_path, columns=["term"])
+                cands = stats["term"].to_pylist()
+            hit = sorted(t for t in cands if rx.fullmatch(t))
+            # cap BEFORE caching (expand_prefix's discipline)
+            if len(hit) > max_expansions:
+                raise ValueError(
+                    f"regexp /{pattern}/ expands to {len(hit)} terms "
+                    f"(cap {max_expansions})"
+                )
+            if len(self._regexp_cache) > 1024:
+                self._regexp_cache.clear()
+            self._regexp_cache[pattern] = hit
+        if len(hit) > max_expansions:
+            raise ValueError(
+                f"regexp /{pattern}/ expands to {len(hit)} terms "
+                f"(cap {max_expansions})"
+            )
+        return hit
+
     def _plan(self, node: ast.Node) -> ast.Node:
         """Prefix-free plan for the segment searchers.  A tree that
         rewrites to provably-empty becomes a single impossible term
@@ -428,13 +519,16 @@ class QueryEngine:
                 "search_boolean for boolean phrase filters or "
                 "search_phrase for ranked phrase retrieval"
             )
-        if isinstance(node, (ast.Prefix, ast.Suffix, ast.Wildcard, ast.Fuzzy)):
+        if isinstance(node, (ast.Prefix, ast.Suffix, ast.Wildcard, ast.Fuzzy,
+                             ast.Regexp)):
             if isinstance(node, ast.Prefix):
                 terms = self.expand_prefix(node.prefix)
             elif isinstance(node, ast.Suffix):
                 terms = self.expand_suffix(node.suffix)
             elif isinstance(node, ast.Wildcard):
                 terms = self.expand_wildcard(node.head, node.tail)
+            elif isinstance(node, ast.Regexp):
+                terms = self.expand_regexp(node.pattern)
             else:
                 terms = self.expand_fuzzy(node.term, node.dist)
             if not terms:

@@ -585,3 +585,111 @@ def test_cli_explain_flag(eng):
     top = eng.search("def OR return", k=5)
     for i, s in enumerate(top["score"].to_pylist(), 1):
         assert abs(sums[i] - s) < 1e-9 and scores[i] == s
+
+
+# ------------------------------------------------------------- regexp
+
+
+def test_parse_regexp_leaf():
+    """`/pattern/` parses to ast.Regexp through BOTH parsers (the
+    grammar tokenizer keeps parens inside the slashes in one token),
+    and `-/re/` is negation sugar like any other leaf."""
+    from chearch_ray.state.engine import parse_query
+
+    assert parse_query("/s[ot][a-z]*/") == ast.Regexp("s[ot][a-z]*")
+    got = parse("/(so|st)[a-z]+/ AND merge")
+    assert got == ast.And(ast.Regexp("(so|st)[a-z]+"), ast.Term("merge"))
+    got = parse("merge -/te{1,2}st/")
+    assert got == ast.AndNot(ast.Term("merge"), ast.Regexp("te{1,2}st"))
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "//",  # empty pattern
+        r"/a\d/",  # backslash escape (re vs RE2 divergence risk)
+        "/a(/",  # does not compile
+        "/a b/",  # whitespace cannot tokenize into one regexp token
+    ],
+)
+def test_parse_regexp_rejects(bad):
+    with pytest.raises(QueryParseError):
+        parse(f"{bad} merge")
+
+
+def test_parse_regexp_case_folds():
+    """Patterns lowercase like every other leaf (the vocabulary is
+    lowercase by tokenizer contract, and the validated subset has no
+    case-sensitive constructs)."""
+    assert parse("/A[a-z]/ merge") == ast.And(ast.Regexp("a[a-z]"),
+                                              ast.Term("merge"))
+
+
+def test_parse_regexp_boost_rejected():
+    from chearch_ray.functions.queryparse import parse_full
+
+    with pytest.raises(QueryParseError):
+        parse_full("/ab/^2 merge")
+
+
+def test_regexp_literal_prefix_extraction():
+    from chearch_ray.state.engine import _regexp_literal_prefix as lp
+
+    assert lp("so(rt|urce)") == "so"
+    assert lp("s[ot][a-z]*") == "s"
+    assert lp("sor+") == "sor"  # + guarantees >= 1 occurrence
+    assert lp("sor*") == "so"  # * makes the last literal optional
+    assert lp("sor?") == "so"
+    assert lp("so{0,2}") == "s"
+    assert lp("ab|cd") == ""  # top-level alternation: no prefix
+    assert lp("(ab|cd)x") == ""  # no leading literal
+    assert lp("[ab]cd") == ""
+
+
+def test_regexp_expansion_matches_bruteforce(eng):
+    """expand_regexp == Python-re fullmatch over the actual corpus
+    vocabulary, on BOTH routes: the literal-prefix pushdown
+    (`de[a-z]*` -> prefix 'de') and the no-prefix vocabulary scan
+    (top-level alternation)."""
+    vocab = sorted(
+        {
+            t
+            for text in eng._corpus["content"].to_pylist()
+            for t in re.split("[^a-z0-9_]+", text.lower())
+            if t
+        }
+    )
+
+    def brute(pattern):
+        rx = re.compile(pattern)
+        return [t for t in vocab if rx.fullmatch(t)]
+
+    for pattern in ("de[a-z]*", "(de|re)[a-z]+", "r.+n", "class|def"):
+        assert eng.expand_regexp(pattern) == brute(pattern), pattern
+
+
+def test_regexp_search_equals_expanded_or(eng):
+    """BM25 through `/re/` is rank-identical to the hand-built Or
+    chain over its own expansion (the _rewrite contract)."""
+    terms = eng.expand_regexp("(de|re)[a-z]+")
+    assert len(terms) >= 2
+    node = ast.Term(terms[0])
+    for t in terms[1:]:
+        node = ast.Or(node, ast.Term(t))
+    got = eng.search("/(de|re)[a-z]+/", k=10)
+    want = eng.search(node, k=10)
+    assert got.equals(want)
+
+
+def test_regexp_expansion_cap_raises(eng):
+    with pytest.raises(ValueError, match="expands to"):
+        eng.expand_regexp(".*", max_expansions=2)
+
+
+def test_regexp_empty_expansion_annihilates(eng):
+    """A regexp matching no vocabulary term annihilates an AND and
+    drops out of an OR — the Prefix/Fuzzy empty-expansion algebra."""
+    assert len(eng.search_boolean("/zzzqqq[0-9]+/ AND def")) == 0
+    got = eng.search_boolean("/zzzqqq[0-9]+/ OR def", limit=10**9)
+    want = eng.search_boolean("def", limit=10**9)
+    assert _ids(got) == _ids(want)

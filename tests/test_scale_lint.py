@@ -90,7 +90,9 @@ def test_driver_rotation_covers_unchecked_queries():
     """The driver harness checks the FIRST 50 QUERIES entries; the
     round-4 rotation must keep every query that has never appeared in
     a CORRECTNESS_r*.json inside that window (VERDICT r3 #1).  Guards
-    against accidental re-ordering."""
+    against accidental re-ordering.  A row whose every recorded run
+    errored (e.g. pq_knn's r04 `no_oracle`) counts as UNCHECKED — it
+    was never value-verified, so it still deserves a window slot."""
     import json
 
     from chearch_ray.pipelines.driver_contract import QUERIES
@@ -98,7 +100,9 @@ def test_driver_rotation_covers_unchecked_queries():
     repo = os.path.join(os.path.dirname(__file__), "..")
     checked: set[str] = set()
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        checked |= set(json.load(open(f)).keys())
+        for name, row in json.load(open(f)).items():
+            if not (isinstance(row, dict) and row.get("err")):
+                checked.add(name)
     names = list(QUERIES)
     never = [n for n in names if n not in checked]
     window = names[:50]
