@@ -275,6 +275,21 @@ def q_regexp_bm25(sf_dir: str) -> pa.Table:
     return _ranked(eng.search(parse_query(f"/{REGEXP_PATTERN}/"), k=10))
 
 
+#: minimum-should-match — engine extension (§2.10, Lucene's
+#: minimum_should_match): docs containing at least 2 of the 4 query
+#: terms, scored by the standard sum of the PRESENT terms' BM25
+#: contributions.  The oracle admits candidates with a
+#: count(DISTINCT term) >= m HAVING-style subquery and scores with
+#: the shared BM25 body — no candidate list on either side.
+MSM_TERMS = ("merge", "sort", "window", "stream")
+MSM_M = 2
+
+
+def q_msm_bm25(sf_dir: str) -> pa.Table:
+    eng = engine_for(sf_dir)
+    return _ranked(eng.search_msm(MSM_TERMS, MSM_M, k=10))
+
+
 #: Lucene-style scoring explain: one row per (top-k doc, matching
 #: term) with the integer evidence (tf, dl, df) the BM25 formula
 #: consumed — the oracle reproduces the rows from the same CTEs the
@@ -2997,6 +3012,7 @@ QUERIES = {
     # --- rows; these are oracle-swept by tests/test_entry*.py at two
     # --- scales like every registry row) -----------------------------
     "regexp_bm25": q_regexp_bm25,
+    "msm_bm25": q_msm_bm25,
     # --- round 1–4 re-checks from here (fingerprint/minhash/simhash
     # --- carry newer exact mirrors, proven by tests/test_entry.py at
     # --- two scales; the 50-cap pushed them below the window) --------
@@ -3441,6 +3457,18 @@ FROM hits
         term_sql=(
             "SELECT DISTINCT term FROM tok "
             f"WHERE regexp_full_match(term, '{REGEXP_PATTERN}')"
+        ),
+    ),
+    # minimum-should-match candidates = docs with >= m distinct query
+    # terms; scoring stays the shared BM25 body over ALL present terms
+    "msm_bm25": _bm25_sql(
+        MSM_TERMS,
+        "or",
+        cand_sql=(
+            "SELECT doc_id FROM (SELECT doc_id, count(DISTINCT term) AS c "
+            "FROM tok WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in MSM_TERMS)
+            + f") GROUP BY doc_id) WHERE c >= {MSM_M}"
         ),
     ),
     # scoring explain: the BM25 mirror's own CTEs re-emitted as

@@ -828,6 +828,52 @@ class QueryEngine:
         order = topk_order(scores, _merge_tie_key(merged), k)
         return merged.take(pa.array(order, type=pa.int64()))
 
+    def search_msm(self, terms, m: int, k: int | None = None,
+                   with_meta: bool = True) -> pa.Table:
+        """Minimum-should-match BM25 (Lucene's minimum_should_match,
+        engine extension §2.10): top-k over docs containing at least
+        `m` of the distinct query `terms`, scored by the standard sum
+        of the PRESENT terms' BM25 contributions, globally merged and
+        ordered (score desc, doc_id asc) like `search`.  `terms` is a
+        list or a whitespace-separated string; duplicates dedup
+        (first-seen order) before `m` is checked against the distinct
+        count.  m == 1 is exactly the OR query; m == len(terms)
+        admits exactly the AND candidate set (scores identical to the
+        conjunctive path on those docs)."""
+        raw = ([t for t in terms.lower().split() if t]
+               if isinstance(terms, str)
+               else [str(t).lower() for t in terms])
+        distinct = list(dict.fromkeys(raw))
+        if not distinct:
+            raise ValueError("empty minimum-should-match query")
+        if not 1 <= m <= len(distinct):
+            raise ValueError(
+                f"m={m} out of range [1, {len(distinct)}] for "
+                f"{len(distinct)} distinct terms")
+        k = k or self.cfg.default_k
+        node: ast.Node = ast.Term(distinct[0])
+        for t in distinct[1:]:
+            node = ast.Or(node, ast.Term(t))
+        idfs = self.idfs_for(node)
+        if self.use_actors:
+            import ray
+
+            tables = ray.get(
+                [a.search_msm.remote(distinct, m, k, idfs, self.avgdl,
+                                     with_meta=with_meta)
+                 for a in self._actors]
+            )
+        else:
+            tables = [s.search_msm(distinct, m, k, idfs, self.avgdl,
+                                   with_meta=with_meta)
+                      for s in self._local]
+        merged = pa.concat_tables(tables)
+        if len(merged) == 0:
+            return merged
+        scores = merged["score"].to_numpy()
+        order = topk_order(scores, _merge_tie_key(merged), k)
+        return merged.take(pa.array(order, type=pa.int64()))
+
     def search_boolean(self, query: str | ast.Node, default_op: str = "or",
                        filter: dict[str, list[str]] | None = None,
                        limit: int | None = None,

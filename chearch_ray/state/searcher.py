@@ -716,6 +716,38 @@ class SegmentSearcher:
         order = topk_order(scores, candidates, k)
         return self._project(candidates[order], scores=scores[order], with_meta=with_meta)
 
+    def search_msm(self, terms: list[str], m: int, k: int,
+                   idfs: dict[str, float], avgdl: float,
+                   with_meta: bool = True) -> pa.Table:
+        """BM25 top-k over docs matching at least `m` of the DISTINCT
+        query `terms` — Lucene's minimum_should_match over a
+        disjunction (engine extension, §2.10).  m == 1 admits exactly
+        the OR candidate set; m == len(terms) exactly the AND set.
+        Scores are the standard sum of the present terms'
+        contributions (_score_docs — the same float accumulation as
+        the generic disjunctive path on the same candidates).
+        Candidate counting is one concatenate + np.unique over the
+        term posting lists: each list holds one entry per (term, doc),
+        so a doc's multiplicity IS its matching-term count."""
+        if self.docmap is None:
+            return self._project(_EMPTY_U64, scores=np.empty(0),
+                                 with_meta=with_meta)
+        arrs = [a for a in (self.postings(t)[0] for t in terms) if len(a)]
+        if not arrs:
+            return self._project(_EMPTY_U64, scores=np.empty(0),
+                                 with_meta=with_meta)
+        docs, counts = np.unique(np.concatenate(arrs), return_counts=True)
+        docs = docs[counts >= m]
+        if len(self.deleted):
+            docs = docs[self._not_deleted(docs)]
+        if len(docs) == 0:
+            return self._project(docs, scores=np.empty(0),
+                                 with_meta=with_meta)
+        scores = self._score_docs(docs, terms, idfs, avgdl)
+        order = topk_order(scores, docs, k)
+        return self._project(docs[order], scores=scores[order],
+                             with_meta=with_meta)
+
     def _conjunctive_eval(
         self, terms: list[str]
     ) -> tuple[np.ndarray, dict[str, np.ndarray], np.ndarray]:
@@ -1541,6 +1573,12 @@ class SearcherGroup:
     def search_bm25_batch(self, nodes, k, idfs, avgdl) -> pa.Table:
         return pa.concat_tables(
             [m.search_bm25_batch(nodes, k, idfs, avgdl) for m in self.members]
+        )
+
+    def search_msm(self, terms, m, k, idfs, avgdl, with_meta=True) -> pa.Table:
+        return pa.concat_tables(
+            [mem.search_msm(terms, m, k, idfs, avgdl, with_meta=with_meta)
+             for mem in self.members]
         )
 
     def explain_rows(self, terms, doc_lo, doc_hi=None) -> pa.Table:

@@ -693,3 +693,54 @@ def test_regexp_empty_expansion_annihilates(eng):
     got = eng.search_boolean("/zzzqqq[0-9]+/ OR def", limit=10**9)
     want = eng.search_boolean("def", limit=10**9)
     assert _ids(got) == _ids(want)
+
+
+# ----------------------------------------------- minimum_should_match
+
+
+def test_msm_m1_equals_or(eng):
+    terms = ["def", "return", "class"]
+    node = ast.Or(ast.Or(ast.Term("def"), ast.Term("return")),
+                  ast.Term("class"))
+    got = eng.search_msm(terms, 1, k=10)
+    want = eng.search(node, k=10)
+    assert got.equals(want)
+
+
+def test_msm_mn_equals_and(eng):
+    terms = ["def", "return"]
+    got = eng.search_msm(terms, 2, k=10)
+    want = eng.search(ast.And(ast.Term("def"), ast.Term("return")), k=10)
+    assert got.equals(want)
+
+
+def test_msm_candidates_vs_bruteforce(eng):
+    terms = ["def", "return", "class", "import"]
+    got = eng.search_msm(terms, 2, k=10**9)
+    want = _brute_ids(eng, lambda toks: sum(t in toks for t in terms) >= 2)
+    assert _ids(got) == want
+
+
+def test_msm_scores_sum_present_terms(eng):
+    """An msm result's score equals the plain OR query's score for
+    the same doc (scoring is candidate-independent)."""
+    terms = ["def", "return", "class"]
+    node = ast.Or(ast.Or(ast.Term("def"), ast.Term("return")),
+                  ast.Term("class"))
+    msm = eng.search_msm(terms, 2, k=10**9)
+    full = eng.search(node, k=10**9)
+    by_id = dict(zip(full["doc_id"].to_pylist(), full["score"].to_pylist()))
+    for did, s in zip(msm["doc_id"].to_pylist(), msm["score"].to_pylist()):
+        assert by_id[did] == s
+
+
+def test_msm_dedups_and_validates(eng):
+    got = eng.search_msm("def def return", 2, k=10)
+    want = eng.search_msm(["def", "return"], 2, k=10)
+    assert got.equals(want)
+    with pytest.raises(ValueError, match="out of range"):
+        eng.search_msm(["def", "return"], 3)
+    with pytest.raises(ValueError, match="out of range"):
+        eng.search_msm(["def"], 0)
+    with pytest.raises(ValueError, match="empty"):
+        eng.search_msm([], 1)
