@@ -1084,7 +1084,10 @@ class QueryEngine:
             }
         )
 
-    def more_like_this(self, text: str, n_terms: int = 5, k: int | None = None) -> pa.Table:
+    def more_like_this(self, text: str | None = None, n_terms: int = 5,
+                       k: int | None = None, *,
+                       doc_id: int | None = None,
+                       doc_hi: int | None = None) -> pa.Table:
         """Similar-document retrieval by distinctive-term expansion
         (the classic MoreLikeThis): tokenize `text`, rank its UNIQUE
         terms by tf·idf against the INDEX's stats (ties: term asc),
@@ -1092,11 +1095,37 @@ class QueryEngine:
         Or query over them.  The caller excludes the source doc from
         the results if `text` came from an indexed doc (ask for k+1).
 
+        `doc_id=` (instead of text) is the by-document form: the
+        source text comes from the docstore sidecar (FileNotFoundError
+        when the index was built without one) and the source doc
+        AUTO-EXCLUDES from the results — top-(k+1) minus the source is
+        exactly the top-k of the rest, since exclusion happens on the
+        globally-merged order.  `doc_hi` carries the high word in
+        doc_id_bits=128 mode.
+
         Term selection is deterministic and exactly mirrorable in SQL
         (integer tf, the engine's ln-idf, lexicographic tie-break), so
         the whole composition is oracle-checkable."""
         from chearch_ray.functions.tokenizer import tokenize as _tok
         from chearch_ray.state.searcher import bm25_idf
+
+        if (doc_id is None) == (text is None):
+            raise ValueError("pass exactly one of text or doc_id=")
+        if doc_id is not None:
+            rows = self.fetch_docs([doc_id],
+                                   None if doc_hi is None else [doc_hi])
+            if len(rows) == 0:
+                raise KeyError(f"doc {doc_id} not in docstore")
+            text = rows["text"][0].as_py()
+            kk = (k or self.cfg.default_k) + 1
+            out = self.more_like_this(text, n_terms, kk)
+            wide = doc_hi is not None and "doc_id_hi" in out.column_names
+            keep = [
+                i for i in range(len(out))
+                if out["doc_id"][i].as_py() != doc_id
+                or (wide and out["doc_id_hi"][i].as_py() != doc_hi)
+            ]
+            return out.take(pa.array(keep[:kk - 1], type=pa.int64()))
 
         toks = _tok(
             pa.array([text]),

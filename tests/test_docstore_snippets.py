@@ -918,3 +918,35 @@ def test_fsck_docstore_wide_requires_hi_column(ray_session, corpus, tmp_path):
     json.dump({**json.load(open(meta)), "wide": True}, open(meta, "w"))
     r = fsck_docstore(idx)
     assert any("missing columns ['doc_id_hi']" in b for b in r["bad"])
+
+
+# ----------------------------------------------------- more-like-this
+
+
+def test_more_like_this_by_doc_id(engine, corpus):
+    """`doc_id=` fetches the source text from the docstore sidecar,
+    auto-excludes the source, and equals the documented manual recipe
+    (text= with k+1, caller drops the source row)."""
+    # any doc the index can surface works as a source
+    src = engine.search_boolean("def", limit=5)["doc_id"][0].as_py()
+    text = engine.fetch_docs([src])["text"][0].as_py()
+    # n_terms wide enough that SHARED terms enter the selection — the
+    # top few tf·idf terms of a synthetic doc are unique to it, and a
+    # selection of only-unique terms retrieves nothing but the source
+    got = engine.more_like_this(doc_id=src, n_terms=40, k=10)
+    manual = engine.more_like_this(text, n_terms=40, k=11)
+    keep = [i for i, d in enumerate(manual["doc_id"].to_pylist())
+            if d != src][:10]
+    want = manual.take(pa.array(keep, type=pa.int64()))
+    assert got.equals(want)
+    assert src not in got["doc_id"].to_pylist()
+    assert len(got) > 0
+
+
+def test_more_like_this_validation(engine):
+    with pytest.raises(ValueError, match="exactly one"):
+        engine.more_like_this()
+    with pytest.raises(ValueError, match="exactly one"):
+        engine.more_like_this("some text", doc_id=1)
+    with pytest.raises(KeyError):
+        engine.more_like_this(doc_id=2**63)
