@@ -290,6 +290,27 @@ def q_msm_bm25(sf_dir: str) -> pa.Table:
     return _ranked(eng.search_msm(MSM_TERMS, MSM_M, k=10))
 
 
+#: field collapsing — engine extension (§2.10, Lucene's collapse /
+#: field grouping): the best-ranked doc per distinct `lang`, top-k
+#: GROUPS in global (score desc, doc_id asc) order.  Segments ship
+#: only per-segment group bests (exactness argument in
+#: SegmentSearcher.search_collapse).  k=4 < the 5 langs at sf scale,
+#: so the group cut is exercised.  The oracle collapses the shared
+#: BM25 body with a per-lang row_number window.
+COLLAPSE_FIELD, COLLAPSE_K = "lang", 4
+
+
+def q_collapse_by_lang(sf_dir: str) -> pa.Table:
+    eng = engine_for(sf_dir)
+    t = eng.search_collapse(" ".join(BM25_OR_TERMS), field=COLLAPSE_FIELD,
+                            k=COLLAPSE_K)
+    return pa.table({
+        "rank": pa.array(range(1, len(t) + 1), type=pa.int64()),
+        "doc_id": t["doc_id"].cast(pa.int64()),
+        "lang": t["lang"],
+    })
+
+
 #: Lucene-style scoring explain: one row per (top-k doc, matching
 #: term) with the integer evidence (tf, dl, df) the BM25 formula
 #: consumed — the oracle reproduces the rows from the same CTEs the
@@ -3013,6 +3034,7 @@ QUERIES = {
     # --- scales like every registry row) -----------------------------
     "regexp_bm25": q_regexp_bm25,
     "msm_bm25": q_msm_bm25,
+    "collapse_by_lang": q_collapse_by_lang,
     # --- round 1–4 re-checks from here (fingerprint/minhash/simhash
     # --- carry newer exact mirrors, proven by tests/test_entry.py at
     # --- two scales; the 50-cap pushed them below the window) --------
@@ -3169,9 +3191,12 @@ def _near_cand_sql(a: str, b: str, slop: int, ordered: bool) -> str:
 
 
 def _bm25_sql(terms: tuple[str, ...], mode: str, k: int = 10, cand_sql: str | None = None,
-              extra_ctes: str = "", offset: int = 0, term_sql: str | None = None) -> str:
+              extra_ctes: str = "", offset: int = 0, term_sql: str | None = None,
+              final_sql: str | None = None) -> str:
     # term_sql: a SELECT yielding the scoring-term set (e.g. a fuzzy
     # levenshtein expansion) in place of a literal term list
+    # final_sql: replaces the default ranked-CTE tail after `scored`
+    # (e.g. the collapse row's per-group row_number selection)
     term_list = term_sql if term_sql is not None else ", ".join(f"'{t}'" for t in terms)
     if cand_sql is not None:
         cand = cand_sql
@@ -3182,6 +3207,8 @@ def _bm25_sql(terms: tuple[str, ...], mode: str, k: int = 10, cand_sql: str | No
     else:
         cand = f"SELECT DISTINCT doc_id FROM tok WHERE term IN ({term_list})"
     extra = f"{extra_ctes}," if extra_ctes else ""
+    tail = (final_sql if final_sql is not None
+            else _BM25_DEFAULT_TAIL.format(offset=offset, k=k))
     return f"""
 WITH {TOK_CTE}, {extra}
 dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
@@ -3199,12 +3226,15 @@ contrib AS (
   FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats s
   WHERE tf.doc_id IN (SELECT doc_id FROM cand)
 ),
-scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id){tail}
+"""
+
+
+_BM25_DEFAULT_TAIL = """,
 ranked AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk, doc_id
            FROM scored)
 SELECT (rk - {offset})::BIGINT AS rank, doc_id
-FROM ranked WHERE rk > {offset} AND rk <= {offset} + {k} ORDER BY rk
-"""
+FROM ranked WHERE rk > {offset} AND rk <= {offset} + {k} ORDER BY rk"""
 
 
 def _quality_sql() -> str:
@@ -3458,6 +3488,24 @@ FROM hits
             "SELECT DISTINCT term FROM tok "
             f"WHERE regexp_full_match(term, '{REGEXP_PATTERN}')"
         ),
+    ),
+    # field collapsing: the shared BM25 body, then one row per lang
+    # (row_number per-lang window, score desc / doc asc) and the top-k
+    # group representatives in global order
+    "collapse_by_lang": _bm25_sql(
+        BM25_OR_TERMS,
+        "or",
+        final_sql=f""",
+coll AS (SELECT doc_id, score, lang FROM (
+           SELECT s.doc_id, s.score, d.lang,
+                  row_number() OVER (PARTITION BY d.lang
+                                     ORDER BY s.score DESC, s.doc_id) AS rn
+           FROM scored s JOIN documents d USING (doc_id))
+         WHERE rn = 1),
+ranked AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+                  doc_id, lang FROM coll)
+SELECT rk::BIGINT AS rank, doc_id::BIGINT AS doc_id, lang
+FROM ranked WHERE rk <= {COLLAPSE_K} ORDER BY rk""",
     ),
     # minimum-should-match candidates = docs with >= m distinct query
     # terms; scoring stays the shared BM25 body over ALL present terms

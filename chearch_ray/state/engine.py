@@ -874,6 +874,51 @@ class QueryEngine:
         order = topk_order(scores, _merge_tie_key(merged), k)
         return merged.take(pa.array(order, type=pa.int64()))
 
+    def search_collapse(self, query: str | ast.Node, field: str = "lang",
+                        k: int | None = None,
+                        default_op: str = "or") -> pa.Table:
+        """Field-collapsed BM25 top-k (Lucene's collapse / field
+        grouping, engine extension §2.10): the best-ranked doc per
+        distinct `field` value, globally ordered (score desc, doc_id
+        asc), top-k GROUPS.  `field` must be a docmap metadata column
+        (the projected result columns).  Segments ship only their
+        per-segment group bests (top-k of them), which is exact —
+        see SegmentSearcher.search_collapse's argument."""
+        from chearch_ray.state.searcher import RESULT_META_COLUMNS
+
+        if field not in RESULT_META_COLUMNS:
+            raise ValueError(
+                f"collapse field must be a docmap metadata column "
+                f"{RESULT_META_COLUMNS}, not {field!r}")
+        node = self._plan(parse_query(query, default_op))
+        k = k or self.cfg.default_k
+        idfs = self.idfs_for(node)
+        if self.use_actors:
+            import ray
+
+            tables = ray.get(
+                [a.search_collapse.remote(node, field, k, idfs, self.avgdl)
+                 for a in self._actors]
+            )
+        else:
+            tables = [s.search_collapse(node, field, k, idfs, self.avgdl)
+                      for s in self._local]
+        merged = pa.concat_tables(tables)
+        if len(merged) == 0:
+            return merged
+        scores = merged["score"].to_numpy()
+        order = topk_order(scores, _merge_tie_key(merged), len(merged))
+        vals = merged[field].to_pylist()
+        seen: set = set()
+        keep: list[int] = []
+        for i in order:
+            if vals[i] not in seen:
+                seen.add(vals[i])
+                keep.append(int(i))
+                if len(keep) == k:
+                    break
+        return merged.take(pa.array(keep, type=pa.int64()))
+
     def search_boolean(self, query: str | ast.Node, default_op: str = "or",
                        filter: dict[str, list[str]] | None = None,
                        limit: int | None = None,

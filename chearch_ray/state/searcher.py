@@ -748,6 +748,38 @@ class SegmentSearcher:
         return self._project(docs[order], scores=scores[order],
                              with_meta=with_meta)
 
+    def search_collapse(self, node: ast.Node, field: str, k: int,
+                        idfs: dict[str, float], avgdl: float,
+                        with_meta: bool = True) -> pa.Table:
+        """Field-collapsed BM25 (Lucene's collapse, engine extension
+        §2.10): group the query's candidates by a docmap metadata
+        column, keep each group's best-ranked doc under the global
+        result order (score desc, doc asc), and return this segment's
+        top-k group representatives.  Shipping only per-segment group
+        bests is EXACT for the global collapsed top-k: a group's
+        global representative is the max over segments of its
+        per-segment bests, and if more than k groups beat group G
+        inside one segment, those k groups' representatives beat G's
+        globally too."""
+        if self.docmap is None:
+            return self._project(_EMPTY_U64, scores=np.empty(0),
+                                 with_meta=with_meta)
+        cands = self._candidates(node)
+        if len(cands) == 0:
+            return self._project(cands, scores=np.empty(0),
+                                 with_meta=with_meta)
+        scores = self._score_docs(
+            cands, [str(t) for t in ast.terms_of(node)], idfs, avgdl)
+        vals = self.docmap.column_for(cands, field)
+        # rank order (score desc, doc asc); first occurrence of each
+        # field value in that order IS the group best
+        order = np.lexsort((cands, -scores))
+        _, first = np.unique(vals[order], return_index=True)
+        reps = order[first]
+        sel = reps[topk_order(scores[reps], cands[reps], k)]
+        return self._project(cands[sel], scores=scores[sel],
+                             with_meta=with_meta)
+
     def _conjunctive_eval(
         self, terms: list[str]
     ) -> tuple[np.ndarray, dict[str, np.ndarray], np.ndarray]:
@@ -1578,6 +1610,14 @@ class SearcherGroup:
     def search_msm(self, terms, m, k, idfs, avgdl, with_meta=True) -> pa.Table:
         return pa.concat_tables(
             [mem.search_msm(terms, m, k, idfs, avgdl, with_meta=with_meta)
+             for mem in self.members]
+        )
+
+    def search_collapse(self, node, field, k, idfs, avgdl,
+                        with_meta=True) -> pa.Table:
+        return pa.concat_tables(
+            [mem.search_collapse(node, field, k, idfs, avgdl,
+                                 with_meta=with_meta)
              for mem in self.members]
         )
 

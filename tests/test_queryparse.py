@@ -744,3 +744,39 @@ def test_msm_dedups_and_validates(eng):
         eng.search_msm(["def"], 0)
     with pytest.raises(ValueError, match="empty"):
         eng.search_msm([], 1)
+
+
+# ------------------------------------------------------ field collapse
+
+
+def _brute_collapse(eng, query, field, k):
+    """Global brute force: full ranked list, first occurrence per
+    field value, top-k groups."""
+    full = eng.search(query, k=10**9)
+    seen, rows = set(), []
+    for i in range(len(full)):
+        v = full[field][i].as_py()
+        if v not in seen:
+            seen.add(v)
+            rows.append(i)
+            if len(rows) == k:
+                break
+    return full.take(pa.array(rows, type=pa.int64()))
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 100])
+def test_collapse_matches_bruteforce(eng, k):
+    """search_collapse == collapse of the full ranked list at every k
+    (per-segment group-best shipping is exact, including k smaller
+    than the group count — the fixture has 2 segments)."""
+    got = eng.search_collapse("def OR return OR class", field="lang", k=k)
+    want = _brute_collapse(eng, "def OR return OR class", "lang", k)
+    assert got.equals(want)
+    # one row per group
+    langs = got["lang"].to_pylist()
+    assert len(langs) == len(set(langs))
+
+
+def test_collapse_rejects_non_meta_field(eng):
+    with pytest.raises(ValueError, match="metadata column"):
+        eng.search_collapse("def", field="doc_len")
