@@ -658,6 +658,17 @@ def run_bench() -> dict:
     timings["explain_local_p50_ms"] = p50_fn(
         lambda: eng_local.explain("def OR return", k=10)
     )
+    # round-5 sixth-window additions: regexp term (literal-prefix
+    # dictionary route), minimum-should-match, field collapse
+    timings["regexp_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search("/re[a-z]+n/ def", k=10, default_op="and")
+    )
+    timings["msm_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search_msm(["def", "return", "if", "class"], 2, k=10)
+    )
+    timings["collapse_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search_collapse("def OR return", field="lang", k=4)
+    )
 
     timings = {k: round(v, 4) for k, v in timings.items()}
     result = {

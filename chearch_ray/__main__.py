@@ -111,6 +111,18 @@ def cmd_merge(args: argparse.Namespace) -> int:
 
 
 def cmd_search(args: argparse.Namespace) -> int:
+    modes = [name for name, on in [
+        ("--snippets", args.snippets), ("--explain", args.explain),
+        ("--msm", args.msm is not None),
+        ("--collapse", args.collapse is not None),
+        ("--boolean", args.boolean),
+    ] if on]
+    if len(modes) > 1:
+        # silent precedence between result modes would ignore a flag
+        # the user typed (the --op lesson, ADVICE r4)
+        print(f"error: {' and '.join(modes)} are mutually exclusive",
+              file=sys.stderr)
+        return 2
     _ensure_ray()
     from chearch_ray.state.engine import QueryEngine
 
@@ -137,6 +149,11 @@ def cmd_search(args: argparse.Namespace) -> int:
                                   boosts=boosts)
             else:
                 out = eng.explain(args.query, k=args.k, default_op=args.op)
+        elif args.msm is not None:
+            out = eng.search_msm(args.query, args.msm, k=args.k)
+        elif args.collapse is not None:
+            out = eng.search_collapse(args.query, field=args.collapse,
+                                      k=args.k, default_op=args.op)
         elif args.boolean:
             out = eng.search_boolean(args.query, default_op=args.op)
         elif ":" in args.query:
@@ -377,6 +394,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="BM25 + docstore snippets (needs build --docstore)")
     s.add_argument("--window", type=int, default=2,
                    help="snippet context tokens on each side")
+    s.add_argument("--msm", type=int, default=None, metavar="M",
+                   help="minimum-should-match: docs with at least M of "
+                        "the query's whitespace-separated terms")
+    s.add_argument("--collapse", default=None, metavar="FIELD",
+                   help="field collapsing: best doc per distinct FIELD "
+                        "value (a docmap metadata column), top-k groups")
     s.add_argument("--local", action="store_true", help="in-process searchers (no actors)")
     s.set_defaults(fn=cmd_search)
 

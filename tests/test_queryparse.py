@@ -780,3 +780,38 @@ def test_collapse_matches_bruteforce(eng, k):
 def test_collapse_rejects_non_meta_field(eng):
     with pytest.raises(ValueError, match="metadata column"):
         eng.search_collapse("def", field="doc_len")
+
+
+def test_cli_msm_and_collapse_flags(eng):
+    """`search --msm` / `--collapse` mirror the engine methods; result
+    modes are mutually exclusive (no silent flag precedence)."""
+    import ast as pyast
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ,
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+
+    def run(*extra):
+        return subprocess.run(
+            [_sys.executable, "-m", "chearch_ray", "search",
+             "--index", eng.index_dir, "--k", "3", "--local", *extra],
+            capture_output=True, text=True, env=env)
+
+    p = run("--query", "def return class", "--msm", "2")
+    assert p.returncode == 0, p.stdout + p.stderr
+    rows = [pyast.literal_eval(l) for l in p.stdout.strip().splitlines()]
+    want = eng.search_msm(["def", "return", "class"], 2, k=3)
+    assert [r["doc_id"] for r in rows] == want["doc_id"].to_pylist()
+
+    p = run("--query", "def OR return", "--collapse", "lang")
+    assert p.returncode == 0, p.stdout + p.stderr
+    rows = [pyast.literal_eval(l) for l in p.stdout.strip().splitlines()]
+    want = eng.search_collapse("def OR return", field="lang", k=3)
+    assert [r["doc_id"] for r in rows] == want["doc_id"].to_pylist()
+    assert len({r["lang"] for r in rows}) == len(rows)
+
+    p = run("--query", "def", "--msm", "1", "--collapse", "lang")
+    assert p.returncode == 2 and "mutually exclusive" in p.stderr

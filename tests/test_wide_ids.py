@@ -496,3 +496,29 @@ def test_wide_explain_colliding_lo64(ray_session, tmp_path):
     for h, l, s in zip(top["doc_id_hi"].to_pylist(),
                        top["doc_id"].to_pylist(), top["score"].to_pylist()):
         assert abs(sums[(h, l)] - s) < 1e-9
+
+
+def test_wide_mode_regexp_msm_collapse_parity(engines):
+    """The round-5 additions in doc_id_bits=128 mode: regexp expansion
+    happens before planning (ordinal-agnostic), msm counts and
+    collapse group-bests operate on ordinals whose docmap order equals
+    the external (hi, lo) key order — results, ranks and scores must
+    match the 64-bit build exactly."""
+    e64, e128 = engines
+    # regexp
+    s64 = e64.search("/(de|re)[a-z]+/", k=10)
+    s128 = e128.search("/(de|re)[a-z]+/", k=10)
+    assert s64["doc_id"].to_pylist() == s128["doc_id"].to_pylist()
+    assert s64["score"].to_pylist() == s128["score"].to_pylist()
+    # minimum_should_match
+    m64 = e64.search_msm(["def", "return", "class"], 2, k=10)
+    m128 = e128.search_msm(["def", "return", "class"], 2, k=10)
+    assert m64["doc_id"].to_pylist() == m128["doc_id"].to_pylist()
+    assert m64["score"].to_pylist() == m128["score"].to_pylist()
+    assert set(m128["doc_id_hi"].to_pylist()) <= {0}
+    # field collapse
+    c64 = e64.search_collapse("def OR return OR class", field="lang", k=3)
+    c128 = e128.search_collapse("def OR return OR class", field="lang", k=3)
+    assert c64["doc_id"].to_pylist() == c128["doc_id"].to_pylist()
+    assert c64["score"].to_pylist() == c128["score"].to_pylist()
+    assert c64["lang"].to_pylist() == c128["lang"].to_pylist()
