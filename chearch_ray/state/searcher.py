@@ -716,6 +716,46 @@ class SegmentSearcher:
         order = topk_order(scores, candidates, k)
         return self._project(candidates[order], scores=scores[order], with_meta=with_meta)
 
+    def _score_union(
+        self, terms: list[str], idfs: dict[str, float], avgdl: float
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docs, match_counts, scores) over the live UNION of the
+        terms' posting lists, via one sorted unique + per-term
+        scatter-add that REUSES the tfs decoded for the union instead
+        of re-probing every term (skip-block probes pay per-block
+        bookkeeping a full-union visit never amortizes).  Per-doc
+        accumulation runs in the terms' list order — float-identical
+        to _score_docs on the same docs.  A doc's multiplicity in the
+        concatenation IS its matching-term count (one posting per
+        (term, doc))."""
+        cfg = self.cfg
+        arrs = [self.postings(t) for t in terms]
+        nonempty = [d for d, _ in arrs if len(d)]
+        if not nonempty:
+            e = _EMPTY_U64
+            return e, np.empty(0, dtype=np.int64), np.empty(0)
+        docs, counts = np.unique(np.concatenate(nonempty),
+                                 return_counts=True)
+        if len(self.deleted):
+            keep = self._not_deleted(docs)
+            docs, counts = docs[keep], counts[keep]
+        if len(docs) == 0:
+            return docs, counts, np.empty(0)
+        dl_all = self.docmap.lengths_for(docs)
+        scores = np.zeros(len(docs), dtype=np.float64)
+        for (d, tf), term in zip(arrs, terms):
+            if len(d) == 0:
+                continue
+            pos = np.searchsorted(docs, d)
+            pos_c = np.minimum(pos, len(docs) - 1)
+            ok = docs[pos_c] == d  # deleted docs fell out of `docs`
+            at = pos_c[ok]
+            scores[at] += bm25_component(
+                tf[ok].astype(np.float64), dl_all[at],
+                idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b,
+            )
+        return docs, counts, scores
+
     def search_msm(self, terms: list[str], m: int, k: int,
                    idfs: dict[str, float], avgdl: float,
                    with_meta: bool = True) -> pa.Table:
@@ -724,26 +764,17 @@ class SegmentSearcher:
         disjunction (engine extension, §2.10).  m == 1 admits exactly
         the OR candidate set; m == len(terms) exactly the AND set.
         Scores are the standard sum of the present terms'
-        contributions (_score_docs — the same float accumulation as
-        the generic disjunctive path on the same candidates).
-        Candidate counting is one concatenate + np.unique over the
-        term posting lists: each list holds one entry per (term, doc),
-        so a doc's multiplicity IS its matching-term count."""
+        contributions (_score_union — float-identical to the generic
+        disjunctive path on the same candidates)."""
         if self.docmap is None:
             return self._project(_EMPTY_U64, scores=np.empty(0),
                                  with_meta=with_meta)
-        arrs = [a for a in (self.postings(t)[0] for t in terms) if len(a)]
-        if not arrs:
-            return self._project(_EMPTY_U64, scores=np.empty(0),
-                                 with_meta=with_meta)
-        docs, counts = np.unique(np.concatenate(arrs), return_counts=True)
-        docs = docs[counts >= m]
-        if len(self.deleted):
-            docs = docs[self._not_deleted(docs)]
+        docs, counts, scores = self._score_union(terms, idfs, avgdl)
+        sel = counts >= m
+        docs, scores = docs[sel], scores[sel]
         if len(docs) == 0:
             return self._project(docs, scores=np.empty(0),
                                  with_meta=with_meta)
-        scores = self._score_docs(docs, terms, idfs, avgdl)
         order = topk_order(scores, docs, k)
         return self._project(docs[order], scores=scores[order],
                              with_meta=with_meta)
@@ -764,17 +795,26 @@ class SegmentSearcher:
         if self.docmap is None:
             return self._project(_EMPTY_U64, scores=np.empty(0),
                                  with_meta=with_meta)
-        cands = self._candidates(node)
+        if ast.is_disjunctive(node):
+            # pure-OR fast path: union + scatter-add reuses the
+            # decoded tfs (float-identical to the generic path)
+            cands, _, scores = self._score_union(
+                [str(t) for t in ast.terms_of(node)], idfs, avgdl)
+        else:
+            cands = self._candidates(node)
+            scores = (self._score_docs(
+                cands, [str(t) for t in ast.terms_of(node)], idfs, avgdl)
+                if len(cands) else np.empty(0))
         if len(cands) == 0:
             return self._project(cands, scores=np.empty(0),
                                  with_meta=with_meta)
-        scores = self._score_docs(
-            cands, [str(t) for t in ast.terms_of(node)], idfs, avgdl)
-        vals = self.docmap.column_for(cands, field)
-        # rank order (score desc, doc asc); first occurrence of each
-        # field value in that order IS the group best
-        order = np.lexsort((cands, -scores))
-        _, first = np.unique(vals[order], return_index=True)
+        codes = self.docmap.column_codes_for(cands, field)
+        # ONE integer lexsort: group code, then the global rank key
+        # (score desc, doc asc) — each group's first run element IS
+        # its best.  Dictionary codes keep this off Python strings.
+        order = np.lexsort((cands, -scores, codes))
+        cs = codes[order]
+        first = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
         reps = order[first]
         sel = reps[topk_order(scores[reps], cands[reps], k)]
         return self._project(cands[sel], scores=scores[sel],
