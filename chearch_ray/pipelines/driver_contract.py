@@ -290,6 +290,25 @@ def q_msm_bm25(sf_dir: str) -> pa.Table:
     return _ranked(eng.search_msm(MSM_TERMS, MSM_M, k=10))
 
 
+#: exact hit counting — engine extension (§2.10, the Lucene
+#: IndexSearcher.count analogue): segments ship ONE integer each,
+#: never windowed by partition_limit; one row checks the AND, OR,
+#: AndNot and phrase-bearing node shapes at once.
+def q_hit_counts(sf_dir: str) -> pa.Table:
+    eng = engine_for(sf_dir)
+    return pa.table({
+        "and_n": pa.array([eng.count("merge sort", default_op="and")],
+                          type=pa.int64()),
+        "or_n": pa.array([eng.count("window stream", default_op="or")],
+                         type=pa.int64()),
+        "not_n": pa.array([eng.count("window -stream", default_op="and")],
+                          type=pa.int64()),
+        "phrase_n": pa.array(
+            [eng.count('"table hash" merge', default_op="and")],
+            type=pa.int64()),
+    })
+
+
 #: field collapsing — engine extension (§2.10, Lucene's collapse /
 #: field grouping): the best-ranked doc per distinct `lang`, top-k
 #: GROUPS in global (score desc, doc_id asc) order.  Segments ship
@@ -3035,6 +3054,7 @@ QUERIES = {
     "regexp_bm25": q_regexp_bm25,
     "msm_bm25": q_msm_bm25,
     "collapse_by_lang": q_collapse_by_lang,
+    "hit_counts": q_hit_counts,
     # --- round 1–4 re-checks from here (fingerprint/minhash/simhash
     # --- carry newer exact mirrors, proven by tests/test_entry.py at
     # --- two scales; the 50-cap pushed them below the window) --------
@@ -3489,6 +3509,25 @@ FROM hits
             f"WHERE regexp_full_match(term, '{REGEXP_PATTERN}')"
         ),
     ),
+    # hit counts: one count(*) per node shape over the same set
+    # algebra the boolean rows use; the phrase count reuses the
+    # positional phrase candidates
+    "hit_counts": f"""
+WITH {POS_TOK_CTE},
+a AS (SELECT DISTINCT doc_id FROM ptok WHERE term = '{BOOL_AND_TERMS[0]}'
+      INTERSECT SELECT DISTINCT doc_id FROM ptok WHERE term = '{BOOL_AND_TERMS[1]}'),
+o AS (SELECT DISTINCT doc_id FROM ptok WHERE term = '{BOOL_OR_TERMS[0]}'
+      UNION SELECT DISTINCT doc_id FROM ptok WHERE term = '{BOOL_OR_TERMS[1]}'),
+nn AS (SELECT DISTINCT doc_id FROM ptok WHERE term = 'window'
+       EXCEPT SELECT DISTINCT doc_id FROM ptok WHERE term = 'stream'),
+p AS (SELECT DISTINCT doc_id FROM (
+        {_phrase_cand_sql(PHRASE_TERMS)}
+        INTERSECT SELECT DISTINCT doc_id FROM ptok WHERE term = 'merge'))
+SELECT (SELECT count(*) FROM a)::BIGINT AS and_n,
+       (SELECT count(*) FROM o)::BIGINT AS or_n,
+       (SELECT count(*) FROM nn)::BIGINT AS not_n,
+       (SELECT count(*) FROM p)::BIGINT AS phrase_n
+""",
     # field collapsing: the shared BM25 body, then one row per lang
     # (row_number per-lang window, score desc / doc asc) and the top-k
     # group representatives in global order

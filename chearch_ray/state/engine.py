@@ -962,6 +962,25 @@ class QueryEngine:
         order = np.argsort(_merge_tie_key(merged), kind="stable")
         return merged.take(pa.array(order, type=pa.int64()))
 
+    def count(self, query: str | ast.Node, default_op: str = "or") -> int:
+        """Exact live match count (the Lucene IndexSearcher.count
+        analogue, engine extension §2.10): how many docs the boolean
+        form of `query` matches — NEVER windowed by partition_limit
+        (a count is an aggregate over the full match set).  Segments
+        ship one integer each; phrase-bearing trees fall back to the
+        engine-level set algebra (complete doc sets by construction)."""
+        parsed = parse_query(query, default_op)
+        from chearch_ray.functions.queryparse import contains_phrase
+
+        if contains_phrase(parsed):
+            return len(self._boolean_with_phrases(parsed, limit=1 << 62))
+        node = self._plan(parsed)
+        if self.use_actors:
+            import ray
+
+            return sum(ray.get([a.count.remote(node) for a in self._actors]))
+        return sum(s.count(node) for s in self._local)
+
     # ------------------------------------------- phrase-in-boolean
     def _id_columns(self) -> list[str]:
         return (["doc_id_hi", "doc_id"] if self.cfg.doc_id_bits == 128

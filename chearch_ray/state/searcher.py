@@ -480,6 +480,13 @@ class SegmentSearcher:
         docs = docs[:cap]
         return self._project(docs, scores=None, with_meta=with_meta)
 
+    def count(self, node: ast.Node) -> int:
+        """Exact LIVE match count (the Lucene IndexSearcher.count
+        analogue) — NEVER capped by partition_limit (a count is an
+        aggregate over the full match set, not a result window), and
+        the segment ships ONE integer, not ids."""
+        return int(len(self._candidates(node)))
+
     def facet_histogram(self, node: ast.Node, bucket_width: int) -> pa.Table:
         """Numeric histogram aggregation over ALL matching docs'
         lengths (not the partition_limit result window — aggregations
@@ -1660,6 +1667,9 @@ class SearcherGroup:
                                  with_meta=with_meta)
              for mem in self.members]
         )
+
+    def count(self, node) -> int:
+        return sum(mem.count(node) for mem in self.members)
 
     def explain_rows(self, terms, doc_lo, doc_hi=None) -> pa.Table:
         return pa.concat_tables(

@@ -815,3 +815,26 @@ def test_cli_msm_and_collapse_flags(eng):
 
     p = run("--query", "def", "--msm", "1", "--collapse", "lang")
     assert p.returncode == 2 and "mutually exclusive" in p.stderr
+
+
+# ---------------------------------------------------------- hit count
+
+
+def test_count_equals_uncapped_boolean(eng):
+    for q, op in [("def return", "and"), ("def return", "or"),
+                  ("def -class", "and"), ('"def return" OR class', "or"),
+                  ("__never_present__", "or")]:
+        got = eng.count(q, default_op=op)
+        want = len(eng.search_boolean(q, default_op=op, limit=10**9))
+        assert got == want, (q, op, got, want)
+
+
+def test_count_ignores_partition_limit(eng):
+    """count covers the FULL match set even when the boolean result
+    window would cap it."""
+    full = eng.count("def OR return OR class")
+    capped = len(eng.search_boolean("def OR return OR class", limit=3))
+    assert capped == 3 * len(eng._local) if full > 3 * len(eng._local) else True
+    assert full >= capped
+    assert full == len(eng.search_boolean("def OR return OR class",
+                                          limit=10**9))
