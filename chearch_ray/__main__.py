@@ -116,6 +116,7 @@ def cmd_search(args: argparse.Namespace) -> int:
         ("--msm", args.msm is not None),
         ("--collapse", args.collapse is not None),
         ("--boolean", args.boolean),
+        ("--count", args.count),
     ] if on]
     if len(modes) > 1:
         # silent precedence between result modes would ignore a flag
@@ -149,6 +150,9 @@ def cmd_search(args: argparse.Namespace) -> int:
                                   boosts=boosts)
             else:
                 out = eng.explain(args.query, k=args.k, default_op=args.op)
+        elif args.count:
+            print(eng.count(args.query, default_op=args.op))
+            return 0
         elif args.msm is not None:
             out = eng.search_msm(args.query, args.msm, k=args.k)
         elif args.collapse is not None:
@@ -394,6 +398,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="BM25 + docstore snippets (needs build --docstore)")
     s.add_argument("--window", type=int, default=2,
                    help="snippet context tokens on each side")
+    s.add_argument("--count", action="store_true",
+                   help="print the exact match count (never windowed "
+                        "by partition_limit) instead of results")
     s.add_argument("--msm", type=int, default=None, metavar="M",
                    help="minimum-should-match: docs with at least M of "
                         "the query's whitespace-separated terms")

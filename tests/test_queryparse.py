@@ -816,6 +816,10 @@ def test_cli_msm_and_collapse_flags(eng):
     p = run("--query", "def", "--msm", "1", "--collapse", "lang")
     assert p.returncode == 2 and "mutually exclusive" in p.stderr
 
+    p = run("--query", "def return", "--op", "and", "--count")
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert int(p.stdout.strip()) == eng.count("def return", default_op="and")
+
 
 # ---------------------------------------------------------- hit count
 
