@@ -141,8 +141,18 @@ def test_no_lazy_count_then_reuse():
         class V(ast.NodeVisitor):
             def visit_Assign(self, node):
                 v = node.value
-                if (isinstance(v, ast.Call) and isinstance(v.func, ast.Attribute)
-                        and v.func.attr == "materialize"):
+                # names bound from materialize() are safe; so are
+                # QueryEngine bindings (engine_for / QueryEngine) —
+                # QueryEngine.count is a segment-side integer sum,
+                # not a Dataset plan execution
+                safe = (isinstance(v, ast.Call) and (
+                    (isinstance(v.func, ast.Attribute)
+                     and v.func.attr in ("materialize",))
+                    or (isinstance(v.func, ast.Name)
+                        and v.func.id in ("engine_for", "QueryEngine"))
+                    or (isinstance(v.func, ast.Attribute)
+                        and v.func.attr == "QueryEngine")))
+                if safe:
                     for t in node.targets:
                         if isinstance(t, ast.Name):
                             materialized.add(t.id)
