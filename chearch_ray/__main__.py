@@ -124,6 +124,15 @@ def cmd_search(args: argparse.Namespace) -> int:
         print(f"error: {' and '.join(modes)} are mutually exclusive",
               file=sys.stderr)
         return 2
+    if ":" in args.query and modes and modes[0] in ("--count", "--msm",
+                                                    "--collapse"):
+        # these modes parse flat queries; a field:value token would
+        # silently become a never-matching TERM instead of a metadata
+        # filter (the colon-routing hole the plain path closes via
+        # search_parsed)
+        print(f"error: field filters (':' in query) are not supported "
+              f"with {modes[0]}", file=sys.stderr)
+        return 2
     _ensure_ray()
     from chearch_ray.state.engine import QueryEngine
 

@@ -76,6 +76,15 @@ class QueryParseError(ValueError):
 #: uppercase (the vocabulary is lowercase by tokenizer contract).
 _REGEXP_ALLOWED_RE = re.compile(r"[a-z0-9_.*+?|()\[\]{}^,-]+")
 
+#: constructs the allowed charset admits but where Python `re` and
+#: RE2 genuinely DIVERGE — each must be rejected, not compiled:
+#: `{,n}` (re: {0,n}; RE2: literal braces), inline groups `(?...)`
+#: (RE2 rejects flags like `(?a)`), and possessive quantifiers
+#: `*+ ++ ?+ {m,n}+` (re 3.11 supports them; RE2 errors).  Lazy
+#: `*? +? ??` stay legal — both engines support them and laziness
+#: cannot change fullmatch MEMBERSHIP.
+_REGEXP_DIVERGENT_RE = re.compile(r"\{(?!\d+(,\d*)?\})|\(\?|[*+?}]\+")
+
 
 def validate_regexp(pattern: str) -> str:
     """Validate a `/pattern/` body against the RE2-agreeing subset and
@@ -90,6 +99,13 @@ def validate_regexp(pattern: str) -> str:
             f"regexp /{pattern}/ uses unsupported character(s) {bad} — "
             "allowed: lowercase literals, . * + ? | ( ) [ ] {m,n} "
             "classes and ranges (no backslash escapes)")
+    m = _REGEXP_DIVERGENT_RE.search(pattern)
+    if m:
+        raise QueryParseError(
+            f"regexp /{pattern}/ uses {m.group(0)!r} at {m.start()} — "
+            "a construct where Python re and RE2 disagree (inline "
+            "(?...) groups, possessive quantifiers, and braces not of "
+            "the {m} / {m,} / {m,n} form are rejected)")
     try:
         re.compile(pattern)
     except re.error as exc:

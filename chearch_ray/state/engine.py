@@ -40,18 +40,35 @@ def _regexp_literal_prefix(pattern: str) -> str:
     """Longest literal prefix every fullmatch of `pattern` must start
     with — the expand_prefix pushdown key for expand_regexp ('' = no
     usable prefix, scan the vocabulary).  Conservative by
-    construction: a top-level (paren-depth-0) `|` anywhere makes the
-    leading literal optional, and a quantifier `* ? {` right after
-    the literal run makes its LAST char optional (`+` keeps it — at
-    least one occurrence is guaranteed)."""
+    construction: a top-level (paren-depth-0, outside character
+    classes) `|` anywhere makes the leading literal optional, and a
+    quantifier `* ? {` right after the literal run makes its LAST
+    char optional (`+` keeps it — at least one occurrence is
+    guaranteed).  The scan is character-class-aware: `(`, `)` and `|`
+    INSIDE `[...]` are literals, not structure (a class-enclosed
+    paren must not unbalance the depth count — that would hide a real
+    top-level `|` and silently drop matches)."""
     depth = 0
-    for c in pattern:
-        if c == "(":
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "[":
+            # skip the class: `]` is literal immediately after `[` or
+            # `[^` (the re/RE2 shared rule)
+            i += 1
+            if i < n and pattern[i] == "^":
+                i += 1
+            if i < n and pattern[i] == "]":
+                i += 1
+            while i < n and pattern[i] != "]":
+                i += 1
+        elif c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
         elif c == "|" and depth == 0:
             return ""
+        i += 1
     m = _REGEXP_LITERAL_RE.match(pattern)
     if not m:
         return ""
@@ -1176,6 +1193,13 @@ class QueryEngine:
         if (doc_id is None) == (text is None):
             raise ValueError("pass exactly one of text or doc_id=")
         if doc_id is not None:
+            if self.cfg.doc_id_bits == 128 and doc_hi is None:
+                # a lo-only lookup on a wide index would fetch an
+                # ARBITRARY lo-colliding doc's text and the lo-only
+                # exclusion would drop every doc sharing the lo word
+                raise ValueError(
+                    "doc_id_bits=128 index: more_like_this(doc_id=...) "
+                    "requires doc_hi=")
             rows = self.fetch_docs([doc_id],
                                    None if doc_hi is None else [doc_hi])
             if len(rows) == 0:

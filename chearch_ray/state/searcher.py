@@ -724,17 +724,20 @@ class SegmentSearcher:
         return self._project(candidates[order], scores=scores[order], with_meta=with_meta)
 
     def _score_union(
-        self, terms: list[str], idfs: dict[str, float], avgdl: float
+        self, terms: list[str], idfs: dict[str, float], avgdl: float,
+        min_count: int = 1,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(docs, match_counts, scores) over the live UNION of the
         terms' posting lists, via one sorted unique + per-term
         scatter-add that REUSES the tfs decoded for the union instead
         of re-probing every term (skip-block probes pay per-block
-        bookkeeping a full-union visit never amortizes).  Per-doc
-        accumulation runs in the terms' list order — float-identical
-        to _score_docs on the same docs.  A doc's multiplicity in the
-        concatenation IS its matching-term count (one posting per
-        (term, doc))."""
+        bookkeeping a full-union visit never amortizes).  Docs below
+        `min_count` matching terms are dropped BEFORE scoring (msm
+        with a high m scores only the small survivor set, not the
+        whole union).  Per-doc accumulation runs in the terms' list
+        order — float-identical to _score_docs on the same docs.  A
+        doc's multiplicity in the concatenation IS its matching-term
+        count (one posting per (term, doc))."""
         cfg = self.cfg
         arrs = [self.postings(t) for t in terms]
         nonempty = [d for d, _ in arrs if len(d)]
@@ -743,6 +746,9 @@ class SegmentSearcher:
             return e, np.empty(0, dtype=np.int64), np.empty(0)
         docs, counts = np.unique(np.concatenate(nonempty),
                                  return_counts=True)
+        if min_count > 1:
+            sel = counts >= min_count
+            docs, counts = docs[sel], counts[sel]
         if len(self.deleted):
             keep = self._not_deleted(docs)
             docs, counts = docs[keep], counts[keep]
@@ -755,7 +761,7 @@ class SegmentSearcher:
                 continue
             pos = np.searchsorted(docs, d)
             pos_c = np.minimum(pos, len(docs) - 1)
-            ok = docs[pos_c] == d  # deleted docs fell out of `docs`
+            ok = docs[pos_c] == d  # filtered/deleted docs fell out
             at = pos_c[ok]
             scores[at] += bm25_component(
                 tf[ok].astype(np.float64), dl_all[at],
@@ -776,9 +782,8 @@ class SegmentSearcher:
         if self.docmap is None:
             return self._project(_EMPTY_U64, scores=np.empty(0),
                                  with_meta=with_meta)
-        docs, counts, scores = self._score_union(terms, idfs, avgdl)
-        sel = counts >= m
-        docs, scores = docs[sel], scores[sel]
+        docs, _, scores = self._score_union(terms, idfs, avgdl,
+                                            min_count=m)
         if len(docs) == 0:
             return self._project(docs, scores=np.empty(0),
                                  with_meta=with_meta)

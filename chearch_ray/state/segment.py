@@ -615,14 +615,6 @@ class DocmapReader:
     def meta_for(self, doc_ids: np.ndarray) -> pa.Table:
         return self.table.take(pa.array(self._indices_for(doc_ids), type=pa.int64()))
 
-    def column_for(self, doc_ids: np.ndarray, column: str) -> np.ndarray:
-        """ONE metadata column's values for `doc_ids` (validated like
-        meta_for, single-column take — the collapse path touches every
-        candidate, not just the k projected results)."""
-        return (self.table[column]
-                .take(pa.array(self._indices_for(doc_ids), type=pa.int64()))
-                .to_numpy(zero_copy_only=False))
-
     def column_codes_for(self, doc_ids: np.ndarray,
                          column: str) -> np.ndarray:
         """Dictionary CODES of one metadata column for `doc_ids` —

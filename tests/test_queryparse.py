@@ -837,8 +837,44 @@ def test_count_ignores_partition_limit(eng):
     """count covers the FULL match set even when the boolean result
     window would cap it."""
     full = eng.count("def OR return OR class")
+    # fixture guarantee, so the capped comparison below is never
+    # vacuous — if the corpus ever shrinks, fix the fixture
+    assert full > 3 * len(eng._local)
     capped = len(eng.search_boolean("def OR return OR class", limit=3))
-    assert capped == 3 * len(eng._local) if full > 3 * len(eng._local) else True
-    assert full >= capped
+    assert capped == 3 * len(eng._local)
+    assert full > capped
     assert full == len(eng.search_boolean("def OR return OR class",
                                           limit=10**9))
+
+
+def test_regexp_class_enclosed_paren_keeps_alternation(eng):
+    """A `(` inside a character class is a literal — it must not hide
+    a real top-level `|` from the literal-prefix extractor (the
+    review-confirmed silent-drop bug: /zz[(]x|known/ once extracted
+    prefix 'zz' and missed every 'known' match)."""
+    from chearch_ray.state.engine import _regexp_literal_prefix as lp
+
+    assert lp("zz[(]x|def") == ""
+    assert lp("ab[|]cd") == "ab"  # class-enclosed | is literal
+    vocab_hits = eng.expand_regexp("zz[(]x|def")
+    assert vocab_hits == ["def"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "/a{,3}b/",  # re: {0,3}; RE2: literal braces — membership diverges
+        "/(?a)abc/",  # inline flags: RE2 raises
+        "/a*+b/",  # possessive: RE2 raises, re 3.11 accepts
+        "/a++b/",
+        "/a{1,2}+b/",
+    ],
+)
+def test_parse_regexp_rejects_re2_divergent(bad):
+    with pytest.raises(QueryParseError, match="disagree"):
+        parse(f"{bad} merge")
+
+
+def test_parse_regexp_lazy_quantifiers_allowed():
+    # laziness cannot change fullmatch membership; both engines parse it
+    assert parse("/ab*?c/ x") == ast.And(ast.Regexp("ab*?c"), ast.Term("x"))
