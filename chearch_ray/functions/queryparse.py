@@ -85,6 +85,13 @@ _REGEXP_ALLOWED_RE = re.compile(r"[a-z0-9_.*+?|()\[\]{}^,-]+")
 #: cannot change fullmatch MEMBERSHIP.
 _REGEXP_DIVERGENT_RE = re.compile(r"\{(?!\d+(,\d*)?\})|\(\?|[*+?}]\+")
 
+#: class-internal constructs Python WARNS it may reinterpret as
+#: set operations in a future version (`[a[b]` nested set, `[a--b]`
+#: difference, `[a||b]` union) — RE2 reads them as literals today and
+#: so does current re, but a future re would silently diverge; reject
+#: now (FutureWarning is the contract telling us to)
+_REGEXP_FUTURE_SET_RE = re.compile(r"\[[^\]]*(\[|--|\|\|)")
+
 
 def validate_regexp(pattern: str) -> str:
     """Validate a `/pattern/` body against the RE2-agreeing subset and
@@ -106,8 +113,22 @@ def validate_regexp(pattern: str) -> str:
             "a construct where Python re and RE2 disagree (inline "
             "(?...) groups, possessive quantifiers, and braces not of "
             "the {m} / {m,} / {m,n} form are rejected)")
+    if _REGEXP_FUTURE_SET_RE.search(pattern):
+        raise QueryParseError(
+            f"regexp /{pattern}/ uses a class-internal construct "
+            "(nested '[', '--', '||') Python re has reserved for "
+            "future set-operation syntax — rejected to keep the RE2 "
+            "agreement future-proof")
+    import warnings
+
     try:
-        re.compile(pattern)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", FutureWarning)
+            re.compile(pattern)
+    except FutureWarning as exc:  # any remaining reserved syntax
+        raise QueryParseError(
+            f"regexp /{pattern}/: {exc} — reserved future syntax is "
+            "rejected to keep the RE2 agreement future-proof") from None
     except re.error as exc:
         raise QueryParseError(f"invalid regexp /{pattern}/: {exc}") from None
     return pattern

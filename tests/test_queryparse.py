@@ -878,3 +878,43 @@ def test_parse_regexp_rejects_re2_divergent(bad):
 def test_parse_regexp_lazy_quantifiers_allowed():
     # laziness cannot change fullmatch membership; both engines parse it
     assert parse("/ab*?c/ x") == ast.And(ast.Regexp("ab*?c"), ast.Term("x"))
+
+
+def test_regexp_validator_guarantees_re2_agreement_property():
+    """THE regexp contract, property-tested: any pattern
+    validate_regexp accepts must (a) be accepted by DuckDB's RE2 and
+    (b) produce the SAME fullmatch set over a vocabulary sample as
+    Python re — the engine-vs-oracle agreement the whole feature
+    rests on.  Patterns the validator rejects are fair game for
+    divergence (that is what rejection is for)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chearch_ray.functions.queryparse import validate_regexp
+
+    vocab = ["sort", "stream", "source", "merge", "part", "spark",
+             "a", "ab", "abc", "aab", "ba", "b", "zzz", "a_1",
+             "def", "return", "class", "x2y", "xy", "xxyy"]
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="ab_.*+?|()[]{}^,-012", min_size=1,
+                   max_size=12))
+    def check(pattern):
+        try:
+            validate_regexp(pattern)
+        except QueryParseError:
+            return  # rejected — no agreement obligation
+        rx = re.compile(pattern)
+        py = [t for t in vocab if rx.fullmatch(t)]
+        try:
+            db = [t for t in vocab if con.execute(
+                "SELECT regexp_full_match(?, ?)", [t, pattern]
+            ).fetchone()[0]]
+        except duckdb.Error as exc:
+            raise AssertionError(
+                f"validator accepted /{pattern}/ but RE2 rejects it: {exc}")
+        assert py == db, (pattern, py, db)
+
+    check()
