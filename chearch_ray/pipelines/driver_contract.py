@@ -309,6 +309,31 @@ def q_hit_counts(sf_dir: str) -> pa.Table:
     })
 
 
+#: disjunction-max — engine extension (§2.10, Lucene's
+#: DisjunctionMaxQuery): score = best term contribution + tie * the
+#: rest; the oracle swaps the scored CTE's aggregate to
+#: max(c) + tie*(sum(c)-max(c)) over the same contrib rows.
+DISMAX_TERMS = ("batch", "index", "merge")
+DISMAX_TIE = 0.3
+
+
+def q_dismax_bm25(sf_dir: str) -> pa.Table:
+    eng = engine_for(sf_dir)
+    return _ranked(eng.search_dismax(DISMAX_TERMS, tie=DISMAX_TIE, k=10))
+
+
+#: span-first — engine extension (§2.10, Lucene's SpanFirstQuery):
+#: the term's FIRST occurrence must fall in the opening N tokens.
+#: Engine positions are 0-based; ptok.ord is 1-based
+#: (generate_subscripts), so `first < N` mirrors as `min(ord) <= N`.
+SPANFIRST_TERM, SPANFIRST_POS = "merge", 12
+
+
+def q_span_first(sf_dir: str) -> pa.Table:
+    eng = engine_for(sf_dir)
+    return _ranked(eng.search_span_first(SPANFIRST_TERM, SPANFIRST_POS, k=10))
+
+
 #: field collapsing — engine extension (§2.10, Lucene's collapse /
 #: field grouping): the best-ranked doc per distinct `lang`, top-k
 #: GROUPS in global (score desc, doc_id asc) order.  Segments ship
@@ -3055,6 +3080,8 @@ QUERIES = {
     "msm_bm25": q_msm_bm25,
     "collapse_by_lang": q_collapse_by_lang,
     "hit_counts": q_hit_counts,
+    "dismax_bm25": q_dismax_bm25,
+    "span_first": q_span_first,
     # --- round 1–4 re-checks from here (fingerprint/minhash/simhash
     # --- carry newer exact mirrors, proven by tests/test_entry.py at
     # --- two scales; the 50-cap pushed them below the window) --------
@@ -3212,11 +3239,14 @@ def _near_cand_sql(a: str, b: str, slop: int, ordered: bool) -> str:
 
 def _bm25_sql(terms: tuple[str, ...], mode: str, k: int = 10, cand_sql: str | None = None,
               extra_ctes: str = "", offset: int = 0, term_sql: str | None = None,
-              final_sql: str | None = None) -> str:
+              final_sql: str | None = None,
+              score_expr: str = "sum(c)") -> str:
     # term_sql: a SELECT yielding the scoring-term set (e.g. a fuzzy
     # levenshtein expansion) in place of a literal term list
     # final_sql: replaces the default ranked-CTE tail after `scored`
     # (e.g. the collapse row's per-group row_number selection)
+    # score_expr: the per-doc aggregate over contribs c (dismax uses
+    # max(c) + tie * (sum(c) - max(c)))
     term_list = term_sql if term_sql is not None else ", ".join(f"'{t}'" for t in terms)
     if cand_sql is not None:
         cand = cand_sql
@@ -3246,7 +3276,7 @@ contrib AS (
   FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats s
   WHERE tf.doc_id IN (SELECT doc_id FROM cand)
 ),
-scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id){tail}
+scored AS (SELECT doc_id, {score_expr} AS score FROM contrib GROUP BY doc_id){tail}
 """
 
 
@@ -3507,6 +3537,24 @@ FROM hits
         term_sql=(
             "SELECT DISTINCT term FROM tok "
             f"WHERE regexp_full_match(term, '{REGEXP_PATTERN}')"
+        ),
+    ),
+    # disjunction-max: same contrib rows, best-match aggregate
+    "dismax_bm25": _bm25_sql(
+        DISMAX_TERMS,
+        "or",
+        score_expr=f"max(c) + {DISMAX_TIE} * (sum(c) - max(c))",
+    ),
+    # span-first: single-term BM25 over docs whose first occurrence
+    # sits in the opening window (ord is 1-based, engine 0-based)
+    "span_first": _bm25_sql(
+        (SPANFIRST_TERM,),
+        "or",
+        extra_ctes=POS_TOK_CTE,
+        cand_sql=(
+            "SELECT doc_id FROM (SELECT doc_id, min(ord) AS mp FROM ptok "
+            f"WHERE term = '{SPANFIRST_TERM}' GROUP BY doc_id) "
+            f"WHERE mp <= {SPANFIRST_POS}"
         ),
     ),
     # hit counts: one count(*) per node shape over the same set

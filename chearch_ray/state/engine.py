@@ -979,6 +979,86 @@ class QueryEngine:
         order = np.argsort(_merge_tie_key(merged), kind="stable")
         return merged.take(pa.array(order, type=pa.int64()))
 
+    def search_dismax(self, terms, tie: float = 0.0,
+                      k: int | None = None,
+                      with_meta: bool = True) -> pa.Table:
+        """Disjunction-max BM25 top-k (Lucene's DisjunctionMaxQuery,
+        engine extension §2.10): score(d) = max over the terms'
+        contributions + `tie` * (their sum - that max), over the OR
+        candidate set — best-match semantics where a doc matching one
+        term STRONGLY beats a doc matching several weakly.  tie=0 is
+        pure max; tie=1 recovers the plain disjunctive sum.  `terms`
+        as in search_msm (list or whitespace string; dedup
+        first-seen)."""
+        raw = ([t for t in terms.lower().split() if t]
+               if isinstance(terms, str)
+               else [str(t).lower() for t in terms])
+        distinct = list(dict.fromkeys(raw))
+        if not distinct:
+            raise ValueError("empty dismax query")
+        if not 0.0 <= tie <= 1.0:
+            raise ValueError(f"tie breaker must be in [0, 1], not {tie}")
+        k = k or self.cfg.default_k
+        node: ast.Node = ast.Term(distinct[0])
+        for t in distinct[1:]:
+            node = ast.Or(node, ast.Term(t))
+        idfs = self.idfs_for(node)
+        if self.use_actors:
+            import ray
+
+            tables = ray.get(
+                [a.search_dismax.remote(distinct, float(tie), k, idfs,
+                                        self.avgdl, with_meta=with_meta)
+                 for a in self._actors]
+            )
+        else:
+            tables = [s.search_dismax(distinct, float(tie), k, idfs,
+                                      self.avgdl, with_meta=with_meta)
+                      for s in self._local]
+        merged = pa.concat_tables(tables)
+        if len(merged) == 0:
+            return merged
+        scores = merged["score"].to_numpy()
+        order = topk_order(scores, _merge_tie_key(merged), k)
+        return merged.take(pa.array(order, type=pa.int64()))
+
+    def search_span_first(self, term: str, limit_pos: int,
+                          k: int | None = None,
+                          with_meta: bool = True) -> pa.Table:
+        """BM25 top-k over docs whose FIRST occurrence of `term` is at
+        token position < `limit_pos` (Lucene's SpanFirstQuery, engine
+        extension §2.10) — 'the term appears in the opening N tokens',
+        e.g. title-ish matching over position-indexed text.  Requires
+        a positional index (every default build); scores are the
+        standard single-term BM25 over the surviving docs."""
+        t = str(term).lower()
+        from chearch_ray.functions.queryparse import _WORD_RE
+
+        if not _WORD_RE.fullmatch(t):
+            raise ValueError(f"span_first takes one plain term, not {term!r}")
+        if limit_pos < 1:
+            raise ValueError("limit_pos must be >= 1")
+        k = k or self.cfg.default_k
+        idfs = self.idfs_for(ast.Term(t))
+        if self.use_actors:
+            import ray
+
+            tables = ray.get(
+                [a.search_span_first.remote(t, int(limit_pos), k, idfs,
+                                            self.avgdl, with_meta=with_meta)
+                 for a in self._actors]
+            )
+        else:
+            tables = [s.search_span_first(t, int(limit_pos), k, idfs,
+                                          self.avgdl, with_meta=with_meta)
+                      for s in self._local]
+        merged = pa.concat_tables(tables)
+        if len(merged) == 0:
+            return merged
+        scores = merged["score"].to_numpy()
+        order = topk_order(scores, _merge_tie_key(merged), k)
+        return merged.take(pa.array(order, type=pa.int64()))
+
     def count(self, query: str | ast.Node, default_op: str = "or") -> int:
         """Exact live match count (the Lucene IndexSearcher.count
         analogue, engine extension §2.10): how many docs the boolean

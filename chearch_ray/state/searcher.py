@@ -769,6 +769,98 @@ class SegmentSearcher:
             )
         return docs, counts, scores
 
+    def search_span_first(self, term: str, limit_pos: int, k: int,
+                          idfs: dict[str, float], avgdl: float,
+                          with_meta: bool = True) -> pa.Table:
+        """BM25 top-k over docs whose FIRST occurrence of `term` sits
+        at token position < `limit_pos` (the Lucene SpanFirstQuery
+        analogue, engine extension §2.10) — 'the term appears in the
+        opening N tokens'.  First positions gather from the cached
+        flat positions mirror (positions within a posting are
+        ascending canonical order, so each cell's first element IS
+        the minimum); scoring is the standard single-term BM25 over
+        the surviving docs."""
+        if self.docmap is None:
+            return self._project(_EMPTY_U64, scores=np.empty(0),
+                                 with_meta=with_meta)
+        docs, tfs = self.postings(term)
+        if len(docs) == 0:
+            return self._project(docs, scores=np.empty(0),
+                                 with_meta=with_meta)
+        reader = self.shards.get(self._sharder.shard_of(term))
+        res = (reader.positions_rows_flat(term, np.arange(len(docs)))
+               if reader is not None else None)
+        if res is None:
+            raise ValueError(
+                f"span_first({term!r}): positions unavailable — the "
+                "index was built without positional data")
+        lengths, flat = res
+        starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+        first = flat[starts]
+        sel = first < limit_pos
+        docs, tfs = docs[sel], tfs[sel]
+        if len(self.deleted) and len(docs):
+            keep = self._not_deleted(docs)
+            docs, tfs = docs[keep], tfs[keep]
+        if len(docs) == 0:
+            return self._project(docs, scores=np.empty(0),
+                                 with_meta=with_meta)
+        cfg = self.cfg
+        scores = bm25_component(
+            tfs.astype(np.float64), self.docmap.lengths_for(docs),
+            idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b,
+        )
+        order = topk_order(scores, docs, k)
+        return self._project(docs[order], scores=scores[order],
+                             with_meta=with_meta)
+
+    def search_dismax(self, terms: list[str], tie: float, k: int,
+                      idfs: dict[str, float], avgdl: float,
+                      with_meta: bool = True) -> pa.Table:
+        """Disjunction-max BM25 top-k (the Lucene DisjunctionMaxQuery
+        analogue, engine extension §2.10): score(d) = max_t contrib_t
+        + tie * (sum_t contrib_t - max_t contrib_t) over the OR
+        candidate set.  tie=0 is pure best-field max; tie=1 recovers
+        the plain disjunctive sum.  Same union scatter machinery as
+        _score_union, tracking the per-doc max alongside the sum
+        (contribs are positive — idf > 0, tf > 0 — so a zero init is
+        a correct max identity)."""
+        if self.docmap is None:
+            return self._project(_EMPTY_U64, scores=np.empty(0),
+                                 with_meta=with_meta)
+        cfg = self.cfg
+        arrs = [self.postings(t) for t in terms]
+        nonempty = [d for d, _ in arrs if len(d)]
+        if not nonempty:
+            return self._project(_EMPTY_U64, scores=np.empty(0),
+                                 with_meta=with_meta)
+        docs = np.unique(np.concatenate(nonempty))
+        if len(self.deleted):
+            docs = docs[self._not_deleted(docs)]
+        if len(docs) == 0:
+            return self._project(docs, scores=np.empty(0),
+                                 with_meta=with_meta)
+        dl_all = self.docmap.lengths_for(docs)
+        sums = np.zeros(len(docs), dtype=np.float64)
+        maxs = np.zeros(len(docs), dtype=np.float64)
+        for (d, tf), term in zip(arrs, terms):
+            if len(d) == 0:
+                continue
+            pos = np.searchsorted(docs, d)
+            pos_c = np.minimum(pos, len(docs) - 1)
+            ok = docs[pos_c] == d
+            at = pos_c[ok]
+            comp = bm25_component(
+                tf[ok].astype(np.float64), dl_all[at],
+                idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b,
+            )
+            sums[at] += comp
+            np.maximum.at(maxs, at, comp)
+        scores = maxs + tie * (sums - maxs)
+        order = topk_order(scores, docs, k)
+        return self._project(docs[order], scores=scores[order],
+                             with_meta=with_meta)
+
     def search_msm(self, terms: list[str], m: int, k: int,
                    idfs: dict[str, float], avgdl: float,
                    with_meta: bool = True) -> pa.Table:
@@ -1675,6 +1767,22 @@ class SearcherGroup:
 
     def count(self, node) -> int:
         return sum(mem.count(node) for mem in self.members)
+
+    def search_dismax(self, terms, tie, k, idfs, avgdl,
+                      with_meta=True) -> pa.Table:
+        return pa.concat_tables(
+            [mem.search_dismax(terms, tie, k, idfs, avgdl,
+                               with_meta=with_meta)
+             for mem in self.members]
+        )
+
+    def search_span_first(self, term, limit_pos, k, idfs, avgdl,
+                          with_meta=True) -> pa.Table:
+        return pa.concat_tables(
+            [mem.search_span_first(term, limit_pos, k, idfs, avgdl,
+                                   with_meta=with_meta)
+             for mem in self.members]
+        )
 
     def explain_rows(self, terms, doc_lo, doc_hi=None) -> pa.Table:
         return pa.concat_tables(

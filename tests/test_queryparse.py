@@ -918,3 +918,62 @@ def test_regexp_validator_guarantees_re2_agreement_property():
         assert py == db, (pattern, py, db)
 
     check()
+
+
+# -------------------------------------------- dismax and span_first
+
+
+def test_dismax_tie1_equals_or_sum(eng):
+    """tie=1 recovers the plain disjunctive sum — table-equal to the
+    OR query (same candidates, max + 1*(sum-max) == sum)."""
+    terms = ["def", "return", "class"]
+    node = ast.Or(ast.Or(ast.Term("def"), ast.Term("return")),
+                  ast.Term("class"))
+    got = eng.search_dismax(terms, tie=1.0, k=10**9)
+    want = eng.search(node, k=10**9)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    for a, b in zip(got["score"].to_pylist(), want["score"].to_pylist()):
+        assert abs(a - b) < 1e-12
+
+
+def test_dismax_tie0_is_pure_max_bruteforce(eng):
+    """tie=0: each doc's score is the max single-term contribution —
+    checked against per-term searches."""
+    terms = ["def", "return", "class"]
+    per_term = {t: dict(zip(eng.search(ast.Term(t), k=10**9)["doc_id"].to_pylist(),
+                            eng.search(ast.Term(t), k=10**9)["score"].to_pylist()))
+                for t in terms}
+    got = eng.search_dismax(terms, tie=0.0, k=10**9)
+    for did, s in zip(got["doc_id"].to_pylist(), got["score"].to_pylist()):
+        want = max(per_term[t].get(did, 0.0) for t in terms)
+        assert s == want, (did, s, want)
+
+
+def test_dismax_validation(eng):
+    with pytest.raises(ValueError, match="tie"):
+        eng.search_dismax(["def"], tie=1.5)
+    with pytest.raises(ValueError, match="empty"):
+        eng.search_dismax([], tie=0.5)
+
+
+def test_span_first_bruteforce(eng):
+    """span_first == brute force over the corpus token lists: first
+    occurrence strictly below the limit."""
+    limit = 8
+    got = eng.search_span_first("def", limit, k=10**9)
+    want = _brute_ids(
+        eng, lambda tk: "def" in tk and tk.index("def") < limit)
+    assert _ids(got) == want
+    assert 0 < len(want) < len(_brute_ids(eng, lambda tk: "def" in tk))
+    # scores are the plain single-term BM25 of the surviving docs
+    full = dict(zip(eng.search(ast.Term("def"), k=10**9)["doc_id"].to_pylist(),
+                    eng.search(ast.Term("def"), k=10**9)["score"].to_pylist()))
+    for did, s in zip(got["doc_id"].to_pylist(), got["score"].to_pylist()):
+        assert s == full[did]
+
+
+def test_span_first_validation(eng):
+    with pytest.raises(ValueError, match="plain term"):
+        eng.search_span_first("a b", 5)
+    with pytest.raises(ValueError, match="limit_pos"):
+        eng.search_span_first("def", 0)

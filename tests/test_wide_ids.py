@@ -522,3 +522,19 @@ def test_wide_mode_regexp_msm_collapse_parity(engines):
     assert c64["doc_id"].to_pylist() == c128["doc_id"].to_pylist()
     assert c64["score"].to_pylist() == c128["score"].to_pylist()
     assert c64["lang"].to_pylist() == c128["lang"].to_pylist()
+
+
+def test_wide_mode_dismax_span_first_parity(engines):
+    """dismax scatter-max and span-first position gathers operate on
+    ordinals whose docmap order equals the external key order —
+    results, ranks and scores must match the 64-bit build."""
+    e64, e128 = engines
+    d64 = e64.search_dismax(["def", "return", "class"], tie=0.3, k=10)
+    d128 = e128.search_dismax(["def", "return", "class"], tie=0.3, k=10)
+    assert d64["doc_id"].to_pylist() == d128["doc_id"].to_pylist()
+    assert d64["score"].to_pylist() == d128["score"].to_pylist()
+    s64 = e64.search_span_first("def", 8, k=10)
+    s128 = e128.search_span_first("def", 8, k=10)
+    assert s64["doc_id"].to_pylist() == s128["doc_id"].to_pylist()
+    assert s64["score"].to_pylist() == s128["score"].to_pylist()
+    assert set(s128["doc_id_hi"].to_pylist()) <= {0}
