@@ -669,6 +669,13 @@ def run_bench() -> dict:
     timings["collapse_local_p50_ms"] = p50_fn(
         lambda: eng_local.search_collapse("def OR return", field="lang", k=4)
     )
+    timings["dismax_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search_dismax(["def", "return", "class"],
+                                        tie=0.3, k=10)
+    )
+    timings["span_first_local_p50_ms"] = p50_fn(
+        lambda: eng_local.search_span_first("def", 12, k=10)
+    )
 
     timings = {k: round(v, 4) for k, v in timings.items()}
     result = {

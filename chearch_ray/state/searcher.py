@@ -155,6 +155,7 @@ class SegmentSearcher:
         self._enc_cache: dict[str, object] = {}
         self._blk_cache: dict[str, dict[int, tuple[np.ndarray, np.ndarray]]] = {}
         self._pos_cache: dict[str, list | None] = {}
+        self._first_pos_cache: dict[str, np.ndarray] = {}
         self._filter_cache: dict[tuple, np.ndarray] = {}
         # decode telemetry: proves skip blocks actually skip (the
         # reference's whole query model is lazy block iteration,
@@ -787,16 +788,24 @@ class SegmentSearcher:
         if len(docs) == 0:
             return self._project(docs, scores=np.empty(0),
                                  with_meta=with_meta)
-        reader = self.shards.get(self._sharder.shard_of(term))
-        res = (reader.positions_rows_flat(term, np.arange(len(docs)))
-               if reader is not None else None)
-        if res is None:
-            raise ValueError(
-                f"span_first({term!r}): positions unavailable — the "
-                "index was built without positional data")
-        lengths, flat = res
-        starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
-        first = flat[starts]
+        first = self._first_pos_cache.get(term)
+        if first is None:
+            reader = self.shards.get(self._sharder.shard_of(term))
+            res = (reader.positions_rows_flat(term, np.arange(len(docs)))
+                   if reader is not None else None)
+            if res is None:
+                raise ValueError(
+                    f"span_first({term!r}): positions unavailable — the "
+                    "index was built without positional data")
+            lengths, flat = res
+            starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+            first = flat[starts]
+            # positions are immutable per segment; memoize the firsts
+            # (one int64 per posting) so repeat span-first queries on
+            # a hot term skip the flat gather entirely
+            if len(self._first_pos_cache) > 1024:
+                self._first_pos_cache.clear()
+            self._first_pos_cache[term] = first
         sel = first < limit_pos
         docs, tfs = docs[sel], tfs[sel]
         if len(self.deleted) and len(docs):
