@@ -124,14 +124,12 @@ def cmd_search(args: argparse.Namespace) -> int:
         print(f"error: {' and '.join(modes)} are mutually exclusive",
               file=sys.stderr)
         return 2
-    if ":" in args.query and modes and modes[0] in ("--count", "--msm",
-                                                    "--collapse"):
-        # these modes parse flat queries; a field:value token would
-        # silently become a never-matching TERM instead of a metadata
-        # filter (the colon-routing hole the plain path closes via
-        # search_parsed)
-        print(f"error: field filters (':' in query) are not supported "
-              f"with {modes[0]}", file=sys.stderr)
+    if ":" in args.query and modes and modes[0] == "--msm":
+        # msm takes a flat TERM LIST; a field:value token would
+        # silently become a never-matching term.  --count/--collapse
+        # route through parse_full below and honor the filter.
+        print("error: field filters (':' in query) are not supported "
+              "with --msm", file=sys.stderr)
         return 2
     _ensure_ray()
     from chearch_ray.state.engine import QueryEngine
@@ -160,13 +158,34 @@ def cmd_search(args: argparse.Namespace) -> int:
             else:
                 out = eng.explain(args.query, k=args.k, default_op=args.op)
         elif args.count:
-            print(eng.count(args.query, default_op=args.op))
+            if ":" in args.query:
+                from chearch_ray.functions.queryparse import parse_full
+
+                node, filters, boosts = parse_full(args.query, args.op)
+                if boosts:
+                    print("error: ^boosts do not apply to --count",
+                          file=sys.stderr)
+                    return 2
+                print(eng.count(node, filter=filters))
+            else:
+                print(eng.count(args.query, default_op=args.op))
             return 0
         elif args.msm is not None:
             out = eng.search_msm(args.query, args.msm, k=args.k)
         elif args.collapse is not None:
-            out = eng.search_collapse(args.query, field=args.collapse,
-                                      k=args.k, default_op=args.op)
+            if ":" in args.query:
+                from chearch_ray.functions.queryparse import parse_full
+
+                node, filters, boosts = parse_full(args.query, args.op)
+                if boosts:
+                    print("error: ^boosts are not supported with "
+                          "--collapse", file=sys.stderr)
+                    return 2
+                out = eng.search_collapse(node, field=args.collapse,
+                                          k=args.k, filter=filters)
+            else:
+                out = eng.search_collapse(args.query, field=args.collapse,
+                                          k=args.k, default_op=args.op)
         elif args.boolean:
             out = eng.search_boolean(args.query, default_op=args.op)
         elif ":" in args.query:

@@ -355,6 +355,23 @@ def q_collapse_by_lang(sf_dir: str) -> pa.Table:
     })
 
 
+#: collapse × metadata filter — the composition law: collapse of the
+#: FILTERED ranked list (candidates narrow before grouping, scores
+#: unchanged).  k=2 < the 3 allowed langs, exercising both cuts.
+COLLAPSE_FLT_LANGS = ("en", "de", "zh")
+
+
+def q_collapse_filtered(sf_dir: str) -> pa.Table:
+    eng = engine_for(sf_dir)
+    t = eng.search_collapse(" ".join(BM25_OR_TERMS), field=COLLAPSE_FIELD,
+                            k=2, filter={"lang": list(COLLAPSE_FLT_LANGS)})
+    return pa.table({
+        "rank": pa.array(range(1, len(t) + 1), type=pa.int64()),
+        "doc_id": t["doc_id"].cast(pa.int64()),
+        "lang": t["lang"],
+    })
+
+
 #: Lucene-style scoring explain: one row per (top-k doc, matching
 #: term) with the integer evidence (tf, dl, df) the BM25 formula
 #: consumed — the oracle reproduces the rows from the same CTEs the
@@ -3082,6 +3099,7 @@ QUERIES = {
     "hit_counts": q_hit_counts,
     "dismax_bm25": q_dismax_bm25,
     "span_first": q_span_first,
+    "collapse_filtered": q_collapse_filtered,
     # --- round 1–4 re-checks from here (fingerprint/minhash/simhash
     # --- carry newer exact mirrors, proven by tests/test_entry.py at
     # --- two scales; the 50-cap pushed them below the window) --------
@@ -3593,6 +3611,30 @@ ranked AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
                   doc_id, lang FROM coll)
 SELECT rk::BIGINT AS rank, doc_id::BIGINT AS doc_id, lang
 FROM ranked WHERE rk <= {COLLAPSE_K} ORDER BY rk""",
+    ),
+    # collapse × filter: candidates restricted to the allowed langs
+    # BEFORE grouping; scores stay global-stats BM25
+    "collapse_filtered": _bm25_sql(
+        BM25_OR_TERMS,
+        "or",
+        cand_sql=(
+            "SELECT DISTINCT t.doc_id FROM tok t "
+            "JOIN documents d USING (doc_id) WHERE t.term IN ("
+            + ", ".join(f"'{t}'" for t in BM25_OR_TERMS)
+            + ") AND d.lang IN ("
+            + ", ".join(f"'{l}'" for l in COLLAPSE_FLT_LANGS) + ")"
+        ),
+        final_sql=""",
+coll AS (SELECT doc_id, score, lang FROM (
+           SELECT s.doc_id, s.score, d.lang,
+                  row_number() OVER (PARTITION BY d.lang
+                                     ORDER BY s.score DESC, s.doc_id) AS rn
+           FROM scored s JOIN documents d USING (doc_id))
+         WHERE rn = 1),
+ranked AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+                  doc_id, lang FROM coll)
+SELECT rk::BIGINT AS rank, doc_id::BIGINT AS doc_id, lang
+FROM ranked WHERE rk <= 2 ORDER BY rk""",
     ),
     # minimum-should-match candidates = docs with >= m distinct query
     # terms; scoring stays the shared BM25 body over ALL present terms

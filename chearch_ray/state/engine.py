@@ -846,7 +846,8 @@ class QueryEngine:
         return merged.take(pa.array(order, type=pa.int64()))
 
     def search_msm(self, terms, m: int, k: int | None = None,
-                   with_meta: bool = True) -> pa.Table:
+                   with_meta: bool = True,
+                   filter: dict[str, list] | None = None) -> pa.Table:
         """Minimum-should-match BM25 (Lucene's minimum_should_match,
         engine extension §2.10): top-k over docs containing at least
         `m` of the distinct query `terms`, scored by the standard sum
@@ -877,12 +878,12 @@ class QueryEngine:
 
             tables = ray.get(
                 [a.search_msm.remote(distinct, m, k, idfs, self.avgdl,
-                                     with_meta=with_meta)
+                                     with_meta=with_meta, flt=filter)
                  for a in self._actors]
             )
         else:
             tables = [s.search_msm(distinct, m, k, idfs, self.avgdl,
-                                   with_meta=with_meta)
+                                   with_meta=with_meta, flt=filter)
                       for s in self._local]
         merged = pa.concat_tables(tables)
         if len(merged) == 0:
@@ -893,7 +894,8 @@ class QueryEngine:
 
     def search_collapse(self, query: str | ast.Node, field: str = "lang",
                         k: int | None = None,
-                        default_op: str = "or") -> pa.Table:
+                        default_op: str = "or",
+                        filter: dict[str, list] | None = None) -> pa.Table:
         """Field-collapsed BM25 top-k (Lucene's collapse / field
         grouping, engine extension §2.10): the best-ranked doc per
         distinct `field` value, globally ordered (score desc, doc_id
@@ -914,11 +916,13 @@ class QueryEngine:
             import ray
 
             tables = ray.get(
-                [a.search_collapse.remote(node, field, k, idfs, self.avgdl)
+                [a.search_collapse.remote(node, field, k, idfs, self.avgdl,
+                                          flt=filter)
                  for a in self._actors]
             )
         else:
-            tables = [s.search_collapse(node, field, k, idfs, self.avgdl)
+            tables = [s.search_collapse(node, field, k, idfs, self.avgdl,
+                                        flt=filter)
                       for s in self._local]
         merged = pa.concat_tables(tables)
         if len(merged) == 0:
@@ -981,7 +985,8 @@ class QueryEngine:
 
     def search_dismax(self, terms, tie: float = 0.0,
                       k: int | None = None,
-                      with_meta: bool = True) -> pa.Table:
+                      with_meta: bool = True,
+                      filter: dict[str, list] | None = None) -> pa.Table:
         """Disjunction-max BM25 top-k (Lucene's DisjunctionMaxQuery,
         engine extension §2.10): score(d) = max over the terms'
         contributions + `tie` * (their sum - that max), over the OR
@@ -1008,12 +1013,14 @@ class QueryEngine:
 
             tables = ray.get(
                 [a.search_dismax.remote(distinct, float(tie), k, idfs,
-                                        self.avgdl, with_meta=with_meta)
+                                        self.avgdl, with_meta=with_meta,
+                                        flt=filter)
                  for a in self._actors]
             )
         else:
             tables = [s.search_dismax(distinct, float(tie), k, idfs,
-                                      self.avgdl, with_meta=with_meta)
+                                      self.avgdl, with_meta=with_meta,
+                                      flt=filter)
                       for s in self._local]
         merged = pa.concat_tables(tables)
         if len(merged) == 0:
@@ -1024,7 +1031,8 @@ class QueryEngine:
 
     def search_span_first(self, term: str, limit_pos: int,
                           k: int | None = None,
-                          with_meta: bool = True) -> pa.Table:
+                          with_meta: bool = True,
+                          filter: dict[str, list] | None = None) -> pa.Table:
         """BM25 top-k over docs whose FIRST occurrence of `term` is at
         token position < `limit_pos` (Lucene's SpanFirstQuery, engine
         extension §2.10) — 'the term appears in the opening N tokens',
@@ -1045,12 +1053,14 @@ class QueryEngine:
 
             tables = ray.get(
                 [a.search_span_first.remote(t, int(limit_pos), k, idfs,
-                                            self.avgdl, with_meta=with_meta)
+                                            self.avgdl, with_meta=with_meta,
+                                            flt=filter)
                  for a in self._actors]
             )
         else:
             tables = [s.search_span_first(t, int(limit_pos), k, idfs,
-                                          self.avgdl, with_meta=with_meta)
+                                          self.avgdl, with_meta=with_meta,
+                                          flt=filter)
                       for s in self._local]
         merged = pa.concat_tables(tables)
         if len(merged) == 0:
@@ -1059,7 +1069,8 @@ class QueryEngine:
         order = topk_order(scores, _merge_tie_key(merged), k)
         return merged.take(pa.array(order, type=pa.int64()))
 
-    def count(self, query: str | ast.Node, default_op: str = "or") -> int:
+    def count(self, query: str | ast.Node, default_op: str = "or",
+              filter: dict[str, list] | None = None) -> int:
         """Exact live match count (the Lucene IndexSearcher.count
         analogue, engine extension §2.10): how many docs the boolean
         form of `query` matches — NEVER windowed by partition_limit
@@ -1070,13 +1081,15 @@ class QueryEngine:
         from chearch_ray.functions.queryparse import contains_phrase
 
         if contains_phrase(parsed):
-            return len(self._boolean_with_phrases(parsed, limit=1 << 62))
+            return len(self._boolean_with_phrases(parsed, filter=filter,
+                                                  limit=1 << 62))
         node = self._plan(parsed)
         if self.use_actors:
             import ray
 
-            return sum(ray.get([a.count.remote(node) for a in self._actors]))
-        return sum(s.count(node) for s in self._local)
+            return sum(ray.get([a.count.remote(node, flt=filter)
+                                for a in self._actors]))
+        return sum(s.count(node, flt=filter) for s in self._local)
 
     # ------------------------------------------- phrase-in-boolean
     def _id_columns(self) -> list[str]:

@@ -481,12 +481,16 @@ class SegmentSearcher:
         docs = docs[:cap]
         return self._project(docs, scores=None, with_meta=with_meta)
 
-    def count(self, node: ast.Node) -> int:
+    def count(self, node: ast.Node, flt: dict | None = None) -> int:
         """Exact LIVE match count (the Lucene IndexSearcher.count
         analogue) — NEVER capped by partition_limit (a count is an
         aggregate over the full match set, not a result window), and
-        the segment ships ONE integer, not ids."""
-        return int(len(self._candidates(node)))
+        the segment ships ONE integer, not ids.  `flt` restricts the
+        counted set by docmap metadata."""
+        docs = self._candidates(node)
+        if flt is not None:
+            docs = intersect_sorted(docs, self._filter_allowed(flt))
+        return int(len(docs))
 
     def facet_histogram(self, node: ast.Node, bucket_width: int) -> pa.Table:
         """Numeric histogram aggregation over ALL matching docs'
@@ -726,7 +730,7 @@ class SegmentSearcher:
 
     def _score_union(
         self, terms: list[str], idfs: dict[str, float], avgdl: float,
-        min_count: int = 1,
+        min_count: int = 1, flt: dict | None = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(docs, match_counts, scores) over the live UNION of the
         terms' posting lists, via one sorted unique + per-term
@@ -750,6 +754,18 @@ class SegmentSearcher:
         if min_count > 1:
             sel = counts >= min_count
             docs, counts = docs[sel], counts[sel]
+        if flt is not None:
+            # metadata filter narrows the candidate set BEFORE
+            # scoring (counts are per-doc term membership — filter
+            # cannot change them); keep counts aligned via membership
+            allowed = self._filter_allowed(flt)
+            if len(allowed) and len(docs):
+                pos = np.searchsorted(allowed, docs)
+                pos_c = np.minimum(pos, len(allowed) - 1)
+                ok = allowed[pos_c] == docs
+            else:
+                ok = np.zeros(len(docs), dtype=bool)
+            docs, counts = docs[ok], counts[ok]
         if len(self.deleted):
             keep = self._not_deleted(docs)
             docs, counts = docs[keep], counts[keep]
@@ -772,7 +788,8 @@ class SegmentSearcher:
 
     def search_span_first(self, term: str, limit_pos: int, k: int,
                           idfs: dict[str, float], avgdl: float,
-                          with_meta: bool = True) -> pa.Table:
+                          with_meta: bool = True,
+                          flt: dict | None = None) -> pa.Table:
         """BM25 top-k over docs whose FIRST occurrence of `term` sits
         at token position < `limit_pos` (the Lucene SpanFirstQuery
         analogue, engine extension §2.10) — 'the term appears in the
@@ -808,6 +825,15 @@ class SegmentSearcher:
             self._first_pos_cache[term] = first
         sel = first < limit_pos
         docs, tfs = docs[sel], tfs[sel]
+        if flt is not None and len(docs):
+            allowed = self._filter_allowed(flt)
+            if len(allowed):
+                pos = np.searchsorted(allowed, docs)
+                pos_c = np.minimum(pos, len(allowed) - 1)
+                ok = allowed[pos_c] == docs
+            else:
+                ok = np.zeros(len(docs), dtype=bool)
+            docs, tfs = docs[ok], tfs[ok]
         if len(self.deleted) and len(docs):
             keep = self._not_deleted(docs)
             docs, tfs = docs[keep], tfs[keep]
@@ -825,7 +851,8 @@ class SegmentSearcher:
 
     def search_dismax(self, terms: list[str], tie: float, k: int,
                       idfs: dict[str, float], avgdl: float,
-                      with_meta: bool = True) -> pa.Table:
+                      with_meta: bool = True,
+                      flt: dict | None = None) -> pa.Table:
         """Disjunction-max BM25 top-k (the Lucene DisjunctionMaxQuery
         analogue, engine extension §2.10): score(d) = max_t contrib_t
         + tie * (sum_t contrib_t - max_t contrib_t) over the OR
@@ -844,6 +871,8 @@ class SegmentSearcher:
             return self._project(_EMPTY_U64, scores=np.empty(0),
                                  with_meta=with_meta)
         docs = np.unique(np.concatenate(nonempty))
+        if flt is not None:
+            docs = intersect_sorted(docs, self._filter_allowed(flt))
         if len(self.deleted):
             docs = docs[self._not_deleted(docs)]
         if len(docs) == 0:
@@ -872,19 +901,22 @@ class SegmentSearcher:
 
     def search_msm(self, terms: list[str], m: int, k: int,
                    idfs: dict[str, float], avgdl: float,
-                   with_meta: bool = True) -> pa.Table:
+                   with_meta: bool = True,
+                   flt: dict | None = None) -> pa.Table:
         """BM25 top-k over docs matching at least `m` of the DISTINCT
         query `terms` — Lucene's minimum_should_match over a
         disjunction (engine extension, §2.10).  m == 1 admits exactly
         the OR candidate set; m == len(terms) exactly the AND set.
         Scores are the standard sum of the present terms'
         contributions (_score_union — float-identical to the generic
-        disjunctive path on the same candidates)."""
+        disjunctive path on the same candidates).  `flt` narrows the
+        candidate set by docmap metadata (scores unchanged — the
+        search_bm25_filtered contract)."""
         if self.docmap is None:
             return self._project(_EMPTY_U64, scores=np.empty(0),
                                  with_meta=with_meta)
         docs, _, scores = self._score_union(terms, idfs, avgdl,
-                                            min_count=m)
+                                            min_count=m, flt=flt)
         if len(docs) == 0:
             return self._project(docs, scores=np.empty(0),
                                  with_meta=with_meta)
@@ -894,7 +926,8 @@ class SegmentSearcher:
 
     def search_collapse(self, node: ast.Node, field: str, k: int,
                         idfs: dict[str, float], avgdl: float,
-                        with_meta: bool = True) -> pa.Table:
+                        with_meta: bool = True,
+                        flt: dict | None = None) -> pa.Table:
         """Field-collapsed BM25 (Lucene's collapse, engine extension
         §2.10): group the query's candidates by a docmap metadata
         column, keep each group's best-ranked doc under the global
@@ -912,9 +945,12 @@ class SegmentSearcher:
             # pure-OR fast path: union + scatter-add reuses the
             # decoded tfs (float-identical to the generic path)
             cands, _, scores = self._score_union(
-                [str(t) for t in ast.terms_of(node)], idfs, avgdl)
+                [str(t) for t in ast.terms_of(node)], idfs, avgdl,
+                flt=flt)
         else:
             cands = self._candidates(node)
+            if flt is not None:
+                cands = intersect_sorted(cands, self._filter_allowed(flt))
             scores = (self._score_docs(
                 cands, [str(t) for t in ast.terms_of(node)], idfs, avgdl)
                 if len(cands) else np.empty(0))
@@ -1760,36 +1796,38 @@ class SearcherGroup:
             [m.search_bm25_batch(nodes, k, idfs, avgdl) for m in self.members]
         )
 
-    def search_msm(self, terms, m, k, idfs, avgdl, with_meta=True) -> pa.Table:
+    def search_msm(self, terms, m, k, idfs, avgdl, with_meta=True,
+                   flt=None) -> pa.Table:
         return pa.concat_tables(
-            [mem.search_msm(terms, m, k, idfs, avgdl, with_meta=with_meta)
+            [mem.search_msm(terms, m, k, idfs, avgdl, with_meta=with_meta,
+                            flt=flt)
              for mem in self.members]
         )
 
     def search_collapse(self, node, field, k, idfs, avgdl,
-                        with_meta=True) -> pa.Table:
+                        with_meta=True, flt=None) -> pa.Table:
         return pa.concat_tables(
             [mem.search_collapse(node, field, k, idfs, avgdl,
-                                 with_meta=with_meta)
+                                 with_meta=with_meta, flt=flt)
              for mem in self.members]
         )
 
-    def count(self, node) -> int:
-        return sum(mem.count(node) for mem in self.members)
+    def count(self, node, flt=None) -> int:
+        return sum(mem.count(node, flt=flt) for mem in self.members)
 
     def search_dismax(self, terms, tie, k, idfs, avgdl,
-                      with_meta=True) -> pa.Table:
+                      with_meta=True, flt=None) -> pa.Table:
         return pa.concat_tables(
             [mem.search_dismax(terms, tie, k, idfs, avgdl,
-                               with_meta=with_meta)
+                               with_meta=with_meta, flt=flt)
              for mem in self.members]
         )
 
     def search_span_first(self, term, limit_pos, k, idfs, avgdl,
-                          with_meta=True) -> pa.Table:
+                          with_meta=True, flt=None) -> pa.Table:
         return pa.concat_tables(
             [mem.search_span_first(term, limit_pos, k, idfs, avgdl,
-                                   with_meta=with_meta)
+                                   with_meta=with_meta, flt=flt)
              for mem in self.members]
         )
 

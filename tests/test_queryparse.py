@@ -977,3 +977,96 @@ def test_span_first_validation(eng):
         eng.search_span_first("a b", 5)
     with pytest.raises(ValueError, match="limit_pos"):
         eng.search_span_first("def", 0)
+
+
+# ------------------------------------------- filters × new operators
+
+
+def test_filtered_msm_dismax_collapse_count_span_first(eng):
+    """The sixth-window operators compose with docmap metadata
+    filters exactly like search(filter=...): candidates narrow,
+    scores never move."""
+    flt = {"lang": ["py", "go"]}
+    langs_of = dict(zip(eng._corpus["doc_id"].to_pylist(),
+                        eng._corpus["lang"].to_pylist()))
+    ok = {d for d, l in langs_of.items() if l in flt["lang"]}
+    assert ok and len(ok) < len(langs_of)
+
+    # msm: filtered result == unfiltered rows restricted to ok
+    m_all = eng.search_msm(["def", "return", "class"], 2, k=10**9)
+    m_f = eng.search_msm(["def", "return", "class"], 2, k=10**9,
+                         filter=flt)
+    want = [(d, s) for d, s in zip(m_all["doc_id"].to_pylist(),
+                                   m_all["score"].to_pylist()) if d in ok]
+    assert list(zip(m_f["doc_id"].to_pylist(),
+                    m_f["score"].to_pylist())) == want
+
+    # dismax: same restriction law
+    d_all = eng.search_dismax(["def", "return"], tie=0.4, k=10**9)
+    d_f = eng.search_dismax(["def", "return"], tie=0.4, k=10**9,
+                            filter=flt)
+    want = [(d, s) for d, s in zip(d_all["doc_id"].to_pylist(),
+                                   d_all["score"].to_pylist()) if d in ok]
+    assert list(zip(d_f["doc_id"].to_pylist(),
+                    d_f["score"].to_pylist())) == want
+
+    # collapse: collapse of the FILTERED ranked list
+    full = eng.search("def OR return", k=10**9, filter=flt)
+    seen, rows = set(), []
+    for i in range(len(full)):
+        v = full["lang"][i].as_py()
+        if v not in seen:
+            seen.add(v)
+            rows.append(i)
+    want_t = full.take(pa.array(rows, type=pa.int64()))
+    got_t = eng.search_collapse("def OR return", field="lang", k=10,
+                                filter=flt)
+    assert got_t.equals(want_t)
+    assert set(got_t["lang"].to_pylist()) <= set(flt["lang"])
+
+    # count: filtered count == filtered boolean length
+    got_n = eng.count("def return", default_op="or", filter=flt)
+    assert got_n == len(eng.search_boolean("def return", default_op="or",
+                                           filter=flt, limit=10**9))
+    assert got_n < eng.count("def return", default_op="or")
+
+    # span_first: filtered == unfiltered ∩ ok
+    s_all = eng.search_span_first("def", 8, k=10**9)
+    s_f = eng.search_span_first("def", 8, k=10**9, filter=flt)
+    assert _ids(s_f) == sorted(d for d in s_all["doc_id"].to_pylist()
+                               if d in ok)
+
+
+def test_cli_filtered_count_and_collapse(eng):
+    """field:value filters route through parse_full for --count and
+    --collapse (the colon-routing hole closed properly); --msm still
+    refuses them."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ,
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+
+    def run(*extra):
+        return subprocess.run(
+            [_sys.executable, "-m", "chearch_ray", "search",
+             "--index", eng.index_dir, "--k", "3", "--local", *extra],
+            capture_output=True, text=True, env=env)
+
+    p = run("--query", "lang:py def return", "--op", "or", "--count")
+    assert p.returncode == 0, p.stdout + p.stderr
+    want = eng.count(
+        eng._plan(__import__("chearch_ray").ast.Or(
+            __import__("chearch_ray").ast.Term("def"),
+            __import__("chearch_ray").ast.Term("return"))),
+        filter={"lang": ["py"]})
+    assert int(p.stdout.strip()) == want
+
+    p = run("--query", "lang:py def OR return", "--collapse", "lang")
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "'lang': 'py'" in p.stdout and p.stdout.count("{") == 1
+
+    p = run("--query", "lang:py def", "--msm", "1")
+    assert p.returncode == 2 and "not supported with --msm" in p.stderr
