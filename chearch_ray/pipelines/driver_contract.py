@@ -309,6 +309,24 @@ def q_hit_counts(sf_dir: str) -> pa.Table:
     })
 
 
+#: facet stats — engine extension (§2.10, the Elasticsearch
+#: stats-aggregation analogue): per-lang doc_len statistics over the
+#: FULL boolean match set; segments ship integer partials, the mean
+#: is one float64 division (sum::DOUBLE / n::DOUBLE on both sides).
+def q_facet_stats(sf_dir: str) -> pa.Table:
+    eng = engine_for(sf_dir)
+    t = eng.facet_stats(" ".join(BOOL_OR_TERMS), by="lang",
+                        default_op="or")
+    return pa.table({
+        "lang": t["lang"],
+        "n": t["n"],
+        "sum_dl": t["sum_dl"],
+        "min_dl": t["min_dl"],
+        "max_dl": t["max_dl"],
+        "mean_dl": t["mean_dl"],
+    })
+
+
 #: disjunction-max — engine extension (§2.10, Lucene's
 #: DisjunctionMaxQuery): score = best term contribution + tie * the
 #: rest; the oracle swaps the scored CTE's aggregate to
@@ -3100,6 +3118,7 @@ QUERIES = {
     "dismax_bm25": q_dismax_bm25,
     "span_first": q_span_first,
     "collapse_filtered": q_collapse_filtered,
+    "facet_stats": q_facet_stats,
     # --- round 1–4 re-checks from here (fingerprint/minhash/simhash
     # --- carry newer exact mirrors, proven by tests/test_entry.py at
     # --- two scales; the 50-cap pushed them below the window) --------
@@ -3612,6 +3631,19 @@ ranked AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
 SELECT rk::BIGINT AS rank, doc_id::BIGINT AS doc_id, lang
 FROM ranked WHERE rk <= {COLLAPSE_K} ORDER BY rk""",
     ),
+    # facet stats: per-lang doc_len stats over the boolean match set;
+    # dl == the engine's doc_len == token count per doc
+    "facet_stats": f"""
+WITH {TOK_CTE},
+cand AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_OR_TERMS[0]}'
+         UNION SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOL_OR_TERMS[1]}'),
+dlc AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id)
+SELECT d.lang, count(*)::BIGINT AS n, sum(dl)::BIGINT AS sum_dl,
+       min(dl)::BIGINT AS min_dl, max(dl)::BIGINT AS max_dl,
+       sum(dl)::DOUBLE / count(*)::DOUBLE AS mean_dl
+FROM cand JOIN dlc USING (doc_id) JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+""",
     # collapse × filter: candidates restricted to the allowed langs
     # BEFORE grouping; scores stay global-stats BM25
     "collapse_filtered": _bm25_sql(

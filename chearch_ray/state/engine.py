@@ -1379,6 +1379,49 @@ class QueryEngine:
                         "n": agg["n_sum"].cast(pa.int64())})
         return agg.take(pc.sort_indices(agg, sort_keys=[("bucket_lo", "ascending")]))
 
+    def facet_stats(self, query: str | ast.Node, by: str = "lang",
+                    default_op: str = "or",
+                    filter: dict[str, list] | None = None) -> pa.Table:
+        """Per-facet doc_len statistics over the FULL match set (the
+        Elasticsearch stats-aggregation analogue): one row per
+        distinct `by` value with (n, sum_dl, min_dl, max_dl, mean_dl),
+        ordered by facet value.  Segments ship integer partials
+        (sum/min/max merge exactly); mean is computed ONCE here as
+        sum/n in float64, so it is bit-identical to the SQL
+        sum::DOUBLE / count::DOUBLE mirror.  `filter` narrows the
+        counted set by docmap metadata."""
+        node = self._plan(parse_query(query, default_op))
+        if self.use_actors:
+            import ray
+
+            tables = ray.get(
+                [a.facet_stats.remote(node, by, flt=filter)
+                 for a in self._actors]
+            )
+        else:
+            tables = [s.facet_stats(node, by, flt=filter)
+                      for s in self._local]
+        merged = pa.concat_tables(tables)
+        if len(merged) == 0:
+            return merged
+        agg = merged.group_by(by, use_threads=False).aggregate(
+            [("n", "sum"), ("sum_dl", "sum"), ("min_dl", "min"),
+             ("max_dl", "max")])
+        n = agg["n_sum"].to_numpy().astype(np.int64)
+        sum_dl = agg["sum_dl_sum"].to_numpy().astype(np.int64)
+        out = pa.table({
+            by: agg[by],
+            "n": pa.array(n, type=pa.int64()),
+            "sum_dl": pa.array(sum_dl, type=pa.int64()),
+            "min_dl": agg["min_dl_min"].cast(pa.int64()),
+            "max_dl": agg["max_dl_max"].cast(pa.int64()),
+            "mean_dl": pa.array(sum_dl.astype(np.float64)
+                                / n.astype(np.float64),
+                                type=pa.float64()),
+        })
+        return out.take(pc.sort_indices(
+            out, sort_keys=[(by, "ascending")]))
+
     def search_phrase(self, phrase: str | list, k: int | None = None) -> pa.Table:
         """Exact phrase query across segments (requires
         store_positions=True at build time), ordered

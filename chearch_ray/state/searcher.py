@@ -508,6 +508,43 @@ class SegmentSearcher:
         return pa.table({"bucket_lo": pa.array(uniq, type=pa.int64()),
                          "n": pa.array(counts.astype(np.int64), type=pa.int64())})
 
+    def facet_stats(self, node: ast.Node, by: str,
+                    flt: dict | None = None) -> pa.Table:
+        """Per-facet doc_len statistics over the FULL match set (the
+        Elasticsearch stats-aggregation analogue, engine extension
+        §2.10): one partial row per distinct `by` value with (n,
+        sum_dl, min_dl, max_dl) — integers, so the engine's merge
+        (sum/sum/min/max) is exact.  Grouping runs in Arrow's C++
+        group_by over the candidate docs' docmap columns; like
+        facet_histogram this covers every matching doc, not the
+        partition_limit result window."""
+        empty = pa.table({
+            by: pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "sum_dl": pa.array([], type=pa.int64()),
+            "min_dl": pa.array([], type=pa.int64()),
+            "max_dl": pa.array([], type=pa.int64()),
+        })
+        if self.docmap is None:
+            return empty
+        docs = self._candidates(node)
+        if flt is not None:
+            docs = intersect_sorted(docs, self._filter_allowed(flt))
+        if len(docs) == 0:
+            return empty
+        dl = self.docmap.lengths_for(docs).astype(np.int64)
+        t = pa.table({by: self.docmap.column_arrow_for(docs, by),
+                      "dl": pa.array(dl, type=pa.int64())})
+        agg = t.group_by(by, use_threads=False).aggregate(
+            [("dl", "count"), ("dl", "sum"), ("dl", "min"), ("dl", "max")])
+        return pa.table({
+            by: agg[by],
+            "n": agg["dl_count"].cast(pa.int64()),
+            "sum_dl": agg["dl_sum"].cast(pa.int64()),
+            "min_dl": agg["dl_min"].cast(pa.int64()),
+            "max_dl": agg["dl_max"].cast(pa.int64()),
+        })
+
     # ------------------------------------------------- metadata filters
     def _filter_allowed(self, flt: dict[str, list]) -> np.ndarray:
         """Sorted doc-id (posting-ordinal in wide mode) array of docmap
@@ -1854,6 +1891,11 @@ class SearcherGroup:
     def facet_histogram(self, node, bucket_width) -> pa.Table:
         return pa.concat_tables(
             [m.facet_histogram(node, bucket_width) for m in self.members]
+        )
+
+    def facet_stats(self, node, by, flt=None) -> pa.Table:
+        return pa.concat_tables(
+            [m.facet_stats(node, by, flt=flt) for m in self.members]
         )
 
     def search_near(self, term_a, term_b, slop, ordered, k, idfs, avgdl) -> pa.Table:

@@ -615,6 +615,14 @@ class DocmapReader:
     def meta_for(self, doc_ids: np.ndarray) -> pa.Table:
         return self.table.take(pa.array(self._indices_for(doc_ids), type=pa.int64()))
 
+    def column_arrow_for(self, doc_ids: np.ndarray,
+                         column: str) -> "pa.ChunkedArray":
+        """ONE metadata column's values for `doc_ids` as Arrow
+        (validated like meta_for) — aggregation paths hand it to
+        Arrow group_by without materializing Python strings."""
+        return self.table[column].take(
+            pa.array(self._indices_for(doc_ids), type=pa.int64()))
+
     def column_codes_for(self, doc_ids: np.ndarray,
                          column: str) -> np.ndarray:
         """Dictionary CODES of one metadata column for `doc_ids` —

@@ -1070,3 +1070,42 @@ def test_cli_filtered_count_and_collapse(eng):
 
     p = run("--query", "lang:py def", "--msm", "1")
     assert p.returncode == 2 and "not supported with --msm" in p.stderr
+
+
+# ----------------------------------------------------- facet stats
+
+
+def test_facet_stats_bruteforce(eng):
+    """facet_stats == hand-computed per-lang stats over the full
+    boolean match set (never the partition_limit window)."""
+    import collections
+
+    terms = ("def", "return")
+    langs_of = dict(zip(eng._corpus["doc_id"].to_pylist(),
+                        eng._corpus["lang"].to_pylist()))
+    per = collections.defaultdict(list)
+    for did, text in zip(eng._corpus["doc_id"].to_pylist(),
+                         eng._corpus["content"].to_pylist()):
+        toks = [t for t in re.split("[^a-z0-9_]+", text.lower()) if t]
+        if any(t in toks for t in terms):
+            per[langs_of[did]].append(len(toks))
+    got = eng.facet_stats("def return", by="lang", default_op="or")
+    assert got["lang"].to_pylist() == sorted(per)
+    for i, lang in enumerate(got["lang"].to_pylist()):
+        dls = per[lang]
+        assert got["n"][i].as_py() == len(dls)
+        assert got["sum_dl"][i].as_py() == sum(dls)
+        assert got["min_dl"][i].as_py() == min(dls)
+        assert got["max_dl"][i].as_py() == max(dls)
+        assert got["mean_dl"][i].as_py() == sum(dls) / len(dls)
+
+
+def test_facet_stats_filtered(eng):
+    flt = {"lang": ["py", "go"]}
+    got = eng.facet_stats("def return", by="lang", filter=flt)
+    assert set(got["lang"].to_pylist()) <= set(flt["lang"])
+    full = eng.facet_stats("def return", by="lang")
+    by_lang = {full["lang"][i].as_py(): full["n"][i].as_py()
+               for i in range(len(full))}
+    for i, lang in enumerate(got["lang"].to_pylist()):
+        assert got["n"][i].as_py() == by_lang[lang]
