@@ -158,34 +158,46 @@ def cmd_search(args: argparse.Namespace) -> int:
             else:
                 out = eng.explain(args.query, k=args.k, default_op=args.op)
         elif args.count:
-            if ":" in args.query:
-                from chearch_ray.functions.queryparse import parse_full
+            try:
+                if ":" in args.query:
+                    from chearch_ray.functions.queryparse import parse_full
 
-                node, filters, boosts = parse_full(args.query, args.op)
-                if boosts:
-                    print("error: ^boosts do not apply to --count",
-                          file=sys.stderr)
-                    return 2
-                print(eng.count(node, filter=filters))
-            else:
-                print(eng.count(args.query, default_op=args.op))
+                    node, filters, boosts = parse_full(args.query, args.op)
+                    if boosts:
+                        print("error: ^boosts do not apply to --count",
+                              file=sys.stderr)
+                        return 2
+                    print(eng.count(node, filter=filters))
+                else:
+                    print(eng.count(args.query, default_op=args.op))
+            except (ValueError, NotImplementedError) as exc:
+                # malformed grammar / filter-only query / phrase+filter
+                # — operator mistakes get one line, not a traceback
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
             return 0
         elif args.msm is not None:
             out = eng.search_msm(args.query, args.msm, k=args.k)
         elif args.collapse is not None:
-            if ":" in args.query:
-                from chearch_ray.functions.queryparse import parse_full
+            try:
+                if ":" in args.query:
+                    from chearch_ray.functions.queryparse import parse_full
 
-                node, filters, boosts = parse_full(args.query, args.op)
-                if boosts:
-                    print("error: ^boosts are not supported with "
-                          "--collapse", file=sys.stderr)
-                    return 2
-                out = eng.search_collapse(node, field=args.collapse,
-                                          k=args.k, filter=filters)
-            else:
-                out = eng.search_collapse(args.query, field=args.collapse,
-                                          k=args.k, default_op=args.op)
+                    node, filters, boosts = parse_full(args.query, args.op)
+                    if boosts:
+                        print("error: ^boosts are not supported with "
+                              "--collapse", file=sys.stderr)
+                        return 2
+                    out = eng.search_collapse(node, field=args.collapse,
+                                              k=args.k, filter=filters)
+                else:
+                    out = eng.search_collapse(args.query,
+                                              field=args.collapse,
+                                              k=args.k,
+                                              default_op=args.op)
+            except (ValueError, NotImplementedError) as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
         elif args.boolean:
             out = eng.search_boolean(args.query, default_op=args.op)
         elif ":" in args.query:

@@ -69,6 +69,19 @@ def bm25_component(
     return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def sorted_member_mask(sorted_arr: np.ndarray,
+                       values: np.ndarray) -> np.ndarray:
+    """Boolean mask over `values`: which are members of the SORTED
+    `sorted_arr`.  The one place the searchsorted/clip/compare idiom
+    lives — every membership filter shares its empty-array and
+    clipping edge handling."""
+    if len(sorted_arr) == 0 or len(values) == 0:
+        return np.zeros(len(values), dtype=bool)
+    pos = np.searchsorted(sorted_arr, values)
+    pos_c = np.minimum(pos, len(sorted_arr) - 1)
+    return sorted_arr[pos_c] == values
+
+
 def intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Intersection of two sorted unique arrays via binary-search
     probing of the smaller into the larger — O(min · log max), vs
@@ -518,8 +531,13 @@ class SegmentSearcher:
         group_by over the candidate docs' docmap columns; like
         facet_histogram this covers every matching doc, not the
         partition_limit result window."""
+        # the `by` column's type comes from the docmap schema — a
+        # hardcoded string would break the engine's concat when a
+        # zero-match segment meets typed partials on a numeric facet
+        by_type = (self.docmap.table.schema.field(by).type
+                   if self.docmap is not None else pa.string())
         empty = pa.table({
-            by: pa.array([], type=pa.string()),
+            by: pa.array([], type=by_type),
             "n": pa.array([], type=pa.int64()),
             "sum_dl": pa.array([], type=pa.int64()),
             "min_dl": pa.array([], type=pa.int64()),
@@ -795,13 +813,7 @@ class SegmentSearcher:
             # metadata filter narrows the candidate set BEFORE
             # scoring (counts are per-doc term membership — filter
             # cannot change them); keep counts aligned via membership
-            allowed = self._filter_allowed(flt)
-            if len(allowed) and len(docs):
-                pos = np.searchsorted(allowed, docs)
-                pos_c = np.minimum(pos, len(allowed) - 1)
-                ok = allowed[pos_c] == docs
-            else:
-                ok = np.zeros(len(docs), dtype=bool)
+            ok = sorted_member_mask(self._filter_allowed(flt), docs)
             docs, counts = docs[ok], counts[ok]
         if len(self.deleted):
             keep = self._not_deleted(docs)
@@ -813,10 +825,8 @@ class SegmentSearcher:
         for (d, tf), term in zip(arrs, terms):
             if len(d) == 0:
                 continue
-            pos = np.searchsorted(docs, d)
-            pos_c = np.minimum(pos, len(docs) - 1)
-            ok = docs[pos_c] == d  # filtered/deleted docs fell out
-            at = pos_c[ok]
+            ok = sorted_member_mask(docs, d)  # filtered/deleted fell out
+            at = np.searchsorted(docs, d[ok])
             scores[at] += bm25_component(
                 tf[ok].astype(np.float64), dl_all[at],
                 idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b,
@@ -835,6 +845,10 @@ class SegmentSearcher:
         ascending canonical order, so each cell's first element IS
         the minimum); scoring is the standard single-term BM25 over
         the surviving docs."""
+        if not self.cfg.store_positions:
+            raise ValueError(
+                "span-first queries require an index built with "
+                "store_positions=True")
         if self.docmap is None:
             return self._project(_EMPTY_U64, scores=np.empty(0),
                                  with_meta=with_meta)
@@ -863,13 +877,7 @@ class SegmentSearcher:
         sel = first < limit_pos
         docs, tfs = docs[sel], tfs[sel]
         if flt is not None and len(docs):
-            allowed = self._filter_allowed(flt)
-            if len(allowed):
-                pos = np.searchsorted(allowed, docs)
-                pos_c = np.minimum(pos, len(allowed) - 1)
-                ok = allowed[pos_c] == docs
-            else:
-                ok = np.zeros(len(docs), dtype=bool)
+            ok = sorted_member_mask(self._filter_allowed(flt), docs)
             docs, tfs = docs[ok], tfs[ok]
         if len(self.deleted) and len(docs):
             keep = self._not_deleted(docs)
@@ -921,16 +929,17 @@ class SegmentSearcher:
         for (d, tf), term in zip(arrs, terms):
             if len(d) == 0:
                 continue
-            pos = np.searchsorted(docs, d)
-            pos_c = np.minimum(pos, len(docs) - 1)
-            ok = docs[pos_c] == d
-            at = pos_c[ok]
+            ok = sorted_member_mask(docs, d)
+            at = np.searchsorted(docs, d[ok])
             comp = bm25_component(
                 tf[ok].astype(np.float64), dl_all[at],
                 idfs.get(term, 0.0), avgdl, cfg.k1, cfg.b,
             )
             sums[at] += comp
-            np.maximum.at(maxs, at, comp)
+            # `at` is duplicate-free within a term (one posting per
+            # doc), so plain fancy-index max beats ufunc.at's slow
+            # buffered loop
+            maxs[at] = np.maximum(maxs[at], comp)
         scores = maxs + tie * (sums - maxs)
         order = topk_order(scores, docs, k)
         return self._project(docs[order], scores=scores[order],

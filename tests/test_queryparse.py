@@ -1109,3 +1109,47 @@ def test_facet_stats_filtered(eng):
                for i in range(len(full))}
     for i, lang in enumerate(got["lang"].to_pylist()):
         assert got["n"][i].as_py() == by_lang[lang]
+
+
+def test_span_first_requires_positions(ray_session, tmp_path):
+    """An index built without positions refuses span-first with a
+    clean error (the phrase/NEAR guard), not a decode crash."""
+    import ray.data
+
+    from chearch_ray.config import EngineConfig
+    from chearch_ray.pipelines.build import build_index
+    from chearch_ray.sources.corpus import synthetic_corpus
+    from chearch_ray.state.engine import QueryEngine
+
+    root = str(tmp_path / "nopos")
+    corpus = synthetic_corpus(30, seed=5)
+    build_index(ray.data.from_arrow(corpus), root,
+                EngineConfig(store_positions=False))
+    e = QueryEngine(root, use_actors=False)
+    with pytest.raises(ValueError, match="store_positions"):
+        e.search_span_first("def", 5)
+
+
+def test_cli_count_clean_errors(eng):
+    """Operator mistakes on the colon-routed --count path exit 2 with
+    one line, never a traceback."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ,
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+
+    def run(q):
+        return subprocess.run(
+            [_sys.executable, "-m", "chearch_ray", "search",
+             "--index", eng.index_dir, "--local", "--count",
+             "--query", q],
+            capture_output=True, text=True, env=env)
+
+    for q in ["lang:py", 'lang:py "def return"']:
+        p = run(q)
+        assert p.returncode == 2, (q, p.stdout, p.stderr)
+        assert p.stderr.startswith("error:"), (q, p.stderr)
+        assert "Traceback" not in p.stderr, (q, p.stderr)
