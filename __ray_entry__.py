@@ -34,7 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for EVERY queries() entry — 155/155.
+    """DuckDB-equivalent SQL for EVERY queries() entry — 163/163.
     Highlights: phrase via positional tokenization; media_* via
     sha256 of byte-exact stub reconstructions; quality/langid as
     exact float mirrors; fingerprint/minhash_pairs/simhash_pairs via
