@@ -124,13 +124,6 @@ def cmd_search(args: argparse.Namespace) -> int:
         print(f"error: {' and '.join(modes)} are mutually exclusive",
               file=sys.stderr)
         return 2
-    if ":" in args.query and modes and modes[0] == "--msm":
-        # msm takes a flat TERM LIST; a field:value token would
-        # silently become a never-matching term.  --count/--collapse
-        # route through parse_full below and honor the filter.
-        print("error: field filters (':' in query) are not supported "
-              "with --msm", file=sys.stderr)
-        return 2
     _ensure_ray()
     from chearch_ray.state.engine import QueryEngine
 
@@ -177,7 +170,50 @@ def cmd_search(args: argparse.Namespace) -> int:
                 return 2
             return 0
         elif args.msm is not None:
-            out = eng.search_msm(args.query, args.msm, k=args.k)
+            try:
+                if ":" in args.query:
+                    from chearch_ray import ast as _ast
+                    from chearch_ray.functions.queryparse import parse_full
+
+                    from chearch_ray.functions.queryparse import (
+                        contains_phrase,
+                    )
+
+                    node, filters, boosts = parse_full(args.query, "or")
+                    if boosts:
+                        print("error: ^boosts are not supported with "
+                              "--msm", file=sys.stderr)
+                        return 2
+                    if contains_phrase(node):
+                        print("error: phrases have no m-of-n reading "
+                              "under --msm", file=sys.stderr)
+                        return 2
+
+                    def _has_neg(n):
+                        if isinstance(n, _ast.AndNot):
+                            return True
+                        a, b = getattr(n, "a", None), getattr(n, "b", None)
+                        return any(_has_neg(c) for c in (a, b)
+                                   if c is not None)
+
+                    if _has_neg(node):
+                        # terms_of keeps only positives — silently
+                        # dropping a typed negation would be the --op
+                        # bug again
+                        print("error: negation has no m-of-n reading "
+                              "under --msm", file=sys.stderr)
+                        return 2
+                    # msm takes a flat term SET: the residual must be
+                    # plain terms (terms_of raises on wildcard/fuzzy
+                    # leaves, which have no m-of-n reading)
+                    terms = [str(t) for t in _ast.terms_of(node)]
+                    out = eng.search_msm(terms, args.msm, k=args.k,
+                                         filter=filters)
+                else:
+                    out = eng.search_msm(args.query, args.msm, k=args.k)
+            except (ValueError, NotImplementedError, TypeError) as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
         elif args.collapse is not None:
             try:
                 if ":" in args.query:

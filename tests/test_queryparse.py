@@ -1068,8 +1068,21 @@ def test_cli_filtered_count_and_collapse(eng):
     assert p.returncode == 0, p.stdout + p.stderr
     assert "'lang': 'py'" in p.stdout and p.stdout.count("{") == 1
 
-    p = run("--query", "lang:py def", "--msm", "1")
-    assert p.returncode == 2 and "not supported with --msm" in p.stderr
+    # --msm now honors filters: residual terms + metadata predicate
+    p = run("--query", "lang:py def return", "--msm", "1")
+    assert p.returncode == 0, p.stdout + p.stderr
+    import ast as pyast
+    rows = [pyast.literal_eval(l) for l in p.stdout.strip().splitlines()]
+    want = eng.search_msm(["def", "return"], 1, k=3,
+                          filter={"lang": ["py"]})
+    assert [r["doc_id"] for r in rows] == want["doc_id"].to_pylist()
+    assert all(r["lang"] == "py" for r in rows)
+
+    # constructs with no m-of-n reading get one-line errors
+    p = run("--query", 'lang:py "def return"', "--msm", "1")
+    assert p.returncode == 2 and "no m-of-n reading" in p.stderr
+    p = run("--query", "lang:py def -return", "--msm", "1")
+    assert p.returncode == 2 and "no m-of-n reading" in p.stderr
 
 
 # ----------------------------------------------------- facet stats
