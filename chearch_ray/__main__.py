@@ -115,6 +115,7 @@ def cmd_search(args: argparse.Namespace) -> int:
         ("--snippets", args.snippets), ("--explain", args.explain),
         ("--msm", args.msm is not None),
         ("--collapse", args.collapse is not None),
+        ("--facet-stats", args.facet_stats is not None),
         ("--boolean", args.boolean),
         ("--count", args.count),
     ] if on]
@@ -212,6 +213,24 @@ def cmd_search(args: argparse.Namespace) -> int:
                 else:
                     out = eng.search_msm(args.query, args.msm, k=args.k)
             except (ValueError, NotImplementedError, TypeError) as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
+        elif args.facet_stats is not None:
+            try:
+                if ":" in args.query:
+                    from chearch_ray.functions.queryparse import parse_full
+
+                    node, filters, boosts = parse_full(args.query, args.op)
+                    if boosts:
+                        print("error: ^boosts do not apply to "
+                              "--facet-stats", file=sys.stderr)
+                        return 2
+                    out = eng.facet_stats(node, by=args.facet_stats,
+                                          filter=filters)
+                else:
+                    out = eng.facet_stats(args.query, by=args.facet_stats,
+                                          default_op=args.op)
+            except (ValueError, NotImplementedError) as exc:
                 print(f"error: {exc}", file=sys.stderr)
                 return 2
         elif args.collapse is not None:
@@ -483,6 +502,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--collapse", default=None, metavar="FIELD",
                    help="field collapsing: best doc per distinct FIELD "
                         "value (a docmap metadata column), top-k groups")
+    s.add_argument("--facet-stats", default=None, metavar="FIELD",
+                   help="per-FIELD doc_len statistics (n/sum/min/max/"
+                        "mean) over the FULL match set")
     s.add_argument("--local", action="store_true", help="in-process searchers (no actors)")
     s.set_defaults(fn=cmd_search)
 

@@ -1166,3 +1166,25 @@ def test_cli_count_clean_errors(eng):
         assert p.returncode == 2, (q, p.stdout, p.stderr)
         assert p.stderr.startswith("error:"), (q, p.stderr)
         assert "Traceback" not in p.stderr, (q, p.stderr)
+
+
+def test_cli_facet_stats_flag(eng):
+    import ast as pyast
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ,
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    p = subprocess.run(
+        [_sys.executable, "-m", "chearch_ray", "search",
+         "--index", eng.index_dir, "--local", "--query",
+         "lang:py lang:go def OR return", "--facet-stats", "lang"],
+        capture_output=True, text=True, env=env)
+    assert p.returncode == 0, p.stdout + p.stderr
+    rows = [pyast.literal_eval(l) for l in p.stdout.strip().splitlines()]
+    want = eng.facet_stats("def OR return", by="lang",
+                           filter={"lang": ["py", "go"]})
+    assert [r["lang"] for r in rows] == want["lang"].to_pylist()
+    assert [r["n"] for r in rows] == want["n"].to_pylist()
